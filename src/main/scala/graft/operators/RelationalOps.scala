@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Spark-first re-expressions of the reference pipeline's dplyr/tidyr
+  * verbs (see SURVEY.md §2.1).
+  *
+  * Each operator is pure DataFrame algebra — lazily planned, fully
+  * visible to Catalyst (pushdown / pruning / join reorder / AQE), no
+  * driver-side materialization. Reference sites are cited per method.
+  */
+object RelationalOps {
+
+  implicit class GraftDataFrameOps(val df: DataFrame) extends AnyVal {
+
+    /** `tidyr::separate_rows(col, sep)` —
+      * reference/scripts/tidy/temp-tidy-all-api-ftp-files.R:26,37,48,60.
+      *
+      * Explodes a delimiter-packed string column into one row per
+      * element, dropping empty fragments (the reference always chains
+      * `filter(x != "")`). Explode is narrow (no shuffle); at 100 TB
+      * this scales linearly with input.
+      */
+    def separateRows(colName: String, sep: String): DataFrame =
+      df.withColumn(colName, explode(split(col(colName), sep)))
+        .filter(col(colName) =!= "")
+
+    /** The `hgnc_symbol_template_func()` idiom —
+      * reference/utils/hgnc_symbol_template_func.R:3-10 and its ~25 call
+      * sites: LEFT JOIN a tidied source onto the distinct key template,
+      * then distinct().
+      *
+      * The template (the gene universe, ~20k keys) is broadcast: at
+      * 100 TB the fact side never shuffles for this join.
+      */
+    def templateJoin(template: DataFrame, keys: Seq[String]): DataFrame =
+      broadcast(template).join(df, keys, "left").distinct()
+
+    /** Keep-singletons conflict dedup —
+      * reference/scripts/tidy/temp-tidy-all-api-ftp-files.R:213-219
+      * (IMPC viability: drop genes whose one-to-many mouse mapping
+      * yields conflicting values).
+      *
+      * Keeps only rows whose key maps to exactly one distinct value of
+      * `valueCol`. One shuffle on the key with map-side partial
+      * aggregation; the semi-join back is on the same key so AQE can
+      * plan it shuffle-free.
+      */
+    def keepSingletons(keyCols: Seq[String], valueCol: String): DataFrame = {
+      val singles = df
+        .groupBy(keyCols.map(col): _*)
+        .agg(countDistinct(col(valueCol)).as("__n"))
+        .filter(col("__n") === 1)
+        .drop("__n")
+      df.join(singles, keyCols, "left_semi")
+    }
+
+    /** Sorted string-collapse aggregation —
+      * reference/scripts/tidy/temp-tidy-all-api-ftp-files.R:258-261
+      * (`summarise(paste0(unique(x), collapse="|"))` after arrange).
+      *
+      * collect_set is bounded by the per-key distinct-value count (small
+      * in the reference: phenotype flags), so the partial aggregation
+      * stays map-side combinable.
+      */
+    def collapseDistinct(keyCols: Seq[String], valueCol: String,
+                         sep: String, outName: String): DataFrame =
+      df.groupBy(keyCols.map(col): _*)
+        .agg(array_join(array_sort(collect_set(col(valueCol))), sep).as(outName))
+
+    /** Keep the top-ranked row per key —
+      * reference/scripts/tidy/temp-tidy-all-web-files.R:158-167 (gnomAD:
+      * prefer the MANE-select transcript when a gene has several).
+      * orderCols must produce a total order for determinism.
+      */
+    def topPerKey(keyCols: Seq[String], orderCols: Seq[Column]): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(keyCols.map(col): _*).orderBy(orderCols: _*)
+      df.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .drop("__rn")
+    }
+
+    /** Blank-string → NULL normalization across columns —
+      * reference `mutate(across(everything(), ~na_if(.x, "")))`
+      * (temp-tidy-all-api-ftp-files.R:17) and `ifelse(. == "-", NA, .)`
+      * (.R:411,433).
+      */
+    def naIf(sentinel: String, cols: Seq[String]): DataFrame =
+      cols.foldLeft(df)((d, c) =>
+        d.withColumn(c, when(col(c) === sentinel, lit(null)).otherwise(col(c))))
+  }
+}

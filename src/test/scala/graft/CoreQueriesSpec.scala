@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.CoreQueries
+
+class CoreQueriesSpec extends SparkSpecBase {
+
+  test("every core query runs and returns rows at sf0.001") {
+    CoreQueries.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      assert(n > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("every core query has an oracle with matching key") {
+    assert(CoreQueries.oracleSql.keySet == CoreQueries.queries.keySet)
+  }
+
+  test("q01 groups are the distinct flag/status pairs") {
+    val q1 = CoreQueries.queries("q01_pricing_summary")(spark, sf)
+    val q5 = CoreQueries.queries("q05_distinct")(spark, sf)
+    assert(q1.count() == q5.count())
+  }
+
+  test("q06 template join preserves the full customer universe") {
+    val nCust = Tables.customer(spark, sf).select("c_custkey").distinct().count()
+    val q6 = CoreQueries.queries("q06_template_join")(spark, sf)
+    assert(q6.count() == nCust)
+    assert(q6.select("c_custkey").distinct().count() == nCust)
+  }
+
+  test("q08 keeps only orders with a single distinct returnflag") {
+    val q8 = CoreQueries.queries("q08_conflict_dedup")(spark, sf)
+    val conflicted = Tables.lineitem(spark, sf)
+      .groupBy("l_orderkey").agg(countDistinct("l_returnflag").as("n"))
+      .filter(col("n") > 1).count()
+    val total = Tables.lineitem(spark, sf).select("l_orderkey").distinct().count()
+    assert(q8.count() == total - conflicted)
+  }
+
+  test("q10 returns exactly one row per customer with the max price") {
+    val q10 = CoreQueries.queries("q10_rank_per_key")(spark, sf)
+    val perCust = Tables.orders(spark, sf)
+      .groupBy("o_custkey").agg(max("o_totalprice").as("mx"))
+    val joined = q10.join(perCust, "o_custkey")
+      .filter(col("o_totalprice") =!= col("mx"))
+    assert(joined.count() == 0)
+    assert(q10.count() == perCust.count())
+  }
+
+  test("q02 plan broadcasts the dimension tables") {
+    val plan = CoreQueries.queries("q02_revenue_by_nation")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "expected broadcast joins for dims")
+  }
+
+  test("q01 plan pushes the shipdate filter into the parquet scan") {
+    val plan = CoreQueries.queries("q01_pricing_summary")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"no pushed filter in plan")
+  }
+}
