@@ -9,11 +9,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.CoreQueries.queries ++
-      graft.queries.ReferenceQueries.queries
+      graft.queries.ReferenceQueries.queries ++
+      graft.queries.TextQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracleSql ++
-      graft.queries.ReferenceQueries.oracleSql
+      graft.queries.ReferenceQueries.oracleSql ++
+      graft.queries.TextQueries.oracleSql
 }

@@ -1,0 +1,95 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
+
+/** Low-alloc vector kernels shared by interpreted eval and generated
+  * code. Operating on Catalyst ArrayData directly avoids the
+  * per-row boxing a Scala UDF would pay — SURVEY.md §2.5 #46.
+  */
+object VectorOps {
+
+  /** Cosine similarity over float vectors, accumulated in double in
+    * index order (deterministic under any partitioning). */
+  def cosineF(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** splitmix64 finalizer — public-domain bit mixer; drives the
+    * deterministic ±1 hyperplane entries for LSH (no RNG state). */
+  def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Random-hyperplane signature: bit b of the result is the sign of
+    * <r_b, v> where r_b is a deterministic ±1 vector derived from
+    * (seed, b, dim). nBits ≤ 64. Charikar (STOC'02) SimHash for
+    * angular distance.
+    */
+  def hyperplaneSig(v: ArrayData, nBits: Int, seed: Long): Long = {
+    val n = v.numElements()
+    var sig = 0L
+    var b = 0
+    while (b < nBits) {
+      var acc = 0.0
+      var d = 0
+      while (d < n) {
+        val r = if ((mix64(seed * 0x9E3779B9L + b.toLong * 131071L + d) & 1L) == 0L) -1.0 else 1.0
+        acc += r * v.getFloat(d)
+        d += 1
+      }
+      if (acc >= 0.0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+}
+
+/** Codegen'd cosine similarity over two ArrayType(FloatType) columns.
+  * Stays inside whole-stage codegen: the generated code is a single
+  * static call on unboxed ArrayData.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.cosineF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VectorOps.cosineF($a, $b);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "graft_cosine"
+}
+
+/** Codegen'd random-hyperplane LSH signature of a float vector —
+  * the bucketing key for approximate nearest neighbor (SURVEY §2.3 #35).
+  */
+case class HyperplaneSignature(left: Expression, right: Expression, seed: Long)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any, bits: Any): Any =
+    VectorOps.hyperplaneSig(v.asInstanceOf[ArrayData], bits.asInstanceOf[Int], seed)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, bits) =>
+      s"${ev.value} = graft.functions.VectorOps.hyperplaneSig($v, $bits, ${seed}L);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "graft_hyperplane_sig"
+}

@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+
+/** SURVEY.md §2.3 #30-33 — document deduplication at training-corpus
+  * scale. All stages are shuffle-on-key DataFrame algebra: never
+  * O(n²), no driver-side state.
+  */
+object Dedup {
+
+  /** Exact dedup on normalized text: md5 group, keep lowest id.
+    * One shuffle on the 128-bit hash; at 100 TB the hash key is
+    * uniformly distributed so no skew handling is needed.
+    */
+  def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol), md5(concat_ws(" ", GraftFunctions.normWords(col(textCol)))).as("text_hash"))
+      .groupBy(col("text_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** MinHash signatures: distinct (doc, shingle) → cross the seed set →
+    * min(md5(seed:shingle)) per (doc, seed).
+    *
+    * Seeds come from `explode` of a literal array (no join). The
+    * shuffle is on doc_id — partial min is computed map-side.
+    * md5-as-hash keeps the oracle SQL bit-identical (same md5 in
+    * DuckDB); a production deployment would swap in xxhash64 with the
+    * same plan shape.
+    */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        shingleWidth: Int, nSeeds: Int): DataFrame = {
+    val words = docs.select(col(idCol).as("doc_id"),
+      GraftFunctions.normWords(col(textCol)).as("ws"))
+    val shingles =
+      if (shingleWidth == 1) words.select(col("doc_id"), explode(col("ws")).as("sh"))
+      else words.select(col("doc_id"),
+        explode(GraftFunctions.wordShingles(col("ws"), shingleWidth)).as("sh"))
+    shingles.distinct()
+      .select(col("doc_id"), col("sh"),
+        explode(lit((0 until nSeeds).toArray)).as("seed"))
+      .groupBy(col("doc_id"), col("seed"))
+      .agg(min(md5(concat(col("seed").cast("string"), lit(":"), col("sh")))).as("minhash"))
+  }
+
+  /** LSH banding: fold each band's minhashes (in seed order) into one
+    * band signature. Collision on (band, band_sig) ⇒ candidate pair.
+    */
+  def lshBands(signatures: DataFrame, rowsPerBand: Int): DataFrame =
+    signatures
+      .withColumn("band", expr(s"seed div $rowsPerBand"))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(md5(concat_ws(",",
+        transform(array_sort(collect_list(struct(col("seed"), col("minhash")))),
+          x => x.getField("minhash")))).as("band_sig"))
+
+  /** Candidate pairs = docs sharing any band signature. The join key
+    * (band, band_sig) is high-cardinality ⇒ well-distributed shuffle;
+    * hot buckets (boilerplate dups) are exactly the pairs we want.
+    */
+  def lshCandidatePairs(bands: DataFrame): DataFrame = {
+    val a = bands.select(col("band"), col("band_sig"), col("doc_id").as("doc_a"))
+    val b = bands.select(col("band"), col("band_sig"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("band", "band_sig"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard for a set of candidate pairs: explode both
+    * sides' distinct shingles, count intersection via join, union by
+    * inclusion–exclusion. Pure integer arithmetic until one final
+    * double division.
+    */
+  def ngramJaccard(docs: DataFrame, pairs: DataFrame, idCol: String,
+                   textCol: String, shingleWidth: Int): DataFrame = {
+    val sh = docs.select(col(idCol).as("doc_id"),
+      explode(GraftFunctions.wordShingles(
+        GraftFunctions.normWords(col(textCol)), shingleWidth)).as("sh"))
+      .distinct()
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val sa = sh.select(col("doc_id").as("doc_a"), col("sh"))
+    val sb = sh.select(col("doc_id").as("doc_b"), col("sh"))
+    val inter = pairs.join(sa, Seq("doc_a")).join(sb, Seq("doc_b", "sh"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_inter"))
+    pairs
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .na.fill(0, Seq("n_inter"))
+      .join(counts.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n_sh", "n_a"), Seq("doc_a"))
+      .join(counts.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n_sh", "n_b"), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_a"), col("n_b"),
+        (col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+          .as("jaccard"))
+  }
+
+  /** SimHash near-dup table: 64-bit signature + the 4 16-bit quadrant
+    * keys (pigeonhole: hamming ≤ 3 ⇒ at least one identical quadrant),
+    * so near-dup search is 4 bucket joins, never a cross product.
+    */
+  def simhashTable(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      GraftFunctions.simhash64(GraftFunctions.normWords(col(textCol))).as("simhash"))
+      .select(Seq(col("doc_id"), col("simhash")) ++
+        (0 until 4).map(q =>
+          (shiftrightunsigned(col("simhash"), q * 16) bitwiseAND lit(0xffffL))
+            .as(s"quad_$q")): _*)
+}

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY.md §2.3 #40 — multimodal columns: opaque binary payloads +
+  * typed metadata, with the decode step STUBBED (no image/audio codecs
+  * in this container) behind a deterministic fake. The Spark-side
+  * plumbing — schema, batched per-partition decode, frame-sample
+  * explode, content-hash partitioning — is real.
+  */
+object Multimodal {
+
+  /** media metadata struct carried next to every binary payload */
+  val metaSchema: StructType = StructType(Seq(
+    StructField("media_type", StringType),
+    StructField("n_bytes", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_frames", IntegerType)))
+
+  /** Attach a binary payload + metadata to the documents table (the
+    * test corpus has no real media, so the payload is the utf-8 text —
+    * the schema and plan shape are what a real corpus would carry).
+    * All metadata is integer-derived ⇒ oracle-expressible.
+    */
+  def attachBinary(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      encode(col("text"), "utf-8").as("payload"),
+      struct(
+        lit("video/fake").as("media_type"),
+        octet_length(encode(col("text"), "utf-8")).cast("long").as("n_bytes"),
+        (col("n_chars") % 640 + 1).cast("int").as("width"),
+        ((col("doc_id") * 37) % 480 + 1).cast("int").as("height"),
+        (col("n_chars") % 24 + 1).cast("int").as("n_frames")).as("meta"))
+
+  /** Deterministic stand-in for a codec: a real implementation would
+    * hand `payload` to an image/audio library per batch. Returns a
+    * per-frame feature (here: a stable hash-derived float), exploded
+    * one row per sampled frame — the Spark-side batch shape
+    * (mapPartitions, iterator-to-iterator, no per-row JNI setup)
+    * is exactly what a real decoder needs.
+    */
+  def decodeFrames(spark: SparkSession, media: DataFrame, sampleEvery: Int): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("frame_idx", IntegerType),
+      StructField("feature", DoubleType)))
+    media.select(col("doc_id"), col("payload"), col("meta.n_frames").as("n_frames"))
+      .mapPartitions { rows =>
+        // batched decode: one "codec init" per partition, not per row
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val payload = r.getAs[Array[Byte]](1)
+          val nFrames = r.getInt(2)
+          (0 until nFrames by sampleEvery).iterator.map { f =>
+            // ??? real codec goes here; deterministic fake feature:
+            val h = scala.util.hashing.MurmurHash3.bytesHash(payload, f)
+            Row(id, f, (h & 0x7fffffff).toDouble / Int.MaxValue)
+          }
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+}

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+
+/** SURVEY.md §2.3 #34-35 — similarity search over an embedding column.
+  *
+  * `bruteForceTopK` is the correctness baseline (query side broadcast,
+  * one pass over the corpus — linear, but exact). `annLsh` is the
+  * 100 TB path: hyperplane-LSH bucket join, cost ∝ bucket occupancy
+  * instead of corpus size.
+  */
+object Similarity {
+
+  /** Exact top-k cosine neighbors for each query vector. The query set
+    * is expected to be small and is broadcast; the corpus is scanned
+    * once (narrow), then one shuffle on query_id for the top-k window.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb")))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding"))
+    val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(GraftFunctions.cosine(col("q_emb"), col("embedding")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /** Approximate top-k: nTables independent hyperplane signatures
+    * bucket the corpus; a query only scores vectors sharing a bucket
+    * in at least one table. Recall grows with nTables; per-table
+    * bucket width with 2^nBits. Both are plan-shape constants — the
+    * physical plan is nTables bucket joins, unioned, deduped, then
+    * the same top-k window as the exact path.
+    */
+  def annLsh(corpus: DataFrame, queries: DataFrame, k: Int,
+             nTables: Int = 4, nBits: Int = 8): DataFrame = {
+    val sigCols = (0 until nTables).map(t =>
+      GraftFunctions.hyperplaneSig(col("embedding"), lit(nBits), seed = 1000L + t)
+        .as(s"sig_$t"))
+    val qSigCols = (0 until nTables).map(t =>
+      GraftFunctions.hyperplaneSig(col("embedding"), lit(nBits), seed = 1000L + t)
+        .as(s"qsig_$t"))
+    val cSig = corpus.select(col("vec_id").as("neighbor_id") +: col("embedding") +: sigCols: _*)
+    val qSig = broadcast(queries.select(
+      col("vec_id").as("query_id") +: col("embedding").as("q_emb") +: qSigCols: _*))
+    val perTable = (0 until nTables).map { t =>
+      cSig.join(qSig, col(s"sig_$t") === col(s"qsig_$t")
+        && col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"), col("q_emb"), col("embedding"))
+    }
+    val candidates = perTable.reduce(_ unionByName _)
+      .dropDuplicates("query_id", "neighbor_id")
+    val scored = candidates.select(col("query_id"), col("neighbor_id"),
+      round(GraftFunctions.cosine(col("q_emb"), col("embedding")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+}

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.3 #36-39 — text analysis over the documents table.
+  * Everything is codegen'd built-ins (regexp_extract_all / size /
+  * integer arithmetic) — one narrow pass per document, no UDFs.
+  */
+object TextAnalysis {
+
+  private def nMatches(c: Column, pattern: String): Column =
+    size(regexp_extract_all(c, lit(pattern), lit(0)))
+
+  /** Stopword-marker language ID. Real lang-id uses char n-gram
+    * profiles; the operator shape (per-class evidence counts → argmax
+    * with deterministic tie-break) is identical.
+    */
+  def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = lower(col(textCol))
+    val en = nMatches(t, "\\b(the|a|of|and|to)\\b")
+    val es = nMatches(t, "\\b(el|la|de|los|que)\\b")
+    val fr = nMatches(t, "\\b(le|les|des|une|est)\\b")
+    docs.select(col(idCol).as("doc_id"),
+      en.as("n_en"), es.as("n_es"), fr.as("n_fr"),
+      when(en >= es && en >= fr, lit("en"))
+        .when(es >= fr, lit("es"))
+        .otherwise(lit("fr")).as("pred_lang"))
+  }
+
+  /** Length / punctuation / stopword / repetition quality signals +
+    * a composite keep/flag verdict (the C4/Gopher-style filter shape).
+    * Integer counts; one double division per ratio ⇒ deterministic.
+    */
+  def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val nChars = length(t)
+    val nWords = nMatches(t, "\\S+")
+    val nPunct = nMatches(t, "[^\\w\\s]")
+    val nStop  = nMatches(lower(t), "\\b(the|a|of|and|to)\\b")
+    val nDistinct = size(array_distinct(regexp_extract_all(lower(t), lit("\\S+"), lit(0))))
+    docs.select(col(idCol).as("doc_id"),
+      nChars.as("n_chars"), nWords.as("n_words"),
+      (nChars.cast("double") / nWords).as("mean_word_len"),
+      (nPunct.cast("double") / nChars).as("punct_ratio"),
+      (nStop.cast("double") / nWords).as("stopword_ratio"),
+      (nDistinct.cast("double") / nWords).as("distinct_ratio"),
+      (nWords >= 10 && nStop > 0 && nDistinct.cast("double") / nWords > 0.2)
+        .cast("int").as("keep"))
+  }
+
+  /** Whitespace tokens + a BPE-ish regex token count (letter runs,
+    * single digits, single punctuation marks — the pre-tokenizer
+    * shape used by byte-pair encoders).
+    */
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), col("lang"),
+      nMatches(col(textCol), "\\S+").as("ws_tokens"),
+      nMatches(lower(col(textCol)), "[a-z]+|[0-9]|[^a-z0-9\\s]").as("bpe_tokens"),
+      length(col(textCol)).as("n_chars_calc"))
+
+  /** Winnowing fingerprints (Schleimer et al., SIGMOD'03): md5 over
+    * char k-grams, per-window minimum, distinct. Array-expression
+    * pipeline — no shuffle until the caller aggregates.
+    */
+  def fingerprints(docs: DataFrame, idCol: String, textCol: String,
+                   k: Int = 8, window: Int = 4): DataFrame =
+    docs
+      .withColumn("__s", regexp_replace(lower(col(textCol)), "[^a-z0-9]", ""))
+      .filter(length(col("__s")) >= k + window)
+      .withColumn("__h", expr(s"transform(sequence(1, length(__s) - ${k - 1}), i -> md5(substr(__s, i, $k)))"))
+      .withColumn("fps", expr(s"array_distinct(transform(sequence(1, size(__h) - ${window - 1}), j -> array_min(slice(__h, j, $window))))"))
+      .select(col(idCol).as("doc_id"),
+        size(col("fps")).as("n_fp"),
+        array_min(col("fps")).as("min_fp"),
+        array_max(col("fps")).as("max_fp"))
+}

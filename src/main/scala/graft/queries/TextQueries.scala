@@ -1,0 +1,267 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.GraftFunctions
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** SURVEY.md §2.3 — LLM-training-data operators over documents /
+  * embeddings: dedup family, similarity search, text analysis,
+  * multimodal plumbing.
+  */
+object TextQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** documents ∪ exact copies of doc_id<50 (ids +1_000_000): plants
+    * deterministic duplicates so dedup operators have real positives.
+    * Mirrored verbatim in the oracle SQL.
+    */
+  private def plantedCorpus(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    docs.unionByName(
+      docs.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+  }
+
+  private val corpusSql =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 50
+      |)""".stripMargin
+
+  /** DuckDB equivalent of GraftFunctions.normWords */
+  private val wsSql =
+    "list_filter(string_split(regexp_replace(lower(text),'[^a-z0-9 ]','','g'),' '), x -> x <> '')"
+
+  val queries: Map[String, Q] = Map(
+
+    // §2.3 #30 — exact dedup via normalized-text hash.
+    "q30_exact_dedup" -> { (s, d) =>
+      Dedup.exactDedup(plantedCorpus(s, d), "doc_id", "text")
+        .orderBy(col("text_hash"))
+    },
+
+    // §2.3 #31 — minhash signature matrix (8 perms, 3-word shingles).
+    "q31_minhash_sigs" -> { (s, d) =>
+      Dedup.minhashSignatures(Tables.documents(s, d), "doc_id", "text",
+        shingleWidth = 3, nSeeds = 8)
+        .orderBy(col("doc_id"), col("seed"))
+    },
+
+    // §2.3 #31 — full LSH banding → candidate pairs on the planted
+    // corpus (2 bands × 4 rows): every planted exact dup must surface.
+    "q31b_lsh_pairs" -> { (s, d) =>
+      val sigs = Dedup.minhashSignatures(plantedCorpus(s, d), "doc_id", "text",
+        shingleWidth = 3, nSeeds = 8)
+      Dedup.lshCandidatePairs(Dedup.lshBands(sigs, rowsPerBand = 4))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // §2.3 #32 — simhash table (rows-only: FNV bit-votes aren't
+    // reproducible in DuckDB SQL; invariants in DedupSpec).
+    "q32_simhash" -> { (s, d) =>
+      Dedup.simhashTable(plantedCorpus(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
+    // §2.3 #33 — exact n-gram Jaccard on adjacent-id pairs.
+    "q33_ngram_jaccard" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val pairs = docs.select(col("doc_id").as("doc_a"))
+        .join(docs.select(col("doc_id").as("doc_b")),
+          col("doc_b") === col("doc_a") + 1)
+      Dedup.ngramJaccard(docs, pairs, "doc_id", "text", shingleWidth = 3)
+        .orderBy(col("doc_a"))
+    },
+
+    // §2.3 #34 — brute-force cosine top-10 for query vectors id<5.
+    "q34_cosine_topk" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
+        .orderBy(col("query_id"), col("cos_sim").desc, col("neighbor_id"))
+    },
+
+    // §2.3 #35 — hyperplane-LSH ANN (rows-only; recall vs exact
+    // checked in SimilaritySpec).
+    "q35_ann_lsh" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.annLsh(emb, emb.filter(col("vec_id") < 5), k = 10)
+        .orderBy(col("query_id"), col("cos_sim").desc, col("neighbor_id"))
+    },
+
+    // §2.3 #36 — stopword-marker language ID.
+    "q36_lang_id" -> { (s, d) =>
+      TextAnalysis.langId(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
+    // §2.3 #37 — quality scoring signals + keep verdict.
+    "q37_quality_score" -> { (s, d) =>
+      TextAnalysis.qualityScore(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
+    // §2.3 #38 — whitespace + BPE-ish token counts.
+    "q38_token_count" -> { (s, d) =>
+      TextAnalysis.tokenCounts(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
+    // §2.3 #39 — winnowing fingerprints (k=8 char-grams, window 4).
+    "q39_fingerprint" -> { (s, d) =>
+      TextAnalysis.fingerprints(Tables.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
+    // §2.3 #40 — multimodal binary column + typed metadata (decode
+    // stubbed; metadata integer-derived so the oracle can check it).
+    "q40_multimodal_meta" -> { (s, d) =>
+      Multimodal.attachBinary(Tables.documents(s, d))
+        .select(col("doc_id"),
+          col("meta.n_bytes").as("n_bytes"),
+          col("meta.width").cast("long").as("width"),
+          col("meta.height").cast("long").as("height"),
+          col("meta.n_frames").cast("long").as("n_frames"),
+          md5(col("payload")).as("payload_hash"))
+        .orderBy(col("doc_id"))
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q30_exact_dedup" ->
+      s"""WITH $corpusSql
+         |SELECT md5(array_to_string($wsSql, ' ')) AS text_hash,
+         |       MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+         |FROM corpus
+         |GROUP BY 1 ORDER BY text_hash""".stripMargin,
+
+    "q31_minhash_sigs" ->
+      s"""WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents),
+         |sh AS (SELECT DISTINCT doc_id,
+         |         unnest([array_to_string(ws[i:i+2],' ') for i in generate_series(1, len(ws)-2)]) AS sh
+         |       FROM w WHERE len(ws) >= 3),
+         |seeds AS (SELECT unnest(generate_series(0,7)) AS seed)
+         |SELECT doc_id, seed,
+         |       MIN(md5(CAST(seed AS VARCHAR) || ':' || sh)) AS minhash
+         |FROM sh CROSS JOIN seeds
+         |GROUP BY doc_id, seed ORDER BY doc_id, seed""".stripMargin,
+
+    "q31b_lsh_pairs" ->
+      s"""WITH $corpusSql,
+         |w AS (SELECT doc_id, $wsSql AS ws FROM corpus),
+         |sh AS (SELECT DISTINCT doc_id,
+         |         unnest([array_to_string(ws[i:i+2],' ') for i in generate_series(1, len(ws)-2)]) AS sh
+         |       FROM w WHERE len(ws) >= 3),
+         |seeds AS (SELECT unnest(generate_series(0,7)) AS seed),
+         |sigs AS (SELECT doc_id, seed,
+         |           MIN(md5(CAST(seed AS VARCHAR) || ':' || sh)) AS minhash
+         |         FROM sh CROSS JOIN seeds GROUP BY doc_id, seed),
+         |bands AS (SELECT doc_id, seed // 4 AS band,
+         |            md5(string_agg(minhash, ',' ORDER BY seed)) AS band_sig
+         |          FROM sigs GROUP BY doc_id, seed // 4)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q33_ngram_jaccard" ->
+      s"""WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents),
+         |sh AS (SELECT DISTINCT doc_id,
+         |         unnest([array_to_string(ws[i:i+2],' ') for i in generate_series(1, len(ws)-2)]) AS sh
+         |       FROM w WHERE len(ws) >= 3),
+         |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |          FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
+         |inter AS (SELECT p.doc_a, p.doc_b, COUNT(*) AS n_inter
+         |          FROM pairs p
+         |          JOIN sh x ON x.doc_id = p.doc_a
+         |          JOIN sh y ON y.doc_id = p.doc_b AND y.sh = x.sh
+         |          GROUP BY 1, 2)
+         |SELECT p.doc_a AS doc_a, p.doc_b AS doc_b, COALESCE(i.n_inter, 0) AS n_inter,
+         |       ca.n_sh AS n_a, cb.n_sh AS n_b,
+         |       CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+         |         / (ca.n_sh + cb.n_sh - COALESCE(i.n_inter, 0)) AS jaccard
+         |FROM pairs p
+         |LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+         |JOIN cnt ca ON ca.doc_id = p.doc_a
+         |JOIN cnt cb ON cb.doc_id = p.doc_b
+         |ORDER BY p.doc_a""".stripMargin,
+
+    "q34_cosine_topk" ->
+      """SELECT query_id, neighbor_id, cos_sim FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                                 CAST(c.embedding AS DOUBLE[])), 6) AS cos_sim,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                                            CAST(c.embedding AS DOUBLE[])), 6) DESC,
+        |               c.vec_id) AS rn
+        |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 5)
+        |WHERE rn <= 10
+        |ORDER BY query_id, cos_sim DESC, neighbor_id""".stripMargin,
+
+    "q36_lang_id" ->
+      """SELECT doc_id, n_en, n_es, n_fr,
+        |  CASE WHEN n_en >= n_es AND n_en >= n_fr THEN 'en'
+        |       WHEN n_es >= n_fr THEN 'es' ELSE 'fr' END AS pred_lang
+        |FROM (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(lower(text), '\b(the|a|of|and|to)\b')) AS n_en,
+        |    len(regexp_extract_all(lower(text), '\b(el|la|de|los|que)\b')) AS n_es,
+        |    len(regexp_extract_all(lower(text), '\b(le|les|des|une|est)\b')) AS n_fr
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q37_quality_score" ->
+      """SELECT doc_id, n_chars, n_words,
+        |  CAST(n_chars AS DOUBLE) / n_words AS mean_word_len,
+        |  CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio,
+        |  CAST(n_stop AS DOUBLE) / n_words AS stopword_ratio,
+        |  CAST(n_distinct AS DOUBLE) / n_words AS distinct_ratio,
+        |  CAST(n_words >= 10 AND n_stop > 0
+        |       AND CAST(n_distinct AS DOUBLE) / n_words > 0.2 AS INT) AS keep
+        |FROM (
+        |  SELECT doc_id,
+        |    length(text) AS n_chars,
+        |    len(regexp_extract_all(text, '\S+')) AS n_words,
+        |    len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+        |    len(regexp_extract_all(lower(text), '\b(the|a|of|and|to)\b')) AS n_stop,
+        |    len(list_distinct(regexp_extract_all(lower(text), '\S+'))) AS n_distinct
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q38_token_count" ->
+      """SELECT doc_id, lang,
+        |  len(regexp_extract_all(text, '\S+')) AS ws_tokens,
+        |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]')) AS bpe_tokens,
+        |  length(text) AS n_chars_calc
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q39_fingerprint" ->
+      """WITH n AS (SELECT doc_id, regexp_replace(lower(text),'[^a-z0-9]','','g') AS s
+        |           FROM documents),
+        |f AS (SELECT doc_id, s FROM n WHERE len(s) >= 12),
+        |g AS (SELECT doc_id,
+        |        [md5(s[i:i+7]) for i in generate_series(1, len(s)-7)] AS h FROM f),
+        |fp AS (SELECT doc_id,
+        |         list_distinct([list_min(h[j:j+3]) for j in generate_series(1, len(h)-3)]) AS fps
+        |       FROM g)
+        |SELECT doc_id, len(fps) AS n_fp, list_min(fps) AS min_fp, list_max(fps) AS max_fp
+        |FROM fp ORDER BY doc_id""".stripMargin,
+
+    "q40_multimodal_meta" ->
+      """SELECT doc_id,
+        |  octet_length(encode(text)) AS n_bytes,
+        |  n_chars % 640 + 1 AS width,
+        |  (doc_id * 37) % 480 + 1 AS height,
+        |  n_chars % 24 + 1 AS n_frames,
+        |  md5(text) AS payload_hash
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Spark 4 made Column ↔ Expression conversion private[sql]; this is
+  * the conventional extension-library bridge (same trick public Spark
+  * connector/extension projects use to expose custom Expressions as
+  * Columns).
+  */
+object GraftColumnBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{GraftFunctions, TextOps}
+import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.queries.TextQueries
+
+class DedupSimilaritySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def docs = Tables.documents(spark, sf)
+  private def emb = Tables.embeddings(spark, sf)
+
+  test("exact dedup groups planted copies") {
+    val d = TextQueries.queries("q30_exact_dedup")(spark, sf)
+    // 50 planted copies → exactly the doc_id<50 hashes carry n_copies=2
+    assert(d.filter(col("n_copies") === 2).count() == 50)
+    assert(d.filter(col("n_copies") === 2).filter(col("keep_id") >= 50).count() == 0)
+  }
+
+  test("LSH candidate pairs contain every planted exact duplicate") {
+    val pairs = TextQueries.queries("q31b_lsh_pairs")(spark, sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val planted = (0L until 50L).map(i => (i, i + 1000000L)).toSet
+    assert(planted.subsetOf(pairs),
+      s"missing planted pairs: ${(planted -- pairs).take(5)}")
+  }
+
+  test("simhash is identical for identical docs, near for near-dups") {
+    val base = docs.filter(col("doc_id") < 20).select(col("doc_id"), col("text"))
+    // mutate: append two words — token multiset differs by 2
+    val mutated = base.select((col("doc_id") + 5000).as("doc_id"),
+      concat(col("text"), lit(" zzz www")).as("text"))
+    val t = Dedup.simhashTable(base.unionByName(mutated), "doc_id", "text")
+      .select(col("doc_id"), col("simhash")).as[(Long, Long)].collect().toMap
+    (0L until 20L).foreach { i =>
+      val h = TextOps.hamming64(t(i), t(i + 5000))
+      assert(h <= 16, s"doc $i: hamming $h too large for a 2-token mutation")
+    }
+  }
+
+  test("planted exact copies collide in every band; quads match") {
+    val copies = docs.filter(col("doc_id") < 5)
+      .select((col("doc_id") + 7000).as("doc_id"), col("text"))
+    val t = Dedup.simhashTable(
+      docs.filter(col("doc_id") < 5).select(col("doc_id"), col("text"))
+        .unionByName(copies), "doc_id", "text")
+      .select(col("doc_id"), col("simhash")).as[(Long, Long)].collect().toMap
+    (0L until 5L).foreach(i => assert(t(i) == t(i + 7000)))
+  }
+
+  test("ngram jaccard of a doc with itself is 1.0") {
+    val base = docs.filter(col("doc_id") < 10).select(col("doc_id"), col("text"))
+    val both = base.unionByName(
+      base.select((col("doc_id") + 9000).as("doc_id"), col("text")))
+    val pairs = base.select(col("doc_id").as("doc_a"),
+      (col("doc_id") + 9000).as("doc_b"))
+    val j = Dedup.ngramJaccard(both, pairs, "doc_id", "text", 3)
+    assert(j.filter(col("jaccard") =!= 1.0).count() == 0)
+  }
+
+  test("ANN LSH results are a subset of brute-force scoring universe and recall > 0") {
+    val queries = emb.filter(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(emb, queries, 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.annLsh(emb, queries, 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(approx.nonEmpty, "ANN returned nothing — buckets too fine")
+    // every ANN hit must be a real vector pair with correct cosine; recall check:
+    val recall = (approx intersect exact).size.toDouble / exact.size
+    assert(recall > 0.05, s"suspiciously low recall $recall")
+  }
+
+  test("cosine expression agrees with a plain scala dot product") {
+    val rows = emb.filter(col("vec_id") < 3)
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+    val spark2 = spark
+    import spark2.implicits._
+    val df = rows.toSeq.toDF("vec_id", "embedding")
+    val got = df.crossJoin(df.select(col("vec_id").as("v2"), col("embedding").as("e2")))
+      .select(col("vec_id"), col("v2"),
+        GraftFunctions.cosine(col("embedding"), col("e2")).as("c"))
+      .as[(Long, Long, Double)].collect()
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i => d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val m = rows.toMap
+    got.foreach { case (i, j, c) =>
+      assert(math.abs(c - cos(m(i), m(j))) < 1e-12)
+    }
+  }
+
+  test("multimodal decodeFrames is deterministic and one row per sampled frame") {
+    val media = Multimodal.attachBinary(docs.limit(20))
+    val f1 = Multimodal.decodeFrames(spark, media, sampleEvery = 3)
+    val expected = media.select(col("doc_id"), col("meta.n_frames").as("nf"))
+      .as[(Long, Int)].collect()
+      .map { case (_, nf) => (nf + 2) / 3 }.sum
+    assert(f1.count() == expected)
+    val a = f1.orderBy("doc_id", "frame_idx").collect().toSeq
+    val b = Multimodal.decodeFrames(spark, media, 3).orderBy("doc_id", "frame_idx").collect().toSeq
+    assert(a == b)
+  }
+
+  test("text query oracles' keys are a subset of query keys") {
+    assert(TextQueries.oracleSql.keySet.subsetOf(TextQueries.queries.keySet))
+  }
+
+  test("every text query returns rows at sf0.001") {
+    TextQueries.queries.foreach { case (name, fn) =>
+      assert(fn(spark, sf).count() > 0, s"$name returned 0 rows")
+    }
+  }
+}
