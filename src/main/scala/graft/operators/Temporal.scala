@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.4 — temporal / event operators (batch semantics;
+  * streaming equivalents in graft.streaming.EventStream).
+  */
+object Temporal {
+
+  /** As-of join: for each left row, the single latest right row with
+    * rightTime ≤ leftTime on the same key. Declarative formulation:
+    * equi-join on the key (shuffle on key, AQE-skew-aware), time
+    * filter, then a one-row-per-left window. At 100 TB the join key
+    * (user/entity) distributes the work; the fan-out is bounded by
+    * per-key history length.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+               leftTime: String, rightTime: String,
+               leftId: String, tieBreak: String): DataFrame = {
+    val joined = left.join(right, Seq(key), "inner")
+      .filter(col(rightTime) <= col(leftTime))
+    val w = Window.partitionBy(col(leftId))
+      .orderBy(col(rightTime).desc, col(tieBreak).desc)
+    joined.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Gap-based sessionization: a new session starts when the gap to
+    * the previous event of the same key exceeds `gapSeconds`. Two
+    * windows over the same (key, time) sort — Catalyst reuses one
+    * shuffle+sort for both.
+    */
+  def sessionize(events: DataFrame, key: String, timeCol: String,
+                 idCol: String, gapSeconds: Long): DataFrame = {
+    val order = Seq(col(timeCol).asc, col(idCol).asc)
+    val w = Window.partitionBy(col(key)).orderBy(order: _*)
+    val cum = Window.partitionBy(col(key)).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("__prev", lag(col(timeCol), 1).over(w))
+      .withColumn("__new",
+        when(col("__prev").isNull ||
+          (unix_micros(col(timeCol)) - unix_micros(col("__prev"))) > gapSeconds * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("__new")).over(cum))
+      .drop("__prev", "__new")
+  }
+
+  /** Keep the earliest row per (key...) — streaming-dedup semantics
+    * (dropDuplicates) made deterministic with a total order.
+    */
+  def dedupEarliest(events: DataFrame, keys: Seq[String],
+                    timeCol: String, tieBreak: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(timeCol).asc, col(tieBreak).asc)
+    events.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+}

@@ -1,0 +1,128 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import graft.operators.Temporal
+import graft.streaming.EventStream
+
+/** SURVEY.md §2.4 — temporal queries over events (+ the streaming
+  * engine run synchronously for q42).
+  */
+object TemporalQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+
+    // §2.4 #41 — event-time tumbling window aggregation (batch).
+    "q41_windowed_agg" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n_events"), col("sum_value"))
+        .orderBy(col("window_start"), col("event_type"))
+    },
+
+    // §2.4 #42 — the SAME aggregation through Structured Streaming
+    // (file-replay source, watermark, memory sink): batch parity is
+    // the oracle.
+    "q42_stream_windowed" -> { (s, d) =>
+      val res = EventStream.runToCompletion(s,
+        EventStream.windowedAgg(EventStream.readEvents(s, d)), "graft_q42")
+      res.orderBy(col("window_start"), col("event_type"))
+    },
+
+    // §2.4 #43 — as-of join: latest order at or before each event.
+    "q43_asof_join" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val ord = Tables.orders(s, d)
+        .select(col("o_custkey").as("user_id"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"))
+      Temporal.asofJoin(ev, ord, key = "user_id",
+        leftTime = "ts", rightTime = "o_orderdate",
+        leftId = "event_id", tieBreak = "o_orderkey")
+        .select(col("event_id"), col("user_id"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"))
+        .orderBy(col("event_id"))
+    },
+
+    // §2.4 #44 — gap-based sessionization (30-minute gap).
+    "q44_sessionize" -> { (s, d) =>
+      Temporal.sessionize(Tables.events(s, d), key = "user_id",
+        timeCol = "ts", idCol = "event_id", gapSeconds = 1800L)
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"))
+        .orderBy(col("user_id"), col("session_id"))
+    },
+
+    // §2.4 #45 — streaming-dedup semantics in batch: first event per
+    // (user, event_type).
+    "q45_event_dedup" -> { (s, d) =>
+      Temporal.dedupEarliest(Tables.events(s, d),
+        keys = Seq("user_id", "event_type"), timeCol = "ts", tieBreak = "event_id")
+        .select(col("user_id"), col("event_type"), col("event_id"), col("ts"))
+        .orderBy(col("user_id"), col("event_type"))
+    }
+  )
+
+  private val windowedSql =
+    """SELECT date_trunc('hour', ts) AS window_start, event_type,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY window_start, event_type""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q41_windowed_agg" -> windowedSql,
+    "q42_stream_windowed" -> windowedSql,
+
+    "q43_asof_join" ->
+      """SELECT event_id, user_id, o_orderkey, o_orderdate, o_totalprice
+        |FROM (
+        |  SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM events e
+        |  JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+        |WHERE rn = 1
+        |ORDER BY event_id""".stripMargin,
+
+    "q44_sessionize" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |y AS (
+        |  SELECT user_id, ts, event_id,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                     ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM x)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |       MIN(ts) AS session_start, MAX(ts) AS session_end
+        |FROM y GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+
+    "q45_event_dedup" ->
+      """SELECT user_id, event_type, event_id, ts
+        |FROM (
+        |  SELECT user_id, event_type, event_id, ts,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts ASC, event_id ASC) AS rn
+        |  FROM events)
+        |WHERE rn = 1
+        |ORDER BY user_id, event_type""".stripMargin
+  )
+}

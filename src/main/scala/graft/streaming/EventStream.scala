@@ -1,0 +1,80 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY.md §2.4 #42 — Structured Streaming over the events table.
+  *
+  * The file source replays the driver parquet as a stream; the same
+  * windowed aggregation then runs through the incremental engine with
+  * a watermark. `runToCompletion` drives it synchronously (memory
+  * sink + processAllAvailable) so batch parity is testable — and the
+  * driver's Verify can treat it as a query.
+  */
+object EventStream {
+
+  /** events.parquet schema as the streaming source must declare it
+    * (ts arrives as INT64 nanos; normalized to timestamp below). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    // The file stream source wants a directory; the test layout is one
+    // flat parquet per table, so expose events.parquet through a
+    // symlinked staging dir (no copy, testdata untouched).
+    val stage = java.nio.file.Files.createTempDirectory("graft-stream")
+    val link = stage.resolve("events.parquet")
+    java.nio.file.Files.createSymbolicLink(link,
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    spark.readStream
+      .schema(rawSchema)
+      .parquet(stage.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Tumbling 1-hour windowed counts/sums per event type with a
+    * 10-minute watermark — the canonical incremental aggregation. */
+  def windowedAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Drive a streaming DataFrame to completion into an in-memory
+    * table and return the final result. Complete mode ⇒ every window
+    * is emitted regardless of watermark progress, so the result is
+    * bit-equal to the batch computation over the same files.
+    */
+  def runToCompletion(spark: SparkSession, streamed: DataFrame,
+                      name: String): DataFrame = {
+    val q = streamed.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("complete")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
+  /** Append-mode variant for stateful operators (dedup, session
+    * windows) whose incremental output is row-per-first-arrival. */
+  def runToCompletionAppend(spark: SparkSession, streamed: DataFrame,
+                            name: String): DataFrame = {
+    val q = streamed.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Temporal
+import graft.queries.TemporalQueries
+import graft.streaming.EventStream
+
+class TemporalSpec extends SparkSpecBase {
+
+  test("every temporal query runs and returns rows at sf0.001") {
+    TemporalQueries.queries.foreach { case (name, fn) =>
+      assert(fn(spark, sf).count() > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("streaming windowed agg equals batch windowed agg") {
+    val batch = TemporalQueries.queries("q41_windowed_agg")(spark, sf).collect().toSeq
+    val stream = TemporalQueries.queries("q42_stream_windowed")(spark, sf).collect().toSeq
+    assert(stream == batch)
+  }
+
+  test("asof join picks the latest order at or before each event") {
+    val res = TemporalQueries.queries("q43_asof_join")(spark, sf)
+    // o_orderdate must never exceed event ts
+    val ev = Tables.events(spark, sf).select(col("event_id"), col("ts"))
+    val bad = res.join(ev, "event_id").filter(col("o_orderdate") > col("ts"))
+    assert(bad.count() == 0)
+    // one row per event that has any qualifying order
+    assert(res.groupBy("event_id").count().filter(col("count") > 1).count() == 0)
+  }
+
+  test("sessionize: session count grows with gaps, events conserved") {
+    val sess = TemporalQueries.queries("q44_sessionize")(spark, sf)
+    val total = sess.agg(sum("n_events")).first().getLong(0)
+    assert(total == Tables.events(spark, sf).count())
+    // session ids are 1..k contiguous per user
+    val maxVsCount = sess.groupBy("user_id")
+      .agg(max("session_id").as("mx"), count(lit(1)).as("n"))
+      .filter(col("mx") =!= col("n"))
+    assert(maxVsCount.count() == 0)
+  }
+
+  test("event dedup keeps exactly one earliest row per key") {
+    val d = TemporalQueries.queries("q45_event_dedup")(spark, sf)
+    val keys = Tables.events(spark, sf).select("user_id", "event_type").distinct().count()
+    assert(d.count() == keys)
+  }
+
+  test("stateful streaming: dropDuplicates over the stream matches batch dedup keys") {
+    val stream = EventStream.readEvents(spark, sf)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("user_id", "event_type")
+      .select(col("user_id"), col("event_type"))
+    val got = EventStream.runToCompletionAppend(spark, stream, "graft_dedup_stream")
+    val exp = Tables.events(spark, sf).select("user_id", "event_type").distinct()
+    assert(got.count() == exp.count())
+  }
+}
