@@ -4,14 +4,15 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
+    queries("q27_annotation_pipeline")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.CoreQueries.queries ++
       graft.queries.ReferenceQueries.queries ++
       graft.queries.TextQueries.queries ++
-      graft.queries.TemporalQueries.queries
+      graft.queries.TemporalQueries.queries ++
+      graft.queries.PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -19,5 +20,6 @@ object SparkEntry {
     graft.queries.CoreQueries.oracleSql ++
       graft.queries.ReferenceQueries.oracleSql ++
       graft.queries.TextQueries.oracleSql ++
-      graft.queries.TemporalQueries.oracleSql
+      graft.queries.TemporalQueries.oracleSql ++
+      graft.queries.PipelineQueries.oracleSql
 }

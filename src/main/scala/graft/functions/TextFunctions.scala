@@ -80,7 +80,14 @@ object GraftFunctions {
   def normWords(text: Column): Column =
     filter(split(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " "), w => w =!= "")
 
-  /** w-length word shingles over the normalized words. */
+  /** w-length word shingles over the normalized words.
+    *
+    * IMPORTANT: pass a *bound column* (e.g. project normWords into a
+    * column first), not an inline expression — `words` is referenced
+    * from inside a higher-order lambda where Catalyst disables
+    * subexpression elimination, so an inline subtree would be
+    * re-evaluated once per shingle index.
+    */
   def wordShingles(words: Column, w: Int): Column =
     when(size(words) >= w,
       transform(sequence(lit(1), size(words) - (w - 1)),

@@ -38,11 +38,18 @@ object Dedup {
       if (shingleWidth == 1) words.select(col("doc_id"), explode(col("ws")).as("sh"))
       else words.select(col("doc_id"),
         explode(GraftFunctions.wordShingles(col("ws"), shingleWidth)).as("sh"))
+    // all nSeeds minima in ONE grouped pass over the shingle table
+    // (map-side partial min), then posexplode to the long layout —
+    // an 8-way seed explode before the shuffle would move 8× the rows.
+    val mins = (0 until nSeeds).map(s =>
+      min(md5(concat(lit(s + ":"), col("sh")))).as(s"mh_$s"))
     shingles.distinct()
-      .select(col("doc_id"), col("sh"),
-        explode(lit((0 until nSeeds).toArray)).as("seed"))
-      .groupBy(col("doc_id"), col("seed"))
-      .agg(min(md5(concat(col("seed").cast("string"), lit(":"), col("sh")))).as("minhash"))
+      .groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        posexplode(array((0 until nSeeds).map(s => col(s"mh_$s")): _*)))
+      .withColumnRenamed("pos", "seed")
+      .withColumnRenamed("col", "minhash")
   }
 
   /** LSH banding: fold each band's minhashes (in seed order) into one
@@ -60,7 +67,9 @@ object Dedup {
     * (band, band_sig) is high-cardinality ⇒ well-distributed shuffle;
     * hot buckets (boilerplate dups) are exactly the pairs we want.
     */
-  def lshCandidatePairs(bands: DataFrame): DataFrame = {
+  def lshCandidatePairs(bandsIn: DataFrame): DataFrame = {
+    // self-join: persist so the minhash pipeline runs once, not twice
+    val bands = bandsIn.persist()
     val a = bands.select(col("band"), col("band_sig"), col("doc_id").as("doc_a"))
     val b = bands.select(col("band"), col("band_sig"), col("doc_id").as("doc_b"))
     a.join(b, Seq("band", "band_sig"))
@@ -76,11 +85,19 @@ object Dedup {
     */
   def ngramJaccard(docs: DataFrame, pairs: DataFrame, idCol: String,
                    textCol: String, shingleWidth: Int): DataFrame = {
-    val sh = docs.select(col(idCol).as("doc_id"),
-      explode(GraftFunctions.wordShingles(
-        GraftFunctions.normWords(col(textCol)), shingleWidth)).as("sh"))
+    // consumed 4× downstream (both pair sides + both count sides):
+    // persist or the regex+explode+distinct pipeline runs 4 times.
+    // normWords is bound to a column BEFORE shingling: higher-order
+    // lambdas disable subexpression elimination, so an inlined
+    // normWords would re-run the regex once per shingle index.
+    val sh = docs
+      .select(col(idCol).as("doc_id"),
+        GraftFunctions.normWords(col(textCol)).as("__ws"))
+      .select(col("doc_id"),
+        explode(GraftFunctions.wordShingles(col("__ws"), shingleWidth)).as("sh"))
       .distinct()
-    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      .persist()
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh")).persist()
     val sa = sh.select(col("doc_id").as("doc_a"), col("sh"))
     val sb = sh.select(col("doc_id").as("doc_b"), col("sh"))
     val inter = pairs.join(sa, Seq("doc_a")).join(sb, Seq("doc_b", "sh"))

@@ -48,7 +48,9 @@ object Similarity {
     val qSigCols = (0 until nTables).map(t =>
       GraftFunctions.hyperplaneSig(col("embedding"), lit(nBits), seed = 1000L + t)
         .as(s"qsig_$t"))
+    // consumed once per table: persist so signatures are computed once
     val cSig = corpus.select(col("vec_id").as("neighbor_id") +: col("embedding") +: sigCols: _*)
+      .persist()
     val qSig = broadcast(queries.select(
       col("vec_id").as("query_id") +: col("embedding").as("q_emb") +: qSigCols: _*))
     val perTable = (0 until nTables).map { t =>
