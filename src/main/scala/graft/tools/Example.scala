@@ -35,6 +35,16 @@ object Example {
 
     // one named query end-to-end
     graft.SparkEntry.queries("q02_revenue_by_nation")(spark, sfDir).show(5, false)
+
+    // skew-salted join parity with the plain join
+    import org.apache.spark.sql.functions.col
+    val li = graft.Tables.lineitem(spark, sfDir)
+    val o = graft.Tables.orders(spark, sfDir)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    val plain = li.join(o, Seq("l_orderkey")).count()
+    val salted = graft.operators.Skew.saltedJoin(li, o, "l_orderkey",
+      col("l_partkey"), salts = 8).count()
+    println(s"salted join rows = $salted (plain = $plain)")
     spark.stop()
   }
 }
