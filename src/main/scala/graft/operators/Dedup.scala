@@ -118,6 +118,31 @@ object Dedup {
     * keys (pigeonhole: hamming ≤ 3 ⇒ at least one identical quadrant),
     * so near-dup search is 4 bucket joins, never a cross product.
     */
+  /** All near-dup pairs with hamming(simhash) ≤ maxHamming, found via
+    * the 4 quadrant-key bucket joins (pigeonhole: ≤3 flipped bits
+    * cannot touch all 4 16-bit quadrants, so every qualifying pair
+    * shares at least one quadrant — guaranteed recall for
+    * maxHamming ≤ 3; higher thresholds are best-effort).
+    * Composed from built-ins (bucket join + bit_count on XOR), per
+    * the compose-first extension policy — no custom physical operator
+    * needed.
+    */
+  def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
+                      maxHamming: Int): DataFrame = {
+    val t = simhashTable(docs, idCol, textCol).persist()
+    val byQuad = (0 until 4).map { q =>
+      val a = t.select(col("doc_id").as("doc_a"),
+        col("simhash").as("sig_a"), col(s"quad_$q").as("qk"))
+      val b = t.select(col("doc_id").as("doc_b"),
+        col("simhash").as("sig_b"), col(s"quad_$q").as("qk"))
+      a.join(b, Seq("qk")).filter(col("doc_a") < col("doc_b")).drop("qk")
+    }
+    byQuad.reduce(_ unionByName _).distinct()
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
   def simhashTable(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"),
       GraftFunctions.simhash64(GraftFunctions.normWords(col(textCol))).as("simhash"))

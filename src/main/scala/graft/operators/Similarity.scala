@@ -33,6 +33,30 @@ object Similarity {
       .drop("__rn")
   }
 
+  /** Embedding near-dup pairs: LSH-bucket the corpus (nTables
+    * hyperplane signatures), pair within buckets, rescore with the
+    * exact cosine expression, keep pairs ≥ threshold. The 100 TB
+    * dedup path — cost ∝ Σ bucket², never corpus².
+    */
+  def cosineNearDups(corpus: DataFrame, threshold: Double,
+                     nTables: Int = 4, nBits: Int = 8): DataFrame = {
+    val sigCols = (0 until nTables).map(t =>
+      GraftFunctions.hyperplaneSig(col("embedding"), lit(nBits), seed = 1000L + t)
+        .as(s"sig_$t"))
+    val sig = corpus.select(col("vec_id") +: col("embedding") +: sigCols: _*).persist()
+    val byTable = (0 until nTables).map { t =>
+      val a = sig.select(col("vec_id").as("vec_a"),
+        col("embedding").as("emb_a"), col(s"sig_$t").as("bk"))
+      val b = sig.select(col("vec_id").as("vec_b"),
+        col("embedding").as("emb_b"), col(s"sig_$t").as("bk"))
+      a.join(b, Seq("bk")).filter(col("vec_a") < col("vec_b")).drop("bk")
+    }
+    byTable.reduce(_ unionByName _).distinct()
+      .select(col("vec_a"), col("vec_b"),
+        round(GraftFunctions.cosine(col("emb_a"), col("emb_b")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
   /** Approximate top-k: nTables independent hyperplane signatures
     * bucket the corpus; a query only scores vectors sharing a bucket
     * in at least one table. Recall grows with nTables; per-table

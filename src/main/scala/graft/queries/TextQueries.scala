@@ -68,6 +68,14 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // §2.3 #32 — full simhash near-dup pair search (quadrant bucket
+    // joins + bit_count hamming filter); planted exact copies must
+    // all surface at hamming 0 (DedupSpec).
+    "q32b_simhash_pairs" -> { (s, d) =>
+      Dedup.simhashNearDups(plantedCorpus(s, d), "doc_id", "text", maxHamming = 3)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
     // §2.3 #33 — exact n-gram Jaccard on adjacent-id pairs.
     "q33_ngram_jaccard" -> { (s, d) =>
       val docs = Tables.documents(s, d)
@@ -91,6 +99,17 @@ object TextQueries {
       val emb = Tables.embeddings(s, d)
       Similarity.annLsh(emb, emb.filter(col("vec_id") < 5), k = 10)
         .orderBy(col("query_id"), col("cos_sim").desc, col("neighbor_id"))
+    },
+
+    // §2.3 #34 — LSH-bucketed embedding near-dup pairs ≥ 0.999 on a
+    // corpus with planted exact-copy vectors (ids +1_000_000).
+    "q34b_cosine_neardup" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val planted = emb.unionByName(
+        emb.filter(col("vec_id") < 20)
+          .select((col("vec_id") + 1000000).as("vec_id"), col("embedding")))
+      Similarity.cosineNearDups(planted, threshold = 0.999)
+        .orderBy(col("vec_a"), col("vec_b"))
     },
 
     // §2.3 #36 — stopword-marker language ID.

@@ -28,10 +28,11 @@ object EventStream {
     // The file stream source wants a directory; the test layout is one
     // flat parquet per table, so expose events.parquet through a
     // symlinked staging dir (no copy, testdata untouched).
+    val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+    require(java.nio.file.Files.exists(src), s"no events table at $src")
     val stage = java.nio.file.Files.createTempDirectory("graft-stream")
     val link = stage.resolve("events.parquet")
-    java.nio.file.Files.createSymbolicLink(link,
-      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    java.nio.file.Files.createSymbolicLink(link, src)
     spark.readStream
       .schema(rawSchema)
       .parquet(stage.toString)

@@ -104,6 +104,22 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(a == b)
   }
 
+  test("simhash near-dup pairs include every planted exact copy at hamming 0") {
+    val pairs = TextQueries.queries("q32b_simhash_pairs")(spark, sf)
+    val planted = pairs.filter(col("doc_b") === col("doc_a") + 1000000)
+    assert(planted.count() == 50)
+    assert(planted.filter(col("hamming") =!= 0).count() == 0)
+  }
+
+  test("cosine near-dup pairs are exactly the planted copies") {
+    val pairs = TextQueries.queries("q34b_cosine_neardup")(spark, sf)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val planted = (0L until 20L).map(i => (i, i + 1000000L)).toSet
+    assert(planted.subsetOf(pairs), s"missing ${(planted -- pairs).take(3)}")
+    // natural max cosine in the corpus is ~0.51 — nothing else qualifies
+    assert(pairs == planted)
+  }
+
   test("text query oracles' keys are a subset of query keys") {
     assert(TextQueries.oracleSql.keySet.subsetOf(TextQueries.queries.keySet))
   }
