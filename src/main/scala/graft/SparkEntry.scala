@@ -12,7 +12,8 @@ object SparkEntry {
       graft.queries.ReferenceQueries.queries ++
       graft.queries.TextQueries.queries ++
       graft.queries.TemporalQueries.queries ++
-      graft.queries.PipelineQueries.queries
+      graft.queries.PipelineQueries.queries ++
+      graft.queries.SketchQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -21,5 +22,6 @@ object SparkEntry {
       graft.queries.ReferenceQueries.oracleSql ++
       graft.queries.TextQueries.oracleSql ++
       graft.queries.TemporalQueries.oracleSql ++
-      graft.queries.PipelineQueries.oracleSql
+      graft.queries.PipelineQueries.oracleSql ++
+      graft.queries.SketchQueries.oracleSql
 }

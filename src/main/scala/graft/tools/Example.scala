@@ -45,6 +45,11 @@ object Example {
     val salted = graft.operators.Skew.saltedJoin(li, o, "l_orderkey",
       col("l_partkey"), salts = 8).count()
     println(s"salted join rows = $salted (plain = $plain)")
+
+    // stateful streaming sessionizer vs batch sessionize
+    val streamed = graft.streaming.StatefulSessions.run(spark, sfDir, 1800L).count()
+    val batch = graft.SparkEntry.queries("q44_sessionize")(spark, sfDir).count()
+    println(s"stateful stream sessions = $streamed (batch = $batch)")
     spark.stop()
   }
 }
