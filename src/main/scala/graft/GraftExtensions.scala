@@ -2,9 +2,28 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.DoubleType
 
 import graft.functions.{CosineSimilarity, SimHash64}
+
+/** Optimizer rule: cosine(x, x) ≡ 1.0 — the self-pair arm of near-dup
+  * pipelines constant-folds away instead of running the O(dim) kernel
+  * per row. Sound because the kernel defines zero-zero similarity as
+  * 1.0 (self-similarity convention) and the fold fires only on
+  * deterministic, non-nullable, semantically-equal children.
+  */
+object FoldSelfCosine extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{If, IsNull}
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case CosineSimilarity(a, b) if a.deterministic && a.semanticEquals(b) =>
+        if (a.nullable) If(IsNull(a), Literal(null, DoubleType), Literal(1.0, DoubleType))
+        else Literal(1.0, DoubleType)
+    }
+}
 
 /** SURVEY.md §2.5 #48 — SparkSessionExtensions entry point: makes the
   * graft native expressions available to pure-SQL users via
@@ -14,6 +33,7 @@ import graft.functions.{CosineSimilarity, SimHash64}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => FoldSelfCosine)
     e.injectFunction((
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),

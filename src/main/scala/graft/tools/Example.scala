@@ -12,6 +12,7 @@ object Example {
     val spark = SparkSession.builder()
       .master("local[4]")
       .appName("graft-example")
+      .withExtensions(new graft.GraftExtensions)
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
@@ -50,6 +51,11 @@ object Example {
     val streamed = graft.streaming.StatefulSessions.run(spark, sfDir, 1800L).count()
     val batch = graft.SparkEntry.queries("q44_sessionize")(spark, sfDir).count()
     println(s"stateful stream sessions = $streamed (batch = $batch)")
+
+    // extensions: SQL-registered native functions + self-cosine fold
+    val c = spark.sql(
+      "SELECT graft_cosine(array(3.0f, 4.0f), array(3.0f, 4.0f)) AS c").first().getDouble(0)
+    println(s"graft_cosine via extensions = $c")
     spark.stop()
   }
 }

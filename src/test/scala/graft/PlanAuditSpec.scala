@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
+
+/** Plan hygiene across the whole query surface — the "would this
+  * survive 100×" checks from SURVEY §4, automated.
+  */
+class PlanAuditSpec extends SparkSpecBase {
+
+  // brute-force scorers intentionally pair a broadcast query set with
+  // the corpus via a non-equi condition (BroadcastNestedLoopJoin)
+  private val intendedNestedLoop = Set("q34_cosine_topk")
+
+  test("no query plans a CartesianProduct") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian product")
+    }
+  }
+
+  test("nested-loop joins appear only where intended (broadcast query sets)") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.executedPlan.toString
+      if (!intendedNestedLoop.contains(name) && plan.contains("BroadcastNestedLoopJoin"))
+        assert(plan.contains("BroadcastNestedLoopJoin BuildRight"),
+          s"$name uses an unexpected nested-loop join shape")
+      if (intendedNestedLoop.contains(name))
+        assert(plan.contains("BroadcastNestedLoopJoin"),
+          s"$name expected to broadcast its query set")
+    }
+  }
+
+  test("whole-stage codegen covers the scan-heavy queries") {
+    Seq("q01_pricing_summary", "q21_derived_scalar", "q37_quality_score")
+      .foreach { name =>
+        val df = SparkEntry.queries(name)(spark, sf)
+        df.collect() // finalize THIS queryExecution's adaptive plan
+        val plan = df.queryExecution.executedPlan.toString
+        // '*(n)' node prefixes mark whole-stage-codegen'd spans
+        assert(plan.contains("*("), s"$name fell out of codegen:\n$plan")
+      }
+  }
+
+  test("FoldSelfCosine folds cosine(x,x) to a literal") {
+    val emb = Tables.embeddings(spark, sf)
+    val df = emb.select(GraftFunctions.cosine(col("embedding"), col("embedding")).as("c"))
+    val optimized = graft.FoldSelfCosine(df.queryExecution.analyzed)
+    assert(optimized.toString.contains("1.0"),
+      s"self-cosine not folded:\n$optimized")
+    // and the fold is semantics-preserving on real data
+    val vals = df.limit(5).collect().map(_.getDouble(0))
+    assert(vals.forall(v => math.abs(v - 1.0) < 1e-9))
+  }
+}
