@@ -13,7 +13,8 @@ object SparkEntry {
       graft.queries.TextQueries.queries ++
       graft.queries.TemporalQueries.queries ++
       graft.queries.PipelineQueries.queries ++
-      graft.queries.SketchQueries.queries
+      graft.queries.SketchQueries.queries ++
+      graft.queries.AnalyticQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -23,5 +24,6 @@ object SparkEntry {
       graft.queries.TextQueries.oracleSql ++
       graft.queries.TemporalQueries.oracleSql ++
       graft.queries.PipelineQueries.oracleSql ++
-      graft.queries.SketchQueries.oracleSql
+      graft.queries.SketchQueries.oracleSql ++
+      graft.queries.AnalyticQueries.oracleSql
 }

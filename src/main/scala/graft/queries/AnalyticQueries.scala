@@ -1,0 +1,121 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** SURVEY.md §2.1 addendum — analytic breadth: hierarchical rollup,
+  * window frames, fuzzy string matching (the reference's alias/prev
+  * symbol reconciliation problem), calendar dimensions.
+  */
+object AnalyticQueries {
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+
+    // hierarchical totals: nation → mktsegment with subtotal rows
+    // (ROLLUP), the aggregation-lattice pattern.
+    "q47_rollup" -> { (s, d) =>
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .rollup(col("n_name"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(dec(col("c_acctbal"))).cast("double").as("total_bal"))
+        .orderBy(col("n_name").asc_nulls_first, col("c_mktsegment").asc_nulls_first)
+    },
+
+    // window frames: per-customer running order total + moving average
+    // over the previous 3 orders + rank.
+    "q48_window_frames" -> { (s, d) =>
+      val byCust = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          sum(dec(col("o_totalprice")))
+            .over(byCust.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double").as("running_total"),
+          (sum(dec(col("o_totalprice")))
+            .over(byCust.rowsBetween(-3, -1)).cast("double")
+            / count(lit(1)).over(byCust.rowsBetween(-3, -1))).as("prev3_avg"),
+          row_number().over(byCust).as("order_seq"))
+        .orderBy(col("o_custkey"), col("order_seq"))
+    },
+
+    // fuzzy match: gene prev/alias-symbol reconciliation shape —
+    // supplier names close to customer names by edit distance.
+    // Threshold levenshtein = banded DP with early exit (returns -1
+    // past the bound) — O(len·k) instead of O(len²) per pair. At
+    // 100 TB the pair space itself would be cut by q-gram LSH
+    // blocking (the §2.3 machinery) before any DP runs.
+    "q49_fuzzy_match" -> { (s, d) =>
+      val su = Tables.supplier(s, d)
+        .select(col("s_name"), substring(col("s_name"), -2, 2).as("blk"))
+      val c = Tables.customer(s, d)
+        .select(col("c_name"), substring(col("c_name"), -2, 2).as("blk"))
+      c.join(broadcast(su), "blk")
+        .select(col("c_name"), col("s_name"),
+          levenshtein(col("c_name"), col("s_name"), 6).as("edit_dist"))
+        .filter(col("edit_dist") >= 0)
+        .orderBy(col("c_name"), col("s_name"))
+    },
+
+    // calendar dimensions from event time.
+    "q50_date_parts" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(
+          year(col("ts")).as("y"),
+          month(col("ts")).as("m"),
+          dayofmonth(col("ts")).as("dom"),
+          hour(col("ts")).as("h"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("y"), col("m"), col("dom"), col("h"))
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q47_rollup" ->
+      """SELECT n_name, c_mktsegment, COUNT(*) AS n_customers,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP (n_name, c_mktsegment)
+        |ORDER BY n_name NULLS FIRST, c_mktsegment NULLS FIRST""".stripMargin,
+
+    "q48_window_frames" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS DOUBLE)
+        |    / COUNT(*) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS prev3_avg,
+        |  row_number() OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS order_seq
+        |FROM orders
+        |ORDER BY o_custkey, order_seq""".stripMargin,
+
+    "q49_fuzzy_match" ->
+      """SELECT c_name, s_name, levenshtein(c_name, s_name) AS edit_dist
+        |FROM customer JOIN supplier
+        |  ON substr(c_name, length(c_name)-1, 2) = substr(s_name, length(s_name)-1, 2)
+        |WHERE levenshtein(c_name, s_name) <= 6
+        |ORDER BY c_name, s_name""".stripMargin,
+
+    "q50_date_parts" ->
+      """SELECT year(ts) AS y, month(ts) AS m, dayofmonth(ts) AS dom,
+        |       hour(ts) AS h, COUNT(*) AS n
+        |FROM events
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY y, m, dom, h""".stripMargin
+  )
+}
