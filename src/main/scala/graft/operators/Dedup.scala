@@ -38,9 +38,12 @@ object Dedup {
       if (shingleWidth == 1) words.select(col("doc_id"), explode(col("ws")).as("sh"))
       else words.select(col("doc_id"),
         explode(GraftFunctions.wordShingles(col("ws"), shingleWidth)).as("sh"))
-    // all nSeeds minima in ONE grouped pass over the shingle table
-    // (map-side partial min), then posexplode to the long layout —
-    // an 8-way seed explode before the shuffle would move 8× the rows.
+    // All nSeeds minima in one codegen'd grouped pass: the partial
+    // min aggregation is map-side, so only ≤ docs×nSeeds partial rows
+    // cross the exchange regardless of shingle count. (A narrow
+    // array_min(transform(...)) formulation has zero shuffles but
+    // runs interpreted — higher-order functions are CodegenFallback —
+    // and measures slower; explode + HashAggregate stays in codegen.)
     val mins = (0 until nSeeds).map(s =>
       min(md5(concat(lit(s + ":"), col("sh")))).as(s"mh_$s"))
     shingles.distinct()
@@ -85,33 +88,29 @@ object Dedup {
     */
   def ngramJaccard(docs: DataFrame, pairs: DataFrame, idCol: String,
                    textCol: String, shingleWidth: Int): DataFrame = {
-    // consumed 4× downstream (both pair sides + both count sides):
-    // persist or the regex+explode+distinct pipeline runs 4 times.
-    // normWords is bound to a column BEFORE shingling: higher-order
-    // lambdas disable subexpression elimination, so an inlined
-    // normWords would re-run the regex once per shingle index.
-    val sh = docs
+    // Shingle SETS stay packed as per-doc arrays: the whole derivation
+    // is narrow (no explode, no distinct shuffle), and the pair join
+    // moves one array-valued row per doc instead of |shingles| rows.
+    // Intersection/union are then O(|set|) array ops per pair.
+    // (normWords is bound to a column before shingling — higher-order
+    // lambdas disable subexpression elimination.)
+    val sets = docs
       .select(col(idCol).as("doc_id"),
         GraftFunctions.normWords(col(textCol)).as("__ws"))
+      .persist() // CollapseProject barrier — see minhashSignatures
       .select(col("doc_id"),
-        explode(GraftFunctions.wordShingles(col("__ws"), shingleWidth)).as("sh"))
-      .distinct()
+        array_distinct(GraftFunctions.wordShingles(col("__ws"), shingleWidth)).as("shset"))
+      .filter(size(col("shset")) > 0)
       .persist()
-    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh")).persist()
-    val sa = sh.select(col("doc_id").as("doc_a"), col("sh"))
-    val sb = sh.select(col("doc_id").as("doc_b"), col("sh"))
-    val inter = pairs.join(sa, Seq("doc_a")).join(sb, Seq("doc_b", "sh"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_inter"))
-    pairs
-      .join(inter, Seq("doc_a", "doc_b"), "left")
-      .na.fill(0, Seq("n_inter"))
-      .join(counts.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("n_sh", "n_a"), Seq("doc_a"))
-      .join(counts.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("n_sh", "n_b"), Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_a"), col("n_b"),
-        (col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
-          .as("jaccard"))
+    val a = sets.select(col("doc_id").as("doc_a"), col("shset").as("set_a"))
+    val b = sets.select(col("doc_id").as("doc_b"), col("shset").as("set_b"))
+    pairs.join(a, Seq("doc_a")).join(b, Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("set_a"), col("set_b"))).cast("long").as("n_inter"),
+        size(col("set_a")).cast("long").as("n_a"),
+        size(col("set_b")).cast("long").as("n_b"))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
   }
 
   /** SimHash near-dup table: 64-bit signature + the 4 16-bit quadrant
