@@ -14,7 +14,8 @@ object SparkEntry {
       graft.queries.TemporalQueries.queries ++
       graft.queries.PipelineQueries.queries ++
       graft.queries.SketchQueries.queries ++
-      graft.queries.AnalyticQueries.queries
+      graft.queries.AnalyticQueries.queries ++
+      graft.queries.OpsQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -25,5 +26,6 @@ object SparkEntry {
       graft.queries.TemporalQueries.oracleSql ++
       graft.queries.PipelineQueries.oracleSql ++
       graft.queries.SketchQueries.oracleSql ++
-      graft.queries.AnalyticQueries.oracleSql
+      graft.queries.AnalyticQueries.oracleSql ++
+      graft.queries.OpsQueries.oracleSql
 }
