@@ -26,6 +26,16 @@ class SourcesSpec extends SparkSpecBase {
     assert(df.first().getString(1) == "HGNC:11998")
   }
 
+  test("gzip csv reads transparently (reference pulls .csv.gz feeds)") {
+    val dir = Files.createTempDirectory("graftgz")
+    val p = dir.resolve("genes.csv.gz")
+    val out = new java.util.zip.GZIPOutputStream(Files.newOutputStream(p))
+    out.write("gene,score\nTP53,0.9\nBRCA1,0.5\n".getBytes("UTF-8"))
+    out.close()
+    val df = Readers.csv(spark, p.toString)
+    assert(df.count() == 2 && df.columns.toSeq == Seq("gene", "score"))
+  }
+
   test("json reader parses nested records") {
     val p = tmp(".json", """{"gene":"TP53","panel":{"id":1,"name":"x"}}""" + "\n")
     val df = Readers.json(spark, p)
