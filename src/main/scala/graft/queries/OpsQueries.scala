@@ -51,6 +51,34 @@ object OpsQueries {
         .orderBy(col("l_returnflag"))
     },
 
+    // multi-dimensional lattice: CUBE over (nation, segment) — all
+    // four grouping-set combinations in one pass.
+    "q55_cube" -> { (s, d) =>
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .cube(col("n_name"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n_name").asc_nulls_first, col("c_mktsegment").asc_nulls_first)
+    },
+
+    // approximate heavy hitters: top boilerplate tokens per language
+    // via a Space-Saving TypedImperativeAggregate (bounded state,
+    // map-side mergeable — no token-space groupBy). Exploded long
+    // layout, deterministic rank by estimated count then token.
+    "q56_heavy_hitters" -> { (s, d) =>
+      import graft.functions.GraftFunctions
+      import graft.functions.HeavyHitters.heavyHitters
+      Tables.documents(s, d)
+        .select(col("lang"), explode(GraftFunctions.normWords(col("text"))).as("w"))
+        .groupBy(col("lang"))
+        .agg(heavyHitters(col("w"), capacity = 256, k = 10).as("hh"))
+        .select(col("lang"), posexplode(col("hh")))
+        .select(col("lang"), (col("pos") + 1).as("rank"),
+          col("col.item").as("token"), col("col.est_count").as("est_count"))
+        .orderBy(col("lang"), col("rank"))
+    },
+
     // data profiling: per-column null counts / distinct counts /
     // ranges — the audit pass an ingest pipeline runs on every load.
     "q54_profile" -> { (s, d) =>
@@ -86,6 +114,28 @@ object OpsQueries {
         |  quantile_cont(l_extendedprice, 0.5) AS median_price,
         |  COUNT(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // capacity (256) exceeds the corpus vocabulary, so the sketch is
+    // exact here and the oracle can check it against a plain top-10.
+    "q56_heavy_hitters" ->
+      """SELECT lang, rank, token, est_count FROM (
+        |  SELECT lang, w AS token, COUNT(*) AS est_count,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY COUNT(*) DESC, w) AS rank
+        |  FROM (SELECT lang,
+        |          unnest(list_filter(string_split(
+        |            regexp_replace(lower(text),'[^a-z0-9 ]','','g'),' '),
+        |            x -> x <> '')) AS w
+        |        FROM documents)
+        |  GROUP BY lang, w)
+        |WHERE rank <= 10
+        |ORDER BY lang, rank""".stripMargin,
+
+    "q55_cube" ->
+      """SELECT n_name, c_mktsegment, COUNT(*) AS n
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY CUBE (n_name, c_mktsegment)
+        |ORDER BY n_name NULLS FIRST, c_mktsegment NULLS FIRST""".stripMargin,
 
     "q54_profile" ->
       """SELECT COUNT(*) AS n_rows,

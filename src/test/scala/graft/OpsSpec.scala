@@ -21,6 +21,39 @@ class OpsSpec extends SparkSpecBase {
     assert(frac > 0.08 && frac < 0.30, s"holdout fraction $frac out of band")
   }
 
+  test("space-saving sketch under eviction still surfaces the true top items") {
+    import graft.functions.GraftFunctions
+    import graft.functions.HeavyHitters.heavyHitters
+    val words = Tables.documents(spark, sf)
+      .select(explode(GraftFunctions.normWords(col("text"))).as("w"))
+    // capacity 8 << vocabulary: evictions happen; Space-Saving still
+    // guarantees any item with true count > n/capacity is present.
+    val hh = words.agg(heavyHitters(col("w"), capacity = 8, k = 5).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.item"), col("e.est_count"), col("e.max_err"))
+      .collect()
+    assert(hh.length == 5)
+    // Space-Saving guarantees: est over-approximates the true count,
+    // and est − err under-approximates it. (Presence of the exact
+    // top-k is only guaranteed for items with count > n/capacity —
+    // this corpus is near-uniform, so no item qualifies.)
+    val exactCounts = words.groupBy("w").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    hh.foreach { r =>
+      val item = r.getString(0)
+      assert(r.getLong(1) >= exactCounts(item),
+        s"$item est ${r.getLong(1)} < true ${exactCounts(item)}")
+      assert(r.getLong(1) - r.getLong(2) <= exactCounts(item),
+        s"$item lower bound violated")
+    }
+    // a genuinely skewed stream must surface its heavy hitter
+    val skewed = spark.range(0, 3000)
+      .selectExpr("CASE WHEN id % 3 = 0 THEN 'hot' ELSE concat('t', id) END AS w")
+    val top = skewed.agg(heavyHitters(col("w"), capacity = 8, k = 1).as("hh"))
+      .select(explode(col("hh")).as("e")).select(col("e.item")).first().getString(0)
+    assert(top == "hot")
+  }
+
   test("range join pairs are symmetric-free and within the band") {
     val r = OpsQueries.queries("q51_range_join")(spark, sf)
     assert(r.filter(col("n_close_pairs") <= 0).count() == 0)
