@@ -45,6 +45,12 @@ object Readers {
     schema.fold(r)(sc => r.schema(sc)).json(path)
   }
 
+  /** ORC round-trip — second columnar format with predicate pushdown,
+    * for interop with warehouses that standardize on ORC. */
+  def orc(s: SparkSession, path: String): DataFrame = s.read.orc(path)
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
   /** Partitioned parquet sink — the scale-path layout (the reference
     * writes one flat parquet per table; at 100 TB you partition by a
     * stable, low-cardinality key).

@@ -53,6 +53,17 @@ class SourcesSpec extends SparkSpecBase {
     assert(scan.contains("PartitionFilters"), "expected partition pruning")
   }
 
+  test("orc round-trips with pushdown") {
+    val out = Files.createTempDirectory("graftorc").toString + "/t"
+    val src = Tables.customer(spark, sf)
+    Readers.writeOrc(src, out)
+    val back = Readers.orc(spark, out)
+    assert(back.count() == src.count())
+    val plan = back.filter(back("c_custkey") === 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(c_custkey), EqualTo(c_custkey,1)]"))
+  }
+
   test("ingest logs per-source failures without aborting the batch") {
     val ing = new Ingest()
       .source("good")(Tables.nation(spark, sf))
