@@ -1,0 +1,37 @@
+package graft
+
+/** Guards the driver contract itself. */
+class ContractSpec extends SparkSpecBase {
+
+  test("every oracle key names an existing query") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracle entries without queries: $orphans")
+  }
+
+  test("query keys are unique across the group maps (no silent overwrite)") {
+    val groups = Seq(
+      graft.queries.CoreQueries.queries.keySet,
+      graft.queries.ReferenceQueries.queries.keySet,
+      graft.queries.TextQueries.queries.keySet,
+      graft.queries.TemporalQueries.queries.keySet,
+      graft.queries.PipelineQueries.queries.keySet,
+      graft.queries.SketchQueries.queries.keySet,
+      graft.queries.AnalyticQueries.queries.keySet,
+      graft.queries.OpsQueries.queries.keySet)
+    val total = groups.map(_.size).sum
+    assert(total == SparkEntry.queries.size,
+      "duplicate query keys across group maps")
+  }
+
+  test("entry returns rows at the smoke scale") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("oracle sql never references spark-only syntax") {
+    // quick lint: DuckDB has no backticks or Spark-style lateral view
+    SparkEntry.oracleSql.foreach { case (k, sql) =>
+      assert(!sql.contains("`"), s"$k oracle uses backticks")
+      assert(!sql.toLowerCase.contains("lateral view"), s"$k oracle uses LATERAL VIEW")
+    }
+  }
+}
