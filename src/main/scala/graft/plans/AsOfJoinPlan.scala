@@ -1,0 +1,155 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.execution.SparkStrategy
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+
+/** SURVEY.md §2.5 / §7 — a whole-operator Catalyst extension: sort-merge
+  * AS-OF JOIN (logical node → planner strategy → physical exec),
+  * registered through `GraftExtensions`.
+  *
+  * Semantics: for every left row, attach the single right row with the
+  * greatest (rightTime, tieBreak) such that rightTime ≤ leftTime and
+  * the equi-keys match; null-extended when no right row qualifies.
+  *
+  * Why a custom operator: the compositional form (equi-join on key +
+  * time filter + row_number window — operators/Temporal.asofJoin)
+  * materializes |left| × |per-key right history| intermediate rows
+  * before the window discards all but one per left row. This exec
+  * instead requires both children clustered on the key and sorted by
+  * (key, time): each partition is then a single streaming merge with
+  * O(1) carried state (the current best match), no fan-out, no window.
+  * Same shuffle count as the join (one per side) — strictly less work
+  * after it.
+  */
+case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
+                    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+                    leftTime: Expression, rightTime: Expression,
+                    tieBreak: Expression)
+    extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(l: LogicalPlan, r: LogicalPlan): AsOfJoin =
+    copy(left = l, right = r)
+}
+
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoin(l, r, lk, rk, lt, rt, tb) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tb) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
+                        leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+                        leftTime: Expression, rightTime: Expression,
+                        tieBreak: Expression)
+    extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  // both sides hashed on the equi-keys → co-partitioned merge
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys, requireAllClusterKeys = true, None) ::
+      ClusteredDistribution(rightKeys, requireAllClusterKeys = true, None) :: Nil
+
+  // left sorted by (key, time); right by (key, time, tieBreak) so the
+  // last qualifying row in scan order IS the (max time, max tie) pick
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    (leftKeys :+ leftTime).map(SortOrder(_, Ascending)),
+    (rightKeys :+ rightTime :+ tieBreak).map(SortOrder(_, Ascending)))
+
+  override def outputOrdering: Seq[SortOrder] =
+    (leftKeys :+ leftTime).map(SortOrder(_, Ascending))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    // capture only serializable ingredients; projections/orderings are
+    // built per-partition (they are not serializable themselves)
+    val lOut = left.output
+    val rOut = right.output
+    val allOut = output
+    val lKeys = leftKeys; val rKeys = rightKeys
+    val lTime = leftTime; val rTime = rightTime
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(lKeys, lOut)
+      val rKeyProj = UnsafeProjection.create(rKeys, rOut)
+      val lTimeProj = UnsafeProjection.create(Seq(lTime), lOut)
+      val rTimeProj = UnsafeProjection.create(Seq(rTime), rOut)
+      val keyOrdering =
+        RowOrdering.createNaturalAscendingOrdering(lKeys.map(_.dataType))
+      val timeOrdering =
+        RowOrdering.createNaturalAscendingOrdering(Seq(lTime.dataType))
+      val rightNulls = new GenericInternalRow(rOut.size)
+      val outProj = UnsafeProjection.create(allOut, lOut ++ rOut)
+      val rBuf = rIter.buffered
+      val joined = new JoinedRow
+      var matchKey: InternalRow = null   // key of the buffered best match
+      var bestMatch: InternalRow = null  // copied right row
+      lIter.map { lRow =>
+        val lKey = lKeyProj(lRow)
+        val lTimeVal = lTimeProj(lRow).copy()
+        // drop right rows (and any stale match) for keys before lKey
+        while (rBuf.hasNext && keyOrdering.compare(rKeyProj(rBuf.head), lKey) < 0)
+          rBuf.next()
+        if (matchKey != null && keyOrdering.compare(matchKey, lKey) != 0) {
+          matchKey = null; bestMatch = null
+        }
+        // consume qualifying right rows (same key, time ≤ lTime);
+        // scan order makes the last one the (max time, max tie) match
+        var continue = true
+        while (continue && rBuf.hasNext) {
+          val head = rBuf.head
+          val rKey = rKeyProj(head)
+          if (keyOrdering.compare(rKey, lKey) == 0 &&
+            timeOrdering.compare(rTimeProj(head), lTimeVal) <= 0) {
+            bestMatch = rBuf.next().copy()
+            matchKey = lKey.copy()
+          } else continue = false
+        }
+        val r =
+          if (matchKey != null && keyOrdering.compare(matchKey, lKey) == 0) bestMatch
+          else rightNulls
+        outProj(joined(lRow, r))
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(l: SparkPlan, r: SparkPlan): AsOfJoinExec =
+    copy(left = l, right = r)
+}
+
+object AsOfJoinPlan {
+
+  /** DataFrame-level API. Registers the planner strategy in the
+    * session on first use (also installable ahead of time via
+    * `GraftExtensions`). Columns are referenced by name against each
+    * side's analyzed output.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame,
+               leftKey: String, rightKey: String,
+               leftTime: String, rightTime: String,
+               tieBreak: String): DataFrame = {
+    val spark = left.sparkSession
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = right.queryExecution.analyzed
+    def attr(p: LogicalPlan, n: String): Attribute =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"no column '$n' in ${p.output.map(_.name)}"))
+    val plan = AsOfJoin(lPlan, rPlan,
+      Seq(attr(lPlan, leftKey)), Seq(attr(rPlan, rightKey)),
+      attr(lPlan, leftTime), attr(rPlan, rightTime), attr(rPlan, tieBreak))
+    org.apache.spark.sql.GraftColumnBridge.ofRows(spark, plan)
+  }
+}

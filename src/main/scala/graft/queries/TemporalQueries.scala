@@ -52,6 +52,27 @@ object TemporalQueries {
         .orderBy(col("event_id"))
     },
 
+    // §2.4 #43 — the SAME as-of join through the custom Catalyst
+    // operator (AsOfJoin logical node → AsOfJoinExec sort-merge
+    // physical plan): one streaming merge per co-partition, no
+    // history fan-out, no window. Checked against the identical
+    // oracle as q43.
+    "q43b_asof_native" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val ord = Tables.orders(s, d)
+        .select(col("o_custkey").as("user_id"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"))
+        .withColumnRenamed("user_id", "r_user_id")
+      graft.plans.AsOfJoinPlan.asofJoin(ev, ord,
+        leftKey = "user_id", rightKey = "r_user_id",
+        leftTime = "ts", rightTime = "o_orderdate", tieBreak = "o_orderkey")
+        .filter(col("o_orderkey").isNotNull)
+        .select(col("event_id"), col("user_id"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"))
+        .orderBy(col("event_id"))
+    },
+
     // §2.4 #44 — gap-based sessionization (30-minute gap).
     "q44_sessionize" -> { (s, d) =>
       Temporal.sessionize(Tables.events(s, d), key = "user_id",
@@ -85,6 +106,17 @@ object TemporalQueries {
 
     "q41_windowed_agg" -> windowedSql,
     "q42_stream_windowed" -> windowedSql,
+
+    "q43b_asof_native" ->
+      """SELECT event_id, user_id, o_orderkey, o_orderdate, o_totalprice
+        |FROM (
+        |  SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM events e
+        |  JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+        |WHERE rn = 1
+        |ORDER BY event_id""".stripMargin,
 
     "q43_asof_join" ->
       """SELECT event_id, user_id, o_orderkey, o_orderdate, o_totalprice
