@@ -69,7 +69,12 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
   override def outputOrdering: Seq[SortOrder] =
     (leftKeys :+ leftTime).map(SortOrder(_, Ascending))
 
+  override lazy val metrics =
+    Map("numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"))
+
   override protected def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
     // capture only serializable ingredients; projections/orderings are
     // built per-partition (they are not serializable themselves)
     val lOut = left.output
@@ -117,6 +122,7 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
         val r =
           if (matchKey != null && keyOrdering.compare(matchKey, lKey) == 0) bestMatch
           else rightNulls
+        numOutputRows += 1
         outProj(joined(lRow, r))
       }
     }

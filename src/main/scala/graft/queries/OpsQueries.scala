@@ -51,6 +51,37 @@ object OpsQueries {
         .orderBy(col("l_returnflag"))
     },
 
+    // SCD-style upsert: merge an updates batch into the current
+    // snapshot (update-else-insert, full-outer + coalesce — the
+    // engine-level shape of MERGE INTO). Updates derived
+    // deterministically from the data itself.
+    "q57_upsert_merge" -> { (s, d) =>
+      val current = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      // updates: raise balance 10% for segment BUILDING + 3 new rows.
+      // DECIMAL arithmetic, not double: Spark's round(double) rounds
+      // the shortest decimal rendering while DuckDB rounds the raw
+      // binary value — exact decimals round identically in both.
+      val updates = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"), col("c_name"),
+          round(col("c_acctbal").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+            * lit("1.1").cast(org.apache.spark.sql.types.DecimalType(3, 2)), 2)
+            .cast("double").as("c_acctbal"))
+        .unionByName(
+          s.range(1, 4).select(
+            (col("id") + 1000000).as("c_custkey"),
+            concat(lit("NewCustomer#"), col("id")).as("c_name"),
+            lit(0.0).as("c_acctbal")))
+      val u = updates.select(col("c_custkey"),
+        col("c_name").as("u_name"), col("c_acctbal").as("u_bal"))
+      current.join(u, Seq("c_custkey"), "full_outer")
+        .select(col("c_custkey"),
+          coalesce(col("u_name"), col("c_name")).as("c_name"),
+          coalesce(col("u_bal"), col("c_acctbal")).as("c_acctbal"))
+        .orderBy(col("c_custkey"))
+    },
+
     // multi-dimensional lattice: CUBE over (nation, segment) — all
     // four grouping-set combinations in one pass.
     "q55_cube" -> { (s, d) =>
@@ -114,6 +145,22 @@ object OpsQueries {
         |  quantile_cont(l_extendedprice, 0.5) AS median_price,
         |  COUNT(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q57_upsert_merge" ->
+      """WITH updates AS (
+        |  SELECT c_custkey, c_name,
+        |    CAST(round(CAST(c_acctbal AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(3,2)), 2) AS DOUBLE) AS c_acctbal
+        |  FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  UNION ALL
+        |  SELECT 1000000 + i AS c_custkey, 'NewCustomer#' || i AS c_name,
+        |         0.0 AS c_acctbal
+        |  FROM (SELECT unnest(generate_series(1, 3)) AS i))
+        |SELECT COALESCE(c.c_custkey, u.c_custkey) AS c_custkey,
+        |       COALESCE(u.c_name, c.c_name) AS c_name,
+        |       COALESCE(u.c_acctbal, c.c_acctbal) AS c_acctbal
+        |FROM customer c
+        |FULL OUTER JOIN updates u ON c.c_custkey = u.c_custkey
+        |ORDER BY c_custkey""".stripMargin,
 
     // capacity (256) exceeds the corpus vocabulary, so the sketch is
     // exact here and the oracle can check it against a plain top-10.

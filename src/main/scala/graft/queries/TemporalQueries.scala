@@ -84,6 +84,22 @@ object TemporalQueries {
         .orderBy(col("user_id"), col("session_id"))
     },
 
+    // §2.4 — stream-static join: the replayed event stream enriched
+    // against the static customer dimension (broadcast into every
+    // micro-batch), aggregated per market segment. Oracle = the same
+    // join+agg in batch SQL.
+    "q58_stream_static_join" -> { (s, d) =>
+      val static = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val joined = EventStream.readEvents(s, d)
+        .join(static, col("user_id") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+      EventStream.runToCompletion(s, joined, "graft_q58")
+        .orderBy(col("c_mktsegment"))
+    },
+
     // §2.4 #45 — streaming-dedup semantics in batch: first event per
     // (user, event_type).
     "q45_event_dedup" -> { (s, d) =>
@@ -146,6 +162,13 @@ object TemporalQueries {
         |       MIN(ts) AS session_start, MAX(ts) AS session_end
         |FROM y GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+
+    "q58_stream_static_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
 
     "q45_event_dedup" ->
       """SELECT user_id, event_type, event_id, ts
