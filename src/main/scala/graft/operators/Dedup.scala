@@ -142,6 +142,48 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
+  /** Connected components over a pair list (min-label propagation):
+    * the cluster step of near-dup dedup — transitive closure of LSH
+    * candidate pairs, one canonical (min) id per duplicate group.
+    *
+    * Iterative driver-coordinated loop over distributed joins (the
+    * MLlib/GraphX pattern): each round every node adopts the minimum
+    * label in its neighborhood; converges in O(graph diameter)
+    * rounds, which for near-dup clusters (tiny cliques) is 2-3. The
+    * edge list and labels stay distributed throughout; the driver
+    * only sees the per-round change count.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct()
+      .persist()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .persist()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
+        .withColumnRenamed("src", "node")
+      val newLabels = labels
+        .join(neighborMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .persist()
+      val changed = newLabels
+        .join(labels.withColumnRenamed("label", "old"), "node")
+        .filter(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = newLabels
+      converged = changed == 0
+      i += 1
+    }
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   def simhashTable(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"),
       GraftFunctions.simhash64(GraftFunctions.normWords(col(textCol))).as("simhash"))

@@ -112,6 +112,17 @@ object TextQueries {
         .orderBy(col("vec_a"), col("vec_b"))
     },
 
+    // §2.3 #31 — duplicate-cluster resolution: transitive closure of
+    // the LSH candidate pairs via min-label connected components; one
+    // canonical (minimum) doc id per duplicate group.
+    "q59_dup_clusters" -> { (s, d) =>
+      val sigs = Dedup.minhashSignatures(plantedCorpus(s, d), "doc_id", "text",
+        shingleWidth = 3, nSeeds = 8)
+      val pairs = Dedup.lshCandidatePairs(Dedup.lshBands(sigs, rowsPerBand = 4))
+      Dedup.connectedComponents(pairs)
+        .orderBy(col("doc_id"))
+    },
+
     // §2.3 #36 — stopword-marker language ID.
     "q36_lang_id" -> { (s, d) =>
       TextAnalysis.langId(Tables.documents(s, d), "doc_id", "text")
@@ -187,6 +198,32 @@ object TextQueries {
          |FROM bands a JOIN bands b
          |  ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q59_dup_clusters" ->
+      s"""WITH RECURSIVE $corpusSql,
+         |w AS (SELECT doc_id, $wsSql AS ws FROM corpus),
+         |sh AS (SELECT DISTINCT doc_id,
+         |         unnest([array_to_string(ws[i:i+2],' ') for i in generate_series(1, len(ws)-2)]) AS sh
+         |       FROM w WHERE len(ws) >= 3),
+         |seeds AS (SELECT unnest(generate_series(0,7)) AS seed),
+         |sigs AS (SELECT doc_id, seed,
+         |           MIN(md5(CAST(seed AS VARCHAR) || ':' || sh)) AS minhash
+         |         FROM sh CROSS JOIN seeds GROUP BY doc_id, seed),
+         |bands AS (SELECT doc_id, seed // 4 AS band,
+         |            md5(string_agg(minhash, ',' ORDER BY seed)) AS band_sig
+         |          FROM sigs GROUP BY doc_id, seed // 4),
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |          FROM bands a JOIN bands b
+         |            ON a.band = b.band AND a.band_sig = b.band_sig
+         |           AND a.doc_id < b.doc_id),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |reach AS (SELECT a, b FROM edges
+         |          UNION
+         |          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+         |SELECT a AS doc_id, least(a, MIN(b)) AS cluster_id
+         |FROM reach GROUP BY a
+         |ORDER BY doc_id""".stripMargin,
 
     "q33_ngram_jaccard" ->
       s"""WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents),

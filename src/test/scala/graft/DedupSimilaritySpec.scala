@@ -49,6 +49,20 @@ class DedupSimilaritySpec extends SparkSpecBase {
     (0L until 5L).foreach(i => assert(t(i) == t(i + 7000)))
   }
 
+  test("dup clusters: every planted copy lands in its original's cluster") {
+    val clusters = TextQueries.queries("q59_dup_clusters")(spark, sf)
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect().toMap
+    (0L until 50L).foreach { i =>
+      if (clusters.contains(i + 1000000)) // planted pair surfaced by LSH
+        assert(clusters(i + 1000000) == clusters.getOrElse(i, i),
+          s"copy of $i not in its cluster")
+    }
+    // cluster ids are the minimum member (canonical keep-id)
+    clusters.groupBy(_._2).foreach { case (cid, members) =>
+      assert(cid == members.keys.min)
+    }
+  }
+
   test("ngram jaccard of a doc with itself is 1.0") {
     val base = docs.filter(col("doc_id") < 10).select(col("doc_id"), col("text"))
     val both = base.unionByName(
