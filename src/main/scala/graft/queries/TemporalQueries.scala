@@ -84,6 +84,21 @@ object TemporalQueries {
         .orderBy(col("user_id"), col("session_id"))
     },
 
+    // §2.4 #44 — the same gap sessions through Spark's native
+    // session_window operator (merge-on-overlap session windows; the
+    // streaming-capable formulation). window.end = last event + gap
+    // by definition — the oracle mirrors that.
+    "q60_session_window" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end_plus_gap"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("session_start"))
+    },
+
     // §2.4 — stream-static join: the replayed event stream enriched
     // against the static customer dimension (broadcast into every
     // micro-batch), aggregated per market segment. Oracle = the same
@@ -169,6 +184,25 @@ object TemporalQueries {
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
+
+    "q60_session_window" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |y AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                     ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM x)
+        |SELECT user_id, MIN(ts) AS session_start,
+        |       MAX(ts) + INTERVAL 30 MINUTE AS session_end_plus_gap,
+        |       COUNT(*) AS n_events
+        |FROM y GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
 
     "q45_event_dedup" ->
       """SELECT user_id, event_type, event_id, ts

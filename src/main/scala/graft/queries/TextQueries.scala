@@ -147,6 +147,25 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // §2.3 — composed corpus-curation pipeline (the C4 shape):
+    // quality-filter → exact-dedup (keep min id) → deterministic
+    // train/holdout split, in one declarative plan.
+    "q61_corpus_pipeline" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val quality = TextAnalysis.qualityScore(docs, "doc_id", "text")
+        .filter(col("keep") === 1)
+        .select(col("doc_id"))
+      val kept = docs.join(quality, "doc_id")
+      val canonical = Dedup.exactDedup(kept, "doc_id", "text")
+        .select(col("keep_id").as("doc_id"))
+      kept.join(canonical, "doc_id")
+        .select(col("doc_id"), col("lang"),
+          when(substring(md5(col("doc_id").cast("string")), 1, 1)
+            .isin("0", "1", "2"), lit("holdout"))
+            .otherwise(lit("train")).as("split"))
+        .orderBy(col("doc_id"))
+    },
+
     // §2.3 #40 — multimodal binary column + typed metadata (decode
     // stubbed; metadata integer-derived so the oracle can check it).
     "q40_multimodal_meta" -> { (s, d) =>
@@ -310,6 +329,27 @@ object TextQueries {
         |       FROM g)
         |SELECT doc_id, len(fps) AS n_fp, list_min(fps) AS min_fp, list_max(fps) AS max_fp
         |FROM fp ORDER BY doc_id""".stripMargin,
+
+    "q61_corpus_pipeline" ->
+      s"""WITH q AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id,
+         |      len(regexp_extract_all(text, '\\S+')) AS n_words,
+         |      len(regexp_extract_all(lower(text), '\\b(the|a|of|and|to)\\b')) AS n_stop,
+         |      len(list_distinct(regexp_extract_all(lower(text), '\\S+'))) AS n_distinct
+         |    FROM documents)
+         |  WHERE n_words >= 10 AND n_stop > 0
+         |    AND CAST(n_distinct AS DOUBLE) / n_words > 0.2),
+         |kept AS (SELECT d.* FROM documents d JOIN q USING (doc_id)),
+         |canon AS (
+         |  SELECT MIN(doc_id) AS doc_id
+         |  FROM kept
+         |  GROUP BY md5(array_to_string($wsSql, ' ')))
+         |SELECT k.doc_id AS doc_id, k.lang,
+         |  CASE WHEN substr(md5(CAST(k.doc_id AS VARCHAR)), 1, 1) IN ('0','1','2')
+         |       THEN 'holdout' ELSE 'train' END AS split
+         |FROM kept k JOIN canon c ON k.doc_id = c.doc_id
+         |ORDER BY doc_id""".stripMargin,
 
     "q40_multimodal_meta" ->
       """SELECT doc_id,

@@ -40,6 +40,14 @@ class TemporalSpec extends SparkSpecBase {
     assert(maxVsCount.count() == 0)
   }
 
+  test("native session_window agrees with lag-based sessionize on counts") {
+    val sw = TemporalQueries.queries("q60_session_window")(spark, sf)
+    val lg = TemporalQueries.queries("q44_sessionize")(spark, sf)
+    assert(sw.count() == lg.count())
+    assert(sw.agg(sum("n_events")).first().getLong(0) ==
+      lg.agg(sum("n_events")).first().getLong(0))
+  }
+
   test("event dedup keeps exactly one earliest row per key") {
     val d = TemporalQueries.queries("q45_event_dedup")(spark, sf)
     val keys = Tables.events(spark, sf).select("user_id", "event_type").distinct().count()
