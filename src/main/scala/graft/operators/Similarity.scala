@@ -57,6 +57,75 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
   }
 
+  /** IVF (inverted-file) ANN: coarse-quantize the corpus into
+    * nCentroids cells (Lloyd iterations from deterministic seed
+    * vectors), then answer queries by scoring only the nProbe nearest
+    * cells. The centroid table is tiny (k×dim floats) and lives on
+    * the driver between iterations — the standard coordination
+    * pattern; assignments and scoring stay distributed. At 100 TB
+    * cell assignment is one broadcast-join pass and each query
+    * touches |corpus|·nProbe/nCentroids vectors.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nCentroids: Int = 16, nProbe: Int = 4, iters: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+
+    def assignTo(cents: Seq[(Int, Array[Float])], df: DataFrame,
+                 idCol: String): DataFrame = {
+      val cdf = broadcast(cents.toDF("cid", "cemb"))
+      val w = Window.partitionBy(col(idCol))
+        .orderBy(col("__sim").desc, col("cid").asc)
+      df.crossJoin(cdf)
+        .withColumn("__sim", GraftFunctions.cosine(col("embedding"), col("cemb")))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .drop("__rn", "__sim", "cemb")
+    }
+
+    // deterministic init: the first nCentroids vectors seed the cells
+    var cents: Seq[(Int, Array[Float])] = corpus
+      .filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").cast("int"), col("embedding"))
+      .as[(Int, Array[Float])].collect().toSeq.sortBy(_._1)
+
+    (0 until iters).foreach { _ =>
+      val assigned = assignTo(cents, corpus, "vec_id")
+      val means = assigned
+        .select(col("cid"), posexplode(col("embedding")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .groupBy(col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => x.getField("m").cast("float")).as("cemb"))
+        .as[(Int, Array[Float])].collect().toSeq.sortBy(_._1)
+      if (means.nonEmpty) cents = means
+    }
+
+    val cells = assignTo(cents, corpus, "vec_id")
+      .select(col("vec_id").as("neighbor_id"), col("embedding"), col("cid"))
+    // each query probes its nProbe nearest cells
+    val cdf = broadcast(cents.toDF("cid", "cemb"))
+    val pw = Window.partitionBy(col("query_id"))
+      .orderBy(col("__sim").desc, col("cid").asc)
+    val probes = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .crossJoin(cdf)
+      .withColumn("__sim", GraftFunctions.cosine(col("q_emb"), col("cemb")))
+      .withColumn("__rn", row_number().over(pw))
+      .filter(col("__rn") <= nProbe)
+      .select(col("query_id"), col("q_emb"), col("cid"))
+    val scored = probes.join(cells, "cid")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(GraftFunctions.cosine(col("q_emb"), col("embedding")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
   /** Approximate top-k: nTables independent hyperplane signatures
     * bucket the corpus; a query only scores vectors sharing a bucket
     * in at least one table. Recall grows with nTables; per-table

@@ -93,6 +93,14 @@ object TextQueries {
         .orderBy(col("query_id"), col("cos_sim").desc, col("neighbor_id"))
     },
 
+    // §2.3 #35 — IVF ANN: Lloyd-quantized cells, nProbe=4 of 16
+    // probed per query (rows-only; recall spec in DedupSimilaritySpec).
+    "q62_ann_ivf" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
+        .orderBy(col("query_id"), col("cos_sim").desc, col("neighbor_id"))
+    },
+
     // §2.3 #35 — hyperplane-LSH ANN (rows-only; recall vs exact
     // checked in SimilaritySpec).
     "q35_ann_lsh" -> { (s, d) =>

@@ -85,6 +85,17 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(recall > 0.05, s"suspiciously low recall $recall")
   }
 
+  test("IVF ANN reaches reasonable recall vs brute force") {
+    val queries = emb.filter(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(emb, queries, 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(emb, queries, 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(ivf.nonEmpty)
+    val recall = (ivf intersect exact).size.toDouble / exact.size
+    assert(recall > 0.2, s"IVF recall $recall too low")
+  }
+
   test("cosine expression agrees with a plain scala dot product") {
     val rows = emb.filter(col("vec_id") < 3)
       .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
