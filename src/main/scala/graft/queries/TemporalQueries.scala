@@ -115,6 +115,22 @@ object TemporalQueries {
         .orderBy(col("c_mktsegment"))
     },
 
+    // §2.2 #27 — typed JSON parsing: from_json with an explicit
+    // schema → struct column → flattened typed fields (the PanelApp
+    // nested-JSON path, but schema-first instead of path-extraction).
+    "q63_from_json_typed" -> { (s, d) =>
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType)))
+      Tables.events(s, d)
+        .select(col("event_id"),
+          from_json(col("props"), schema).as("p"))
+        .select(col("event_id"), col("p.k").as("k"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("k"))
+    },
+
     // §2.4 #45 — streaming-dedup semantics in batch: first event per
     // (user, event_type).
     "q45_event_dedup" -> { (s, d) =>
@@ -203,6 +219,13 @@ object TemporalQueries {
         |       COUNT(*) AS n_events
         |FROM y GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+
+    "q63_from_json_typed" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+        |       COUNT(*) AS n
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY k""".stripMargin,
 
     "q45_event_dedup" ->
       """SELECT user_id, event_type, event_id, ts

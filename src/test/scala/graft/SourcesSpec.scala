@@ -64,6 +64,18 @@ class SourcesSpec extends SparkSpecBase {
     assert(plan.contains("PushedFilters: [IsNotNull(c_custkey), EqualTo(c_custkey,1)]"))
   }
 
+  test("compacted write emits exactly one file per partition value") {
+    val out = Files.createTempDirectory("graftcompact").toString + "/t"
+    Readers.writeCompacted(Tables.orders(spark, sf), out, Seq("o_orderstatus"))
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+    assert(dirs.nonEmpty)
+    dirs.foreach { d =>
+      val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"${d.getName} has ${files.length} files")
+    }
+    assert(Readers.parquet(spark, out).count() == Tables.orders(spark, sf).count())
+  }
+
   test("ingest logs per-source failures without aborting the batch") {
     val ing = new Ingest()
       .source("good")(Tables.nation(spark, sf))
