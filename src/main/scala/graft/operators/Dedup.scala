@@ -153,7 +153,10 @@ object Dedup {
     * edge list and labels stay distributed throughout; the driver
     * only sees the per-round change count.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairsIn: DataFrame, maxIter: Int = 20): DataFrame = {
+    // both direction branches of the edge union consume the pair
+    // lineage — persist it or the upstream (LSH) pipeline runs twice
+    val pairs = pairsIn.persist()
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
