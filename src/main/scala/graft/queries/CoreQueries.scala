@@ -118,6 +118,30 @@ object CoreQueries {
         .orderBy(col("c_custkey"))
     },
 
+    // §2.1 #6 — semi join (EXISTS): customers with ≥1 urgent order,
+    // without duplicating them per order.
+    "q64_semi_join" -> { (s, d) =>
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // §2.1 #17 — set operations (dplyr intersect/setdiff): brands
+    // appearing among large parts vs small parts.
+    "q65_set_ops" -> { (s, d) =>
+      val large = Tables.part(s, d).filter(col("p_size") >= 30)
+        .select(col("p_brand")).distinct()
+      val small = Tables.part(s, d).filter(col("p_size") <= 5)
+        .select(col("p_brand")).distinct()
+      large.intersect(small).withColumn("op", lit("both"))
+        .unionByName(large.except(small).withColumn("op", lit("large_only")))
+        .orderBy(col("op"), col("p_brand"))
+    },
+
     // §2.1 #9 — keep-singletons conflict dedup (IMPC viability,
     // temp-tidy-all-api-ftp-files.R:213-219): drop orders whose line
     // items carry conflicting return flags (one-to-many conflict drop).
@@ -214,6 +238,27 @@ object CoreQueries {
         |  SELECT 1 FROM orders o
         |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
         |ORDER BY c_custkey""".stripMargin,
+
+    "q64_semi_join" ->
+      """SELECT c_custkey, c_name
+        |FROM customer c
+        |WHERE EXISTS (
+        |  SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q65_set_ops" ->
+      """SELECT p_brand, op FROM (
+        |  SELECT p_brand, 'both' AS op FROM (
+        |    SELECT DISTINCT p_brand FROM part WHERE p_size >= 30
+        |    INTERSECT
+        |    SELECT DISTINCT p_brand FROM part WHERE p_size <= 5)
+        |  UNION ALL
+        |  SELECT p_brand, 'large_only' AS op FROM (
+        |    SELECT DISTINCT p_brand FROM part WHERE p_size >= 30
+        |    EXCEPT
+        |    SELECT DISTINCT p_brand FROM part WHERE p_size <= 5))
+        |ORDER BY op, p_brand""".stripMargin,
 
     "q08_conflict_dedup" ->
       """SELECT l_orderkey, MIN(l_returnflag) AS returnflag
