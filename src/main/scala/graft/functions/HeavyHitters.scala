@@ -35,19 +35,29 @@ final class SpaceSavingSketch(val capacity: Int) extends Serializable {
     }
   }
 
+  /** Mergeable-summaries combine (Agarwal et al., PODS'12): an item
+    * absent from one side may still have occurred up to that side's
+    * minimum counter value (that is what eviction guarantees), so the
+    * absent side contributes (min, min) to (count, error). A side
+    * that never evicted (size < capacity) contributes (0, 0). Keeps
+    * est ≥ true ≥ est − err through any merge tree — the property
+    * map-side partial aggregation relies on.
+    */
   def merge(other: SpaceSavingSketch): Unit = {
-    other.counters.foreach { case (item, (c, e)) =>
-      counters.get(item) match {
-        case Some((c0, e0)) => counters.update(item, (c0 + c, e0 + e))
-        case None => counters.update(item, (c, e))
-      }
+    val minSelf =
+      if (counters.size >= capacity) counters.values.map(_._1).min else 0L
+    val minOther =
+      if (other.counters.size >= other.capacity) other.counters.values.map(_._1).min
+      else 0L
+    val items = counters.keySet ++ other.counters.keySet
+    val merged = items.toSeq.map { item =>
+      val (cA, eA) = counters.getOrElse(item, (minSelf, minSelf))
+      val (cB, eB) = other.counters.getOrElse(item, (minOther, minOther))
+      item -> (cA + cB, eA + eB)
     }
-    // re-truncate to capacity keeping the largest counts
-    if (counters.size > capacity) {
-      val keep = counters.toSeq.sortBy { case (i, (c, _)) => (-c, i) }.take(capacity)
-      counters.clear()
-      keep.foreach { case (i, ce) => counters.update(i, ce) }
-    }
+    counters.clear()
+    merged.sortBy { case (i, (c, _)) => (-c, i) }.take(capacity)
+      .foreach { case (i, ce) => counters.update(i, ce) }
   }
 
   /** top-k by estimated count, deterministic tie-break on the item. */
