@@ -17,11 +17,7 @@ object Readers {
   def parquet(s: SparkSession, path: String): DataFrame =
     s.read.parquet(path)
 
-  /** `read.delim` / `fread` equivalent. `skipLines` mirrors the OMIM
-    * `skip = 3` headers (import-api-ftp.R:150-155); implemented via
-    * the csv reader's comment-free `skipRows` option is not available,
-    * so we use explicit header handling + schema.
-    */
+  /** `read.delim` / `fread` equivalent. */
   def csv(s: SparkSession, path: String, delimiter: String = ",",
           header: Boolean = true, schema: Option[StructType] = None): DataFrame = {
     val r = s.read
@@ -36,6 +32,26 @@ object Readers {
   def tsv(s: SparkSession, path: String, header: Boolean = true,
           schema: Option[StructType] = None): DataFrame =
     csv(s, path, delimiter = "\t", header = header, schema = schema)
+
+  /** `read.delim(skip = n)` (OMIM preamble lines,
+    * import-api-ftp.R:150-155): drop the first n physical lines, then
+    * parse the rest as CSV. Line order within a text file is
+    * deterministic (Hadoop line records), so zipWithIndex is a safe
+    * distributed skip; prefer `option("comment", "#")` when the
+    * preamble is marked instead of counted.
+    */
+  def csvSkipLines(s: SparkSession, path: String, skipLines: Int,
+                   delimiter: String = ",", header: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val lines = s.sparkContext.textFile(path)
+      .zipWithIndex().filter(_._2 >= skipLines).map(_._1)
+    val ds = s.createDataset(lines)(Encoders.STRING)
+    s.read
+      .option("delimiter", delimiter)
+      .option("header", header)
+      .option("inferSchema", true)
+      .csv(ds)
+  }
 
   /** JSON lines (and, via multiLine, whole-document JSON like the
     * PanelApp API pages). */

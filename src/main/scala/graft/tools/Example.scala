@@ -25,6 +25,13 @@ object Example {
     java.nio.file.Files.writeString(csvPath, "gene,score\nTP53,0.9\nBRCA1,0.5\n")
     println("csv rows = " + graft.sources.Readers.csv(spark, csvPath.toString).count())
 
+    // skip-lines csv (OMIM-style preamble)
+    val skipPath = java.nio.file.Files.createTempFile("graft-skip", ".txt")
+    java.nio.file.Files.writeString(skipPath,
+      "# preamble 1\n# preamble 2\ngene,mim\nTP53,191170\n")
+    println("skiplines rows = " +
+      graft.sources.Readers.csvSkipLines(spark, skipPath.toString, 2).count())
+
     // resilient ingest: one good source, one broken — batch survives
     val ing = new graft.sources.Ingest()
       .source("ok")(graft.Tables.nation(spark, sfDir))

@@ -26,6 +26,16 @@ class SourcesSpec extends SparkSpecBase {
     assert(df.first().getString(1) == "HGNC:11998")
   }
 
+  test("csvSkipLines drops the OMIM-style preamble before parsing") {
+    val p = tmp(".txt",
+      "# Generated 2025-01-01\n# OMIM preamble\n# line three\n" +
+        "gene\tmim\nTP53\t191170\nBRCA1\t113705\n")
+    val df = Readers.csvSkipLines(spark, p, skipLines = 3, delimiter = "\t")
+    assert(df.columns.toSeq == Seq("gene", "mim"))
+    assert(df.count() == 2)
+    assert(df.filter(df("gene") === "TP53").first().getInt(1) == 191170)
+  }
+
   test("gzip csv reads transparently (reference pulls .csv.gz feeds)") {
     val dir = Files.createTempDirectory("graftgz")
     val p = dir.resolve("genes.csv.gz")
