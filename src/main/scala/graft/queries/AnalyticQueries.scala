@@ -66,6 +66,30 @@ object AnalyticQueries {
         .orderBy(col("c_name"), col("s_name"))
     },
 
+    // histogram binning: document-length distribution (the corpus
+    // length histogram every training pipeline reports).
+    "q66_histogram" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(width_bucket(col("n_chars").cast("double"),
+          lit(0.0), lit(500.0), lit(10)).as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("bucket"))
+    },
+
+    // statistical profiling: Pearson correlation + covariance between
+    // price and quantity per return flag (rounded — FP accumulation
+    // order differs across engines at ~1e-15).
+    "q67_stats" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("price_qty_corr"),
+          round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("qty_disc_covar"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // calendar dimensions from event time.
     "q50_date_parts" -> { (s, d) =>
       Tables.events(s, d)
@@ -110,6 +134,20 @@ object AnalyticQueries {
         |  ON substr(c_name, length(c_name)-1, 2) = substr(s_name, length(s_name)-1, 2)
         |WHERE levenshtein(c_name, s_name) <= 6
         |ORDER BY c_name, s_name""".stripMargin,
+
+    "q66_histogram" ->
+      """SELECT CAST(CASE WHEN n_chars < 0 THEN 0
+        |            WHEN n_chars >= 500 THEN 11
+        |            ELSE FLOOR(n_chars / 50.0) + 1 END AS BIGINT) AS bucket,
+        |       COUNT(*) AS n_docs
+        |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q67_stats" ->
+      """SELECT l_returnflag,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS price_qty_corr,
+        |  round(covar_samp(l_quantity, l_discount), 6) AS qty_disc_covar,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q50_date_parts" ->
       """SELECT year(ts) AS y, month(ts) AS m, dayofmonth(ts) AS dom,
