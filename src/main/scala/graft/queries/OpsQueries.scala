@@ -119,8 +119,11 @@ object OpsQueries {
           sum(col("c_name").isNull.cast("long")).as("null_name"),
           countDistinct(col("c_mktsegment")).as("distinct_segments"),
           countDistinct(col("c_nationkey")).as("distinct_nations"),
-          min(col("c_acctbal")).as("min_bal"),
-          max(col("c_acctbal")).as("max_bal"))
+          // Emit balance bounds as integer cents: raw double min/max are
+          // render-sensitive across oracle-engine versions (15-sig-digit
+          // repr differences); exact integers hash identically everywhere.
+          round(min(col("c_acctbal")) * 100, 0).cast("long").as("min_bal_cents"),
+          round(max(col("c_acctbal")) * 100, 0).cast("long").as("max_bal_cents"))
     }
   )
 
@@ -189,8 +192,8 @@ object OpsQueries {
         |  SUM(CAST(c_name IS NULL AS BIGINT)) AS null_name,
         |  COUNT(DISTINCT c_mktsegment) AS distinct_segments,
         |  COUNT(DISTINCT c_nationkey) AS distinct_nations,
-        |  MIN(c_acctbal) AS min_bal,
-        |  MAX(c_acctbal) AS max_bal
+        |  CAST(ROUND(MIN(c_acctbal) * 100, 0) AS BIGINT) AS min_bal_cents,
+        |  CAST(ROUND(MAX(c_acctbal) * 100, 0) AS BIGINT) AS max_bal_cents
         |FROM customer""".stripMargin
   )
 }

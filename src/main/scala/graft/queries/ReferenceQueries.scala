@@ -52,9 +52,9 @@ object ReferenceQueries {
         .agg(
           count(lit(1)).as("n_lines"),
           sum(when(col("l_quantity") <= 10.0, 1L).otherwise(0L)).as("n_low"),
-          ((lit(100) * sum(when(col("l_quantity") <= 10.0, 1L).otherwise(0L)))
-            .cast("double") / count(lit(1))).as("pct_low"),
-          (dsum(col("l_quantity")) / count(lit(1))).as("mean_qty"))
+          round((lit(100) * sum(when(col("l_quantity") <= 10.0, 1L).otherwise(0L)))
+            .cast("double") / count(lit(1)), 6).as("pct_low"),
+          round(dsum(col("l_quantity")) / count(lit(1)), 6).as("mean_qty"))
         .orderBy(col("l_partkey"))
     },
 
@@ -216,8 +216,8 @@ object ReferenceQueries {
       """SELECT l_partkey,
         |  COUNT(*) AS n_lines,
         |  SUM(CASE WHEN l_quantity <= 10.0 THEN 1 ELSE 0 END) AS n_low,
-        |  CAST(100 * SUM(CASE WHEN l_quantity <= 10.0 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS pct_low,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS mean_qty
+        |  ROUND(CAST(100 * SUM(CASE WHEN l_quantity <= 10.0 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS pct_low,
+        |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS mean_qty
         |FROM lineitem GROUP BY l_partkey ORDER BY l_partkey""".stripMargin,
 
     "q14_full_join_round" ->

@@ -79,8 +79,11 @@ object TemporalQueries {
         timeCol = "ts", idCol = "event_id", gapSeconds = 1800L)
         .groupBy(col("user_id"), col("session_id"))
         .agg(count(lit(1)).as("n_events"),
-          min(col("ts")).as("session_start"),
-          max(col("ts")).as("session_end"))
+          // Epoch-micros BIGINT bounds: a raw timestamp min/max is
+          // render-sensitive when the oracle engine reads the source's
+          // TIMESTAMP_NS at a different precision; exact integers aren't.
+          unix_micros(min(col("ts"))).as("session_start_us"),
+          unix_micros(max(col("ts"))).as("session_end_us"))
         .orderBy(col("user_id"), col("session_id"))
     },
 
@@ -93,10 +96,10 @@ object TemporalQueries {
         .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
         .agg(count(lit(1)).as("n_events"))
         .select(col("user_id"),
-          col("session_window.start").as("session_start"),
-          col("session_window.end").as("session_end_plus_gap"),
+          unix_micros(col("session_window.start")).as("session_start_us"),
+          unix_micros(col("session_window.end")).as("session_end_plus_gap_us"),
           col("n_events"))
-        .orderBy(col("user_id"), col("session_start"))
+        .orderBy(col("user_id"), col("session_start_us"))
     },
 
     // §2.4 — stream-static join: the replayed event stream enriched
@@ -190,7 +193,8 @@ object TemporalQueries {
         |                     ROWS UNBOUNDED PRECEDING) AS session_id
         |  FROM x)
         |SELECT user_id, session_id, COUNT(*) AS n_events,
-        |       MIN(ts) AS session_start, MAX(ts) AS session_end
+        |       epoch_us(MIN(ts)) AS session_start_us,
+        |       epoch_us(MAX(ts)) AS session_end_us
         |FROM y GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
 
@@ -214,11 +218,11 @@ object TemporalQueries {
         |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |                     ROWS UNBOUNDED PRECEDING) AS sid
         |  FROM x)
-        |SELECT user_id, MIN(ts) AS session_start,
-        |       MAX(ts) + INTERVAL 30 MINUTE AS session_end_plus_gap,
+        |SELECT user_id, epoch_us(MIN(ts)) AS session_start_us,
+        |       epoch_us(MAX(ts)) + 1800000000 AS session_end_plus_gap_us,
         |       COUNT(*) AS n_events
         |FROM y GROUP BY user_id, sid
-        |ORDER BY user_id, session_start""".stripMargin,
+        |ORDER BY user_id, session_start_us""".stripMargin,
 
     "q63_from_json_typed" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
