@@ -1,13 +1,15 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions
 
 /** SURVEY.md §2.3 #30-33 — document deduplication at training-corpus
   * scale. All stages are shuffle-on-key DataFrame algebra: never
-  * O(n²), no driver-side state.
+  * O(n²), no driver-side state, and every self-join is hot-bucket
+  * bounded (see [[boundedBucketPairs]]).
   */
 object Dedup {
 
@@ -21,32 +23,26 @@ object Dedup {
       .groupBy(col("text_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** MinHash signatures: distinct (doc, shingle) → cross the seed set →
-    * min(md5(seed:shingle)) per (doc, seed).
+  /** MinHash signatures: distinct (doc, shingle) → ONE md5 per
+    * shingle; seed s's hash is the 4-hex-char slice at offset 4s
+    * (16 independent bits per seed — the seed-salted-slice trick).
+    * 8× fewer string hashes than hashing per (seed, shingle), same
+    * plan shape, and still bit-reproducible in the DuckDB oracle as
+    * `substr(md5(sh), seed*4+1, 4)`.
     *
-    * Seeds come from `explode` of a literal array (no join). The
-    * shuffle is on doc_id — partial min is computed map-side.
-    * md5-as-hash keeps the oracle SQL bit-identical (same md5 in
-    * DuckDB); a production deployment would swap in xxhash64 with the
-    * same plan shape.
+    * The shuffle is on doc_id — the per-seed mins aggregate map-side,
+    * so only ≤ docs rows cross the exchange regardless of shingle
+    * count. For the no-oracle production path see
+    * [[minhashSignaturesFast]] (xxhash64, no string materialization).
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         shingleWidth: Int, nSeeds: Int): DataFrame = {
-    val words = docs.select(col(idCol).as("doc_id"),
-      GraftFunctions.normWords(col(textCol)).as("ws"))
-    val shingles =
-      if (shingleWidth == 1) words.select(col("doc_id"), explode(col("ws")).as("sh"))
-      else words.select(col("doc_id"),
-        explode(GraftFunctions.wordShingles(col("ws"), shingleWidth)).as("sh"))
-    // All nSeeds minima in one codegen'd grouped pass: the partial
-    // min aggregation is map-side, so only ≤ docs×nSeeds partial rows
-    // cross the exchange regardless of shingle count. (A narrow
-    // array_min(transform(...)) formulation has zero shuffles but
-    // runs interpreted — higher-order functions are CodegenFallback —
-    // and measures slower; explode + HashAggregate stays in codegen.)
+    require(nSeeds <= 8, s"seed slices are 4 hex chars of one md5: nSeeds <= 8, got $nSeeds")
+    val hashed = docShingles(docs, idCol, textCol, shingleWidth)
+      .select(col("doc_id"), md5(col("sh")).as("h"))
     val mins = (0 until nSeeds).map(s =>
-      min(md5(concat(lit(s + ":"), col("sh")))).as(s"mh_$s"))
-    shingles.distinct()
+      min(substring(col("h"), s * 4 + 1, 4)).as(s"mh_$s"))
+    hashed
       .groupBy(col("doc_id"))
       .agg(mins.head, mins.tail: _*)
       .select(col("doc_id"),
@@ -55,8 +51,45 @@ object Dedup {
       .withColumnRenamed("col", "minhash")
   }
 
+  /** Production minhash: same plan shape as [[minhashSignatures]] but
+    * per-seed xxhash64 — codegen'd long arithmetic, no hex-string
+    * materialization, 64-bit minima. Not oracle-paired (DuckDB has no
+    * xxhash64); banding parity with the md5 path is spec-checked
+    * (DedupSimilaritySpec).
+    */
+  def minhashSignaturesFast(docs: DataFrame, idCol: String, textCol: String,
+                            shingleWidth: Int, nSeeds: Int): DataFrame = {
+    val shingles = docShingles(docs, idCol, textCol, shingleWidth)
+    val mins = (0 until nSeeds).map(s =>
+      min(xxhash64(lit(s), col("sh"))).as(s"mh_$s"))
+    shingles
+      .groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        posexplode(array((0 until nSeeds).map(s => col(s"mh_$s")): _*)))
+      .withColumnRenamed("pos", "seed")
+      .withColumnRenamed("col", "minhash")
+  }
+
+  /** Distinct (doc_id, shingle) pairs — shared front of both minhash
+    * paths. normWords is bound to a column before shingling (higher-
+    * order lambdas disable subexpression elimination).
+    */
+  private def docShingles(docs: DataFrame, idCol: String, textCol: String,
+                          shingleWidth: Int): DataFrame = {
+    val words = docs.select(col(idCol).as("doc_id"),
+      GraftFunctions.normWords(col(textCol)).as("ws"))
+    val shingles =
+      if (shingleWidth == 1) words.select(col("doc_id"), explode(col("ws")).as("sh"))
+      else words.select(col("doc_id"),
+        explode(GraftFunctions.wordShingles(col("ws"), shingleWidth)).as("sh"))
+    shingles.distinct()
+  }
+
   /** LSH banding: fold each band's minhashes (in seed order) into one
     * band signature. Collision on (band, band_sig) ⇒ candidate pair.
+    * (minhash is cast to string so the md5 and xxhash64 signature
+    * paths band identically.)
     */
   def lshBands(signatures: DataFrame, rowsPerBand: Int): DataFrame =
     signatures
@@ -64,22 +97,60 @@ object Dedup {
       .groupBy(col("doc_id"), col("band"))
       .agg(md5(concat_ws(",",
         transform(array_sort(collect_list(struct(col("seed"), col("minhash")))),
-          x => x.getField("minhash")))).as("band_sig"))
+          x => x.getField("minhash").cast("string")))).as("band_sig"))
+
+  /** Hot-bucket-bounded self-join: all docs sharing a bucket key
+    * become candidate pairs, but a bucket with n > maxBucket members
+    * emits its n−1 CHAIN pairs (consecutive by id) instead of all
+    * n(n−1)/2 — linear, and connectivity-preserving, so downstream
+    * connected-components still recovers the full duplicate group.
+    * Without the guard a single boilerplate bucket of 10⁷ docs at
+    * 100 TB would emit 10¹⁴ pairs; with it, 10⁷−1.
+    *
+    * `payload` columns are carried to both sides as `<name>_a/_b`.
+    */
+  private[operators] def boundedBucketPairs(rows: DataFrame, bucketKeys: Seq[String],
+      idCol: String, payload: Seq[String], maxBucket: Int): DataFrame = {
+    val keys = bucketKeys.map(col)
+    val wAll = Window.partitionBy(keys: _*)
+    val wOrd = Window.partitionBy(keys: _*).orderBy(col(idCol))
+    // one shuffle+sort on the bucket key; both join branches below
+    // reuse this partitioning
+    val t = rows
+      .withColumn("__bn", count(lit(1)).over(wAll))
+      .withColumn("__rn", row_number().over(wOrd))
+      .persist()
+    def side(suffix: String, rnShift: Int): DataFrame = {
+      val base = Seq(col(idCol).as(s"doc_$suffix")) ++
+        payload.map(p => col(p).as(s"${p}_$suffix"))
+      t.select(keys ++ Seq((col("__rn") + rnShift).as("__rn"), col("__bn")) ++ base: _*)
+    }
+    val joinKeys = bucketKeys
+    val small = {
+      val a = side("a", 0).filter(col("__bn") <= maxBucket).drop("__rn", "__bn")
+      val b = side("b", 0).filter(col("__bn") <= maxBucket).drop("__rn", "__bn")
+      a.join(b, joinKeys).filter(col("doc_a") < col("doc_b"))
+    }
+    val chain = {
+      val a = side("a", 0).filter(col("__bn") > maxBucket).drop("__bn")
+      val b = side("b", -1).filter(col("__bn") > maxBucket).drop("__bn")
+      a.join(b, joinKeys :+ "__rn").drop("__rn")
+    }
+    val out = Seq("doc_a", "doc_b") ++
+      payload.flatMap(p => Seq(s"${p}_a", s"${p}_b"))
+    small.select(out.map(col): _*)
+      .unionByName(chain.select(out.map(col): _*))
+  }
 
   /** Candidate pairs = docs sharing any band signature. The join key
     * (band, band_sig) is high-cardinality ⇒ well-distributed shuffle;
-    * hot buckets (boilerplate dups) are exactly the pairs we want.
+    * oversized buckets (mass-duplicated boilerplate) degrade to chain
+    * pairs — linear output, same transitive closure.
     */
-  def lshCandidatePairs(bandsIn: DataFrame): DataFrame = {
-    // self-join: persist so the minhash pipeline runs once, not twice
-    val bands = bandsIn.persist()
-    val a = bands.select(col("band"), col("band_sig"), col("doc_id").as("doc_a"))
-    val b = bands.select(col("band"), col("band_sig"), col("doc_id").as("doc_b"))
-    a.join(b, Seq("band", "band_sig"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"))
+  def lshCandidatePairs(bandsIn: DataFrame, maxBucket: Int = 64): DataFrame =
+    boundedBucketPairs(bandsIn, Seq("band", "band_sig"), "doc_id",
+      payload = Seq.empty, maxBucket = maxBucket)
       .distinct()
-  }
 
   /** Exact n-gram Jaccard for a set of candidate pairs: explode both
     * sides' distinct shingles, count intersection via join, union by
@@ -113,30 +184,45 @@ object Dedup {
         col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
   }
 
-  /** SimHash near-dup table: 64-bit signature + the 4 16-bit quadrant
-    * keys (pigeonhole: hamming ≤ 3 ⇒ at least one identical quadrant),
-    * so near-dup search is 4 bucket joins, never a cross product.
-    */
-  /** All near-dup pairs with hamming(simhash) ≤ maxHamming, found via
-    * the 4 quadrant-key bucket joins (pigeonhole: ≤3 flipped bits
-    * cannot touch all 4 16-bit quadrants, so every qualifying pair
-    * shares at least one quadrant — guaranteed recall for
-    * maxHamming ≤ 3; higher thresholds are best-effort).
+  // 64-bit signature split into 6 blocks (11,11,11,11,10,10 bits) —
+  // Manku/Jain/Sarma WWW'07 §3: for hamming ≤ 3 the flipped bits lie
+  // in at most 3 blocks, so for at least one of the C(6,3)=20 block
+  // triples all three key blocks are intact.
+  private val blockWidths = Seq(11, 11, 11, 11, 10, 10)
+  private val blockOffsets = blockWidths.scanLeft(0)(_ + _).init
+  private val blockTriples =
+    for { i <- 0 until 6; j <- i + 1 until 6; k <- j + 1 until 6 } yield (i, j, k)
+
+  /** All near-dup pairs with hamming(simhash) ≤ maxHamming ≤ 3, via
+    * Manku-style 3-of-6 block keys: 20 triples × ~32-bit keys, so
+    * bucket sizes scale as corpus/2³², not corpus/2¹⁶ as with single
+    * 16-bit quadrant keys. The triples are exploded into rows and
+    * joined in ONE shuffle on (triple, key); oversized buckets (mass
+    * duplicates ⇒ identical signatures) degrade to linear chain pairs.
     * Composed from built-ins (bucket join + bit_count on XOR), per
     * the compose-first extension policy — no custom physical operator
     * needed.
     */
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
-                      maxHamming: Int): DataFrame = {
-    val t = simhashTable(docs, idCol, textCol).persist()
-    val byQuad = (0 until 4).map { q =>
-      val a = t.select(col("doc_id").as("doc_a"),
-        col("simhash").as("sig_a"), col(s"quad_$q").as("qk"))
-      val b = t.select(col("doc_id").as("doc_b"),
-        col("simhash").as("sig_b"), col(s"quad_$q").as("qk"))
-      a.join(b, Seq("qk")).filter(col("doc_a") < col("doc_b")).drop("qk")
-    }
-    byQuad.reduce(_ unionByName _).distinct()
+                      maxHamming: Int, maxBucket: Int = 64): DataFrame = {
+    require(maxHamming <= 3, s"3-of-6 block keys guarantee recall only for hamming <= 3, got $maxHamming")
+    def block(i: Int): Column =
+      shiftrightunsigned(col("simhash"), blockOffsets(i))
+        .bitwiseAND(lit((1L << blockWidths(i)) - 1))
+    val keyed = simhashTable(docs, idCol, textCol)
+      .select(col("doc_id"), col("simhash"),
+        explode(array(blockTriples.zipWithIndex.map { case ((i, j, k), c) =>
+          struct(lit(c).as("triple"),
+            (shiftleft(block(i), 22).bitwiseOR(shiftleft(block(j), 11))
+              .bitwiseOR(block(k))).as("bkey"))
+        }: _*)).as("ck"))
+      .select(col("doc_id"), col("simhash"),
+        col("ck.triple").as("triple"), col("ck.bkey").as("bkey"))
+    boundedBucketPairs(keyed, Seq("triple", "bkey"), "doc_id",
+      payload = Seq("simhash"), maxBucket = maxBucket)
+      .select(col("doc_a"), col("doc_b"),
+        col("simhash_a").as("sig_a"), col("simhash_b").as("sig_b"))
+      .distinct()
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
@@ -148,12 +234,17 @@ object Dedup {
     *
     * Iterative driver-coordinated loop over distributed joins (the
     * MLlib/GraphX pattern): each round every node adopts the minimum
-    * label in its neighborhood; converges in O(graph diameter)
-    * rounds, which for near-dup clusters (tiny cliques) is 2-3. The
-    * edge list and labels stay distributed throughout; the driver
-    * only sees the per-round change count.
+    * label in its neighborhood, then POINTER-JUMPS to its label's
+    * label — jumping halves the remaining chain length every round,
+    * so even path graphs (the shape hot-bucket chain pairs produce)
+    * converge in O(log n) rounds, not O(diameter). Labels are
+    * localCheckpoint'ed each round: lineage would otherwise grow per
+    * iteration until plan construction itself blows the driver heap.
+    * The driver only sees the per-round change count, folded into the
+    * same label-update pass (old label carried alongside the new), so
+    * each round costs exactly one action.
     */
-  def connectedComponents(pairsIn: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairsIn: DataFrame, maxIter: Int = 50): DataFrame = {
     // both direction branches of the edge union consume the pair
     // lineage — persist it or the upstream (LSH) pipeline runs twice
     val pairs = pairsIn.persist()
@@ -163,7 +254,7 @@ object Dedup {
       .persist()
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
-      .persist()
+      .localCheckpoint(true)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -171,16 +262,20 @@ object Dedup {
         .join(labels.withColumnRenamed("node", "dst"), "dst")
         .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
         .withColumnRenamed("src", "node")
-      val newLabels = labels
+      val prop = labels
         .join(neighborMin, Seq("node"), "left")
-        .select(col("node"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .persist()
-      val changed = newLabels
-        .join(labels.withColumnRenamed("label", "old"), "node")
-        .filter(col("label") =!= col("old")).count()
-      labels.unpersist()
-      labels = newLabels
+        .select(col("node"), col("label").as("__old"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("lab1"))
+      // pointer jump: every label value is itself a node id, so look
+      // up the label's own label and adopt it if smaller
+      val parent = prop.select(col("node").as("p_node"), col("lab1").as("p_lab"))
+      val updated = prop
+        .join(parent, col("lab1") === col("p_node"), "left")
+        .select(col("node"), col("__old"),
+          least(col("lab1"), coalesce(col("p_lab"), col("lab1"))).as("label"))
+        .localCheckpoint(true)
+      val changed = updated.filter(col("label") =!= col("__old")).count()
+      labels = updated.select(col("node"), col("label"))
       converged = changed == 0
       i += 1
     }
@@ -190,8 +285,4 @@ object Dedup {
   def simhashTable(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"),
       GraftFunctions.simhash64(GraftFunctions.normWords(col(textCol))).as("simhash"))
-      .select(Seq(col("doc_id"), col("simhash")) ++
-        (0 until 4).map(q =>
-          (shiftrightunsigned(col("simhash"), q * 16) bitwiseAND lit(0xffffL))
-            .as(s"quad_$q")): _*)
 }

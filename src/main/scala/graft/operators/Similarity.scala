@@ -132,9 +132,15 @@ object Similarity {
     * bucket width with 2^nBits. Both are plan-shape constants — the
     * physical plan is nTables bucket joins, unioned, deduped, then
     * the same top-k window as the exact path.
+    *
+    * Defaults are tuned for ≥0.6 recall on ~0.5-cosine neighbors
+    * (p ≈ 1−θ/π ≈ 0.67 per bit ⇒ 0.67⁴ ≈ 0.2 per table ⇒
+    * 1−0.8¹² ≈ 0.93 over 12 tables; asserted in DedupSimilaritySpec).
+    * At larger corpus sizes raise nBits and nTables together: bucket
+    * occupancy scales as corpus/2^nBits, recall as 1−(1−p^nBits)^nTables.
     */
   def annLsh(corpus: DataFrame, queries: DataFrame, k: Int,
-             nTables: Int = 4, nBits: Int = 8): DataFrame = {
+             nTables: Int = 12, nBits: Int = 4): DataFrame = {
     val sigCols = (0 until nTables).map(t =>
       GraftFunctions.hyperplaneSig(col("embedding"), lit(nBits), seed = 1000L + t)
         .as(s"sig_$t"))

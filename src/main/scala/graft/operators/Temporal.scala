@@ -49,6 +49,29 @@ object Temporal {
       .drop("__prev", "__new")
   }
 
+  /** Banded range self-join: all same-key row pairs within
+    * `bandMicros` of each other, joined on (key, time-bucket) with the
+    * left side exploded into its bucket ±1 — every qualifying pair
+    * falls in exactly one of the three buckets, so no post-join
+    * dedup is needed. Per-key fan-out is bounded by BAND OCCUPANCY
+    * (rows per bandMicros window), not per-key history length: a user
+    * with 10× more history costs 10× more bucket rows, not 100× more
+    * pairs, which is what keeps the plan flat at 100 TB.
+    */
+  def bandedRangePairs(events: DataFrame, key: String, timeCol: String,
+                       idCol: String, bandMicros: Long): DataFrame = {
+    val us = unix_micros(col(timeCol))
+    val bkt = (us - (us % bandMicros)) / bandMicros
+    val a = events.select(col(key), col(idCol).as("id_a"), us.as("us_a"),
+        explode(array(bkt - 1, bkt, bkt + 1)).as("__bkt"))
+    val b = events.select(col(key), col(idCol).as("id_b"), us.as("us_b"),
+        bkt.as("__bkt"))
+    a.join(b, Seq(key, "__bkt"))
+      .filter(col("id_a") < col("id_b") &&
+        abs(col("us_b") - col("us_a")) <= bandMicros)
+      .drop("__bkt")
+  }
+
   /** Keep the earliest row per (key...) — streaming-dedup semantics
     * (dropDuplicates) made deterministic with a total order.
     */

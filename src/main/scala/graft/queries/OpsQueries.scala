@@ -14,18 +14,13 @@ object OpsQueries {
 
   val queries: Map[String, Q] = Map(
 
-    // range self-join: same-user event pairs within 60 s — equi key
-    // bounds the pair space, the band predicate is evaluated inside
-    // the per-key group (the scalable shape for temporal joins).
+    // range self-join: same-user event pairs within 60 s, joined on
+    // (user_id, 60s-time-bucket) ±1 — fan-out bounded by band
+    // occupancy, not per-user history length (Temporal.bandedRangePairs).
     "q51_range_join" -> { (s, d) =>
-      val e = Tables.events(s, d)
-      val a = e.select(col("user_id"), col("event_id").as("id_a"),
-        col("ts").as("ts_a"))
-      val b = e.select(col("user_id"), col("event_id").as("id_b"),
-        col("ts").as("ts_b"))
-      a.join(b, Seq("user_id"))
-        .filter(col("id_a") < col("id_b") &&
-          abs(unix_micros(col("ts_b")) - unix_micros(col("ts_a"))) <= 60000000L)
+      graft.operators.Temporal.bandedRangePairs(Tables.events(s, d),
+        key = "user_id", timeCol = "ts", idCol = "event_id",
+        bandMicros = 60000000L)
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_close_pairs"))
         .orderBy(col("user_id"))

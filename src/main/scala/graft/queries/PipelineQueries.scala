@@ -31,6 +31,28 @@ object PipelineQueries {
     // one wide annotation row per entity.
     "q27_annotation_pipeline" -> { (s, d) =>
       AnnotationPipeline.buildAnnotations(s, d).orderBy(col("c_custkey"))
+    },
+
+    // GO-shape pivot round trip (tidy-api-ftp.R:293-323): pivot_wider
+    // with values_fn = list (collect_list per cell), then unnest the
+    // list cells back to long form with a position index. The wide
+    // stage holds ARRAY cells, not scalars — the shape the GO BP/MF/CC
+    // annotation tables take in the reference.
+    "q68_pivot_unnest" -> { (s, d) =>
+      val statuses = Seq("O", "F", "P")
+      val wide = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .pivot("o_orderstatus", statuses)
+        .agg(sort_array(collect_list(col("o_orderkey"))))
+      wide.select(col("o_custkey"),
+          explode(array(statuses.map(st =>
+            struct(lit(st).as("status"),
+              coalesce(col(st), array().cast("array<bigint>")).as("ks"))): _*)).as("e"))
+        .select(col("o_custkey"), col("e.status").as("status"),
+          posexplode(col("e.ks")))
+        .select(col("o_custkey"), col("status"),
+          (col("pos") + 1).cast("long").as("idx"), col("col").as("o_orderkey"))
+        .orderBy(col("o_custkey"), col("status"), col("idx"))
     }
   )
 
@@ -47,6 +69,17 @@ object PipelineQueries {
         |  SELECT o_custkey, 'n_p' AS status,
         |         COUNT(*) FILTER (o_orderstatus = 'P') AS n FROM orders GROUP BY o_custkey)
         |ORDER BY o_custkey, status""".stripMargin,
+
+    // pivot(list)+unnest ≡ row_number within (key, pivot-col) over the
+    // sorted collect_list — the round trip is the identity with a
+    // position column.
+    "q68_pivot_unnest" ->
+      """SELECT o_custkey, o_orderstatus AS status,
+        |       row_number() OVER (PARTITION BY o_custkey, o_orderstatus
+        |                          ORDER BY o_orderkey) AS idx,
+        |       o_orderkey
+        |FROM orders
+        |ORDER BY o_custkey, status, idx""".stripMargin,
 
     "q27_annotation_pipeline" ->
       """WITH template AS (SELECT DISTINCT c_custkey FROM customer),

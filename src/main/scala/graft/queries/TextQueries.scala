@@ -204,7 +204,7 @@ object TextQueries {
          |       FROM w WHERE len(ws) >= 3),
          |seeds AS (SELECT unnest(generate_series(0,7)) AS seed)
          |SELECT doc_id, seed,
-         |       MIN(md5(CAST(seed AS VARCHAR) || ':' || sh)) AS minhash
+         |       MIN(substr(md5(sh), seed*4+1, 4)) AS minhash
          |FROM sh CROSS JOIN seeds
          |GROUP BY doc_id, seed ORDER BY doc_id, seed""".stripMargin,
 
@@ -216,7 +216,7 @@ object TextQueries {
          |       FROM w WHERE len(ws) >= 3),
          |seeds AS (SELECT unnest(generate_series(0,7)) AS seed),
          |sigs AS (SELECT doc_id, seed,
-         |           MIN(md5(CAST(seed AS VARCHAR) || ':' || sh)) AS minhash
+         |           MIN(substr(md5(sh), seed*4+1, 4)) AS minhash
          |         FROM sh CROSS JOIN seeds GROUP BY doc_id, seed),
          |bands AS (SELECT doc_id, seed // 4 AS band,
          |            md5(string_agg(minhash, ',' ORDER BY seed)) AS band_sig
@@ -234,7 +234,7 @@ object TextQueries {
          |       FROM w WHERE len(ws) >= 3),
          |seeds AS (SELECT unnest(generate_series(0,7)) AS seed),
          |sigs AS (SELECT doc_id, seed,
-         |           MIN(md5(CAST(seed AS VARCHAR) || ':' || sh)) AS minhash
+         |           MIN(substr(md5(sh), seed*4+1, 4)) AS minhash
          |         FROM sh CROSS JOIN seeds GROUP BY doc_id, seed),
          |bands AS (SELECT doc_id, seed // 4 AS band,
          |            md5(string_agg(minhash, ',' ORDER BY seed)) AS band_sig

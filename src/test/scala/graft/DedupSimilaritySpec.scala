@@ -82,7 +82,7 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(approx.nonEmpty, "ANN returned nothing — buckets too fine")
     // every ANN hit must be a real vector pair with correct cosine; recall check:
     val recall = (approx intersect exact).size.toDouble / exact.size
-    assert(recall > 0.05, s"suspiciously low recall $recall")
+    assert(recall >= 0.6, s"ANN recall $recall below the 0.6 bar")
   }
 
   test("IVF ANN reaches reasonable recall vs brute force") {

@@ -33,6 +33,35 @@ class PipelineSpec extends SparkSpecBase {
     new GraftExtensions().apply(ext) // must register both functions cleanly
   }
 
+  test("pivot(list)+unnest round trip conserves every order exactly once") {
+    val long = PipelineQueries.queries("q68_pivot_unnest")(spark, sf)
+    val orders = Tables.orders(spark, sf)
+    assert(long.count() == orders.count())
+    assert(long.select("o_orderkey").distinct().count() == orders.count())
+  }
+
+  test("wide-matrix unpivot: 500-column DepMap-shape stack in one projection") {
+    // the DepMap genes×cell-lines matrix arrives WIDE (t() in the
+    // reference, tidy-web.R:12-21); stacking it must be one Generate
+    // over one projection, not 500 unioned scans
+    val nCols = 500
+    val nRows = 200
+    val wide = spark.range(nRows).toDF("gene_id")
+      .select(col("gene_id") +:
+        (0 until nCols).map(c =>
+          ((col("gene_id") * nCols + c) % 97).cast("double").as(s"line_$c")): _*)
+    val long = wide.unpivot(
+      ids = Array(col("gene_id")),
+      values = (0 until nCols).map(c => col(s"line_$c")).toArray,
+      variableColumnName = "cell_line",
+      valueColumnName = "effect")
+    assert(long.count() == nRows.toLong * nCols)
+    assert(long.select("cell_line").distinct().count() == nCols)
+    // plan shape: a single Generate(Expand/Unpivot) stage, no Union
+    val plan = long.queryExecution.executedPlan.toString
+    assert(!plan.contains("Union"), s"wide unpivot planned as a union:\n${plan.take(2000)}")
+  }
+
   test("pipeline oracle keys match") {
     assert(PipelineQueries.oracleSql.keySet == PipelineQueries.queries.keySet)
   }

@@ -49,14 +49,66 @@ class ScaleSpec extends SparkSpecBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("hot LSH bucket degrades to linear chain pairs, cluster intact") {
+    import spark.implicits._
+    // 1,000 copies of one boilerplate doc + 100 distinct docs: without
+    // the bucket guard the boilerplate bucket alone emits ~500k pairs.
+    val boiler = (0L until 1000L).map(i => (i, "the quick brown fox jumps over the lazy dog again and again"))
+    val distinctDocs = (2000L until 2100L).map(i => (i, s"unique document number $i with its own words ${i * 7} and ${i * 13}"))
+    val docs = (boiler ++ distinctDocs).toDF("doc_id", "text")
+    val sigs = graft.operators.Dedup.minhashSignatures(docs, "doc_id", "text",
+      shingleWidth = 3, nSeeds = 8)
+    val pairs = graft.operators.Dedup.lshCandidatePairs(
+      graft.operators.Dedup.lshBands(sigs, rowsPerBand = 4), maxBucket = 64)
+      .persist()
+    val n = pairs.count()
+    // linear, not quadratic: k·n with k = number of bands (2)
+    assert(n <= 4 * 1100, s"hot bucket emitted $n pairs — quadratic blowup")
+    // connectivity preserved: connected components still recovers the
+    // full 1,000-member duplicate group under one canonical id
+    val clusters = graft.operators.Dedup.connectedComponents(pairs)
+      .filter(col("cluster_id") === 0L)
+    assert(clusters.count() == 1000)
+  }
+
+  test("simhash hot buckets degrade to chain pairs, all dups still found") {
+    import spark.implicits._
+    val boiler = (0L until 500L).map(i => (i, "same boilerplate text repeated across the corpus every time"))
+    val docs = boiler.toDF("doc_id", "text")
+    val pairs = graft.operators.Dedup.simhashNearDups(docs, "doc_id", "text",
+      maxHamming = 3, maxBucket = 32).persist()
+    val n = pairs.count()
+    assert(n <= 20 * 500, s"simhash hot bucket emitted $n pairs")
+    assert(pairs.filter(col("hamming") =!= 0).count() == 0)
+    // chain pairs keep the group connected
+    val clusters = graft.operators.Dedup.connectedComponents(
+      pairs.select("doc_a", "doc_b")).filter(col("cluster_id") === 0L)
+    assert(clusters.count() == 500)
+  }
+
+  test("xxhash64 minhash path recovers the same planted duplicates as md5") {
+    import spark.implicits._
+    val base = (0L until 200L).map(i => (i, s"document $i body with shared vocabulary token${i % 7} token${i % 11} filler words"))
+    val copies = (0L until 30L).map(i => (i + 100000L, base(i.toInt)._2))
+    val docs = (base ++ copies).toDF("doc_id", "text")
+    def pairsOf(sigs: org.apache.spark.sql.DataFrame) =
+      graft.operators.Dedup.lshCandidatePairs(
+        graft.operators.Dedup.lshBands(sigs, rowsPerBand = 4))
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val fast = pairsOf(graft.operators.Dedup.minhashSignaturesFast(
+      docs, "doc_id", "text", shingleWidth = 3, nSeeds = 8))
+    val planted = (0L until 30L).map(i => (i, i + 100000L)).toSet
+    assert(planted.subsetOf(fast), s"fast path missed ${(planted -- fast).take(3)}")
+  }
+
   test("stateful streaming sessionizer matches batch sessionize") {
     val streamed = StatefulSessions.run(spark, sf, gapSeconds = 1800L)
       .select(col("user_id"), col("session_start_us"), col("session_end_us"), col("n_events"))
       .orderBy("user_id", "session_start_us")
       .collect().toSeq
     val batch = graft.queries.TemporalQueries.queries("q44_sessionize")(spark, sf)
-      .select(col("user_id"), unix_micros(col("session_start")).as("s"),
-        unix_micros(col("session_end")).as("e"), col("n_events"))
+      .select(col("user_id"), col("session_start_us").as("s"),
+        col("session_end_us").as("e"), col("n_events"))
       .orderBy("user_id", "s")
       .collect().toSeq
     assert(streamed.size == batch.size)

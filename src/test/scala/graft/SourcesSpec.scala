@@ -86,6 +86,35 @@ class SourcesSpec extends SparkSpecBase {
     assert(Readers.parquet(spark, out).count() == Tables.orders(spark, sf).count())
   }
 
+  test("xlsx round-trips with inferred long/double/bool/string types") {
+    val p = Files.createTempDirectory("graftxlsx").resolve("supp.xlsx").toString
+    graft.sources.XlsxReader.write(p,
+      header = Seq("gene", "mim_id", "score", "essential", "note"),
+      rows = Seq(
+        Seq("TP53", 191170L, 0.93, true, "guardian of the genome"),
+        Seq("BRCA1", 113705L, 0.51, false, null),
+        Seq("KRAS", 190070L, 0.77, true, "GTPase")))
+    val df = graft.sources.XlsxReader.read(spark, p)
+    assert(df.columns.toSeq == Seq("gene", "mim_id", "score", "essential", "note"))
+    assert(df.schema.map(_.dataType.typeName) ==
+      Seq("string", "long", "double", "boolean", "string"))
+    assert(df.count() == 3)
+    val tp53 = df.filter(df("gene") === "TP53").first()
+    assert(tp53.getLong(1) == 191170L && tp53.getDouble(2) == 0.93 && tp53.getBoolean(3))
+    assert(df.filter(df("note").isNull).count() == 1)
+  }
+
+  test("xlsx reader handles sparse rows and missing trailing cells") {
+    val p = Files.createTempDirectory("graftxlsx2").resolve("sparse.xlsx").toString
+    graft.sources.XlsxReader.write(p,
+      header = Seq("a", "b", "c"),
+      rows = Seq(Seq(1L, null, "x"), Seq(2L, 5L, null)))
+    val df = graft.sources.XlsxReader.read(spark, p)
+    assert(df.count() == 2)
+    assert(df.filter(df("b").isNull).count() == 1)
+    assert(df.filter(df("c").isNull).count() == 1)
+  }
+
   test("ingest logs per-source failures without aborting the batch") {
     val ing = new Ingest()
       .source("good")(Tables.nation(spark, sf))
