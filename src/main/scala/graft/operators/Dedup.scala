@@ -71,19 +71,20 @@ object Dedup {
       .withColumnRenamed("col", "minhash")
   }
 
-  /** Distinct (doc_id, shingle) pairs — shared front of both minhash
-    * paths. normWords is bound to a column before shingling (higher-
-    * order lambdas disable subexpression elimination).
+  /** (doc_id, shingle) stream — shared front of both minhash paths.
+    * Deliberately NOT deduplicated: min() is duplicate-insensitive,
+    * so a distinct here would add a full shuffle of the shingle
+    * stream for nothing — the grouped min handles repeats map-side.
+    * normWords is bound to a column before shingling (higher-order
+    * lambdas disable subexpression elimination).
     */
   private def docShingles(docs: DataFrame, idCol: String, textCol: String,
                           shingleWidth: Int): DataFrame = {
     val words = docs.select(col(idCol).as("doc_id"),
       GraftFunctions.normWords(col(textCol)).as("ws"))
-    val shingles =
-      if (shingleWidth == 1) words.select(col("doc_id"), explode(col("ws")).as("sh"))
-      else words.select(col("doc_id"),
-        explode(GraftFunctions.wordShingles(col("ws"), shingleWidth)).as("sh"))
-    shingles.distinct()
+    if (shingleWidth == 1) words.select(col("doc_id"), explode(col("ws")).as("sh"))
+    else words.select(col("doc_id"),
+      explode(GraftFunctions.wordShingles(col("ws"), shingleWidth)).as("sh"))
   }
 
   /** LSH banding: fold each band's minhashes (in seed order) into one

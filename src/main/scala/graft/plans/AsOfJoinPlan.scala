@@ -93,37 +93,54 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       val timeOrdering =
         RowOrdering.createNaturalAscendingOrdering(Seq(lTime.dataType))
       val rightNulls = new GenericInternalRow(rOut.size)
-      val outProj = UnsafeProjection.create(allOut, lOut ++ rOut)
-      val rBuf = rIter.buffered
+      // bind against NULLABLE right attrs: the null-extended row must
+      // be read with null checks even when the right child declares a
+      // column non-nullable, or the projection reads 0 instead of null
+      val outProj = UnsafeProjection.create(allOut,
+        lOut ++ rOut.map(_.withNullability(true)))
+      // SQL inequality/equi-join semantics under nulls: a null right
+      // key or null right time can never satisfy `key = key AND
+      // rt <= lt`, so such rows are dropped up front (the natural
+      // ordering would otherwise treat null keys as equal and sort a
+      // null time before everything, making it "≤" any left time)
+      val rBuf = rIter.filter { r =>
+        !rKeyProj(r).anyNull && !rTimeProj(r).isNullAt(0)
+      }.buffered
       val joined = new JoinedRow
       var matchKey: InternalRow = null   // key of the buffered best match
       var bestMatch: InternalRow = null  // copied right row
       lIter.map { lRow =>
         val lKey = lKeyProj(lRow)
-        val lTimeVal = lTimeProj(lRow).copy()
-        // drop right rows (and any stale match) for keys before lKey
-        while (rBuf.hasNext && keyOrdering.compare(rKeyProj(rBuf.head), lKey) < 0)
-          rBuf.next()
-        if (matchKey != null && keyOrdering.compare(matchKey, lKey) != 0) {
-          matchKey = null; bestMatch = null
+        // null-key / null-time left rows match nothing: null-extend
+        if (lKey.anyNull || lTimeProj(lRow).isNullAt(0)) {
+          numOutputRows += 1
+          outProj(joined(lRow, rightNulls))
+        } else {
+          val lTimeVal = lTimeProj(lRow).copy()
+          // drop right rows (and any stale match) for keys before lKey
+          while (rBuf.hasNext && keyOrdering.compare(rKeyProj(rBuf.head), lKey) < 0)
+            rBuf.next()
+          if (matchKey != null && keyOrdering.compare(matchKey, lKey) != 0) {
+            matchKey = null; bestMatch = null
+          }
+          // consume qualifying right rows (same key, time ≤ lTime);
+          // scan order makes the last one the (max time, max tie) match
+          var continue = true
+          while (continue && rBuf.hasNext) {
+            val head = rBuf.head
+            val rKey = rKeyProj(head)
+            if (keyOrdering.compare(rKey, lKey) == 0 &&
+              timeOrdering.compare(rTimeProj(head), lTimeVal) <= 0) {
+              bestMatch = rBuf.next().copy()
+              matchKey = lKey.copy()
+            } else continue = false
+          }
+          val r =
+            if (matchKey != null && keyOrdering.compare(matchKey, lKey) == 0) bestMatch
+            else rightNulls
+          numOutputRows += 1
+          outProj(joined(lRow, r))
         }
-        // consume qualifying right rows (same key, time ≤ lTime);
-        // scan order makes the last one the (max time, max tie) match
-        var continue = true
-        while (continue && rBuf.hasNext) {
-          val head = rBuf.head
-          val rKey = rKeyProj(head)
-          if (keyOrdering.compare(rKey, lKey) == 0 &&
-            timeOrdering.compare(rTimeProj(head), lTimeVal) <= 0) {
-            bestMatch = rBuf.next().copy()
-            matchKey = lKey.copy()
-          } else continue = false
-        }
-        val r =
-          if (matchKey != null && keyOrdering.compare(matchKey, lKey) == 0) bestMatch
-          else rightNulls
-        numOutputRows += 1
-        outProj(joined(lRow, r))
       }
     }
   }

@@ -34,21 +34,31 @@ object Readers {
     csv(s, path, delimiter = "\t", header = header, schema = schema)
 
   /** `read.delim(skip = n)` (OMIM preamble lines,
-    * import-api-ftp.R:150-155): drop the first n physical lines, then
-    * parse the rest as CSV. Line order within a text file is
-    * deterministic (Hadoop line records), so zipWithIndex is a safe
-    * distributed skip; prefer `option("comment", "#")` when the
-    * preamble is marked instead of counted.
+    * import-api-ftp.R:150-155): drop the first n physical lines of ONE
+    * file, then parse the rest as CSV with the same quote/escape/mode
+    * options as [[csv]]. Single-file by contract — the reference
+    * semantics are per-file, and a glob/directory input would skip n
+    * lines of the concatenated partition order instead (only the
+    * first file's preamble). For marked preambles prefer
+    * `option("comment", "#")`, which IS per-file and glob-safe.
     */
   def csvSkipLines(s: SparkSession, path: String, skipLines: Int,
                    delimiter: String = ",", header: Boolean = true): DataFrame = {
     import org.apache.spark.sql.Encoders
+    require(!path.exists("*?[{".contains(_)) &&
+      !java.nio.file.Files.isDirectory(java.nio.file.Paths.get(path)),
+      s"csvSkipLines is single-file by contract (per-file skip semantics): $path")
+    // line order within one text file is deterministic (Hadoop line
+    // records), so zipWithIndex is a safe distributed skip
     val lines = s.sparkContext.textFile(path)
       .zipWithIndex().filter(_._2 >= skipLines).map(_._1)
     val ds = s.createDataset(lines)(Encoders.STRING)
     s.read
       .option("delimiter", delimiter)
       .option("header", header)
+      .option("quote", "\"")
+      .option("escape", "\"")
+      .option("mode", "PERMISSIVE")
       .option("inferSchema", true)
       .csv(ds)
   }

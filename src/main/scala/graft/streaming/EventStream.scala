@@ -33,6 +33,10 @@ object EventStream {
     val stage = java.nio.file.Files.createTempDirectory("graft-stream")
     val link = stage.resolve("events.parquet")
     java.nio.file.Files.createSymbolicLink(link, src)
+    // staging is per-call scratch: reclaim it on JVM exit (deleteOnExit
+    // runs LIFO, so register the dir first, then the link inside it)
+    stage.toFile.deleteOnExit()
+    link.toFile.deleteOnExit()
     spark.readStream
       .schema(rawSchema)
       .parquet(stage.toString)

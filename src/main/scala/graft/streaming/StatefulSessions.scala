@@ -16,10 +16,20 @@ object StatefulSessions {
   case class SessionOut(user_id: Long, session_start_us: Long,
                         session_end_us: Long, n_events: Long)
 
-  /** Emit a session when a gap > gapSeconds is observed (plus the
-    * trailing open session on timeout/end-of-stream via the final
-    * watermark advance — for bounded replay we emit open sessions
-    * when the group sees no more input).
+  /** Emit a session when a gap > gapSeconds is observed.
+    *
+    * PRECONDITION (asserted): bounded single-batch replay — each
+    * user's full event history arrives in one micro-batch, so every
+    * session (including the trailing one) closes inside the batch and
+    * no state crosses batch boundaries. That is exactly the replay
+    * shape EventStream.readEvents produces (one input file → one
+    * batch). A session spanning micro-batches would need
+    * EventTimeTimeout + state.update and emission on timeout; the
+    * merge-on-overlap `session_window` aggregation (q60) is the
+    * engine-native operator that already handles that — this operator
+    * demonstrates the CUSTOM-state API on the bounded shape, and
+    * fails loudly (state.exists) rather than silently splitting a
+    * session if fed an unbounded stream.
     */
   def sessionizeStream(events: Dataset[Ev], gapSeconds: Long): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
@@ -29,11 +39,14 @@ object StatefulSessions {
       .flatMapGroupsWithState[List[SessionState], SessionOut](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case (user, evs, state: GroupState[List[SessionState]]) =>
-          // batch-replay friendly: all of a user's events arrive in one
-          // group; sort by (ts, id) and fold into sessions.
+          require(!state.exists,
+            s"user $user seen in a second micro-batch: sessionizeStream " +
+              "requires single-batch bounded replay (see scaladoc)")
+          // all of this user's events are in hand: sort by (ts, id)
+          // and fold into gap-delimited sessions
           val sorted = evs.toSeq.sortBy(e => (e.ts_us, e.event_id))
           var sessions = List.empty[SessionState]
-          var cur: Option[SessionState] = state.getOption.flatMap(_.headOption)
+          var cur: Option[SessionState] = None
           sorted.foreach { e =>
             cur match {
               case Some(c) if e.ts_us - c.last_us <= gapUs =>
@@ -45,9 +58,10 @@ object StatefulSessions {
                 cur = Some(SessionState(e.ts_us, e.ts_us, 1))
             }
           }
-          // close the trailing session too (bounded replay semantics)
+          // marker: seeing this user again in a later batch trips the
+          // single-batch precondition check above
+          state.update(List.empty)
           val all = (cur.toList ::: sessions).reverse
-          state.remove()
           all.iterator.map(s => SessionOut(user, s.start_us, s.last_us, s.n))
       }
   }

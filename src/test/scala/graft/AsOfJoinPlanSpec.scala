@@ -21,6 +21,30 @@ class AsOfJoinPlanSpec extends SparkSpecBase {
     assert(native.toSet == windowed.toSet)
   }
 
+  test("null keys and null times follow SQL join semantics") {
+    import spark.implicits._
+    // left: user 1 at t=10/t=null, user null at t=10
+    val left = Seq(
+      (1L, Option(1L), Option(10L)),
+      (2L, Option(1L), Option.empty[Long]),
+      (3L, Option.empty[Long], Option(10L)))
+      .toDF("event_id", "user_id", "ts")
+    // right: a valid match for user 1, plus poison rows — null key and
+    // null time — that must never match anything
+    val right = Seq(
+      (Option(1L), Option(5L), 100L),
+      (Option.empty[Long], Option(1L), 200L),
+      (Option(1L), Option.empty[Long], 300L))
+      .toDF("r_user_id", "r_ts", "o_id")
+    val joined = graft.plans.AsOfJoinPlan.asofJoin(left, right,
+      "user_id", "r_user_id", "ts", "r_ts", "o_id")
+      .select("event_id", "o_id").as[(Long, Option[Long])]
+      .collect().toMap
+    assert(joined(1L).contains(100L)) // the one legitimate match
+    assert(joined(2L).isEmpty, "null left time must not match")
+    assert(joined(3L).isEmpty, "null left key must not match a null right key")
+  }
+
   test("left rows with no qualifying right row null-extend (pre-filter)") {
     val ev = Tables.events(spark, sf)
       .select(col("event_id"), col("user_id"), col("ts"))
