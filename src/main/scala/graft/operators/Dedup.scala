@@ -204,19 +204,27 @@ object Dedup {
     * the compose-first extension policy — no custom physical operator
     * needed.
     */
+  /** The exploded (triple, bkey) rows for a simhash column — one row
+    * per C(6,3) block triple. Exposed for the pigeonhole property
+    * spec, which asserts recall on raw signatures.
+    */
+  private[graft] def tripleKeys(sig: Column): Column = {
+    def block(i: Int): Column =
+      shiftrightunsigned(sig, blockOffsets(i))
+        .bitwiseAND(lit((1L << blockWidths(i)) - 1))
+    array(blockTriples.zipWithIndex.map { case ((i, j, k), c) =>
+      struct(lit(c).as("triple"),
+        (shiftleft(block(i), 22).bitwiseOR(shiftleft(block(j), 11))
+          .bitwiseOR(block(k))).as("bkey"))
+    }: _*)
+  }
+
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int, maxBucket: Int = 64): DataFrame = {
     require(maxHamming <= 3, s"3-of-6 block keys guarantee recall only for hamming <= 3, got $maxHamming")
-    def block(i: Int): Column =
-      shiftrightunsigned(col("simhash"), blockOffsets(i))
-        .bitwiseAND(lit((1L << blockWidths(i)) - 1))
     val keyed = simhashTable(docs, idCol, textCol)
       .select(col("doc_id"), col("simhash"),
-        explode(array(blockTriples.zipWithIndex.map { case ((i, j, k), c) =>
-          struct(lit(c).as("triple"),
-            (shiftleft(block(i), 22).bitwiseOR(shiftleft(block(j), 11))
-              .bitwiseOR(block(k))).as("bkey"))
-        }: _*)).as("ck"))
+        explode(tripleKeys(col("simhash"))).as("ck"))
       .select(col("doc_id"), col("simhash"),
         col("ck.triple").as("triple"), col("ck.bkey").as("bkey"))
     boundedBucketPairs(keyed, Seq("triple", "bkey"), "doc_id",

@@ -136,6 +136,26 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(planted.filter(col("hamming") =!= 0).count() == 0)
   }
 
+  test("simhash 3-of-6 block keys: any <=3-bit flip shares a key (pigeonhole)") {
+    import spark.implicits._
+    // 500 seeded (signature, <=3-bit mask) pairs: the Manku guarantee
+    // is that flipped and original ALWAYS share at least one of the 20
+    // triple keys — recall 1.0 for hamming <= 3 by construction
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 500).map { _ =>
+      val sig = rnd.nextLong()
+      val nFlips = 1 + rnd.nextInt(3)
+      val mask = (0 until nFlips).map(_ => 1L << rnd.nextInt(64)).reduce(_ | _)
+      (sig, sig ^ mask)
+    }
+    val df = rows.toDF("sig", "flipped")
+      .select(arrays_overlap(
+        graft.operators.Dedup.tripleKeys(col("sig")),
+        graft.operators.Dedup.tripleKeys(col("flipped"))).as("shares"))
+    assert(df.filter(!col("shares")).count() == 0,
+      "a <=3-bit flip escaped every block triple — pigeonhole violated")
+  }
+
   test("cosine near-dup pairs are exactly the planted copies") {
     val pairs = TextQueries.queries("q34b_cosine_neardup")(spark, sf)
       .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet

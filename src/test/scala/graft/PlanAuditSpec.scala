@@ -42,6 +42,14 @@ class PlanAuditSpec extends SparkSpecBase {
       }
   }
 
+  test("q51 range join shuffles on the (user, time-bucket) composite key") {
+    val plan = SparkEntry.queries("q51_range_join")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the join key must include the band bucket, not bare user_id —
+    // that is what bounds per-key fan-out by band occupancy at scale
+    assert(plan.contains("__bkt"), s"banded key missing from plan:\n${plan.take(1500)}")
+  }
+
   test("FoldSelfCosine folds cosine(x,x) to a literal") {
     val emb = Tables.embeddings(spark, sf)
     val df = emb.select(GraftFunctions.cosine(col("embedding"), col("embedding")).as("c"))
