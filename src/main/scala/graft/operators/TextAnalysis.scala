@@ -59,6 +59,76 @@ object TextAnalysis {
       nMatches(lower(col(textCol)), "[a-z]+|[0-9]|[^a-z0-9\\s]").as("bpe_tokens"),
       length(col(textCol)).as("n_chars_calc"))
 
+  private val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val phoneRe = "\\b[0-9]{3}-[0-9]{4}\\b"
+
+  /** PII scrubbing: count and redact email addresses and phone-shaped
+    * digit runs (the pre-training privacy pass). One narrow codegen'd
+    * pass — two regexp counts + a chained regexp_replace; patterns are
+    * RE2-safe so the DuckDB oracle evaluates them identically.
+    */
+  def piiScrub(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = lower(col(textCol))
+    docs.select(col(idCol).as("doc_id"),
+      nMatches(t, emailRe).cast("long").as("n_emails"),
+      nMatches(t, phoneRe).cast("long").as("n_phones"),
+      regexp_replace(regexp_replace(t, emailRe, "<EMAIL>"), phoneRe, "<PHONE>")
+        .as("scrubbed"))
+  }
+
+  /** Benchmark decontamination: flag corpus docs sharing any n-word
+    * shingle with a benchmark set (the eval-leakage check every
+    * training pipeline runs). The benchmark shingle set is DISTINCT
+    * and broadcast (eval suites are small); the corpus side streams —
+    * at 100 TB this is one broadcast-hash-join pass over the corpus
+    * shingles, no shuffle of corpus data.
+    */
+  def contamination(corpus: DataFrame, benchmark: DataFrame, idCol: String,
+                    textCol: String, n: Int = 8): DataFrame = {
+    def shingled(df: DataFrame): DataFrame = df
+      .select(col(idCol).as("doc_id"),
+        graft.functions.GraftFunctions.normWords(col(textCol)).as("__ws"))
+      .persist() // lambda barrier — see Dedup.docShingles
+      .select(col("doc_id"),
+        explode(graft.functions.GraftFunctions.wordShingles(col("__ws"), n)).as("sh"))
+    val benchShingles = shingled(benchmark).select(col("sh")).distinct()
+    shingled(corpus)
+      .join(broadcast(benchShingles), Seq("sh"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("sh")).as("n_contaminated"))
+  }
+
+  /** Gopher-style repetition signals: duplicate-bigram fraction and
+    * most-frequent-word mass — the repetition filters from the Gopher
+    * corpus-quality rules. Bigram stats are narrow array expressions;
+    * the top-word pass is explode → two partial-agg groupBys on doc_id
+    * (map-side combinable, shuffle bounded by distinct words/doc).
+    */
+  def repetitionSignals(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ws = docs
+      .select(col(idCol).as("doc_id"),
+        graft.functions.GraftFunctions.normWords(col(textCol)).as("__ws"))
+      .filter(size(col("__ws")) >= 2)
+      .persist() // lambda barrier + two consumers
+    val base = ws
+      .select(col("doc_id"), col("__ws"),
+        graft.functions.GraftFunctions.wordShingles(col("__ws"), 2).as("__bi"))
+      .select(col("doc_id"),
+        size(col("__ws")).cast("long").as("n_words"),
+        size(col("__bi")).cast("long").as("n_bigrams"),
+        size(array_distinct(col("__bi"))).cast("long").as("n_bigrams_distinct"))
+    val topWord = ws
+      .select(col("doc_id"), explode(col("__ws")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top_word_count"))
+    base.join(topWord, Seq("doc_id"))
+      .select(col("doc_id"), col("n_words"), col("n_bigrams"),
+        round(lit(1.0) - col("n_bigrams_distinct").cast("double") / col("n_bigrams"), 6)
+          .as("dup_bigram_frac"),
+        round(col("top_word_count").cast("double") / col("n_words"), 6)
+          .as("top_word_frac"))
+  }
+
   /** Winnowing fingerprints (Schleimer et al., SIGMOD'03): md5 over
     * char k-grams, per-window minimum, distinct. Array-expression
     * pipeline — no shuffle until the caller aggregates.

@@ -37,6 +37,29 @@ object TextQueries {
   private val wsSql =
     "list_filter(string_split(regexp_replace(lower(text),'[^a-z0-9 ]','','g'),' '), x -> x <> '')"
 
+  /** documents with deterministically planted PII (emails for
+    * doc_id % 5 = 0, phone numbers for doc_id % 7 = 0). Mirrored
+    * verbatim in the q69 oracle.
+    */
+  private def piiCorpus(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" contact user"), col("doc_id"), lit("@example.com")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, lit(" call 555-0100"))
+          .otherwise(lit(""))).as("text"))
+
+  private val piiCorpusSql =
+    """pii AS (
+      |  SELECT doc_id,
+      |         text ||
+      |         CASE WHEN doc_id % 5 = 0
+      |              THEN ' contact user' || doc_id || '@example.com' ELSE '' END ||
+      |         CASE WHEN doc_id % 7 = 0 THEN ' call 555-0100' ELSE '' END AS text
+      |  FROM documents
+      |)""".stripMargin
+
   val queries: Map[String, Q] = Map(
 
     // §2.3 #30 — exact dedup via normalized-text hash.
@@ -184,6 +207,33 @@ object TextQueries {
           col("meta.height").cast("long").as("height"),
           col("meta.n_frames").cast("long").as("n_frames"),
           md5(col("payload")).as("payload_hash"))
+        .orderBy(col("doc_id"))
+    },
+
+    // §2.3 — PII scrubbing over a corpus with deterministically
+    // planted emails (doc_id % 5 = 0) and phone numbers
+    // (doc_id % 7 = 0); mirrored verbatim in the oracle.
+    "q69_pii_scrub" -> { (s, d) =>
+      TextAnalysis.piiScrub(piiCorpus(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
+    // §2.3 — benchmark decontamination: corpus docs (id ≥ 20 incl.
+    // planted copies) sharing any 8-word shingle with the "benchmark"
+    // docs (id < 20). Planted copies of benchmark docs must all flag.
+    "q70_decontaminate" -> { (s, d) =>
+      val planted = plantedCorpus(s, d)
+      TextAnalysis.contamination(
+        corpus = planted.filter(col("doc_id") >= 20),
+        benchmark = planted.filter(col("doc_id") < 20),
+        idCol = "doc_id", textCol = "text", n = 8)
+        .orderBy(col("doc_id"))
+    },
+
+    // §2.3 — Gopher-style repetition signals (duplicate-bigram
+    // fraction, top-word mass).
+    "q71_repetition" -> { (s, d) =>
+      TextAnalysis.repetitionSignals(Tables.documents(s, d), "doc_id", "text")
         .orderBy(col("doc_id"))
     }
   )
@@ -366,6 +416,48 @@ object TextQueries {
         |  (doc_id * 37) % 480 + 1 AS height,
         |  n_chars % 24 + 1 AS n_frames,
         |  md5(text) AS payload_hash
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q69_pii_scrub" ->
+      s"""WITH $piiCorpusSql
+         |SELECT doc_id,
+         |  len(regexp_extract_all(lower(text), '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS n_emails,
+         |  len(regexp_extract_all(lower(text), '\\b[0-9]{3}-[0-9]{4}\\b')) AS n_phones,
+         |  regexp_replace(regexp_replace(lower(text),
+         |    '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'),
+         |    '\\b[0-9]{3}-[0-9]{4}\\b', '<PHONE>', 'g') AS scrubbed
+         |FROM pii ORDER BY doc_id""".stripMargin,
+
+    "q70_decontaminate" ->
+      s"""WITH $corpusSql,
+         |w AS (SELECT doc_id, $wsSql AS ws FROM corpus),
+         |sh AS (SELECT DISTINCT doc_id,
+         |         unnest([array_to_string(ws[i:i+7],' ') for i in generate_series(1, len(ws)-7)]) AS sh
+         |       FROM w WHERE len(ws) >= 8),
+         |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 20)
+         |SELECT s.doc_id AS doc_id, COUNT(DISTINCT s.sh) AS n_contaminated
+         |FROM sh s JOIN bench b ON s.sh = b.sh
+         |WHERE s.doc_id >= 20
+         |GROUP BY s.doc_id ORDER BY doc_id""".stripMargin,
+
+    "q71_repetition" ->
+      s"""WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents),
+         |f AS (SELECT doc_id, ws FROM w WHERE len(ws) >= 2),
+         |bi AS (SELECT doc_id,
+         |         [array_to_string(ws[i:i+1],' ') for i in generate_series(1, len(ws)-1)] AS bl,
+         |         len(ws) AS n_words
+         |       FROM f),
+         |base AS (SELECT doc_id, n_words, len(bl) AS n_bigrams,
+         |                len(list_distinct(bl)) AS n_bigrams_distinct
+         |         FROM bi),
+         |wc AS (SELECT doc_id, unnest(ws) AS word FROM f),
+         |topw AS (SELECT doc_id, MAX(c) AS top_word_count FROM (
+         |           SELECT doc_id, word, COUNT(*) AS c FROM wc GROUP BY 1, 2)
+         |         GROUP BY doc_id)
+         |SELECT b.doc_id AS doc_id, b.n_words, b.n_bigrams,
+         |  ROUND(1.0 - CAST(b.n_bigrams_distinct AS DOUBLE) / b.n_bigrams, 6) AS dup_bigram_frac,
+         |  ROUND(CAST(t.top_word_count AS DOUBLE) / b.n_words, 6) AS top_word_frac
+         |FROM base b JOIN topw t USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
   )
 }

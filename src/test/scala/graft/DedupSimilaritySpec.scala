@@ -165,6 +165,37 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(pairs == planted)
   }
 
+  test("pii scrub counts and redacts every planted email and phone") {
+    val r = TextQueries.queries("q69_pii_scrub")(spark, sf)
+    // every doc_id % 5 == 0 got exactly one planted email, % 7 one phone
+    assert(r.filter(col("doc_id") % 5 === 0 && col("n_emails") =!= 1).count() == 0)
+    assert(r.filter(col("doc_id") % 7 === 0 && col("n_phones") =!= 1).count() == 0)
+    assert(r.filter(col("scrubbed").contains("@example.com")).count() == 0)
+    assert(r.filter(col("scrubbed").contains("555-0100")).count() == 0)
+    assert(r.filter(col("scrubbed").contains("<EMAIL>")).count() ==
+      r.filter(col("n_emails") > 0).count())
+  }
+
+  test("decontamination flags every planted copy of a benchmark doc") {
+    val r = TextQueries.queries("q70_decontaminate")(spark, sf)
+      .select("doc_id").as[Long].collect().toSet
+    // copies of benchmark docs 0..19 live at 1000000..1000019 and are
+    // verbatim — every one with >=8 words must flag
+    val docs = Tables.documents(spark, sf)
+    val longEnough = TextQueries.queries("q38_token_count")(spark, sf)
+      .filter(col("doc_id") < 20 && col("ws_tokens") >= 8)
+      .select("doc_id").as[Long].collect().toSet
+    longEnough.foreach { id =>
+      assert(r.contains(id + 1000000), s"planted copy of benchmark doc $id not flagged")
+    }
+  }
+
+  test("repetition signals are bounded ratios") {
+    val r = TextQueries.queries("q71_repetition")(spark, sf)
+    assert(r.filter(col("dup_bigram_frac") < 0 || col("dup_bigram_frac") > 1).count() == 0)
+    assert(r.filter(col("top_word_frac") <= 0 || col("top_word_frac") > 1).count() == 0)
+  }
+
   test("text query oracles' keys are a subset of query keys") {
     assert(TextQueries.oracleSql.keySet.subsetOf(TextQueries.queries.keySet))
   }
