@@ -67,7 +67,7 @@ object Similarity {
     * touches |corpus|·nProbe/nCentroids vectors.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nCentroids: Int = 16, nProbe: Int = 4, iters: Int = 2): DataFrame = {
+              nCentroids: Int = 16, nProbe: Int = 6, iters: Int = 2): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
 

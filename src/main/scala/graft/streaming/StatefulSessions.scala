@@ -1,5 +1,7 @@
 package graft.streaming
 
+import java.sql.Timestamp
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -63,6 +65,61 @@ object StatefulSessions {
           state.update(List.empty)
           val all = (cur.toList ::: sessions).reverse
           all.iterator.map(s => SessionOut(user, s.start_us, s.last_us, s.n))
+      }
+  }
+
+  case class TsEv(user_id: Long, ts: Timestamp, event_id: Long)
+
+  /** TRUE cross-batch sessionization: the open session lives in the
+    * state store between micro-batches (state.update) and is emitted
+    * when the event-time watermark passes its close time
+    * (EventTimeTimeout + setTimeoutTimestamp). A session spanning
+    * micro-batches is emitted ONCE, whole — the semantics the bounded
+    * variant above deliberately does not claim. Requires batches to
+    * arrive in per-key event-time order (true for time-ordered
+    * replay and for watermarked sources); events later than the
+    * watermark are dropped by the engine before reaching the state
+    * function.
+    */
+  def sessionizeUnbounded(events: Dataset[TsEv], gapSeconds: Long): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapSeconds * 1000000L
+    events
+      .withWatermark("ts", s"$gapSeconds seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (user, evs, state: GroupState[SessionState]) =>
+          def usOf(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000) % 1000
+          if (state.hasTimedOut) {
+            // watermark passed last_us + gap: the open session is final
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(user, s.start_us, s.last_us, s.n))
+          } else {
+            val sorted = evs.toSeq
+              .map(e => (usOf(e.ts), e.event_id)).sortBy(identity).map(_._1)
+            var closed = List.empty[SessionState]
+            var cur: Option[SessionState] = state.getOption
+            sorted.foreach { us =>
+              cur match {
+                case Some(c) if us - c.last_us <= gapUs =>
+                  cur = Some(c.copy(last_us = us, n = c.n + 1))
+                case Some(c) =>
+                  closed = c :: closed
+                  cur = Some(SessionState(us, us, 1))
+                case None =>
+                  cur = Some(SessionState(us, us, 1))
+              }
+            }
+            cur.foreach { c =>
+              state.update(c)
+              // fire once the watermark proves no event can extend it
+              state.setTimeoutTimestamp((c.last_us / 1000) + gapSeconds * 1000)
+            }
+            closed.reverse.iterator
+              .map(s => SessionOut(user, s.start_us, s.last_us, s.n))
+          }
       }
   }
 

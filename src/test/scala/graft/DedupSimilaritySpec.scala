@@ -93,7 +93,7 @@ class DedupSimilaritySpec extends SparkSpecBase {
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     assert(ivf.nonEmpty)
     val recall = (ivf intersect exact).size.toDouble / exact.size
-    assert(recall > 0.2, s"IVF recall $recall too low")
+    assert(recall >= 0.5, s"IVF recall $recall below the 0.5 bar")
   }
 
   test("cosine expression agrees with a plain scala dot product") {

@@ -32,7 +32,7 @@ class ReferenceQueriesSpec extends SparkSpecBase {
   test("q13 pct_low is bounded [0,100] and consistent with n_low/n_lines") {
     val bad = ReferenceQueries.queries("q13_essentiality_matrix")(spark, sf)
       .filter(col("pct_low") < 0 || col("pct_low") > 100 ||
-        abs(col("pct_low") - col("n_low") * 100.0 / col("n_lines")) > 1e-9)
+        abs(col("pct_low") - col("n_low") * 100.0 / col("n_lines")) > 5e-7) // pct_low is round(x,6)
     assert(bad.count() == 0)
   }
 

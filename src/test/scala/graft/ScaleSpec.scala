@@ -101,6 +101,55 @@ class ScaleSpec extends SparkSpecBase {
     assert(planted.subsetOf(fast), s"fast path missed ${(planted -- fast).take(3)}")
   }
 
+  test("unbounded sessionizer carries open sessions across micro-batches") {
+    import spark.implicits._
+    import graft.streaming.StatefulSessions
+    // 3 real chunks + 2 sentinel chunks (watermark advance + timeout
+    // flush), replayed one file per trigger → 5 micro-batches
+    def ts(sec: Long) = new java.sql.Timestamp((100000L + sec) * 1000L)
+    val chunks: Seq[Seq[(Long, java.sql.Timestamp, Long)]] = Seq(
+      Seq((1L, ts(0), 1L), (1L, ts(30), 2L), (2L, ts(10), 3L)),
+      Seq((1L, ts(70), 4L), (1L, ts(100), 5L), (2L, ts(200), 6L)),
+      Seq((1L, ts(300), 7L)),
+      Seq((999L, ts(10000), 8L)),
+      Seq((999L, ts(20000), 9L)))
+    val dir = java.nio.file.Files.createTempDirectory("graft-unbounded")
+    chunks.zipWithIndex.foreach { case (rows, i) =>
+      val stage = java.nio.file.Files.createTempDirectory(s"graft-chunk$i")
+      rows.toDF("user_id", "ts", "event_id")
+        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = java.nio.file.Files.list(stage).iterator()
+      val found = scala.jdk.CollectionConverters.IteratorHasAsScala(part).asScala
+        .find(_.toString.endsWith(".parquet")).get
+      val dst = dir.resolve(f"chunk$i%02d.parquet")
+      java.nio.file.Files.move(found, dst)
+      // strictly increasing mtimes pin the replay order
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir.toString)
+      .as[StatefulSessions.TsEv]
+    val out = StatefulSessions.sessionizeUnbounded(stream, gapSeconds = 60L)
+    val got = graft.streaming.EventStream
+      .runToCompletionAppend(spark, out.toDF(), "graft_unbounded_sessions")
+      .filter(col("user_id") =!= 999L)
+      .select("user_id", "session_start_us", "session_end_us", "n_events")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    def us(sec: Long) = (100000L + sec) * 1000000L
+    assert(got == Set(
+      (1L, us(0), us(100), 4L),   // spans chunks 1→2: emitted once, whole
+      (1L, us(300), us(300), 1L), // trailing open session via timeout
+      (2L, us(10), us(10), 1L),
+      (2L, us(200), us(200), 1L)),
+      s"got $got")
+  }
+
   test("stateful streaming sessionizer matches batch sessionize") {
     val streamed = StatefulSessions.run(spark, sf, gapSeconds = 1800L)
       .select(col("user_id"), col("session_start_us"), col("session_end_us"), col("n_events"))
