@@ -100,6 +100,43 @@ object AnalyticQueries {
           hour(col("ts")).as("h"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("y"), col("m"), col("dom"), col("h"))
+    },
+
+    // stratified deterministic sampling: per-stratum keep rates via a
+    // content hash (no rand() — reproducible under any partitioning;
+    // the per-language corpus rebalancing every training mix needs).
+    // en keeps 8/16 of docs, other languages 3/16.
+    "q72_stratified_sample" -> { (s, d) =>
+      val h = substring(md5(col("doc_id").cast("string")), 1, 1)
+      Tables.documents(s, d)
+        .filter(when(col("lang") === "en",
+          h.isin("0", "1", "2", "3", "4", "5", "6", "7"))
+          .otherwise(h.isin("0", "1", "2")))
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    },
+
+    // group-wise z-score normalization (feature scaling) from EXACT
+    // decimal moment sums: sum(x) and sum(x²) accumulate in DECIMAL
+    // (associative ⇒ partition-order independent), the mean/std/score
+    // derivation is then a handful of double ops on exact inputs.
+    "q74_zscore" -> { (s, d) =>
+      // n_chars is integral: DECIMAL(18,0) keeps x and x*x exact while
+      // x*x stays inside precision 38 in both engines
+      val x = col("n_chars").cast(DecimalType(18, 0))
+      val moments = Tables.documents(s, d)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(x).cast("double").as("sx"),
+          sum(x * x).cast("double").as("sxx"))
+        .withColumn("mean", col("sx") / col("n"))
+        .withColumn("std",
+          sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)))
+      Tables.documents(s, d)
+        .join(broadcast(moments.select(col("lang"), col("mean"), col("std"))), "lang")
+        .select(col("doc_id"), col("lang"),
+          round((col("n_chars") - col("mean")) / col("std"), 6).as("z"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -154,6 +191,24 @@ object AnalyticQueries {
         |       hour(ts) AS h, COUNT(*) AS n
         |FROM events
         |GROUP BY 1, 2, 3, 4
-        |ORDER BY y, m, dom, h""".stripMargin
+        |ORDER BY y, m, dom, h""".stripMargin,
+
+    "q72_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE CASE WHEN lang = 'en'
+        |  THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2','3','4','5','6','7')
+        |  ELSE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2') END
+        |ORDER BY doc_id""".stripMargin,
+
+    "q74_zscore" ->
+      """WITH m AS (
+        |  SELECT lang, COUNT(*) AS n,
+        |    CAST(SUM(CAST(n_chars AS DECIMAL(18,0))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(n_chars AS DECIMAL(18,0)) * CAST(n_chars AS DECIMAL(18,0))) AS DOUBLE) AS sxx
+        |  FROM documents GROUP BY lang)
+        |SELECT d.doc_id AS doc_id, d.lang AS lang,
+        |  ROUND((d.n_chars - m.sx / m.n) / sqrt((m.sxx - m.sx * m.sx / m.n) / (m.n - 1)), 6) AS z
+        |FROM documents d JOIN m USING (lang)
+        |ORDER BY doc_id""".stripMargin
   )
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -235,6 +236,32 @@ object TextQueries {
     "q71_repetition" -> { (s, d) =>
       TextAnalysis.repetitionSignals(Tables.documents(s, d), "doc_id", "text")
         .orderBy(col("doc_id"))
+    },
+
+    // §2.3 — TF-IDF keyword extraction: top-3 terms per doc. tf and
+    // df are partial-agg groupBys; the doc count and df table join
+    // back in; one final per-doc top-k window. All shuffles are on
+    // (doc, word) / word — the word key is high-cardinality and
+    // uniform, so the plan holds at corpus scale.
+    "q73_tfidf" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val words = docs.select(col("doc_id"),
+        explode(GraftFunctions.normWords(col("text"))).as("word"))
+      val tf = words.groupBy(col("doc_id"), col("word"))
+        .agg(count(lit(1)).as("tf"))
+      val dfTbl = tf.groupBy(col("word"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val n = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
+      val scored = tf.join(dfTbl, "word").crossJoin(broadcast(n))
+        .select(col("doc_id"), col("word"), col("tf"),
+          round(col("tf") * log((col("n_docs") + lit(1)).cast("double")
+            / (col("df") + lit(1))), 6).as("tfidf"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("word").asc)
+      scored.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= 3)
+        .drop("__rn")
+        .orderBy(col("doc_id"), col("tfidf").desc, col("word"))
     }
   )
 
@@ -439,6 +466,21 @@ object TextQueries {
          |FROM sh s JOIN bench b ON s.sh = b.sh
          |WHERE s.doc_id >= 20
          |GROUP BY s.doc_id ORDER BY doc_id""".stripMargin,
+
+    "q73_tfidf" ->
+      s"""WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents),
+         |words AS (SELECT doc_id, unnest(ws) AS word FROM w),
+         |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM words GROUP BY 1, 2),
+         |dfq AS (SELECT word, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+         |sc AS (SELECT t.doc_id, t.word, t.tf,
+         |         ROUND(t.tf * ln(CAST(n.n_docs + 1 AS DOUBLE) / (d.df + 1)), 6) AS tfidf
+         |       FROM tf t JOIN dfq d USING (word) CROSS JOIN n)
+         |SELECT doc_id, word, tf, tfidf FROM (
+         |  SELECT sc.*, row_number() OVER (PARTITION BY doc_id
+         |           ORDER BY tfidf DESC, word) AS rn FROM sc)
+         |WHERE rn <= 3
+         |ORDER BY doc_id, tfidf DESC, word""".stripMargin,
 
     "q71_repetition" ->
       s"""WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents),

@@ -20,6 +20,36 @@ class AnalyticSpec extends SparkSpecBase {
       == Tables.customer(spark, sf).count())
   }
 
+  test("stratified sample is reproducible and rate-bounded per stratum") {
+    val a = AnalyticQueries.queries("q72_stratified_sample")(spark, sf).collect().toSeq
+    val b = AnalyticQueries.queries("q72_stratified_sample")(spark, sf).collect().toSeq
+    assert(a == b, "hash sampling must be run-stable")
+    // md5 first hex char is ~uniform: en keeps ~8/16, others ~3/16
+    val total = Tables.documents(spark, sf).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = AnalyticQueries.queries("q72_stratified_sample")(spark, sf)
+      .groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    kept.foreach { case (lang, k) =>
+      val rate = k.toDouble / total(lang)
+      val target = if (lang == "en") 0.5 else 3.0 / 16
+      assert(math.abs(rate - target) < 0.15, s"$lang rate $rate vs target $target")
+    }
+  }
+
+  test("z-scores have zero mean per group") {
+    val z = AnalyticQueries.queries("q74_zscore")(spark, sf)
+    val means = z.groupBy("lang").agg(avg(col("z")).as("m"))
+    assert(means.filter(abs(col("m")) > 1e-4).count() == 0)
+  }
+
+  test("tfidf emits at most 3 terms per doc, ranked") {
+    val t = graft.queries.TextQueries.queries("q73_tfidf")(spark, sf)
+    val counts = t.groupBy("doc_id").count()
+    assert(counts.filter(col("count") > 3).count() == 0)
+    assert(t.filter(col("tfidf") < 0).count() == 0)
+  }
+
   test("running total is monotone per customer") {
     val w = AnalyticQueries.queries("q48_window_frames")(spark, sf)
     import org.apache.spark.sql.expressions.Window
