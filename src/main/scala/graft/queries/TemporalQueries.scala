@@ -141,6 +141,41 @@ object TemporalQueries {
         keys = Seq("user_id", "event_type"), timeCol = "ts", tieBreak = "event_id")
         .select(col("user_id"), col("event_type"), col("event_id"), col("ts"))
         .orderBy(col("user_id"), col("event_type"))
+    },
+
+    // §2.4 — stream–stream interval join: purchases joined to the
+    // same user's clicks in the preceding 10 minutes, both sides
+    // watermarked (the attribution join). Watermark + time-range
+    // bound are what let the engine evict join state — the unbounded-
+    // state hazard of naive stream joins. Single-batch replay ⇒
+    // bit-equal to the batch join oracle.
+    "q75_stream_stream_join" -> { (s, d) =>
+      // stateful-operator parallelism: each shuffle partition carries
+      // TWO state stores (one per join side) with per-batch commit
+      // I/O — at this volume 4 partitions beat 32 (fixed store cost
+      // dominates; a real cluster sizes this to volume/core count)
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val purchases = EventStream.readEvents(s, d)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("p_id"))
+          .withWatermark("p_ts", "10 minutes")
+        val clicks = EventStream.readEvents(s, d)
+          .filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+            col("event_id").as("c_id"))
+          .withWatermark("c_ts", "10 minutes")
+        val joined = purchases.join(clicks,
+          col("user_id") === col("c_user") &&
+            col("c_ts") >= col("p_ts") - expr("interval 10 minutes") &&
+            col("c_ts") <= col("p_ts"))
+          .select(col("user_id"), col("p_id"), col("c_id"))
+        EventStream.runToCompletionAppend(s, joined, "graft_q75")
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy(col("user_id"))
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     }
   )
 
@@ -239,6 +274,15 @@ object TemporalQueries {
         |      ORDER BY ts ASC, event_id ASC) AS rn
         |  FROM events)
         |WHERE rn = 1
-        |ORDER BY user_id, event_type""".stripMargin
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    "q75_stream_stream_join" ->
+      """SELECT p.user_id AS user_id, COUNT(*) AS n_pairs
+        |FROM events p JOIN events c
+        |  ON c.user_id = p.user_id
+        | AND p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND epoch_us(c.ts) BETWEEN epoch_us(p.ts) - 600000000 AND epoch_us(p.ts)
+        |GROUP BY 1
+        |ORDER BY user_id""".stripMargin
   )
 }

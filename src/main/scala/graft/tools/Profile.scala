@@ -15,10 +15,13 @@ object Profile {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val df = graft.SparkEntry.queries(name)(spark, sfDir)
     // absorb JVM/session startup with an unrelated light query
     graft.SparkEntry.queries("q01_pricing_summary")(spark, sfDir).count()
+    // time construction + count together: queries with driver-side
+    // iteration (CC) or synchronous streaming runs do their work at
+    // construction, which is exactly what Bench measures
     val tc = System.nanoTime()
+    val df = graft.SparkEntry.queries(name)(spark, sfDir)
     df.count()
     println(s"cold_time=${(System.nanoTime()-tc)/1e9}s")
     val t0 = System.nanoTime()
