@@ -14,6 +14,39 @@ object RelationalOps {
 
   implicit class GraftDataFrameOps(val df: DataFrame) extends AnyVal {
 
+    /** Positional column selection + rename —
+      * reference/scripts/tidy/temp-tidy-all-manuscript-files.R:36,80-81
+      * (`scones[, c(1, 17, 19)]`, `names(shet_post) <- c(...)`): pick
+      * columns by 0-based position and assign new names in one step.
+      * Pure projection — prunes at the scan.
+      */
+    def selectPositions(positions: Seq[Int], names: Seq[String]): DataFrame = {
+      require(positions.length == names.length,
+        s"${positions.length} positions vs ${names.length} names")
+      val cols = df.columns
+      df.select(positions.zip(names).map { case (p, n) => col(cols(p)).as(n) }: _*)
+    }
+
+    /** Promote the first row (in `orderCol` order) to column names —
+      * reference/scripts/tidy/temp-tidy-all-manuscript-files.R:109-110
+      * (`setNames(as.character(.[1,])) %>% slice(-1)`): the Rosen
+      * supplements carry their header as the first data row. The
+      * header row is a 1-row collect (driver-side, dimension-scale by
+      * nature); the body stays a lazy plan.
+      */
+    def promoteHeader(orderCol: String): DataFrame = {
+      val orderIdx = df.columns.indexOf(orderCol)
+      val first = df.orderBy(col(orderCol)).limit(1).collect()(0)
+      val body = df.filter(col(orderCol) =!= lit(first.get(orderIdx)))
+      body.select(df.columns.zipWithIndex.map { case (c, i) =>
+        if (i == orderIdx) col(c) // the ordering column keeps its name
+        else {
+          val name = Option(first.get(i)).map(_.toString).filter(_.nonEmpty).getOrElse(c)
+          col(c).cast("string").as(name)
+        }
+      }: _*)
+    }
+
     /** `tidyr::separate_rows(col, sep)` —
       * reference/scripts/tidy/temp-tidy-all-api-ftp-files.R:26,37,48,60.
       *

@@ -60,4 +60,23 @@ class CoreQueriesSpec extends SparkSpecBase {
     assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
       s"no pushed filter in plan")
   }
+
+  test("selectPositions picks and renames columns positionally") {
+    import graft.operators.RelationalOps._
+    val out = Tables.customer(spark, sf)
+      .selectPositions(Seq(0, 4), Seq("id", "segment"))
+    assert(out.columns.toSeq == Seq("id", "segment"))
+    assert(out.count() == Tables.customer(spark, sf).count())
+  }
+
+  test("promoteHeader lifts the first row to column names") {
+    import spark.implicits._
+    import graft.operators.RelationalOps._
+    val raw = Seq((1L, "gene_symbol", "score"),
+      (2L, "TP53", "0.9"), (3L, "BRCA1", "0.5")).toDF("rn", "X1", "X2")
+    val out = raw.promoteHeader("rn")
+    assert(out.columns.toSeq == Seq("rn", "gene_symbol", "score"))
+    assert(out.count() == 2)
+    assert(out.filter(col("gene_symbol") === "TP53").count() == 1)
+  }
 }
