@@ -182,7 +182,8 @@ object Dedup {
         size(col("set_a")).cast("long").as("n_a"),
         size(col("set_b")).cast("long").as("n_b"))
       .withColumn("jaccard",
-        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+        // round(.,6): engine-version-robust repr (see SURVEY §5)
+        round(col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")), 6))
   }
 
   // 64-bit signature split into 6 blocks (11,11,11,11,10,10 bits) —

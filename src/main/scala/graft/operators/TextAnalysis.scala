@@ -41,10 +41,10 @@ object TextAnalysis {
     val nDistinct = size(array_distinct(regexp_extract_all(lower(t), lit("\\S+"), lit(0))))
     docs.select(col(idCol).as("doc_id"),
       nChars.as("n_chars"), nWords.as("n_words"),
-      (nChars.cast("double") / nWords).as("mean_word_len"),
-      (nPunct.cast("double") / nChars).as("punct_ratio"),
-      (nStop.cast("double") / nWords).as("stopword_ratio"),
-      (nDistinct.cast("double") / nWords).as("distinct_ratio"),
+      round(nChars.cast("double") / nWords, 6).as("mean_word_len"),
+      round(nPunct.cast("double") / nChars, 6).as("punct_ratio"),
+      round(nStop.cast("double") / nWords, 6).as("stopword_ratio"),
+      round(nDistinct.cast("double") / nWords, 6).as("distinct_ratio"),
       (nWords >= 10 && nStop > 0 && nDistinct.cast("double") / nWords > 0.2)
         .cast("int").as("keep"))
   }

@@ -41,9 +41,9 @@ object AnalyticQueries {
           sum(dec(col("o_totalprice")))
             .over(byCust.rowsBetween(Window.unboundedPreceding, Window.currentRow))
             .cast("double").as("running_total"),
-          (sum(dec(col("o_totalprice")))
+          round(sum(dec(col("o_totalprice")))
             .over(byCust.rowsBetween(-3, -1)).cast("double")
-            / count(lit(1)).over(byCust.rowsBetween(-3, -1))).as("prev3_avg"),
+            / count(lit(1)).over(byCust.rowsBetween(-3, -1)), 6).as("prev3_avg"),
           row_number().over(byCust).as("order_seq"))
         .orderBy(col("o_custkey"), col("order_seq"))
     },
@@ -154,12 +154,12 @@ object AnalyticQueries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
         |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
         |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |    ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS DOUBLE)
         |    / COUNT(*) OVER (
         |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |    ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS prev3_avg,
+        |    ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), 6) AS prev3_avg,
         |  row_number() OVER (
         |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS order_seq
         |FROM orders

@@ -38,7 +38,7 @@ object CoreQueries {
           sum(dec(col("l_extendedprice")) * (lit(1).cast(DecimalType(18, 2)) - dec(col("l_discount"))))
             .cast("double").as("sum_disc_price"),
           count(lit(1)).as("count_order"),
-          (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"))
+          round(dsum(col("l_quantity")) / count(lit(1)), 6).as("avg_qty"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     },
 
@@ -182,7 +182,7 @@ object CoreQueries {
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
         |  COUNT(*) AS count_order,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+        |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
         |GROUP BY l_returnflag, l_linestatus

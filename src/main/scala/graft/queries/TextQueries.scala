@@ -344,8 +344,8 @@ object TextQueries {
          |          GROUP BY 1, 2)
          |SELECT p.doc_a AS doc_a, p.doc_b AS doc_b, COALESCE(i.n_inter, 0) AS n_inter,
          |       ca.n_sh AS n_a, cb.n_sh AS n_b,
-         |       CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
-         |         / (ca.n_sh + cb.n_sh - COALESCE(i.n_inter, 0)) AS jaccard
+         |       ROUND(CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+         |         / (ca.n_sh + cb.n_sh - COALESCE(i.n_inter, 0)), 6) AS jaccard
          |FROM pairs p
          |LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
          |JOIN cnt ca ON ca.doc_id = p.doc_a
@@ -380,10 +380,10 @@ object TextQueries {
 
     "q37_quality_score" ->
       """SELECT doc_id, n_chars, n_words,
-        |  CAST(n_chars AS DOUBLE) / n_words AS mean_word_len,
-        |  CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio,
-        |  CAST(n_stop AS DOUBLE) / n_words AS stopword_ratio,
-        |  CAST(n_distinct AS DOUBLE) / n_words AS distinct_ratio,
+        |  ROUND(CAST(n_chars AS DOUBLE) / n_words, 6) AS mean_word_len,
+        |  ROUND(CAST(n_punct AS DOUBLE) / n_chars, 6) AS punct_ratio,
+        |  ROUND(CAST(n_stop AS DOUBLE) / n_words, 6) AS stopword_ratio,
+        |  ROUND(CAST(n_distinct AS DOUBLE) / n_words, 6) AS distinct_ratio,
         |  CAST(n_words >= 10 AND n_stop > 0
         |       AND CAST(n_distinct AS DOUBLE) / n_words > 0.2 AS INT) AS keep
         |FROM (
