@@ -48,6 +48,95 @@ object TextOps {
   }
 
   def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** All nSeeds MinHash minima over the w-word shingles of a token
+    * array, in ONE pass: per shingle, one FNV-1a base hash, then a
+    * splitmix64 remix per seed (the seed-salted derivation — same
+    * independence argument as the md5-slice scheme). No per-shingle
+    * row ever materializes: the whole signature is a scalar-expression
+    * loop, so the LSH front needs no explode, no aggregate, and no
+    * shuffle. Empty/short docs yield sentinel Long.MaxValue minima.
+    */
+  def minhash64(words: ArrayData, w: Int, nSeeds: Int): ArrayData = {
+    val mins = Array.fill(nSeeds)(Long.MaxValue)
+    val n = words.numElements()
+    if (n >= w) {
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i <= n - w) {
+        sb.setLength(0)
+        var j = 0
+        while (j < w) {
+          if (j > 0) sb.append(' ')
+          sb.append(words.getUTF8String(i + j).toString)
+          j += 1
+        }
+        val h0 = fnv1a64(UTF8String.fromString(sb.toString))
+        var s = 0
+        while (s < nSeeds) {
+          val hs = graft.functions.VectorOps.mix64(h0 ^ (0x9e3779b97f4a7c15L * (s + 1)))
+          if (hs < mins(s)) mins(s) = hs
+          s += 1
+        }
+        i += 1
+      }
+    }
+    ArrayData.toArrayData(mins)
+  }
+
+  /** LSH band signatures straight from the token array: the per-seed
+    * minima of [[minhash64]] folded per band through splitmix64. One
+    * kernel call per doc ⇒ the generator input is evaluated exactly
+    * once (no reliance on downstream subexpression elimination).
+    */
+  def minhashBands(words: ArrayData, w: Int, nSeeds: Int, rowsPerBand: Int): ArrayData = {
+    val mins = minhash64(words, w, nSeeds)
+    val nBands = nSeeds / rowsPerBand
+    val out = new Array[Long](nBands)
+    var b = 0
+    while (b < nBands) {
+      var h = 0x243f6a8885a308d3L ^ b.toLong
+      var r = 0
+      while (r < rowsPerBand) {
+        h = graft.functions.VectorOps.mix64(h ^ mins.getLong(b * rowsPerBand + r))
+        r += 1
+      }
+      out(b) = h
+      b += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+}
+
+/** Codegen'd one-pass MinHash LSH band signatures of
+  * ArrayType(StringType) tokens → ArrayType(LongType), one signature
+  * per band. */
+case class MinHashBandSig(child: Expression, shingleWidth: Int, nSeeds: Int,
+                          rowsPerBand: Int) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(t: Any): Any =
+    TextOps.minhashBands(t.asInstanceOf[ArrayData], shingleWidth, nSeeds, rowsPerBand)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      t => s"graft.functions.TextOps.minhashBands($t, $shingleWidth, $nSeeds, $rowsPerBand)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "graft_minhash_bands"
+}
+
+/** Codegen'd one-pass MinHash signature of ArrayType(StringType)
+  * tokens → ArrayType(LongType) of per-seed minima. */
+case class MinHashSignature(child: Expression, shingleWidth: Int, nSeeds: Int)
+    extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(t: Any): Any =
+    TextOps.minhash64(t.asInstanceOf[ArrayData], shingleWidth, nSeeds)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      t => s"graft.functions.TextOps.minhash64($t, $shingleWidth, $nSeeds)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "graft_minhash64"
 }
 
 /** Codegen'd 64-bit SimHash of ArrayType(StringType) tokens. */
@@ -73,6 +162,13 @@ object GraftFunctions {
 
   def simhash64(tokens: Column): Column =
     toCol(SimHash64(toExpr(tokens)))
+
+  def minhashSig(tokens: Column, shingleWidth: Int, nSeeds: Int): Column =
+    toCol(MinHashSignature(toExpr(tokens), shingleWidth, nSeeds))
+
+  def minhashBandSig(tokens: Column, shingleWidth: Int, nSeeds: Int,
+                     rowsPerBand: Int): Column =
+    toCol(MinHashBandSig(toExpr(tokens), shingleWidth, nSeeds, rowsPerBand))
 
   /** Lower-case, strip non-alphanumerics (keeping spaces), split on
     * single spaces, drop empties — the shared normalization used by

@@ -87,6 +87,27 @@ object Dedup {
       explode(GraftFunctions.wordShingles(col("ws"), shingleWidth)).as("sh"))
   }
 
+  /** FULLY NARROW LSH front: normalization, shingling, all per-seed
+    * minima, and per-band signature folding happen inside ONE
+    * codegen'd expression per document (MinHashBandSig) — no shingle
+    * explode, no aggregate, no shuffle of any kind until the
+    * candidate bucket join itself. At 100 TB this means the entire
+    * signature stage is a single map pass over the corpus scan;
+    * compare [[minhashSignatures]], whose oracle-reproducible md5
+    * path pays one doc_id exchange. Output schema matches
+    * [[lshBands]] (doc_id, band, band_sig) so
+    * [[lshCandidatePairs]] consumes either interchangeably.
+    */
+  def lshBandsNarrow(docs: DataFrame, idCol: String, textCol: String,
+                     shingleWidth: Int, nSeeds: Int, rowsPerBand: Int): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"),
+        GraftFunctions.normWords(col(textCol)).as("__ws"))
+      .select(col("doc_id"),
+        posexplode(GraftFunctions.minhashBandSig(col("__ws"),
+          shingleWidth, nSeeds, rowsPerBand)))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("band_sig"))
+
   /** LSH banding: fold each band's minhashes (in seed order) into one
     * band signature. Collision on (band, band_sig) ⇒ candidate pair.
     * (minhash is cast to string so the md5 and xxhash64 signature

@@ -101,6 +101,24 @@ class ScaleSpec extends SparkSpecBase {
     assert(planted.subsetOf(fast), s"fast path missed ${(planted -- fast).take(3)}")
   }
 
+  test("narrow LSH front: zero shuffles before the bucket join, dups recovered") {
+    import spark.implicits._
+    val base = (0L until 300L).map(i => (i, s"narrow front doc $i sharing words alpha${i % 5} beta${i % 9} gamma filler text"))
+    val copies = (0L until 40L).map(i => (i + 100000L, base(i.toInt)._2))
+    val docs = (base ++ copies).toDF("doc_id", "text")
+    val bands = graft.operators.Dedup.lshBandsNarrow(docs, "doc_id", "text",
+      shingleWidth = 3, nSeeds = 8, rowsPerBand = 4)
+    // the whole signature+banding stage must be one map pass: no
+    // Exchange (shuffle) and no aggregate in its physical plan
+    val plan = bands.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"narrow LSH front shuffles:\n${plan.take(1500)}")
+    assert(!plan.contains("Aggregate"), s"narrow LSH front aggregates:\n${plan.take(1500)}")
+    val pairs = graft.operators.Dedup.lshCandidatePairs(bands)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val planted = (0L until 40L).map(i => (i, i + 100000L)).toSet
+    assert(planted.subsetOf(pairs), s"narrow front missed ${(planted -- pairs).take(3)}")
+  }
+
   test("unbounded sessionizer carries open sessions across micro-batches") {
     import spark.implicits._
     import graft.streaming.StatefulSessions
