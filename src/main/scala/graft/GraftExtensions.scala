@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.DoubleType
 
-import graft.functions.{CosineSimilarity, SimHash64}
+import graft.functions.{CosineSimilarity, MinHashBandSig, MinHashSignature, SimHash64}
 
 /** Optimizer rule: cosine(x, x) ≡ 1.0 — the self-pair arm of near-dup
   * pipelines constant-folds away instead of running the O(dim) kernel
@@ -43,5 +43,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
       (es: Seq[Expression]) => SimHash64(es.head)))
+    def intLit(ex: Expression, arg: String): Int = ex match {
+      case Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"$arg must be an integer literal, got $other")
+    }
+    e.injectFunction((
+      FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
+      (es: Seq[Expression]) => MinHashSignature(es.head,
+        intLit(es(1), "shingleWidth"), intLit(es(2), "nSeeds"))))
+    e.injectFunction((
+      FunctionIdentifier("graft_minhash_bands"),
+      new ExpressionInfo(classOf[MinHashBandSig].getName, "graft_minhash_bands"),
+      (es: Seq[Expression]) => MinHashBandSig(es.head,
+        intLit(es(1), "shingleWidth"), intLit(es(2), "nSeeds"),
+        intLit(es(3), "rowsPerBand"))))
   }
 }

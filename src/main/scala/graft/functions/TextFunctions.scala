@@ -193,9 +193,20 @@ object GraftFunctions {
   /** Register SQL-callable versions (SURVEY §2.5 #48). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    def intLit(e: Expression, arg: String): Int = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"$arg must be an integer literal, got $other")
+    }
     reg.createOrReplaceTempFunction("graft_cosine",
       es => CosineSimilarity(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_simhash64",
       es => SimHash64(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_minhash",
+      es => MinHashSignature(es.head,
+        intLit(es(1), "shingleWidth"), intLit(es(2), "nSeeds")), "built-in")
+    reg.createOrReplaceTempFunction("graft_minhash_bands",
+      es => MinHashBandSig(es.head, intLit(es(1), "shingleWidth"),
+        intLit(es(2), "nSeeds"), intLit(es(3), "rowsPerBand")), "built-in")
   }
 }

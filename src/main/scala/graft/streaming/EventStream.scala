@@ -82,4 +82,27 @@ object EventStream {
     try q.processAllAvailable() finally q.stop()
     spark.table(name)
   }
+
+  /** Incremental partitioned-parquet sink via foreachBatch — the
+    * streaming-ingest-to-lake shape: each micro-batch appends to a
+    * partitioned parquet table; the checkpoint (batch id tracking)
+    * makes the write effectively-once on restart, and repartitioning
+    * on the partition columns inside the batch prevents the
+    * small-files explosion (one file per partition value per batch,
+    * not one per task).
+    */
+  def runToParquet(spark: SparkSession, streamed: DataFrame, outDir: String,
+                   checkpointDir: String, partitionCols: Seq[String]): Unit = {
+    val q = streamed.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch
+          .repartition(partitionCols.map(batch.col): _*)
+          .write.mode("append")
+          .partitionBy(partitionCols: _*)
+          .parquet(outDir)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
 }

@@ -168,6 +168,42 @@ class ScaleSpec extends SparkSpecBase {
       s"got $got")
   }
 
+  test("foreachBatch parquet sink lands the full stream, partitioned") {
+    import graft.streaming.EventStream
+    val out = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    EventStream.runToParquet(spark,
+      EventStream.readEvents(spark, sf), out, ckpt, Seq("event_type"))
+    val back = spark.read.parquet(out)
+    val src = Tables.events(spark, sf)
+    assert(back.count() == src.count())
+    // partition layout on disk + partition pruning on read
+    val dirs = new java.io.File(out).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("event_type="))
+    assert(dirs.length == 5, s"expected 5 event_type partitions, got ${dirs.length}")
+    val pruned = back.filter(col("event_type") === "click")
+    assert(pruned.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+    assert(pruned.count() == src.filter(col("event_type") === "click").count())
+  }
+
+  test("sql-registered minhash functions band identically to the column API") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val docs = Seq((1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("mh_docs")
+    val viaSql = spark.sql(
+      """SELECT doc_id, graft_minhash_bands(
+        |  filter(split(regexp_replace(lower(text), '[^a-z0-9 ]', ''), ' '), w -> w != ''),
+        |  3, 8, 4) AS bands FROM mh_docs""".stripMargin)
+      .as[(Long, Array[Long])].collect().toMap
+    assert(viaSql(1L).toSeq == viaSql(2L).toSeq, "identical docs must band identically")
+    val viaApi = graft.operators.Dedup.lshBandsNarrow(docs, "doc_id", "text", 3, 8, 4)
+      .filter(col("doc_id") === 1L).select("band_sig")
+      .as[Long].collect().toSet
+    assert(viaSql(1L).toSet == viaApi, "SQL and column API must agree")
+  }
+
   test("stateful streaming sessionizer matches batch sessionize") {
     val streamed = StatefulSessions.run(spark, sf, gapSeconds = 1800L)
       .select(col("user_id"), col("session_start_us"), col("session_end_us"), col("n_events"))
