@@ -238,6 +238,36 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // §2.3 — sequence packing: assign docs to fixed token-budget
+    // training sequences (contiguous-fill bin packing per language:
+    // running token total → bin = how many full budgets precede me).
+    // One window per partition key — the same plan at 100 TB packs
+    // each shard independently.
+    "q76_pack_sequences" -> { (s, d) =>
+      val budget = 1024L
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      TextAnalysis.tokenCounts(Tables.documents(s, d), "doc_id", "text")
+        .select(col("doc_id"), col("lang"), col("ws_tokens").cast("long").as("n_tokens"))
+        .withColumn("__cum", sum(col("n_tokens")).over(w))
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          ((col("__cum") - col("n_tokens")) / budget).cast("long").as("seq_bin"))
+        .orderBy(col("lang"), col("doc_id"))
+    },
+
+    // §2.3 — mixing-weight upsampling: replicate docs per deterministic
+    // per-stratum repeat counts (the data-mix step before packing).
+    // explode(sequence(...)) is narrow — no shuffle, output scales with
+    // Σ weights.
+    "q77_mix_upsample" -> { (s, d) =>
+      val copies = when(col("lang") === "en", lit(2)).otherwise(lit(1))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode(sequence(lit(1), copies)).as("copy_idx"))
+        .select(col("doc_id"), col("lang"), col("copy_idx").cast("long").as("copy_idx"))
+        .orderBy(col("doc_id"), col("copy_idx"))
+    },
+
     // §2.3 — TF-IDF keyword extraction: top-3 terms per doc. tf and
     // df are partial-agg groupBys; the doc count and df table join
     // back in; one final per-doc top-k window. All shuffles are on
@@ -466,6 +496,23 @@ object TextQueries {
          |FROM sh s JOIN bench b ON s.sh = b.sh
          |WHERE s.doc_id >= 20
          |GROUP BY s.doc_id ORDER BY doc_id""".stripMargin,
+
+    "q76_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT doc_id, lang, n_tokens,
+        |  CAST(FLOOR(CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |         ROWS UNBOUNDED PRECEDING) - n_tokens AS DOUBLE) / 1024) AS BIGINT) AS seq_bin
+        |FROM t
+        |ORDER BY lang, doc_id""".stripMargin,
+
+    "q77_mix_upsample" ->
+      """SELECT doc_id, lang,
+        |       unnest(generate_series(1, CASE WHEN lang = 'en' THEN 2 ELSE 1 END)) AS copy_idx
+        |FROM documents
+        |ORDER BY doc_id, copy_idx""".stripMargin,
 
     "q73_tfidf" ->
       s"""WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents),

@@ -196,6 +196,27 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(r.filter(col("top_word_frac") <= 0 || col("top_word_frac") > 1).count() == 0)
   }
 
+  test("sequence packing stays within budget plus one document") {
+    val packed = TextQueries.queries("q76_pack_sequences")(spark, sf)
+    val perBin = packed.groupBy("lang", "seq_bin")
+      .agg(sum("n_tokens").as("bin_tokens"), max("n_tokens").as("max_doc"))
+    // contiguous fill: a bin can overflow the budget by at most the
+    // doc that crossed the boundary
+    assert(perBin.filter(col("bin_tokens") > lit(1024L) + col("max_doc")).count() == 0)
+    // every doc is packed exactly once
+    assert(packed.count() == Tables.documents(spark, sf).count())
+  }
+
+  test("mix upsampling replicates exactly per stratum weight") {
+    val up = TextQueries.queries("q77_mix_upsample")(spark, sf)
+    val docs = Tables.documents(spark, sf)
+    val en = docs.filter(col("lang") === "en").count()
+    val other = docs.filter(col("lang") =!= "en").count()
+    assert(up.count() == 2 * en + other)
+    assert(up.filter(col("lang") === "en").groupBy("doc_id").count()
+      .filter(col("count") =!= 2).count() == 0)
+  }
+
   test("text query oracles' keys are a subset of query keys") {
     assert(TextQueries.oracleSql.keySet.subsetOf(TextQueries.queries.keySet))
   }
