@@ -116,6 +116,18 @@ object AnalyticQueries {
         .orderBy(col("doc_id"))
     },
 
+    // decile assignment (the GISMO `decile` column, reference
+    // manuscript.R:56-64): ntile(10) per language over document
+    // length, deterministic tie-break on doc_id.
+    "q78_decile" -> { (s, d) =>
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("n_chars").asc, col("doc_id").asc)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          ntile(10).over(w).as("decile"))
+        .orderBy(col("doc_id"))
+    },
+
     // group-wise z-score normalization (feature scaling) from EXACT
     // decimal moment sums: sum(x) and sum(x²) accumulate in DECIMAL
     // (associative ⇒ partition-order independent), the mean/std/score
@@ -198,6 +210,12 @@ object AnalyticQueries {
         |WHERE CASE WHEN lang = 'en'
         |  THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2','3','4','5','6','7')
         |  ELSE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2') END
+        |ORDER BY doc_id""".stripMargin,
+
+    "q78_decile" ->
+      """SELECT doc_id, lang, n_chars,
+        |       ntile(10) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS decile
+        |FROM documents
         |ORDER BY doc_id""".stripMargin,
 
     "q74_zscore" ->
