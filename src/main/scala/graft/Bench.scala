@@ -30,19 +30,25 @@ object Bench {
       spark.catalog.clearCache()
       name -> dt
     }
-    // 3-decimal times keep the JSON line short (a multi-KB single line
-    // was truncated by the round-1 capture and the bench registered null).
     def f(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val json =
+    def jsonOf(rs: Seq[(String, Double)], total: Double): String = {
+      val qs = rs.map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
       s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // Belt and braces: persist to a known file so a truncated stdout
-    // capture can't lose the signal, then emit the JSON as the final line.
-    try Files.writeString(Paths.get("bench.json"), json + "\n")
+    }
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // Full per-query detail goes to bench.json; stdout gets a COMPACT
+    // line (headline queries only). The round-1/round-2 captures kept
+    // only the last ~2.9 KB of stdout and the 80-entry JSON line lost
+    // its head both times ("parsed": null) — the final line must stay
+    // well under the capture window.
+    try Files.writeString(Paths.get("bench.json"), jsonOf(results, total) + "\n")
     catch { case _: Throwable => () }
+    val headline = Set(
+      "q01_pricing_summary", "q06_template_join", "q27_annotation_pipeline",
+      "q30_exact_dedup", "q31b_lsh_pairs", "q33_ngram_jaccard",
+      "q34_cosine_topk", "q43b_asof_native", "q44_sessionize",
+      "q59_dup_clusters", "q61_corpus_pipeline", "q70_decontaminate")
     spark.stop()
-    println(json)
+    println(jsonOf(results.filter(r => headline(r._1)), total))
   }
 }

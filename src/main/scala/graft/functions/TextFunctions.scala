@@ -84,6 +84,38 @@ object TextOps {
     ArrayData.toArrayData(mins)
   }
 
+  /** DISTINCT w-word shingles of a token array (first-occurrence
+    * order, matching array_distinct semantics), in one pass. As a
+    * plain unary kernel this is safe to compose directly over
+    * normWords in a single projection — unlike the higher-order-
+    * lambda shingle formulation, whose inlined input is re-evaluated
+    * per shingle index when CollapseProject merges the projections.
+    */
+  def shingleSet(words: ArrayData, w: Int): ArrayData = {
+    val n = words.numElements()
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    if (n >= w) {
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i <= n - w) {
+        sb.setLength(0)
+        var j = 0
+        while (j < w) {
+          if (j > 0) sb.append(' ')
+          sb.append(words.getUTF8String(i + j).toString)
+          j += 1
+        }
+        seen.add(UTF8String.fromString(sb.toString))
+        i += 1
+      }
+    }
+    val arr = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { arr(k) = it.next(); k += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+
   /** LSH band signatures straight from the token array: the per-seed
     * minima of [[minhash64]] folded per band through splitmix64. One
     * kernel call per doc ⇒ the generator input is evaluated exactly
@@ -139,6 +171,20 @@ case class MinHashSignature(child: Expression, shingleWidth: Int, nSeeds: Int)
   override def prettyName: String = "graft_minhash64"
 }
 
+/** Codegen'd distinct w-word shingle set of ArrayType(StringType)
+  * tokens → ArrayType(StringType). */
+case class ShingleSet(child: Expression, shingleWidth: Int) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(t: Any): Any =
+    TextOps.shingleSet(t.asInstanceOf[ArrayData], shingleWidth)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      t => s"graft.functions.TextOps.shingleSet($t, $shingleWidth)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "graft_shingle_set"
+}
+
 /** Codegen'd 64-bit SimHash of ArrayType(StringType) tokens. */
 case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -169,6 +215,9 @@ object GraftFunctions {
   def minhashBandSig(tokens: Column, shingleWidth: Int, nSeeds: Int,
                      rowsPerBand: Int): Column =
     toCol(MinHashBandSig(toExpr(tokens), shingleWidth, nSeeds, rowsPerBand))
+
+  def shingleSet(tokens: Column, shingleWidth: Int): Column =
+    toCol(ShingleSet(toExpr(tokens), shingleWidth))
 
   /** Lower-case, strip non-alphanumerics (keeping spaces), split on
     * single spaces, drop empties — the shared normalization used by
@@ -208,5 +257,7 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_minhash_bands",
       es => MinHashBandSig(es.head, intLit(es(1), "shingleWidth"),
         intLit(es(2), "nSeeds"), intLit(es(3), "rowsPerBand")), "built-in")
+    reg.createOrReplaceTempFunction("graft_shingle_set",
+      es => ShingleSet(es.head, intLit(es(1), "shingleWidth")), "built-in")
   }
 }

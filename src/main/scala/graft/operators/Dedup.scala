@@ -87,6 +87,34 @@ object Dedup {
       explode(GraftFunctions.wordShingles(col("ws"), shingleWidth)).as("sh"))
   }
 
+  /** Fused md5 LSH band path: per-seed minima AND the per-band
+    * signature fold happen in ONE doc_id aggregation — band b's sig is
+    * md5 over its seeds' minima column-wise, so the posexplode→
+    * groupBy(doc_id, band) second shuffle of
+    * [[lshBands]]∘[[minhashSignatures]] disappears. Bit-identical
+    * output (same concat_ws(",") string under md5), one exchange
+    * instead of two — at 100 TB that's the difference between one and
+    * two full passes of the signature table through the shuffle.
+    */
+  def lshBandsMd5(docs: DataFrame, idCol: String, textCol: String,
+                  shingleWidth: Int, nSeeds: Int, rowsPerBand: Int): DataFrame = {
+    require(nSeeds <= 8, s"seed slices are 4 hex chars of one md5: nSeeds <= 8, got $nSeeds")
+    require(nSeeds % rowsPerBand == 0, "nSeeds must be a multiple of rowsPerBand")
+    val hashed = docShingles(docs, idCol, textCol, shingleWidth)
+      .select(col("doc_id"), md5(col("sh")).as("h"))
+    val mins = (0 until nSeeds).map(s =>
+      min(substring(col("h"), s * 4 + 1, 4)).as(s"mh_$s"))
+    val bandSigs = (0 until nSeeds / rowsPerBand).map { b =>
+      md5(concat_ws(",",
+        (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}")): _*))
+    }
+    hashed
+      .groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), posexplode(array(bandSigs: _*)))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("band_sig"))
+  }
+
   /** FULLY NARROW LSH front: normalization, shingling, all per-seed
     * minima, and per-band signature folding happen inside ONE
     * codegen'd expression per document (MinHashBandSig) — no shingle
@@ -134,10 +162,12 @@ object Dedup {
   private[operators] def boundedBucketPairs(rows: DataFrame, bucketKeys: Seq[String],
       idCol: String, payload: Seq[String], maxBucket: Int): DataFrame = {
     val keys = bucketKeys.map(col)
-    val wAll = Window.partitionBy(keys: _*)
     val wOrd = Window.partitionBy(keys: _*).orderBy(col(idCol))
-    // one shuffle+sort on the bucket key; both join branches below
-    // reuse this partitioning
+    // same partition+order spec for both window functions (the count
+    // just widens the frame) ⇒ Catalyst evaluates them in a single
+    // WindowExec over ONE shuffle+sort; both join branches below
+    // reuse that partitioning
+    val wAll = wOrd.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val t = rows
       .withColumn("__bn", count(lit(1)).over(wAll))
       .withColumn("__rn", row_number().over(wOrd))
@@ -185,14 +215,13 @@ object Dedup {
     // is narrow (no explode, no distinct shuffle), and the pair join
     // moves one array-valued row per doc instead of |shingles| rows.
     // Intersection/union are then O(|set|) array ops per pair.
-    // (normWords is bound to a column before shingling — higher-order
-    // lambdas disable subexpression elimination.)
+    // ShingleSet is a plain unary kernel, so norm+shingle+distinct is
+    // ONE collapse-safe projection; the single persist exists only so
+    // the a/b join sides share the materialization.
     val sets = docs
       .select(col(idCol).as("doc_id"),
-        GraftFunctions.normWords(col(textCol)).as("__ws"))
-      .persist() // CollapseProject barrier — see minhashSignatures
-      .select(col("doc_id"),
-        array_distinct(GraftFunctions.wordShingles(col("__ws"), shingleWidth)).as("shset"))
+        GraftFunctions.shingleSet(GraftFunctions.normWords(col(textCol)),
+          shingleWidth).as("shset"))
       .filter(size(col("shset")) > 0)
       .persist()
     val a = sets.select(col("doc_id").as("doc_a"), col("shset").as("set_a"))
@@ -276,6 +305,7 @@ object Dedup {
     * each round costs exactly one action.
     */
   def connectedComponents(pairsIn: DataFrame, maxIter: Int = 50): DataFrame = {
+    val spark = pairsIn.sparkSession
     // both direction branches of the edge union consume the pair
     // lineage — persist it or the upstream (LSH) pipeline runs twice
     val pairs = pairsIn.persist()
@@ -283,11 +313,22 @@ object Dedup {
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
       .persist()
+    // Size the per-round exchanges to the EDGE table, not the session
+    // default: each round is several shuffles over a table that is
+    // usually orders of magnitude smaller than the corpus that
+    // produced it (only near-dup members appear). ~500k edges per
+    // partition; clamped to the session setting so a genuinely large
+    // graph keeps full parallelism.
+    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val nEdges = edges.count()
+    val ccParts = math.max(1L, math.min(sessionParts.toLong, nEdges / 500000L + 1L)).toString
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint(true)
     var converged = false
     var i = 0
+    spark.conf.set("spark.sql.shuffle.partitions", ccParts)
+    try {
     while (!converged && i < maxIter) {
       val neighborMin = edges
         .join(labels.withColumnRenamed("node", "dst"), "dst")
@@ -310,6 +351,7 @@ object Dedup {
       converged = changed == 0
       i += 1
     }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", sessionParts.toString)
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }
 

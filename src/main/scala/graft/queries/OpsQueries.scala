@@ -184,7 +184,7 @@ object OpsQueries {
 
     "q54_profile" ->
       """SELECT COUNT(*) AS n_rows,
-        |  SUM(CAST(c_name IS NULL AS BIGINT)) AS null_name,
+        |  CAST(SUM(CAST(c_name IS NULL AS BIGINT)) AS BIGINT) AS null_name,
         |  COUNT(DISTINCT c_mktsegment) AS distinct_segments,
         |  COUNT(DISTINCT c_nationkey) AS distinct_nations,
         |  CAST(ROUND(MIN(c_acctbal) * 100, 0) AS BIGINT) AS min_bal_cents,

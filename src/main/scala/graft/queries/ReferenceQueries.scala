@@ -215,7 +215,7 @@ object ReferenceQueries {
     "q13_essentiality_matrix" ->
       """SELECT l_partkey,
         |  COUNT(*) AS n_lines,
-        |  SUM(CASE WHEN l_quantity <= 10.0 THEN 1 ELSE 0 END) AS n_low,
+        |  CAST(SUM(CASE WHEN l_quantity <= 10.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
         |  ROUND(CAST(100 * SUM(CASE WHEN l_quantity <= 10.0 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS pct_low,
         |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS mean_qty
         |FROM lineitem GROUP BY l_partkey ORDER BY l_partkey""".stripMargin,

@@ -224,8 +224,8 @@ object TemporalQueries {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |y AS (
         |  SELECT user_id, ts, event_id,
-        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                     ROWS UNBOUNDED PRECEDING) AS session_id
+        |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
         |  FROM x)
         |SELECT user_id, session_id, COUNT(*) AS n_events,
         |       epoch_us(MIN(ts)) AS session_start_us,

@@ -79,9 +79,9 @@ object TextQueries {
     // §2.3 #31 — full LSH banding → candidate pairs on the planted
     // corpus (2 bands × 4 rows): every planted exact dup must surface.
     "q31b_lsh_pairs" -> { (s, d) =>
-      val sigs = Dedup.minhashSignatures(plantedCorpus(s, d), "doc_id", "text",
-        shingleWidth = 3, nSeeds = 8)
-      Dedup.lshCandidatePairs(Dedup.lshBands(sigs, rowsPerBand = 4))
+      val bands = Dedup.lshBandsMd5(plantedCorpus(s, d), "doc_id", "text",
+        shingleWidth = 3, nSeeds = 8, rowsPerBand = 4)
+      Dedup.lshCandidatePairs(bands)
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
@@ -148,9 +148,9 @@ object TextQueries {
     // the LSH candidate pairs via min-label connected components; one
     // canonical (minimum) doc id per duplicate group.
     "q59_dup_clusters" -> { (s, d) =>
-      val sigs = Dedup.minhashSignatures(plantedCorpus(s, d), "doc_id", "text",
-        shingleWidth = 3, nSeeds = 8)
-      val pairs = Dedup.lshCandidatePairs(Dedup.lshBands(sigs, rowsPerBand = 4))
+      val bands = Dedup.lshBandsMd5(plantedCorpus(s, d), "doc_id", "text",
+        shingleWidth = 3, nSeeds = 8, rowsPerBand = 4)
+      val pairs = Dedup.lshCandidatePairs(bands)
       Dedup.connectedComponents(pairs)
         .orderBy(col("doc_id"))
     },
