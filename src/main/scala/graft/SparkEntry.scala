@@ -15,7 +15,8 @@ object SparkEntry {
       graft.queries.PipelineQueries.queries ++
       graft.queries.SketchQueries.queries ++
       graft.queries.AnalyticQueries.queries ++
-      graft.queries.OpsQueries.queries
+      graft.queries.OpsQueries.queries ++
+      graft.queries.CurationQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -27,5 +28,6 @@ object SparkEntry {
       graft.queries.PipelineQueries.oracleSql ++
       graft.queries.SketchQueries.oracleSql ++
       graft.queries.AnalyticQueries.oracleSql ++
-      graft.queries.OpsQueries.oracleSql
+      graft.queries.OpsQueries.oracleSql ++
+      graft.queries.CurationQueries.oracleSql
 }

@@ -49,6 +49,31 @@ object TextOps {
 
   def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
+  /** Shannon entropy (bits/char) of the character distribution — the
+    * compression-proxy quality signal (gibberish ≈ high, boilerplate
+    * repetition ≈ low). One pass + one pass over ≤ alphabet-size
+    * counts; rounded to 6 dp so the double repr is engine-robust
+    * (mirrors DuckDB's log2-based entropy() aggregate).
+    */
+  def charEntropy(s: UTF8String): Double = {
+    val str = s.toString
+    val n = str.length
+    if (n == 0) return 0.0
+    val counts = new java.util.HashMap[Character, Int]()
+    var i = 0
+    while (i < n) {
+      counts.merge(str.charAt(i), 1, Integer.sum _)
+      i += 1
+    }
+    var h = 0.0
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val p = it.next().toDouble / n
+      h -= p * (math.log(p) / math.log(2.0))
+    }
+    BigDecimal(h).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
   /** All nSeeds MinHash minima over the w-word shingles of a token
     * array, in ONE pass: per shingle, one FNV-1a base hash, then a
     * splitmix64 remix per seed (the seed-salted derivation — same
@@ -185,6 +210,17 @@ case class ShingleSet(child: Expression, shingleWidth: Int) extends UnaryExpress
   override def prettyName: String = "graft_shingle_set"
 }
 
+/** Codegen'd character-distribution Shannon entropy of a string. */
+case class CharEntropy(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullSafeEval(t: Any): Any =
+    TextOps.charEntropy(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.functions.TextOps.charEntropy($t)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "graft_char_entropy"
+}
+
 /** Codegen'd 64-bit SimHash of ArrayType(StringType) tokens. */
 case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -218,6 +254,9 @@ object GraftFunctions {
 
   def shingleSet(tokens: Column, shingleWidth: Int): Column =
     toCol(ShingleSet(toExpr(tokens), shingleWidth))
+
+  def charEntropy(text: Column): Column =
+    toCol(CharEntropy(toExpr(text)))
 
   /** Lower-case, strip non-alphanumerics (keeping spaces), split on
     * single spaces, drop empties — the shared normalization used by
@@ -259,5 +298,12 @@ object GraftFunctions {
         intLit(es(2), "nSeeds"), intLit(es(3), "rowsPerBand")), "built-in")
     reg.createOrReplaceTempFunction("graft_shingle_set",
       es => ShingleSet(es.head, intLit(es(1), "shingleWidth")), "built-in")
+    reg.createOrReplaceTempFunction("graft_char_entropy",
+      es => CharEntropy(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_bloom_agg",
+      es => BloomAggregate(es.head, intLit(es(1), "numBits"),
+        intLit(es(2), "numHashes")).toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction("graft_bloom_contains",
+      es => BloomMightContain(es.head, es(1), intLit(es(2), "numHashes")), "built-in")
   }
 }

@@ -98,6 +98,40 @@ object TextAnalysis {
       .agg(countDistinct(col("sh")).as("n_contaminated"))
   }
 
+  /** Bloom-filter decontamination — the 100 TB shape of
+    * [[contamination]]. The benchmark shingle set folds into a fixed
+    * `numBits/8`-byte Bloom filter via one mergeable aggregate
+    * (inserts are idempotent, so no distinct pass is needed), the
+    * filter broadcasts as a single binary value, and the corpus
+    * probes it with a codegen'd `array_filter(shingles, contains)` —
+    * no shuffle of corpus data, no join materialization, and the
+    * broadcast payload is m/8 bytes regardless of benchmark row
+    * count. False negatives are impossible (every truly contaminated
+    * doc is flagged); false positives are the bounded Bloom rate and
+    * acceptable for an over-flagging decontamination pass.
+    */
+  def contaminationBloom(corpus: DataFrame, benchmark: DataFrame, idCol: String,
+                         textCol: String, n: Int = 8,
+                         numBits: Int = 1 << 17, numHashes: Int = 5): DataFrame = {
+    import graft.functions.{BloomFunctions, GraftFunctions}
+    def shingleArr(df: DataFrame): DataFrame = df
+      .select(col(idCol).as("doc_id"),
+        GraftFunctions.normWords(col(textCol)).as("__ws"))
+      .persist() // lambda barrier — see Dedup.docShingles
+      .select(col("doc_id"),
+        array_distinct(GraftFunctions.wordShingles(col("__ws"), n)).as("shs"))
+    val filterBits = shingleArr(benchmark)
+      .select(explode(col("shs")).as("sh"))
+      .agg(BloomFunctions.bloomAgg(col("sh"), numBits, numHashes).as("__bits"))
+    shingleArr(corpus)
+      .crossJoin(broadcast(filterBits)) // 1-row filter — broadcast-nested-loop, no shuffle
+      .select(col("doc_id"),
+        size(filter(col("shs"), sh =>
+          BloomFunctions.bloomContains(col("__bits"), sh, numHashes)))
+          .cast("long").as("n_flagged"))
+      .filter(col("n_flagged") > 0)
+  }
+
   /** Gopher-style repetition signals: duplicate-bigram fraction and
     * most-frequent-word mass — the repetition filters from the Gopher
     * corpus-quality rules. Bigram stats are narrow array expressions;

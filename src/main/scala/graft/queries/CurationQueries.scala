@@ -1,0 +1,167 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{BloomFunctions, GraftFunctions}
+import graft.operators.{Dedup, TextAnalysis}
+
+/** SURVEY.md §2.3 round-3 additions — the curation end of the
+  * training-data pipeline: applying dedup to the corpus, entropy
+  * quality signals, curriculum selection, exact quota sampling, and
+  * Bloom-filter decontamination.
+  */
+object CurationQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  import TextQueries.{plantedCorpus, corpusSql, wsSql}
+
+  val queries: Map[String, Q] = Map(
+
+    // §2.3 — dedup APPLIED: the corpus rewrite that consumes the
+    // cluster table (q59) — drop every member of a duplicate group
+    // except its canonical (minimum) id, keep all unclustered docs.
+    // LSH → connected components → one anti-join pass over the corpus;
+    // the anti-join side is only the near-dup members, which is
+    // orders of magnitude smaller than the corpus at 100 TB.
+    "q79_dedup_apply" -> { (s, d) =>
+      val corpus = plantedCorpus(s, d)
+      val bands = Dedup.lshBandsMd5(corpus, "doc_id", "text",
+        shingleWidth = 3, nSeeds = 8, rowsPerBand = 4)
+      val clusters = Dedup.connectedComponents(Dedup.lshCandidatePairs(bands))
+      val removed = clusters.filter(col("cluster_id") =!= col("doc_id"))
+        .select(col("doc_id"))
+      corpus.join(removed, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    },
+
+    // §2.3 — character-entropy quality signal (compression proxy:
+    // gibberish scores high, repeated boilerplate low). One narrow
+    // codegen'd kernel pass (CharEntropy expression) — no explode of
+    // the character stream, unlike the oracle formulation.
+    "q80_entropy" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          GraftFunctions.charEntropy(col("text")).as("char_entropy"))
+        .orderBy(col("doc_id"))
+    },
+
+    // §2.3 — curriculum selection: top-5 docs per language by lexical
+    // diversity (distinct-word ratio from the quality-score pass),
+    // deterministic tie-break on doc_id. One window per language
+    // partition — the standard "best docs per stratum" mixing step.
+    "q81_curriculum_topk" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val scored = docs.select(col("doc_id"), col("lang"))
+        .join(TextAnalysis.qualityScore(docs, "doc_id", "text")
+          .select(col("doc_id"), col("distinct_ratio")), "doc_id")
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("distinct_ratio").desc, col("doc_id").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("lang"), col("rank").cast("long").as("rank"),
+          col("doc_id"), col("distinct_ratio"))
+        .orderBy(col("lang"), col("rank"))
+    },
+
+    // §2.3 — exact quota sampling: exactly N docs per stratum, chosen
+    // by deterministic content-independent hash order (md5 of a salted
+    // id) — reproducible under any partitioning, no rand(), and the
+    // per-stratum scan is one window over the stratum partition.
+    "q82_quota_sample" -> { (s, d) =>
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(md5(concat(lit("q82:"), col("doc_id").cast("string"))),
+          col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"))
+        .withColumn("pick", row_number().over(w))
+        .filter(col("pick") <= 50)
+        .select(col("lang"), col("pick").cast("long").as("pick"), col("doc_id"))
+        .orderBy(col("lang"), col("pick"))
+    },
+
+    // §2.3 — Bloom-filter decontamination (the 100 TB shape of q70):
+    // benchmark shingles fold into a 16 KiB filter (one mergeable
+    // aggregate, no distinct needed — inserts are idempotent), the
+    // filter broadcasts, and the corpus probes it in a narrow
+    // codegen'd pass. No join, no shuffle of corpus data at all.
+    // Rows-only (false positives are data-dependent); CurationSpec
+    // asserts no false negatives vs the exact q70 join and a bounded
+    // flagged-doc overhead.
+    "q83_bloom_decontam" -> { (s, d) =>
+      val planted = plantedCorpus(s, d)
+      TextAnalysis.contaminationBloom(
+        corpus = planted.filter(col("doc_id") >= 20),
+        benchmark = planted.filter(col("doc_id") < 20),
+        idCol = "doc_id", textCol = "text", n = 8,
+        numBits = 1 << 17, numHashes = 5)
+        .orderBy(col("doc_id"))
+    }
+  )
+
+  /** q59's md5-LSH + recursive-closure oracle, reused for the apply
+    * step: a doc is removed iff its component minimum is not itself.
+    */
+  val oracleSql: Map[String, String] = Map(
+
+    "q79_dedup_apply" ->
+      s"""WITH RECURSIVE $corpusSql,
+         |w AS (SELECT doc_id, $wsSql AS ws FROM corpus),
+         |sh AS (SELECT DISTINCT doc_id,
+         |         unnest([array_to_string(ws[i:i+2],' ') for i in generate_series(1, len(ws)-2)]) AS sh
+         |       FROM w WHERE len(ws) >= 3),
+         |seeds AS (SELECT unnest(generate_series(0,7)) AS seed),
+         |sigs AS (SELECT doc_id, seed,
+         |           MIN(substr(md5(sh), seed*4+1, 4)) AS minhash
+         |         FROM sh CROSS JOIN seeds GROUP BY doc_id, seed),
+         |bands AS (SELECT doc_id, seed // 4 AS band,
+         |            md5(string_agg(minhash, ',' ORDER BY seed)) AS band_sig
+         |          FROM sigs GROUP BY doc_id, seed // 4),
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |          FROM bands a JOIN bands b
+         |            ON a.band = b.band AND a.band_sig = b.band_sig
+         |           AND a.doc_id < b.doc_id),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |reach AS (SELECT a, b FROM edges
+         |          UNION
+         |          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |removed AS (SELECT a AS doc_id FROM reach
+         |            GROUP BY a HAVING least(a, MIN(b)) <> a)
+         |SELECT doc_id FROM corpus
+         |WHERE doc_id NOT IN (SELECT doc_id FROM removed)
+         |ORDER BY doc_id""".stripMargin,
+
+    "q80_entropy" ->
+      """SELECT doc_id, ROUND(entropy(c), 6) AS char_entropy
+        |FROM (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents)
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    "q81_curriculum_topk" ->
+      """SELECT lang, rank, doc_id, distinct_ratio FROM (
+        |  SELECT lang, doc_id, distinct_ratio,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY distinct_ratio DESC, doc_id ASC) AS rank
+        |  FROM (
+        |    SELECT doc_id, lang,
+        |      ROUND(CAST(len(list_distinct(regexp_extract_all(lower(text), '\S+'))) AS DOUBLE)
+        |        / len(regexp_extract_all(text, '\S+')), 6) AS distinct_ratio
+        |    FROM documents))
+        |WHERE rank <= 5
+        |ORDER BY lang, rank""".stripMargin,
+
+    "q82_quota_sample" ->
+      """SELECT lang, pick, doc_id FROM (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5('q82:' || CAST(doc_id AS VARCHAR)), doc_id) AS pick
+        |  FROM documents)
+        |WHERE pick <= 50
+        |ORDER BY lang, pick""".stripMargin
+  )
+}

@@ -20,14 +20,14 @@ object TextQueries {
     * deterministic duplicates so dedup operators have real positives.
     * Mirrored verbatim in the oracle SQL.
     */
-  private def plantedCorpus(s: SparkSession, d: String): DataFrame = {
+  private[queries] def plantedCorpus(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
     docs.unionByName(
       docs.filter(col("doc_id") < 50)
         .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
   }
 
-  private val corpusSql =
+  private[queries] val corpusSql =
     """corpus AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
@@ -35,7 +35,7 @@ object TextQueries {
       |)""".stripMargin
 
   /** DuckDB equivalent of GraftFunctions.normWords */
-  private val wsSql =
+  private[queries] val wsSql =
     "list_filter(string_split(regexp_replace(lower(text),'[^a-z0-9 ]','','g'),' '), x -> x <> '')"
 
   /** documents with deterministically planted PII (emails for

@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{BloomFunctions, BloomOps, BloomSketch, GraftFunctions}
+import graft.operators.TextAnalysis
+import graft.queries.CurationQueries
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SURVEY §2.3 round-3 curation operators: dedup-apply, entropy,
+  * curriculum selection, quota sampling, Bloom decontamination.
+  */
+class CurationSpec extends SparkSpecBase {
+
+  private def q(name: String) = CurationQueries.queries(name)(spark, sf)
+
+  test("bloom filter: no false negatives, bounded false positives") {
+    val sk = new BloomSketch(1 << 14, 5)
+    val items = (0 until 1000).map(i => UTF8String.fromString(s"item-$i"))
+    items.foreach(sk.add)
+    assert(items.forall(it => BloomOps.mightContain(sk.bits, it, 5)),
+      "a Bloom filter must never miss an inserted item")
+    val probes = (0 until 10000).map(i => UTF8String.fromString(s"absent-$i"))
+    val fp = probes.count(p => BloomOps.mightContain(sk.bits, p, 5))
+    // k=5, n=1000, m=16384 → theoretical fp ≈ (1-e^{-5000/16384})^5 ≈ 0.2%
+    assert(fp < 200, s"false-positive rate too high: $fp/10000")
+  }
+
+  test("bloom sketches merge like set union") {
+    val a = new BloomSketch(1 << 10, 3); a.add(UTF8String.fromString("x"))
+    val b = new BloomSketch(1 << 10, 3); b.add(UTF8String.fromString("y"))
+    a.merge(b)
+    assert(BloomOps.mightContain(a.bits, UTF8String.fromString("x"), 3))
+    assert(BloomOps.mightContain(a.bits, UTF8String.fromString("y"), 3))
+  }
+
+  test("charEntropy matches the closed form") {
+    // "aabb": p=0.5 each → 1 bit; "abcd": 2 bits; "aaaa": 0
+    assert(graft.functions.TextOps.charEntropy(UTF8String.fromString("aabb")) == 1.0)
+    assert(graft.functions.TextOps.charEntropy(UTF8String.fromString("abcd")) == 2.0)
+    assert(graft.functions.TextOps.charEntropy(UTF8String.fromString("aaaa")) == 0.0)
+    assert(graft.functions.TextOps.charEntropy(UTF8String.fromString("")) == 0.0)
+  }
+
+  test("q80 entropy is positive and bounded for real documents") {
+    val rows = q("q80_entropy").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      val h = r.getDouble(1); h >= 0.0 && h <= 8.0 // ≤ log2(alphabet) bits/char
+    })
+  }
+
+  test("q79 dedup-apply removes planted copies and keeps their canonicals") {
+    val kept = q("q79_dedup_apply").collect().map(_.getLong(0)).toSet
+    // planted copies are doc_id >= 1000000 (exact text duplicates of
+    // 0..49): every copy clusters with its original, whose id is
+    // smaller, so no copy can ever be its cluster's canonical.
+    assert(!(1000000L until 1000050L).exists(kept.contains), "planted copies must be removed")
+    // doc 0 is the global minimum id — nothing can outrank it as canonical.
+    assert(kept.contains(0L), "the global-minimum doc is always canonical")
+    // base docs removed (near-dups among the organic corpus) stay a
+    // small fraction; the bulk of the corpus is untouched.
+    val baseTotal = Tables.documents(spark, sf).count()
+    assert(kept.size >= baseTotal * 8 / 10, s"kept ${kept.size} of $baseTotal base docs")
+  }
+
+  test("q81 curriculum top-k emits at most 5 per language, rank-dense") {
+    val rows = q("q81_curriculum_topk").collect()
+    val byLang = rows.groupBy(_.getString(0))
+    assert(byLang.nonEmpty)
+    byLang.foreach { case (_, rs) =>
+      assert(rs.length <= 5)
+      assert(rs.map(_.getLong(1)).sorted.sameElements(1L to rs.length.toLong))
+    }
+  }
+
+  test("q82 quota sample takes exactly min(50, stratum size) per language") {
+    val docs = Tables.documents(spark, sf)
+    val strata = docs.groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = q("q82_quota_sample").collect().groupBy(_.getString(0))
+      .map { case (l, rs) => l -> rs.length.toLong }
+    assert(got == strata.map { case (l, n) => l -> math.min(50L, n) })
+  }
+
+  test("q83 bloom decontamination never misses an exactly-contaminated doc") {
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val planted = docs.unionByName(docs.filter(col("doc_id") < 50)
+      .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+    val corpus = planted.filter(col("doc_id") >= 20)
+    val bench = planted.filter(col("doc_id") < 20)
+    val exact = TextAnalysis.contamination(corpus, bench, "doc_id", "text", n = 8)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val bloomed = q("q83_bloom_decontam").collect().map(_.getLong(0)).toSet
+    assert(exact.nonEmpty, "planted copies of docs 20..49 share all shingles with bench? need real positives")
+    assert(exact.subsetOf(bloomed), s"bloom missed ${exact -- bloomed}")
+    // over-flagging stays bounded: the filter is sized for ~0.2% fp/shingle
+    assert(bloomed.size <= exact.size + math.max(5, exact.size / 2),
+      s"bloom over-flagged: ${bloomed.size} vs exact ${exact.size}")
+  }
+
+  test("q83 plan has no shuffle on the corpus probe side") {
+    val plan = q("q83_bloom_decontam").queryExecution.executedPlan.toString
+    // the only exchanges allowed are the 1-row filter aggregation and the
+    // final sort; the corpus side joins via broadcast-nested-loop.
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"expected a broadcast of the filter bits, got:\n$plan")
+  }
+}
