@@ -16,7 +16,8 @@ object SparkEntry {
       graft.queries.SketchQueries.queries ++
       graft.queries.AnalyticQueries.queries ++
       graft.queries.OpsQueries.queries ++
-      graft.queries.CurationQueries.queries
+      graft.queries.CurationQueries.queries ++
+      graft.queries.RetrievalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -29,5 +30,6 @@ object SparkEntry {
       graft.queries.SketchQueries.oracleSql ++
       graft.queries.AnalyticQueries.oracleSql ++
       graft.queries.OpsQueries.oracleSql ++
-      graft.queries.CurationQueries.oracleSql
+      graft.queries.CurationQueries.oracleSql ++
+      graft.queries.RetrievalQueries.oracleSql
 }

@@ -1,0 +1,126 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Retrieval
+
+/** SURVEY.md §2.3 round-3 — retrieval/serving operators: chunking,
+  * deterministic shard shuffle, inverted index, BM25 ranking.
+  */
+object RetrievalQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  import TextQueries.wsSql
+
+  val queries: Map[String, Q] = Map(
+
+    // §2.3 — context-window chunking: 64-token windows every 48
+    // tokens (16-token overlap), trailing partial window kept.
+    "q84_chunk_documents" -> { (s, d) =>
+      Retrieval.chunkDocuments(Tables.documents(s, d), "doc_id", "text",
+        width = 64, stride = 48)
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+
+    // §2.3 — deterministic global shuffle into 16 uniform shards
+    // (training-order randomization, reproducible with no rand()).
+    "q85_shard_shuffle" -> { (s, d) =>
+      Retrieval.shuffleIntoShards(Tables.documents(s, d), "doc_id", "q85")
+        .orderBy(col("shard"), col("pos"))
+    },
+
+    // §2.3 — inverted index with stopword (hot-key) guard: words over
+    // the posting cap keep their df but materialize no posting list.
+    "q86_inverted_index" -> { (s, d) =>
+      Retrieval.invertedIndex(Tables.documents(s, d), "doc_id", "text",
+        postingCap = 100)
+        .orderBy(col("word"))
+    },
+
+    // §2.3 — BM25 top-20 for a fixed query over the documents table.
+    "q87_bm25" -> { (s, d) =>
+      Retrieval.bm25TopK(Tables.documents(s, d), "doc_id", "text",
+        terms = Seq("data", "model", "training"))
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q84_chunk_documents" ->
+      s"""WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents),
+         |chunks AS (
+         |  SELECT doc_id,
+         |         unnest([{'i': c, 'ch': ws[c*48+1 : c*48+64]}
+         |                 for c in generate_series(0, (len(ws)-1)//48)]) AS u
+         |  FROM w WHERE len(ws) >= 1
+         |)
+         |SELECT doc_id, CAST(u.i AS BIGINT) AS chunk_idx,
+         |       CAST(len(u.ch) AS BIGINT) AS n_tokens,
+         |       md5(array_to_string(u.ch, ' ')) AS chunk_hash
+         |FROM chunks
+         |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q85_shard_shuffle" ->
+      """WITH h AS (
+        |  SELECT doc_id, md5('q85:' || CAST(doc_id AS VARCHAR)) AS hh
+        |  FROM documents
+        |), keyed AS (
+        |  SELECT doc_id, hh,
+        |         CAST((strpos('0123456789abcdef', substr(hh, 1, 1)) - 1) % 16 AS BIGINT) AS shard
+        |  FROM h
+        |)
+        |SELECT shard,
+        |       CAST(row_number() OVER (PARTITION BY shard ORDER BY hh, doc_id) AS BIGINT) AS pos,
+        |       doc_id
+        |FROM keyed
+        |ORDER BY shard, pos""".stripMargin,
+
+    "q86_inverted_index" ->
+      s"""WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents),
+         |pairs AS (SELECT DISTINCT doc_id, unnest(ws) AS word FROM w),
+         |dfs AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM pairs GROUP BY word),
+         |posts AS (
+         |  SELECT p.word, string_agg(CAST(p.doc_id AS VARCHAR), ',' ORDER BY p.doc_id) AS postings
+         |  FROM pairs p JOIN dfs d USING (word)
+         |  WHERE d.df <= 100
+         |  GROUP BY p.word
+         |)
+         |SELECT d.word, d.df, posts.postings
+         |FROM dfs d LEFT JOIN posts USING (word)
+         |ORDER BY d.word""".stripMargin,
+
+    "q87_bm25" ->
+      s"""WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents),
+         |stats AS (
+         |  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+         |         CAST(SUM(len(ws)) AS DOUBLE) / COUNT(*) AS avgdl,
+         |         CAST(SUM(CASE WHEN list_contains(ws, 'data') THEN 1 ELSE 0 END) AS DOUBLE) AS df_0,
+         |         CAST(SUM(CASE WHEN list_contains(ws, 'model') THEN 1 ELSE 0 END) AS DOUBLE) AS df_1,
+         |         CAST(SUM(CASE WHEN list_contains(ws, 'training') THEN 1 ELSE 0 END) AS DOUBLE) AS df_2
+         |  FROM w
+         |), scored AS (
+         |  SELECT doc_id,
+         |    ROUND(
+         |      ln((n_docs - df_0 + 0.5) / (df_0 + 0.5) + 1.0)
+         |        * (CAST(len(list_filter(ws, x -> x = 'data')) AS DOUBLE) * (1.2 + 1.0))
+         |        / (CAST(len(list_filter(ws, x -> x = 'data')) AS DOUBLE)
+         |           + 1.2 * (1.0 - 0.75 + 0.75 * CAST(len(ws) AS DOUBLE) / avgdl))
+         |      + ln((n_docs - df_1 + 0.5) / (df_1 + 0.5) + 1.0)
+         |        * (CAST(len(list_filter(ws, x -> x = 'model')) AS DOUBLE) * (1.2 + 1.0))
+         |        / (CAST(len(list_filter(ws, x -> x = 'model')) AS DOUBLE)
+         |           + 1.2 * (1.0 - 0.75 + 0.75 * CAST(len(ws) AS DOUBLE) / avgdl))
+         |      + ln((n_docs - df_2 + 0.5) / (df_2 + 0.5) + 1.0)
+         |        * (CAST(len(list_filter(ws, x -> x = 'training')) AS DOUBLE) * (1.2 + 1.0))
+         |        / (CAST(len(list_filter(ws, x -> x = 'training')) AS DOUBLE)
+         |           + 1.2 * (1.0 - 0.75 + 0.75 * CAST(len(ws) AS DOUBLE) / avgdl)),
+         |    6) AS bm25
+         |  FROM w CROSS JOIN stats
+         |)
+         |SELECT doc_id, bm25 FROM scored
+         |ORDER BY bm25 DESC, doc_id
+         |LIMIT 20""".stripMargin
+  )
+}

@@ -17,7 +17,9 @@ class ContractSpec extends SparkSpecBase {
       graft.queries.PipelineQueries.queries.keySet,
       graft.queries.SketchQueries.queries.keySet,
       graft.queries.AnalyticQueries.queries.keySet,
-      graft.queries.OpsQueries.queries.keySet)
+      graft.queries.OpsQueries.queries.keySet,
+      graft.queries.CurationQueries.queries.keySet,
+      graft.queries.RetrievalQueries.queries.keySet)
     val total = groups.map(_.size).sum
     assert(total == SparkEntry.queries.size,
       "duplicate query keys across group maps")

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Retrieval
+import graft.queries.RetrievalQueries
+
+/** SURVEY §2.3 round-3 retrieval operators: chunking, shard shuffle,
+  * inverted index, BM25.
+  */
+class RetrievalSpec extends SparkSpecBase {
+
+  private def q(name: String) = RetrievalQueries.queries(name)(spark, sf)
+
+  test("chunking covers every token: stride-spaced starts, full-width interior chunks") {
+    val docs = Tables.documents(spark, sf)
+    val chunks = Retrieval.chunkDocuments(docs, "doc_id", "text", width = 64, stride = 48)
+      .collect().groupBy(_.getLong(0))
+    val nWords = docs
+      .select(col("doc_id"), size(graft.functions.GraftFunctions.normWords(col("text"))).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(chunks.nonEmpty)
+    chunks.foreach { case (docId, rs) =>
+      val n = nWords(docId)
+      val expected = (n - 1) / 48 + 1
+      assert(rs.length == expected, s"doc $docId: ${rs.length} chunks for $n words")
+      val byIdx = rs.sortBy(_.getLong(1))
+      byIdx.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getLong(1) == i.toLong) // dense 0-based chunk ids
+        val want = math.min(64, n - i * 48)
+        assert(r.getLong(2) == want.toLong, s"doc $docId chunk $i: ${r.getLong(2)} tokens, want $want")
+      }
+    }
+  }
+
+  test("shard shuffle is deterministic, uniform-ish, and position-dense") {
+    val docs = Tables.documents(spark, sf)
+    val a = q("q85_shard_shuffle").collect()
+    val b = q("q85_shard_shuffle").collect()
+    assert(a.map(_.toSeq).sameElements(b.map(_.toSeq)), "must be reproducible")
+    val byShard = a.groupBy(_.getLong(0))
+    val n = docs.count()
+    assert(byShard.keySet.subsetOf((0L until 16L).toSet))
+    byShard.foreach { case (sh, rs) =>
+      assert(rs.map(_.getLong(1)).sorted.sameElements(1L to rs.length.toLong),
+        s"shard $sh positions not dense")
+      // 16 uniform nibble shards: no shard should hold more than 4x its share
+      assert(rs.length <= n / 16 * 4 + 8, s"shard $sh skewed: ${rs.length} of $n")
+    }
+    assert(a.length == n, "every row lands in exactly one shard")
+  }
+
+  test("inverted index: df counts match, hot words carry no postings") {
+    val rows = q("q86_inverted_index").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val df = r.getLong(1)
+      if (df > 100) assert(r.isNullAt(2), s"hot word ${r.getString(0)} materialized postings")
+      else {
+        val ids = r.getString(2).split(",").map(_.toLong)
+        assert(ids.length == df, s"word ${r.getString(0)}: ${ids.length} postings vs df=$df")
+        assert(ids.sameElements(ids.sorted), "postings must be sorted")
+      }
+    }
+  }
+
+  test("inverted index plan never aggregates lists before the hot-word anti-join") {
+    val plan = Retrieval.invertedIndex(Tables.documents(spark, sf), "doc_id", "text", 100)
+      .queryExecution.optimizedPlan.toString
+    // collect_list must sit ABOVE the anti-join in the optimized plan:
+    // the join filters hot words out before any list buffer forms.
+    val aggIdx = plan.indexOf("collect_list")
+    val joinIdx = plan.indexOf("LeftAnti")
+    assert(aggIdx >= 0 && joinIdx >= 0 && aggIdx < joinIdx,
+      s"expected collect_list above LeftAnti join:\n$plan")
+  }
+
+  test("bm25 ranks term-bearing docs first and respects top-k") {
+    val rows = q("q87_bm25").collect()
+    assert(rows.length == 20)
+    val scores = rows.map(_.getDouble(1))
+    assert(scores.sameElements(scores.sortBy(-_)), "descending scores")
+    assert(scores.head > 0.0, "top doc must contain at least one query term")
+    // every returned score beats (or ties) any doc containing no term: 0
+    assert(scores.forall(_ >= 0.0))
+  }
+
+  test("bm25 is a two-job plan: one stats aggregate broadcast into a narrow scan") {
+    val plan = Retrieval.bm25TopK(Tables.documents(spark, sf), "doc_id", "text",
+      Seq("data", "model")).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), s"stats must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"no shuffled join allowed:\n$plan")
+  }
+}
