@@ -35,6 +35,24 @@ object Multimodal {
         ((col("doc_id") * 37) % 480 + 1).cast("int").as("height"),
         (col("n_chars") % 24 + 1).cast("int").as("n_frames")).as("meta"))
 
+  /** Resize planning + ViT patch-count math over the media metadata —
+    * the preprocessing bookkeeping a vision pipeline computes BEFORE
+    * touching pixels (so it runs on metadata only, never the
+    * payload): aspect-preserving fit into a `target`-square box using
+    * EXACT integer arithmetic (floor division — no float scale
+    * factor), then ceil-division patch counts for a `patch`-sized
+    * grid. Narrow codegen'd pass; oracle-expressible.
+    */
+  def resizePlan(media: DataFrame, target: Int = 224, patch: Int = 16): DataFrame = {
+    val outW = s"greatest(1, (meta.width * $target) div greatest(meta.width, meta.height))"
+    val outH = s"greatest(1, (meta.height * $target) div greatest(meta.width, meta.height))"
+    media.select(col("doc_id"),
+      col("meta.width").as("in_w"), col("meta.height").as("in_h"),
+      expr(outW).cast("int").as("out_w"), expr(outH).cast("int").as("out_h"),
+      expr(s"cast((( ($outW) + ${patch - 1}) div $patch) * ((($outH) + ${patch - 1}) div $patch) AS bigint)")
+        .as("n_patches"))
+  }
+
   /** Deterministic stand-in for a codec: a real implementation would
     * hand `payload` to an image/audio library per batch. Returns a
     * per-frame feature (here: a stable hash-derived float), exploded

@@ -15,6 +15,24 @@ import graft.functions.GraftFunctions
   */
 object Similarity {
 
+  /** Scalar int8 quantization of the embedding column — the 4×
+    * storage/bandwidth shrink every 100 TB vector corpus applies
+    * before ANN serving. Per-vector (min, max) range, 255 levels,
+    * codes in 0..255; entirely narrow array expressions (one pass,
+    * no shuffle). Dequantization error is bounded by half a level:
+    * |x − dequant(code)| ≤ (max−min)/255/2 (+ float→double noise),
+    * asserted in spec. Constant vectors (max == min) code to 0.
+    */
+  def quantizeInt8(embs: DataFrame, idCol: String, vecCol: String): DataFrame =
+    embs
+      .select(col(idCol).as("vec_id"),
+        col(vecCol).as("__v"),
+        array_min(col(vecCol)).cast("double").as("q_min"),
+        array_max(col(vecCol)).cast("double").as("q_max"))
+      .select(col("vec_id"), col("q_min"), col("q_max"),
+        expr("transform(__v, x -> cast(round((cast(x AS double) - q_min) * 255.0D" +
+          " / greatest(q_max - q_min, 1e-30D)) AS int))").as("codes"))
+
   /** Exact top-k cosine neighbors for each query vector. The query set
     * is expected to be small and is broadcast; the corpus is scanned
     * once (narrow), then one shuffle on query_id for the top-k window.

@@ -211,6 +211,20 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // §2.3 #40 — resize planning + ViT patch counts over media
+    // metadata: exact integer math, no pixels touched.
+    "q88_resize_plan" -> { (s, d) =>
+      Multimodal.resizePlan(Multimodal.attachBinary(Tables.documents(s, d)))
+        .orderBy(col("doc_id"))
+    },
+
+    // §2.3 #34b — scalar int8 quantization of the embedding column
+    // (rows-only; dequant-error bound asserted in spec).
+    "q89_quantize_int8" -> { (s, d) =>
+      Similarity.quantizeInt8(Tables.embeddings(s, d), "vec_id", "embedding")
+        .orderBy(col("vec_id"))
+    },
+
     // §2.3 — PII scrubbing over a corpus with deterministically
     // planted emails (doc_id % 5 = 0) and phone numbers
     // (doc_id % 7 = 0); mirrored verbatim in the oracle.
@@ -474,6 +488,23 @@ object TextQueries {
         |  n_chars % 24 + 1 AS n_frames,
         |  md5(text) AS payload_hash
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q88_resize_plan" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |         CAST(n_chars % 640 + 1 AS INT) AS w,
+        |         CAST((doc_id * 37) % 480 + 1 AS INT) AS h
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, w, h,
+        |         greatest(1, (w * 224) // greatest(w, h)) AS ow,
+        |         greatest(1, (h * 224) // greatest(w, h)) AS oh
+        |  FROM m
+        |)
+        |SELECT doc_id, w AS in_w, h AS in_h,
+        |       CAST(ow AS INT) AS out_w, CAST(oh AS INT) AS out_h,
+        |       CAST(((ow + 15) // 16) * ((oh + 15) // 16) AS BIGINT) AS n_patches
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     "q69_pii_scrub" ->
       s"""WITH $piiCorpusSql

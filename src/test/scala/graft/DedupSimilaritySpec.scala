@@ -129,6 +129,40 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(a == b)
   }
 
+  test("resize plan: fits the 224 box, preserves orientation, exact patch grid") {
+    val rows = Multimodal.resizePlan(Multimodal.attachBinary(docs)).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (inW, inH, outW, outH, nP) =
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getLong(5))
+      assert(outW <= 224 && outH <= 224 && outW >= 1 && outH >= 1)
+      assert(math.max(outW, outH) == 224, "long side must hit the target")
+      assert((inW >= inH) == (outW >= outH), "orientation preserved")
+      assert(nP == ((outW + 15) / 16).toLong * ((outH + 15) / 16))
+    }
+  }
+
+  test("int8 quantization: dequant error within half a level, round-trip deterministic") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = Similarity.quantizeInt8(emb, "vec_id", "embedding")
+    val joined = q.join(emb, q("vec_id") === emb("vec_id"))
+      .select(q("vec_id"), col("q_min"), col("q_max"), col("codes"), col("embedding"))
+      .collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val (mn, mx) = (r.getDouble(1), r.getDouble(2))
+      val codes = r.getSeq[Int](3)
+      val vec = r.getSeq[Float](4)
+      val level = math.max(mx - mn, 1e-30) / 255.0
+      assert(codes.forall(c => c >= 0 && c <= 255), "codes must fit one byte")
+      codes.zip(vec).foreach { case (c, x) =>
+        val dq = mn + c * level
+        assert(math.abs(dq - x) <= level / 2.0 + 1e-6,
+          s"vec ${r.getLong(0)}: |$dq - $x| > half level $level")
+      }
+    }
+  }
+
   test("simhash near-dup pairs include every planted exact copy at hamming 0") {
     val pairs = TextQueries.queries("q32b_simhash_pairs")(spark, sf)
     val planted = pairs.filter(col("doc_b") === col("doc_a") + 1000000)
