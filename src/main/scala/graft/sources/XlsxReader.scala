@@ -33,6 +33,15 @@ object XlsxReader {
     * numeric, BOOLEAN if every cell is an xlsx boolean, else STRING.
     */
   def read(spark: SparkSession, path: String, sheet: Int = 1): DataFrame = {
+    val (schema, data) = parseTyped(path, sheet)
+    spark.createDataFrame(data.map(Row.fromSeq).asJava, schema)
+  }
+
+  /** Parse sheet N into (inferred schema, coerced JVM values) — the
+    * shared front-end for [[read]] and the DataSource V2 provider
+    * ([[XlsxDataSource]]), which needs schema and rows separately.
+    */
+  def parseTyped(path: String, sheet: Int): (StructType, Vector[Vector[Any]]) = {
     val zf = new ZipFile(path)
     try {
       val shared = Option(zf.getEntry("xl/sharedStrings.xml"))
@@ -53,9 +62,9 @@ object XlsxReader {
         StructField(n, t, nullable = true)
       })
       val data = body.map { r =>
-        Row.fromSeq((0 until width).map(i => coerce(r(i), types(i))))
+        (0 until width).map(i => coerce(r(i), types(i))).toVector
       }
-      spark.createDataFrame(data.asJava, schema)
+      (schema, data)
     } finally zf.close()
   }
 

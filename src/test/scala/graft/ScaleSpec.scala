@@ -186,6 +186,30 @@ class ScaleSpec extends SparkSpecBase {
     assert(pruned.count() == src.filter(col("event_type") === "click").count())
   }
 
+  test("streaming restart from checkpoint is effectively-once (no replay, no loss)") {
+    import graft.streaming.EventStream
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-restart-src").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-restart-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-restart-ckpt").toString
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    def stream() = spark.readStream.schema(EventStream.rawSchema).parquet(srcDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+
+    raw.filter(col("event_id") % 2 === 0).coalesce(1).write.mode("append").parquet(srcDir)
+    EventStream.runToParquet(spark, stream(), out, ckpt, Seq("event_type"))
+    val afterFirst = spark.read.parquet(out).count()
+
+    raw.filter(col("event_id") % 2 === 1).coalesce(1).write.mode("append").parquet(srcDir)
+    EventStream.runToParquet(spark, stream(), out, ckpt, Seq("event_type"))
+
+    val back = spark.read.parquet(out)
+    val total = raw.count()
+    assert(afterFirst < total, "first run must process only the first file")
+    assert(back.count() == total, "restart must pick up exactly the new file")
+    assert(back.select("event_id").distinct().count() == total,
+      "no event may be written twice across the restart")
+  }
+
   test("sql-registered minhash functions band identically to the column API") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)

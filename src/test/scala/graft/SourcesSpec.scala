@@ -115,6 +115,21 @@ class SourcesSpec extends SparkSpecBase {
     assert(df.filter(df("c").isNull).count() == 1)
   }
 
+  test("xlsx reads through the DataSource V2 surface: spark.read.format(\"xlsx\")") {
+    val p = Files.createTempDirectory("graftxlsxv2").resolve("supp.xlsx").toString
+    graft.sources.XlsxReader.write(p,
+      header = Seq("gene", "mim_id", "score"),
+      rows = Seq(Seq("TP53", 191170L, 0.93), Seq("BRCA1", 113705L, 0.51)))
+    val df = spark.read.format("xlsx").load(p)
+    assert(df.columns.toSeq == Seq("gene", "mim_id", "score"))
+    assert(df.schema.map(_.dataType.typeName) == Seq("string", "long", "double"))
+    // results identical to the direct reader, and filters/projection compose
+    assert(df.orderBy("gene").collect().toSeq ==
+      graft.sources.XlsxReader.read(spark, p).orderBy("gene").collect().toSeq)
+    assert(df.filter(df("score") > 0.9).select("gene").as[String](org.apache.spark.sql.Encoders.STRING)
+      .collect().toSeq == Seq("TP53"))
+  }
+
   test("ingest logs per-source failures without aborting the batch") {
     val ing = new Ingest()
       .source("good")(Tables.nation(spark, sf))
