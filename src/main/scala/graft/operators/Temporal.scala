@@ -49,6 +49,25 @@ object Temporal {
       .drop("__prev", "__new")
   }
 
+  /** SCD type-2 dimension history from a change log: each key's
+    * changes, ordered by (time, id), become validity intervals —
+    * `valid_from_us` inclusive, `valid_to_us` exclusive (epoch
+    * micros; NULL marks the current version). ONE window over a
+    * single (key) shuffle; integer outputs are render-stable for the
+    * oracle. The warehouse "track every version of the dimension"
+    * shape the reference's re-import cycles imply.
+    */
+  def scd2(changes: DataFrame, key: String, timeCol: String,
+           idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(timeCol).asc, col(idCol).asc)
+    changes.select(col(key), col(idCol),
+      unix_micros(col(timeCol).cast("timestamp")).as("valid_from_us"),
+      lead(unix_micros(col(timeCol).cast("timestamp")), 1).over(w).as("valid_to_us"))
+      .withColumn("is_current",
+        when(col("valid_to_us").isNull, 1L).otherwise(0L))
+  }
+
   /** Banded range self-join: all same-key row pairs within
     * `bandMicros` of each other, joined on (key, time-bucket) with the
     * left side exploded into its bucket ±1 — every qualifying pair

@@ -119,6 +119,25 @@ object OpsQueries {
           // repr differences); exact integers hash identically everywhere.
           round(min(col("c_acctbal")) * 100, 0).cast("long").as("min_bal_cents"),
           round(max(col("c_acctbal")) * 100, 0).cast("long").as("max_bal_cents"))
+    },
+
+    // SCD type-2 dimension history: each customer's orders become
+    // validity intervals (from, to) in epoch micros, NULL = current.
+    "q90_scd2" -> { (s, d) =>
+      graft.operators.Temporal.scd2(Tables.orders(s, d),
+        key = "o_custkey", timeCol = "o_orderdate", idCol = "o_orderkey")
+        .orderBy(col("o_custkey"), col("valid_from_us"), col("o_orderkey"))
+    },
+
+    // PageRank by power iteration over a deterministic graph derived
+    // from the orders table (rows-only: float sums are
+    // aggregation-order-sensitive; GraphSpec pins the semantics).
+    "q91_pagerank" -> { (s, d) =>
+      val edges = Tables.orders(s, d)
+        .select((col("o_custkey") % 200).as("src"), (col("o_orderkey") % 200).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      graft.operators.Graph.pageRank(edges, iters = 5)
+        .orderBy(col("id"))
     }
   )
 
@@ -189,6 +208,17 @@ object OpsQueries {
         |  COUNT(DISTINCT c_nationkey) AS distinct_nations,
         |  CAST(ROUND(MIN(c_acctbal) * 100, 0) AS BIGINT) AS min_bal_cents,
         |  CAST(ROUND(MAX(c_acctbal) * 100, 0) AS BIGINT) AS max_bal_cents
-        |FROM customer""".stripMargin
+        |FROM customer""".stripMargin,
+
+    "q90_scd2" ->
+      """SELECT o_custkey, o_orderkey,
+        |  epoch_us(o_orderdate) AS valid_from_us,
+        |  lead(epoch_us(o_orderdate)) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS valid_to_us,
+        |  CAST(CASE WHEN lead(epoch_us(o_orderdate)) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) IS NULL
+        |    THEN 1 ELSE 0 END AS BIGINT) AS is_current
+        |FROM orders
+        |ORDER BY o_custkey, valid_from_us, o_orderkey""".stripMargin
   )
 }

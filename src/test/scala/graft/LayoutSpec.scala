@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.ZOrderOps
+import graft.operators.Layout
+
+/** Z-order layout: the Morton key must interleave correctly and the
+  * clustered write must give two-dimensional file-skipping.
+  */
+class LayoutSpec extends SparkSpecBase {
+
+  test("morton spread/interleave round-trips bit patterns") {
+    assert(ZOrderOps.interleave(0, 0) == 0L)
+    assert(ZOrderOps.interleave(1, 0) == 1L) // a's bits at even positions
+    assert(ZOrderOps.interleave(0, 1) == 2L) // b's bits at odd positions
+    assert(ZOrderOps.interleave(3, 3) == 15L)
+    // spot-check: de-interleaving recovers both inputs
+    val (a, b) = (0xabcd, 0x1234)
+    val z = ZOrderOps.interleave(a, b)
+    def unspread(x: Long): Int = {
+      var v = x & 0x5555555555555555L
+      v = (v | (v >> 1)) & 0x3333333333333333L
+      v = (v | (v >> 2)) & 0x0f0f0f0f0f0f0f0fL
+      v = (v | (v >> 4)) & 0x00ff00ff00ff00ffL
+      v = (v | (v >> 8)) & 0x0000ffff0000ffffL
+      v = (v | (v >> 16)) & 0xffffffffL
+      v.toInt
+    }
+    assert(unspread(z) == a && unspread(z >> 1) == b)
+  }
+
+  test("z-ordered files prune on BOTH dimensions; 1-D sort prunes only its own") {
+    val li = Tables.lineitem(spark, sf).select("l_partkey", "l_suppkey")
+    val zDir = java.nio.file.Files.createTempDirectory("graft-z").toString
+    val sDir = java.nio.file.Files.createTempDirectory("graft-s").toString
+    Layout.zorderWrite(li, zDir, "l_partkey", "l_suppkey", nFiles = 8)
+    // baseline: range-sorted by partkey only, same file count
+    li.repartitionByRange(8, col("l_partkey"))
+      .sortWithinPartitions(col("l_partkey"))
+      .write.mode("overwrite").parquet(sDir)
+
+    val zPart = Layout.fileSpread(spark, zDir, "l_partkey")
+    val zSupp = Layout.fileSpread(spark, zDir, "l_suppkey")
+    val sPart = Layout.fileSpread(spark, sDir, "l_partkey")
+    val sSupp = Layout.fileSpread(spark, sDir, "l_suppkey")
+
+    // the 1-D sort is near-perfect on its own column and useless on the other
+    assert(sPart < 0.35, s"sorted layout should cluster partkey, spread $sPart")
+    assert(sSupp > 0.8, s"sorted layout cannot cluster suppkey, spread $sSupp")
+    // z-order clusters BOTH dimensions materially better than no clustering
+    assert(zPart < 0.6, s"z-order partkey spread $zPart")
+    assert(zSupp < 0.6, s"z-order suppkey spread $zSupp")
+    assert(zSupp < sSupp / 1.5, s"z-order must beat 1-D sort on the second dim: $zSupp vs $sSupp")
+  }
+}

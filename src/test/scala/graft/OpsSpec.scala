@@ -9,7 +9,10 @@ class OpsSpec extends SparkSpecBase {
     OpsQueries.queries.foreach { case (name, fn) =>
       assert(fn(spark, sf).count() > 0, s"$name returned 0 rows")
     }
-    assert(OpsQueries.oracleSql.keySet == OpsQueries.queries.keySet)
+    // q91_pagerank is rows-only by design (float power-iteration sums
+    // are aggregation-order-sensitive; GraphSpec pins the semantics).
+    assert(OpsQueries.queries.keySet -- OpsQueries.oracleSql.keySet ==
+      Set("q91_pagerank"))
   }
 
   test("train split is total, disjoint, and stable across runs") {
