@@ -17,7 +17,9 @@ object SparkEntry {
       graft.queries.AnalyticQueries.queries ++
       graft.queries.OpsQueries.queries ++
       graft.queries.CurationQueries.queries ++
-      graft.queries.RetrievalQueries.queries
+      graft.queries.RetrievalQueries.queries ++
+      graft.queries.GraphQueries.queries ++
+      graft.queries.BehaviorQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -31,5 +33,7 @@ object SparkEntry {
       graft.queries.AnalyticQueries.oracleSql ++
       graft.queries.OpsQueries.oracleSql ++
       graft.queries.CurationQueries.oracleSql ++
-      graft.queries.RetrievalQueries.oracleSql
+      graft.queries.RetrievalQueries.oracleSql ++
+      graft.queries.GraphQueries.oracleSql ++
+      graft.queries.BehaviorQueries.oracleSql
 }

@@ -41,4 +41,51 @@ object Graph {
     }
     ranks
   }
+
+  /** Single-source BFS: minimum hop count from `source` to every node
+    * reachable in ≤ `maxDepth` edges, over (src, dst) edges. Returns
+    * (id, dist_hops). Pure join/aggregate relaxation — round k extends
+    * every known shortest path by one edge and keeps the minimum, so
+    * after `maxDepth` rounds the result is exactly min-hops over paths
+    * of ≤ maxDepth edges (the same semantics as a depth-bounded
+    * recursive-CTE closure). At 100 TB: each round is one shuffle on
+    * dst + a min-aggregate; frontier stays a (node, dist) table, never
+    * driver-side; localCheckpoint caps lineage like [[pageRank]].
+    */
+  def bfs(edgesIn: DataFrame, source: Long, maxDepth: Int): DataFrame = {
+    val edges = edgesIn.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).distinct().persist()
+    var dist = edges.sparkSession.range(1)
+      .select(lit(source).as("id"), lit(0L).as("dist_hops"))
+    for (_ <- 1 to maxDepth) {
+      val next = dist.join(edges, dist("id") === edges("src"))
+        .select(col("dst").as("id"), (col("dist_hops") + 1L).as("dist_hops"))
+      dist = dist.union(next)
+        .groupBy(col("id")).agg(min(col("dist_hops")).as("dist_hops"))
+        .localCheckpoint()
+    }
+    dist
+  }
+
+  /** Per-node triangle participation over an UNDIRECTED edge set given
+    * as canonical (a < b) pairs: for each node, the number of
+    * triangles it belongs to. The classic three-way self-join on the
+    * ordered orientation (a<b<c) counts each triangle once; joining
+    * ordered edges bounds fan-out by forward-degree (the compact-
+    * forward algorithm — hub nodes contribute their lower-degree
+    * orientation only, which is what makes this tractable on
+    * power-law graphs).
+    */
+  def triangleCounts(edgesIn: DataFrame): DataFrame = {
+    val e = edgesIn.select(col("a").cast("long").as("a"),
+      col("b").cast("long").as("b"))
+      .filter(col("a") < col("b")).distinct().persist()
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .join(e.as("e3"),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    tri.select(explode(array(col("x"), col("y"), col("z"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_triangles"))
+  }
 }

@@ -149,6 +149,46 @@ object AnalyticQueries {
         .select(col("doc_id"), col("lang"),
           round((col("n_chars") - col("mean")) / col("std"), 6).as("z"))
         .orderBy(col("doc_id"))
+    },
+
+    // explicit GROUPING SETS lattice (beyond ROLLUP/CUBE): per-nation,
+    // per-segment, and grand-total slices in one pass, grouping_id
+    // disambiguating the NULL-as-subtotal rows.
+    "q92_grouping_sets" -> { (s, d) =>
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupingSets(
+          Seq(Seq(col("n_name")), Seq(col("c_mktsegment")), Seq()),
+          col("n_name"), col("c_mktsegment"))
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n_customers"),
+          sum(dec(col("c_acctbal"))).cast("double").as("total_bal"))
+        .orderBy(col("gid"), col("n_name").asc_nulls_first,
+          col("c_mktsegment").asc_nulls_first)
+    },
+
+    // per-group least-squares regression (price ~ quantity) from EXACT
+    // decimal moment sums — the q74 pattern extended to two variables:
+    // slope/intercept are a handful of double ops on exact inputs,
+    // rounded on both sides.
+    "q95_regression" -> { (s, d) =>
+      val x = col("l_quantity").cast(DecimalType(18, 2))
+      val y = col("l_extendedprice").cast(DecimalType(18, 2))
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum(x).cast("double").as("sx"),
+          sum(y).cast("double").as("sy"),
+          sum(x * y).cast("double").as("sxy"),
+          sum(x * x).cast("double").as("sxx"))
+        .select(col("l_returnflag"), col("n").cast("long").as("n_rows"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("slope"),
+          round((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx")) / col("n"), 6)
+            .as("intercept"))
+        .orderBy(col("l_returnflag"))
     }
   )
 
@@ -227,6 +267,29 @@ object AnalyticQueries {
         |SELECT d.doc_id AS doc_id, d.lang AS lang,
         |  ROUND((d.n_chars - m.sx / m.n) / sqrt((m.sxx - m.sx * m.sx / m.n) / (m.n - 1)), 6) AS z
         |FROM documents d JOIN m USING (lang)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    "q92_grouping_sets" ->
+      """SELECT n_name, c_mktsegment,
+        |  CAST(GROUPING(n_name, c_mktsegment) AS BIGINT) AS gid,
+        |  COUNT(*) AS n_customers,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
+        |ORDER BY gid, n_name NULLS FIRST, c_mktsegment NULLS FIRST""".stripMargin,
+
+    "q95_regression" ->
+      """WITH m AS (
+        |  SELECT l_returnflag,
+        |    CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxx
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+        |  ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+        |  ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) AS intercept
+        |FROM m ORDER BY l_returnflag""".stripMargin
   )
 }

@@ -1,0 +1,133 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** SURVEY.md §2.4 addendum — event-behavior analytics over the events
+  * stream table: ordered funnel stages, cohort retention, and hopping
+  * (sliding) windows. These are the product-analytics shapes a user of
+  * the reference's event exports runs daily; each is one or two
+  * shuffles on uniform keys (user_id / window start) and every output
+  * column is integer or decimal-exact, so all three oracle-check.
+  */
+object BehaviorQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+
+    // ordered funnel view → click → purchase: each stage's first
+    // eligible time must follow the previous stage's. Three bounded
+    // aggregates, each a broadcast-sized (≤ n_users rows) join back.
+    "q96_funnel" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("us")).as("t_view_us"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("us") > col("t_view_us"))
+        .groupBy(col("user_id")).agg(min(col("us")).as("t_click_us"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("us") > col("t_click_us"))
+        .groupBy(col("user_id")).agg(min(col("us")).as("t_purchase_us"))
+      ev.select(col("user_id")).distinct()
+        .join(v, Seq("user_id"), "left")
+        .join(c, Seq("user_id"), "left")
+        .join(p, Seq("user_id"), "left")
+        .select(col("user_id"),
+          (when(col("t_view_us").isNotNull, 1).otherwise(0) +
+            when(col("t_click_us").isNotNull, 1).otherwise(0) +
+            when(col("t_purchase_us").isNotNull, 1).otherwise(0))
+            .cast("long").as("funnel_stage"),
+          col("t_view_us"), col("t_click_us"), col("t_purchase_us"))
+        .orderBy(col("user_id"))
+    },
+
+    // weekly cohort retention: users bucketed by first-activity day,
+    // counted per whole-week offset of later activity. All-integer
+    // day/week arithmetic — no calendar-week engine differences.
+    "q97_retention" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("user_id"),
+          // integer div, never double division: day boundaries exact
+          expr("unix_micros(ts) div 86400000000").as("day"))
+      val cohort = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+      ev.join(cohort, "user_id")
+        .select(col("user_id"), col("cohort_day"),
+          expr("(day - cohort_day) div 7").as("week_offset"))
+        .groupBy(col("cohort_day"), col("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort_day"), col("week_offset"))
+    },
+
+    // hopping windows: 10-minute windows sliding every 5 — each event
+    // lands in exactly two windows; sums decimal-exact like q41.
+    "q98_sliding_window" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "600 seconds", "300 seconds"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+        .select(unix_micros(col("window.start")).as("window_start_us"),
+          col("n_events"), col("sum_value"))
+        .orderBy(col("window_start_us"))
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q96_funnel" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+        |), v AS (
+        |  SELECT user_id, MIN(us) AS t_view_us FROM ev
+        |  WHERE event_type = 'view' GROUP BY user_id
+        |), c AS (
+        |  SELECT ev.user_id, MIN(us) AS t_click_us FROM ev
+        |  JOIN v USING (user_id)
+        |  WHERE event_type = 'click' AND us > t_view_us GROUP BY ev.user_id
+        |), p AS (
+        |  SELECT ev.user_id, MIN(us) AS t_purchase_us FROM ev
+        |  JOIN c USING (user_id)
+        |  WHERE event_type = 'purchase' AND us > t_click_us GROUP BY ev.user_id
+        |)
+        |SELECT u.user_id,
+        |  CAST((CASE WHEN t_view_us IS NOT NULL THEN 1 ELSE 0 END) +
+        |       (CASE WHEN t_click_us IS NOT NULL THEN 1 ELSE 0 END) +
+        |       (CASE WHEN t_purchase_us IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS funnel_stage,
+        |  t_view_us, t_click_us, t_purchase_us
+        |FROM (SELECT DISTINCT user_id FROM ev) u
+        |LEFT JOIN v USING (user_id)
+        |LEFT JOIN c USING (user_id)
+        |LEFT JOIN p USING (user_id)
+        |ORDER BY u.user_id""".stripMargin,
+
+    "q97_retention" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+        |), cohort AS (
+        |  SELECT user_id, MIN(day) AS cohort_day FROM ev GROUP BY user_id
+        |)
+        |SELECT cohort_day, (day - cohort_day) // 7 AS week_offset,
+        |       COUNT(DISTINCT ev.user_id) AS n_users
+        |FROM ev JOIN cohort USING (user_id)
+        |GROUP BY cohort_day, week_offset
+        |ORDER BY cohort_day, week_offset""".stripMargin,
+
+    "q98_sliding_window" ->
+      """WITH us AS (
+        |  SELECT epoch_us(ts) AS us, value FROM events
+        |), hopped AS (
+        |  SELECT (us // 300000000) * 300000000 AS window_start_us, value FROM us
+        |  UNION ALL
+        |  SELECT (us // 300000000) * 300000000 - 300000000, value FROM us
+        |)
+        |SELECT window_start_us, COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM hopped GROUP BY window_start_us ORDER BY window_start_us""".stripMargin
+  )
+}

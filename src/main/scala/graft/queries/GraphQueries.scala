@@ -1,0 +1,82 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.Graph
+
+/** SURVEY.md §2.3 graph analytics (beyond CC/PageRank): triangle
+  * counting and single-source BFS, both derived from a deterministic
+  * edge set over the orders table so they oracle-check exactly — the
+  * reference's STRING PPI network (tidy-api-ftp.R:147-162) is exactly
+  * such an edge table, and neighbourhood statistics over it are the
+  * natural next query a user asks.
+  *
+  * Edge construction: (o_custkey % N) — (o_orderkey % N), sampled by
+  * orderkey so density stays bounded as SF grows.
+  */
+object GraphQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Canonical undirected (a < b) edges, sampled 1-in-10 orders. */
+  private def sampledEdges(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .filter(col("o_orderkey") % 10 === 1)
+      .select((col("o_custkey") % 200).as("a"), (col("o_orderkey") % 200).as("b"))
+      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      .filter(col("a") < col("b"))
+
+  /** Directed edges on the full orders table (BFS reachability). */
+  private def directedEdges(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select((col("o_custkey") % 200).as("src"), (col("o_orderkey") % 200).as("dst"))
+      .filter(col("src") =!= col("dst"))
+
+  val queries: Map[String, Q] = Map(
+
+    // per-node triangle participation (ordered three-way self-join)
+    "q93_triangles" -> { (s, d) =>
+      Graph.triangleCounts(sampledEdges(s, d)).orderBy(col("id"))
+    },
+
+    // min hop distance from node 0, paths of ≤ 8 edges
+    "q94_bfs" -> { (s, d) =>
+      Graph.bfs(directedEdges(s, d), source = 0L, maxDepth = 8)
+        .orderBy(col("id"))
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q93_triangles" ->
+      """WITH pairs AS (
+        |  SELECT LEAST(o_custkey % 200, o_orderkey % 200) AS a,
+        |         GREATEST(o_custkey % 200, o_orderkey % 200) AS b
+        |  FROM orders WHERE o_orderkey % 10 = 1
+        |), e AS (
+        |  SELECT DISTINCT a, b FROM pairs WHERE a < b
+        |), tri AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+        |       JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        |)
+        |SELECT id, COUNT(*) AS n_triangles FROM (
+        |  SELECT x AS id FROM tri
+        |  UNION ALL SELECT y FROM tri
+        |  UNION ALL SELECT z FROM tri
+        |) GROUP BY id ORDER BY id""".stripMargin,
+
+    "q94_bfs" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT DISTINCT o_custkey % 200 AS src, o_orderkey % 200 AS dst
+        |  FROM orders WHERE o_custkey % 200 <> o_orderkey % 200
+        |), r(id, d) AS (
+        |  SELECT CAST(0 AS BIGINT) AS id, CAST(0 AS BIGINT) AS d
+        |  UNION
+        |  SELECT e.dst, r.d + 1 FROM r JOIN e ON e.src = r.id WHERE r.d < 8
+        |)
+        |SELECT id, MIN(d) AS dist_hops FROM r GROUP BY id ORDER BY id""".stripMargin
+  )
+}

@@ -138,6 +138,45 @@ object OpsQueries {
         .filter(col("src") =!= col("dst"))
       graft.operators.Graph.pageRank(edges, iters = 5)
         .orderBy(col("id"))
+    },
+
+    // embedding-column profiling without any order-sensitive float
+    // reduction: size, positional elements, min/max — every output is
+    // an exact float widened to double, so the vector audit
+    // oracle-checks bit-for-bit (sums/means deliberately excluded;
+    // those live in the spec-bounded ANN paths).
+    "q99_vector_profile" -> { (s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          size(col("embedding")).cast("long").as("n_dims"),
+          element_at(col("embedding"), 1).cast("double").as("first_val"),
+          element_at(col("embedding"), 33).cast("double").as("mid_val"),
+          array_min(col("embedding")).cast("double").as("min_val"),
+          array_max(col("embedding")).cast("double").as("max_val"))
+        .orderBy(col("vec_id"))
+    },
+
+    // snapshot-diff CDC: two deterministic snapshots of orders (drops
+    // + price updates) full-outer-joined into an insert/delete/update
+    // change feed — the incremental-load audit every warehouse sync
+    // needs. ONE shuffle on the key; money emitted as exact cents.
+    "q100_snapshot_diff" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+      val old = o.filter(col("o_orderkey") % 10 =!= 3)
+        .select(col("o_orderkey"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("old_cents"))
+      val neu = o.filter(col("o_orderkey") % 10 =!= 7)
+        .select(col("o_orderkey"),
+          round(when(col("o_orderkey") % 5 === 0, col("o_totalprice") * 1.1)
+            .otherwise(col("o_totalprice")) * 100, 0).cast("long").as("new_cents"))
+      old.join(neu, Seq("o_orderkey"), "full_outer")
+        .withColumn("change_type",
+          when(col("old_cents").isNull, "insert")
+            .when(col("new_cents").isNull, "delete")
+            .when(col("old_cents") =!= col("new_cents"), "update")
+            .otherwise("unchanged"))
+        .filter(col("change_type") =!= "unchanged")
+        .orderBy(col("o_orderkey"))
     }
   )
 
@@ -219,6 +258,39 @@ object OpsQueries {
         |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) IS NULL
         |    THEN 1 ELSE 0 END AS BIGINT) AS is_current
         |FROM orders
-        |ORDER BY o_custkey, valid_from_us, o_orderkey""".stripMargin
+        |ORDER BY o_custkey, valid_from_us, o_orderkey""".stripMargin,
+
+    "q99_vector_profile" ->
+      """SELECT vec_id,
+        |  CAST(len(embedding) AS BIGINT) AS n_dims,
+        |  CAST(embedding[1] AS DOUBLE) AS first_val,
+        |  CAST(embedding[33] AS DOUBLE) AS mid_val,
+        |  CAST(list_min(embedding) AS DOUBLE) AS min_val,
+        |  CAST(list_max(embedding) AS DOUBLE) AS max_val
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "q100_snapshot_diff" ->
+      """WITH old AS (
+        |  SELECT o_orderkey,
+        |    CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS old_cents
+        |  FROM orders WHERE o_orderkey % 10 <> 3
+        |), neu AS (
+        |  SELECT o_orderkey,
+        |    CAST(ROUND((CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 1.1
+        |                     ELSE o_totalprice END) * 100, 0) AS BIGINT) AS new_cents
+        |  FROM orders WHERE o_orderkey % 10 <> 7
+        |)
+        |SELECT COALESCE(old.o_orderkey, neu.o_orderkey) AS o_orderkey,
+        |  old_cents, new_cents,
+        |  CASE WHEN old_cents IS NULL THEN 'insert'
+        |       WHEN new_cents IS NULL THEN 'delete'
+        |       WHEN old_cents <> new_cents THEN 'update'
+        |       ELSE 'unchanged' END AS change_type
+        |FROM old FULL OUTER JOIN neu ON old.o_orderkey = neu.o_orderkey
+        |WHERE CASE WHEN old_cents IS NULL THEN 'insert'
+        |           WHEN new_cents IS NULL THEN 'delete'
+        |           WHEN old_cents <> new_cents THEN 'update'
+        |           ELSE 'unchanged' END <> 'unchanged'
+        |ORDER BY o_orderkey""".stripMargin
   )
 }

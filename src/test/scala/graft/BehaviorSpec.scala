@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.{AnalyticQueries, BehaviorQueries, OpsQueries}
+
+/** Behavior/analytics batch: funnel ordering, retention cohorts,
+  * hopping windows, grouping sets, regression, CDC diff.
+  */
+class BehaviorSpec extends SparkSpecBase {
+
+  test("funnel stages are ordered: each stage's timestamp strictly follows the previous") {
+    val f = BehaviorQueries.queries("q96_funnel")(spark, sf)
+    assert(f.filter(col("funnel_stage") < 0 || col("funnel_stage") > 3).count() == 0)
+    // stage k ⇔ exactly the first k stage-times are non-null, in order
+    assert(f.filter(col("t_click_us").isNotNull &&
+      (col("t_view_us").isNull || col("t_click_us") <= col("t_view_us"))).count() == 0)
+    assert(f.filter(col("t_purchase_us").isNotNull &&
+      (col("t_click_us").isNull || col("t_purchase_us") <= col("t_click_us"))).count() == 0)
+    assert(f.count() > 0)
+  }
+
+  test("retention: every user appears in week 0 of their own cohort; offsets non-negative") {
+    val r = BehaviorQueries.queries("q97_retention")(spark, sf)
+    assert(r.filter(col("week_offset") < 0).count() == 0)
+    val week0Users = r.filter(col("week_offset") === 0)
+      .agg(sum(col("n_users"))).head().getLong(0)
+    val allUsers = Tables.events(spark, sf).select(col("user_id")).distinct().count()
+    assert(week0Users == allUsers, s"week-0 covers $week0Users of $allUsers users")
+  }
+
+  test("hopping windows: every event lands in exactly two windows") {
+    val w = BehaviorQueries.queries("q98_sliding_window")(spark, sf)
+    val windowed = w.agg(sum(col("n_events"))).head().getLong(0)
+    val events = Tables.events(spark, sf).count()
+    assert(windowed == 2 * events, s"$windowed windowed rows vs $events events")
+  }
+
+  test("grouping sets emit exactly the three requested slices") {
+    val g = AnalyticQueries.queries("q92_grouping_sets")(spark, sf)
+    val byGid = g.groupBy(col("gid")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nations = Tables.customer(spark, sf)
+      .join(Tables.nation(spark, sf), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name")).distinct().count()
+    val segments = Tables.customer(spark, sf).select(col("c_mktsegment")).distinct().count()
+    // gid 1 = by nation (segment aggregated), 2 = by segment, 3 = grand total
+    assert(byGid == Map(1L -> nations, 2L -> segments, 3L -> 1L), s"slices: $byGid")
+  }
+
+  test("regression slope reproduces a planted linear relationship") {
+    import spark.implicits._
+    val planted = (1 to 200)
+      .map(i => ("X", i.toDouble, 3.0 * i + 7.0)).toDF("g", "x", "y")
+      .withColumnRenamed("g", "l_returnflag")
+      .withColumnRenamed("x", "l_quantity")
+      .withColumnRenamed("y", "l_extendedprice")
+    val dir = java.nio.file.Files.createTempDirectory("graft-regr").toString
+    planted.write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val m = AnalyticQueries.queries("q95_regression")(spark, dir).head()
+    assert(math.abs(m.getAs[Double]("slope") - 3.0) < 1e-9)
+    assert(math.abs(m.getAs[Double]("intercept") - 7.0) < 1e-9)
+  }
+
+  test("snapshot diff classifies inserts/deletes/updates completely and disjointly") {
+    val diff = OpsQueries.queries("q100_snapshot_diff")(spark, sf)
+    val byType = diff.groupBy(col("change_type")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val o = Tables.orders(spark, sf)
+    val n = o.count()
+    val inserts = o.filter(col("o_orderkey") % 10 === 3).count()
+    val deletes = o.filter(col("o_orderkey") % 10 === 7).count()
+    // updates: in both snapshots (key%10 ∉ {3,7}) and price bumped (key%5=0)
+    val updates = o.filter(col("o_orderkey") % 10 =!= 3 &&
+      col("o_orderkey") % 10 =!= 7 && col("o_orderkey") % 5 === 0).count()
+    assert(byType.getOrElse("insert", 0L) == inserts, s"$byType vs inserts=$inserts")
+    assert(byType.getOrElse("delete", 0L) == deletes, s"$byType vs deletes=$deletes")
+    assert(byType.getOrElse("update", 0L) == updates, s"$byType vs updates=$updates")
+    assert(!byType.contains("unchanged"))
+    assert(n > 0)
+  }
+}

@@ -19,7 +19,9 @@ class ContractSpec extends SparkSpecBase {
       graft.queries.AnalyticQueries.queries.keySet,
       graft.queries.OpsQueries.queries.keySet,
       graft.queries.CurationQueries.queries.keySet,
-      graft.queries.RetrievalQueries.queries.keySet)
+      graft.queries.RetrievalQueries.queries.keySet,
+      graft.queries.GraphQueries.queries.keySet,
+      graft.queries.BehaviorQueries.queries.keySet)
     val total = groups.map(_.size).sum
     assert(total == SparkEntry.queries.size,
       "duplicate query keys across group maps")
