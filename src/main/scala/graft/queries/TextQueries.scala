@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 import graft.functions.GraftFunctions
@@ -306,6 +307,32 @@ object TextQueries {
         .filter(col("__rn") <= 3)
         .drop("__rn")
         .orderBy(col("doc_id"), col("tfidf").desc, col("word"))
+    },
+
+    // unigram surprisal quality score (the CCNet/model-based filtering
+    // shape with the corpus itself as the language model): per-doc
+    // mean −ln p(word). Per-word surprisals are quantized to
+    // DECIMAL(18,12) BEFORE the per-doc sum, so the reduction is exact
+    // and partition-order independent — the q74 moment-sum discipline
+    // applied to log-space. Two uniform-key shuffles (word, doc_id);
+    // the unigram table joins on word, never collected.
+    "q101_surprisal" -> { (s, d) =>
+      val words = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(GraftFunctions.normWords(col("text"))).as("word"))
+        .persist() // bind the lambda output; reused by both branches
+      val wc = words.groupBy(col("word")).agg(count(lit(1)).as("c"))
+      val total = wc.agg(sum(col("c")).as("total"))
+      val surp = wc.crossJoin(broadcast(total))
+        .select(col("word"),
+          (-log(col("c").cast("double") / col("total")))
+            .cast(DecimalType(18, 12)).as("surp"))
+      words.join(surp, "word")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"),
+          round((sum(col("surp")).cast("double") / count(lit(1))), 6)
+            .as("mean_surprisal"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -578,6 +605,19 @@ object TextQueries {
          |  ROUND(1.0 - CAST(b.n_bigrams_distinct AS DOUBLE) / b.n_bigrams, 6) AS dup_bigram_frac,
          |  ROUND(CAST(t.top_word_count AS DOUBLE) / b.n_words, 6) AS top_word_frac
          |FROM base b JOIN topw t USING (doc_id)
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+
+    "q101_surprisal" ->
+      s"""WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents),
+         |words AS (SELECT doc_id, unnest(ws) AS word FROM w),
+         |wc AS (SELECT word, COUNT(*) AS c FROM words GROUP BY word),
+         |tot AS (SELECT SUM(c) AS total FROM wc),
+         |surp AS (SELECT word,
+         |           CAST(-ln(CAST(c AS DOUBLE) / total) AS DECIMAL(18,12)) AS surp
+         |         FROM wc CROSS JOIN tot)
+         |SELECT doc_id, COUNT(*) AS n_words,
+         |  ROUND(CAST(SUM(surp) AS DOUBLE) / COUNT(*), 6) AS mean_surprisal
+         |FROM words JOIN surp USING (word)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }
