@@ -51,19 +51,23 @@ object TextOps {
 
   /** Shannon entropy (bits/char) of the character distribution — the
     * compression-proxy quality signal (gibberish ≈ high, boilerplate
-    * repetition ≈ low). One pass + one pass over ≤ alphabet-size
-    * counts; rounded to 6 dp so the double repr is engine-robust
-    * (mirrors DuckDB's log2-based entropy() aggregate).
+    * repetition ≈ low). Counts Unicode CODE POINTS (not UTF-16 code
+    * units), matching DuckDB's per-character string_split semantics on
+    * non-BMP text (emoji, rare CJK). One pass + one pass over ≤
+    * alphabet-size counts; rounded to 6 dp so the double repr is
+    * engine-robust.
     */
   def charEntropy(s: UTF8String): Double = {
     val str = s.toString
-    val n = str.length
-    if (n == 0) return 0.0
-    val counts = new java.util.HashMap[Character, Int]()
+    if (str.isEmpty) return 0.0
+    val counts = new java.util.HashMap[Integer, Int]()
     var i = 0
-    while (i < n) {
-      counts.merge(str.charAt(i), 1, Integer.sum _)
-      i += 1
+    var n = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      counts.merge(cp, 1, Integer.sum _)
+      n += 1
+      i += Character.charCount(cp)
     }
     var h = 0.0
     val it = counts.values().iterator()

@@ -27,11 +27,18 @@ object Layout {
     val bounds = df.agg(
       min(col(colA).cast("long")).as("__mna"), max(col(colA).cast("long")).as("__mxa"),
       min(col(colB).cast("long")).as("__mnb"), max(col(colB).cast("long")).as("__mxb"))
-    def norm16(c: String, mn: String, mx: String) =
-      // exact integer scaling into 0..65535; degenerate range → 0
+    def norm16(c: String, mn: String, mx: String) = {
+      // exact integer scaling into 0..65535; degenerate range → 0.
+      // Arithmetic is decimal(38,0): (v-mn)*65535 can exceed Long for
+      // full-range long columns (e.g. epoch-micros timestamps), and
+      // `div` keeps the division integral — no double round-trip.
+      val v  = col(c).cast("long").cast("decimal(38,0)")
+      val lo = col(mn).cast("decimal(38,0)")
+      val hi = col(mx).cast("decimal(38,0)")
       when(col(mx) === col(mn), lit(0))
-        .otherwise(((col(c).cast("long") - col(mn)) * 65535L / (col(mx) - col(mn))))
+        .otherwise(call_function("div", (v - lo) * lit(65535), hi - lo))
         .cast("int")
+    }
     df.crossJoin(broadcast(bounds))
       .withColumn("__z", ZOrderFunctions.interleaveBits(
         norm16(colA, "__mna", "__mxa"), norm16(colB, "__mnb", "__mxb")))

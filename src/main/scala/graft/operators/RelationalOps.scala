@@ -89,6 +89,27 @@ object RelationalOps {
       df.join(singles, keyCols, "left_semi")
     }
 
+    /** Nullify-conflicts dedup —
+      * reference/scripts/tidy/temp-tidy-all-api-ftp-files.R:268-270
+      * (`mutate(across(-key, ~ifelse(key %in% dups, NA, .))) %>%
+      * distinct()`): keys mapping to MULTIPLE rows keep exactly ONE
+      * row with all annotation columns nulled (vs [[keepSingletons]],
+      * which drops the key entirely).
+      *
+      * One window count over one key shuffle (no second join); the
+      * trailing distinct() collapses each conflicted key's rows —
+      * identical after nulling — into one. Scales as a single
+      * hash-exchange on the key.
+      */
+    def nullifyConflicts(keyCols: Seq[String], valueCols: Seq[String]): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(keyCols.map(col): _*)
+      val marked = df.withColumn("__n", count(lit(1)).over(w))
+      valueCols.foldLeft(marked) { (d, c) =>
+        d.withColumn(c, when(col("__n") > 1, lit(null)).otherwise(col(c)))
+      }.drop("__n").distinct()
+    }
+
     /** Sorted string-collapse aggregation —
       * reference/scripts/tidy/temp-tidy-all-api-ftp-files.R:258-261
       * (`summarise(paste0(unique(x), collapse="|"))` after arrange).

@@ -44,21 +44,21 @@ object Retrieval {
   }
 
   /** Deterministic global shuffle: every row gets a content-independent
-    * pseudo-random shard (first hex nibble of a salted md5 → 0..15 by
-    * default) and a position within its shard. Reproducible under any
-    * input partitioning — no rand(), no zipWithIndex. At 100 TB this
-    * is ONE hash-partition exchange (shards are uniform by
-    * construction) + a per-shard local sort; no global sort, and the
-    * per-shard row_number window never sees skew because md5 nibbles
-    * are uniform.
+    * pseudo-random shard (first 32 bits of a salted md5, mod nShards)
+    * and a position within its shard. Reproducible under any input
+    * partitioning — no rand(), no zipWithIndex. At 100 TB this is ONE
+    * hash-partition exchange + a per-shard local sort; no global sort.
+    * Deriving the shard from 32 hash bits (not one nibble) keeps the
+    * modulo bias below nShards/2^32 for ANY shard count, so shards are
+    * uniform and the per-shard row_number window never sees skew.
     */
   def shuffleIntoShards(df: DataFrame, idCol: String, salt: String,
                         nShards: Int = 16): DataFrame = {
-    require(nShards >= 1 && nShards <= 16, "nibble sharding supports 1..16 shards")
+    require(nShards >= 1 && nShards <= 65536, "supports 1..65536 shards")
     val h = md5(concat(lit(salt + ":"), col(idCol).cast("string")))
-    // first hex nibble of the hash (0..15); the oracle derives the
-    // same value via strpos('0123456789abcdef', nibble) - 1
-    val shard = conv(substring(h, 1, 1), 16, 10).cast("long") % nShards
+    // first 8 hex chars of the hash (0..2^32-1); the oracle derives the
+    // same value via a positional strpos('0123456789abcdef', ...) sum
+    val shard = conv(substring(h, 1, 8), 16, 10).cast("long") % nShards
     val withKey = df.select(col(idCol).as("doc_id"), h.as("__h"),
       shard.cast("long").as("shard"))
     val w = Window.partitionBy(col("shard")).orderBy(col("__h"), col("doc_id"))

@@ -154,6 +154,17 @@ object CoreQueries {
         .orderBy(col("l_orderkey"))
     },
 
+    // §2.1 #9b — nullify-conflicts dedup variant
+    // (temp-tidy-all-api-ftp-files.R:268-270): keys with multiple rows
+    // keep exactly ONE row with NULL'd annotation columns, vs q08's
+    // drop-the-key semantics.
+    "q102_nullify_conflicts" -> { (s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderstatus"), col("o_orderpriority"))
+        .nullifyConflicts(Seq("o_custkey"), Seq("o_orderstatus", "o_orderpriority"))
+        .orderBy(col("o_custkey"))
+    },
+
     // §2.1 #8 — sorted '|'-collapse of distinct flags per key + derived
     // viability verdict (MGI lethal-term pattern, .R:250-263).
     "q09_collapse_flags" -> { (s, d) =>
@@ -266,6 +277,15 @@ object CoreQueries {
         |GROUP BY l_orderkey
         |HAVING COUNT(DISTINCT l_returnflag) = 1
         |ORDER BY l_orderkey""".stripMargin,
+
+    "q102_nullify_conflicts" ->
+      """WITH src AS (SELECT o_custkey, o_orderstatus, o_orderpriority FROM orders),
+        |n AS (SELECT o_custkey, COUNT(*) AS n FROM src GROUP BY 1)
+        |SELECT DISTINCT s.o_custkey AS o_custkey,
+        |  CASE WHEN n.n > 1 THEN NULL ELSE s.o_orderstatus END AS o_orderstatus,
+        |  CASE WHEN n.n > 1 THEN NULL ELSE s.o_orderpriority END AS o_orderpriority
+        |FROM src s JOIN n USING (o_custkey)
+        |ORDER BY o_custkey""".stripMargin,
 
     "q09_collapse_flags" ->
       """SELECT l_orderkey,

@@ -69,7 +69,9 @@ object RetrievalQueries {
         |  FROM documents
         |), keyed AS (
         |  SELECT doc_id, hh,
-        |         CAST((strpos('0123456789abcdef', substr(hh, 1, 1)) - 1) % 16 AS BIGINT) AS shard
+        |         CAST(list_sum([(strpos('0123456789abcdef', substr(hh, i, 1)) - 1)
+        |                        * (16**(8-i))::BIGINT
+        |                        for i in generate_series(1, 8)]) % 16 AS BIGINT) AS shard
         |  FROM h
         |)
         |SELECT shard,

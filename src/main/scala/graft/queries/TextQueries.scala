@@ -219,10 +219,17 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
-    // §2.3 #34b — scalar int8 quantization of the embedding column
-    // (rows-only; dequant-error bound asserted in spec).
+    // §2.3 #34b — scalar int8 quantization of the embedding column.
+    // The int codes are deterministic (float→double exact, IEEE
+    // arithmetic, HALF_UP == away-from-zero for non-negative values),
+    // so the driver check hashes an md5 rendering of the code array
+    // plus the (q_min, q_max) range — scalar columns only (array
+    // columns are unsortable in the driver's pandas compare).
     "q89_quantize_int8" -> { (s, d) =>
       Similarity.quantizeInt8(Tables.embeddings(s, d), "vec_id", "embedding")
+        .select(col("vec_id"), col("q_min"), col("q_max"),
+          size(col("codes")).cast("long").as("n_codes"),
+          md5(array_join(col("codes"), ",")).as("codes_md5"))
         .orderBy(col("vec_id"))
     },
 
@@ -532,6 +539,24 @@ object TextQueries {
         |       CAST(ow AS INT) AS out_w, CAST(oh AS INT) AS out_h,
         |       CAST(((ow + 15) // 16) * ((oh + 15) // 16) AS BIGINT) AS n_patches
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q89_quantize_int8" ->
+      """WITH base AS (
+        |  SELECT vec_id,
+        |         CAST(list_min(embedding) AS DOUBLE) AS q_min,
+        |         CAST(list_max(embedding) AS DOUBLE) AS q_max,
+        |         embedding
+        |  FROM embeddings
+        |), coded AS (
+        |  SELECT vec_id, q_min, q_max,
+        |         list_transform(embedding, x ->
+        |           CAST(round((CAST(x AS DOUBLE) - q_min) * 255.0
+        |                      / greatest(q_max - q_min, 1e-30)) AS INT)) AS codes
+        |  FROM base
+        |)
+        |SELECT vec_id, q_min, q_max, CAST(len(codes) AS BIGINT) AS n_codes,
+        |       md5(array_to_string(codes, ',')) AS codes_md5
+        |FROM coded ORDER BY vec_id""".stripMargin,
 
     "q69_pii_scrub" ->
       s"""WITH $piiCorpusSql

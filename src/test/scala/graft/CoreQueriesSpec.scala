@@ -38,6 +38,22 @@ class CoreQueriesSpec extends SparkSpecBase {
     assert(q8.count() == total - conflicted)
   }
 
+  test("q102 nullifyConflicts keeps one NULL'd row per conflicted key") {
+    import spark.implicits._
+    import graft.operators.RelationalOps._
+    val df = Seq(
+      ("k1", "a", 1), ("k1", "b", 2),            // conflicted: 2 rows
+      ("k2", "c", 3),                            // singleton: untouched
+      ("k3", "d", 4), ("k3", "d", 4), ("k3", "e", 5)) // conflicted: 3 rows
+      .toDF("key", "v1", "v2")
+    val out = df.nullifyConflicts(Seq("key"), Seq("v1", "v2")).collect()
+    assert(out.length == 3, "one row per key")
+    val byKey = out.map(r => r.getString(0) -> r).toMap
+    assert(byKey("k1").isNullAt(1) && byKey("k1").isNullAt(2))
+    assert(byKey("k3").isNullAt(1) && byKey("k3").isNullAt(2))
+    assert(byKey("k2").getString(1) == "c" && byKey("k2").getInt(2) == 3)
+  }
+
   test("q10 returns exactly one row per customer with the max price") {
     val q10 = CoreQueries.queries("q10_rank_per_key")(spark, sf)
     val perCust = Tables.orders(spark, sf)

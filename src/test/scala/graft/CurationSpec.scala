@@ -42,6 +42,15 @@ class CurationSpec extends SparkSpecBase {
     assert(graft.functions.TextOps.charEntropy(UTF8String.fromString("")) == 0.0)
   }
 
+  test("charEntropy counts code points, not UTF-16 units (non-BMP safe)") {
+    // two distinct emoji (each a surrogate pair), 2+2 → 1 bit exactly;
+    // a code-unit counter would see the shared high surrogate and
+    // produce a different distribution over 8 units.
+    assert(graft.functions.TextOps.charEntropy(UTF8String.fromString("😀😀🚀🚀")) == 1.0)
+    // single repeated emoji → 0 bits
+    assert(graft.functions.TextOps.charEntropy(UTF8String.fromString("😀😀")) == 0.0)
+  }
+
   test("q80 entropy is positive and bounded for real documents") {
     val rows = q("q80_entropy").collect()
     assert(rows.nonEmpty)

@@ -30,6 +30,26 @@ class LayoutSpec extends SparkSpecBase {
     assert(unspread(z) == a && unspread(z >> 1) == b)
   }
 
+  test("withZKey survives epoch-scale long ranges (no Long overflow in norm16)") {
+    import spark.implicits._
+    // range ~9.2e18 (full positive Long span): (v-mn)*65535 overflows
+    // Long by ~6e23 — the decimal(38,0) path must stay exact.
+    val lo = 0L
+    val hi = Long.MaxValue - 1
+    val mid = hi / 2
+    val df = Seq((lo, 1L), (mid, 1L), (hi, 1L)).toDF("t", "k")
+    val z = Layout.withZKey(df, "t", "k")
+      .orderBy(col("t")).select(col("t"), col("__z")).collect()
+    val zs = z.map(_.getLong(1))
+    // second dim is constant (norm 0) → z must equal interleave(norm_t, 0)
+    // with the exact BigInt normalization — overflow would produce garbage
+    val norm = (v: Long) => ((BigInt(v) - lo) * 65535 / (BigInt(hi) - lo)).toInt
+    assert(zs(0) == ZOrderOps.interleave(norm(lo), 0))
+    assert(zs(1) == ZOrderOps.interleave(norm(mid), 0))
+    assert(zs(2) == ZOrderOps.interleave(norm(hi), 0))
+    assert(zs(0) < zs(1) && zs(1) < zs(2), s"z keys not monotone: ${zs.mkString(",")}")
+  }
+
   test("z-ordered files prune on BOTH dimensions; 1-D sort prunes only its own") {
     val li = Tables.lineitem(spark, sf).select("l_partkey", "l_suppkey")
     val zDir = java.nio.file.Files.createTempDirectory("graft-z").toString

@@ -50,6 +50,19 @@ class RetrievalSpec extends SparkSpecBase {
     assert(a.length == n, "every row lands in exactly one shard")
   }
 
+  test("shard shuffle stays uniform for non-power-of-16 shard counts") {
+    // 32 hash bits mod 10: bias < 10/2^32 — every shard within 2x share
+    val docs = Tables.documents(spark, sf)
+    val out = graft.operators.Retrieval
+      .shuffleIntoShards(docs, "doc_id", "bias-test", nShards = 10).collect()
+    val n = out.length
+    val byShard = out.groupBy(_.getLong(0))
+    assert(byShard.keySet == (0L until 10L).toSet, "all 10 shards occupied")
+    byShard.foreach { case (sh, rs) =>
+      assert(rs.length <= n / 10 * 2 + 8, s"shard $sh skewed: ${rs.length} of $n")
+    }
+  }
+
   test("inverted index: df counts match, hot words carry no postings") {
     val rows = q("q86_inverted_index").collect()
     assert(rows.nonEmpty)
