@@ -294,18 +294,19 @@ object Dedup {
     *
     * Iterative driver-coordinated loop over distributed joins (the
     * MLlib/GraphX pattern): each round every node adopts the minimum
-    * label in its neighborhood, then POINTER-JUMPS to its label's
-    * label — jumping halves the remaining chain length every round,
-    * so even path graphs (the shape hot-bucket chain pairs produce)
-    * converge in O(log n) rounds, not O(diameter). Labels are
-    * localCheckpoint'ed each round: lineage would otherwise grow per
-    * iteration until plan construction itself blows the driver heap.
-    * The driver only sees the per-round change count, folded into the
-    * same label-update pass (old label carried alongside the new), so
-    * each round costs exactly one action.
+    * label among itself, its neighbors' labels, and — via a synthetic
+    * node→label edge — its label's own label (POINTER JUMPING, folded
+    * into the one neighbor-min join). Jumping halves the remaining
+    * chain length every round, so even path graphs (the shape
+    * hot-bucket chain pairs produce) converge in O(log n) rounds, not
+    * O(diameter). Labels are lazily localCheckpoint'ed each round
+    * (flat Catalyst plan; lineage otherwise grows until plan
+    * construction blows the driver heap) and the change count is
+    * checked every 2nd round, so a pair of rounds costs exactly one
+    * driver action. The driver only ever sees that count — labels and
+    * edges stay distributed.
     */
   def connectedComponents(pairsIn: DataFrame, maxIter: Int = 50): DataFrame = {
-    val spark = pairsIn.sparkSession
     // both direction branches of the edge union consume the pair
     // lineage — persist it or the upstream (LSH) pipeline runs twice
     val pairs = pairsIn.persist()
@@ -313,45 +314,42 @@ object Dedup {
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
       .persist()
-    // Size the per-round exchanges to the EDGE table, not the session
-    // default: each round is several shuffles over a table that is
-    // usually orders of magnitude smaller than the corpus that
-    // produced it (only near-dup members appear). ~500k edges per
-    // partition; clamped to the session setting so a genuinely large
-    // graph keeps full parallelism.
-    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val nEdges = edges.count()
-    val ccParts = math.max(1L, math.min(sessionParts.toLong, nEdges / 500000L + 1L)).toString
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint(true)
     var converged = false
     var i = 0
-    spark.conf.set("spark.sql.shuffle.partitions", ccParts)
-    try {
     while (!converged && i < maxIter) {
-      val neighborMin = edges
+      // Pointer jumping is FOLDED into the neighbor-min join: each
+      // node contributes a synthetic edge node→label(node), so the
+      // neighbor-min over labels-of-dst also delivers
+      // label(label(node)) — Shiloach–Vishkin shortcutting without a
+      // second join. Chains (the hot-bucket pair shape) still halve
+      // every round → O(log n) rounds. Labels only decrease, so a
+      // round that changes nothing is a fixed point; checking every
+      // 2nd round halves driver actions at the cost of at most one
+      // redundant round. Lazy localCheckpoint keeps the Catalyst plan
+      // flat (the driver-heap risk) while letting both rounds of a
+      // pair execute inside the single convergence-count job.
+      val edgesAug = edges.unionByName(
+        labels.filter(col("label") =!= col("node"))
+          .select(col("node").as("src"), col("label").as("dst")))
+      val neighborMin = edgesAug
         .join(labels.withColumnRenamed("node", "dst"), "dst")
         .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
         .withColumnRenamed("src", "node")
-      val prop = labels
+      val updated = labels
         .join(neighborMin, Seq("node"), "left")
         .select(col("node"), col("label").as("__old"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("lab1"))
-      // pointer jump: every label value is itself a node id, so look
-      // up the label's own label and adopt it if smaller
-      val parent = prop.select(col("node").as("p_node"), col("lab1").as("p_lab"))
-      val updated = prop
-        .join(parent, col("lab1") === col("p_node"), "left")
-        .select(col("node"), col("__old"),
-          least(col("lab1"), coalesce(col("p_lab"), col("lab1"))).as("label"))
-        .localCheckpoint(true)
-      val changed = updated.filter(col("label") =!= col("__old")).count()
-      labels = updated.select(col("node"), col("label"))
-      converged = changed == 0
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint(false)
       i += 1
+      if (i % 2 == 0 || i >= maxIter) {
+        val changed = updated.filter(col("label") =!= col("__old")).count()
+        converged = changed == 0
+      }
+      labels = updated.select(col("node"), col("label"))
     }
-    } finally spark.conf.set("spark.sql.shuffle.partitions", sessionParts.toString)
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }
 

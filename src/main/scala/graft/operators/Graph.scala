@@ -37,7 +37,11 @@ object Graph {
       ranks = nodes.join(contribs, Seq("id"), "left")
         .select(col("id"),
           (lit(1.0 - damping) + lit(damping) * coalesce(col("__in"), lit(0.0))).as("rank"))
-        .localCheckpoint() // cap lineage across rounds
+        // LAZY checkpoint: flattens the Catalyst plan every round (the
+        // driver-heap risk is plan stringification, not RDD lineage)
+        // while letting all `iters` rounds execute inside the ONE job
+        // the consumer's action triggers — no per-round materialization.
+        .localCheckpoint(false)
     }
     ranks
   }
@@ -62,7 +66,7 @@ object Graph {
         .select(col("dst").as("id"), (col("dist_hops") + 1L).as("dist_hops"))
       dist = dist.union(next)
         .groupBy(col("id")).agg(min(col("dist_hops")).as("dist_hops"))
-        .localCheckpoint()
+        .localCheckpoint(false) // lazy: flat plan, single job (see pageRank)
     }
     dist
   }
