@@ -78,24 +78,34 @@ object TextAnalysis {
 
   /** Benchmark decontamination: flag corpus docs sharing any n-word
     * shingle with a benchmark set (the eval-leakage check every
-    * training pipeline runs). The benchmark shingle set is DISTINCT
-    * and broadcast (eval suites are small); the corpus side streams —
-    * at 100 TB this is one broadcast-hash-join pass over the corpus
-    * shingles, no shuffle of corpus data.
+    * training pipeline runs). The benchmark's distinct shingles fold
+    * into ONE broadcast array row (eval suites are small — thousands
+    * of docs); each corpus doc then scores itself with a narrow
+    * `array_intersect` against that constant, so the corpus side is a
+    * single scan with NO shuffle, NO join materialization and NO
+    * aggregation — the shape that survives both a 100 TB corpus and a
+    * contended scheduler (2 stages total vs 5 for the join+
+    * countDistinct formulation). For benchmark sets too large for a
+    * per-row intersect (millions of shingles), use
+    * [[contaminationBloom]] — same plan shape, O(1) probes.
     */
   def contamination(corpus: DataFrame, benchmark: DataFrame, idCol: String,
                     textCol: String, n: Int = 8): DataFrame = {
-    def shingled(df: DataFrame): DataFrame = df
+    def shingleArr(df: DataFrame): DataFrame = df
       .select(col(idCol).as("doc_id"),
         graft.functions.GraftFunctions.normWords(col(textCol)).as("__ws"))
       .persist() // lambda barrier — see Dedup.docShingles
       .select(col("doc_id"),
-        explode(graft.functions.GraftFunctions.wordShingles(col("__ws"), n)).as("sh"))
-    val benchShingles = shingled(benchmark).select(col("sh")).distinct()
-    shingled(corpus)
-      .join(broadcast(benchShingles), Seq("sh"))
-      .groupBy(col("doc_id"))
-      .agg(countDistinct(col("sh")).as("n_contaminated"))
+        array_distinct(graft.functions.GraftFunctions.wordShingles(col("__ws"), n))
+          .as("shs"))
+    val benchSet = shingleArr(benchmark)
+      .agg(array_distinct(flatten(collect_list(col("shs")))).as("__bench"))
+    shingleArr(corpus)
+      .crossJoin(broadcast(benchSet)) // 1-row set — broadcast-nested-loop, no shuffle
+      .select(col("doc_id"),
+        size(array_intersect(col("shs"), col("__bench"))).cast("long")
+          .as("n_contaminated"))
+      .filter(col("n_contaminated") > 0)
   }
 
   /** Bloom-filter decontamination — the 100 TB shape of
