@@ -63,6 +63,52 @@ object Readers {
       .csv(ds)
   }
 
+  /** Zip-wrapped delimited text — `readr::read_tsv("….tsv.zip")`
+    * (reference temp-import-all-web-files.R:22-23, the HPA
+    * normal_tissue.tsv.zip pull). Spark reads .gz transparently but
+    * not .zip, so the named (or first non-directory) entry is
+    * decompressed through a JDK ZipInputStream and fed to the same
+    * csv options as [[csv]].
+    *
+    * Single-file dimension contract, like xlsx: a zip is one
+    * non-splittable stream, so the entry is inflated ON THE DRIVER
+    * and parallelized — the right shape for the reference's
+    * dimension-table pulls. Bulk data belongs in parquet/ORC/gzip
+    * text, which split or at least stream executor-side.
+    */
+  def zippedCsv(s: SparkSession, path: String, delimiter: String = ",",
+                header: Boolean = true, schema: Option[StructType] = None,
+                entry: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    val zf = new java.util.zip.ZipFile(path)
+    val lines = try {
+      import scala.jdk.CollectionConverters._
+      val e = entry match {
+        case Some(name) => Option(zf.getEntry(name)).getOrElse(
+          throw new IllegalArgumentException(s"$path has no zip entry '$name'"))
+        case None => zf.entries().asScala.find(!_.isDirectory).getOrElse(
+          throw new IllegalArgumentException(s"$path contains no file entries"))
+      }
+      val rd = new java.io.BufferedReader(new java.io.InputStreamReader(
+        zf.getInputStream(e), java.nio.charset.StandardCharsets.UTF_8))
+      Iterator.continually(rd.readLine()).takeWhile(_ != null).toVector
+    } finally zf.close()
+    val ds = s.createDataset(lines)(Encoders.STRING)
+    val r = s.read
+      .option("delimiter", delimiter)
+      .option("header", header)
+      .option("quote", "\"")
+      .option("escape", "\"")
+      .option("mode", "PERMISSIVE")
+    schema.fold(r.option("inferSchema", true))(sc => r.schema(sc)).csv(ds)
+  }
+
+  /** `read_tsv("….tsv.zip")` shape (HPA normal-tissue table). */
+  def zippedTsv(s: SparkSession, path: String, header: Boolean = true,
+                schema: Option[StructType] = None,
+                entry: Option[String] = None): DataFrame =
+    zippedCsv(s, path, delimiter = "\t", header = header, schema = schema, entry = entry)
+
   /** JSON lines (and, via multiLine, whole-document JSON like the
     * PanelApp API pages). */
   def json(s: SparkSession, path: String, multiLine: Boolean = false,

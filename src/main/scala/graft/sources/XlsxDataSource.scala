@@ -19,7 +19,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * (reference/scripts/import/temp-import-all-manuscript-files.R:9-14,
   * `openxlsx::read.xlsx`) reads with the standard Spark surface:
   *
-  * {{{ spark.read.format("xlsx").option("sheet", 2).load(path) }}}
+  * {{{
+  * spark.read.format("xlsx").option("sheet", 2).load(path)
+  * spark.read.format("xlsx")
+  *   .option("sheet", "Supplementary Table 2")   // by NAME (workbook.xml)
+  *   .option("startRow", 2)                      // openxlsx startRow=
+  *   .load(path)
+  * }}}
   *
   * Scale shape: an xlsx is a single non-splittable zip stream and the
   * reference uses it only for small dimension tables, so the scan is
@@ -37,47 +43,54 @@ class XlsxDataSource extends TableProvider with DataSourceRegister {
     Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException("xlsx source requires a path: .load(path)"))
 
-  private def sheetOf(options: CaseInsensitiveStringMap): Int =
-    Option(options.get("sheet")).map(_.toInt).getOrElse(1)
+  // sheet may be a 1-based index ("2") or a sheet NAME; startRow is
+  // the openxlsx `startRow=` skip (1-based first physical row kept)
+  private def sheetOf(options: CaseInsensitiveStringMap): String =
+    Option(options.get("sheet")).getOrElse("1")
+
+  private def startRowOf(options: CaseInsensitiveStringMap): Int =
+    Option(options.get("startRow")).map(_.toInt).getOrElse(1)
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    XlsxReader.parseTyped(pathOf(options), sheetOf(options))._1
+    XlsxReader.parseTyped(pathOf(options), sheetOf(options), startRowOf(options))._1
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
-    new XlsxTable(schema, pathOf(opts), sheetOf(opts))
+    new XlsxTable(schema, pathOf(opts), sheetOf(opts), startRowOf(opts))
   }
 }
 
-private[sources] class XlsxTable(tableSchema: StructType, path: String, sheet: Int)
+private[sources] class XlsxTable(tableSchema: StructType, path: String,
+                                 sheet: String, startRow: Int)
     extends Table with SupportsRead {
 
-  override def name(): String = s"xlsx:$path!sheet$sheet"
+  override def name(): String = s"xlsx:$path!$sheet@$startRow"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
-      override def build(): Scan = new XlsxScan(tableSchema, path, sheet)
+      override def build(): Scan = new XlsxScan(tableSchema, path, sheet, startRow)
     }
 }
 
-private[sources] class XlsxScan(schema: StructType, path: String, sheet: Int)
+private[sources] class XlsxScan(schema: StructType, path: String,
+                                sheet: String, startRow: Int)
     extends Scan with Batch {
 
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] =
-    Array(XlsxPartition(path, sheet))
+    Array(XlsxPartition(path, sheet, startRow))
 
   override def createReaderFactory(): PartitionReaderFactory =
     new XlsxReaderFactory(schema)
 }
 
-private[sources] case class XlsxPartition(path: String, sheet: Int) extends InputPartition
+private[sources] case class XlsxPartition(path: String, sheet: String, startRow: Int) extends InputPartition
 
 private[sources] class XlsxReaderFactory(schema: StructType)
     extends PartitionReaderFactory {
@@ -87,7 +100,7 @@ private[sources] class XlsxReaderFactory(schema: StructType)
     // re-parse in the task (files are small by contract); the header
     // may legitimately differ from a user-supplied schema only in
     // names, so values are coerced positionally.
-    val rows = XlsxReader.parseTyped(p.path, p.sheet)._2.iterator
+    val rows = XlsxReader.parseTyped(p.path, p.sheet, p.startRow)._2.iterator
     new PartitionReader[InternalRow] {
       private var current: InternalRow = _
       override def next(): Boolean =

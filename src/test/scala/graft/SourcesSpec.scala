@@ -130,6 +130,72 @@ class SourcesSpec extends SparkSpecBase {
       .collect().toSeq == Seq("TP53"))
   }
 
+  test("xlsx selects sheets by NAME with startRow (GISMO/SCoNeS manuscript shapes)") {
+    // three named sheets, out-of-alphabetical order; target sheet has a
+    // title row above the header, as in read.xlsx(sheet = 'Supplementary
+    // Table 2', startRow = 2) — temp-import-all-manuscript-files.R:13,26
+    val p = Files.createTempDirectory("graftxlsxnamed").resolve("media-2.xlsx").toString
+    graft.sources.XlsxReader.writeWorkbook(p, Seq(
+      ("Legend", Seq(Seq("about"), Seq("this file has 3 sheets"))),
+      ("Supplementary Table 2", Seq(
+        Seq("GISMO gene scores (title row — skipped by startRow=2)", null, null),
+        Seq("gene", "gismo_rank", "score"),
+        Seq("TP53", 1L, 0.99),
+        Seq("BRCA1", 2L, 0.87))),
+      ("Supplementary Table 3", Seq(Seq("other"), Seq("x")))))
+    assert(graft.sources.XlsxReader.sheetNames(p) ==
+      Vector("Legend", "Supplementary Table 2", "Supplementary Table 3"))
+    val byName = graft.sources.XlsxReader.readSheet(
+      spark, p, "Supplementary Table 2", startRow = 2)
+    assert(byName.columns.toSeq == Seq("gene", "gismo_rank", "score"))
+    assert(byName.schema.map(_.dataType.typeName) == Seq("string", "long", "double"))
+    assert(byName.count() == 2)
+    assert(byName.filter(byName("gene") === "TP53").first().getDouble(2) == 0.99)
+    // numeric index still resolves through workbook order
+    val byIndex = graft.sources.XlsxReader.read(spark, p, sheet = 2, startRow = 2)
+    assert(byIndex.orderBy("gene").collect().toSeq ==
+      byName.orderBy("gene").collect().toSeq)
+    // unknown name errors with the available names listed
+    val err = intercept[IllegalArgumentException](
+      graft.sources.XlsxReader.readSheet(spark, p, "Nope"))
+    assert(err.getMessage.contains("Supplementary Table 2"))
+  }
+
+  test("xlsx DSv2 surface honors sheet-name + startRow options") {
+    val p = Files.createTempDirectory("graftxlsxv2named").resolve("supp.xlsx").toString
+    graft.sources.XlsxReader.writeWorkbook(p, Seq(
+      ("Cover", Seq(Seq("cover page"), Seq("ignore"))),
+      ("SCoNeS", Seq(
+        Seq("title spanning the first row", null),
+        Seq("gene", "scones_score"),
+        Seq("TP53", 0.91), Seq("KRAS", 0.42)))))
+    val df = spark.read.format("xlsx")
+      .option("sheet", "SCoNeS").option("startRow", 2).load(p)
+    assert(df.columns.toSeq == Seq("gene", "scones_score"))
+    assert(df.count() == 2)
+    assert(df.orderBy("gene").collect().toSeq ==
+      graft.sources.XlsxReader.readSheet(spark, p, "SCoNeS", startRow = 2)
+        .orderBy("gene").collect().toSeq)
+  }
+
+  test("zip-wrapped tsv reads through the csv path (HPA normal_tissue.tsv.zip shape)") {
+    val dir = Files.createTempDirectory("graftzip")
+    val p = dir.resolve("normal_tissue.tsv.zip")
+    val zos = new java.util.zip.ZipOutputStream(Files.newOutputStream(p))
+    zos.putNextEntry(new java.util.zip.ZipEntry("normal_tissue.tsv"))
+    zos.write("gene\ttissue\tlevel\nTP53\tliver\t3\nBRCA1\tbreast\t2\n".getBytes("UTF-8"))
+    zos.closeEntry(); zos.close()
+    val df = Readers.zippedTsv(spark, p.toString)
+    assert(df.columns.toSeq == Seq("gene", "tissue", "level"))
+    assert(df.count() == 2)
+    assert(df.filter(df("gene") === "TP53").first().getInt(2) == 3)
+    // named-entry selection + missing-entry error
+    assert(Readers.zippedTsv(spark, p.toString, entry = Some("normal_tissue.tsv")).count() == 2)
+    val err = intercept[IllegalArgumentException](
+      Readers.zippedTsv(spark, p.toString, entry = Some("missing.tsv")))
+    assert(err.getMessage.contains("missing.tsv"))
+  }
+
   test("ingest logs per-source failures without aborting the batch") {
     val ing = new Ingest()
       .source("good")(Tables.nation(spark, sf))
