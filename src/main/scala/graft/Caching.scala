@@ -1,0 +1,81 @@
+package graft
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.execution.LogicalRDD
+
+/** Block-lifetime plumbing for the library contract: operators that
+  * persist or checkpoint intermediates must not leak those blocks for
+  * the lifetime of the session. Two mechanisms:
+  *
+  *  1. [[releaseCheckpoint]] — frees the BlockManager blocks behind a
+  *     `localCheckpoint`'ed DataFrame once a NEWER checkpoint has
+  *     materialized. Iterative operators (connected components,
+  *     PageRank, BFS) checkpoint a new labels/ranks table every round;
+  *     without an explicit release the superseded tables sit in
+  *     executor storage until ContextCleaner GC happens to run — at
+  *     100 TB a 50-round loop would hold up to 50 copies of the label
+  *     table, an OOM rather than a slowdown.
+  *  2. [[CacheScope]] — a scope that collects the `persist()` calls an
+  *     operator makes while BUILDING a lazy plan (lambda barriers,
+  *     shared join sides), so a caller can run
+  *     `CacheScope.withScope { op(...).count() }` and get every
+  *     intermediate unpersisted on exit. Outside any scope the persist
+  *     behaves exactly as before (caller-must-clear contract, e.g. via
+  *     `spark.catalog.clearCache()` between queries, as Bench does).
+  */
+object Caching {
+
+  /** Unpersist the checkpointed RDD blocks under `df`'s analyzed plan.
+    * Safe once a downstream checkpoint has materialized: later plans
+    * read the NEWEST checkpoint's blocks only, so superseded rounds
+    * can be freed. (Same fault-tolerance profile as `localCheckpoint`
+    * itself — blocks are the source of truth, lineage is truncated.)
+    */
+  def releaseCheckpoint(df: Dataset[_]): Unit =
+    df.queryExecution.analyzed.collect {
+      case lr: LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(blocking = false))
+
+  /** Thread-local registry of operator-internal persists. Plan
+    * construction and the scope exit must happen on the same thread
+    * (the normal query-building pattern); actions may run anywhere.
+    */
+  object CacheScope {
+    private val active = new ThreadLocal[mutable.Buffer[DataFrame]]
+
+    /** Persist `df` and, when a scope is active on this thread,
+      * register it for unpersist at scope exit.
+      */
+    private[graft] def persist(df: DataFrame): DataFrame = {
+      df.persist()
+      Option(active.get()).foreach(_ += df)
+      df
+    }
+
+    /** Run `body`, then unpersist every operator-internal persist it
+      * registered. Nested scopes release only their own persists.
+      */
+    def withScope[A](body: => A): A = {
+      val outer = active.get()
+      val buf = mutable.Buffer.empty[DataFrame]
+      active.set(buf)
+      try body
+      finally {
+        active.set(outer)
+        buf.foreach(_.unpersist(blocking = false))
+        // registrations also bubble to an enclosing scope's ledger?
+        // No — each scope owns exactly what it registered; an outer
+        // scope must not double-unpersist an inner scope's frames.
+      }
+    }
+  }
+
+  /** `df.scopedPersist()` — drop-in for `.persist()` at operator
+    * internals that should participate in [[CacheScope]].
+    */
+  implicit class ScopedPersist(private val df: DataFrame) extends AnyVal {
+    def scopedPersist(): DataFrame = CacheScope.persist(df)
+  }
+}

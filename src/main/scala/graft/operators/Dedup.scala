@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions
+import graft.Caching.ScopedPersist
 
 /** SURVEY.md §2.3 #30-33 — document deduplication at training-corpus
   * scale. All stages are shuffle-on-key DataFrame algebra: never
@@ -171,7 +172,7 @@ object Dedup {
     val t = rows
       .withColumn("__bn", count(lit(1)).over(wAll))
       .withColumn("__rn", row_number().over(wOrd))
-      .persist()
+      .scopedPersist()
     def side(suffix: String, rnShift: Int): DataFrame = {
       val base = Seq(col(idCol).as(s"doc_$suffix")) ++
         payload.map(p => col(p).as(s"${p}_$suffix"))
@@ -223,7 +224,7 @@ object Dedup {
         GraftFunctions.shingleSet(GraftFunctions.normWords(col(textCol)),
           shingleWidth).as("shset"))
       .filter(size(col("shset")) > 0)
-      .persist()
+      .scopedPersist()
     val a = sets.select(col("doc_id").as("doc_a"), col("shset").as("set_a"))
     val b = sets.select(col("doc_id").as("doc_b"), col("shset").as("set_b"))
     pairs.join(a, Seq("doc_a")).join(b, Seq("doc_b"))
@@ -305,18 +306,28 @@ object Dedup {
     * checked every 2nd round, so a pair of rounds costs exactly one
     * driver action. The driver only ever sees that count — labels and
     * edges stay distributed.
+    *
+    * Block lifetime: each convergence count materializes the newest
+    * label checkpoint, at which point every OLDER round's blocks are
+    * released ([[graft.Caching.releaseCheckpoint]]) — executor storage
+    * holds ≤ 3 label tables at any moment, not one per round (at
+    * 100 TB a 50-round run must not retain 50 copies). The loop's own
+    * pair/edge persists are unpersisted before returning: the final
+    * count has already materialized the result checkpoint, so the
+    * returned labels are self-contained.
     */
   def connectedComponents(pairsIn: DataFrame, maxIter: Int = 50): DataFrame = {
     // both direction branches of the edge union consume the pair
     // lineage — persist it or the upstream (LSH) pipeline runs twice
-    val pairs = pairsIn.persist()
+    val pairs = pairsIn.scopedPersist()
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
-      .persist()
+      .scopedPersist()
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint(true)
+    var superseded = List.empty[DataFrame] // our checkpoints, not yet freed
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -343,13 +354,22 @@ object Dedup {
         .select(col("node"), col("label").as("__old"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
         .localCheckpoint(false)
+      superseded ::= labels
       i += 1
       if (i % 2 == 0 || i >= maxIter) {
         val changed = updated.filter(col("label") =!= col("__old")).count()
         converged = changed == 0
+        // the count just materialized `updated`'s checkpoint — every
+        // older label round is superseded; free its blocks
+        superseded.foreach(graft.Caching.releaseCheckpoint)
+        superseded = Nil
       }
       labels = updated.select(col("node"), col("label"))
     }
+    // every loop exit passes through a count round, so the final label
+    // checkpoint is materialized — the loop's working persists can go
+    edges.unpersist(false)
+    pairs.unpersist(false)
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }
 

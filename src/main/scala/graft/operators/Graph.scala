@@ -3,12 +3,18 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.Caching
+import graft.Caching.ScopedPersist
+
 /** SURVEY §2.3 — graph analytics over an edge list, complementing the
   * connected components in [[Dedup.connectedComponents]]: PageRank by
   * power iteration. Every step is a distributed join/aggregate — the
   * driver never sees a row; per-round localCheckpoint caps lineage
-  * (the CC lesson: persist alone leaves the plan tree growing).
-  * A fixed iteration count keeps the result reproducible.
+  * (the CC lesson: persist alone leaves the plan tree growing), and
+  * superseded checkpoint blocks are RELEASED as the loop advances
+  * (the 100 TB lesson: a 50-round loop must not hold 50 copies of the
+  * rank table in executor storage). A fixed iteration count keeps the
+  * result reproducible.
   */
 object Graph {
 
@@ -19,30 +25,50 @@ object Graph {
     * by dst for the aggregation — two shuffles per round, both on
     * uniform-ish keys; skewed hub dsts are exactly what AQE's skew
     * handling splits.
+    *
+    * Checkpoint cadence: every round checkpoints LAZILY (flat Catalyst
+    * plan, no job), and every `ckptEvery`-th round — plus the last —
+    * checkpoints EAGERLY. The eager job materializes the intervening
+    * lazy rounds' blocks too, after which every superseded round is
+    * released, so executor storage holds at most `ckptEvery` rank
+    * tables at the eager peak and 1 in steady state, at the cost of
+    * iters/ckptEvery jobs instead of one. The final eager round also
+    * makes the RESULT self-contained, so the operator's own persisted
+    * inputs (edges/nodes/outDeg) are unpersisted before returning —
+    * callers see exactly one retained table: the returned ranks.
     */
   def pageRank(edgesIn: DataFrame, iters: Int = 10,
-               damping: Double = 0.85): DataFrame = {
+               damping: Double = 0.85, ckptEvery: Int = 5): DataFrame = {
     val edges = edgesIn.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst")).persist()
     val nodes = edges.select(col("src").as("id"))
       .union(edges.select(col("dst").as("id"))).distinct().persist()
     val outDeg = edges.groupBy(col("src")).agg(count(lit(1)).as("__out")).persist()
     var ranks = nodes.withColumn("rank", lit(1.0))
-    for (_ <- 1 to iters) {
+    var superseded = List.empty[DataFrame] // checkpoints not yet released
+    for (i <- 1 to iters) {
       val contribs = edges
         .join(ranks, edges("src") === ranks("id"))
         .join(outDeg, "src")
         .select(col("dst").as("id"), (col("rank") / col("__out")).as("__c"))
         .groupBy(col("id")).agg(sum(col("__c")).as("__in"))
-      ranks = nodes.join(contribs, Seq("id"), "left")
+      val eager = i % ckptEvery == 0 || i == iters
+      val next = nodes.join(contribs, Seq("id"), "left")
         .select(col("id"),
           (lit(1.0 - damping) + lit(damping) * coalesce(col("__in"), lit(0.0))).as("rank"))
-        // LAZY checkpoint: flattens the Catalyst plan every round (the
-        // driver-heap risk is plan stringification, not RDD lineage)
-        // while letting all `iters` rounds execute inside the ONE job
-        // the consumer's action triggers — no per-round materialization.
-        .localCheckpoint(false)
+        .localCheckpoint(eager)
+      // only rounds THIS loop checkpointed are ours to free (round 0's
+      // plan may contain a CALLER checkpoint under nodes/edges)
+      if (i > 1) superseded ::= ranks
+      if (eager) {
+        // the eager job just materialized `next`; every older round's
+        // blocks are now dead weight — free them
+        superseded.foreach(Caching.releaseCheckpoint)
+        superseded = Nil
+      }
+      ranks = next
     }
+    edges.unpersist(false); nodes.unpersist(false); outDeg.unpersist(false)
     ranks
   }
 
@@ -54,20 +80,31 @@ object Graph {
     * of ≤ maxDepth edges (the same semantics as a depth-bounded
     * recursive-CTE closure). At 100 TB: each round is one shuffle on
     * dst + a min-aggregate; frontier stays a (node, dist) table, never
-    * driver-side; localCheckpoint caps lineage like [[pageRank]].
+    * driver-side; checkpoint cadence + superseded-block release as in
+    * [[pageRank]].
     */
-  def bfs(edgesIn: DataFrame, source: Long, maxDepth: Int): DataFrame = {
+  def bfs(edgesIn: DataFrame, source: Long, maxDepth: Int,
+          ckptEvery: Int = 5): DataFrame = {
     val edges = edgesIn.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst")).distinct().persist()
     var dist = edges.sparkSession.range(1)
       .select(lit(source).as("id"), lit(0L).as("dist_hops"))
-    for (_ <- 1 to maxDepth) {
+    var superseded = List.empty[DataFrame]
+    for (i <- 1 to maxDepth) {
       val next = dist.join(edges, dist("id") === edges("src"))
         .select(col("dst").as("id"), (col("dist_hops") + 1L).as("dist_hops"))
-      dist = dist.union(next)
+      val eager = i % ckptEvery == 0 || i == maxDepth
+      val merged = dist.union(next)
         .groupBy(col("id")).agg(min(col("dist_hops")).as("dist_hops"))
-        .localCheckpoint(false) // lazy: flat plan, single job (see pageRank)
+        .localCheckpoint(eager)
+      if (i > 1) superseded ::= dist // round 0's plan isn't ours to free
+      if (eager) {
+        superseded.foreach(Caching.releaseCheckpoint)
+        superseded = Nil
+      }
+      dist = merged
     }
+    edges.unpersist(false) // result is self-contained after the final eager round
     dist
   }
 
@@ -83,7 +120,7 @@ object Graph {
   def triangleCounts(edgesIn: DataFrame): DataFrame = {
     val e = edgesIn.select(col("a").cast("long").as("a"),
       col("b").cast("long").as("b"))
-      .filter(col("a") < col("b")).distinct().persist()
+      .filter(col("a") < col("b")).distinct().scopedPersist()
     val tri = e.as("e1")
       .join(e.as("e2"), col("e1.b") === col("e2.a"))
       .join(e.as("e3"),

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions
+import graft.Caching.ScopedPersist
 
 /** SURVEY.md §2.3 round-3 — retrieval/serving-side operators over the
   * curated corpus: fixed-window chunking (the context-window prep
@@ -32,7 +33,7 @@ object Retrieval {
     docs
       .select(col(idCol).as("doc_id"),
         GraftFunctions.normWords(col(textCol)).as("__ws"))
-      .persist() // lambda barrier — see Dedup.docShingles
+      .scopedPersist() // lambda barrier — see Dedup.docShingles
       .filter(size(col("__ws")) >= 1)
       .select(col("doc_id"),
         expr(s"transform(sequence(0, (size(__ws) - 1) div $stride), " +
@@ -81,9 +82,9 @@ object Retrieval {
     val pairs = docs
       .select(col(idCol).as("doc_id"),
         GraftFunctions.normWords(col(textCol)).as("__ws"))
-      .persist() // lambda barrier + two consumers (df pass, postings pass)
+      .scopedPersist() // lambda barrier + two consumers (df pass, postings pass)
       .select(col("doc_id"), explode(array_distinct(col("__ws"))).as("word"))
-    val dfs = pairs.groupBy(col("word")).agg(count(lit(1)).as("df")).persist()
+    val dfs = pairs.groupBy(col("word")).agg(count(lit(1)).as("df")).scopedPersist()
     val hot = dfs.filter(col("df") > postingCap).select(col("word"))
     val postings = pairs
       .join(broadcast(hot), Seq("word"), "left_anti")
@@ -108,7 +109,7 @@ object Retrieval {
     val ws = docs
       .select(col(idCol).as("doc_id"),
         GraftFunctions.normWords(col(textCol)).as("__ws"))
-      .persist() // lambda barrier + two consumers (stats, scoring)
+      .scopedPersist() // lambda barrier + two consumers (stats, scoring)
     // avgdl from an EXACT integer token-count sum (order-independent),
     // divided once — never a float avg(), whose partial-sum order
     // would make the score partitioning-dependent.

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions
+import graft.Caching.ScopedPersist
 
 /** SURVEY.md §2.3 #34-35 — similarity search over an embedding column.
   *
@@ -61,7 +62,7 @@ object Similarity {
     val sigCols = (0 until nTables).map(t =>
       GraftFunctions.hyperplaneSig(col("embedding"), lit(nBits), seed = 1000L + t)
         .as(s"sig_$t"))
-    val sig = corpus.select(col("vec_id") +: col("embedding") +: sigCols: _*).persist()
+    val sig = corpus.select(col("vec_id") +: col("embedding") +: sigCols: _*).scopedPersist()
     val byTable = (0 until nTables).map { t =>
       val a = sig.select(col("vec_id").as("vec_a"),
         col("embedding").as("emb_a"), col(s"sig_$t").as("bk"))
@@ -167,7 +168,7 @@ object Similarity {
         .as(s"qsig_$t"))
     // consumed once per table: persist so signatures are computed once
     val cSig = corpus.select(col("vec_id").as("neighbor_id") +: col("embedding") +: sigCols: _*)
-      .persist()
+      .scopedPersist()
     val qSig = broadcast(queries.select(
       col("vec_id").as("query_id") +: col("embedding").as("q_emb") +: qSigCols: _*))
     val perTable = (0 until nTables).map { t =>

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.Caching.ScopedPersist
 
 /** SURVEY.md §2.3 #36-39 — text analysis over the documents table.
   * Everything is codegen'd built-ins (regexp_extract_all / size /
@@ -94,7 +95,7 @@ object TextAnalysis {
     def shingleArr(df: DataFrame): DataFrame = df
       .select(col(idCol).as("doc_id"),
         graft.functions.GraftFunctions.normWords(col(textCol)).as("__ws"))
-      .persist() // lambda barrier — see Dedup.docShingles
+      .scopedPersist() // lambda barrier — see Dedup.docShingles
       .select(col("doc_id"),
         array_distinct(graft.functions.GraftFunctions.wordShingles(col("__ws"), n))
           .as("shs"))
@@ -127,7 +128,7 @@ object TextAnalysis {
     def shingleArr(df: DataFrame): DataFrame = df
       .select(col(idCol).as("doc_id"),
         GraftFunctions.normWords(col(textCol)).as("__ws"))
-      .persist() // lambda barrier — see Dedup.docShingles
+      .scopedPersist() // lambda barrier — see Dedup.docShingles
       .select(col("doc_id"),
         array_distinct(GraftFunctions.wordShingles(col("__ws"), n)).as("shs"))
     val filterBits = shingleArr(benchmark)
@@ -153,7 +154,7 @@ object TextAnalysis {
       .select(col(idCol).as("doc_id"),
         graft.functions.GraftFunctions.normWords(col(textCol)).as("__ws"))
       .filter(size(col("__ws")) >= 2)
-      .persist() // lambda barrier + two consumers
+      .scopedPersist() // lambda barrier + two consumers
     val base = ws
       .select(col("doc_id"), col("__ws"),
         graft.functions.GraftFunctions.wordShingles(col("__ws"), 2).as("__bi"))

@@ -8,6 +8,7 @@ import org.apache.spark.sql.types.DecimalType
 import graft.Tables
 import graft.functions.GraftFunctions
 import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.Caching.ScopedPersist
 
 /** SURVEY.md §2.3 — LLM-training-data operators over documents /
   * embeddings: dedup family, similarity search, text analysis,
@@ -327,7 +328,7 @@ object TextQueries {
       val words = Tables.documents(s, d)
         .select(col("doc_id"),
           explode(GraftFunctions.normWords(col("text"))).as("word"))
-        .persist() // bind the lambda output; reused by both branches
+        .scopedPersist() // bind the lambda output; reused by both branches
       val wc = words.groupBy(col("word")).agg(count(lit(1)).as("c"))
       val total = wc.agg(sum(col("c")).as("total"))
       val surp = wc.crossJoin(broadcast(total))

@@ -119,6 +119,59 @@ class ScaleSpec extends SparkSpecBase {
     assert(planted.subsetOf(pairs), s"narrow front missed ${(planted -- pairs).take(3)}")
   }
 
+  test("iterative loops release superseded checkpoint blocks (bounded storage)") {
+    import spark.implicits._
+    spark.catalog.clearCache()
+    val baseline = spark.sparkContext.getPersistentRDDs.size
+    // long chain → many pointer-jump rounds; 4096 nodes ≈ 12 rounds
+    val chain = (0L until 4095L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val cc = graft.operators.Dedup.connectedComponents(chain, maxIter = 50)
+    assert(cc.select(countDistinct(col("cluster_id"))).first().getLong(0) == 1L)
+    // after the operator returns: ONE retained table (the result
+    // checkpoint) — not one per round, and the pair/edge persists are
+    // gone (unpersist removes the registry entry synchronously)
+    val afterCC = spark.sparkContext.getPersistentRDDs.size
+    assert(afterCC <= baseline + 1,
+      s"CC leaked checkpoint blocks: $baseline -> $afterCC persistent RDDs")
+    Caching.releaseCheckpoint(cc)
+
+    // 20 deterministic pageRank rounds, eager point every 5
+    val edges = (0L until 500L).map(i => (i, (i * 7 + 1) % 500)).toDF("src", "dst")
+    val pr = graft.operators.Graph.pageRank(edges, iters = 20, ckptEvery = 5)
+    assert(pr.count() == 500)
+    val afterPr = spark.sparkContext.getPersistentRDDs.size
+    assert(afterPr <= baseline + 1,
+      s"pageRank leaked checkpoint blocks: $baseline -> $afterPr persistent RDDs")
+    Caching.releaseCheckpoint(pr)
+
+    val bfs = graft.operators.Graph.bfs(chain.select(col("doc_a").as("src"),
+      col("doc_b").as("dst")), source = 0L, maxDepth = 12)
+    assert(bfs.count() == 13)
+    val afterBfs = spark.sparkContext.getPersistentRDDs.size
+    assert(afterBfs <= baseline + 1,
+      s"bfs leaked checkpoint blocks: $baseline -> $afterBfs persistent RDDs")
+    Caching.releaseCheckpoint(bfs)
+  }
+
+  test("CacheScope.withScope releases operator-internal persists on exit") {
+    import spark.implicits._
+    spark.catalog.clearCache()
+    val baseline = spark.sparkContext.getPersistentRDDs.size
+    val docs = (0L until 200L)
+      .map(i => (i, s"shared boilerplate words plus unique token $i ${i * 3}"))
+      .toDF("doc_id", "text")
+    Caching.CacheScope.withScope {
+      val pairs = (0L until 100L).map(i => (i, i + 100L)).toDF("doc_a", "doc_b")
+      val jac = graft.operators.Dedup.ngramJaccard(docs, pairs, "doc_id", "text", 2)
+      assert(jac.count() > 0) // materialize inside the scope
+      val idx = graft.operators.Retrieval.invertedIndex(docs, "doc_id", "text", 2)
+      assert(idx.count() >= 0)
+    }
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after <= baseline,
+      s"scope leaked persists: $baseline -> $after persistent RDDs")
+  }
+
   test("unbounded sessionizer carries open sessions across micro-batches") {
     import spark.implicits._
     import graft.streaming.StatefulSessions
