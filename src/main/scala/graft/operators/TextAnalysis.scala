@@ -77,21 +77,53 @@ object TextAnalysis {
         .as("scrubbed"))
   }
 
-  /** Benchmark decontamination: flag corpus docs sharing any n-word
-    * shingle with a benchmark set (the eval-leakage check every
-    * training pipeline runs). The benchmark's distinct shingles fold
-    * into ONE broadcast array row (eval suites are small — thousands
-    * of docs); each corpus doc then scores itself with a narrow
-    * `array_intersect` against that constant, so the corpus side is a
-    * single scan with NO shuffle, NO join materialization and NO
-    * aggregation — the shape that survives both a 100 TB corpus and a
-    * contended scheduler (2 stages total vs 5 for the join+
-    * countDistinct formulation). For benchmark sets too large for a
-    * per-row intersect (millions of shingles), use
-    * [[contaminationBloom]] — same plan shape, O(1) probes.
+  /** Benchmark decontamination dispatcher: flag corpus docs sharing
+    * any n-word shingle with a benchmark set (the eval-leakage check
+    * every training pipeline runs). Routes on the benchmark's shingle
+    * volume — ONE narrow scan of the benchmark (never the corpus)
+    * upper-bounds its shingle count as Σ max(words−n+1, 0):
+    *
+    *  - ≤ `maxExactShingles` → [[contaminationExact]]: per-row
+    *    `array_intersect` against one broadcast array, exact counts.
+    *  - above → [[contaminationBloom]] (output renamed to match):
+    *    fixed-size Bloom probe, O(1) per shingle regardless of
+    *    benchmark size; may over-flag at the bounded FP rate, never
+    *    under-flags.
+    *
+    * The probe makes this entry point non-lazy (one small action);
+    * call the concrete variants directly for a fully lazy plan.
+    * Assumes UNIQUE doc_ids in `corpus` — output is one row per
+    * flagged input ROW, not an aggregate per id.
     */
   def contamination(corpus: DataFrame, benchmark: DataFrame, idCol: String,
-                    textCol: String, n: Int = 8): DataFrame = {
+                    textCol: String, n: Int = 8,
+                    maxExactShingles: Long = 1L << 16): DataFrame = {
+    val shingleUpper = benchmark
+      .select(graft.functions.GraftFunctions.normWords(col(textCol)).as("__ws"))
+      .select(greatest(size(col("__ws")) - (n - 1), lit(0)).cast("long").as("k"))
+      .agg(coalesce(sum(col("k")), lit(0L))).first().getLong(0)
+    if (shingleUpper <= maxExactShingles)
+      contaminationExact(corpus, benchmark, idCol, textCol, n)
+    else
+      contaminationBloom(corpus, benchmark, idCol, textCol, n)
+        .withColumnRenamed("n_flagged", "n_contaminated")
+  }
+
+  /** Exact decontamination for SMALL benchmark sets (eval suites —
+    * thousands of docs): the benchmark's distinct shingles fold into
+    * ONE broadcast array row; each corpus doc then scores itself with
+    * a narrow `array_intersect` against that constant, so the corpus
+    * side is a single scan with NO shuffle and NO join
+    * materialization. Caveats that make this the small-set path only
+    * (use [[contaminationBloom]] or the [[contamination]] dispatcher
+    * otherwise): `array_intersect` rebuilds its hash set from the
+    * broadcast array for EVERY corpus row, so per-row cost grows with
+    * benchmark size; and the final collect funnels the (pre-distinct,
+    * distributed) shingle set through one task. Assumes UNIQUE
+    * doc_ids in `corpus` — one output row per flagged input row.
+    */
+  def contaminationExact(corpus: DataFrame, benchmark: DataFrame, idCol: String,
+                         textCol: String, n: Int = 8): DataFrame = {
     def shingleArr(df: DataFrame): DataFrame = df
       .select(col(idCol).as("doc_id"),
         graft.functions.GraftFunctions.normWords(col(textCol)).as("__ws"))
@@ -99,8 +131,12 @@ object TextAnalysis {
       .select(col("doc_id"),
         array_distinct(graft.functions.GraftFunctions.wordShingles(col("__ws"), n))
           .as("shs"))
+    // distinct is DISTRIBUTED (shuffle on shingle) before the single
+    // final collect_list task — that task only ever sees the deduped
+    // set, which the dispatcher has already bounded
     val benchSet = shingleArr(benchmark)
-      .agg(array_distinct(flatten(collect_list(col("shs")))).as("__bench"))
+      .select(explode(col("shs")).as("sh")).distinct()
+      .agg(collect_list(col("sh")).as("__bench"))
     shingleArr(corpus)
       .crossJoin(broadcast(benchSet)) // 1-row set — broadcast-nested-loop, no shuffle
       .select(col("doc_id"),
@@ -119,7 +155,9 @@ object TextAnalysis {
     * broadcast payload is m/8 bytes regardless of benchmark row
     * count. False negatives are impossible (every truly contaminated
     * doc is flagged); false positives are the bounded Bloom rate and
-    * acceptable for an over-flagging decontamination pass.
+    * acceptable for an over-flagging decontamination pass. Assumes
+    * UNIQUE doc_ids in `corpus` — one output row per flagged input
+    * row.
     */
   def contaminationBloom(corpus: DataFrame, benchmark: DataFrame, idCol: String,
                          textCol: String, n: Int = 8,

@@ -108,6 +108,29 @@ class CurationSpec extends SparkSpecBase {
       s"bloom over-flagged: ${bloomed.size} vs exact ${exact.size}")
   }
 
+  test("contamination dispatcher routes small benchmarks exact, large to Bloom") {
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val corpus = docs.filter(col("doc_id") >= 20)
+    val bench = docs.filter(col("doc_id") < 20)
+    // generous threshold → exact path: per-row array_intersect in plan
+    val small = TextAnalysis.contamination(corpus, bench, "doc_id", "text", n = 8)
+    assert(small.queryExecution.analyzed.toString.contains("array_intersect"),
+      "small benchmark should take the exact array_intersect path")
+    val exactIds = TextAnalysis.contaminationExact(corpus, bench, "doc_id", "text", n = 8)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(small.select(col("doc_id")).collect().map(_.getLong(0)).toSet == exactIds)
+    // tiny threshold → Bloom path: O(1) probes, renamed output column,
+    // never misses an exact hit
+    val big = TextAnalysis.contamination(corpus, bench, "doc_id", "text", n = 8,
+      maxExactShingles = 10)
+    val bigPlan = big.queryExecution.analyzed.toString
+    assert(bigPlan.contains("graft_bloom_contains") && !bigPlan.contains("array_intersect"),
+      "over-threshold benchmark should take the Bloom path")
+    assert(big.columns.toSeq == Seq("doc_id", "n_contaminated"))
+    val bloomIds = big.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(exactIds.subsetOf(bloomIds), s"bloom path missed ${exactIds -- bloomIds}")
+  }
+
   test("q83 plan has no shuffle on the corpus probe side") {
     val plan = q("q83_bloom_decontam").queryExecution.executedPlan.toString
     // the only exchanges allowed are the 1-row filter aggregation and the
