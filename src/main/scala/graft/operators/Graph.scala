@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.Caching
 import graft.Caching.ScopedPersist
@@ -47,15 +48,24 @@ object Graph {
     var ranks = nodes.withColumn("rank", lit(1.0))
     var superseded = List.empty[DataFrame] // checkpoints not yet released
     for (i <- 1 to iters) {
+      // each contribution is an IEEE double (bit-identical in any
+      // engine) QUANTIZED to DECIMAL(28,14) before the per-dst sum:
+      // decimal addition is exact, so the aggregate is independent of
+      // partitioning/order — the run is bit-reproducible at any
+      // parallelism AND mirrors in a DuckDB oracle (the q74/q101
+      // discipline; quantization error 1e-14/edge is far below any
+      // consumer's tolerance)
       val contribs = edges
         .join(ranks, edges("src") === ranks("id"))
         .join(outDeg, "src")
-        .select(col("dst").as("id"), (col("rank") / col("__out")).as("__c"))
+        .select(col("dst").as("id"),
+          (col("rank") / col("__out")).cast(DecimalType(28, 14)).as("__c"))
         .groupBy(col("id")).agg(sum(col("__c")).as("__in"))
       val eager = i % ckptEvery == 0 || i == iters
       val next = nodes.join(contribs, Seq("id"), "left")
         .select(col("id"),
-          (lit(1.0 - damping) + lit(damping) * coalesce(col("__in"), lit(0.0))).as("rank"))
+          (lit(1.0 - damping) + lit(damping) *
+            coalesce(col("__in").cast("double"), lit(0.0))).as("rank"))
         .localCheckpoint(eager)
       // only rounds THIS loop checkpointed are ours to free (round 0's
       // plan may contain a CALLER checkpoint under nodes/edges)

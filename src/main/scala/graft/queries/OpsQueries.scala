@@ -130,13 +130,16 @@ object OpsQueries {
     },
 
     // PageRank by power iteration over a deterministic graph derived
-    // from the orders table (rows-only: float sums are
-    // aggregation-order-sensitive; GraphSpec pins the semantics).
+    // from the orders table. Hash-oracled since round 6: contributions
+    // quantize to DECIMAL(28,14) before each per-dst sum (exact,
+    // order-independent addition), so the DuckDB oracle unrolls the
+    // same 5 iterations as chained CTEs and matches bit-for-bit.
     "q91_pagerank" -> { (s, d) =>
       val edges = Tables.orders(s, d)
         .select((col("o_custkey") % 200).as("src"), (col("o_orderkey") % 200).as("dst"))
         .filter(col("src") =!= col("dst"))
       graft.operators.Graph.pageRank(edges, iters = 5)
+        .select(col("id"), round(col("rank"), 6).as("rank"))
         .orderBy(col("id"))
     },
 
@@ -181,6 +184,32 @@ object OpsQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+
+    // PageRank, 5 unrolled iterations as chained CTEs — no recursive
+    // aggregation needed, and bit-exact against the Spark side because
+    // per-edge contributions quantize to DECIMAL(28,14) before each
+    // order-independent decimal SUM. (1.0 - 0.85) is written as the
+    // SUBTRACTION so both engines evaluate the same IEEE expression
+    // the Scala side computes for lit(1.0 - damping).
+    "q91_pagerank" -> {
+      val iterCtes = (1 to 5).map { i =>
+        s"""r$i AS (
+           |  SELECT n.id, (1.0 - 0.85) + 0.85 * COALESCE(CAST(s.contrib AS DOUBLE), 0.0) AS rank
+           |  FROM n LEFT JOIN (
+           |    SELECT e.dst AS id, SUM(CAST(p.rank / od.o AS DECIMAL(28,14))) AS contrib
+           |    FROM e JOIN r${i - 1} p ON e.src = p.id JOIN od ON e.src = od.src
+           |    GROUP BY e.dst) s ON n.id = s.id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (
+         |  SELECT o_custkey % 200 AS src, o_orderkey % 200 AS dst
+         |  FROM orders WHERE o_custkey % 200 <> o_orderkey % 200),
+         |n AS (SELECT DISTINCT id FROM
+         |  (SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e)),
+         |od AS (SELECT src, COUNT(*) AS o FROM e GROUP BY src),
+         |r0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS rank FROM n),
+         |$iterCtes
+         |SELECT id, ROUND(rank, 6) AS rank FROM r5 ORDER BY id""".stripMargin
+    },
 
     "q51_range_join" ->
       """SELECT a.user_id AS user_id, COUNT(*) AS n_close_pairs
