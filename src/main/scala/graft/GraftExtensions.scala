@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.DoubleType
 
-import graft.functions.{CosineSimilarity, MinHashBandSig, MinHashSignature, SimHash64}
+import graft.functions.{CosineSimilarity, ImageHeader, MinHashBandSig, MinHashSignature, SimHash64}
 
 /** Optimizer rule: cosine(x, x) ≡ 1.0 — the self-pair arm of near-dup
   * pipelines constant-folds away instead of running the O(dim) kernel
@@ -59,5 +59,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => MinHashBandSig(es.head,
         intLit(es(1), "shingleWidth"), intLit(es(2), "nSeeds"),
         intLit(es(3), "rowsPerBand"))))
+    e.injectFunction((
+      FunctionIdentifier("graft_image_header"),
+      new ExpressionInfo(classOf[ImageHeader].getName, "graft_image_header"),
+      (es: Seq[Expression]) => ImageHeader(es.head)))
   }
 }

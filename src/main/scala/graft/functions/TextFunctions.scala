@@ -309,5 +309,7 @@ object GraftFunctions {
         intLit(es(2), "numHashes")).toAggregateExpression(), "built-in")
     reg.createOrReplaceTempFunction("graft_bloom_contains",
       es => BloomMightContain(es.head, es(1), intLit(es(2), "numHashes")), "built-in")
+    reg.createOrReplaceTempFunction("graft_image_header",
+      es => ImageHeader(es.head), "built-in")
   }
 }

@@ -5,12 +5,26 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** SURVEY.md §2.3 #40 — multimodal columns: opaque binary payloads +
-  * typed metadata, with the decode step STUBBED (no image/audio codecs
-  * in this container) behind a deterministic fake. The Spark-side
-  * plumbing — schema, batched per-partition decode, frame-sample
-  * explode, content-hash partitioning — is real.
+  * typed metadata. Since round 6 the HEADER decode is REAL —
+  * [[decodeImageMeta]] parses PNG/BMP container bytes (format,
+  * width, height, channels) with a pure-JVM codegen'd expression, no
+  * codec library needed. Pixel decoding ([[decodeFrames]]) remains a
+  * declared deterministic fake (no image/audio codecs in this
+  * container); its Spark-side plumbing — schema, batched
+  * per-partition decode, frame-sample explode, content-hash
+  * partitioning — is real.
   */
 object Multimodal {
+
+  /** REAL container-header decode over a binary payload column: one
+    * narrow codegen'd pass ([[graft.functions.ImageHeader]]) emitting
+    * struct(format, width, height, channels); non-image payloads come
+    * back format='unknown' with null dims rather than erroring, the
+    * right behavior for a mixed 100 TB corpus scan.
+    */
+  def decodeImageMeta(media: DataFrame, payloadCol: String = "payload"): DataFrame =
+    media.withColumn("img",
+      graft.functions.ImageFunctions.imageHeader(col(payloadCol)))
 
   /** media metadata struct carried next to every binary payload */
   val metaSchema: StructType = StructType(Seq(

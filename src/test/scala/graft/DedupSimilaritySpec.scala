@@ -129,6 +129,45 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(a == b)
   }
 
+  test("image header decode reads REAL png bytes (and bmp, and rejects non-images)") {
+    import spark.implicits._
+    // real PNG bytes from the JDK encoder — not hand-forged magic
+    def pngBytes(w: Int, h: Int, typ: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, typ)
+      img.setRGB(0, 0, 0xff8040)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // minimal hand-built BMP: "BM" + BITMAPINFOHEADER with LE dims at
+    // 18/22 (height negative = top-down) and 24bpp at offset 28
+    val bmp = new Array[Byte](54)
+    bmp(0) = 'B'; bmp(1) = 'M'
+    def putLE(off: Int, v: Int): Unit = (0 until 4).foreach(i => bmp(off + i) = ((v >> (8 * i)) & 0xff).toByte)
+    putLE(14, 40); putLE(18, 31); putLE(22, -17); bmp(28) = 24
+    val rows = Seq(
+      (1L, pngBytes(7, 5, java.awt.image.BufferedImage.TYPE_INT_RGB)),
+      (2L, pngBytes(3, 9, java.awt.image.BufferedImage.TYPE_INT_ARGB)),
+      (3L, bmp),
+      (4L, "just text, not an image".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val got = graft.operators.Multimodal.decodeImageMeta(rows)
+      .select(col("doc_id"), col("img.format"), col("img.width"),
+        col("img.height"), col("img.channels"))
+      .orderBy("doc_id").collect()
+    assert(got(0).toSeq == Seq(1L, "png", 7, 5, 3))
+    assert(got(1).toSeq == Seq(2L, "png", 3, 9, 4))
+    assert(got(2).toSeq == Seq(3L, "bmp", 31, 17, 3))
+    assert(got(3).getString(1) == "unknown" && got(3).isNullAt(2))
+    // SQL registration round-trip
+    graft.functions.GraftFunctions.register(spark)
+    rows.createOrReplaceTempView("imgpayloads")
+    val viaSql = spark.sql(
+      "SELECT graft_image_header(payload).width AS w FROM imgpayloads WHERE doc_id = 1")
+      .first().getInt(0)
+    assert(viaSql == 7)
+  }
+
   test("resize plan: fits the 224 box, preserves orientation, exact patch grid") {
     val rows = Multimodal.resizePlan(Multimodal.attachBinary(docs)).collect()
     assert(rows.nonEmpty)
