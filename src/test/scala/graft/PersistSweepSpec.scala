@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+
+/** Library block-lifetime contract, swept across the ENTIRE query
+  * surface: running any SparkEntry query inside
+  * [[Caching.CacheScope.withScope]] and then releasing its result
+  * checkpoint leaves the session's persistent-RDD registry exactly
+  * where it started. This is the guard against the round-5 finding
+  * (operator persists with no unpersist, checkpoint blocks retained
+  * per loop round): a long-lived session can run every operator
+  * repeatedly without accumulating executor storage.
+  */
+class PersistSweepSpec extends SparkSpecBase {
+
+  // Streaming queries spin their own state stores and temp checkpoint
+  // dirs that are cleaned by their own harness — their block behavior
+  // is covered in StreamingSpec/ScaleSpec; the sweep covers the batch
+  // surface.
+  private val streaming = Set(
+    "q42_stream_windowed", "q45_event_dedup", "q58_stream_static_join",
+    "q60_session_window", "q75_stream_stream_join")
+
+  test("every batch query leaves zero net persistent RDDs after scope + release") {
+    spark.catalog.clearCache()
+    // settle any async unpersists from earlier suites sharing the JVM
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    val baseline = spark.sparkContext.getPersistentRDDs.size
+    val leaked = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot(q => streaming(q._1))
+      .flatMap { case (name, fn) =>
+        val df = Caching.CacheScope.withScope {
+          val d = fn(spark, sf)
+          d.count() // materialize inside the scope
+          d
+        }
+        Caching.releaseCheckpoint(df) // iterative results hand the caller ONE table
+        val now = spark.sparkContext.getPersistentRDDs.size
+        if (now > baseline) Some(s"$name: $baseline -> $now") else None
+      }
+    assert(leaked.isEmpty, s"queries leaking persistent RDDs:\n${leaked.mkString("\n")}")
+  }
+}
