@@ -9,10 +9,9 @@ class OpsSpec extends SparkSpecBase {
     OpsQueries.queries.foreach { case (name, fn) =>
       assert(fn(spark, sf).count() > 0, s"$name returned 0 rows")
     }
-    // q91_pagerank is rows-only by design (float power-iteration sums
-    // are aggregation-order-sensitive; GraphSpec pins the semantics).
-    assert(OpsQueries.queries.keySet -- OpsQueries.oracleSql.keySet ==
-      Set("q91_pagerank"))
+    // every ops query is oracle-paired — q91 joined in round 6 once
+    // its contribution sums became DECIMAL-quantized (order-independent)
+    assert(OpsQueries.queries.keySet -- OpsQueries.oracleSql.keySet == Set.empty)
   }
 
   test("train split is total, disjoint, and stable across runs") {
