@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.DoubleType
 
-import graft.functions.{CosineSimilarity, ImageHeader, MinHashBandSig, MinHashSignature, SimHash64}
+import graft.functions.{CosineSimilarity, ImageHeader, MinHashBandSig, MinHashSignature, SimHash64, SimHashMd5}
 
 /** Optimizer rule: cosine(x, x) ≡ 1.0 — the self-pair arm of near-dup
   * pipelines constant-folds away instead of running the O(dim) kernel
@@ -43,6 +43,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
       (es: Seq[Expression]) => SimHash64(es.head)))
+    e.injectFunction((
+      FunctionIdentifier("graft_simhash_md5"),
+      new ExpressionInfo(classOf[SimHashMd5].getName, "graft_simhash_md5"),
+      (es: Seq[Expression]) => SimHashMd5(es.head)))
     def intLit(ex: Expression, arg: String): Int = ex match {
       case Literal(v: Int, _) => v
       case other => throw new IllegalArgumentException(

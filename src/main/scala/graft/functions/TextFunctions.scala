@@ -49,6 +49,51 @@ object TextOps {
 
   def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
+  private val md5Digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Top 64 bits of a string's MD5 digest, big-endian — the value
+    * DuckDB computes as `('0x' || substr(md5(s), 1, 16))::UBIGINT`
+    * (two's-complement reinterpreted). The oracle-reproducible
+    * counterpart of [[fnv1a64]].
+    */
+  def md5Bits64(s: UTF8String): Long = {
+    val md = md5Digest.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+      ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+      ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+      ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+  }
+
+  /** Oracle-grade SimHash: the [[simhash64]] vote scheme over
+    * md5-derived token bits instead of FNV, so DuckDB reproduces the
+    * signature bit-for-bit (the md5 trick that made the minhash
+    * family hash-green). ~3× the per-token hash cost of FNV — keep
+    * [[simhash64]] for hot production paths.
+    */
+  def simhash64Md5(tokens: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      val h = md5Bits64(tokens.getUTF8String(i))
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
   /** Shannon entropy (bits/char) of the character distribution — the
     * compression-proxy quality signal (gibberish ≈ high, boilerplate
     * repetition ≈ low). Counts Unicode CODE POINTS (not UTF-16 code
@@ -236,6 +281,18 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override def prettyName: String = "graft_simhash64"
 }
 
+/** Codegen'd md5-bit 64-bit SimHash — DuckDB-reproducible (see
+  * [[TextOps.simhash64Md5]]). */
+case class SimHashMd5(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(t: Any): Any =
+    TextOps.simhash64Md5(t.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.functions.TextOps.simhash64Md5($t)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "graft_simhash_md5"
+}
+
 /** Column-level API + SQL registration for the graft functions. */
 object GraftFunctions {
   import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
@@ -248,6 +305,9 @@ object GraftFunctions {
 
   def simhash64(tokens: Column): Column =
     toCol(SimHash64(toExpr(tokens)))
+
+  def simhashMd5(tokens: Column): Column =
+    toCol(SimHashMd5(toExpr(tokens)))
 
   def minhashSig(tokens: Column, shingleWidth: Int, nSeeds: Int): Column =
     toCol(MinHashSignature(toExpr(tokens), shingleWidth, nSeeds))
@@ -294,6 +354,8 @@ object GraftFunctions {
       es => CosineSimilarity(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_simhash64",
       es => SimHash64(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_simhash_md5",
+      es => SimHashMd5(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_minhash",
       es => MinHashSignature(es.head,
         intLit(es(1), "shingleWidth"), intLit(es(2), "nSeeds")), "built-in")

@@ -272,9 +272,23 @@ object Dedup {
   }
 
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
-                      maxHamming: Int, maxBucket: Int = 64): DataFrame = {
+                      maxHamming: Int, maxBucket: Int = 64): DataFrame =
+    simhashNearDupsFromSigs(simhashTable(docs, idCol, textCol), maxHamming, maxBucket)
+
+  /** [[simhashNearDups]] over md5-bit signatures ([[simhashTableMd5]])
+    * — bit-reproducible in the DuckDB oracle, which verifies the full
+    * pair set against an exact O(n²) hamming scan (sound because the
+    * 3-of-6 block scheme has recall 1.0 for hamming ≤ 3, so bucketing
+    * is a pure optimization, not an approximation).
+    */
+  def simhashNearDupsMd5(docs: DataFrame, idCol: String, textCol: String,
+                         maxHamming: Int, maxBucket: Int = 64): DataFrame =
+    simhashNearDupsFromSigs(simhashTableMd5(docs, idCol, textCol), maxHamming, maxBucket)
+
+  private def simhashNearDupsFromSigs(sigs: DataFrame, maxHamming: Int,
+                                      maxBucket: Int): DataFrame = {
     require(maxHamming <= 3, s"3-of-6 block keys guarantee recall only for hamming <= 3, got $maxHamming")
-    val keyed = simhashTable(docs, idCol, textCol)
+    val keyed = sigs
       .select(col("doc_id"), col("simhash"),
         explode(tripleKeys(col("simhash"))).as("ck"))
       .select(col("doc_id"), col("simhash"),
@@ -376,4 +390,10 @@ object Dedup {
   def simhashTable(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"),
       GraftFunctions.simhash64(GraftFunctions.normWords(col(textCol))).as("simhash"))
+
+  /** [[simhashTable]] with md5-bit token hashes — same vote scheme,
+    * DuckDB-reproducible (see TextOps.simhash64Md5). */
+  def simhashTableMd5(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      GraftFunctions.simhashMd5(GraftFunctions.normWords(col(textCol))).as("simhash"))
 }

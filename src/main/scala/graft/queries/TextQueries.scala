@@ -40,6 +40,22 @@ object TextQueries {
   private[queries] val wsSql =
     "list_filter(string_split(regexp_replace(lower(text),'[^a-z0-9 ]','','g'),' '), x -> x <> '')"
 
+  /** DuckDB per-(doc, bit) simhash votes over md5 token bits — the
+    * exact arithmetic of TextOps.simhash64Md5: token hash = top 64
+    * md5 bits, per-occurrence ±1 vote per bit, bit set iff vote > 0
+    * (ties → 0). Shared by the q32/q32b oracles.
+    */
+  private val simhashBitsSql =
+    s"""w AS (SELECT doc_id, $wsSql AS ws FROM corpus),
+       |tok AS (SELECT doc_id, unnest(ws) AS t FROM w),
+       |th AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 16))::UBIGINT AS h FROM tok),
+       |bits AS (
+       |  SELECT doc_id, bs.b AS b,
+       |         CASE WHEN SUM(CASE WHEN (h >> bs.b) & 1 = 1 THEN 1 ELSE -1 END) > 0
+       |              THEN 1 ELSE 0 END AS bit
+       |  FROM th CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) bs
+       |  GROUP BY doc_id, bs.b)""".stripMargin
+
   /** documents with deterministically planted PII (emails for
     * doc_id % 5 = 0, phone numbers for doc_id % 7 = 0). Mirrored
     * verbatim in the q69 oracle.
@@ -87,18 +103,25 @@ object TextQueries {
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
-    // §2.3 #32 — simhash table (rows-only: FNV bit-votes aren't
-    // reproducible in DuckDB SQL; invariants in DedupSpec).
+    // §2.3 #32 — simhash table over md5 token bits, emitted as a
+    // 16-hex-char string so the signed-long vs UBIGINT representations
+    // agree; bit-for-bit oracled in DuckDB (converted from rows-only
+    // round 6 — the md5 trick that oracled the minhash family). The
+    // FNV production kernel keeps its pigeonhole spec in DedupSpec.
     "q32_simhash" -> { (s, d) =>
-      Dedup.simhashTable(plantedCorpus(s, d), "doc_id", "text")
+      Dedup.simhashTableMd5(plantedCorpus(s, d), "doc_id", "text")
+        .select(col("doc_id"),
+          lower(lpad(hex(col("simhash")), 16, "0")).as("simhash_hex"))
         .orderBy(col("doc_id"))
     },
 
-    // §2.3 #32 — full simhash near-dup pair search (quadrant bucket
-    // joins + bit_count hamming filter); planted exact copies must
-    // all surface at hamming 0 (DedupSpec).
+    // §2.3 #32 — full simhash near-dup pair search (Manku 3-of-6
+    // block-key bucket joins + bit_count hamming filter). Oracled
+    // against DuckDB's exact O(n²) hamming scan: sound because the
+    // block scheme has recall 1.0 for hamming ≤ 3, so the bucketed
+    // plan must produce the identical pair set.
     "q32b_simhash_pairs" -> { (s, d) =>
-      Dedup.simhashNearDups(plantedCorpus(s, d), "doc_id", "text", maxHamming = 3)
+      Dedup.simhashNearDupsMd5(plantedCorpus(s, d), "doc_id", "text", maxHamming = 3)
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
@@ -407,6 +430,29 @@ object TextQueries {
          |SELECT a AS doc_id, least(a, MIN(b)) AS cluster_id
          |FROM reach GROUP BY a
          |ORDER BY doc_id""".stripMargin,
+
+    "q32_simhash" ->
+      s"""WITH $corpusSql,
+         |$simhashBitsSql,
+         |nibs AS (SELECT doc_id, b // 4 AS ni, SUM(bit << (b % 4)) AS nib
+         |         FROM bits GROUP BY doc_id, b // 4)
+         |SELECT doc_id,
+         |  string_agg(substr('0123456789abcdef', CAST(nib AS INT) + 1, 1),
+         |             '' ORDER BY ni DESC) AS simhash_hex
+         |FROM nibs GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q32b_simhash_pairs" ->
+      s"""WITH $corpusSql,
+         |$simhashBitsSql,
+         |sig AS (SELECT doc_id,
+         |          bit_or(CASE WHEN bit = 1 THEN 1::UBIGINT << b
+         |                      ELSE 0::UBIGINT END) AS s
+         |        FROM bits GROUP BY doc_id)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       CAST(bit_count(xor(a.s, b.s)) AS INT) AS hamming
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.s, b.s)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q33_ngram_jaccard" ->
       s"""WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents),

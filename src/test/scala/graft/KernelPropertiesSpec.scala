@@ -85,6 +85,27 @@ class KernelPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("md5Bits64 equals the top-16-hex-chars of md5 (the DuckDB oracle definition)") {
+    forAll(Gen.alphaNumStr.suchThat(_.nonEmpty)) { s =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.substring(0, 16)
+      val expected = java.lang.Long.parseUnsignedLong(hex, 16)
+      assert(TextOps.md5Bits64(UTF8String.fromString(s)) == expected)
+    }
+  }
+
+  test("simhash64Md5: deterministic; order-insensitive (vote scheme is a multiset sum)") {
+    val tokensGen = Gen.choose(1, 30).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaLowerStr.suchThat(_.nonEmpty).map(_.take(8))))
+    forAll(tokensGen) { ts =>
+      def arr(l: List[String]) =
+        ArrayData.toArrayData(l.map(UTF8String.fromString).toArray)
+      val h1 = TextOps.simhash64Md5(arr(ts))
+      assert(h1 == TextOps.simhash64Md5(arr(ts)))
+      assert(h1 == TextOps.simhash64Md5(arr(ts.reverse)))
+    }
+  }
+
   test("space-saving: est ≥ true ≥ est − err for every tracked item, any stream") {
     val streamGen = Gen.choose(10, 300).flatMap(n =>
       Gen.listOfN(n, Gen.oneOf((1 to 20).map("item" + _))))
