@@ -205,6 +205,50 @@ object Dedup {
       payload = Seq.empty, maxBucket = maxBucket)
       .distinct()
 
+  /** Incremental dedup: flag each batch doc against (1) a persisted
+    * corpus band index and (2) earlier docs in its own batch, WITHOUT
+    * recomputing corpus signatures — the daily-increment shape at
+    * 100 TB, where re-running full-corpus dedup per ingest is a
+    * non-starter. The index side collapses to ONE row per
+    * (band, band_sig) bucket (the bucket's min doc id), so the probe
+    * join is bounded at nBands rows per batch doc and no index bucket
+    * can explode; in production that aggregate IS the stored index —
+    * mergeable (min of mins), append-only, bucketed on band_sig so
+    * daily probes are co-located shuffle-free joins. Batch-internal
+    * dups reuse the bucket-min trick (join each doc to its bucket's
+    * min id, flag if min < self): no O(bucket²) pair generation
+    * anywhere in the operator.
+    *
+    * Returns one row per batch doc: (doc_id, status, dup_of) with
+    * status ∈ dup_index | dup_batch | keep; dup_index wins when both
+    * apply, dup_of is the smallest matching id on the winning side.
+    */
+  def incrementalLshDedup(index: DataFrame, batch: DataFrame,
+                          idCol: String, textCol: String,
+                          shingleWidth: Int = 3, nSeeds: Int = 8,
+                          rowsPerBand: Int = 4): DataFrame = {
+    val idxMin = lshBandsMd5(index, idCol, textCol, shingleWidth, nSeeds, rowsPerBand)
+      .groupBy(col("band"), col("band_sig"))
+      .agg(min(col("doc_id")).as("idx_min"))
+    val batchBands = lshBandsMd5(batch, idCol, textCol, shingleWidth, nSeeds, rowsPerBand)
+      .scopedPersist()
+    val vsIndex = batchBands.join(idxMin, Seq("band", "band_sig"))
+      .groupBy(col("doc_id")).agg(min(col("idx_min")).as("dup_of_index"))
+    val batchMin = batchBands.groupBy(col("band"), col("band_sig"))
+      .agg(min(col("doc_id")).as("bat_min"))
+    val vsBatch = batchBands.join(batchMin, Seq("band", "band_sig"))
+      .filter(col("bat_min") < col("doc_id"))
+      .groupBy(col("doc_id")).agg(min(col("bat_min")).as("dup_in_batch"))
+    batch.select(col(idCol).as("doc_id"))
+      .join(vsIndex, Seq("doc_id"), "left")
+      .join(vsBatch, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("dup_of_index").isNotNull, lit("dup_index"))
+          .when(col("dup_in_batch").isNotNull, lit("dup_batch"))
+          .otherwise(lit("keep")).as("status"),
+        coalesce(col("dup_of_index"), col("dup_in_batch")).as("dup_of"))
+  }
+
   /** Exact n-gram Jaccard for a set of candidate pairs: explode both
     * sides' distinct shingles, count intersection via join, union by
     * inclusion–exclusion. Pure integer arithmetic until one final

@@ -40,6 +40,24 @@ object TextQueries {
   private[queries] val wsSql =
     "list_filter(string_split(regexp_replace(lower(text),'[^a-z0-9 ]','','g'),' '), x -> x <> '')"
 
+  /** DuckDB md5-minhash LSH band CTEs (3-word shingles, 8 seeds,
+    * 2 bands × 4 rows) over a named source CTE — the q31b arithmetic,
+    * reusable for any doc subset. Emits `<p>bands(doc_id, band,
+    * band_sig)`.
+    */
+  private def bandsSqlFrom(src: String, p: String): String =
+    s"""${p}w AS (SELECT doc_id, $wsSql AS ws FROM $src),
+       |${p}sh AS (SELECT DISTINCT doc_id,
+       |    unnest([array_to_string(ws[i:i+2],' ') for i in generate_series(1, len(ws)-2)]) AS sh
+       |  FROM ${p}w WHERE len(ws) >= 3),
+       |${p}sigs AS (SELECT doc_id, seed,
+       |    MIN(substr(md5(sh), seed*4+1, 4)) AS minhash
+       |  FROM ${p}sh CROSS JOIN (SELECT unnest(generate_series(0,7)) AS seed) sd
+       |  GROUP BY doc_id, seed),
+       |${p}bands AS (SELECT doc_id, seed // 4 AS band,
+       |    md5(string_agg(minhash, ',' ORDER BY seed)) AS band_sig
+       |  FROM ${p}sigs GROUP BY doc_id, seed // 4)""".stripMargin
+
   /** DuckDB per-(doc, bit) simhash votes over md5 token bits — the
     * exact arithmetic of TextOps.simhash64Md5: token hash = top 64
     * md5 bits, per-occurrence ±1 vote per bit, bit set iff vote > 0
@@ -123,6 +141,21 @@ object TextQueries {
     "q32b_simhash_pairs" -> { (s, d) =>
       Dedup.simhashNearDupsMd5(plantedCorpus(s, d), "doc_id", "text", maxHamming = 3)
         .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // §2.3 #31c — incremental dedup: batch (doc_id ≥ 400 + planted
+    // copies of doc_id < 50) probed against the band index of the
+    // existing corpus (doc_id < 400), plus batch-internal bucket-min
+    // flags. The daily-ingest shape: corpus signatures are never
+    // recomputed.
+    "q103_incremental_dedup" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val index = docs.filter(col("doc_id") < 400)
+      val batch = docs.filter(col("doc_id") >= 400)
+        .unionByName(docs.filter(col("doc_id") < 50)
+          .select((col("doc_id") + 2000000).as("doc_id"), col("text")))
+      Dedup.incrementalLshDedup(index, batch, "doc_id", "text")
+        .orderBy(col("doc_id"))
     },
 
     // §2.3 #33 — exact n-gram Jaccard on adjacent-id pairs.
@@ -430,6 +463,33 @@ object TextQueries {
          |SELECT a AS doc_id, least(a, MIN(b)) AS cluster_id
          |FROM reach GROUP BY a
          |ORDER BY doc_id""".stripMargin,
+
+    "q103_incremental_dedup" ->
+      s"""WITH idx AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+         |bat AS (SELECT doc_id, text FROM documents WHERE doc_id >= 400
+         |        UNION ALL
+         |        SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id < 50),
+         |${bandsSqlFrom("idx", "i")},
+         |${bandsSqlFrom("bat", "b")},
+         |idxmin AS (SELECT band, band_sig, MIN(doc_id) AS idx_min
+         |           FROM ibands GROUP BY 1, 2),
+         |vs_index AS (SELECT b.doc_id, MIN(i.idx_min) AS dup_of_index
+         |             FROM bbands b JOIN idxmin i USING (band, band_sig)
+         |             GROUP BY 1),
+         |batmin AS (SELECT band, band_sig, MIN(doc_id) AS bat_min
+         |           FROM bbands GROUP BY 1, 2),
+         |vs_batch AS (SELECT b.doc_id, MIN(m.bat_min) AS dup_in_batch
+         |             FROM bbands b JOIN batmin m USING (band, band_sig)
+         |             WHERE m.bat_min < b.doc_id GROUP BY 1)
+         |SELECT t.doc_id,
+         |  CASE WHEN vi.dup_of_index IS NOT NULL THEN 'dup_index'
+         |       WHEN vb.dup_in_batch IS NOT NULL THEN 'dup_batch'
+         |       ELSE 'keep' END AS status,
+         |  COALESCE(vi.dup_of_index, vb.dup_in_batch) AS dup_of
+         |FROM bat t
+         |LEFT JOIN vs_index vi ON vi.doc_id = t.doc_id
+         |LEFT JOIN vs_batch vb ON vb.doc_id = t.doc_id
+         |ORDER BY t.doc_id""".stripMargin,
 
     "q32_simhash" ->
       s"""WITH $corpusSql,

@@ -209,6 +209,24 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(planted.filter(col("hamming") =!= 0).count() == 0)
   }
 
+  test("incremental dedup: planted copies of indexed docs flag dup_index at the original") {
+    val out = TextQueries.queries("q103_incremental_dedup")(spark, sf)
+    val planted = out.filter(col("doc_id") >= 2000000).collect()
+    assert(planted.length == 50)
+    planted.foreach { r =>
+      assert(r.getString(1) == "dup_index",
+        s"doc ${r.getLong(0)}: expected dup_index, got ${r.getString(1)}")
+      // an exact copy shares every band with its original, so dup_of
+      // is the original's id unless an even-smaller indexed doc
+      // collides on some band
+      assert(r.getLong(2) <= r.getLong(0) - 2000000,
+        s"doc ${r.getLong(0)}: dup_of ${r.getLong(2)} above its original")
+    }
+    // fresh batch docs (no planted twin) must not all be flagged
+    assert(out.filter(col("doc_id") >= 400 and col("doc_id") < 2000000 and
+      col("status") === "keep").count() > 0)
+  }
+
   test("simhash 3-of-6 block keys: any <=3-bit flip shares a key (pigeonhole)") {
     import spark.implicits._
     // 500 seeded (signature, <=3-bit mask) pairs: the Manku guarantee
