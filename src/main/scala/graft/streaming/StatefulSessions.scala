@@ -2,9 +2,9 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** SURVEY.md §2.4 — custom streaming state via
   * flatMapGroupsWithState: gap-based session windows maintained
@@ -121,6 +121,87 @@ object StatefulSessions {
               .map(s => SessionOut(user, s.start_us, s.last_us, s.n))
           }
       }
+  }
+
+  /** The open session plus its registered timer — transformWithState
+    * keeps timers out-of-band, so the state must remember which timer
+    * is live to cancel it when new events extend the session.
+    */
+  case class TwsState(start_us: Long, last_us: Long, n: Long, timer_ms: Long)
+
+  /** [[sessionizeUnbounded]] re-expressed on Spark 4's
+    * transformWithState (StatefulProcessor + typed ValueState +
+    * event-time timers) — the successor API to
+    * flatMapGroupsWithState. Semantics are identical: the open
+    * session lives in the state store across micro-batches and is
+    * emitted whole when the event-time watermark passes
+    * last_event + gap. Differences that matter at scale: state is a
+    * named, schema'd column family (RocksDB provider required —
+    * `spark.sql.streaming.stateStore.providerClass =
+    * ...state.RocksDBStateStoreProvider`), timers are engine-managed
+    * rather than one implicit timeout per key, and state schema can
+    * evolve between restarts.
+    */
+  class GapSessionProcessor(gapUs: Long)
+      extends StatefulProcessor[Long, TsEv, SessionOut] {
+    @transient private var open: ValueState[TwsState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      open = getHandle.getValueState[TwsState]("open_session",
+        Encoders.product[TwsState], TTLConfig.NONE)
+
+    private def usOf(t: Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000) % 1000
+
+    override def handleInputRows(user: Long, rows: Iterator[TsEv],
+                                 timerValues: TimerValues): Iterator[SessionOut] = {
+      val sorted = rows.toSeq.map(e => (usOf(e.ts), e.event_id))
+        .sortBy(identity).map(_._1)
+      if (sorted.isEmpty) return Iterator.empty
+      var closed = List.empty[TwsState]
+      var cur: Option[TwsState] = if (open.exists) Some(open.get) else None
+      // the previous batch's timer no longer reflects the session end
+      cur.filter(_.timer_ms > 0).foreach(c => getHandle.deleteTimer(c.timer_ms))
+      sorted.foreach { us =>
+        cur match {
+          case Some(c) if us - c.last_us <= gapUs =>
+            cur = Some(c.copy(last_us = us, n = c.n + 1))
+          case Some(c) =>
+            closed = c :: closed
+            cur = Some(TwsState(us, us, 1, 0))
+          case None =>
+            cur = Some(TwsState(us, us, 1, 0))
+        }
+      }
+      cur.foreach { c =>
+        val fireAt = (c.last_us / 1000) + gapUs / 1000
+        open.update(c.copy(timer_ms = fireAt))
+        getHandle.registerTimer(fireAt)
+      }
+      closed.reverse.iterator
+        .map(s => SessionOut(user, s.start_us, s.last_us, s.n))
+    }
+
+    override def handleExpiredTimer(user: Long, timerValues: TimerValues,
+                                    info: ExpiredTimerInfo): Iterator[SessionOut] = {
+      if (!open.exists) return Iterator.empty
+      val s = open.get
+      // a stale timer (session extended since) must not flush early
+      if (s.timer_ms != info.getExpiryTimeInMs) return Iterator.empty
+      open.clear()
+      Iterator.single(SessionOut(user, s.start_us, s.last_us, s.n))
+    }
+  }
+
+  /** [[sessionizeUnbounded]] on the transformWithState API — see
+    * [[GapSessionProcessor]]. */
+  def sessionizeTws(events: Dataset[TsEv], gapSeconds: Long): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", s"$gapSeconds seconds")
+      .groupByKey(_.user_id)
+      .transformWithState(new GapSessionProcessor(gapSeconds * 1000000L),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** Run the stateful sessionizer over the replayed events table. */

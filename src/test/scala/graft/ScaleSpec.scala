@@ -172,11 +172,12 @@ class ScaleSpec extends SparkSpecBase {
       s"scope leaked persists: $baseline -> $after persistent RDDs")
   }
 
-  test("unbounded sessionizer carries open sessions across micro-batches") {
+  /** 3 real chunks + 2 sentinel chunks (watermark advance + timeout
+    * flush), replayed one file per trigger → 5 micro-batches. Shared
+    * by the fMGWS and transformWithState cross-batch session tests.
+    */
+  private def replayedSessionStream(tag: String): org.apache.spark.sql.Dataset[StatefulSessions.TsEv] = {
     import spark.implicits._
-    import graft.streaming.StatefulSessions
-    // 3 real chunks + 2 sentinel chunks (watermark advance + timeout
-    // flush), replayed one file per trigger → 5 micro-batches
     def ts(sec: Long) = new java.sql.Timestamp((100000L + sec) * 1000L)
     val chunks: Seq[Seq[(Long, java.sql.Timestamp, Long)]] = Seq(
       Seq((1L, ts(0), 1L), (1L, ts(30), 2L), (2L, ts(10), 3L)),
@@ -184,9 +185,9 @@ class ScaleSpec extends SparkSpecBase {
       Seq((1L, ts(300), 7L)),
       Seq((999L, ts(10000), 8L)),
       Seq((999L, ts(20000), 9L)))
-    val dir = java.nio.file.Files.createTempDirectory("graft-unbounded")
+    val dir = java.nio.file.Files.createTempDirectory(s"graft-$tag")
     chunks.zipWithIndex.foreach { case (rows, i) =>
-      val stage = java.nio.file.Files.createTempDirectory(s"graft-chunk$i")
+      val stage = java.nio.file.Files.createTempDirectory(s"graft-$tag-chunk$i")
       rows.toDF("user_id", "ts", "event_id")
         .coalesce(1).write.mode("overwrite").parquet(stage.toString)
       val part = java.nio.file.Files.list(stage).iterator()
@@ -202,23 +203,59 @@ class ScaleSpec extends SparkSpecBase {
       org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
       org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType)))
-    val stream = spark.readStream.schema(schema)
+    spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(dir.toString)
       .as[StatefulSessions.TsEv]
+  }
+
+  /** The sessions the 5-batch replay must produce, however computed. */
+  private def expectedReplaySessions: Set[(Long, Long, Long, Long)] = {
+    def us(sec: Long) = (100000L + sec) * 1000000L
+    Set(
+      (1L, us(0), us(100), 4L),   // spans chunks 1→2: emitted once, whole
+      (1L, us(300), us(300), 1L), // trailing open session via timeout
+      (2L, us(10), us(10), 1L),
+      (2L, us(200), us(200), 1L))
+  }
+
+  test("unbounded sessionizer carries open sessions across micro-batches") {
+    import spark.implicits._
+    import graft.streaming.StatefulSessions
+    val stream = replayedSessionStream("unbounded")
     val out = StatefulSessions.sessionizeUnbounded(stream, gapSeconds = 60L)
     val got = graft.streaming.EventStream
       .runToCompletionAppend(spark, out.toDF(), "graft_unbounded_sessions")
       .filter(col("user_id") =!= 999L)
       .select("user_id", "session_start_us", "session_end_us", "n_events")
       .as[(Long, Long, Long, Long)].collect().toSet
-    def us(sec: Long) = (100000L + sec) * 1000000L
-    assert(got == Set(
-      (1L, us(0), us(100), 4L),   // spans chunks 1→2: emitted once, whole
-      (1L, us(300), us(300), 1L), // trailing open session via timeout
-      (2L, us(10), us(10), 1L),
-      (2L, us(200), us(200), 1L)),
-      s"got $got")
+    assert(got == expectedReplaySessions, s"got $got")
+  }
+
+  test("transformWithState sessionizer matches fMGWS on the same replay") {
+    import spark.implicits._
+    import graft.streaming.StatefulSessions
+    // transformWithState requires the RocksDB state store provider —
+    // scope it to this test so the rest of the suite keeps the default
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = replayedSessionStream("tws")
+      val out = StatefulSessions.sessionizeTws(stream, gapSeconds = 60L)
+      val got = graft.streaming.EventStream
+        .runToCompletionAppend(spark, out.toDF(), "graft_tws_sessions")
+        .filter(col("user_id") =!= 999L)
+        .select("user_id", "session_start_us", "session_end_us", "n_events")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got == expectedReplaySessions, s"got $got")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
   }
 
   test("foreachBatch parquet sink lands the full stream, partitioned") {
