@@ -226,11 +226,34 @@ object Dedup {
   def incrementalLshDedup(index: DataFrame, batch: DataFrame,
                           idCol: String, textCol: String,
                           shingleWidth: Int = 3, nSeeds: Int = 8,
-                          rowsPerBand: Int = 4): DataFrame = {
-    val idxMin = lshBandsMd5(index, idCol, textCol, shingleWidth, nSeeds, rowsPerBand)
+                          rowsPerBand: Int = 4): DataFrame =
+    probeBatch(
+      bandIndex(index, idCol, textCol, shingleWidth, nSeeds, rowsPerBand, lshBandsMd5),
+      batch, idCol, textCol, shingleWidth, nSeeds, rowsPerBand, lshBandsMd5)
+
+  /** The persisted index shape for incremental dedup: ONE min-id row
+    * per (band, band_sig). Mergeable (min of mins) and append-only,
+    * so generations written by successive ingests coexist and are
+    * re-aggregated at read time. `bandsOf` picks the signature
+    * family: [[lshBandsMd5]] (oracle-reproducible) or
+    * [[lshBandsNarrow]] (production: zero-shuffle codegen'd front).
+    */
+  def bandIndex(corpus: DataFrame, idCol: String, textCol: String,
+                shingleWidth: Int, nSeeds: Int, rowsPerBand: Int,
+                bandsOf: (DataFrame, String, String, Int, Int, Int) => DataFrame): DataFrame =
+    bandsOf(corpus, idCol, textCol, shingleWidth, nSeeds, rowsPerBand)
       .groupBy(col("band"), col("band_sig"))
       .agg(min(col("doc_id")).as("idx_min"))
-    val batchBands = lshBandsMd5(batch, idCol, textCol, shingleWidth, nSeeds, rowsPerBand)
+
+  /** Probe a batch against a prebuilt [[bandIndex]] — the inner step
+    * of [[incrementalLshDedup]], exposed for the streaming wrapper
+    * (graft.streaming.DedupStream), which reuses it per micro-batch.
+    */
+  private[graft] def probeBatch(idxMin: DataFrame, batch: DataFrame,
+                                idCol: String, textCol: String,
+                                shingleWidth: Int, nSeeds: Int, rowsPerBand: Int,
+                                bandsOf: (DataFrame, String, String, Int, Int, Int) => DataFrame): DataFrame = {
+    val batchBands = bandsOf(batch, idCol, textCol, shingleWidth, nSeeds, rowsPerBand)
       .scopedPersist()
     val vsIndex = batchBands.join(idxMin, Seq("band", "band_sig"))
       .groupBy(col("doc_id")).agg(min(col("idx_min")).as("dup_of_index"))

@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** SURVEY.md §2.3 #31d, streaming form — online incremental dedup:
+  * the admission-control shape of a 100 TB ingest pipeline, where new
+  * documents arrive continuously and known duplicates must be flagged
+  * BEFORE they land in the lake, without ever recomputing corpus
+  * signatures.
+  *
+  * Per micro-batch (foreachBatch, checkpointed):
+  *  1. read the band index — all generations ever appended, merged to
+  *     one min-id row per (band, band_sig) at read time (min of mins
+  *     is associative, which is what makes the index append-only);
+  *  2. probe the batch docs against it. The batch side's signature
+  *     front is the fully-narrow codegen'd MinHashBandSig pass, so
+  *     the stream adds zero shuffles of its own — the only exchange
+  *     is the bounded probe join against the (small, aggregated)
+  *     index;
+  *  3. append the verdicts to the output lake;
+  *  4. append the batch's OWN band mins to the index — so batch N+1
+  *     flags duplicates of batch N, not just of the original corpus.
+  *
+  * Restart semantics match EventStream.runToParquet: the checkpointed
+  * source offsets make replay effectively-once (a crash strictly
+  * inside step 3/4 can double-append one batch's rows; both tables
+  * are re-aggregated / DISTINCT-safe downstream by construction —
+  * index by min-merge, verdicts by (doc_id) key).
+  */
+object DedupStream {
+
+  /** Seed indexDir from an existing corpus (production path: the
+    * narrow codegen'd front). Call once before [[run]]. */
+  def seedIndex(corpus: DataFrame, indexDir: String,
+                idCol: String, textCol: String,
+                shingleWidth: Int = 3, nSeeds: Int = 8,
+                rowsPerBand: Int = 4): Unit =
+    Dedup.bandIndex(corpus, idCol, textCol, shingleWidth, nSeeds, rowsPerBand,
+        Dedup.lshBandsNarrow)
+      .write.mode("overwrite").parquet(indexDir)
+
+  /** Drive the streaming dedup to completion over the files currently
+    * in the source (processAllAvailable — the replay/test harness
+    * shape; a production deployment would leave the query running).
+    */
+  def run(docs: DataFrame, indexDir: String, outDir: String,
+          checkpointDir: String, idCol: String, textCol: String,
+          shingleWidth: Int = 3, nSeeds: Int = 8, rowsPerBand: Int = 4): Unit = {
+    val q = docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        val sp = batch.sparkSession
+        val idxMin = sp.read.parquet(indexDir)
+          .groupBy(col("band"), col("band_sig"))
+          .agg(min(col("idx_min")).as("idx_min"))
+        Dedup.probeBatch(idxMin, batch, idCol, textCol,
+            shingleWidth, nSeeds, rowsPerBand, Dedup.lshBandsNarrow)
+          .write.mode("append").parquet(outDir)
+        Dedup.bandIndex(batch, idCol, textCol,
+            shingleWidth, nSeeds, rowsPerBand, Dedup.lshBandsNarrow)
+          .write.mode("append").parquet(indexDir)
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+}

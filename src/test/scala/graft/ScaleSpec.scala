@@ -258,6 +258,56 @@ class ScaleSpec extends SparkSpecBase {
     }
   }
 
+  test("streaming incremental dedup flags cross-batch duplicates via the index merge") {
+    import spark.implicits._
+    import graft.streaming.DedupStream
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val corpus = docs.filter(col("doc_id") < 400)
+    def textOf(id: Long): String =
+      docs.filter(col("doc_id") === id).select("text").as[String].first()
+    // chunk 1: fresh docs 400-449 + a copy of corpus doc 10;
+    // chunk 2: a copy of CHUNK 1's doc 445 (cross-batch!) + a copy of
+    // corpus doc 20
+    val chunks: Seq[Seq[(Long, String)]] = Seq(
+      (400L until 450L).map(i => (i, textOf(i))) :+ (2000010L, textOf(10)),
+      Seq((3000445L, textOf(445)), (2000020L, textOf(20))))
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-dedup-src")
+    chunks.zipWithIndex.foreach { case (rows, i) =>
+      val stage = java.nio.file.Files.createTempDirectory(s"graft-dedup-chunk$i")
+      rows.toDF("doc_id", "text")
+        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = java.nio.file.Files.list(stage).iterator()
+      val found = scala.jdk.CollectionConverters.IteratorHasAsScala(part).asScala
+        .find(_.toString.endsWith(".parquet")).get
+      val dst = srcDir.resolve(f"chunk$i%02d.parquet")
+      java.nio.file.Files.move(found, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+    }
+    val indexDir = java.nio.file.Files.createTempDirectory("graft-dedup-idx").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-dedup-out").toString
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft-dedup-ckpt").toString
+    DedupStream.seedIndex(corpus, indexDir, "doc_id", "text")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
+    DedupStream.run(stream, indexDir, outDir, ckptDir, "doc_id", "text")
+    val verdicts = spark.read.parquet(outDir)
+      .select("doc_id", "status", "dup_of")
+      .as[(Long, String, Option[Long])].collect().map(v => v._1 -> v).toMap
+    assert(verdicts.size == 53)
+    assert(verdicts(2000010L)._2 == "dup_index" && verdicts(2000010L)._3.exists(_ <= 10L))
+    assert(verdicts(2000020L)._2 == "dup_index" && verdicts(2000020L)._3.exists(_ <= 20L))
+    // the cross-batch case: 3000445 duplicates a doc the seeded index
+    // never saw — only the chunk-1 index append can flag it
+    assert(verdicts(3000445L)._2 == "dup_index" && verdicts(3000445L)._3.contains(445L),
+      s"cross-batch dup not flagged: ${verdicts(3000445L)}")
+    // fresh docs stay mostly keep
+    assert((400L until 450L).count(i => verdicts(i)._2 == "keep") > 40)
+  }
+
   test("foreachBatch parquet sink lands the full stream, partitioned") {
     import graft.streaming.EventStream
     val out = java.nio.file.Files.createTempDirectory("graft-sink").toString
