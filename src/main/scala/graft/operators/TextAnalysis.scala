@@ -212,6 +212,54 @@ object TextAnalysis {
           .as("top_word_frac"))
   }
 
+  /** Boilerplate segment removal — the line-level dedup of
+    * CCNet/RefinedWeb, tile-ified because the corpus has no line
+    * structure: the normalized word stream is cut into consecutive
+    * FULL tileWords-word tiles, any tile occurring in ≥ minDocs
+    * DISTINCT docs is boilerplate (nav bars, license headers, cookie
+    * banners — whatever repeats verbatim across documents), and each
+    * doc is reassembled from its surviving tiles in original order.
+    *
+    * Scale shape: tiles derive narrowly (one per tileWords words, so
+    * the explode is |words|/tileWords rows — lighter than any shingle
+    * pass); the hot-tile count is one uniform-key shuffle with
+    * map-side partial counts; removal is a left-anti join against the
+    * (small) hot set; reassembly is one doc_id shuffle. Every doc
+    * comes back, even fully-boilerplate ones (clean_text = '').
+    */
+  def removeBoilerplate(docs: DataFrame, idCol: String, textCol: String,
+                        tileWords: Int = 5, minDocs: Int = 2): DataFrame = {
+    val ws = docs.select(col(idCol).as("doc_id"),
+      graft.functions.GraftFunctions.normWords(col(textCol)).as("__ws"))
+    val tiles = ws
+      .select(col("doc_id"),
+        when(size(col("__ws")) >= tileWords,
+          transform(sequence(lit(0), (size(col("__ws")) / tileWords).cast("int") - 1),
+            i => array_join(slice(col("__ws"), i * tileWords + 1, lit(tileWords)), " ")))
+          .otherwise(array().cast("array<string>")).as("__tiles"))
+      .select(col("doc_id"), posexplode(col("__tiles")))
+      .select(col("doc_id"), col("pos").as("tile_idx"), col("col").as("tile"))
+      .scopedPersist() // consumed by the hot-set count AND the anti-join
+    val hot = tiles.groupBy(col("tile"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("tile"))
+    val kept = tiles.join(hot, Seq("tile"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("tile_idx"), col("tile")))),
+          x => x.getField("tile")), " ").as("clean_text"))
+    val counts = tiles.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tiles"))
+    ws.select(col("doc_id"))
+      .join(counts, Seq("doc_id"), "left")
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tiles"), lit(0L)).as("n_tiles"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Winnowing fingerprints (Schleimer et al., SIGMOD'03): md5 over
     * char k-grams, per-window minimum, distinct. Array-expression
     * pipeline — no shuffle until the caller aggregates.

@@ -158,6 +158,17 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // §2.3 #36d — boilerplate tile removal (CCNet-style line dedup,
+    // tile-ified): 5-word tiles repeated across ≥2 distinct docs are
+    // stripped, docs reassembled in order. On the planted corpus the
+    // 50 copied docs (and their originals) are pure boilerplate and
+    // come back empty.
+    "q104_boilerplate_removal" -> { (s, d) =>
+      TextAnalysis.removeBoilerplate(plantedCorpus(s, d), "doc_id", "text",
+        tileWords = 5, minDocs = 2)
+        .orderBy(col("doc_id"))
+    },
+
     // §2.3 #33 — exact n-gram Jaccard on adjacent-id pairs.
     "q33_ngram_jaccard" -> { (s, d) =>
       val docs = Tables.documents(s, d)
@@ -490,6 +501,32 @@ object TextQueries {
          |LEFT JOIN vs_index vi ON vi.doc_id = t.doc_id
          |LEFT JOIN vs_batch vb ON vb.doc_id = t.doc_id
          |ORDER BY t.doc_id""".stripMargin,
+
+    "q104_boilerplate_removal" ->
+      s"""WITH $corpusSql,
+         |w AS (SELECT doc_id, $wsSql AS ws FROM corpus),
+         |tiles AS (
+         |  SELECT doc_id,
+         |    unnest(generate_series(0, len(ws) // 5 - 1)) AS tile_idx,
+         |    unnest([array_to_string(ws[(i*5+1):(i*5+5)], ' ')
+         |            for i in generate_series(0, len(ws) // 5 - 1)]) AS tile
+         |  FROM w WHERE len(ws) >= 5),
+         |hot AS (SELECT tile FROM tiles GROUP BY tile
+         |        HAVING COUNT(DISTINCT doc_id) >= 2),
+         |kept AS (SELECT t.doc_id, t.tile_idx, t.tile FROM tiles t
+         |         WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.tile = t.tile)),
+         |agg AS (SELECT doc_id, COUNT(*) AS n_kept,
+         |          string_agg(tile, ' ' ORDER BY tile_idx) AS clean_text
+         |        FROM kept GROUP BY doc_id),
+         |cnt AS (SELECT doc_id, COUNT(*) AS n_tiles FROM tiles GROUP BY doc_id)
+         |SELECT c.doc_id,
+         |  COALESCE(cnt.n_tiles, 0) AS n_tiles,
+         |  COALESCE(a.n_kept, 0) AS n_kept,
+         |  COALESCE(a.clean_text, '') AS clean_text
+         |FROM corpus c
+         |LEFT JOIN cnt ON cnt.doc_id = c.doc_id
+         |LEFT JOIN agg a ON a.doc_id = c.doc_id
+         |ORDER BY c.doc_id""".stripMargin,
 
     "q32_simhash" ->
       s"""WITH $corpusSql,

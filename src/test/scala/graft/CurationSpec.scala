@@ -51,6 +51,23 @@ class CurationSpec extends SparkSpecBase {
     assert(graft.functions.TextOps.charEntropy(UTF8String.fromString("😀😀")) == 0.0)
   }
 
+  test("boilerplate removal empties fully-duplicated docs, keeps fresh ones intact") {
+    val out = graft.queries.TextQueries.queries("q104_boilerplate_removal")(spark, sf)
+    // the 50 planted copies AND their originals are pure boilerplate
+    val planted = out.filter(col("doc_id") < 50 or col("doc_id") >= 1000000)
+    assert(planted.count() == 100)
+    assert(planted.filter(col("n_kept") =!= 0 or col("clean_text") =!= "").count() == 0)
+    // unduplicated docs keep every full tile unless a tile organically
+    // repeats — the corpus-wide kept fraction must stay high
+    val fresh = out.filter(col("doc_id") >= 50 and col("doc_id") < 1000000)
+    val totals = fresh.agg(sum("n_tiles"), sum("n_kept")).first()
+    assert(totals.getLong(1) > (totals.getLong(0) * 0.9).toLong,
+      s"fresh docs lost too many tiles: ${totals.getLong(1)}/${totals.getLong(0)}")
+    // reassembly preserves tile order: clean_text word count = 5 * n_kept
+    assert(out.filter(col("n_kept") > 0 and
+      size(split(col("clean_text"), " ")) =!= col("n_kept") * 5).count() == 0)
+  }
+
   test("q80 entropy is positive and bounded for real documents") {
     val rows = q("q80_entropy").collect()
     assert(rows.nonEmpty)
