@@ -72,6 +72,20 @@ object CurationQueries {
     // by deterministic content-independent hash order (md5 of a salted
     // id) — reproducible under any partitioning, no rand(), and the
     // per-stratum scan is one window over the stratum partition.
+    // leakage-safe GROUPED split (GroupShuffleSplit): the split is a
+    // deterministic hash of the GROUP key (source), not the doc, so
+    // related / near-duplicate docs from one origin can never straddle
+    // train and holdout — the grouped counterpart of q52's per-doc
+    // split. One narrow pass, no shuffle: the hash is per-row algebra.
+    "q105_grouped_split" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          when(substring(md5(concat(lit("q105:"), col("source"))), 1, 1)
+            .isin("0", "1", "2"), lit("holdout"))
+            .otherwise(lit("train")).as("split"))
+        .orderBy(col("doc_id"))
+    },
+
     "q82_quota_sample" -> { (s, d) =>
       val w = Window.partitionBy(col("lang"))
         .orderBy(md5(concat(lit("q82:"), col("doc_id").cast("string"))),
@@ -154,6 +168,12 @@ object CurationQueries {
         |    FROM documents))
         |WHERE rank <= 5
         |ORDER BY lang, rank""".stripMargin,
+
+    "q105_grouped_split" ->
+      """SELECT doc_id, source,
+        |  CASE WHEN substr(md5('q105:' || source), 1, 1) IN ('0','1','2')
+        |       THEN 'holdout' ELSE 'train' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q82_quota_sample" ->
       """SELECT lang, pick, doc_id FROM (

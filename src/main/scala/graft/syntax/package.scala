@@ -37,6 +37,15 @@ package object syntax {
     def simhashNearDups(idCol: String, textCol: String, maxHamming: Int = 3): DataFrame =
       Dedup.simhashNearDups(df, idCol, textCol, maxHamming)
 
+    /** Dedup `batch` against this corpus without recomputing corpus
+      * signatures — `corpus.dedupIncrement(newDocs, ...)`. */
+    def dedupIncrement(batch: DataFrame, idCol: String, textCol: String): DataFrame =
+      Dedup.incrementalLshDedup(df, batch, idCol, textCol)
+
+    def removeBoilerplate(idCol: String, textCol: String, tileWords: Int = 5,
+                          minDocs: Int = 2): DataFrame =
+      TextAnalysis.removeBoilerplate(df, idCol, textCol, tileWords, minDocs)
+
     // ---- text analysis ------------------------------------------------
     def langId(idCol: String, textCol: String): DataFrame =
       TextAnalysis.langId(df, idCol, textCol)

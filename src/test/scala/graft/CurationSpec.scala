@@ -68,6 +68,15 @@ class CurationSpec extends SparkSpecBase {
       size(split(col("clean_text"), " ")) =!= col("n_kept") * 5).count() == 0)
   }
 
+  test("grouped split never straddles a source across train/holdout") {
+    val out = q("q105_grouped_split")
+    val straddled = out.select("source", "split").distinct()
+      .groupBy("source").count().filter(col("count") > 1)
+    assert(straddled.count() == 0)
+    // both splits are non-empty (sources hash to both sides)
+    assert(out.select("split").distinct().count() == 2)
+  }
+
   test("q80 entropy is positive and bounded for real documents") {
     val rows = q("q80_entropy").collect()
     assert(rows.nonEmpty)

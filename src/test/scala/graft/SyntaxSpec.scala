@@ -35,4 +35,13 @@ class SyntaxSpec extends SparkSpecBase {
     val direct = TextAnalysis.langId(docs, "doc_id", "text").queryExecution.optimizedPlan
     assert(viaFacade.sameResult(direct), "facade must produce the identical plan")
   }
+
+  test("round-6 facade verbs forward to their operators") {
+    val batch = docs.filter(col("doc_id") >= 450)
+    val corpus = docs.filter(col("doc_id") < 450)
+    assert(corpus.dedupIncrement(batch, "doc_id", "text").collect().toSeq ==
+      Dedup.incrementalLshDedup(corpus, batch, "doc_id", "text").collect().toSeq)
+    assert(docs.removeBoilerplate("doc_id", "text").collect().toSeq ==
+      TextAnalysis.removeBoilerplate(docs, "doc_id", "text").collect().toSeq)
+  }
 }
