@@ -63,6 +63,20 @@ object Example {
     val c = spark.sql(
       "SELECT graft_cosine(array(3.0f, 4.0f), array(3.0f, 4.0f)) AS c").first().getDouble(0)
     println(s"graft_cosine via extensions = $c")
+
+    // round-6 fluent verbs: incremental dedup + boilerplate removal
+    {
+      import graft.syntax._
+      val docs = graft.Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text"))
+      val corpus = docs.filter(col("doc_id") < 400)
+      val batch = docs.filter(col("doc_id") >= 400)
+      val flagged = corpus.dedupIncrement(batch, "doc_id", "text")
+        .filter(col("status") =!= "keep").count()
+      val cleaned = docs.removeBoilerplate("doc_id", "text")
+        .filter(col("n_kept") < col("n_tiles")).count()
+      println(s"incremental dedup flagged = $flagged; docs losing boilerplate tiles = $cleaned")
+    }
     spark.stop()
   }
 }
