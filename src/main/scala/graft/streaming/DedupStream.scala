@@ -42,6 +42,26 @@ object DedupStream {
         Dedup.lshBandsNarrow)
       .write.mode("overwrite").parquet(indexDir)
 
+  /** Compact the index's appended generations back to one row per
+    * (band, band_sig). Probing stays correct without it (reads
+    * min-merge across generations); compaction bounds the per-batch
+    * read cost once many ingests have appended. Written to a sibling
+    * staging dir, then atomically swapped — never overwrite a path
+    * Spark is lazily reading.
+    */
+  def compactIndex(spark: SparkSession, indexDir: String): Unit = {
+    val staged = indexDir + ".compacting"
+    spark.read.parquet(indexDir)
+      .groupBy(col("band"), col("band_sig"))
+      .agg(min(col("idx_min")).as("idx_min"))
+      .write.mode("overwrite").parquet(staged)
+    val dir = java.nio.file.Paths.get(indexDir)
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+      .foreach(java.nio.file.Files.delete)
+    java.nio.file.Files.move(java.nio.file.Paths.get(staged), dir)
+  }
+
   /** Drive the streaming dedup to completion over the files currently
     * in the source (processAllAvailable — the replay/test harness
     * shape; a production deployment would leave the query running).

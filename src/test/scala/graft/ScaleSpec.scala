@@ -306,6 +306,23 @@ class ScaleSpec extends SparkSpecBase {
       s"cross-batch dup not flagged: ${verdicts(3000445L)}")
     // fresh docs stay mostly keep
     assert((400L until 450L).count(i => verdicts(i)._2 == "keep") > 40)
+
+    // compaction folds the appended generations to one row per bucket
+    // and preserves probe verdicts
+    val preRows = spark.read.parquet(indexDir).count()
+    val preBuckets = spark.read.parquet(indexDir)
+      .select("band", "band_sig").distinct().count()
+    assert(preRows > preBuckets, "expected multi-generation index before compaction")
+    DedupStream.compactIndex(spark, indexDir)
+    val compacted = spark.read.parquet(indexDir)
+    assert(compacted.count() == preBuckets)
+    val reprobe = graft.operators.Dedup.probeBatch(
+      compacted,
+      Seq((4000445L, textOf(445))).toDF("doc_id", "text"),
+      "doc_id", "text", 3, 8, 4, graft.operators.Dedup.lshBandsNarrow _)
+      .collect()
+    assert(reprobe.head.getString(1) == "dup_index" && reprobe.head.getLong(2) == 445L,
+      s"probe after compaction broken: ${reprobe.toSeq}")
   }
 
   test("foreachBatch parquet sink lands the full stream, partitioned") {
