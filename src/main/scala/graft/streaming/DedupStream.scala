@@ -24,11 +24,11 @@ import graft.operators.Dedup
   *  4. append the batch's OWN band mins to the index — so batch N+1
   *     flags duplicates of batch N, not just of the original corpus.
   *
-  * Restart semantics match EventStream.runToParquet: the checkpointed
-  * source offsets make replay effectively-once (a crash strictly
-  * inside step 3/4 can double-append one batch's rows; both tables
-  * are re-aggregated / DISTINCT-safe downstream by construction —
-  * index by min-merge, verdicts by (doc_id) key).
+  * Restart semantics are EXACTLY-once: both writes land in a
+  * per-batch partition directory (`batch=<id>` / `gen=<id>`) with
+  * overwrite mode, so a batch replayed after a crash rewrites its own
+  * partition instead of double-appending — the checkpointed source
+  * offsets plus idempotent per-batch writes compose to exactly-once.
   */
 object DedupStream {
 
@@ -40,7 +40,7 @@ object DedupStream {
                 rowsPerBand: Int = 4): Unit =
     Dedup.bandIndex(corpus, idCol, textCol, shingleWidth, nSeeds, rowsPerBand,
         Dedup.lshBandsNarrow)
-      .write.mode("overwrite").parquet(indexDir)
+      .write.mode("overwrite").parquet(s"$indexDir/gen=seed")
 
   /** Compact the index's appended generations back to one row per
     * (band, band_sig). Probing stays correct without it (reads
@@ -54,7 +54,7 @@ object DedupStream {
     spark.read.parquet(indexDir)
       .groupBy(col("band"), col("band_sig"))
       .agg(min(col("idx_min")).as("idx_min"))
-      .write.mode("overwrite").parquet(staged)
+      .write.mode("overwrite").parquet(s"$staged/gen=compacted")
     val dir = java.nio.file.Paths.get(indexDir)
     import scala.jdk.CollectionConverters._
     java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
@@ -71,17 +71,23 @@ object DedupStream {
           shingleWidth: Int = 3, nSeeds: Int = 8, rowsPerBand: Int = 4): Unit = {
     val q = docs.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
         val sp = batch.sparkSession
+        // `gen` is the partition-discovery column the per-generation
+        // subdirs produce. Exclude THIS batch's generation: after a
+        // crash strictly between the two writes, the replayed batch
+        // would otherwise probe the half-committed index of its own
+        // failed attempt and flag every doc as a duplicate of itself.
         val idxMin = sp.read.parquet(indexDir)
+          .filter(col("gen").cast("string") =!= lit(batchId.toString))
           .groupBy(col("band"), col("band_sig"))
           .agg(min(col("idx_min")).as("idx_min"))
         Dedup.probeBatch(idxMin, batch, idCol, textCol,
             shingleWidth, nSeeds, rowsPerBand, Dedup.lshBandsNarrow)
-          .write.mode("append").parquet(outDir)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
         Dedup.bandIndex(batch, idCol, textCol,
             shingleWidth, nSeeds, rowsPerBand, Dedup.lshBandsNarrow)
-          .write.mode("append").parquet(indexDir)
+          .write.mode("overwrite").parquet(s"$indexDir/gen=$batchId")
         ()
       }
       .start()

@@ -288,6 +288,13 @@ class ScaleSpec extends SparkSpecBase {
     val outDir = java.nio.file.Files.createTempDirectory("graft-dedup-out").toString
     val ckptDir = java.nio.file.Files.createTempDirectory("graft-dedup-ckpt").toString
     DedupStream.seedIndex(corpus, indexDir, "doc_id", "text")
+    // simulate a crash strictly between batch 0's two writes: its
+    // index generation exists from the failed attempt. The replay
+    // must NOT probe it (self-flagging) — run() excludes gen=0 while
+    // processing batch 0, then overwrites it idempotently.
+    graft.operators.Dedup.bandIndex(chunks.head.toDF("doc_id", "text"),
+        "doc_id", "text", 3, 8, 4, graft.operators.Dedup.lshBandsNarrow _)
+      .write.mode("overwrite").parquet(s"$indexDir/gen=0")
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
