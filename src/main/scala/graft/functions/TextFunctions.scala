@@ -190,6 +190,71 @@ object TextOps {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
   }
 
+  private def md5Hex(s: String): String = {
+    val md = md5Digest.get()
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val sb = new java.lang.StringBuilder(32)
+    var i = 0
+    while (i < d.length) {
+      sb.append(Character.forDigit((d(i) >> 4) & 0xf, 16))
+      sb.append(Character.forDigit(d(i) & 0xf, 16))
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** All nBands md5-slice LSH band signatures of a token array in ONE
+    * pass — the oracle-reproducible counterpart of [[minhashBands]]:
+    * per w-word shingle ONE md5; seed s's minhash is the lexicographic
+    * min of the 4-hex-char slice at offset 4s; band b's signature is
+    * the md5 of its rowsPerBand minhashes joined by ','. Bit-identical
+    * to the aggregate formulation (Dedup.lshBandsMd5, and the DuckDB
+    * oracle's `MIN(substr(md5(sh), seed*4+1, 4))` +
+    * `md5(string_agg(minhash, ','))`), but with no exchange, no sort,
+    * and no per-shingle row materialization. Docs with fewer than w
+    * words yield an empty array (the aggregate path drops them too).
+    */
+  def md5Bands(words: ArrayData, w: Int, nSeeds: Int, rowsPerBand: Int): ArrayData = {
+    val n = words.numElements()
+    if (n < w) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val mins = new Array[String](nSeeds)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i <= n - w) {
+      sb.setLength(0)
+      var j = 0
+      while (j < w) {
+        if (j > 0) sb.append(' ')
+        sb.append(words.getUTF8String(i + j).toString)
+        j += 1
+      }
+      val hex = md5Hex(sb.toString)
+      var s = 0
+      while (s < nSeeds) {
+        val slice = hex.substring(4 * s, 4 * s + 4)
+        if (mins(s) == null || slice.compareTo(mins(s)) < 0) mins(s) = slice
+        s += 1
+      }
+      i += 1
+    }
+    val nBands = nSeeds / rowsPerBand
+    val out = new Array[Any](nBands)
+    var b = 0
+    while (b < nBands) {
+      sb.setLength(0)
+      var r = 0
+      while (r < rowsPerBand) {
+        if (r > 0) sb.append(',')
+        sb.append(mins(b * rowsPerBand + r))
+        r += 1
+      }
+      out(b) = UTF8String.fromString(md5Hex(sb.toString))
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** LSH band signatures straight from the token array: the per-seed
     * minima of [[minhash64]] folded per band through splitmix64. One
     * kernel call per doc ⇒ the generator input is evaluated exactly
@@ -228,6 +293,22 @@ case class MinHashBandSig(child: Expression, shingleWidth: Int, nSeeds: Int,
       t => s"graft.functions.TextOps.minhashBands($t, $shingleWidth, $nSeeds, $rowsPerBand)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "graft_minhash_bands"
+}
+
+/** Codegen'd one-pass md5-slice LSH band signatures of
+  * ArrayType(StringType) tokens → ArrayType(StringType), one md5-hex
+  * signature per band — oracle-reproducible (see [[TextOps.md5Bands]]). */
+case class Md5BandSig(child: Expression, shingleWidth: Int, nSeeds: Int,
+                      rowsPerBand: Int) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(t: Any): Any =
+    TextOps.md5Bands(t.asInstanceOf[ArrayData], shingleWidth, nSeeds, rowsPerBand)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      t => s"graft.functions.TextOps.md5Bands($t, $shingleWidth, $nSeeds, $rowsPerBand)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "graft_md5_bands"
 }
 
 /** Codegen'd one-pass MinHash signature of ArrayType(StringType)
@@ -315,6 +396,10 @@ object GraftFunctions {
   def minhashBandSig(tokens: Column, shingleWidth: Int, nSeeds: Int,
                      rowsPerBand: Int): Column =
     toCol(MinHashBandSig(toExpr(tokens), shingleWidth, nSeeds, rowsPerBand))
+
+  def md5BandSig(tokens: Column, shingleWidth: Int, nSeeds: Int,
+                 rowsPerBand: Int): Column =
+    toCol(Md5BandSig(toExpr(tokens), shingleWidth, nSeeds, rowsPerBand))
 
   def shingleSet(tokens: Column, shingleWidth: Int): Column =
     toCol(ShingleSet(toExpr(tokens), shingleWidth))

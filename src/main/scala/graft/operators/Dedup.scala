@@ -116,6 +116,29 @@ object Dedup {
       .select(col("doc_id"), col("pos").as("band"), col("col").as("band_sig"))
   }
 
+  /** [[lshBandsMd5]] with the whole signature stage fused into ONE
+    * codegen'd kernel per document (Md5BandSig) — bit-identical band
+    * signatures (same md5-slice arithmetic, so the same DuckDB
+    * oracles hold) but NO exchange, no sort-aggregate, and no
+    * per-shingle row materialization before the bucket join. The
+    * round-6 rewrite that gives q31b/q59/q79/q103 the same
+    * zero-shuffle front the xxhash production path always had;
+    * equality with the aggregate formulation is spec-asserted
+    * (DedupSimilaritySpec).
+    */
+  def lshBandsMd5Narrow(docs: DataFrame, idCol: String, textCol: String,
+                        shingleWidth: Int, nSeeds: Int, rowsPerBand: Int): DataFrame = {
+    require(nSeeds <= 8, s"seed slices are 4 hex chars of one md5: nSeeds <= 8, got $nSeeds")
+    require(nSeeds % rowsPerBand == 0, "nSeeds must be a multiple of rowsPerBand")
+    docs
+      .select(col(idCol).as("doc_id"),
+        GraftFunctions.normWords(col(textCol)).as("__ws"))
+      .select(col("doc_id"),
+        posexplode(GraftFunctions.md5BandSig(col("__ws"),
+          shingleWidth, nSeeds, rowsPerBand)))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("band_sig"))
+  }
+
   /** FULLY NARROW LSH front: normalization, shingling, all per-seed
     * minima, and per-band signature folding happen inside ONE
     * codegen'd expression per document (MinHashBandSig) — no shingle
@@ -228,8 +251,8 @@ object Dedup {
                           shingleWidth: Int = 3, nSeeds: Int = 8,
                           rowsPerBand: Int = 4): DataFrame =
     probeBatch(
-      bandIndex(index, idCol, textCol, shingleWidth, nSeeds, rowsPerBand, lshBandsMd5),
-      batch, idCol, textCol, shingleWidth, nSeeds, rowsPerBand, lshBandsMd5)
+      bandIndex(index, idCol, textCol, shingleWidth, nSeeds, rowsPerBand, lshBandsMd5Narrow),
+      batch, idCol, textCol, shingleWidth, nSeeds, rowsPerBand, lshBandsMd5Narrow)
 
   /** The persisted index shape for incremental dedup: ONE min-id row
     * per (band, band_sig). Mergeable (min of mins) and append-only,

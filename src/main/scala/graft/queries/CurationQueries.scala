@@ -29,7 +29,7 @@ object CurationQueries {
     // orders of magnitude smaller than the corpus at 100 TB.
     "q79_dedup_apply" -> { (s, d) =>
       val corpus = plantedCorpus(s, d)
-      val bands = Dedup.lshBandsMd5(corpus, "doc_id", "text",
+      val bands = Dedup.lshBandsMd5Narrow(corpus, "doc_id", "text",
         shingleWidth = 3, nSeeds = 8, rowsPerBand = 4)
       val clusters = Dedup.connectedComponents(Dedup.lshCandidatePairs(bands))
       val removed = clusters.filter(col("cluster_id") =!= col("doc_id"))

@@ -115,7 +115,7 @@ object TextQueries {
     // §2.3 #31 — full LSH banding → candidate pairs on the planted
     // corpus (2 bands × 4 rows): every planted exact dup must surface.
     "q31b_lsh_pairs" -> { (s, d) =>
-      val bands = Dedup.lshBandsMd5(plantedCorpus(s, d), "doc_id", "text",
+      val bands = Dedup.lshBandsMd5Narrow(plantedCorpus(s, d), "doc_id", "text",
         shingleWidth = 3, nSeeds = 8, rowsPerBand = 4)
       Dedup.lshCandidatePairs(bands)
         .orderBy(col("doc_a"), col("doc_b"))
@@ -217,7 +217,7 @@ object TextQueries {
     // the LSH candidate pairs via min-label connected components; one
     // canonical (minimum) doc id per duplicate group.
     "q59_dup_clusters" -> { (s, d) =>
-      val bands = Dedup.lshBandsMd5(plantedCorpus(s, d), "doc_id", "text",
+      val bands = Dedup.lshBandsMd5Narrow(plantedCorpus(s, d), "doc_id", "text",
         shingleWidth = 3, nSeeds = 8, rowsPerBand = 4)
       val pairs = Dedup.lshCandidatePairs(bands)
       Dedup.connectedComponents(pairs)

@@ -209,6 +209,15 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(planted.filter(col("hamming") =!= 0).count() == 0)
   }
 
+  test("fused md5 band kernel is bit-identical to the aggregate formulation") {
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val viaAgg = Dedup.lshBandsMd5(docs, "doc_id", "text", 3, 8, 4)
+      .orderBy("doc_id", "band").collect().toSeq
+    val viaKernel = Dedup.lshBandsMd5Narrow(docs, "doc_id", "text", 3, 8, 4)
+      .orderBy("doc_id", "band").collect().toSeq
+    assert(viaKernel == viaAgg)
+  }
+
   test("incremental dedup: planted copies of indexed docs flag dup_index at the original") {
     val out = TextQueries.queries("q103_incremental_dedup")(spark, sf)
     val planted = out.filter(col("doc_id") >= 2000000).collect()
