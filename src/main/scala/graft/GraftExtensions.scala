@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.DoubleType
 
-import graft.functions.{CosineSimilarity, ImageHeader, MinHashBandSig, MinHashSignature, SimHash64, SimHashMd5}
+import graft.functions.{CosineSimilarity, ImageHeader, Md5BandSig, MinHashBandSig, MinHashSignature, SimHash64, SimHashMd5}
 
 /** Optimizer rule: cosine(x, x) ≡ 1.0 — the self-pair arm of near-dup
   * pipelines constant-folds away instead of running the O(dim) kernel
@@ -61,6 +61,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_minhash_bands"),
       new ExpressionInfo(classOf[MinHashBandSig].getName, "graft_minhash_bands"),
       (es: Seq[Expression]) => MinHashBandSig(es.head,
+        intLit(es(1), "shingleWidth"), intLit(es(2), "nSeeds"),
+        intLit(es(3), "rowsPerBand"))))
+    e.injectFunction((
+      FunctionIdentifier("graft_md5_bands"),
+      new ExpressionInfo(classOf[Md5BandSig].getName, "graft_md5_bands"),
+      (es: Seq[Expression]) => Md5BandSig(es.head,
         intLit(es(1), "shingleWidth"), intLit(es(2), "nSeeds"),
         intLit(es(3), "rowsPerBand"))))
     e.injectFunction((

@@ -447,6 +447,9 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_minhash_bands",
       es => MinHashBandSig(es.head, intLit(es(1), "shingleWidth"),
         intLit(es(2), "nSeeds"), intLit(es(3), "rowsPerBand")), "built-in")
+    reg.createOrReplaceTempFunction("graft_md5_bands",
+      es => Md5BandSig(es.head, intLit(es(1), "shingleWidth"),
+        intLit(es(2), "nSeeds"), intLit(es(3), "rowsPerBand")), "built-in")
     reg.createOrReplaceTempFunction("graft_shingle_set",
       es => ShingleSet(es.head, intLit(es(1), "shingleWidth")), "built-in")
     reg.createOrReplaceTempFunction("graft_char_entropy",

@@ -26,6 +26,13 @@ class PipelineSpec extends SparkSpecBase {
         "graft_simhash64(array('a','b')) AS h").first()
     assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
     assert(r.getLong(1) != 0L)
+    // the md5-bit kernels must agree with their SQL-built equivalents
+    val m = spark.sql(
+      "SELECT graft_md5_bands(array('a','b','c','d'), 3, 8, 4) AS bands, " +
+        "graft_simhash_md5(array('a','b')) AS sh").first()
+    assert(m.getSeq[String](0).length == 2)
+    assert(m.getSeq[String](0).forall(_.matches("[0-9a-f]{32}")))
+    assert(m.getLong(1) != 0L)
   }
 
   test("GraftExtensions installs without error") {
