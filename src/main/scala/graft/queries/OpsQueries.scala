@@ -46,6 +46,25 @@ object OpsQueries {
         .orderBy(col("l_returnflag"))
     },
 
+    // data-quality expectations (round 6 — the Deequ-shaped validation
+    // gate): all lineitem row predicates fold into ONE scan/aggregate,
+    // plus a two-phase uniqueness check and a broadcast anti-join
+    // referential-integrity check, unioned into one report.
+    "q106_expectations" -> { (s, d) =>
+      import graft.operators.Quality
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      Quality.expectations(li, Seq(
+          "l_quantity_in_1_50" -> (col("l_quantity") < 1 or col("l_quantity") > 50),
+          "l_extendedprice_positive" -> (col("l_extendedprice") <= 0),
+          "l_discount_in_0_0.1" -> (col("l_discount") < 0 or col("l_discount") > 0.1),
+          "l_shipdate_nonnull" -> col("l_shipdate").isNull))
+        .unionByName(Quality.checkUnique(o, "o_orderkey_unique", Seq("o_orderkey")))
+        .unionByName(Quality.checkForeignKey(li, o, "l_orderkey_fk",
+          "l_orderkey", "o_orderkey"))
+        .orderBy(col("constraint"))
+    },
+
     // SCD-style upsert: merge an updates batch into the current
     // snapshot (update-else-insert, full-outer + coalesce — the
     // engine-level shape of MERGE INTO). Updates derived
@@ -230,6 +249,30 @@ object OpsQueries {
         |  quantile_cont(l_extendedprice, 0.5) AS median_price,
         |  COUNT(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q106_expectations" ->
+      """SELECT "constraint", n_violations, n_violations = 0 AS pass FROM (
+        |  SELECT 'l_quantity_in_1_50' AS "constraint",
+        |    COALESCE(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END), 0) AS n_violations
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_extendedprice_positive',
+        |    COALESCE(SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END), 0) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_discount_in_0_0.1',
+        |    COALESCE(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END), 0) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_shipdate_nonnull',
+        |    COALESCE(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END), 0) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'o_orderkey_unique',
+        |    COALESCE(SUM(n - 1), 0) FROM (SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey)
+        |  UNION ALL
+        |  SELECT 'l_orderkey_fk',
+        |    COUNT(*) FROM lineitem l
+        |    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        |) t
+        |ORDER BY "constraint"""".stripMargin,
 
     "q57_upsert_merge" ->
       """WITH updates AS (

@@ -14,6 +14,31 @@ class OpsSpec extends SparkSpecBase {
     assert(OpsQueries.queries.keySet -- OpsQueries.oracleSql.keySet == Set.empty)
   }
 
+  test("expectations: clean tables pass; planted violations are counted exactly") {
+    import graft.operators.Quality
+    val report = OpsQueries.queries("q106_expectations")(spark, sf)
+    assert(report.count() == 6)
+    assert(report.filter(!col("pass")).count() == 0,
+      "generated tables must satisfy every expectation")
+    // plant violations and assert exact counts
+    val li = Tables.lineitem(spark, sf).limit(10)
+      .withColumn("l_quantity", lit(99.0))
+    val r2 = Quality.expectations(li,
+      Seq("qty" -> (col("l_quantity") > 50), "null_ship" -> col("l_shipdate").isNull))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(r2("qty") == ((10L, false)))
+    assert(r2("null_ship") == ((0L, true)))
+    // uniqueness counts rows beyond the first per duplicated key
+    val dup = Tables.orders(spark, sf).limit(5)
+    assert(Quality.checkUnique(dup.unionByName(dup), "u", Seq("o_orderkey"))
+      .first().getLong(1) == 5L)
+    // fk violations = child keys absent from the parent
+    assert(Quality.checkForeignKey(
+      Tables.lineitem(spark, sf).limit(20).withColumn("l_orderkey", lit(-1L)),
+      Tables.orders(spark, sf), "fk", "l_orderkey", "o_orderkey")
+      .first().getLong(1) == 20L)
+  }
+
   test("train split is total, disjoint, and stable across runs") {
     val s1 = OpsQueries.queries("q52_train_split")(spark, sf)
     assert(s1.count() == Tables.documents(spark, sf).count())
