@@ -216,6 +216,10 @@ object TextOps {
     * words yield an empty array (the aggregate path drops them too).
     */
   def md5Bands(words: ArrayData, w: Int, nSeeds: Int, rowsPerBand: Int): ArrayData = {
+    // re-checked here (not just in the operator wrapper) because the
+    // SQL-registered graft_md5_bands reaches this kernel directly
+    require(nSeeds >= 1 && nSeeds <= 8, s"seed slices are 4 hex chars of one md5: 1 <= nSeeds <= 8, got $nSeeds")
+    require(rowsPerBand >= 1 && nSeeds % rowsPerBand == 0, "nSeeds must be a positive multiple of rowsPerBand")
     val n = words.numElements()
     if (n < w) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
     val mins = new Array[String](nSeeds)

@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Budgeted greedy selection — "fill a 10B-token budget with the best
+  * documents": rank rows by a TOTAL order, keep rows while the running
+  * weight total stays within budget. The curation step between scoring
+  * and training-shard export.
+  */
+object Selection {
+
+  /** The running sum is a DISTRIBUTED prefix sum, never a
+    * single-partition global window (the naive `Window.orderBy(...)`
+    * with no partitioning funnels the whole corpus through one task —
+    * a non-starter at 100 TB): range-repartition on the sort key (so
+    * partition i wholly precedes partition i+1), partition-local
+    * cumulative window, then each partition's grand total — a
+    * numPartitions-row table — is prefix-summed and broadcast-joined
+    * back as the partition's offset. Output `cum_weight` values are
+    * partition-count-independent: exact integer sums over a total
+    * order.
+    *
+    * `sortCols` must be a total order (break ties — e.g. append the
+    * id) or the cumulative sums are not well-defined.
+    */
+  def budgetSelect(df: DataFrame, sortCols: Seq[Column], weight: Column,
+                   budget: Long, numPartitions: Int = 0): DataFrame = {
+    require(sortCols.nonEmpty, "sortCols must be a total order")
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = df.repartitionByRange(parts, sortCols: _*)
+      .withColumn("__w", weight.cast("long"))
+      .withColumn("__pid", spark_partition_id())
+    val local = Window.partitionBy(col("__pid")).orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withLocal = ranged.withColumn("__cum_local", sum(col("__w")).over(local))
+    // per-partition totals: ≤ numPartitions rows — the single-task
+    // window over THIS table is a handful of longs, not the corpus
+    val offWin = Window.orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = withLocal.groupBy(col("__pid"))
+      .agg(sum(col("__w")).as("__ptotal"))
+      .withColumn("__offset", coalesce(sum(col("__ptotal")).over(offWin), lit(0L)))
+      .select(col("__pid"), col("__offset"))
+    withLocal.join(broadcast(offsets), Seq("__pid"))
+      .withColumn("cum_weight", col("__cum_local") + col("__offset"))
+      .filter(col("cum_weight") <= budget)
+      .drop("__pid", "__w", "__cum_local", "__offset")
+  }
+}

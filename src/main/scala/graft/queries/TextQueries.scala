@@ -169,6 +169,25 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // §2.3 #36e — token-budget selection: the best docs by lexical
+    // diversity until a 15k-token budget fills, via the distributed
+    // prefix sum in Selection.budgetSelect (no single-partition
+    // global window).
+    "q107_token_budget" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val ranked = TextAnalysis.qualityScore(docs, "doc_id", "text")
+        .select(col("doc_id"), col("distinct_ratio"))
+        .join(TextAnalysis.tokenCounts(docs, "doc_id", "text")
+          .select(col("doc_id"), col("ws_tokens")), "doc_id")
+      graft.operators.Selection.budgetSelect(ranked,
+          Seq(col("distinct_ratio").desc, col("doc_id").asc),
+          col("ws_tokens"), budget = 15000L)
+        .select(col("doc_id"), col("distinct_ratio"),
+          col("ws_tokens").cast("long").as("ws_tokens"),
+          col("cum_weight").as("cum_tokens"))
+        .orderBy(col("doc_id"))
+    },
+
     // §2.3 #33 — exact n-gram Jaccard on adjacent-id pairs.
     "q33_ngram_jaccard" -> { (s, d) =>
       val docs = Tables.documents(s, d)
@@ -527,6 +546,21 @@ object TextQueries {
          |LEFT JOIN cnt ON cnt.doc_id = c.doc_id
          |LEFT JOIN agg a ON a.doc_id = c.doc_id
          |ORDER BY c.doc_id""".stripMargin,
+
+    "q107_token_budget" ->
+      """WITH q AS (
+        |  SELECT doc_id,
+        |    ROUND(CAST(len(list_distinct(regexp_extract_all(lower(text), '\S+'))) AS DOUBLE)
+        |      / len(regexp_extract_all(text, '\S+')), 6) AS distinct_ratio,
+        |    len(regexp_extract_all(text, '\S+')) AS ws_tokens
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, distinct_ratio, ws_tokens,
+        |    SUM(ws_tokens) OVER (ORDER BY distinct_ratio DESC, doc_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        |  FROM q)
+        |SELECT doc_id, distinct_ratio, ws_tokens, cum_tokens
+        |FROM r WHERE cum_tokens <= 15000 ORDER BY doc_id""".stripMargin,
 
     "q32_simhash" ->
       s"""WITH $corpusSql,

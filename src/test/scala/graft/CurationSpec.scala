@@ -68,6 +68,30 @@ class CurationSpec extends SparkSpecBase {
       size(split(col("clean_text"), " ")) =!= col("n_kept") * 5).count() == 0)
   }
 
+  test("budgetSelect's distributed prefix sum equals the naive global window") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.{Selection, TextAnalysis}
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val ranked = TextAnalysis.qualityScore(docs, "doc_id", "text")
+      .select(col("doc_id"), col("distinct_ratio"))
+      .join(TextAnalysis.tokenCounts(docs, "doc_id", "text")
+        .select(col("doc_id"), col("ws_tokens")), "doc_id")
+    val sortCols = Seq(col("distinct_ratio").desc, col("doc_id").asc)
+    val got = Selection.budgetSelect(ranked, sortCols, col("ws_tokens"), 15000L)
+      .select(col("doc_id"), col("cum_weight"))
+      .as[(Long, Long)].collect().toMap
+    val naive = ranked.withColumn("cum",
+        sum(col("ws_tokens").cast("long")).over(Window.orderBy(sortCols: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("cum") <= 15000L)
+      .select(col("doc_id"), col("cum"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == naive)
+    assert(got.nonEmpty && got.values.max <= 15000L)
+    assert(got.size < ranked.count(), "budget should bind at sf0.001+")
+  }
+
   test("grouped split never straddles a source across train/holdout") {
     val out = q("q105_grouped_split")
     val straddled = out.select("source", "split").distinct()
