@@ -332,6 +332,45 @@ class ScaleSpec extends SparkSpecBase {
       s"probe after compaction broken: ${reprobe.toSeq}")
   }
 
+  test("streaming quality gate quarantines violating rows with their constraint labels") {
+    import spark.implicits._
+    import graft.streaming.QualityGate
+    // chunk 1: clean rows; chunk 2: two planted violations
+    val chunks: Seq[Seq[(Long, String, Long)]] = Seq(
+      Seq((1L, "alpha", 10L), (2L, "beta", 20L)),
+      Seq((3L, "gamma", 30L), (4L, "", 40L), (5L, "delta", -1L)))
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-gate-src")
+    chunks.zipWithIndex.foreach { case (rows, i) =>
+      val stage = java.nio.file.Files.createTempDirectory(s"graft-gate-chunk$i")
+      rows.toDF("id", "name", "qty")
+        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = java.nio.file.Files.list(stage).iterator()
+      val found = scala.jdk.CollectionConverters.IteratorHasAsScala(part).asScala
+        .find(_.toString.endsWith(".parquet")).get
+      val dst = srcDir.resolve(f"chunk$i%02d.parquet")
+      java.nio.file.Files.move(found, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+    }
+    val outDir = java.nio.file.Files.createTempDirectory("graft-gate-out").toString
+    val quarDir = java.nio.file.Files.createTempDirectory("graft-gate-quar").toString
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft-gate-ckpt").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("name", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("qty", org.apache.spark.sql.types.LongType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
+    QualityGate.run(stream,
+      Seq("name_nonempty" -> (col("name") === ""), "qty_positive" -> (col("qty") <= 0)),
+      outDir, quarDir, ckptDir)
+    val clean = spark.read.parquet(outDir).select("id").as[Long].collect().toSet
+    val quar = spark.read.parquet(quarDir)
+      .select("id", "violations").as[(Long, String)].collect().toMap
+    assert(clean == Set(1L, 2L, 3L))
+    assert(quar == Map(4L -> "name_nonempty", 5L -> "qty_positive"))
+  }
+
   test("foreachBatch parquet sink lands the full stream, partitioned") {
     import graft.streaming.EventStream
     val out = java.nio.file.Files.createTempDirectory("graft-sink").toString
