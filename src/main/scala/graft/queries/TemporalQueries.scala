@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -26,6 +27,35 @@ object TemporalQueries {
         .select(col("window.start").as("window_start"), col("event_type"),
           col("n_events"), col("sum_value"))
         .orderBy(col("window_start"), col("event_type"))
+    },
+
+    // §2.4 #41b — time-series resample with gap fill + forward fill
+    // (round 6): the hourly grid is materialized for EVERY
+    // (event_type, hour) cell across the observed span — missing
+    // buckets get n_events = 0 and carry the last observed sum_value
+    // forward. The spine is hours × types (tiny at any corpus scale:
+    // it grows with TIME, not data), broadcast against the aggregated
+    // hourly table; the forward fill is a partition-parallel window
+    // per event_type.
+    "q108_gap_fill" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val hourly = ev
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+      val spine = ev
+        .agg(date_trunc("hour", min(col("ts"))).as("h0"),
+          date_trunc("hour", max(col("ts"))).as("h1"))
+        .select(explode(sequence(col("h0"), col("h1"),
+          expr("interval 1 hour"))).as("hour"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.crossJoin(broadcast(ev.select(col("event_type")).distinct()))
+        .join(hourly, Seq("event_type", "hour"), "left")
+        .select(col("event_type"), col("hour"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          last(col("sum_value"), ignoreNulls = true).over(w).as("sum_value_ffill"))
+        .orderBy(col("event_type"), col("hour"))
     },
 
     // §2.4 #42 — the SAME aggregation through Structured Streaming
@@ -191,6 +221,27 @@ object TemporalQueries {
 
     "q41_windowed_agg" -> windowedSql,
     "q42_stream_windowed" -> windowedSql,
+
+    "q108_gap_fill" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour,
+        |    COUNT(*) AS n_events,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT date_trunc('hour', MIN(ts)) AS h0,
+        |                date_trunc('hour', MAX(ts)) AS h1 FROM events),
+        |spine AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+        |          FROM span),
+        |grid AS (SELECT t.event_type, s.hour FROM spine s
+        |         CROSS JOIN (SELECT DISTINCT event_type FROM events) t)
+        |SELECT g.event_type, g.hour,
+        |  COALESCE(h.n_events, 0) AS n_events,
+        |  LAST_VALUE(h.sum_value IGNORE NULLS) OVER (
+        |    PARTITION BY g.event_type ORDER BY g.hour
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sum_value_ffill
+        |FROM grid g
+        |LEFT JOIN hourly h ON h.event_type = g.event_type AND h.hour = g.hour
+        |ORDER BY g.event_type, g.hour""".stripMargin,
 
     "q43b_asof_native" ->
       """SELECT event_id, user_id, o_orderkey, o_orderdate, o_totalprice

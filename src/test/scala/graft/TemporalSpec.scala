@@ -13,6 +13,24 @@ class TemporalSpec extends SparkSpecBase {
     }
   }
 
+  test("gap fill materializes the full grid; fills are zero-count and carried forward") {
+    import org.apache.spark.sql.functions._
+    val out = TemporalQueries.queries("q108_gap_fill")(spark, sf)
+    val nTypes = Tables.events(spark, sf).select("event_type").distinct().count()
+    val nHours = out.select("hour").distinct().count()
+    assert(out.count() == nTypes * nHours, "grid must be complete")
+    // conservation: filled zeros add nothing
+    assert(out.agg(sum("n_events")).first().getLong(0) ==
+      Tables.events(spark, sf).count())
+    // forward fill: a zero-count hour repeats the previous observed value
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour"))
+    val bad = out.withColumn("prev", lag(col("sum_value_ffill"), 1).over(w))
+      .filter(col("n_events") === 0 and col("prev").isNotNull and
+        (col("sum_value_ffill") =!= col("prev")))
+    assert(bad.count() == 0, "zero-count hours must carry the previous value")
+  }
+
   test("streaming windowed agg equals batch windowed agg") {
     val batch = TemporalQueries.queries("q41_windowed_agg")(spark, sf).collect().toSeq
     val stream = TemporalQueries.queries("q42_stream_windowed")(spark, sf).collect().toSeq
