@@ -42,6 +42,25 @@ object DedupStream {
         Dedup.lshBandsNarrow)
       .write.mode("overwrite").parquet(s"$indexDir/gen=seed")
 
+  /** The warehouse-shape index: a catalog table BUCKETED on
+    * (band, band_sig). At 100 TB the index dwarfs the daily batch, so
+    * the probe join must not shuffle it — with the bucketed layout the
+    * index side reads co-located and only the (small) batch side
+    * exchanges; ScaleSpec asserts exactly one Exchange in the probe
+    * plan. [[seedIndex]]'s per-generation directory layout is the
+    * streaming/replay shape; this is the periodic-compaction target.
+    */
+  def seedIndexBucketed(corpus: DataFrame, table: String,
+                        idCol: String, textCol: String,
+                        shingleWidth: Int = 3, nSeeds: Int = 8,
+                        rowsPerBand: Int = 4, nBuckets: Int = 64): Unit =
+    Dedup.bandIndex(corpus, idCol, textCol, shingleWidth, nSeeds, rowsPerBand,
+        Dedup.lshBandsNarrow)
+      .write.mode("overwrite")
+      .bucketBy(nBuckets, "band", "band_sig")
+      .sortBy("band", "band_sig")
+      .saveAsTable(table)
+
   /** Compact the index's appended generations back to one row per
     * (band, band_sig). Probing stays correct without it (reads
     * min-merge across generations); compaction bounds the per-batch

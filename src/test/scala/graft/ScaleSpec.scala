@@ -49,6 +49,36 @@ class ScaleSpec extends SparkSpecBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("bucketed dedup index: the probe join shuffles only the batch side") {
+    import graft.streaming.DedupStream
+    spark.sql("DROP TABLE IF EXISTS b_dedup_index")
+    val p = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), "b_dedup_index")
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    DedupStream.seedIndexBucketed(docs.filter(col("doc_id") < 400),
+      "b_dedup_index", "doc_id", "text", nBuckets = 8)
+    val batchBands = graft.operators.Dedup.lshBandsNarrow(
+      docs.filter(col("doc_id") >= 400), "doc_id", "text", 3, 8, 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val probe = spark.table("b_dedup_index")
+        .join(batchBands, Seq("band", "band_sig"))
+      val plan = probe.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"))
+      // exactly ONE hash exchange: the batch side; the index side
+      // reads co-located from its buckets
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(exchanges == 1, s"expected 1 exchange (batch side only), got $exchanges:\n$plan")
+      assert(probe.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("hot LSH bucket degrades to linear chain pairs, cluster intact") {
     import spark.implicits._
     // 1,000 copies of one boilerplate doc + 100 distinct docs: without
