@@ -86,6 +86,26 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     },
 
+    // §2.3 — weighted Bernoulli sampling (round 6): keep each doc with
+    // probability proportional to a quality signal (here length,
+    // clamped to [0.1, 0.9]) — the importance-sampling primitive for
+    // data mixing, distinct from q77's integer upsampling. The uniform
+    // draw is a content-independent salted hash (first 6 md5 hex chars
+    // / 16^6), so the sample is reproducible under any partitioning
+    // and bit-identical in the oracle. Narrow per-row algebra.
+    "q109_weighted_sample" -> { (s, d) =>
+      val u = conv(substring(md5(concat(lit("q109:"),
+          col("doc_id").cast("string"))), 1, 6), 16, 10)
+        .cast("long").cast("double") / lit(16777216.0)
+      val p = least(lit(0.9), greatest(lit(0.1),
+        col("n_chars").cast("double") / lit(400.0)))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"))
+        .filter(u < p)
+        .select(col("doc_id"), col("n_chars"), round(p, 6).as("keep_p"))
+        .orderBy(col("doc_id"))
+    },
+
     "q82_quota_sample" -> { (s, d) =>
       val w = Window.partitionBy(col("lang"))
         .orderBy(md5(concat(lit("q82:"), col("doc_id").cast("string"))),
@@ -174,6 +194,15 @@ object CurationQueries {
         |  CASE WHEN substr(md5('q105:' || source), 1, 1) IN ('0','1','2')
         |       THEN 'holdout' ELSE 'train' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q109_weighted_sample" ->
+      """SELECT doc_id, n_chars,
+        |  ROUND(LEAST(0.9, GREATEST(0.1, n_chars / 400.0)), 6) AS keep_p
+        |FROM documents
+        |WHERE CAST(('0x' || substr(md5('q109:' || CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT)
+        |      / 16777216.0
+        |    < LEAST(0.9, GREATEST(0.1, n_chars / 400.0))
+        |ORDER BY doc_id""".stripMargin,
 
     "q82_quota_sample" ->
       """SELECT lang, pick, doc_id FROM (

@@ -92,6 +92,21 @@ class CurationSpec extends SparkSpecBase {
     assert(got.size < ranked.count(), "budget should bind at sf0.001+")
   }
 
+  test("weighted sample is reproducible and keep rate tracks the weights") {
+    val s1 = q("q109_weighted_sample").collect().map(_.getLong(0)).toSeq
+    val s2 = q("q109_weighted_sample").collect().map(_.getLong(0)).toSeq
+    assert(s1 == s2, "weighted sample must be deterministic")
+    val total = Tables.documents(spark, sf).count()
+    assert(s1.nonEmpty && s1.size < total, "sample must be a proper subset")
+    // mean keep_p estimates the keep rate: they must agree loosely
+    val meanP = q("q109_weighted_sample")
+      .agg(avg("keep_p")).first().getDouble(0)
+    val rate = s1.size.toDouble / total
+    // kept rows over-represent high-p docs, so rate >= overall mean p
+    // is not guaranteed row-wise — just bound the gap coarsely
+    assert(math.abs(rate - meanP) < 0.35, s"rate $rate vs mean keep_p $meanP")
+  }
+
   test("grouped split never straddles a source across train/holdout") {
     val out = q("q105_grouped_split")
     val straddled = out.select("source", "split").distinct()
