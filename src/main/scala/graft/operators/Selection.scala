@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.Caching.ScopedPersist
+
 /** Budgeted greedy selection — "fill a 10B-token budget with the best
   * documents": rank rows by a TOTAL order, keep rows while the running
   * weight total stays within budget. The curation step between scoring
@@ -36,7 +38,13 @@ object Selection {
       .withColumn("__pid", spark_partition_id())
     val local = Window.partitionBy(col("__pid")).orderBy(sortCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // Persisted: the offsets branch and the main branch both read this
+    // frame, and both must see the SAME range-partition assignment.
+    // Without the persist that only holds via exchange reuse /
+    // deterministic boundary sampling — an optimizer accident, not a
+    // guarantee. One materialization pins __pid for both consumers.
     val withLocal = ranged.withColumn("__cum_local", sum(col("__w")).over(local))
+      .scopedPersist()
     // per-partition totals: ≤ numPartitions rows — the single-task
     // window over THIS table is a handful of longs, not the corpus
     val offWin = Window.orderBy(col("__pid"))

@@ -253,23 +253,23 @@ object OpsQueries {
     "q106_expectations" ->
       """SELECT "constraint", n_violations, n_violations = 0 AS pass FROM (
         |  SELECT 'l_quantity_in_1_50' AS "constraint",
-        |    COALESCE(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END), 0) AS n_violations
+        |    CAST(COALESCE(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_violations
         |  FROM lineitem
         |  UNION ALL
         |  SELECT 'l_extendedprice_positive',
-        |    COALESCE(SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END), 0) FROM lineitem
+        |    CAST(COALESCE(SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END), 0) AS BIGINT) FROM lineitem
         |  UNION ALL
         |  SELECT 'l_discount_in_0_0.1',
-        |    COALESCE(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END), 0) FROM lineitem
+        |    CAST(COALESCE(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END), 0) AS BIGINT) FROM lineitem
         |  UNION ALL
         |  SELECT 'l_shipdate_nonnull',
-        |    COALESCE(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END), 0) FROM lineitem
+        |    CAST(COALESCE(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) FROM lineitem
         |  UNION ALL
         |  SELECT 'o_orderkey_unique',
-        |    COALESCE(SUM(n - 1), 0) FROM (SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey)
+        |    CAST(COALESCE(SUM(n - 1), 0) AS BIGINT) FROM (SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey)
         |  UNION ALL
         |  SELECT 'l_orderkey_fk',
-        |    COUNT(*) FROM lineitem l
+        |    CAST(COUNT(*) AS BIGINT) FROM lineitem l
         |    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
         |) t
         |ORDER BY "constraint"""".stripMargin,

@@ -556,8 +556,8 @@ object TextQueries {
         |  FROM documents),
         |r AS (
         |  SELECT doc_id, distinct_ratio, ws_tokens,
-        |    SUM(ws_tokens) OVER (ORDER BY distinct_ratio DESC, doc_id ASC
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        |    CAST(SUM(ws_tokens) OVER (ORDER BY distinct_ratio DESC, doc_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
         |  FROM q)
         |SELECT doc_id, distinct_ratio, ws_tokens, cum_tokens
         |FROM r WHERE cum_tokens <= 15000 ORDER BY doc_id""".stripMargin,

@@ -64,21 +64,32 @@ object DedupStream {
   /** Compact the index's appended generations back to one row per
     * (band, band_sig). Probing stays correct without it (reads
     * min-merge across generations); compaction bounds the per-batch
-    * read cost once many ingests have appended. Written to a sibling
-    * staging dir, then atomically swapped — never overwrite a path
-    * Spark is lazily reading.
+    * read cost once many ingests have appended.
+    *
+    * Crash-safe at every step, with no directory swap: the compacted
+    * rows are written INTO the index as a fresh `gen=c<k>` partition,
+    * and only then are the superseded generations deleted. Min-merge
+    * makes every intermediate state correct — a reader between the
+    * write and the deletes sees each bucket's min twice and merges it;
+    * a crash mid-delete leaves a still-correct (merely uncompacted)
+    * index; a crash mid-write leaves only an ignored `_temporary`
+    * dir, and the retry picks a new generation number. All moves go
+    * through the Hadoop FileSystem API, so the same code runs against
+    * HDFS/S3 lakes, not just local disk.
     */
   def compactIndex(spark: SparkSession, indexDir: String): Unit = {
-    val staged = indexDir + ".compacting"
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val oldGens = fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen="))
+    val nextC = oldGens.map(_.getPath.getName.stripPrefix("gen="))
+      .filter(_.matches("c\\d+")).map(_.drop(1).toLong)
+      .foldLeft(0L)(math.max) + 1
     spark.read.parquet(indexDir)
       .groupBy(col("band"), col("band_sig"))
       .agg(min(col("idx_min")).as("idx_min"))
-      .write.mode("overwrite").parquet(s"$staged/gen=compacted")
-    val dir = java.nio.file.Paths.get(indexDir)
-    import scala.jdk.CollectionConverters._
-    java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
-      .foreach(java.nio.file.Files.delete)
-    java.nio.file.Files.move(java.nio.file.Paths.get(staged), dir)
+      .write.mode("overwrite").parquet(s"$indexDir/gen=c$nextC")
+    oldGens.foreach(s => fs.delete(s.getPath, true))
   }
 
   /** Drive the streaming dedup to completion over the files currently
