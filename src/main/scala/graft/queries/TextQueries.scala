@@ -143,6 +143,17 @@ object TextQueries {
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
+    // §2.5 — the same pair search through the NATIVE physical operator
+    // (HammingSelfJoinExec): one internal shuffle, bucket-local pair
+    // dedup, no window and no pair-set distinct. Same exact oracle as
+    // q32b — the two paths must produce identical pair sets.
+    "q110_simhash_pairs_native" -> { (s, d) =>
+      graft.plans.HammingJoinPlan.simhashPairs(
+        Dedup.simhashTableMd5(plantedCorpus(s, d), "doc_id", "text"),
+        "doc_id", "simhash", maxHamming = 3)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
     // §2.3 #31c — incremental dedup: batch (doc_id ≥ 400 + planted
     // copies of doc_id < 50) probed against the band index of the
     // existing corpus (doc_id < 400), plus batch-internal bucket-min
@@ -430,6 +441,21 @@ object TextQueries {
     }
   )
 
+  /** Exact O(n²) hamming scan — shared by q32b (compositional path)
+    * and q110 (native HammingSelfJoinExec); both must match it. */
+  private val simhashPairsOracle =
+    s"""WITH $corpusSql,
+       |$simhashBitsSql,
+       |sig AS (SELECT doc_id,
+       |          bit_or(CASE WHEN bit = 1 THEN 1::UBIGINT << b
+       |                      ELSE 0::UBIGINT END) AS s
+       |        FROM bits GROUP BY doc_id)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       CAST(bit_count(xor(a.s, b.s)) AS INT) AS hamming
+       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.s, b.s)) <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
 
     "q30_exact_dedup" ->
@@ -572,18 +598,11 @@ object TextQueries {
          |             '' ORDER BY ni DESC) AS simhash_hex
          |FROM nibs GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
-    "q32b_simhash_pairs" ->
-      s"""WITH $corpusSql,
-         |$simhashBitsSql,
-         |sig AS (SELECT doc_id,
-         |          bit_or(CASE WHEN bit = 1 THEN 1::UBIGINT << b
-         |                      ELSE 0::UBIGINT END) AS s
-         |        FROM bits GROUP BY doc_id)
-         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |       CAST(bit_count(xor(a.s, b.s)) AS INT) AS hamming
-         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.s, b.s)) <= 3
-         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q32b_simhash_pairs" -> simhashPairsOracle,
+
+    // identical exact-scan oracle: the native exec is an optimization
+    // of the same contract, so the pair sets must be equal
+    "q110_simhash_pairs_native" -> simhashPairsOracle,
 
     "q33_ngram_jaccard" ->
       s"""WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents),
