@@ -199,6 +199,28 @@ object OpsQueries {
             .otherwise("unchanged"))
         .filter(col("change_type") =!= "unchanged")
         .orderBy(col("o_orderkey"))
+    },
+
+    // §4 skew mitigation as a first-class query: a PLANTED hot key
+    // (3 of 4 lineitem rows collapse onto key 0) joined to a small
+    // key dimension through Skew.saltedJoin — the deterministic-salt
+    // N-way spread for hot keys too pathological for AQE's skew
+    // split. Result must equal the plain join (the oracle IS the
+    // plain join); SkewSpec plan-asserts the shuffle key includes
+    // the salt.
+    "q111_salted_join" -> { (s, d) =>
+      val li = Tables.lineitem(s, d).select(
+        when(col("l_orderkey") % 4 =!= 0, lit(0L))
+          .otherwise(col("l_orderkey") % 100).as("hot_key"),
+        col("l_partkey"), col("l_quantity"))
+      val dim = s.range(0, 100).select(col("id").as("hot_key"),
+        (col("id") % 7).as("bucket7"))
+      graft.operators.Skew.saltedJoin(li, dim, "hot_key",
+          leftSaltSource = col("l_partkey"), salts = 8)
+        .groupBy(col("bucket7"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .orderBy(col("bucket7"))
     }
   )
 
@@ -363,6 +385,19 @@ object OpsQueries {
         |           WHEN new_cents IS NULL THEN 'delete'
         |           WHEN old_cents <> new_cents THEN 'update'
         |           ELSE 'unchanged' END <> 'unchanged'
-        |ORDER BY o_orderkey""".stripMargin
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // the plain (unsalted) join — salting must be result-invisible
+    "q111_salted_join" ->
+      """WITH li AS (
+        |  SELECT CASE WHEN l_orderkey % 4 <> 0 THEN 0
+        |              ELSE l_orderkey % 100 END AS hot_key, l_quantity
+        |  FROM lineitem),
+        |dim AS (SELECT i AS hot_key, i % 7 AS bucket7
+        |        FROM (SELECT unnest(generate_series(0, 99)) AS i))
+        |SELECT bucket7, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM li JOIN dim USING (hot_key)
+        |GROUP BY bucket7 ORDER BY bucket7""".stripMargin
   )
 }

@@ -123,6 +123,28 @@ object Readers {
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").orc(path)
 
+  /** Avro round-trip — the mainstream ROW lake format, via the graft
+    * DSv2 source ([[AvroDataSource]]; the spark-avro connector module
+    * is not on this classpath). Spark's `useV1SourceList` default
+    * includes "avro" and would force the name down the (absent) V1
+    * path, so this helper removes it once per session — after which
+    * plain `spark.read.format("avro")` works too. Removing it is safe
+    * here by construction: with no V1 avro provider on the classpath
+    * there is nothing the legacy list could route to.
+    */
+  def avro(s: SparkSession, path: String): DataFrame = {
+    enableAvro(s)
+    s.read.format("avro").load(path)
+  }
+  def writeAvro(df: DataFrame, path: String): Unit = AvroIO.write(df, path)
+  def enableAvro(s: SparkSession): Unit = {
+    val key = "spark.sql.sources.useV1SourceList"
+    val cur = s.conf.get(key)
+    val pruned = cur.split(",").map(_.trim).filter(v => v.nonEmpty && v != "avro")
+    if (pruned.length != cur.split(",").length)
+      s.conf.set(key, pruned.mkString(","))
+  }
+
   /** Partitioned parquet sink — the scale-path layout (the reference
     * writes one flat parquet per table; at 100 TB you partition by a
     * stable, low-cardinality key).

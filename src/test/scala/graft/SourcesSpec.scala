@@ -203,4 +203,58 @@ class SourcesSpec extends SparkSpecBase {
     assert(ing.results.keySet == Set("good"))
     assert(ing.errorLog.keySet == Set("bad"))
   }
+
+  test("avro round-trips lineitem with schema parity vs parquet") {
+    import graft.sources.AvroIO
+    val src = Tables.lineitem(spark, sf) // long/int/double/string/timestamp
+    val dir = Files.createTempDirectory("graft-avro").toString
+    AvroIO.write(src, dir)
+    val back = graft.sources.Readers.avro(spark, dir)
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      src.schema.map(f => (f.name, f.dataType)), "schema drift through avro")
+    assert(back.count() == src.count())
+    // exact value parity, every column incl. the timestamp
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
+  }
+
+  test("avro round-trips array columns (embeddings) and nulls") {
+    import spark.implicits._
+    import graft.sources.AvroIO
+    val src = Seq(
+      (1L, Option("a"), Seq(1.0f, 2.5f)),
+      (2L, Option.empty[String], Seq.empty[Float]),
+      (3L, Option("c"), Seq(-0.25f))).toDF("id", "name", "vec")
+    val dir = Files.createTempDirectory("graft-avro-arr").toString
+    AvroIO.write(src, dir)
+    val back = graft.sources.Readers.avro(spark, dir)
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
+    assert(back.filter(back("name").isNull).count() == 1)
+  }
+
+  test("avro scan splits files and prunes columns like the parquet scan") {
+    import graft.sources.AvroIO
+    val src = Tables.lineitem(spark, sf).repartition(1) // one biggish file
+    val dir = Files.createTempDirectory("graft-avro-split").toString
+    AvroIO.write(src, dir)
+    // force multi-split reads of the single file
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "16384")
+      val pruned = graft.sources.Readers.avro(spark, dir)
+        .select("l_orderkey", "l_quantity")
+      assert(pruned.rdd.getNumPartitions > 1,
+        "expected the single avro file to split into multiple partitions")
+      // pruning pushed into the scan: readSchema shows 2 columns, as
+      // the parquet scan's ReadSchema would
+      val plan = pruned.queryExecution.executedPlan.toString
+      assert(plan.contains("l_orderkey") && !plan.contains("l_returnflag"),
+        s"column pruning not pushed into the avro scan:\n$plan")
+      // split reads see every record exactly once
+      val viaParquet = src.select("l_orderkey", "l_quantity")
+      assert(pruned.exceptAll(viaParquet).isEmpty && viaParquet.exceptAll(pruned).isEmpty)
+      // filters still evaluate correctly above the scan
+      assert(pruned.filter(pruned("l_quantity") > 25).count() ==
+        viaParquet.filter(viaParquet("l_quantity") > 25).count())
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+  }
 }
