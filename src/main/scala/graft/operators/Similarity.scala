@@ -186,4 +186,49 @@ object Similarity {
       .filter(col("__rn") <= k)
       .drop("__rn")
   }
+
+  /** Semantic dedup (the SemDeDup curation step — Abbas et al. 2023,
+    * arXiv:2303.09540): a per-document keep/drop VERDICT from
+    * embedding-space near-duplicates. A doc drops iff some EARLIER
+    * (smaller-id) doc has cosine ≥ tau with it; `dup_of` is the
+    * smallest such id. This is the pairwise-threshold greedy variant:
+    * deterministic, order-independent, and exactly reproducible by a
+    * scan oracle — unlike cluster-representative selection, which
+    * depends on the clustering.
+    *
+    * Threshold compares `round(cos, 6)` — the same render-stable
+    * cosine every similarity query emits (SURVEY §5), so the keep/drop
+    * boundary cannot flip on engine-specific last-ulp noise.
+    *
+    * This exact form scores all pairs (broadcast nested-loop — the
+    * correctness BASELINE, same contract as [[bruteForceTopK]]):
+    * bounded corpora only. [[semanticDedupLsh]] is the 100 TB path.
+    */
+  def semanticDedupExact(corpus: DataFrame, tau: Double): DataFrame = {
+    val a = corpus.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+    val b = corpus.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+    val dups = broadcast(a).join(b, col("a_id") < col("b_id"))
+      .filter(round(GraftFunctions.cosine(col("a_emb"), col("b_emb")), 6) >= tau)
+      .groupBy(col("b_id")).agg(min(col("a_id")).as("dup_of"))
+    verdicts(corpus, dups)
+  }
+
+  /** [[semanticDedupExact]] through the LSH-bucketed pair generator
+    * ([[cosineNearDups]]): cost ∝ Σ bucket², never corpus². Candidate
+    * pairs ⊆ exact pairs, so drops ⊆ exact drops (one-sided error —
+    * never drops a doc the exact rule keeps); recall on planted
+    * duplicates asserted in spec.
+    */
+  def semanticDedupLsh(corpus: DataFrame, tau: Double,
+                       nTables: Int = 8, nBits: Int = 6): DataFrame = {
+    val dups = cosineNearDups(corpus, tau, nTables, nBits)
+      .groupBy(col("vec_b").as("b_id")).agg(min(col("vec_a")).as("dup_of"))
+    verdicts(corpus, dups)
+  }
+
+  private def verdicts(corpus: DataFrame, dups: DataFrame): DataFrame =
+    corpus.join(dups, corpus("vec_id") === dups("b_id"), "left")
+      .select(col("vec_id"),
+        when(col("dup_of").isNull, "keep").otherwise("drop").as("verdict"),
+        col("dup_of"))
 }

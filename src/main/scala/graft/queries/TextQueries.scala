@@ -243,6 +243,20 @@ object TextQueries {
         .orderBy(col("vec_a"), col("vec_b"))
     },
 
+    // §2.3 #34c — SemDeDup semantic dedup VERDICTS (keep/drop +
+    // dup_of) on a bounded slice with planted copies; exact all-pairs
+    // form (the oracle-able baseline — Similarity.semanticDedupLsh is
+    // the 100 TB path, spec-bounded against this one).
+    "q112_semantic_dedup" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d).filter(col("vec_id") < 2000)
+        .select(col("vec_id"), col("embedding"))
+      val planted = emb.unionByName(
+        emb.filter(col("vec_id") < 25)
+          .select((col("vec_id") + 1000000).as("vec_id"), col("embedding")))
+      Similarity.semanticDedupExact(planted, tau = 0.999)
+        .orderBy(col("vec_id"))
+    },
+
     // §2.3 #31 — duplicate-cluster resolution: transitive closure of
     // the LSH candidate pairs via min-label connected components; one
     // canonical (minimum) doc id per duplicate group.
@@ -640,6 +654,26 @@ object TextQueries {
         |  WHERE q.vec_id < 5)
         |WHERE rn <= 10
         |ORDER BY query_id, cos_sim DESC, neighbor_id""".stripMargin,
+
+    // exact O(n²) scan over the same planted slice; drop iff an
+    // earlier doc is within tau on the round(.,6) cosine (the
+    // render-stable boundary both engines compute identically)
+    "q112_semantic_dedup" ->
+      """WITH emb AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 2000
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 25),
+        |dups AS (
+        |  SELECT b.vec_id AS id, MIN(a.vec_id) AS dup_of
+        |  FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+        |  WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                                     CAST(b.embedding AS DOUBLE[])), 6) >= 0.999
+        |  GROUP BY b.vec_id)
+        |SELECT e.vec_id,
+        |  CASE WHEN d.dup_of IS NULL THEN 'keep' ELSE 'drop' END AS verdict,
+        |  d.dup_of
+        |FROM emb e LEFT JOIN dups d ON d.id = e.vec_id
+        |ORDER BY e.vec_id""".stripMargin,
 
     "q36_lang_id" ->
       """SELECT doc_id, n_en, n_es, n_fr,

@@ -83,6 +83,23 @@ object EventStream {
     spark.table(name)
   }
 
+  /** [[runToCompletionAppend]] that also returns the per-micro-batch
+    * StreamingQueryProgress records, so callers can assert on
+    * state-store metrics (rows held, bytes used) — the observable
+    * that distinguishes a state store bounded by watermark/timeout
+    * cleanup from one that grows with the stream.
+    */
+  def runToCompletionAppendTracked(spark: SparkSession, streamed: DataFrame,
+      name: String): (DataFrame, Seq[org.apache.spark.sql.streaming.StreamingQueryProgress]) = {
+    val q = streamed.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    (spark.table(name), q.recentProgress.toSeq)
+  }
+
   /** Incremental partitioned-parquet sink via foreachBatch — the
     * streaming-ingest-to-lake shape: each micro-batch appends to a
     * partitioned parquet table; the checkpoint (batch id tracking)

@@ -96,6 +96,40 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(recall >= 0.5, s"IVF recall $recall below the 0.5 bar")
   }
 
+  test("semantic dedup drops exactly the planted copies; LSH path never over-drops") {
+    val exact = TextQueries.queries("q112_semantic_dedup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toList
+    // every planted copy (id ≥ 1M) drops with dup_of = its original
+    val planted = exact.filter(_._1 >= 1000000L)
+    assert(planted.nonEmpty)
+    planted.foreach { case (id, verdict, dupOf) =>
+      assert(verdict == "drop" && dupOf.contains(id - 1000000L),
+        s"planted copy $id: ($verdict, $dupOf)")
+    }
+    // random 64-dim vectors are never near-dups of each other: all
+    // originals keep
+    assert(exact.filter(_._1 < 1000000L).forall(_._2 == "keep"),
+      "an original dropped — tau boundary broken")
+
+    // the LSH scale path has one-sided error: its drop set is a
+    // subset of the exact drop set, and it still catches every
+    // planted exact copy (cos = 1.0 collides in every table)
+    val emb = Tables.embeddings(spark, sf).filter(col("vec_id") < 2000)
+      .select(col("vec_id"), col("embedding"))
+    val corpus = emb.unionByName(
+      emb.filter(col("vec_id") < 25)
+        .select((col("vec_id") + 1000000).as("vec_id"), col("embedding")))
+    val lsh = Similarity.semanticDedupLsh(corpus, tau = 0.999)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val exactDrops = exact.filter(_._2 == "drop").map(_._1).toSet
+    val lshDrops = lsh.filter(_._2 == "drop").keySet
+    assert(lshDrops.subsetOf(exactDrops),
+      s"LSH dropped docs the exact rule keeps: ${lshDrops -- exactDrops}")
+    assert(planted.map(_._1).toSet.subsetOf(lshDrops),
+      "LSH path missed a planted exact copy")
+  }
+
   test("cosine expression agrees with a plain scala dot product") {
     val rows = emb.filter(col("vec_id") < 3)
       .select("vec_id", "embedding").as[(Long, Array[Float])].collect()

@@ -10,7 +10,10 @@ class PlanAuditSpec extends SparkSpecBase {
 
   // brute-force scorers intentionally pair a broadcast query set with
   // the corpus via a non-equi condition (BroadcastNestedLoopJoin)
-  private val intendedNestedLoop = Set("q34_cosine_topk")
+  // q34: broadcast query set; q112: exact semantic-dedup baseline —
+  // the broadcast side is the bounded corpus slice by construction
+  // (the LSH path is the scale form and plans bucket equi-joins)
+  private val intendedNestedLoop = Set("q34_cosine_topk", "q112_semantic_dedup")
 
   test("no query plans a CartesianProduct") {
     SparkEntry.queries.foreach { case (name, fn) =>

