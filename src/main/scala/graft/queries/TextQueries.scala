@@ -452,6 +452,71 @@ object TextQueries {
           round((sum(col("surp")).cast("double") / count(lit(1))), 6)
             .as("mean_surprisal"))
         .orderBy(col("doc_id"))
+    },
+
+    // bigram language-model scoring (the CCNet/KenLM model-based
+    // quality-filter shape, with the corpus itself as the training
+    // set): per-doc mean negative log-likelihood under an add-one
+    // smoothed bigram LM, p(w2|w1) = (c(w1,w2)+1) / (c(w1)+V).
+    // Training is two partial-agg groupBys (bigram and unigram
+    // counts); V and nothing else is collected (a 1-row broadcast).
+    // Scoring joins each doc's bigrams to the LM on the uniform
+    // (w1,w2) key — at 100 TB the LM table is vocab-bounded, ≪ the
+    // corpus, and AQE broadcasts it when it fits. Per-bigram NLLs are
+    // quantized to DECIMAL(18,12) before the per-doc sum (the q101
+    // discipline) so the reduction is exact and partition-order
+    // independent. Docs with fewer than two words have no bigrams and
+    // are excluded on both sides.
+    "q114_perplexity" -> { (s, d) =>
+      val w = Tables.documents(s, d)
+        .select(col("doc_id"), GraftFunctions.normWords(col("text")).as("ws"))
+        .scopedPersist() // bind the lambda output; reused by three branches
+      val words = w.select(col("doc_id"), explode(col("ws")).as("word"))
+      val uni = words.groupBy(col("word")).agg(count(lit(1)).as("c1"))
+      val vocab = uni.agg(count(lit(1)).as("v"))
+      val bi = w.filter(size(col("ws")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(ws)-2), " +
+            "i -> named_struct('w1', ws[i], 'w2', ws[i+1]))")).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .scopedPersist() // reused: LM training + scoring
+      val c12 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      val lm = c12.join(uni, col("w1") === col("word")).drop("word")
+        .crossJoin(broadcast(vocab))
+        .select(col("w1"), col("w2"),
+          (-log((col("c12") + lit(1)).cast("double") / (col("c1") + col("v"))))
+            .cast(DecimalType(18, 12)).as("nll"))
+      bi.join(lm, Seq("w1", "w2"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(sum(col("nll")).cast("double") / count(lit(1)), 6).as("mean_nll"))
+        .orderBy(col("doc_id"))
+    },
+
+    // model-based quality filtering as a pure codegen pass (the
+    // fastText-classifier shape): each word feature-hashes into one of
+    // 1024 buckets (md5 arithmetic — reproducible in the oracle), the
+    // bucket indexes a fixed weight table, and the doc score is the
+    // mean weight. The weight here is a deterministic stand-in
+    // (Knuth-hash of the bucket mapped into [-1, 1) on a 1/2048 grid,
+    // so every weight is DECIMAL-exact); a trained model would ship
+    // its 1024 floats the same way — the POINT is the plan shape:
+    // inference is hash + arithmetic inside the scan projection, no
+    // weight-table join, no UDF, and the only shuffle is the per-doc
+    // aggregate. Docs are kept when the rounded score is positive.
+    "q115_classifier_filter" -> { (s, d) =>
+      val words = Tables.documents(s, d)
+        .select(col("doc_id"), explode(GraftFunctions.normWords(col("text"))).as("word"))
+      val bucket = conv(substring(md5(col("word")), 1, 8), 16, 10)
+        .cast("long") % 1024
+      val weight = ((bucket * lit(2654435761L)) % 4096).cast("double") / 2048.0 - 1.0
+      words.select(col("doc_id"), weight.cast(DecimalType(18, 12)).as("wt"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"),
+          round(sum(col("wt")).cast("double") / count(lit(1)), 6).as("clf_score"))
+        .select(col("doc_id"), col("n_words"), col("clf_score"),
+          (col("clf_score") > 0).as("kept"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -874,6 +939,40 @@ object TextQueries {
          |SELECT doc_id, COUNT(*) AS n_words,
          |  ROUND(CAST(SUM(surp) AS DOUBLE) / COUNT(*), 6) AS mean_surprisal
          |FROM words JOIN surp USING (word)
-         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // parallel unnest of the two shifted slices zips them — bigram
+    // (w_i, w_{i+1}) for i in 1..n-1, the q71 bigram construction.
+    "q114_perplexity" ->
+      s"""WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents),
+         |words AS (SELECT doc_id, unnest(ws) AS word FROM w),
+         |uni AS (SELECT word, COUNT(*) AS c1 FROM words GROUP BY word),
+         |voc AS (SELECT COUNT(*) AS v FROM uni),
+         |f AS (SELECT doc_id, ws FROM w WHERE len(ws) >= 2),
+         |bi AS (SELECT doc_id, unnest(ws[1:len(ws)-1]) AS w1,
+         |              unnest(ws[2:len(ws)]) AS w2 FROM f),
+         |c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY w1, w2),
+         |lm AS (SELECT c.w1, c.w2,
+         |         CAST(-ln(CAST(c.c12 + 1 AS DOUBLE) / (u.c1 + voc.v))
+         |              AS DECIMAL(18,12)) AS nll
+         |       FROM c12 c JOIN uni u ON c.w1 = u.word CROSS JOIN voc)
+         |SELECT b.doc_id AS doc_id, COUNT(*) AS n_bigrams,
+         |  ROUND(CAST(SUM(lm.nll) AS DOUBLE) / COUNT(*), 6) AS mean_nll
+         |FROM bi b JOIN lm USING (w1, w2)
+         |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin,
+
+    "q115_classifier_filter" ->
+      s"""WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents),
+         |words AS (SELECT doc_id, unnest(ws) AS word FROM w),
+         |wt AS (SELECT doc_id,
+         |         CAST(CAST((('0x' || substr(md5(word), 1, 8))::UBIGINT % 1024)
+         |                * 2654435761 % 4096 AS DOUBLE) / 2048.0 - 1.0
+         |              AS DECIMAL(18,12)) AS wt
+         |       FROM words),
+         |sc AS (SELECT doc_id, COUNT(*) AS n_words,
+         |         ROUND(CAST(SUM(wt) AS DOUBLE) / COUNT(*), 6) AS clf_score
+         |       FROM wt GROUP BY doc_id)
+         |SELECT doc_id, n_words, clf_score, clf_score > 0 AS kept
+         |FROM sc ORDER BY doc_id""".stripMargin
   )
 }

@@ -50,6 +50,30 @@ class AnalyticSpec extends SparkSpecBase {
     assert(t.filter(col("tfidf") < 0).count() == 0)
   }
 
+  test("bigram-LM scores are positive and bigram counts match word counts") {
+    val p = graft.queries.TextQueries.queries("q114_perplexity")(spark, sf)
+    assert(p.filter(col("mean_nll") <= 0).count() == 0,
+      "add-one smoothed NLL must be strictly positive (p < 1 for every bigram)")
+    // n_bigrams == n_words - 1 for every doc that made it into the output
+    val words = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        size(graft.functions.GraftFunctions.normWords(col("text"))).as("nw"))
+    val bad = p.join(words, "doc_id")
+      .filter(col("n_bigrams") =!= col("nw") - 1)
+    assert(bad.count() == 0)
+  }
+
+  test("classifier filter is deterministic and kept matches the score sign") {
+    val a = graft.queries.TextQueries.queries("q115_classifier_filter")(spark, sf)
+    val b = graft.queries.TextQueries.queries("q115_classifier_filter")(spark, sf)
+    assert(a.collect().toSeq == b.collect().toSeq, "hash-derived weights must be reproducible")
+    assert(a.filter(col("kept") =!= (col("clf_score") > 0)).count() == 0)
+    assert(a.filter(col("clf_score") < -1 || col("clf_score") > 1).count() == 0,
+      "mean of per-word weights in [-1, 1) must stay in range")
+    // the stand-in weights are hash-uniform: both classes must occur
+    assert(a.filter(col("kept")).count() > 0 && a.filter(!col("kept")).count() > 0)
+  }
+
   test("running total is monotone per customer") {
     val w = AnalyticQueries.queries("q48_window_frames")(spark, sf)
     import org.apache.spark.sql.expressions.Window
