@@ -68,6 +68,36 @@ object ImageOps {
       new GenericInternalRow(Array[Any](UTF8String.fromString("unknown"), null, null, null))
     }
   }
+
+  /** 64-bit perceptual AVERAGE HASH (aHash) over a payload. The hash
+    * rule is the real algorithm — 64 thumbnail intensities, bit i set
+    * iff intensity i is above the mean (compared as s_i·64 > Σs so no
+    * integer-division rounding) — but the "thumbnail" here is 64
+    * evenly-spaced payload bytes, standing in for the decode→grayscale
+    * →8×8-resize step a codec library would provide (declared stub
+    * policy, Multimodal.decodeFrames). Positional sampling preserves
+    * locality: near-identical payloads produce near-equal hashes,
+    * which is what makes hamming-distance near-dup search meaningful.
+    * Empty payloads hash to 0.
+    */
+  def aHash64(bytes: Array[Byte]): Long = {
+    if (bytes.length == 0) return 0L
+    val s = new Array[Int](64)
+    var sum = 0L
+    var i = 0
+    while (i < 64) {
+      s(i) = bytes(((i.toLong * bytes.length) / 64).toInt) & 0xff
+      sum += s(i)
+      i += 1
+    }
+    var h = 0L
+    i = 0
+    while (i < 64) {
+      if (s(i).toLong * 64 > sum) h |= (1L << i)
+      i += 1
+    }
+    h
+  }
 }
 
 /** Codegen'd BinaryType → struct(format, width, height, channels)
@@ -91,9 +121,25 @@ object ImageHeader {
     StructField("channels", IntegerType, nullable = true)))
 }
 
+/** Codegen'd BinaryType → 64-bit perceptual average hash
+  * ([[ImageOps.aHash64]]) — feeds the native hamming self-join for
+  * image near-dup search.
+  */
+case class AHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullSafeEval(b: Any): Any =
+    ImageOps.aHash64(b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, b => s"graft.functions.ImageOps.aHash64($b)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "graft_ahash64"
+}
+
 /** Column-level API for the image functions. */
 object ImageFunctions {
   import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
   def imageHeader(payload: Column): Column =
     toCol(ImageHeader(toExpr(payload)))
+  def aHash64(payload: Column): Column =
+    toCol(AHash64(toExpr(payload)))
 }

@@ -134,6 +134,34 @@ object CurationQueries {
         idCol = "doc_id", textCol = "text", n = 8,
         numBits = 1 << 17, numHashes = 5)
         .orderBy(col("doc_id"))
+    },
+
+    // §2.3 — data-mixing weight solver (round 7): the planning step
+    // between measuring a corpus and sampling it (q72/q77/q109 apply
+    // the rates this computes). Target = equal token share per
+    // source; each source's keep rate is min(1, target/actual) —
+    // over-represented sources downsample, under-represented ones
+    // keep everything (integer upsampling beyond 1.0 is q77's job).
+    // One partial-agg groupBy over the corpus + a 1-row broadcast;
+    // the per-source table is dimension-sized at any corpus scale.
+    "q116_mix_weights" -> { (s, d) =>
+      import graft.Caching.ScopedPersist
+      val bySrc = Tables.documents(s, d)
+        .select(col("source"),
+          size(GraftFunctions.normWords(col("text"))).as("tok"))
+        .groupBy(col("source"))
+        .agg(sum(col("tok")).cast("long").as("src_tokens"))
+        .scopedPersist() // dimension-sized; feeds both the totals and the output
+      val totals = bySrc
+        .agg(sum(col("src_tokens")).cast("long").as("total"),
+          count(lit(1)).as("n_sources"))
+      val rate = least(lit(1.0),
+        (col("total").cast("double") / col("n_sources")) / col("src_tokens"))
+      bySrc.crossJoin(broadcast(totals))
+        .select(col("source"), col("src_tokens"),
+          round(rate, 6).as("keep_rate"),
+          round(col("src_tokens") * rate, 6).as("expected_tokens"))
+        .orderBy(col("source"))
     }
   )
 
@@ -211,6 +239,19 @@ object CurationQueries {
         |      ORDER BY md5('q82:' || CAST(doc_id AS VARCHAR)), doc_id) AS pick
         |  FROM documents)
         |WHERE pick <= 50
-        |ORDER BY lang, pick""".stripMargin
+        |ORDER BY lang, pick""".stripMargin,
+
+    "q116_mix_weights" ->
+      s"""WITH w AS (SELECT source, len($wsSql) AS tok FROM documents),
+         |s AS (SELECT source, CAST(SUM(tok) AS BIGINT) AS src_tokens
+         |      FROM w GROUP BY source),
+         |t AS (SELECT CAST(SUM(src_tokens) AS BIGINT) AS total,
+         |             COUNT(*) AS n_sources FROM s)
+         |SELECT source, src_tokens,
+         |  ROUND(LEAST(1.0, (CAST(total AS DOUBLE) / n_sources) / src_tokens), 6)
+         |    AS keep_rate,
+         |  ROUND(src_tokens * LEAST(1.0, (CAST(total AS DOUBLE) / n_sources) / src_tokens), 6)
+         |    AS expected_tokens
+         |FROM s CROSS JOIN t ORDER BY source""".stripMargin
   )
 }

@@ -331,6 +331,26 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // §2.3 #40 (round 7) — perceptual-hash IMAGE near-dup: aHash64
+    // over the binary payload (the real average-hash bit rule; the
+    // 8×8-thumbnail step is the declared byte-sample stub, codec
+    // policy as q40/q88) feeding the SAME native HammingSelfJoinExec
+    // that serves text simhash (q110) — one codegen'd hash pass, one
+    // internal fan-out shuffle, pairs at hamming ≤ 3. Multimodal
+    // dedup rides the identical scale machinery as text dedup.
+    // Rows-only by design (the stub thumbnail is not an oracle-side
+    // primitive); DedupSimilaritySpec asserts exact parity with a
+    // brute-force O(n²) scan and recovery of all planted copies.
+    "q117_phash_neardup" -> { (s, d) =>
+      val sigs = plantedCorpus(s, d)
+        .select(col("doc_id"),
+          graft.functions.ImageFunctions.aHash64(
+            encode(col("text"), "utf-8")).as("ahash"))
+      graft.plans.HammingJoinPlan.simhashPairs(sigs, "doc_id", "ahash",
+          maxHamming = 3)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+
     // §2.3 #34b — scalar int8 quantization of the embedding column.
     // The int codes are deterministic (float→double exact, IEEE
     // arithmetic, HALF_UP == away-from-zero for non-negative values),

@@ -196,6 +196,18 @@ class CurationSpec extends SparkSpecBase {
     assert(exactIds.subsetOf(bloomIds), s"bloom path missed ${exactIds -- bloomIds}")
   }
 
+  test("mixing weights: rates capped at 1, expected tokens conserve the budget") {
+    val m = q("q116_mix_weights")
+    assert(m.filter(col("keep_rate") > 1.0 || col("keep_rate") <= 0.0).count() == 0)
+    assert(m.filter(col("expected_tokens") > col("src_tokens")).count() == 0,
+      "downsampling can never add tokens")
+    // each source's post-sampling share must not exceed the equal-share
+    // target (under-represented sources keep less than the target)
+    val row = m.agg(sum(col("expected_tokens")).as("e"),
+      sum(col("src_tokens")).cast("double").as("t")).head()
+    assert(row.getDouble(0) <= row.getDouble(1) + 1e-6)
+  }
+
   test("q83 plan has no shuffle on the corpus probe side") {
     val plan = q("q83_bloom_decontam").queryExecution.executedPlan.toString
     // the only exchanges allowed are the 1-row filter aggregation and the

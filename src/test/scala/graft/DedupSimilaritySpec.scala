@@ -351,6 +351,43 @@ class DedupSimilaritySpec extends SparkSpecBase {
       .filter(col("count") =!= 2).count() == 0)
   }
 
+  test("perceptual-hash near-dup: parity with brute force, planted copies at hamming 0") {
+    val pairs = TextQueries.queries("q117_phash_neardup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // exact planted copies (doc_id < 50, +1_000_000) share the payload
+    // byte-for-byte, so their aHashes are equal — all 50 must surface
+    (0L until 50L).foreach { i =>
+      assert(pairs.contains((i, i + 1000000L, 0)),
+        s"planted copy pair ($i, ${i + 1000000}) missing")
+    }
+    // parity with a brute-force O(n²) scan over the same signatures
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val planted = docs.unionByName(docs.filter(col("doc_id") < 50)
+      .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+    val sigs = planted
+      .select(col("doc_id"),
+        graft.functions.ImageFunctions.aHash64(encode(col("text"), "utf-8")).as("ahash"))
+    val a = sigs.select(col("doc_id").as("doc_a"), col("ahash").as("ha"))
+    val b = sigs.select(col("doc_id").as("doc_b"), col("ahash").as("hb"))
+    val brute = a.join(b, col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int").as("hamming"))
+      .filter(col("hamming") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs == brute, "native hamming join diverged from brute force on aHash sigs")
+  }
+
+  test("aHash64 is deterministic and locality-preserving on a single-byte edit") {
+    val base = ("the quick brown fox jumps over the lazy dog " * 8).getBytes("UTF-8")
+    val edited = base.clone(); edited(100) = 'X'.toByte
+    val h1 = graft.functions.ImageOps.aHash64(base)
+    assert(h1 == graft.functions.ImageOps.aHash64(base.clone()))
+    val h2 = graft.functions.ImageOps.aHash64(edited)
+    val hamming = java.lang.Long.bitCount(h1 ^ h2)
+    assert(hamming <= 3, s"one-byte edit moved $hamming bits — sampling not local")
+    assert(graft.functions.ImageOps.aHash64(Array.emptyByteArray) == 0L)
+  }
+
   test("text query oracles' keys are a subset of query keys") {
     assert(TextQueries.oracleSql.keySet.subsetOf(TextQueries.queries.keySet))
   }
