@@ -162,6 +162,49 @@ object CurationQueries {
           round(rate, 6).as("keep_rate"),
           round(col("src_tokens") * rate, 6).as("expected_tokens"))
         .orderBy(col("source"))
+    },
+
+    // §2.3 — DSIR-style data selection (round 7 — Xie et al. 2023,
+    // arXiv:2302.03169): rank corpus docs by how target-like they
+    // are. Features = words hashed (md5) into 512 buckets; two
+    // add-one smoothed bucket LMs — TARGET (here: the English slice)
+    // and RAW (whole corpus); per-doc importance = Σ over its tokens
+    // of ln p_T(b) − ln p_R(b). Both LMs are 512-row tables built by
+    // one partial-agg groupBy each and BROADCAST back — the corpus is
+    // touched by two narrow passes and one per-doc aggregate, nothing
+    // else, at any scale. Per-bucket deltas are DECIMAL(18,12)-
+    // quantized so the per-doc sum is exact and order-independent;
+    // selection = top-200 by (rounded ratio desc, doc_id), a
+    // TakeOrderedAndProject — never a global window.
+    "q118_dsir_select" -> { (s, d) =>
+      import graft.Caching.ScopedPersist
+      val nBuckets = 512
+      val words = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode(GraftFunctions.normWords(col("text"))).as("word"))
+        .select(col("doc_id"), col("lang"),
+          (conv(substring(md5(col("word")), 1, 8), 16, 10).cast("long")
+            % nBuckets).as("bkt"))
+        .scopedPersist() // feeds both LMs + the scoring join
+      val cR = words.groupBy(col("bkt")).agg(count(lit(1)).as("cr"))
+      val cT = words.filter(col("lang") === "en")
+        .groupBy(col("bkt")).agg(count(lit(1)).as("ct"))
+      val nR = words.agg(count(lit(1)).as("nr"))
+      val nT = words.filter(col("lang") === "en").agg(count(lit(1)).as("nt"))
+      val delta = cR.join(cT, Seq("bkt"), "left")
+        .na.fill(0L, Seq("ct"))
+        .crossJoin(broadcast(nR)).crossJoin(broadcast(nT))
+        .select(col("bkt"),
+          (log((col("ct") + lit(1)).cast("double") / (col("nt") + lit(nBuckets)))
+            - log((col("cr") + lit(1)).cast("double") / (col("nr") + lit(nBuckets))))
+            .cast(org.apache.spark.sql.types.DecimalType(18, 12)).as("delta"))
+      words.join(broadcast(delta), "bkt")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_feats"),
+          round(sum(col("delta")).cast("double"), 6).as("log_ratio"))
+        .orderBy(col("log_ratio").desc, col("doc_id"))
+        .limit(200)
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -252,6 +295,29 @@ object CurationQueries {
          |    AS keep_rate,
          |  ROUND(src_tokens * LEAST(1.0, (CAST(total AS DOUBLE) / n_sources) / src_tokens), 6)
          |    AS expected_tokens
-         |FROM s CROSS JOIN t ORDER BY source""".stripMargin
+         |FROM s CROSS JOIN t ORDER BY source""".stripMargin,
+
+    "q118_dsir_select" ->
+      s"""WITH w AS (SELECT doc_id, lang, $wsSql AS ws FROM documents),
+         |w0 AS (SELECT doc_id, lang, unnest(ws) AS word FROM w),
+         |words AS (SELECT doc_id, lang,
+         |            ('0x' || substr(md5(word), 1, 8))::UBIGINT % 512 AS bkt
+         |          FROM w0),
+         |cr AS (SELECT bkt, COUNT(*) AS cr FROM words GROUP BY bkt),
+         |ct AS (SELECT bkt, COUNT(*) AS ct FROM words WHERE lang = 'en' GROUP BY bkt),
+         |nr AS (SELECT COUNT(*) AS nr FROM words),
+         |nt AS (SELECT COUNT(*) AS nt FROM words WHERE lang = 'en'),
+         |delta AS (SELECT cr.bkt,
+         |            CAST(ln(CAST(COALESCE(ct.ct, 0) + 1 AS DOUBLE) / (nt.nt + 512))
+         |               - ln(CAST(cr.cr + 1 AS DOUBLE) / (nr.nr + 512))
+         |                 AS DECIMAL(18,12)) AS delta
+         |          FROM cr LEFT JOIN ct USING (bkt) CROSS JOIN nr CROSS JOIN nt),
+         |doc AS (SELECT doc_id, COUNT(*) AS n_feats,
+         |          ROUND(CAST(SUM(delta) AS DOUBLE), 6) AS log_ratio
+         |        FROM words JOIN delta USING (bkt) GROUP BY doc_id)
+         |SELECT * FROM (
+         |  SELECT doc_id, n_feats, log_ratio FROM doc
+         |  ORDER BY log_ratio DESC, doc_id LIMIT 200)
+         |ORDER BY doc_id""".stripMargin
   )
 }

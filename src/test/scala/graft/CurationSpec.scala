@@ -208,6 +208,20 @@ class CurationSpec extends SparkSpecBase {
     assert(row.getDouble(0) <= row.getDouble(1) + 1e-6)
   }
 
+  test("DSIR selection enriches the target distribution") {
+    val sel = q("q118_dsir_select")
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("lang"))
+    val joined = sel.join(docs, "doc_id")
+    val selEn = joined.filter(col("lang") === "en").count().toDouble / sel.count()
+    val baseEn = docs.filter(col("lang") === "en").count().toDouble / docs.count()
+    // importance weighting toward the English target must beat the base
+    // rate (margin is modest: the synthetic corpus shares vocabulary
+    // across langs, so the hashed-unigram signal is real but not sharp)
+    assert(selEn > baseEn + 0.05,
+      f"selected en-fraction $selEn%.3f not above base $baseEn%.3f")
+    assert(sel.count() == 200)
+  }
+
   test("q83 plan has no shuffle on the corpus probe side") {
     val plan = q("q83_bloom_decontam").queryExecution.executedPlan.toString
     // the only exchanges allowed are the 1-row filter aggregation and the
