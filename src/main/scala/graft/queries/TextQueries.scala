@@ -351,6 +351,17 @@ object TextQueries {
         .orderBy(col("doc_a"), col("doc_b"))
     },
 
+    // §2.3 (round 7) — distributed BPE tokenizer-vocabulary learning
+    // (Sennrich'16): 8 merge rounds over the vocab-bounded
+    // word-frequency table; the corpus is read once. Rows-only by
+    // design (an iterative greedy argmax is not a DuckDB scan);
+    // BpeSpec pins the learned merges on a hand-computable corpus,
+    // monotone pair frequencies, and determinism.
+    "q119_bpe_vocab" -> { (s, d) =>
+      graft.operators.Bpe.learnMerges(Tables.documents(s, d), "text", k = 8)
+        .orderBy(col("rank"))
+    },
+
     // §2.3 #34b — scalar int8 quantization of the embedding column.
     // The int codes are deterministic (float→double exact, IEEE
     // arithmetic, HALF_UP == away-from-zero for non-negative values),
