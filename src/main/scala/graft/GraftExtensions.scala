@@ -75,5 +75,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_image_header"),
       new ExpressionInfo(classOf[ImageHeader].getName, "graft_image_header"),
       (es: Seq[Expression]) => ImageHeader(es.head)))
+    e.injectFunction((
+      FunctionIdentifier("graft_ahash64"),
+      new ExpressionInfo(classOf[graft.functions.AHash64].getName, "graft_ahash64"),
+      (es: Seq[Expression]) => graft.functions.AHash64(es.head)))
   }
 }

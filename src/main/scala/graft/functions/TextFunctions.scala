@@ -465,5 +465,7 @@ object GraftFunctions {
       es => BloomMightContain(es.head, es(1), intLit(es(2), "numHashes")), "built-in")
     reg.createOrReplaceTempFunction("graft_image_header",
       es => ImageHeader(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_ahash64",
+      es => AHash64(es.head), "built-in")
   }
 }

@@ -386,6 +386,13 @@ class DedupSimilaritySpec extends SparkSpecBase {
     val hamming = java.lang.Long.bitCount(h1 ^ h2)
     assert(hamming <= 3, s"one-byte edit moved $hamming bits — sampling not local")
     assert(graft.functions.ImageOps.aHash64(Array.emptyByteArray) == 0L)
+    // SQL registration round-trip matches the JVM kernel
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    Seq(Tuple1(base)).toDF("payload").createOrReplaceTempView("ahashpayloads")
+    val viaSql = spark.sql(
+      "SELECT graft_ahash64(payload) AS h FROM ahashpayloads").first().getLong(0)
+    assert(viaSql == h1)
   }
 
   test("text query oracles' keys are a subset of query keys") {
