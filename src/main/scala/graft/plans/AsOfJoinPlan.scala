@@ -30,7 +30,9 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
 case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
                     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
                     leftTime: Expression, rightTime: Expression,
-                    tieBreak: Expression)
+                    tieBreak: Expression,
+                    direction: Int = AsOfJoinPlan.Backward,
+                    tolerance: Long = -1L)
     extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -40,8 +42,8 @@ case class AsOfJoin(left: LogicalPlan, right: LogicalPlan,
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt, tb) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tb) :: Nil
+    case AsOfJoin(l, r, lk, rk, lt, rt, tb, dir, tol) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tb, dir, tol) :: Nil
     case _ => Nil
   }
 }
@@ -49,7 +51,9 @@ object AsOfJoinStrategy extends SparkStrategy {
 case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
                         leftKeys: Seq[Expression], rightKeys: Seq[Expression],
                         leftTime: Expression, rightTime: Expression,
-                        tieBreak: Expression)
+                        tieBreak: Expression,
+                        direction: Int = AsOfJoinPlan.Backward,
+                        tolerance: Long = -1L)
     extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -82,6 +86,11 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     val allOut = output
     val lKeys = leftKeys; val rKeys = rightKeys
     val lTime = leftTime; val rTime = rightTime
+    val dir = direction; val tol = tolerance
+    // distance math needs raw epoch-micros — only read when the
+    // extended semantics are in play (the API restricts those to
+    // long-backed time types)
+    val needsLong = dir != AsOfJoinPlan.Backward || tol >= 0L
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lKeys, lOut)
@@ -109,6 +118,7 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       val joined = new JoinedRow
       var matchKey: InternalRow = null   // key of the buffered best match
       var bestMatch: InternalRow = null  // copied right row
+      var bestTime: Long = 0L            // its epoch-micros (needsLong only)
       lIter.map { lRow =>
         val lKey = lKeyProj(lRow)
         // null-key / null-time left rows match nothing: null-extend
@@ -117,6 +127,7 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
           outProj(joined(lRow, rightNulls))
         } else {
           val lTimeVal = lTimeProj(lRow).copy()
+          val lT = if (needsLong) lTimeVal.getLong(0) else 0L
           // drop right rows (and any stale match) for keys before lKey
           while (rBuf.hasNext && keyOrdering.compare(rKeyProj(rBuf.head), lKey) < 0)
             rBuf.next()
@@ -131,15 +142,39 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
             val rKey = rKeyProj(head)
             if (keyOrdering.compare(rKey, lKey) == 0 &&
               timeOrdering.compare(rTimeProj(head), lTimeVal) <= 0) {
+              if (needsLong) bestTime = rTimeProj(head).getLong(0)
               bestMatch = rBuf.next().copy()
               matchKey = lKey.copy()
             } else continue = false
           }
-          val r =
+          val backRow =
             if (matchKey != null && keyOrdering.compare(matchKey, lKey) == 0) bestMatch
-            else rightNulls
+            else null
+          // after the consume loop rBuf.head (same key) is STRICTLY
+          // after lTime and, by the (time, tieBreak) sort, the
+          // smallest such row — the forward candidate
+          val chosen: InternalRow =
+            if (dir == AsOfJoinPlan.Backward) {
+              if (backRow != null && (tol < 0L || lT - bestTime <= tol)) backRow
+              else null
+            } else {
+              val fRow =
+                if (rBuf.hasNext && keyOrdering.compare(rKeyProj(rBuf.head), lKey) == 0)
+                  rBuf.head
+                else null
+              val fT = if (fRow != null) rTimeProj(fRow).getLong(0) else 0L
+              val fOk = fRow != null && (tol < 0L || fT - lT <= tol)
+              if (dir == AsOfJoinPlan.Forward) { if (fOk) fRow else null }
+              else { // nearest: closer side wins, ties go backward
+                val bOk = backRow != null && (tol < 0L || lT - bestTime <= tol)
+                if (bOk && fOk) { if (lT - bestTime <= fT - lT) backRow else fRow }
+                else if (bOk) backRow
+                else if (fOk) fRow
+                else null
+              }
+            }
           numOutputRows += 1
-          outProj(joined(lRow, r))
+          outProj(joined(lRow, if (chosen == null) rightNulls else chosen))
         }
       }
     }
@@ -151,15 +186,38 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
 
 object AsOfJoinPlan {
 
+  val Backward = 0
+  val Forward = 1
+  val Nearest = 2
+
   /** DataFrame-level API. Registers the planner strategy in the
     * session on first use (also installable ahead of time via
     * `GraftExtensions`). Columns are referenced by name against each
     * side's analyzed output.
+    *
+    * Round-7 extension — the pandas `merge_asof` surface:
+    *  - `direction`: "backward" (default — greatest rightTime ≤
+    *    leftTime), "forward" (smallest rightTime STRICTLY after
+    *    leftTime — the next-event attribution shape), or "nearest"
+    *    (closer of the two, ties backward);
+    *  - `toleranceMicros`: inclusive bound on the time distance; -1
+    *    disables. Non-qualifying left rows null-extend as before.
+    * Both extensions require long-backed time columns (TimestampType
+    * or LongType epoch-micros) because they do distance arithmetic.
     */
   def asofJoin(left: DataFrame, right: DataFrame,
                leftKey: String, rightKey: String,
                leftTime: String, rightTime: String,
-               tieBreak: String): DataFrame = {
+               tieBreak: String,
+               direction: String = "backward",
+               toleranceMicros: Long = -1L): DataFrame = {
+    val dir = direction match {
+      case "backward" => Backward
+      case "forward"  => Forward
+      case "nearest"  => Nearest
+      case other => throw new IllegalArgumentException(
+        s"direction must be backward|forward|nearest, got '$other'")
+    }
     val spark = left.sparkSession
       .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
@@ -170,9 +228,17 @@ object AsOfJoinPlan {
     def attr(p: LogicalPlan, n: String): Attribute =
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(s"no column '$n' in ${p.output.map(_.name)}"))
+    val lt = attr(lPlan, leftTime); val rt = attr(rPlan, rightTime)
+    if (dir != Backward || toleranceMicros >= 0L) {
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+      Seq(lt.dataType, rt.dataType).foreach { t =>
+        require(t == TimestampType || t == TimestampNTZType || t == LongType,
+          s"direction/tolerance need a timestamp or LongType time column, got $t")
+      }
+    }
     val plan = AsOfJoin(lPlan, rPlan,
       Seq(attr(lPlan, leftKey)), Seq(attr(rPlan, rightKey)),
-      attr(lPlan, leftTime), attr(rPlan, rightTime), attr(rPlan, tieBreak))
+      lt, rt, attr(rPlan, tieBreak), dir, toleranceMicros)
     org.apache.spark.sql.GraftColumnBridge.ofRows(spark, plan)
   }
 }

@@ -103,6 +103,31 @@ object TemporalQueries {
         .orderBy(col("event_id"))
     },
 
+    // §2.4 (round 7) — as-of join with DIRECTION + TOLERANCE through
+    // the native operator (the pandas merge_asof surface): for each
+    // event, the NEXT event by the same user STRICTLY after it and
+    // within 3 days — time-to-next-action attribution. Same single
+    // streaming merge per co-partition as q43b; the forward candidate
+    // is the merge cursor's head, so direction costs nothing extra,
+    // and the tolerance is a per-row arithmetic check, not a join
+    // predicate that would re-fan the history.
+    "q120_asof_forward" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val nxt = Tables.events(s, d)
+        .select(col("event_id").as("next_event_id"),
+          col("user_id").as("r_user_id"), col("ts").as("next_ts"))
+      graft.plans.AsOfJoinPlan.asofJoin(ev, nxt,
+          leftKey = "user_id", rightKey = "r_user_id",
+          leftTime = "ts", rightTime = "next_ts",
+          tieBreak = "next_event_id",
+          direction = "forward", toleranceMicros = 3L * 86400 * 1000000)
+        .filter(col("next_event_id").isNotNull)
+        .select(col("event_id"), col("user_id"), col("next_event_id"),
+          (unix_micros(col("next_ts")) - unix_micros(col("ts"))).as("gap_us"))
+        .orderBy(col("event_id"))
+    },
+
     // §2.4 #44 — gap-based sessionization (30-minute gap).
     "q44_sessionize" -> { (s, d) =>
       Temporal.sessionize(Tables.events(s, d), key = "user_id",
@@ -262,6 +287,19 @@ object TemporalQueries {
         |      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
         |  FROM events e
         |  JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+        |WHERE rn = 1
+        |ORDER BY event_id""".stripMargin,
+
+    "q120_asof_forward" ->
+      """SELECT event_id, user_id, next_event_id, gap_us
+        |FROM (
+        |  SELECT e.event_id, e.user_id, n.event_id AS next_event_id,
+        |    epoch_us(n.ts) - epoch_us(e.ts) AS gap_us,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |      ORDER BY n.ts ASC, n.event_id ASC) AS rn
+        |  FROM events e
+        |  JOIN events n ON n.user_id = e.user_id AND n.ts > e.ts
+        |    AND epoch_us(n.ts) - epoch_us(e.ts) <= 259200000000)
         |WHERE rn = 1
         |ORDER BY event_id""".stripMargin,
 

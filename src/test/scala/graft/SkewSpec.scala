@@ -31,6 +31,51 @@ class SkewSpec extends SparkSpecBase {
       s"an exchange partitions on the bare hot key:\n${exchanges.mkString("\n")}")
   }
 
+  test("AQE splits a skewed join partition at runtime (the no-code-change path)") {
+    // the complement to manual salting: with AQE skew handling tuned
+    // to the test scale, a join keyed on a planted hot key must come
+    // back with the skewed partition SPLIT by the runtime — the
+    // mechanism graft relies on at 100 TB for skew it did not predict
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      // hot key 0 holds ~75% of lineitem rows on both join sides.
+      // repartition(8) first: a skewed reduce partition can only be
+      // split along MAP-task boundaries, and a single parquet file
+      // scans as one map task
+      val l = Tables.lineitem(spark, sf).repartition(8).select(
+        when(col("l_orderkey") % 4 =!= 0, lit(0L))
+          .otherwise(col("l_orderkey") % 100).as("k"),
+        col("l_quantity"), col("l_shipdate"), col("l_discount"), col("l_tax"))
+      // the dimension side must reach the join as Sort(ShuffleStage)
+      // DIRECTLY — an aggregate between them breaks OptimizeSkewedJoin's
+      // pattern match (it can only duplicate a raw shuffle read)
+      import spark.implicits._
+      val r = (0L to 96L by 4).map(k => (k, k * 1.5)).toDF("k", "dim_val")
+      val joined = l.join(r, Seq("k"))
+      joined.collect() // materialize THIS plan: AQE finalizes with runtime stats
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark/split the skewed join:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("the deterministic salt actually spreads the planted hot key") {
     // distribution check on the salted left side itself: the hot key's
     // rows must land in all 8 salt groups, with no group holding more
