@@ -325,6 +325,62 @@ class ScaleSpec extends SparkSpecBase {
     }
   }
 
+  test("streaming frequent-token monitor tracks heavy hitters across batches") {
+    import spark.implicits._
+    import graft.streaming.FrequentTokens
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // planted distribution split over 3 micro-batches: "hot" 30×,
+      // "warm" 12×, "mild" 7×, filler tokens f0..f19 2× each
+      val all = Seq.fill(30)("hot") ++ Seq.fill(12)("warm") ++
+        Seq.fill(7)("mild") ++ (0 until 20).flatMap(i => Seq.fill(2)(s"f$i"))
+      val chunks = all.grouped((all.size + 2) / 3).toSeq
+      val dir = java.nio.file.Files.createTempDirectory("graft-freqtok")
+      chunks.zipWithIndex.foreach { case (toks, i) =>
+        val stage = java.nio.file.Files.createTempDirectory(s"graft-freqtok-c$i")
+        toks.map(t => (math.floorMod(t.hashCode, 4).toLong, t))
+          .toDF("shard", "token")
+          .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        val part = scala.jdk.CollectionConverters
+          .IteratorHasAsScala(java.nio.file.Files.list(stage).iterator()).asScala
+          .find(_.toString.endsWith(".parquet")).get
+        val dst = dir.resolve(f"chunk$i%02d.parquet")
+        java.nio.file.Files.move(part, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("shard", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("token", org.apache.spark.sql.types.StringType)))
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dir.toString)
+        .as[FrequentTokens.Tok]
+      val out = FrequentTokens.monitor(stream, nShards = 4, capacity = 64, k = 5)
+      val (table, progress) = graft.streaming.EventStream
+        .runToCompletionAppendTracked(spark, out.toDF(), "graft_freq_tokens")
+      // estimates only grow: max-per-token over all batches is the
+      // final running answer; capacity ≥ vocab ⇒ sketch exact, err 0
+      val est = table.groupBy("token").agg(max("est").as("est"), max("err").as("err"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      assert(est.forall(_._3 == 0L), s"unexpected eviction error: ${est.toSeq}")
+      val got3 = est.sortBy(e => (-e._2, e._1)).take(3).map(e => (e._1, e._2)).toSeq
+      assert(got3 == Seq(("hot", 30L), ("warm", 12L), ("mild", 7L)), s"got $got3")
+      // state is one sketch row per ACTIVE shard, never per token/batch
+      val perBatchRows = progress.map(_.stateOperators.map(_.numRowsTotal).sum)
+      assert(perBatchRows.nonEmpty && perBatchRows.max <= 4,
+        s"state rows exceed shard count: $perBatchRows")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streaming incremental dedup flags cross-batch duplicates via the index merge") {
     import spark.implicits._
     import graft.streaming.DedupStream
