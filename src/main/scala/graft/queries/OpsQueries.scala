@@ -221,6 +221,26 @@ object OpsQueries {
         .agg(count(lit(1)).as("n"),
           sum(col("l_quantity").cast("long")).as("sum_qty"))
         .orderBy(col("bucket7"))
+    },
+
+    // keyed pseudonymization (round 7): PII-safe stable surrogate keys
+    // — sha-256 over a salted natural key replaces the id everywhere
+    // while PRESERVING referential integrity, proven by aggregating a
+    // fact table through the pseudonym instead of the raw key. The
+    // hash is a narrow codegen'd projection on both sides of the join
+    // (no lookup table to secure or replicate); the salt would be a
+    // secret in production — a literal here so the oracle reproduces.
+    "q121_pseudonymize" -> { (s, d) =>
+      val pseud = sha2(concat(lit("graft-salt-v1:"),
+        col("o_custkey").cast("string")), 256)
+      Tables.orders(s, d)
+        .select(pseud.as("pseud"),
+          col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+            .as("price"))
+        .groupBy(col("pseud"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("price")).cast("double").as("total_price"))
+        .orderBy(col("pseud"))
     }
   )
 
@@ -398,6 +418,13 @@ object OpsQueries {
         |SELECT bucket7, CAST(COUNT(*) AS BIGINT) AS n,
         |       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
         |FROM li JOIN dim USING (hot_key)
-        |GROUP BY bucket7 ORDER BY bucket7""".stripMargin
+        |GROUP BY bucket7 ORDER BY bucket7""".stripMargin,
+
+    "q121_pseudonymize" ->
+      """SELECT sha256('graft-salt-v1:' || CAST(o_custkey AS VARCHAR)) AS pseud,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders
+        |GROUP BY 1 ORDER BY pseud""".stripMargin
   )
 }
