@@ -223,6 +223,56 @@ object OpsQueries {
         .orderBy(col("bucket7"))
     },
 
+    // Matryoshka-style embedding truncation audit (round 7 —
+    // Kusupati et al. 2022): keep the first 16 of 64 dims and measure
+    // what survives — norms, retained energy, and the cosine between
+    // the truncated and full vector (= √(e16/e64) in closed form, so
+    // no second pass). One narrow codegen'd projection per vector;
+    // the decision input for running ANN at quarter cost. Sums are
+    // index-order folds on both engines; outputs round(6) per the
+    // q112 cosine precedent.
+    "q122_embed_truncate" -> { (s, d) =>
+      def sq(c: org.apache.spark.sql.Column) =
+        aggregate(c, lit(0.0),
+          (acc, x) => acc + x.cast("double") * x.cast("double"))
+      Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          sq(slice(col("embedding"), 1, 16)).as("e16"),
+          sq(col("embedding")).as("e64"))
+        .select(col("vec_id"),
+          round(sqrt(col("e16")), 6).as("norm16"),
+          round(sqrt(col("e64")), 6).as("norm64"),
+          round(col("e16") / col("e64"), 6).as("energy_retained"),
+          round(sqrt(col("e16") / col("e64")), 6).as("cos_trunc_full"))
+        .orderBy(col("vec_id"))
+    },
+
+    // PSI drift detection (round 7): population-stability index of the
+    // doc-length distribution between a reference slice and a live
+    // slice — the monitoring gate that catches a corpus drifting
+    // before a model trains on it. Laplace-smoothed bin shares (no
+    // zero-bin infinities), one groupBy + a 1-row broadcast; per-bin
+    // PSI terms emitted (Σ terms = the headline PSI).
+    "q123_psi_drift" -> { (s, d) =>
+      val binned = Tables.documents(s, d)
+        .select(least(lit(4L), floor(col("n_chars") / lit(100)).cast("long"))
+            .as("bin"),
+          (col("doc_id") % 2 === 0).as("is_ref"))
+      val agg = binned.groupBy(col("bin"))
+        .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).cast("long").as("n_ref"),
+          sum(when(!col("is_ref"), 1L).otherwise(0L)).cast("long").as("n_live"))
+      val tot = agg.agg(sum(col("n_ref")).cast("long").as("t_ref"),
+        sum(col("n_live")).cast("long").as("t_live"))
+      val pLive = (col("n_live") + lit(1.0)) / (col("t_live") + lit(5))
+      val pRef = (col("n_ref") + lit(1.0)) / (col("t_ref") + lit(5))
+      agg.crossJoin(broadcast(tot))
+        .select(col("bin"), col("n_ref"), col("n_live"),
+          round(pRef, 6).as("p_ref"),
+          round(pLive, 6).as("p_live"),
+          round((pLive - pRef) * log(pLive / pRef), 6).as("psi_term"))
+        .orderBy(col("bin"))
+    },
+
     // keyed pseudonymization (round 7): PII-safe stable surrogate keys
     // — sha-256 over a salted natural key replaces the id everywhere
     // while PRESERVING referential integrity, proven by aggregating a
@@ -419,6 +469,41 @@ object OpsQueries {
         |       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
         |FROM li JOIN dim USING (hot_key)
         |GROUP BY bucket7 ORDER BY bucket7""".stripMargin,
+
+    "q122_embed_truncate" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |    list_sum(list_transform(embedding[1:16],
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS e16,
+        |    list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS e64
+        |  FROM embeddings)
+        |SELECT vec_id,
+        |  ROUND(sqrt(e16), 6) AS norm16,
+        |  ROUND(sqrt(e64), 6) AS norm64,
+        |  ROUND(e16 / e64, 6) AS energy_retained,
+        |  ROUND(sqrt(e16 / e64), 6) AS cos_trunc_full
+        |FROM e ORDER BY vec_id""".stripMargin,
+
+    "q123_psi_drift" ->
+      """WITH b AS (
+        |  SELECT LEAST(4, CAST(FLOOR(n_chars / 100) AS BIGINT)) AS bin,
+        |         doc_id % 2 = 0 AS is_ref
+        |  FROM documents),
+        |a AS (
+        |  SELECT bin,
+        |    CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+        |    CAST(SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_live
+        |  FROM b GROUP BY bin),
+        |t AS (SELECT CAST(SUM(n_ref) AS BIGINT) AS t_ref,
+        |             CAST(SUM(n_live) AS BIGINT) AS t_live FROM a)
+        |SELECT bin, n_ref, n_live,
+        |  ROUND((n_ref + 1.0) / (t_ref + 5), 6) AS p_ref,
+        |  ROUND((n_live + 1.0) / (t_live + 5), 6) AS p_live,
+        |  ROUND(((n_live + 1.0) / (t_live + 5) - (n_ref + 1.0) / (t_ref + 5))
+        |        * ln(((n_live + 1.0) / (t_live + 5)) / ((n_ref + 1.0) / (t_ref + 5))), 6)
+        |    AS psi_term
+        |FROM a CROSS JOIN t ORDER BY bin""".stripMargin,
 
     "q121_pseudonymize" ->
       """SELECT sha256('graft-salt-v1:' || CAST(o_custkey AS VARCHAR)) AS pseud,

@@ -85,4 +85,25 @@ class OpsSpec extends SparkSpecBase {
     val r = OpsQueries.queries("q51_range_join")(spark, sf)
     assert(r.filter(col("n_close_pairs") <= 0).count() == 0)
   }
+
+  test("embedding truncation: energy in (0,1], cosine consistent, norms ordered") {
+    val t = OpsQueries.queries("q122_embed_truncate")(spark, sf)
+    assert(t.filter(col("energy_retained") <= 0 || col("energy_retained") > 1).count() == 0)
+    assert(t.filter(col("norm16") > col("norm64")).count() == 0,
+      "dropping dims can never grow the norm")
+    // cos(trunc, full) = sqrt(energy) in closed form — the two derived
+    // columns must agree to rounding
+    assert(t.filter(abs(col("cos_trunc_full") * col("cos_trunc_full")
+      - col("energy_retained")) > 1e-4).count() == 0)
+  }
+
+  test("PSI drift terms are non-negative and smoothed shares sum to 1") {
+    val p = OpsQueries.queries("q123_psi_drift")(spark, sf)
+    assert(p.count() == 5)
+    // (p−q)·ln(p/q) ≥ 0 for every bin, by construction of PSI
+    assert(p.filter(col("psi_term") < 0).count() == 0)
+    val sums = p.agg(sum(col("p_ref")).as("r"), sum(col("p_live")).as("l")).head()
+    assert(math.abs(sums.getDouble(0) - 1.0) < 1e-4 &&
+      math.abs(sums.getDouble(1) - 1.0) < 1e-4)
+  }
 }
