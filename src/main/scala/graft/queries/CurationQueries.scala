@@ -205,6 +205,41 @@ object CurationQueries {
         .orderBy(col("log_ratio").desc, col("doc_id"))
         .limit(200)
         .orderBy(col("doc_id"))
+    },
+
+    // §2.3 — cross-source overlap audit (round 7): pairwise 3-gram
+    // shingle Jaccard between SOURCES — which corpus slices share
+    // content (provenance / licensing / cross-contamination before
+    // mixing). Per-source DISTINCT shingle sets, one uniform-key
+    // self-join: each shingle's fan-out is bounded by C(#sources, 2)
+    // regardless of corpus size, so the pair matrix costs one distinct
+    // + one join at 100 TB; the 190-row pair frame is dimension-sized.
+    "q124_source_overlap" -> { (s, d) =>
+      import graft.Caching.ScopedPersist
+      val sh = Tables.documents(s, d)
+        .select(col("source"), GraftFunctions.normWords(col("text")).as("ws"))
+        .filter(size(col("ws")) >= 3)
+        .scopedPersist() // bind ws before the shingle lambda
+        .select(col("source"), explode(expr(
+          "transform(sequence(0, size(ws)-3), " +
+            "i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))")).as("sh"))
+        .distinct()
+        .scopedPersist() // three consumers: counts + both join sides
+      val cnt = sh.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
+      val inter = sh.as("a")
+        .join(sh.as("b"),
+          col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+        .agg(count(lit(1)).as("n_inter"))
+      val pairs = cnt.select(col("source").as("s1"), col("n_sh").as("n_a"))
+        .join(cnt.select(col("source").as("s2"), col("n_sh").as("n_b")),
+          col("s1") < col("s2"))
+      pairs.join(inter, Seq("s1", "s2"), "left")
+        .na.fill(0L, Seq("n_inter"))
+        .select(col("s1"), col("s2"), col("n_inter"), col("n_a"), col("n_b"),
+          round(col("n_inter").cast("double")
+            / (col("n_a") + col("n_b") - col("n_inter")), 6).as("jaccard"))
+        .orderBy(col("s1"), col("s2"))
     }
   )
 
@@ -318,6 +353,28 @@ object CurationQueries {
          |SELECT * FROM (
          |  SELECT doc_id, n_feats, log_ratio FROM doc
          |  ORDER BY log_ratio DESC, doc_id LIMIT 200)
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+
+    "q124_source_overlap" ->
+      s"""WITH w AS (SELECT source, $wsSql AS ws FROM documents),
+         |sh AS (SELECT DISTINCT source,
+         |         unnest([array_to_string(ws[i:i+2],' ')
+         |                 for i in generate_series(1, len(ws)-2)]) AS sh
+         |       FROM w WHERE len(ws) >= 3),
+         |cnt AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sh
+         |        FROM sh GROUP BY 1),
+         |inter AS (SELECT a.source AS s1, b.source AS s2,
+         |            CAST(COUNT(*) AS BIGINT) AS n_inter
+         |          FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+         |          GROUP BY 1, 2),
+         |pairs AS (SELECT a.source AS s1, b.source AS s2,
+         |            a.n_sh AS n_a, b.n_sh AS n_b
+         |          FROM cnt a JOIN cnt b ON a.source < b.source)
+         |SELECT p.s1, p.s2, CAST(COALESCE(i.n_inter, 0) AS BIGINT) AS n_inter,
+         |  p.n_a, p.n_b,
+         |  ROUND(CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+         |        / (p.n_a + p.n_b - COALESCE(i.n_inter, 0)), 6) AS jaccard
+         |FROM pairs p LEFT JOIN inter i USING (s1, s2)
+         |ORDER BY s1, s2""".stripMargin
   )
 }

@@ -222,6 +222,15 @@ class CurationSpec extends SparkSpecBase {
     assert(sel.count() == 200)
   }
 
+  test("source-overlap matrix is a valid Jaccard upper triangle") {
+    val m = q("q124_source_overlap")
+    assert(m.count() == 190) // C(20, 2) source pairs, zero-overlap included
+    assert(m.filter(col("s1") >= col("s2")).count() == 0, "not upper-triangular")
+    assert(m.filter(col("jaccard") < 0 || col("jaccard") > 1).count() == 0)
+    assert(m.filter(col("n_inter") > least(col("n_a"), col("n_b"))).count() == 0,
+      "intersection exceeds a set size")
+  }
+
   test("q83 plan has no shuffle on the corpus probe side") {
     val plan = q("q83_bloom_decontam").queryExecution.executedPlan.toString
     // the only exchanges allowed are the 1-row filter aggregation and the
