@@ -63,6 +63,22 @@ class SourcesSpec extends SparkSpecBase {
     assert(scan.contains("PartitionFilters"), "expected partition pruning")
   }
 
+  test("parquet schema evolution: mergeSchema unions generations, old rows null-extend") {
+    import spark.implicits._
+    // a lake table whose later ingest generations grew a column — the
+    // re-import cycles' normal life; readers must see the union schema
+    // with old generations null-extended, not a failure
+    val dir = Files.createTempDirectory("graftevolve").toString
+    Seq((1L, "x")).toDF("id", "a").write.parquet(s"$dir/gen=1")
+    Seq((2L, "y", 3.5)).toDF("id", "a", "b").write.parquet(s"$dir/gen=2")
+    val df = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(df.columns.toSet == Set("id", "a", "b", "gen"))
+    val rows = df.orderBy("id").collect()
+    assert(rows(0).isNullAt(rows(0).fieldIndex("b")), "old generation must null-extend")
+    assert(rows(1).getDouble(rows(1).fieldIndex("b")) == 3.5)
+    assert(df.count() == 2)
+  }
+
   test("orc round-trips with pushdown") {
     val out = Files.createTempDirectory("graftorc").toString + "/t"
     val src = Tables.customer(spark, sf)
