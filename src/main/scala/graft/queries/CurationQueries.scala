@@ -240,6 +240,58 @@ object CurationQueries {
           round(col("n_inter").cast("double")
             / (col("n_a") + col("n_b") - col("n_inter")), 6).as("jaccard"))
         .orderBy(col("s1"), col("s2"))
+    },
+
+    // §2.3 — nearest-centroid topic assignment (the k-means/IVF
+    // ASSIGNMENT step as a standalone curation op — domain labeling /
+    // cluster-balanced mixing input). Centroids are a fixed tiny
+    // dimension (here the first 8 vectors; a trained model ships its
+    // k×64 floats identically) broadcast into a narrow per-vector
+    // argmax: cross join against k rows stays map-side, and the
+    // per-vector max collapses in the partial aggregate BEFORE the
+    // one uniform-key shuffle — no global window, no k-way fan-out
+    // ever leaves the map stage. Ties on the round-6 render-stable
+    // cosine break to the smallest topic id (max of (sim, -topic)).
+    "q125_topic_assign" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("topic_id"), col("embedding").as("centroid"))
+      emb.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("topic_id"),
+          round(GraftFunctions.cosine(col("embedding"), col("centroid")), 6)
+            .cast("decimal(10,6)").as("sim"))
+        .groupBy(col("vec_id"))
+        .agg(max(struct(col("sim"), (-col("topic_id")).as("nt"))).as("m"))
+        .select(col("vec_id"), (-col("m.nt")).as("topic_id"),
+          col("m.sim").cast("double").as("cos_sim"))
+        .orderBy(col("vec_id"))
+    },
+
+    // §2.3 — tokenizer-vocabulary coverage / OOV-rate audit: fraction
+    // of corpus tokens covered by the top-512 corpus vocabulary, per
+    // source (the "will the tokenizer fragment this slice?" gate
+    // before a mix ships). Vocab build is one uniform-word partial
+    // agg + TakeOrdered (total order, word tie-break — never a global
+    // sort); the probe is a BROADCAST join of the 512-row vocab into
+    // a second narrow pass — at 100 TB the corpus is read twice and
+    // shuffled only by the bounded word domain, never by doc.
+    "q126_vocab_coverage" -> { (s, d) =>
+      import graft.Caching.ScopedPersist
+      val words = Tables.documents(s, d)
+        .select(col("source"),
+          explode(GraftFunctions.normWords(col("text"))).as("w"))
+        .scopedPersist() // two consumers: vocab build + coverage probe
+      val vocab = words.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("w")).limit(512)
+        .select(col("w"), lit(1).as("hit"))
+      words.join(broadcast(vocab), Seq("w"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(coalesce(col("hit"), lit(0)).cast("long")).as("n_covered"))
+        .select(col("source"), col("n_tokens"), col("n_covered"),
+          round(col("n_covered").cast("double") / col("n_tokens"), 6)
+            .as("coverage"))
+        .orderBy(col("source"))
     }
   )
 
@@ -375,6 +427,32 @@ object CurationQueries {
          |  ROUND(CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
          |        / (p.n_a + p.n_b - COALESCE(i.n_inter, 0)), 6) AS jaccard
          |FROM pairs p LEFT JOIN inter i USING (s1, s2)
-         |ORDER BY s1, s2""".stripMargin
+         |ORDER BY s1, s2""".stripMargin,
+
+    "q125_topic_assign" ->
+      """WITH c AS (SELECT vec_id AS topic_id, embedding AS centroid
+        |           FROM embeddings WHERE vec_id < 8),
+        |s AS (SELECT e.vec_id, c.topic_id,
+        |        round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                     CAST(c.centroid AS DOUBLE[])), 6) AS sim
+        |      FROM embeddings e CROSS JOIN c),
+        |r AS (SELECT vec_id, topic_id, sim,
+        |        row_number() OVER (PARTITION BY vec_id
+        |          ORDER BY sim DESC, topic_id ASC) AS rn
+        |      FROM s)
+        |SELECT vec_id, topic_id, CAST(sim AS DOUBLE) AS cos_sim
+        |FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    "q126_vocab_coverage" ->
+      s"""WITH words AS (SELECT source, unnest($wsSql) AS w FROM documents),
+         |vocab AS (SELECT w FROM (
+         |  SELECT w, COUNT(*) AS cnt FROM words GROUP BY w
+         |  ORDER BY cnt DESC, w LIMIT 512))
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(CASE WHEN w IN (SELECT w FROM vocab) THEN 1 ELSE 0 END)
+         |       AS BIGINT) AS n_covered,
+         |  ROUND(CAST(SUM(CASE WHEN w IN (SELECT w FROM vocab) THEN 1 ELSE 0 END)
+         |             AS DOUBLE) / COUNT(*), 6) AS coverage
+         |FROM words GROUP BY source ORDER BY source""".stripMargin
   )
 }

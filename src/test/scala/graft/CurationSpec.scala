@@ -238,4 +238,32 @@ class CurationSpec extends SparkSpecBase {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
       s"expected a broadcast of the filter bits, got:\n$plan")
   }
+
+  test("topic assignment: total, centroids self-assign at cos 1, no window") {
+    val a = q("q125_topic_assign")
+    val nVecs = Tables.embeddings(spark, sf).count()
+    assert(a.count() == nVecs, "every vector must receive exactly one topic")
+    val self = a.filter(col("vec_id") < 8)
+      .filter(col("topic_id") =!= col("vec_id") || col("cos_sim") =!= 1.0)
+    assert(self.count() == 0, "a centroid's nearest centroid is itself")
+    assert(a.filter(col("cos_sim") < -1.0 || col("cos_sim") > 1.0).count() == 0)
+    val plan = a.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"argmax must be a partial aggregate, not a window:\n$plan")
+  }
+
+  test("vocab coverage: token totals conserve and a bigger vocab covers more") {
+    val cov = q("q126_vocab_coverage")
+    assert(cov.filter(col("n_covered") > col("n_tokens")).count() == 0)
+    assert(cov.filter(col("coverage") < 0 || col("coverage") > 1).count() == 0)
+    val totTokens = cov.agg(sum(col("n_tokens"))).head.getLong(0)
+    val exploded = Tables.documents(spark, sf)
+      .select(explode(graft.functions.GraftFunctions.normWords(col("text"))))
+      .count()
+    assert(totTokens == exploded, "per-source token counts must partition the corpus")
+    // the probe must reach the corpus as a broadcast, never a shuffle join
+    val plan = cov.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"vocab probe should broadcast the 512-row vocab:\n$plan")
+  }
 }
