@@ -292,6 +292,65 @@ object CurationQueries {
           round(col("n_covered").cast("double") / col("n_tokens"), 6)
             .as("coverage"))
         .orderBy(col("source"))
+    },
+
+    // §2.3 — winsorized robust stats per source (outlier-insensitive
+    // length profile: clip at the exact p10/p90 disc quantiles, then
+    // mean). The quantile pass collapses the corpus to (source, value)
+    // COUNTS first — the rank window then runs over the bounded value
+    // domain (≤ distinct lengths per source), never over rows, which
+    // is the 100 TB-correct shape for exact grouped quantiles; rank
+    // thresholds ceil(q·n) are INTEGER arithmetic ((n+9) div 10), so
+    // no float boundary can disagree with the oracle. The clip+mean
+    // is one more corpus pass with the tiny bounds table broadcast.
+    "q127_winsorized_stats" -> { (s, d) =>
+      import graft.Caching.ScopedPersist
+      val docs = Tables.documents(s, d).select(col("source"), col("n_chars"))
+      val vc = docs.groupBy(col("source"), col("n_chars"))
+        .agg(count(lit(1)).as("cnt"))
+        .scopedPersist() // consumers: cumulative ranks + per-source totals
+      val cum = vc.withColumn("cum",
+        sum(col("cnt")).over(Window.partitionBy(col("source")).orderBy(col("n_chars"))))
+      val tot = vc.groupBy(col("source")).agg(sum(col("cnt")).as("n"))
+      val bounds = cum.join(tot, "source")
+        .withColumn("lo_r", expr("(n + 9) div 10"))
+        .withColumn("hi_r", expr("(n * 9 + 9) div 10"))
+        .groupBy(col("source"), col("n"))
+        .agg(min(when(col("cum") >= col("lo_r"), col("n_chars"))).as("lo"),
+          min(when(col("cum") >= col("hi_r"), col("n_chars"))).as("hi"))
+      docs.join(broadcast(bounds), "source")
+        .groupBy(col("source"), col("n"), col("lo"), col("hi"))
+        .agg(sum(least(greatest(col("n_chars"), col("lo")), col("hi"))).as("s"))
+        .select(col("source"), col("n"), col("lo"), col("hi"),
+          round(col("s").cast("double") / col("n"), 6).as("win_mean"))
+        .orderBy(col("source"))
+    },
+
+    // §2.3 — quality-based canonical selection for duplicate clusters:
+    // the q59/q79 resolution step upgraded from "keep the min id" to
+    // "keep the BEST member" (highest distinct-word ratio, tie → min
+    // id) — the curation decision production pipelines actually make.
+    // Per-cluster argmax is the same partial-agg max-of-struct shape
+    // as q125 (quality on the render-stable DECIMAL grid, negated id
+    // as tie-break); the canonical table is cluster-count-sized ≪
+    // corpus, so the member join AQE-broadcasts at any scale.
+    "q128_cluster_canonical" -> { (s, d) =>
+      import graft.Caching.ScopedPersist
+      val corpus = plantedCorpus(s, d)
+      val bands = Dedup.lshBandsMd5Narrow(corpus, "doc_id", "text",
+        shingleWidth = 3, nSeeds = 8, rowsPerBand = 4)
+      val member = Dedup.connectedComponents(Dedup.lshCandidatePairs(bands))
+        .join(TextAnalysis.qualityScore(corpus, "doc_id", "text")
+          .select(col("doc_id"), col("distinct_ratio")), "doc_id")
+        .scopedPersist() // consumers: canonical argmax + member emit
+      val canon = member.groupBy(col("cluster_id"))
+        .agg(max(struct(col("distinct_ratio").cast("decimal(10,6)").as("q"),
+          (-col("doc_id")).as("nd"))).as("m"))
+        .select(col("cluster_id"), (-col("m.nd")).as("canonical_id"))
+      member.join(canon, "cluster_id")
+        .select(col("doc_id"), col("cluster_id"), col("canonical_id"),
+          (col("doc_id") === col("canonical_id")).as("is_canonical"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -453,6 +512,62 @@ object CurationQueries {
          |       AS BIGINT) AS n_covered,
          |  ROUND(CAST(SUM(CASE WHEN w IN (SELECT w FROM vocab) THEN 1 ELSE 0 END)
          |             AS DOUBLE) / COUNT(*), 6) AS coverage
-         |FROM words GROUP BY source ORDER BY source""".stripMargin
+         |FROM words GROUP BY source ORDER BY source""".stripMargin,
+
+    "q127_winsorized_stats" ->
+      """WITH vc AS (SELECT source, n_chars, COUNT(*) AS cnt
+        |            FROM documents GROUP BY 1, 2),
+        |cum AS (SELECT source, n_chars, cnt,
+        |          SUM(cnt) OVER (PARTITION BY source ORDER BY n_chars) AS cum
+        |        FROM vc),
+        |tot AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS n
+        |        FROM vc GROUP BY 1),
+        |b AS (SELECT c.source, t.n,
+        |        MIN(CASE WHEN c.cum >= (t.n + 9) // 10 THEN c.n_chars END) AS lo,
+        |        MIN(CASE WHEN c.cum >= (t.n * 9 + 9) // 10 THEN c.n_chars END) AS hi
+        |      FROM cum c JOIN tot t USING (source) GROUP BY 1, 2)
+        |SELECT d.source, b.n, b.lo, b.hi,
+        |  ROUND(CAST(SUM(LEAST(GREATEST(d.n_chars, b.lo), b.hi)) AS DOUBLE)
+        |        / b.n, 6) AS win_mean
+        |FROM documents d JOIN b USING (source)
+        |GROUP BY 1, 2, 3, 4 ORDER BY d.source""".stripMargin,
+
+    "q128_cluster_canonical" ->
+      s"""WITH RECURSIVE $corpusSql,
+         |w AS (SELECT doc_id, $wsSql AS ws FROM corpus),
+         |sh AS (SELECT DISTINCT doc_id,
+         |         unnest([array_to_string(ws[i:i+2],' ') for i in generate_series(1, len(ws)-2)]) AS sh
+         |       FROM w WHERE len(ws) >= 3),
+         |seeds AS (SELECT unnest(generate_series(0,7)) AS seed),
+         |sigs AS (SELECT doc_id, seed,
+         |           MIN(substr(md5(sh), seed*4+1, 4)) AS minhash
+         |         FROM sh CROSS JOIN seeds GROUP BY doc_id, seed),
+         |bands AS (SELECT doc_id, seed // 4 AS band,
+         |            md5(string_agg(minhash, ',' ORDER BY seed)) AS band_sig
+         |          FROM sigs GROUP BY doc_id, seed // 4),
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |          FROM bands a JOIN bands b
+         |            ON a.band = b.band AND a.band_sig = b.band_sig
+         |           AND a.doc_id < b.doc_id),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |reach AS (SELECT a, b FROM edges
+         |          UNION
+         |          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+         |comp AS (SELECT a AS doc_id, least(a, MIN(b)) AS cluster_id
+         |         FROM reach GROUP BY a),
+         |qual AS (SELECT doc_id,
+         |           ROUND(CAST(len(list_distinct(regexp_extract_all(lower(text), '\\S+'))) AS DOUBLE)
+         |                 / len(regexp_extract_all(text, '\\S+')), 6) AS dr
+         |         FROM corpus),
+         |canon AS (SELECT cluster_id, doc_id AS canonical_id FROM (
+         |  SELECT c.cluster_id, c.doc_id,
+         |    row_number() OVER (PARTITION BY c.cluster_id
+         |      ORDER BY q.dr DESC, c.doc_id ASC) AS rn
+         |  FROM comp c JOIN qual q USING (doc_id)) WHERE rn = 1)
+         |SELECT c.doc_id, c.cluster_id, n.canonical_id,
+         |  c.doc_id = n.canonical_id AS is_canonical
+         |FROM comp c JOIN canon n USING (cluster_id)
+         |ORDER BY c.doc_id""".stripMargin
   )
 }

@@ -266,4 +266,49 @@ class CurationSpec extends SparkSpecBase {
     assert(plan.contains("BroadcastHashJoin"),
       s"vocab probe should broadcast the 512-row vocab:\n$plan")
   }
+
+  test("winsorized stats: bounds are real disc quantiles and contain the mean") {
+    val w = q("q127_winsorized_stats")
+    assert(w.filter(col("lo") > col("hi")).count() == 0)
+    assert(w.filter(col("win_mean") < col("lo") || col("win_mean") > col("hi"))
+      .count() == 0, "a clipped mean must lie inside the clip interval")
+    // disc quantiles are VALUES FROM THE DATA, not interpolations
+    val docs = Tables.documents(spark, sf).select(col("source"), col("n_chars"))
+    val loMiss = w.select(col("source"), col("lo").as("n_chars"))
+      .join(docs, Seq("source", "n_chars"), "left_anti").count()
+    val hiMiss = w.select(col("source"), col("hi").as("n_chars"))
+      .join(docs, Seq("source", "n_chars"), "left_anti").count()
+    assert(loMiss == 0 && hiMiss == 0, "quantile bound not an observed value")
+    val n = w.agg(sum(col("n"))).head.getLong(0)
+    assert(n == docs.count(), "per-source n must partition the corpus")
+  }
+
+  test("cluster canonical: one best-quality canonical per cluster, copies clustered") {
+    val c = q("q128_cluster_canonical").cache()
+    val perCluster = c.groupBy(col("cluster_id"))
+      .agg(countDistinct(col("canonical_id")).as("nc"),
+        sum(col("is_canonical").cast("long")).as("nk"))
+    assert(perCluster.filter(col("nc") =!= 1 || col("nk") =!= 1).count() == 0,
+      "every cluster needs exactly one canonical, flagged exactly once")
+    // every planted copy shares a cluster with its original
+    val planted = c.filter(col("doc_id") >= 1000000)
+      .select((col("doc_id") - 1000000).as("doc_id"), col("cluster_id"))
+    assert(planted.join(c, Seq("doc_id", "cluster_id"), "left_anti").count() == 0,
+      "a planted copy landed in a different cluster than its original")
+    // the canonical is a max-quality member of its own cluster
+    // (same construction as TextQueries.plantedCorpus, which is private)
+    val docs0 = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val corpus = docs0.unionByName(docs0.filter(col("doc_id") < 50)
+      .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+    val quality = graft.operators.TextAnalysis.qualityScore(corpus, "doc_id", "text")
+      .select(col("doc_id"), col("distinct_ratio"))
+    val memberQ = c.join(quality, "doc_id")
+    val canonQ = c.filter(col("is_canonical"))
+      .join(quality, "doc_id")
+      .select(col("cluster_id"), col("distinct_ratio").as("canon_q"))
+    assert(memberQ.join(canonQ, "cluster_id")
+      .filter(col("distinct_ratio") > col("canon_q")).count() == 0,
+      "a non-canonical member outranks its canonical")
+    c.unpersist()
+  }
 }
