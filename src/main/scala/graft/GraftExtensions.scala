@@ -37,6 +37,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     e.injectPlannerStrategy(_ => graft.plans.HammingSelfJoinStrategy)
     e.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
+    e.injectPlannerStrategy(_ => graft.plans.IntervalJoinStrategy)
     e.injectFunction((
       FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),

@@ -128,6 +128,28 @@ object TemporalQueries {
         .orderBy(col("event_id"))
     },
 
+    // §2.5 — native INTERVAL JOIN (q51's close-pair query on the
+    // fourth whole-operator Catalyst extension): both event streams
+    // co-partition on user and sort by (user, ts); each partition is
+    // one streaming merge holding only the ±60 s ACTIVE WINDOW of
+    // right rows in a deque — no band fan-out, no distinct, no
+    // per-key history re-scan (Spark's SMJ would re-loop the whole
+    // key group per row and post-filter the band predicate).
+    "q129_interval_native" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val a = ev.select(col("user_id"), col("ts"), col("event_id"))
+      val b = ev.select(col("user_id").as("user_id_b"),
+        col("ts").as("ts_b"), col("event_id").as("event_id_b"))
+      graft.plans.IntervalJoinPlan.intervalJoin(a, b,
+          leftKey = "user_id", rightKey = "user_id_b",
+          leftTime = "ts", rightTime = "ts_b",
+          loMicros = -60000000L, hiMicros = 60000000L)
+        .filter(col("event_id") < col("event_id_b"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_close_pairs"))
+        .orderBy(col("user_id"))
+    },
+
     // §2.4 #44 — gap-based sessionization (30-minute gap).
     "q44_sessionize" -> { (s, d) =>
       Temporal.sessionize(Tables.events(s, d), key = "user_id",
@@ -267,6 +289,16 @@ object TemporalQueries {
         |FROM grid g
         |LEFT JOIN hourly h ON h.event_type = g.event_type AND h.hour = g.hour
         |ORDER BY g.event_type, g.hour""".stripMargin,
+
+    // same oracle arithmetic as q51 — the native operator must be
+    // result-invisible relative to the composed banded range join
+    "q129_interval_native" ->
+      """SELECT a.user_id AS user_id, COUNT(*) AS n_close_pairs
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+        | AND abs(epoch_us(b.ts) - epoch_us(a.ts)) <= 60000000
+        |GROUP BY a.user_id
+        |ORDER BY user_id""".stripMargin,
 
     "q43b_asof_native" ->
       """SELECT event_id, user_id, o_orderkey, o_orderdate, o_totalprice
