@@ -494,6 +494,56 @@ class ScaleSpec extends SparkSpecBase {
     assert(quar == Map(4L -> "name_nonempty", 5L -> "qty_positive"))
   }
 
+  test("streaming drift monitor passes an in-distribution batch, flags a planted shift") {
+    import spark.implicits._
+    import graft.streaming.DriftMonitor
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("n_chars"))
+    val ref = docs.filter(col("doc_id") % 2 === 0)
+    val refHist = DriftMonitor.referenceHistogram(ref, "n_chars")
+    assert(refHist.values.sum == ref.count(), "histogram must partition the reference")
+    // chunk 0: the odd half (same distribution); chunk 1: only the
+    // longest docs — a planted covariate shift the gate must catch
+    val live = docs.filter(col("doc_id") % 2 === 1)
+    val cut = live.agg(expr("percentile(n_chars, 0.9)")).head.getDouble(0)
+    val chunks = Seq(live, live.filter(col("n_chars") >= cut))
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-drift-src")
+    chunks.zipWithIndex.foreach { case (df, i) =>
+      val stage = java.nio.file.Files.createTempDirectory(s"graft-drift-chunk$i")
+      df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = java.nio.file.Files.list(stage).iterator()
+      val found = scala.jdk.CollectionConverters.IteratorHasAsScala(part).asScala
+        .find(_.toString.endsWith(".parquet")).get
+      val dst = srcDir.resolve(f"chunk$i%02d.parquet")
+      java.nio.file.Files.move(found, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+    }
+    val outDir = java.nio.file.Files.createTempDirectory("graft-drift-out").toString
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft-drift-ckpt").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_chars", org.apache.spark.sql.types.LongType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
+    DriftMonitor.run(stream, "n_chars", refHist, threshold = 0.2,
+      outDir = outDir, checkpointDir = ckptDir)
+    val report = spark.read.parquet(outDir)
+    assert(report.count() == 2 * DriftMonitor.NBins, "5 bins per batch")
+    val byBatch = report.select(col("batch_id"), col("psi_total"), col("drifted"))
+      .distinct().collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
+    assert(!byBatch(0L)._2,
+      f"in-distribution batch flagged: psi=${byBatch(0L)._1}%.4f")
+    assert(byBatch(1L)._2,
+      f"planted shift missed: psi=${byBatch(1L)._1}%.4f")
+    // per-bin counts conserve each batch
+    val n0 = report.filter(col("batch_id") === 0).agg(sum("n_live")).head.getLong(0)
+    assert(n0 == chunks(0).count())
+    // psi_total is the sum of its terms (one distinct total per batch)
+    val sums = report.groupBy("batch_id")
+      .agg(abs(sum("psi_term") - first("psi_total")).as("diff"))
+    assert(sums.filter(col("diff") > 1e-9).count() == 0)
+  }
+
   test("foreachBatch parquet sink lands the full stream, partitioned") {
     import graft.streaming.EventStream
     val out = java.nio.file.Files.createTempDirectory("graft-sink").toString
