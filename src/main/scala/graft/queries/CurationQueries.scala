@@ -351,6 +351,32 @@ object CurationQueries {
         .select(col("doc_id"), col("cluster_id"), col("canonical_id"),
           (col("doc_id") === col("canonical_id")).as("is_canonical"))
         .orderBy(col("doc_id"))
+    },
+
+    // §2.3 — cross-source duplication LEAKAGE audit: q124 asks "how
+    // much raw shingle vocabulary do two sources share?"; this asks
+    // the sharper provenance question — how many NEAR-DUP DOC PAIRS
+    // straddle two sources (license contamination / double-counting
+    // before a mix ships). The LSH pair set is orders of magnitude
+    // smaller than the corpus, so attaching sources is two joins in
+    // which the PAIR side broadcasts — the corpus never shuffles;
+    // source pairs are emitted unordered (least/greatest) so A→B and
+    // B→A collapse.
+    "q130_dup_leakage" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val bands = Dedup.lshBandsMd5Narrow(docs, "doc_id", "text",
+        shingleWidth = 3, nSeeds = 8, rowsPerBand = 4)
+      val pairs = Dedup.lshCandidatePairs(bands)
+      val src = docs.select(col("doc_id"), col("source"))
+      pairs
+        .join(src.toDF("doc_a", "src_a"), "doc_a")
+        .join(src.toDF("doc_b", "src_b"), "doc_b")
+        .select(least(col("src_a"), col("src_b")).as("s1"),
+          greatest(col("src_a"), col("src_b")).as("s2"))
+        .groupBy(col("s1"), col("s2"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .withColumn("cross_source", col("s1") =!= col("s2"))
+        .orderBy(col("s1"), col("s2"))
     }
   )
 
@@ -568,6 +594,22 @@ object CurationQueries {
          |SELECT c.doc_id, c.cluster_id, n.canonical_id,
          |  c.doc_id = n.canonical_id AS is_canonical
          |FROM comp c JOIN canon n USING (cluster_id)
-         |ORDER BY c.doc_id""".stripMargin
+         |ORDER BY c.doc_id""".stripMargin,
+
+    "q130_dup_leakage" ->
+      s"""WITH ${TextQueries.bandsSqlFrom("documents", "")},
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |          FROM bands a JOIN bands b
+         |            ON a.band = b.band AND a.band_sig = b.band_sig
+         |           AND a.doc_id < b.doc_id)
+         |SELECT LEAST(sa.source, sb.source) AS s1,
+         |  GREATEST(sa.source, sb.source) AS s2,
+         |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |  LEAST(sa.source, sb.source) <> GREATEST(sa.source, sb.source)
+         |    AS cross_source
+         |FROM pairs p
+         |JOIN documents sa ON p.doc_a = sa.doc_id
+         |JOIN documents sb ON p.doc_b = sb.doc_id
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

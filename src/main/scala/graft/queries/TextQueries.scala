@@ -45,7 +45,7 @@ object TextQueries {
     * reusable for any doc subset. Emits `<p>bands(doc_id, band,
     * band_sig)`.
     */
-  private def bandsSqlFrom(src: String, p: String): String =
+  private[queries] def bandsSqlFrom(src: String, p: String): String =
     s"""${p}w AS (SELECT doc_id, $wsSql AS ws FROM $src),
        |${p}sh AS (SELECT DISTINCT doc_id,
        |    unnest([array_to_string(ws[i:i+2],' ') for i in generate_series(1, len(ws)-2)]) AS sh

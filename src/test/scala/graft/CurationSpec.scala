@@ -311,4 +311,15 @@ class CurationSpec extends SparkSpecBase {
       "a non-canonical member outranks its canonical")
     c.unpersist()
   }
+
+  test("dup leakage: unordered source pairs conserve the LSH pair count") {
+    val lk = q("q130_dup_leakage")
+    assert(lk.filter(col("s1") > col("s2")).count() == 0, "pairs must be unordered")
+    assert(lk.filter(col("cross_source") =!= (col("s1") =!= col("s2"))).count() == 0)
+    val docs = Tables.documents(spark, sf)
+    val pairs = graft.operators.Dedup.lshCandidatePairs(
+      graft.operators.Dedup.lshBandsMd5Narrow(docs, "doc_id", "text", 3, 8, 4))
+    assert(lk.agg(sum(col("n_pairs"))).head.getLong(0) == pairs.count(),
+      "every near-dup pair must land in exactly one source-pair bucket")
+  }
 }
