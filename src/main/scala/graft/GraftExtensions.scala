@@ -77,6 +77,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ImageHeader].getName, "graft_image_header"),
       (es: Seq[Expression]) => ImageHeader(es.head)))
     e.injectFunction((
+      FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[graft.functions.NfcNormalize].getName, "graft_nfc"),
+      (es: Seq[Expression]) => graft.functions.NfcNormalize(es.head)))
+    e.injectFunction((
       FunctionIdentifier("graft_ahash64"),
       new ExpressionInfo(classOf[graft.functions.AHash64].getName, "graft_ahash64"),
       (es: Seq[Expression]) => graft.functions.AHash64(es.head)))

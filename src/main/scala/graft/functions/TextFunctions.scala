@@ -102,6 +102,20 @@ object TextOps {
     * alphabet-size counts; rounded to 6 dp so the double repr is
     * engine-robust.
     */
+  /** Unicode NFC normalization (canonical composition) — the
+    * multilingual-corpus cleanup that makes "é" and "e"+U+0301 hash,
+    * shingle, and dedup identically. java.text.Normalizer implements
+    * the Unicode standard algorithm, so results match DuckDB's
+    * `nfc_normalize` (both are Unicode-conformant). */
+  def nfc(s: UTF8String): UTF8String = {
+    val str = s.toString
+    // fast path: Normalizer.isNormalized is a cheap scan and ASCII
+    // (the overwhelming hot path) short-circuits without allocating
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+
   def charEntropy(s: UTF8String): Double = {
     val str = s.toString
     if (str.isEmpty) return 0.0
@@ -344,6 +358,17 @@ case class ShingleSet(child: Expression, shingleWidth: Int) extends UnaryExpress
   override def prettyName: String = "graft_shingle_set"
 }
 
+/** Codegen'd Unicode NFC normalization of a string. */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+  override def nullSafeEval(t: Any): Any =
+    TextOps.nfc(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.functions.TextOps.nfc($t)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "graft_nfc"
+}
+
 /** Codegen'd character-distribution Shannon entropy of a string. */
 case class CharEntropy(child: Expression) extends UnaryExpression {
   override def dataType: DataType = org.apache.spark.sql.types.DoubleType
@@ -411,6 +436,9 @@ object GraftFunctions {
   def charEntropy(text: Column): Column =
     toCol(CharEntropy(toExpr(text)))
 
+  def nfc(text: Column): Column =
+    toCol(NfcNormalize(toExpr(text)))
+
   /** Lower-case, strip non-alphanumerics (keeping spaces), split on
     * single spaces, drop empties — the shared normalization used by
     * dedup/text queries; mirrored verbatim in the DuckDB oracles. */
@@ -458,6 +486,8 @@ object GraftFunctions {
       es => ShingleSet(es.head, intLit(es(1), "shingleWidth")), "built-in")
     reg.createOrReplaceTempFunction("graft_char_entropy",
       es => CharEntropy(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_nfc",
+      es => NfcNormalize(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_bloom_agg",
       es => BloomAggregate(es.head, intLit(es(1), "numBits"),
         intLit(es(2), "numHashes")).toAggregateExpression(), "built-in")

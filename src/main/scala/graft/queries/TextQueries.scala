@@ -548,6 +548,63 @@ object TextQueries {
         .select(col("doc_id"), col("n_words"), col("clf_score"),
           (col("clf_score") > 0).as("kept"))
         .orderBy(col("doc_id"))
+    },
+
+    // §2.3 — Unicode NFC normalization (codegen'd `NfcNormalize`
+    // expression, SQL-registered as graft_nfc): the multilingual
+    // cleanup that makes "é" and "e"+COMBINING ACUTE hash, shingle,
+    // and dedup identically. One narrow projection with an
+    // isNormalized fast path, so the (overwhelming) ASCII hot path
+    // never allocates. The corpus is ASCII, so five decomposed /
+    // mixed-form rows are planted on BOTH sides to exercise real
+    // composition (combining marks, Hangul, an NFC-invariant
+    // ligature).
+    "q131_nfc_normalize" -> { (s, d) =>
+      import s.implicits._
+      val planted = Seq(
+        (9000001L, "Café du Monde"),
+        (9000002L, "Ångström"),
+        (9000003L, "ḋdot togéther"),
+        (9000004L, "Äpfel 가"),
+        (9000005L, "ﬁle ligature")
+      ).toDF("doc_id", "text")
+      Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .unionByName(planted)
+        .select(col("doc_id"), GraftFunctions.nfc(col("text")).as("nfc_text"))
+        .select(col("doc_id"), col("nfc_text"),
+          length(col("nfc_text")).cast("long").as("nfc_chars"))
+        .orderBy(col("doc_id"))
+    },
+
+    // §2.3 — shingle CONTAINMENT (Broder's asymmetric overlap
+    // |A∩B| / |A|): detects documents CONTAINED in others (excerpts,
+    // quote pages, aggregators) that symmetric Jaccard misses — an
+    // excerpt is ~fully contained while its Jaccard is only ~0.5.
+    // Planted: the first half of each doc < 200 re-enters the corpus
+    // as an excerpt; the packed-shingle-set pair join (q33 machinery)
+    // derives both directed containments and a verdict. Pair side is
+    // candidate-sized ≪ corpus at any scale.
+    "q132_containment" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val halves = docs.filter(col("doc_id") < 200)
+        .select(col("doc_id"), GraftFunctions.normWords(col("text")).as("ws"))
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          array_join(expr("slice(ws, 1, greatest(1, size(ws) div 2))"), " ")
+            .as("text"))
+      val corpus = docs.unionByName(halves)
+      val pairs = docs.filter(col("doc_id") < 200)
+        .select(col("doc_id").as("doc_a"),
+          (col("doc_id") + 2000000).as("doc_b"))
+      Dedup.ngramJaccard(corpus, pairs, "doc_id", "text", shingleWidth = 3)
+        .select(col("doc_a"), col("doc_b"), col("n_inter"), col("n_a"),
+          col("n_b"), col("jaccard"),
+          round(col("n_inter").cast("double") / col("n_a"), 6).as("cont_a"),
+          round(col("n_inter").cast("double") / col("n_b"), 6).as("cont_b"))
+        .withColumn("verdict",
+          when(col("jaccard") >= 0.8, "dup")
+            .when(greatest(col("cont_a"), col("cont_b")) >= 0.9, "contained")
+            .otherwise("distinct"))
+        .orderBy(col("doc_a"))
     }
   )
 
@@ -1004,6 +1061,60 @@ object TextQueries {
          |         ROUND(CAST(SUM(wt) AS DOUBLE) / COUNT(*), 6) AS clf_score
          |       FROM wt GROUP BY doc_id)
          |SELECT doc_id, n_words, clf_score, clf_score > 0 AS kept
-         |FROM sc ORDER BY doc_id""".stripMargin
+         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    // planted rows built with chr() so the decomposed forms are
+    // explicit — DuckDB's nfc_normalize and java.text.Normalizer are
+    // both Unicode-conformant NFC
+    "q131_nfc_normalize" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT * FROM (VALUES
+        |    (CAST(9000001 AS BIGINT), 'Cafe' || chr(769) || ' du Monde'),
+        |    (CAST(9000002 AS BIGINT), 'A' || chr(778) || 'ngstro' || chr(776) || 'm'),
+        |    (CAST(9000003 AS BIGINT), chr(7691) || 'dot toge' || chr(769) || 'ther'),
+        |    (CAST(9000004 AS BIGINT), 'A' || chr(776) || 'pfel ' || chr(44032)),
+        |    (CAST(9000005 AS BIGINT), chr(64257) || 'le ligature')) v(doc_id, text))
+        |SELECT doc_id, nfc_normalize(text) AS nfc_text,
+        |  CAST(length(nfc_normalize(text)) AS BIGINT) AS nfc_chars
+        |FROM corpus ORDER BY doc_id""".stripMargin,
+
+    "q132_containment" ->
+      s"""WITH w0 AS (SELECT doc_id, $wsSql AS ws FROM documents),
+         |corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 2000000 AS doc_id,
+         |    array_to_string(ws[1:greatest(1, len(ws)//2)], ' ') AS text
+         |  FROM w0 WHERE doc_id < 200),
+         |w AS (SELECT doc_id, $wsSql AS ws FROM corpus),
+         |sh AS (SELECT DISTINCT doc_id,
+         |         unnest([array_to_string(ws[i:i+2],' ') for i in generate_series(1, len(ws)-2)]) AS sh
+         |       FROM w WHERE len(ws) >= 3),
+         |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+         |pairs AS (SELECT doc_id AS doc_a, doc_id + 2000000 AS doc_b
+         |          FROM documents WHERE doc_id < 200),
+         |inter AS (SELECT p.doc_a, p.doc_b, COUNT(*) AS n_inter
+         |          FROM pairs p
+         |          JOIN sh x ON x.doc_id = p.doc_a
+         |          JOIN sh y ON y.doc_id = p.doc_b AND y.sh = x.sh
+         |          GROUP BY 1, 2),
+         |m AS (SELECT p.doc_a, p.doc_b,
+         |        CAST(COALESCE(i.n_inter, 0) AS BIGINT) AS n_inter,
+         |        ca.n_sh AS n_a, cb.n_sh AS n_b,
+         |        ROUND(CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+         |          / (ca.n_sh + cb.n_sh - COALESCE(i.n_inter, 0)), 6) AS jaccard,
+         |        ROUND(CAST(COALESCE(i.n_inter, 0) AS DOUBLE) / ca.n_sh, 6) AS cont_a,
+         |        ROUND(CAST(COALESCE(i.n_inter, 0) AS DOUBLE) / cb.n_sh, 6) AS cont_b
+         |      FROM pairs p
+         |      LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+         |      JOIN cnt ca ON ca.doc_id = p.doc_a
+         |      JOIN cnt cb ON cb.doc_id = p.doc_b)
+         |SELECT doc_a, doc_b, n_inter, n_a, n_b, jaccard, cont_a, cont_b,
+         |  CASE WHEN jaccard >= 0.8 THEN 'dup'
+         |       WHEN GREATEST(cont_a, cont_b) >= 0.9 THEN 'contained'
+         |       ELSE 'distinct' END AS verdict
+         |FROM m ORDER BY doc_a""".stripMargin
   )
 }

@@ -399,6 +399,42 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(TextQueries.oracleSql.keySet.subsetOf(TextQueries.queries.keySet))
   }
 
+  test("NFC kernel: composes decomposed forms, leaves NFC text alone") {
+    import graft.functions.TextOps
+    import org.apache.spark.unsafe.types.UTF8String
+    def n(s: String): String = TextOps.nfc(UTF8String.fromString(s)).toString
+    assert(n("Café") == "Café", "combining acute must compose")
+    assert(n("Ångström") == "Ångström")
+    assert(n("한") == "한", "Hangul jamo must compose")
+    assert(n("ﬁle") == "ﬁle", "ligatures are NFC-invariant")
+    assert(n(n("Café")) == n("Café"), "NFC is idempotent")
+    val ascii = UTF8String.fromString("plain ascii")
+    assert(TextOps.nfc(ascii) eq ascii, "ASCII fast path must not allocate")
+    // after normalization, the two spellings dedup identically
+    val q = TextQueries.queries("q131_nfc_normalize")(spark, sf)
+    val planted = q.filter(col("doc_id") >= 9000000L)
+      .select(col("doc_id"), col("nfc_text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(planted(9000001L) == "Café du Monde")
+    assert(planted(9000002L) == "Ångström")
+    assert(planted(9000005L) == "ﬁle ligature")
+  }
+
+  test("containment: an excerpt's shingles are fully contained in its source") {
+    val c = TextQueries.queries("q132_containment")(spark, sf).cache()
+    assert(c.count() > 0)
+    // contiguity ⇒ every excerpt shingle exists in the original
+    assert(c.filter(col("cont_b") =!= 1.0).count() == 0,
+      "an excerpt must be fully contained (cont_b == 1)")
+    assert(c.filter(col("n_inter") =!= col("n_b")).count() == 0)
+    assert(c.filter(col("verdict") === "distinct").count() == 0,
+      "asymmetric containment must not read as 'distinct'")
+    // Jaccard never exceeds either containment
+    assert(c.filter(col("jaccard") > col("cont_a") + 1e-9
+      || col("jaccard") > col("cont_b") + 1e-9).count() == 0)
+    c.unpersist()
+  }
+
   test("every text query returns rows at sf0.001") {
     TextQueries.queries.foreach { case (name, fn) =>
       assert(fn(spark, sf).count() > 0, s"$name returned 0 rows")
