@@ -44,6 +44,41 @@ object RetrievalQueries {
     "q87_bm25" -> { (s, d) =>
       Retrieval.bm25TopK(Tables.documents(s, d), "doc_id", "text",
         terms = Seq("data", "model", "training"))
+    },
+
+    // §2.3 — reciprocal-rank fusion (RRF, Cormack'09): the hybrid
+    // retrieval step of a RAG stack — fuse a lexical (BM25) top-50
+    // and a semantic (cosine-to-query-vector) top-50 into one ranking
+    // via Σ 1/(60 + rank). Each ranker's heavy pass is the existing
+    // scale machinery (q87's two-job BM25, q34's broadcast cosine);
+    // the fusion itself touches only the two 50-row rank lists — the
+    // windows below run on dimension-sized frames, never the corpus.
+    "q133_rank_fusion" -> { (s, d) =>
+      val lex = Retrieval.bm25TopK(Tables.documents(s, d), "doc_id", "text",
+          terms = Seq("data", "model", "training"), topK = 50)
+        .withColumn("rank_lex", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
+        .select(col("doc_id").as("id"), col("rank_lex"))
+      val emb = Tables.embeddings(s, d)
+      val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+      val sem = emb.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(qv))
+        .select(col("vec_id"),
+          round(graft.functions.GraftFunctions.cosine(col("embedding"), col("qe")), 6)
+            .as("cs"))
+        .orderBy(col("cs").desc, col("vec_id")).limit(50)
+        .withColumn("rank_sem", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("cs").desc, col("vec_id"))).cast("long"))
+        .select(col("vec_id").as("id"), col("rank_sem"))
+      lex.join(sem, Seq("id"), "full_outer")
+        .select(col("id"), col("rank_lex"), col("rank_sem"),
+          round(coalesce(lit(1.0) / (lit(60) + col("rank_lex")), lit(0.0))
+            + coalesce(lit(1.0) / (lit(60) + col("rank_sem")), lit(0.0)), 6)
+            .as("rrf"))
+        .orderBy(col("rrf").desc, col("id"))
+        .limit(20)
     }
   )
 
@@ -123,6 +158,56 @@ object RetrievalQueries {
          |)
          |SELECT doc_id, bm25 FROM scored
          |ORDER BY bm25 DESC, doc_id
+         |LIMIT 20""".stripMargin,
+
+    // the q87 scored CTE verbatim, fused with a cosine ranker
+    "q133_rank_fusion" ->
+      s"""WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents),
+         |stats AS (
+         |  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+         |         CAST(SUM(len(ws)) AS DOUBLE) / COUNT(*) AS avgdl,
+         |         CAST(SUM(CASE WHEN list_contains(ws, 'data') THEN 1 ELSE 0 END) AS DOUBLE) AS df_0,
+         |         CAST(SUM(CASE WHEN list_contains(ws, 'model') THEN 1 ELSE 0 END) AS DOUBLE) AS df_1,
+         |         CAST(SUM(CASE WHEN list_contains(ws, 'training') THEN 1 ELSE 0 END) AS DOUBLE) AS df_2
+         |  FROM w
+         |), scored AS (
+         |  SELECT doc_id,
+         |    ROUND(
+         |      ln((n_docs - df_0 + 0.5) / (df_0 + 0.5) + 1.0)
+         |        * (CAST(len(list_filter(ws, x -> x = 'data')) AS DOUBLE) * (1.2 + 1.0))
+         |        / (CAST(len(list_filter(ws, x -> x = 'data')) AS DOUBLE)
+         |           + 1.2 * (1.0 - 0.75 + 0.75 * CAST(len(ws) AS DOUBLE) / avgdl))
+         |      + ln((n_docs - df_1 + 0.5) / (df_1 + 0.5) + 1.0)
+         |        * (CAST(len(list_filter(ws, x -> x = 'model')) AS DOUBLE) * (1.2 + 1.0))
+         |        / (CAST(len(list_filter(ws, x -> x = 'model')) AS DOUBLE)
+         |           + 1.2 * (1.0 - 0.75 + 0.75 * CAST(len(ws) AS DOUBLE) / avgdl))
+         |      + ln((n_docs - df_2 + 0.5) / (df_2 + 0.5) + 1.0)
+         |        * (CAST(len(list_filter(ws, x -> x = 'training')) AS DOUBLE) * (1.2 + 1.0))
+         |        / (CAST(len(list_filter(ws, x -> x = 'training')) AS DOUBLE)
+         |           + 1.2 * (1.0 - 0.75 + 0.75 * CAST(len(ws) AS DOUBLE) / avgdl)),
+         |    6) AS bm25
+         |  FROM w CROSS JOIN stats
+         |),
+         |lex AS (SELECT doc_id, rank_lex FROM (
+         |  SELECT doc_id,
+         |    row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank_lex
+         |  FROM scored) WHERE rank_lex <= 50),
+         |qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |semall AS (SELECT vec_id,
+         |    round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+         |                                 CAST(qe AS DOUBLE[])), 6) AS cs
+         |  FROM embeddings CROSS JOIN qv WHERE vec_id <> 0),
+         |sem AS (SELECT vec_id, rank_sem FROM (
+         |  SELECT vec_id,
+         |    row_number() OVER (ORDER BY cs DESC, vec_id) AS rank_sem
+         |  FROM semall) WHERE rank_sem <= 50),
+         |fused AS (SELECT COALESCE(l.doc_id, s.vec_id) AS id,
+         |    l.rank_lex, s.rank_sem,
+         |    ROUND(COALESCE(1.0 / (60 + l.rank_lex), 0)
+         |        + COALESCE(1.0 / (60 + s.rank_sem), 0), 6) AS rrf
+         |  FROM lex l FULL JOIN sem s ON l.doc_id = s.vec_id)
+         |SELECT id, rank_lex, rank_sem, rrf FROM fused
+         |ORDER BY rrf DESC, id
          |LIMIT 20""".stripMargin
   )
 }

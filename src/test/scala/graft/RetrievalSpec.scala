@@ -104,4 +104,21 @@ class RetrievalSpec extends SparkSpecBase {
     assert(plan.contains("BroadcastNestedLoopJoin"), s"stats must broadcast:\n$plan")
     assert(!plan.contains("SortMergeJoin"), s"no shuffled join allowed:\n$plan")
   }
+
+  test("rank fusion: 20 fused rows, ranks bounded, rrf recomputes from its ranks") {
+    val rows = RetrievalQueries.queries("q133_rank_fusion")(spark, sf).collect()
+    assert(rows.length == 20)
+    def rank(r: org.apache.spark.sql.Row, i: Int): Option[Long] =
+      if (r.isNullAt(i)) None else Some(r.getLong(i))
+    rows.foreach { r =>
+      val (rl, rs, rrf) = (rank(r, 1), rank(r, 2), r.getDouble(3))
+      assert(rl.nonEmpty || rs.nonEmpty, "a fused doc must appear in some list")
+      (rl ++ rs).foreach(x => assert(x >= 1 && x <= 50))
+      val expect = rl.map(x => 1.0 / (60 + x)).getOrElse(0.0) +
+        rs.map(x => 1.0 / (60 + x)).getOrElse(0.0)
+      assert(math.abs(rrf - expect) < 1e-6, s"rrf $rrf != recomputed $expect")
+    }
+    val fused = rows.map(_.getDouble(3))
+    assert(fused.sameElements(fused.sortBy(-(_: Double))), "descending rrf")
+  }
 }
