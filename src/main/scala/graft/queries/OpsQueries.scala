@@ -247,6 +247,26 @@ object OpsQueries {
         .orderBy(col("vec_id"))
     },
 
+    // per-group embedding centroids (round 7): element-wise mean
+    // pooling per label — the k-means M-step / class-prototype table,
+    // and the chunk→document pooling shape. Each float quantizes to
+    // DECIMAL(28,12) BEFORE the sum (the q114 discipline), so the
+    // per-(label, dim) reduction is exact and order-independent at
+    // any partitioning; posexplode fans each vector into (dim, value)
+    // rows and the one shuffle is a partial agg on the BOUNDED
+    // (label × dim) key domain — never on vectors.
+    "q134_group_centroids" -> { (s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")))
+        .select(col("label"), col("pos").cast("long").as("dim"),
+          col("col").cast("double")
+            .cast(org.apache.spark.sql.types.DecimalType(28, 12)).as("vq"))
+        .groupBy(col("label"), col("dim"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("vq")).cast("double") / count(lit(1)), 6).as("centroid"))
+        .orderBy(col("label"), col("dim"))
+    },
+
     // PSI drift detection (round 7): population-stability index of the
     // doc-length distribution between a reference slice and a live
     // slice — the monitoring gate that catches a corpus drifting
@@ -484,6 +504,20 @@ object OpsQueries {
         |  ROUND(e16 / e64, 6) AS energy_retained,
         |  ROUND(sqrt(e16 / e64), 6) AS cos_trunc_full
         |FROM e ORDER BY vec_id""".stripMargin,
+
+    "q134_group_centroids" ->
+      """WITH x AS (
+        |  SELECT label,
+        |    unnest([{'d': i - 1, 'v': embedding[i]}
+        |            for i in generate_series(1, len(embedding))]) AS u
+        |  FROM embeddings),
+        |q AS (SELECT label, CAST(u.d AS BIGINT) AS dim,
+        |        CAST(CAST(u.v AS DOUBLE) AS DECIMAL(28,12)) AS vq
+        |      FROM x)
+        |SELECT label, dim, CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(CAST(SUM(vq) AS DOUBLE) / COUNT(*), 6) AS centroid
+        |FROM q GROUP BY label, dim
+        |ORDER BY label, dim""".stripMargin,
 
     "q123_psi_drift" ->
       """WITH b AS (

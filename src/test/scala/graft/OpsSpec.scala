@@ -106,4 +106,22 @@ class OpsSpec extends SparkSpecBase {
     assert(math.abs(sums.getDouble(0) - 1.0) < 1e-4 &&
       math.abs(sums.getDouble(1) - 1.0) < 1e-4)
   }
+
+  test("group centroids: complete grid, counts conserve, mean within group range") {
+    val c = OpsQueries.queries("q134_group_centroids")(spark, sf).cache()
+    val e = Tables.embeddings(spark, sf)
+    val nLabels = e.select("label").distinct().count()
+    assert(c.count() == nLabels * 64, "one centroid row per (label, dim)")
+    assert(c.agg(sum("n")).head.getLong(0) == e.count() * 64,
+      "per-cell counts must partition the value grid")
+    val range = e.select(col("label"), posexplode(col("embedding")))
+      .groupBy(col("label"), col("pos").cast("long").as("dim"))
+      .agg(min(col("col").cast("double")).as("lo"),
+        max(col("col").cast("double")).as("hi"))
+    assert(c.join(range, Seq("label", "dim"))
+      .filter(col("centroid") < col("lo") - 1e-6
+        || col("centroid") > col("hi") + 1e-6).count() == 0,
+      "a mean must lie within its group's range")
+    c.unpersist()
+  }
 }
