@@ -247,6 +247,46 @@ object OpsQueries {
         .orderBy(col("vec_id"))
     },
 
+    // incremental aggregate maintenance (round 7): the materialized-
+    // view refresh pattern — a per-customer order rollup kept current
+    // by MERGING a delta batch's partial aggregate into the stored
+    // aggregate, never rescanning the base. Works because the state
+    // is ALGEBRAIC (count, DECIMAL sum, max): combine = elementwise
+    // merge on the key, a full-outer join of aggregate-sized tables
+    // (≪ facts). The oracle recomputes from ALL facts directly, so
+    // the hash match PROVES base ⊕ delta ≡ recompute. At 100 TB this
+    // is the difference between a nightly scan and a delta-sized job.
+    "q135_incremental_agg" -> { (s, d) =>
+      import org.apache.spark.sql.types.DecimalType
+      def rollup(df: DataFrame): DataFrame = df
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).as("total"),
+          max(col("o_orderdate")).as("last_order"))
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), col("o_orderdate"))
+      // base = the standing view; delta = the new ingest slice
+      val base = rollup(orders.filter(col("o_orderkey") % 10 =!= 3)
+        .select(col("o_custkey"), col("o_totalprice"), col("o_orderdate")))
+      val delta = rollup(orders.filter(col("o_orderkey") % 10 === 3)
+        .select(col("o_custkey"), col("o_totalprice"), col("o_orderdate")))
+      base.select(col("o_custkey"), col("n_orders").as("bn"),
+          col("total").as("bt"), col("last_order").as("bl"))
+        .join(delta.select(col("o_custkey"), col("n_orders").as("dn"),
+          col("total").as("dt"), col("last_order").as("dl")),
+          Seq("o_custkey"), "full_outer")
+        .select(col("o_custkey"),
+          (coalesce(col("bn"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+            .as("n_orders"),
+          (coalesce(col("bt"), lit(0).cast(DecimalType(18, 2)))
+            + coalesce(col("dt"), lit(0).cast(DecimalType(18, 2))))
+            .cast("double").as("total"),
+          unix_micros(greatest(col("bl"), col("dl")).cast("timestamp"))
+            .as("last_order_us"))
+        .orderBy(col("o_custkey"))
+    },
+
     // per-group embedding centroids (round 7): element-wise mean
     // pooling per label — the k-means M-step / class-prototype table,
     // and the chunk→document pooling shape. Each float quantizes to
@@ -504,6 +544,14 @@ object OpsQueries {
         |  ROUND(e16 / e64, 6) AS energy_retained,
         |  ROUND(sqrt(e16 / e64), 6) AS cos_trunc_full
         |FROM e ORDER BY vec_id""".stripMargin,
+
+    // the oracle recomputes from ALL facts in one scan — a hash match
+    // proves the incremental base ⊕ delta merge is exact
+    "q135_incremental_agg" ->
+      """SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  epoch_us(MAX(o_orderdate)) AS last_order_us
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     "q134_group_centroids" ->
       """WITH x AS (

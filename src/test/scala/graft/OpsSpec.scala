@@ -107,6 +107,21 @@ class OpsSpec extends SparkSpecBase {
       math.abs(sums.getDouble(1) - 1.0) < 1e-4)
   }
 
+  test("incremental aggregate merge equals the direct full rollup") {
+    import org.apache.spark.sql.types.DecimalType
+    val merged = OpsQueries.queries("q135_incremental_agg")(spark, sf)
+    val direct = Tables.orders(spark, sf)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .cast("double").as("total"),
+        unix_micros(max(col("o_orderdate")).cast("timestamp"))
+          .as("last_order_us"))
+      .orderBy(col("o_custkey"))
+    assert(merged.collect().toSeq == direct.collect().toSeq,
+      "base ⊕ delta must be indistinguishable from a full recompute")
+  }
+
   test("group centroids: complete grid, counts conserve, mean within group range") {
     val c = OpsQueries.queries("q134_group_centroids")(spark, sf).cache()
     val e = Tables.embeddings(spark, sf)
