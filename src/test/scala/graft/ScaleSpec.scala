@@ -494,6 +494,59 @@ class ScaleSpec extends SparkSpecBase {
     assert(quar == Map(4L -> "name_nonempty", 5L -> "qty_positive"))
   }
 
+  test("streaming rollup view: generational merge survives a replayed commit") {
+    import spark.implicits._
+    import graft.streaming.RollupStream
+    // three ingest chunks of (user_id, ts_us); user 7 spans all three
+    val chunks: Seq[Seq[(Long, Long)]] = Seq(
+      Seq((1L, 1000L), (7L, 2000L), (2L, 1500L)),
+      Seq((7L, 9000L), (3L, 500L)),
+      Seq((7L, 4000L), (1L, 8000L), (4L, 100L)))
+    def df(rows: Seq[(Long, Long)]) = rows.toDF("user_id", "ts_us")
+      .select(col("user_id"), expr("timestamp_micros(ts_us)").as("ts"))
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-rollup-src")
+    chunks.zipWithIndex.foreach { case (rows, i) =>
+      val stage = java.nio.file.Files.createTempDirectory(s"graft-rollup-c$i")
+      df(rows).coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = java.nio.file.Files.list(stage).iterator()
+      val found = scala.jdk.CollectionConverters.IteratorHasAsScala(part).asScala
+        .find(_.toString.endsWith(".parquet")).get
+      val dst = srcDir.resolve(f"chunk$i%02d.parquet")
+      java.nio.file.Files.move(found, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+    }
+    val outDir = java.nio.file.Files.createTempDirectory("graft-rollup-out").toString
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft-rollup-ckpt").toString
+    // simulate a crash AFTER batch 0 committed gen=0 but BEFORE the
+    // checkpoint advanced: the engine will replay batch 0, and the
+    // already-present generation must make that replay a no-op
+    df(chunks(0)).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        max(unix_micros(col("ts").cast("timestamp"))).as("last_ts_us"))
+      .write.mode("overwrite").parquet(s"$outDir/gen=0")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
+    RollupStream.run(stream, "user_id", "ts", outDir, ckptDir)
+    val view = RollupStream.currentView(spark, outDir).get
+      .orderBy(col("user_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val direct = df(chunks.flatten).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), max(unix_micros(col("ts"))).as("l"))
+      .orderBy(col("user_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(view.toSeq == direct.toSeq,
+      s"view ${view.toSeq} != direct rollup ${direct.toSeq}")
+    // exactly one generation survives the final cleanup
+    val gens = java.nio.file.Files.list(java.nio.file.Paths.get(outDir)).iterator()
+    val left = scala.jdk.CollectionConverters.IteratorHasAsScala(gens).asScala
+      .filter(_.getFileName.toString.startsWith("gen=")).toSeq
+    assert(left.size == 1, s"stale generations left behind: $left")
+  }
+
   test("streaming drift monitor passes an in-distribution batch, flags a planted shift") {
     import spark.implicits._
     import graft.streaming.DriftMonitor
