@@ -377,6 +377,64 @@ object CurationQueries {
         .agg(count(lit(1)).as("n_pairs"))
         .withColumn("cross_source", col("s1") =!= col("s2"))
         .orderBy(col("s1"), col("s2"))
+    },
+
+    // §2.3 — the COMPOSED modern curation chain in one declarative
+    // plan (the full Dolma/C4-class pass, end to end): NFC normalize
+    // → model-free quality gate → exact dedup (keep-first among
+    // survivors) → benchmark decontamination (8-shingles vs the
+    // doc_id<20 eval set) → token-budget selection (distributed
+    // prefix sum). Emits a per-doc VERDICT TRACE — which stage
+    // dropped each doc — the auditable artifact a curation run ships.
+    // Every stage is the existing scale machinery; the chain is one
+    // lazily-planned DAG Catalyst optimizes whole.
+    "q136_curation_chain" -> { (s, d) =>
+      import graft.Caching.ScopedPersist
+      val normed = Tables.documents(s, d)
+        .select(col("doc_id"), GraftFunctions.nfc(col("text")).as("text"))
+        .scopedPersist() // consumers: benchmark shingles + corpus stages
+      val corpus = normed.filter(col("doc_id") >= 20)
+      val q = TextAnalysis.qualityScore(corpus, "doc_id", "text")
+        .select(col("doc_id"), col("keep"), col("distinct_ratio"),
+          col("n_words").cast("long").as("ws_tokens"))
+        .scopedPersist() // consumers: survivor chain + verdict join
+      val s1 = q.filter(col("keep") === 1)
+        .select(col("doc_id"), col("distinct_ratio"), col("ws_tokens"))
+      val hashes = corpus.join(s1.select("doc_id"), "doc_id")
+        .select(col("doc_id"), GraftFunctions.normWords(col("text")).as("ws"))
+        .select(col("doc_id"), md5(array_join(col("ws"), " ")).as("th"))
+        .scopedPersist() // consumers: min-per-hash + membership
+      val dup = hashes
+        .join(hashes.groupBy(col("th")).agg(min(col("doc_id")).as("keep_id")), "th")
+        .filter(col("doc_id") =!= col("keep_id"))
+        .select(col("doc_id"), lit(1).as("isdup"))
+        .scopedPersist() // consumers: anti-join + verdict join
+      val contam = TextAnalysis.contamination(corpus,
+          normed.filter(col("doc_id") < 20), "doc_id", "text", n = 8)
+        .select(col("doc_id"), lit(1).as("iscont"))
+        .scopedPersist() // consumers: anti-join + verdict join
+      val s3 = s1
+        .join(dup.select("doc_id"), Seq("doc_id"), "left_anti")
+        .join(contam.select("doc_id"), Seq("doc_id"), "left_anti")
+      val kept = graft.operators.Selection.budgetSelect(s3,
+          Seq(col("distinct_ratio").desc, col("doc_id").asc),
+          col("ws_tokens"), budget = 15000L)
+        .select(col("doc_id"), col("cum_weight").as("cum_tokens"))
+      normed.select(col("doc_id"))
+        .join(q.select(col("doc_id"), col("keep"), col("ws_tokens")),
+          Seq("doc_id"), "left")
+        .join(dup, Seq("doc_id"), "left")
+        .join(contam, Seq("doc_id"), "left")
+        .join(kept, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("doc_id") < 20, "benchmark")
+            .when(col("keep") === 0, "quality")
+            .when(col("isdup") === 1, "dup")
+            .when(col("iscont") === 1, "contam")
+            .when(col("cum_tokens").isNotNull, "kept")
+            .otherwise("budget").as("verdict"),
+          col("ws_tokens"), col("cum_tokens"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -610,6 +668,56 @@ object CurationQueries {
          |FROM pairs p
          |JOIN documents sa ON p.doc_a = sa.doc_id
          |JOIN documents sb ON p.doc_b = sb.doc_id
-         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // each CTE mirrors one chain stage exactly; stage membership is
+    // computed on the same survivor set as the Spark plan
+    "q136_curation_chain" ->
+      s"""WITH nrm AS (SELECT doc_id, nfc_normalize(text) AS text FROM documents),
+         |corpus AS (SELECT * FROM nrm WHERE doc_id >= 20),
+         |qq AS (SELECT doc_id,
+         |         CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS ws_tokens,
+         |         ROUND(CAST(len(list_distinct(regexp_extract_all(lower(text), '\\S+'))) AS DOUBLE)
+         |               / len(regexp_extract_all(text, '\\S+')), 6) AS dr,
+         |         CAST(len(regexp_extract_all(text, '\\S+')) >= 10
+         |              AND len(regexp_extract_all(lower(text), '\\b(the|a|of|and|to)\\b')) > 0
+         |              AND CAST(len(list_distinct(regexp_extract_all(lower(text), '\\S+'))) AS DOUBLE)
+         |                  / len(regexp_extract_all(text, '\\S+')) > 0.2 AS INT) AS keep
+         |       FROM corpus),
+         |s1 AS (SELECT doc_id, dr, ws_tokens FROM qq WHERE keep = 1),
+         |h AS (SELECT c.doc_id, md5(array_to_string($wsSql, ' ')) AS th
+         |      FROM corpus c JOIN s1 USING (doc_id)),
+         |dup AS (SELECT doc_id FROM h
+         |        JOIN (SELECT th, MIN(doc_id) AS keep_id FROM h GROUP BY 1) USING (th)
+         |        WHERE doc_id <> keep_id),
+         |w AS (SELECT doc_id, $wsSql AS ws FROM nrm),
+         |sh AS (SELECT DISTINCT doc_id,
+         |         unnest([array_to_string(ws[i:i+7],' ') for i in generate_series(1, len(ws)-7)]) AS sh
+         |       FROM w WHERE len(ws) >= 8),
+         |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 20),
+         |contam AS (SELECT DISTINCT s.doc_id FROM sh s JOIN bench b USING (sh)
+         |           WHERE s.doc_id >= 20),
+         |s3 AS (SELECT * FROM s1
+         |       WHERE doc_id NOT IN (SELECT doc_id FROM dup)
+         |         AND doc_id NOT IN (SELECT doc_id FROM contam)),
+         |r AS (SELECT doc_id,
+         |        CAST(SUM(ws_tokens) OVER (ORDER BY dr DESC, doc_id ASC
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |      FROM s3),
+         |kept AS (SELECT doc_id, cum FROM r WHERE cum <= 15000)
+         |SELECT d.doc_id,
+         |  CASE WHEN d.doc_id < 20 THEN 'benchmark'
+         |       WHEN qq.keep = 0 THEN 'quality'
+         |       WHEN dup.doc_id IS NOT NULL THEN 'dup'
+         |       WHEN contam.doc_id IS NOT NULL THEN 'contam'
+         |       WHEN kept.cum IS NOT NULL THEN 'kept'
+         |       ELSE 'budget' END AS verdict,
+         |  qq.ws_tokens, kept.cum AS cum_tokens
+         |FROM nrm d
+         |LEFT JOIN qq ON qq.doc_id = d.doc_id
+         |LEFT JOIN dup ON dup.doc_id = d.doc_id
+         |LEFT JOIN contam ON contam.doc_id = d.doc_id
+         |LEFT JOIN kept ON kept.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin
   )
 }

@@ -312,6 +312,28 @@ class CurationSpec extends SparkSpecBase {
     c.unpersist()
   }
 
+  test("curation chain: verdicts partition the corpus and respect stage order") {
+    val v = q("q136_curation_chain").cache()
+    assert(v.count() == Tables.documents(spark, sf).count(),
+      "every doc must receive exactly one verdict")
+    val allowed = Set("benchmark", "quality", "dup", "contam", "budget", "kept")
+    assert(v.select("verdict").distinct().collect()
+      .map(_.getString(0)).toSet.subsetOf(allowed))
+    // kept docs carry a monotone budgeted cum; nothing else does
+    assert(v.filter(col("verdict") === "kept")
+      .filter(col("cum_tokens").isNull || col("cum_tokens") > 15000).count() == 0)
+    assert(v.filter(col("verdict") =!= "kept")
+      .filter(col("cum_tokens").isNotNull).count() == 0)
+    // the budget binds: kept tokens fit, and the next-best doc would not
+    val keptTok = v.filter(col("verdict") === "kept")
+      .agg(sum("ws_tokens")).head.getLong(0)
+    assert(keptTok <= 15000, s"kept docs hold $keptTok tokens > budget")
+    // benchmark docs never re-enter the corpus stages
+    assert(v.filter(col("doc_id") < 20)
+      .filter(col("verdict") =!= "benchmark").count() == 0)
+    v.unpersist()
+  }
+
   test("dup leakage: unordered source pairs conserve the LSH pair count") {
     val lk = q("q130_dup_leakage")
     assert(lk.filter(col("s1") > col("s2")).count() == 0, "pairs must be unordered")
