@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StringType, StructType}
 
 /** SURVEY.md §2.2 — the reference's ingest surface re-expressed as
   * Spark sources. The reference pulls CSV/TSV (`read.delim`, `fread`
@@ -115,6 +115,41 @@ object Readers {
            schema: Option[StructType] = None): DataFrame = {
     val r = s.read.option("multiLine", multiLine)
     schema.fold(r)(sc => r.schema(sc)).json(path)
+  }
+
+  /** JSON lines with CORRUPT-RECORD ROUTING: parse in PERMISSIVE mode
+    * against an explicit schema, then split the frame into (clean,
+    * quarantine) — the quarantine keeps the raw unparseable line in
+    * `_corrupt` for a repair pass, the batch analogue of
+    * QualityGate's streaming quarantine. The parsed frame is cached
+    * before the corrupt column is referenced: Spark refuses a query
+    * whose only referenced column from a raw JSON scan is the
+    * internal corrupt-record column, and the cache also means the
+    * file parses once for both routes. */
+  def jsonWithQuarantine(s: SparkSession, path: String,
+                         schema: StructType): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.col
+    val withCorrupt = schema.add("_corrupt", StringType, nullable = true)
+    val parsed = s.read
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .schema(withCorrupt).json(path)
+      .cache()
+    (parsed.filter(col("_corrupt").isNull).drop("_corrupt"),
+      parsed.filter(col("_corrupt").isNotNull))
+  }
+
+  /** Fixed-width layout (the mainframe/legacy-export shape): each
+    * column is a (name, 1-based start, length) slice of the line,
+    * trimmed; short lines yield empty slices → NULL via nullif. One
+    * narrow projection over spark.read.text — splittable, no UDF. */
+  def fixedWidth(s: SparkSession, path: String,
+                 cols: Seq[(String, Int, Int)]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, nullif, lit, trim, substring}
+    require(cols.nonEmpty, "supply at least one (name, start, length) column")
+    s.read.text(path).select(cols.map { case (name, start, len) =>
+      nullif(trim(substring(col("value"), start, len)), lit("")).as(name)
+    }: _*)
   }
 
   /** ORC round-trip — second columnar format with predicate pushdown,

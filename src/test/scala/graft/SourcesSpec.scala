@@ -273,4 +273,43 @@ class SourcesSpec extends SparkSpecBase {
         viaParquet.filter(viaParquet("l_quantity") > 25).count())
     } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
   }
+
+  test("fixed-width reader slices, trims, and nulls short lines") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-fw")
+    val f = dir.resolve("data.txt")
+    java.nio.file.Files.write(f, java.util.List.of(
+      "AAPL  150.25 NASDAQ",
+      "GOOG  2800.1 NASDAQ",
+      "SHORT",                // line ends before the later columns
+      "MSFT   310.0 NYSE  "))
+    val df = graft.sources.Readers.fixedWidth(spark, f.toString,
+      Seq(("symbol", 1, 6), ("price", 7, 7), ("exchange", 14, 6)))
+    val rows = df.collect().map(r =>
+      (r.getString(0), Option(r.getString(1)), Option(r.getString(2)))).toSet
+    assert(rows == Set(
+      ("AAPL", Some("150.25"), Some("NASDAQ")),
+      ("GOOG", Some("2800.1"), Some("NASDAQ")),
+      ("SHORT", None, None),
+      ("MSFT", Some("310.0"), Some("NYSE"))))
+  }
+
+  test("json quarantine routes corrupt lines with their raw text preserved") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft-jq")
+    val f = dir.resolve("data.jsonl")
+    java.nio.file.Files.write(f, java.util.List.of(
+      """{"id": 1, "name": "alpha"}""",
+      """{"id": 2, "name": "beta"}""",
+      """{"id": 3, "name": "broken""",     // truncated JSON
+      """not json at all"""))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType)))
+    val (clean, quarantine) =
+      graft.sources.Readers.jsonWithQuarantine(spark, f.toString, schema)
+    assert(clean.collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    assert(!clean.columns.contains("_corrupt"))
+    val bad = quarantine.select("_corrupt").collect().map(_.getString(0)).toSet
+    assert(bad == Set("""{"id": 3, "name": "broken""", "not json at all"),
+      s"quarantine must keep the raw lines, got $bad")
+  }
 }
