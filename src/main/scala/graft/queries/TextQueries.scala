@@ -576,6 +576,43 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // §2.3 — Unicode SCRIPT-MIX audit: per-doc character counts by
+    // writing system (Latin / Cyrillic / Han / digits) + a dominant-
+    // script verdict — the routing signal multilingual pipelines use
+    // to pick tokenizers and language-specific filters. One narrow
+    // codegen'd projection of regexp counts (Java `\p{IsX}` classes;
+    // the oracle uses RE2's `\p{X}` spelling — two independent
+    // Unicode-property implementations must agree on the counts).
+    // Corpus is ASCII, so Cyrillic / Han / mixed rows are planted on
+    // both sides.
+    "q137_script_mix" -> { (s, d) =>
+      import s.implicits._
+      val planted = Seq(
+        (9100001L, "Привет мир это тест"),
+        (9100002L, "这是一个中文测试文档"),
+        (9100003L, "mixed текст with 三个 scripts and 42 digits"),
+        (9100004L, "12345 67890")
+      ).toDF("doc_id", "text")
+      def n(p: String) =
+        size(regexp_extract_all(col("text"), lit(p), lit(0))).cast("long")
+      Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .unionByName(planted)
+        .select(col("doc_id"),
+          n("\\p{IsLatin}").as("n_latin"),
+          n("\\p{IsCyrillic}").as("n_cyrillic"),
+          n("\\p{IsHan}").as("n_han"),
+          n("[0-9]").as("n_digit"))
+        .withColumn("main_script",
+          when(col("n_latin") >= col("n_cyrillic")
+            && col("n_latin") >= col("n_han")
+            && col("n_latin") > 0, "latin")
+            .when(col("n_cyrillic") >= col("n_han")
+              && col("n_cyrillic") > 0, "cyrillic")
+            .when(col("n_han") > 0, "han")
+            .otherwise("none"))
+        .orderBy(col("doc_id"))
+    },
+
     // §2.3 — shingle CONTAINMENT (Broder's asymmetric overlap
     // |A∩B| / |A|): detects documents CONTAINED in others (excerpts,
     // quote pages, aggregators) that symmetric Jaccard misses — an
@@ -1079,6 +1116,29 @@ object TextQueries {
         |SELECT doc_id, nfc_normalize(text) AS nfc_text,
         |  CAST(length(nfc_normalize(text)) AS BIGINT) AS nfc_chars
         |FROM corpus ORDER BY doc_id""".stripMargin,
+
+    "q137_script_mix" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT * FROM (VALUES
+        |    (CAST(9100001 AS BIGINT), 'Привет мир это тест'),
+        |    (CAST(9100002 AS BIGINT), '这是一个中文测试文档'),
+        |    (CAST(9100003 AS BIGINT), 'mixed текст with 三个 scripts and 42 digits'),
+        |    (CAST(9100004 AS BIGINT), '12345 67890')) v(doc_id, text)),
+        |c AS (SELECT doc_id,
+        |        CAST(len(regexp_extract_all(text, '\p{Latin}')) AS BIGINT) AS n_latin,
+        |        CAST(len(regexp_extract_all(text, '\p{Cyrillic}')) AS BIGINT) AS n_cyrillic,
+        |        CAST(len(regexp_extract_all(text, '\p{Han}')) AS BIGINT) AS n_han,
+        |        CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit
+        |      FROM corpus)
+        |SELECT doc_id, n_latin, n_cyrillic, n_han, n_digit,
+        |  CASE WHEN n_latin >= n_cyrillic AND n_latin >= n_han AND n_latin > 0
+        |         THEN 'latin'
+        |       WHEN n_cyrillic >= n_han AND n_cyrillic > 0 THEN 'cyrillic'
+        |       WHEN n_han > 0 THEN 'han'
+        |       ELSE 'none' END AS main_script
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "q132_containment" ->
       s"""WITH w0 AS (SELECT doc_id, $wsSql AS ws FROM documents),

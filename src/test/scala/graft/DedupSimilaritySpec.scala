@@ -420,6 +420,21 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(planted(9000005L) == "ﬁle ligature")
   }
 
+  test("script mix: planted scripts classify correctly, ASCII corpus is latin") {
+    val m = TextQueries.queries("q137_script_mix")(spark, sf).cache()
+    val planted = m.filter(col("doc_id") >= 9100000L)
+      .collect().map(r => r.getLong(0) -> r.getString(5)).toMap
+    assert(planted(9100001L) == "cyrillic")
+    assert(planted(9100002L) == "han")
+    assert(planted(9100003L) == "latin") // latin plurality in the mixed row
+    assert(planted(9100004L) == "none")  // digits belong to no script
+    // the ASCII corpus is uniformly latin with zero foreign-script chars
+    assert(m.filter(col("doc_id") < 9100000L)
+      .filter(col("main_script") =!= "latin"
+        || col("n_cyrillic") > 0 || col("n_han") > 0).count() == 0)
+    m.unpersist()
+  }
+
   test("containment: an excerpt's shingles are fully contained in its source") {
     val c = TextQueries.queries("q132_containment")(spark, sf).cache()
     assert(c.count() > 0)
