@@ -25,6 +25,26 @@ object FoldSelfCosine extends Rule[LogicalPlan] {
     }
 }
 
+/** Optimizer rule: NFC is idempotent — `graft_nfc(graft_nfc(x))`
+  * collapses to one application. Pipelines that normalize defensively
+  * at every stage boundary (ingest AND dedup AND tokenize) otherwise
+  * pay the kernel once per stage; after the fold the scan projection
+  * carries a single pass. Sound unconditionally: NFC(NFC(s)) = NFC(s)
+  * for every string, including null (the inner expression's own null
+  * handling is preserved by keeping the inner node).
+  */
+object FoldNfcIdempotence extends Rule[LogicalPlan] {
+  import graft.functions.NfcNormalize
+  // bottom-up, so an arbitrarily deep nfc(nfc(...(x))) stack collapses
+  // to one application in a single rule pass
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformUp { case p =>
+      p.transformExpressionsUp {
+        case NfcNormalize(inner @ NfcNormalize(_)) => inner
+      }
+    }
+}
+
 /** SURVEY.md §2.5 #48 — SparkSessionExtensions entry point: makes the
   * graft native expressions available to pure-SQL users via
   * `spark.sql.extensions=graft.GraftExtensions` (no code changes on
@@ -34,6 +54,7 @@ object FoldSelfCosine extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => FoldSelfCosine)
+    e.injectOptimizerRule(_ => FoldNfcIdempotence)
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     e.injectPlannerStrategy(_ => graft.plans.HammingSelfJoinStrategy)
     e.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)

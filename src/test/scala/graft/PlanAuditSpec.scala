@@ -63,4 +63,16 @@ class PlanAuditSpec extends SparkSpecBase {
     val vals = df.limit(5).collect().map(_.getDouble(0))
     assert(vals.forall(v => math.abs(v - 1.0) < 1e-9))
   }
+
+  test("FoldNfcIdempotence collapses stacked normalizations to one kernel call") {
+    val docs = Tables.documents(spark, sf)
+    val stacked = docs.select(
+      GraftFunctions.nfc(GraftFunctions.nfc(GraftFunctions.nfc(col("text")))).as("t"))
+    val optimized = graft.FoldNfcIdempotence(stacked.queryExecution.analyzed)
+    val hits = optimized.toString.sliding("graft_nfc".length).count(_ == "graft_nfc")
+    assert(hits == 1, s"expected one graft_nfc after the fold, got $hits:\n$optimized")
+    // semantics preserved: single and triple application agree
+    val single = docs.select(GraftFunctions.nfc(col("text")).as("t"))
+    assert(stacked.exceptAll(single).isEmpty && single.exceptAll(stacked).isEmpty)
+  }
 }
