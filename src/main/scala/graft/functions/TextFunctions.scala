@@ -116,6 +116,31 @@ object TextOps {
       java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
   }
 
+  /** Deflate compression ratio (compressed/raw bytes, round 6) — the
+    * Gopher/RedPajama "compressibility" quality signal: boilerplate
+    * and templated spam compress far below prose. Deterministic for a
+    * fixed level/strategy (zlib's output is fully specified by input
+    * + parameters), so reproducible under any partitioning. Empty
+    * strings report 1.0 (incompressible by convention). */
+  def deflateRatio(s: UTF8String): Double = {
+    val raw = s.getBytes
+    if (raw.isEmpty) return 1.0
+    val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION)
+    try {
+      d.setInput(raw); d.finish()
+      val buf = new Array[Byte](raw.length + 64)
+      var total = 0L
+      while (!d.finished()) {
+        val n = d.deflate(buf)
+        if (n == 0 && !d.finished())
+          return 1.0 // defensive: cannot make progress
+        total += n
+      }
+      BigDecimal(total.toDouble / raw.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    } finally d.end()
+  }
+
   def charEntropy(s: UTF8String): Double = {
     val str = s.toString
     if (str.isEmpty) return 0.0
@@ -358,6 +383,17 @@ case class ShingleSet(child: Expression, shingleWidth: Int) extends UnaryExpress
   override def prettyName: String = "graft_shingle_set"
 }
 
+/** Codegen'd deflate compression ratio of a string. */
+case class DeflateRatio(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullSafeEval(t: Any): Any =
+    TextOps.deflateRatio(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.functions.TextOps.deflateRatio($t)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "graft_deflate_ratio"
+}
+
 /** Codegen'd Unicode NFC normalization of a string. */
 case class NfcNormalize(child: Expression) extends UnaryExpression {
   override def dataType: DataType = org.apache.spark.sql.types.StringType
@@ -439,6 +475,9 @@ object GraftFunctions {
   def nfc(text: Column): Column =
     toCol(NfcNormalize(toExpr(text)))
 
+  def deflateRatio(text: Column): Column =
+    toCol(DeflateRatio(toExpr(text)))
+
   /** Lower-case, strip non-alphanumerics (keeping spaces), split on
     * single spaces, drop empties — the shared normalization used by
     * dedup/text queries; mirrored verbatim in the DuckDB oracles. */
@@ -488,6 +527,8 @@ object GraftFunctions {
       es => CharEntropy(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_nfc",
       es => NfcNormalize(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_deflate_ratio",
+      es => DeflateRatio(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_bloom_agg",
       es => BloomAggregate(es.head, intLit(es(1), "numBits"),
         intLit(es(2), "numHashes")).toAggregateExpression(), "built-in")

@@ -576,6 +576,28 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // §2.3 — compression-ratio quality signal (Gopher/RedPajama
+    // "compressibility"): deflate bytes / raw bytes per doc via the
+    // codegen'd `DeflateRatio` expression — boilerplate and templated
+    // spam compress far below prose, catching repetition that n-gram
+    // ratios miss. One narrow kernel pass, zero shuffle. Rows-only by
+    // design: DuckDB has no deflate; determinism + orderings are
+    // spec-pinned instead (planted repetitive docs score lowest).
+    "q138_compress_ratio" -> { (s, d) =>
+      import s.implicits._
+      val planted = Seq(
+        (9200001L, "spam spam spam " * 50),
+        (9200002L, "the quick brown fox jumps over the lazy dog and then " +
+          "wanders off through autumn fields toward a distant river town")
+      ).toDF("doc_id", "text")
+      Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .unionByName(planted)
+        .select(col("doc_id"),
+          GraftFunctions.deflateRatio(col("text")).as("deflate_ratio"),
+          length(col("text")).cast("long").as("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+
     // §2.3 — Unicode SCRIPT-MIX audit: per-doc character counts by
     // writing system (Latin / Cyrillic / Han / digits) + a dominant-
     // script verdict — the routing signal multilingual pipelines use

@@ -420,6 +420,21 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(planted(9000005L) == "ﬁle ligature")
   }
 
+  test("compression ratio: repetition compresses below prose, deterministic") {
+    val r = TextQueries.queries("q138_compress_ratio")(spark, sf).cache()
+    assert(r.filter(col("deflate_ratio") <= 0).count() == 0)
+    val byId = r.filter(col("doc_id") >= 9200000L)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(byId(9200001L) < 0.1,
+      s"50x-repeated text should compress hard, got ${byId(9200001L)}")
+    assert(byId(9200002L) > byId(9200001L) * 3,
+      "prose must compress far less than planted repetition")
+    // deterministic under recomputation
+    val again = TextQueries.queries("q138_compress_ratio")(spark, sf)
+    assert(r.exceptAll(again).isEmpty && again.exceptAll(r).isEmpty)
+    r.unpersist()
+  }
+
   test("script mix: planted scripts classify correctly, ASCII corpus is latin") {
     val m = TextQueries.queries("q137_script_mix")(spark, sf).cache()
     val planted = m.filter(col("doc_id") >= 9100000L)
