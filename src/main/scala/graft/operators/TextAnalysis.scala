@@ -145,6 +145,78 @@ object TextAnalysis {
       .filter(col("n_contaminated") > 0)
   }
 
+  /** Contamination SCORING — the graded form of [[contaminationExact]]:
+    * instead of a binary flag, every corpus doc (with at least one
+    * n-shingle) gets its distinct-shingle count, the count shared with
+    * the benchmark, the overlap fraction, and a three-tier verdict
+    * (clean / partial / dirty). Partial contamination is the common
+    * real-world case — a doc quoting one eval question shouldn't be
+    * treated like a full benchmark copy, and the fraction is what a
+    * curation run thresholds on. Same plan shape as the exact path:
+    * benchmark shingles fold into ONE broadcast array row, the corpus
+    * side is a single scan with no shuffle and no join.
+    */
+  def contaminationScore(corpus: DataFrame, benchmark: DataFrame, idCol: String,
+                         textCol: String, n: Int = 8,
+                         dirtyAt: Double = 0.5): DataFrame = {
+    def shingleArr(df: DataFrame): DataFrame = df
+      .select(col(idCol).as("doc_id"),
+        graft.functions.GraftFunctions.normWords(col(textCol)).as("__ws"))
+      .scopedPersist() // lambda barrier — see Dedup.docShingles
+      .select(col("doc_id"),
+        array_distinct(graft.functions.GraftFunctions.wordShingles(col("__ws"), n))
+          .as("shs"))
+    val benchSet = shingleArr(benchmark)
+      .select(explode(col("shs")).as("sh")).distinct()
+      .agg(collect_list(col("sh")).as("__bench"))
+    shingleArr(corpus)
+      .filter(size(col("shs")) > 0)
+      .crossJoin(broadcast(benchSet)) // 1-row set — broadcast-nested-loop, no shuffle
+      .select(col("doc_id"),
+        size(col("shs")).cast("long").as("n_shingles"),
+        size(array_intersect(col("shs"), col("__bench"))).cast("long")
+          .as("n_contaminated"))
+      .withColumn("contam_frac",
+        round(col("n_contaminated").cast("double") /
+          greatest(col("n_shingles"), lit(1L)), 6))
+      .withColumn("verdict",
+        when(col("contam_frac") >= dirtyAt, "dirty")
+          .when(col("n_contaminated") > 0, "partial")
+          .otherwise("clean"))
+  }
+
+  /** Encoding-corruption audit: count the signatures of UTF-8 text
+    * that went through a Latin-1/Windows-1252 misdecode (mojibake) or
+    * lossy byte decoding — the "Ã"/"Â" lead bytes every misdecoded
+    * accented character produces, the "â€¦"-family sequences from
+    * misdecoded smart punctuation, and U+FFFD replacement characters
+    * from decode failures. Emits per-doc counts, a rate per 1000
+    * chars, and a clean / suspect / corrupt verdict (rate-thresholded
+    * so one stray artifact in a long document doesn't nuke it). One
+    * narrow codegen'd projection; genuinely accented text (é, ü)
+    * passes untouched because the markers are the *misdecoded* forms.
+    */
+  def encodingAudit(docs: DataFrame, idCol: String, textCol: String,
+                    corruptPer1000: Double = 5.0): DataFrame = {
+    val t = col(textCol)
+    val nLead = nMatches(t, "[ÃÂ]")
+    val nMoji = nMatches(t, "â€")
+    val nRepl = nMatches(t, "�")
+    docs.select(col(idCol).as("doc_id"),
+      nLead.cast("long").as("n_latin1_lead"),
+      nMoji.cast("long").as("n_punct_moji"),
+      nRepl.cast("long").as("n_replacement"),
+      length(t).cast("long").as("n_chars"))
+      .withColumn("bad_per_1000",
+        round((col("n_latin1_lead") + col("n_punct_moji") + col("n_replacement"))
+          .cast("double") * 1000.0 / greatest(col("n_chars"), lit(1L)), 6))
+      .withColumn("verdict",
+        when(col("bad_per_1000") >= corruptPer1000, "corrupt")
+          .when(col("n_latin1_lead") + col("n_punct_moji") + col("n_replacement") > 0,
+            "suspect")
+          .otherwise("clean"))
+  }
+
   /** Bloom-filter decontamination — the 100 TB shape of
     * [[contamination]]. The benchmark shingle set folds into a fixed
     * `numBits/8`-byte Bloom filter via one mergeable aggregate

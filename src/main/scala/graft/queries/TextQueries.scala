@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -28,6 +28,20 @@ object TextQueries {
       docs.filter(col("doc_id") < 50)
         .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
   }
+
+  /** Planted encoding-corruption rows shared VERBATIM by the q139
+    * query and its oracle (interpolated into the SQL, so both engines
+    * see identical code points): classic UTF-8→Latin-1 mojibake
+    * ("Ã©", "â€™"), U+FFFD decode failures, a genuinely-accented
+    * clean control, and a long doc with one stray artifact (suspect,
+    * not corrupt — the rate threshold, not the raw count, decides).
+    */
+  private val mojiRows: Seq[(Long, String)] = Seq(
+    (9300001L, "cafÃ© au lait â€” naÃ¯ve rÃ©sumÃ©"),
+    (9300002L, "itâ€™s a â€œquotedâ€œ string Â  here"),
+    (9300003L, "clean café and résumé accents survive"),
+    (9300004L, "broken � bytes � in the stream"),
+    (9300005L, ("word " * 50) + "one stray Ã© artifact"))
 
   private[queries] val corpusSql =
     """corpus AS (
@@ -635,6 +649,65 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // §2.3 — encoding-corruption (mojibake) audit: per-doc counts of
+    // Latin-1-misdecode lead bytes, smart-punctuation mojibake
+    // sequences, and U+FFFD replacement chars; rate per 1000 chars +
+    // clean/suspect/corrupt verdict. One narrow codegen'd projection.
+    // Corpus is ASCII, so corrupt / suspect / accented-but-clean rows
+    // are planted identically on both sides (mojiRows).
+    "q139_mojibake" -> { (s, d) =>
+      import s.implicits._
+      TextAnalysis.encodingAudit(
+        Tables.documents(s, d).select(col("doc_id"), col("text"))
+          .unionByName(mojiRows.toDF("doc_id", "text")),
+        "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+
+    // §2.3 — contamination SCORING: the graded form of q70 — per-doc
+    // shingle-overlap FRACTION vs the benchmark (doc_id < 20) with a
+    // clean/partial/dirty verdict, so a doc quoting one eval question
+    // isn't treated like a planted full copy (those land at frac 1.0
+    // = dirty). Benchmark folds to one broadcast row; corpus side is
+    // a single scan, no shuffle.
+    "q140_contam_score" -> { (s, d) =>
+      val planted = plantedCorpus(s, d)
+      TextAnalysis.contaminationScore(
+        corpus = planted.filter(col("doc_id") >= 20),
+        benchmark = planted.filter(col("doc_id") < 20),
+        idCol = "doc_id", textCol = "text", n = 8)
+        .orderBy(col("doc_id"))
+    },
+
+    // §2.3 — tokenizer FERTILITY audit: per-language bytes, whitespace
+    // tokens, BPE-ish pre-tokens, tokens-per-100-bytes and the
+    // bpe/ws blowup ratio — the multilingual budget-planning signal
+    // (a language whose tokenizer fragments text 3× pays 3× the
+    // context window). One narrow projection + one 5-group aggregate.
+    "q141_fertility" -> { (s, d) =>
+      def n(c: Column, p: String) =
+        size(regexp_extract_all(c, lit(p), lit(0))).cast("long")
+      Tables.documents(s, d)
+        .select(col("lang"),
+          octet_length(col("text")).cast("long").as("b"),
+          n(col("text"), "\\S+").as("wt"),
+          n(lower(col("text")), "[a-z]+|[0-9]|[^a-z0-9\\s]").as("bt"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("b")).as("n_bytes"),
+          sum(col("wt")).as("ws_tokens"),
+          sum(col("bt")).as("bpe_tokens"))
+        .select(col("lang"), col("n_docs"), col("n_bytes"),
+          col("ws_tokens"), col("bpe_tokens"),
+          round(col("ws_tokens").cast("double") * 100 / col("n_bytes"), 6)
+            .as("ws_per_100b"),
+          round(col("bpe_tokens").cast("double") * 100 / col("n_bytes"), 6)
+            .as("bpe_per_100b"),
+          round(col("bpe_tokens").cast("double") / col("ws_tokens"), 6)
+            .as("fertility_ratio"))
+        .orderBy(col("lang"))
+    },
+
     // §2.3 — shingle CONTAINMENT (Broder's asymmetric overlap
     // |A∩B| / |A|): detects documents CONTAINED in others (excerpts,
     // quote pages, aggregators) that symmetric Jaccard misses — an
@@ -1161,6 +1234,75 @@ object TextQueries {
         |       WHEN n_han > 0 THEN 'han'
         |       ELSE 'none' END AS main_script
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q139_mojibake" -> {
+      val values = mojiRows
+        .map { case (id, t) => s"(CAST($id AS BIGINT), '$t')" }
+        .mkString(",\n    ")
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT * FROM (VALUES
+         |    $values) v(doc_id, text)),
+         |c AS (SELECT doc_id,
+         |        CAST(len(regexp_extract_all(text, '[ÃÂ]')) AS BIGINT) AS n_latin1_lead,
+         |        CAST(len(regexp_extract_all(text, 'â€')) AS BIGINT) AS n_punct_moji,
+         |        CAST(len(regexp_extract_all(text, '�')) AS BIGINT) AS n_replacement,
+         |        CAST(length(text) AS BIGINT) AS n_chars
+         |      FROM corpus),
+         |r AS (SELECT *,
+         |        ROUND(CAST(n_latin1_lead + n_punct_moji + n_replacement AS DOUBLE)
+         |          * 1000.0 / GREATEST(n_chars, 1), 6) AS bad_per_1000
+         |      FROM c)
+         |SELECT doc_id, n_latin1_lead, n_punct_moji, n_replacement, n_chars,
+         |  bad_per_1000,
+         |  CASE WHEN bad_per_1000 >= 5.0 THEN 'corrupt'
+         |       WHEN n_latin1_lead + n_punct_moji + n_replacement > 0 THEN 'suspect'
+         |       ELSE 'clean' END AS verdict
+         |FROM r ORDER BY doc_id""".stripMargin
+    },
+
+    "q140_contam_score" ->
+      s"""WITH $corpusSql,
+         |w AS (SELECT doc_id, $wsSql AS ws FROM corpus),
+         |sh AS (SELECT DISTINCT doc_id,
+         |         unnest([array_to_string(ws[i:i+7],' ') for i in generate_series(1, len(ws)-7)]) AS sh
+         |       FROM w WHERE len(ws) >= 8),
+         |cnt AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+         |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 20),
+         |hits AS (SELECT s.doc_id, COUNT(DISTINCT s.sh) AS n_hit
+         |         FROM sh s JOIN bench b ON s.sh = b.sh
+         |         WHERE s.doc_id >= 20 GROUP BY 1),
+         |base AS (SELECT c.doc_id,
+         |           CAST(c.n_sh AS BIGINT) AS n_shingles,
+         |           CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_contaminated
+         |         FROM cnt c LEFT JOIN hits h ON h.doc_id = c.doc_id
+         |         WHERE c.doc_id >= 20),
+         |r AS (SELECT *,
+         |        ROUND(CAST(n_contaminated AS DOUBLE)
+         |          / GREATEST(n_shingles, 1), 6) AS contam_frac
+         |      FROM base)
+         |SELECT doc_id, n_shingles, n_contaminated, contam_frac,
+         |  CASE WHEN contam_frac >= 0.5 THEN 'dirty'
+         |       WHEN n_contaminated > 0 THEN 'partial'
+         |       ELSE 'clean' END AS verdict
+         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q141_fertility" ->
+      """WITH t AS (SELECT lang, strlen(text) AS b,
+        |        len(regexp_extract_all(text, '\S+')) AS wt,
+        |        len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]')) AS bt
+        |      FROM documents),
+        |a AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |        CAST(SUM(b) AS BIGINT) AS n_bytes,
+        |        CAST(SUM(wt) AS BIGINT) AS ws_tokens,
+        |        CAST(SUM(bt) AS BIGINT) AS bpe_tokens
+        |      FROM t GROUP BY lang)
+        |SELECT lang, n_docs, n_bytes, ws_tokens, bpe_tokens,
+        |  ROUND(CAST(ws_tokens AS DOUBLE) * 100 / n_bytes, 6) AS ws_per_100b,
+        |  ROUND(CAST(bpe_tokens AS DOUBLE) * 100 / n_bytes, 6) AS bpe_per_100b,
+        |  ROUND(CAST(bpe_tokens AS DOUBLE) / ws_tokens, 6) AS fertility_ratio
+        |FROM a ORDER BY lang""".stripMargin,
 
     "q132_containment" ->
       s"""WITH w0 AS (SELECT doc_id, $wsSql AS ws FROM documents),

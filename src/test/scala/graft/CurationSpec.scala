@@ -334,6 +334,46 @@ class CurationSpec extends SparkSpecBase {
     v.unpersist()
   }
 
+  test("q139 encoding audit: planted mojibake verdicts, ASCII corpus all clean") {
+    val v = graft.queries.TextQueries.queries("q139_mojibake")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getString(6)).toMap
+    assert(v(9300001L) == "corrupt") // dense Ã©/â€” mojibake
+    assert(v(9300002L) == "corrupt") // smart-punct mojibake + Â
+    assert(v(9300003L) == "clean") // real accents must NOT flag
+    assert(v(9300004L) == "corrupt") // U+FFFD decode failures
+    assert(v(9300005L) == "suspect") // one artifact in a long doc: rate < bar
+    assert(v.filter(_._1 < 9300000L).values.forall(_ == "clean"),
+      "the ASCII base corpus must audit clean")
+  }
+
+  test("q140 contamination score: planted benchmark copies are dirty at frac 1.0") {
+    val sc = graft.queries.TextQueries.queries("q140_contam_score")(spark, sf)
+    val planted = sc.filter(col("doc_id") >= 1000000L && col("doc_id") < 1000020L)
+      .collect()
+    assert(planted.length == 20, "all 20 planted benchmark copies must score")
+    planted.foreach { r =>
+      assert(r.getAs[String]("verdict") == "dirty"
+        && r.getAs[Double]("contam_frac") == 1.0,
+        s"planted copy ${r.getAs[Long]("doc_id")} must be fully contaminated")
+    }
+    assert(sc.filter(col("n_contaminated") > col("n_shingles")).count() == 0)
+    assert(sc.filter(col("verdict") === "clean" && col("n_contaminated") > 0)
+      .count() == 0, "clean verdict requires zero overlap")
+  }
+
+  test("q141 fertility: BPE pre-tokens can only fragment, never merge") {
+    val f = graft.queries.TextQueries.queries("q141_fertility")(spark, sf).collect()
+    assert(f.length == 5, "one row per language")
+    f.foreach { r =>
+      assert(r.getAs[Long]("bpe_tokens") >= r.getAs[Long]("ws_tokens"),
+        s"${r.getAs[String]("lang")}: BPE splits within whitespace tokens")
+      assert(r.getAs[Double]("fertility_ratio") >= 1.0)
+      assert(r.getAs[Long]("n_bytes") > 0 && r.getAs[Long]("n_docs") > 0)
+    }
+    assert(f.map(_.getAs[Long]("n_docs")).sum ==
+      Tables.documents(spark, sf).count())
+  }
+
   test("dup leakage: unordered source pairs conserve the LSH pair count") {
     val lk = q("q130_dup_leakage")
     assert(lk.filter(col("s1") > col("s2")).count() == 0, "pairs must be unordered")
