@@ -312,4 +312,40 @@ class SourcesSpec extends SparkSpecBase {
     assert(bad == Set("""{"id": 3, "name": "broken""", "not json at all"),
       s"quarantine must keep the raw lines, got $bad")
   }
+
+  test("xml reader: row tags, attributes, repeated and nested children, multi-file") {
+    import graft.sources.XmlReader
+    val dir = Files.createTempDirectory("graftxml")
+    Files.writeString(dir.resolve("a.xml"),
+      """<genes release="110">
+        |  <gene id="g1" chr="17">
+        |    <symbol>TP53</symbol>
+        |    <synonym>p53</synonym>
+        |    <synonym>LFS1</synonym>
+        |    <xref><db>HGNC</db><acc>11998</acc></xref>
+        |  </gene>
+        |  <gene id="g2">
+        |    <symbol>BRCA1</symbol>
+        |  </gene>
+        |</genes>""".stripMargin)
+    Files.writeString(dir.resolve("b.xml"),
+      """<genes><gene id="g3" chr="13"><symbol>BRCA2</symbol></gene></genes>""")
+    val df = XmlReader.xml(spark, dir.toString, rowTag = "gene")
+    // sniffed columns: first-seen order over the first file's rows
+    assert(df.columns.toSeq == Seq("_id", "_chr", "symbol", "synonym", "xref"))
+    assert(df.count() == 3)
+    val g1 = df.filter(df("_id") === "g1").first()
+    assert(g1.getAs[String]("symbol") == "TP53")
+    assert(g1.getAs[String]("synonym") == "p53|LFS1", "repeated child joins with |")
+    assert(g1.getAs[String]("xref") == "HGNC11998", "nested structure flattens to text")
+    val g2 = df.filter(df("_id") === "g2").first()
+    assert(g2.getAs[String]("_chr") == null && g2.getAs[String]("synonym") == null,
+      "absent attributes/children are NULL")
+    assert(df.filter(df("_id") === "g3").first().getAs[String]("_chr") == "13",
+      "rows from the second file parse through the first file's sniffed schema")
+    // explicit schema-on-read: caller-pinned columns, no sniff
+    val pinned = XmlReader.xml(spark, dir.toString, "gene",
+      columns = Some(Seq("_id", "symbol")))
+    assert(pinned.columns.toSeq == Seq("_id", "symbol") && pinned.count() == 3)
+  }
 }
