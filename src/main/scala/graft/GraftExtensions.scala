@@ -45,6 +45,31 @@ object FoldNfcIdempotence extends Rule[LogicalPlan] {
     }
 }
 
+/** Optimizer rule: `size(regexp_extract_all(s, p, 0))` — the counting
+  * spelling behind every quality/token/PII ratio — rewrites to the
+  * allocation-free native [[graft.functions.CountMatches]] kernel
+  * (same java.util.regex engine, bit-identical counts, no per-match
+  * UTF8String or array materialization). Fires only on the exact
+  * shape whose semantics CountMatches reproduces: group index 0, a
+  * non-null foldable pattern, and modern `size` null semantics
+  * (`legacySizeOfNull = false`, where size(NULL) is NULL — matching
+  * the expression's null-in/null-out; the legacy -1 form is left
+  * alone). `regexp_extract_all` calls whose ARRAY is consumed
+  * (distinct counts, explodes) are untouched.
+  */
+object FoldCountMatches extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{RegExpExtractAll, Size}
+  import org.apache.spark.sql.types.{IntegerType, StringType}
+  import graft.functions.CountMatches
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case Size(RegExpExtractAll(subject, pat, Literal(0, IntegerType)), false)
+          if pat.foldable && pat.dataType == StringType &&
+            subject.dataType == StringType && pat.eval() != null =>
+        CountMatches(subject, pat)
+    }
+}
+
 /** SURVEY.md §2.5 #48 — SparkSessionExtensions entry point: makes the
   * graft native expressions available to pure-SQL users via
   * `spark.sql.extensions=graft.GraftExtensions` (no code changes on
@@ -55,6 +80,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => FoldSelfCosine)
     e.injectOptimizerRule(_ => FoldNfcIdempotence)
+    e.injectOptimizerRule(_ => FoldCountMatches)
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     e.injectPlannerStrategy(_ => graft.plans.HammingSelfJoinStrategy)
     e.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions._
@@ -114,6 +114,18 @@ object TextOps {
     if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
     else UTF8String.fromString(
       java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+
+  /** Non-overlapping regex match count — the exact count
+    * `regexp_extract_all(s, p, 0)` would return the length of: the
+    * same java.util.regex engine and the same Matcher.find() walk
+    * (including zero-width-match advance semantics), minus every
+    * per-match allocation. */
+  def countMatches(s: UTF8String, p: java.util.regex.Pattern): Int = {
+    val m = p.matcher(s.toString)
+    var n = 0
+    while (m.find()) n += 1
+    n
   }
 
   /** Deflate compression ratio (compressed/raw bytes, round 6) — the
@@ -394,6 +406,46 @@ case class DeflateRatio(child: Expression) extends UnaryExpression {
   override def prettyName: String = "graft_deflate_ratio"
 }
 
+/** Codegen'd regex match COUNT — `size(regexp_extract_all(s, p, 0))`
+  * without materializing the match array. The counting spelling is
+  * the hot path of every quality/token/PII signal (a per-doc count
+  * feeding a ratio), and the builtin route allocates one UTF8String
+  * per match plus the array just to take its length; this expression
+  * runs the same java.util.regex engine (bit-identical counts, find()
+  * loop) and allocates nothing. The pattern must be a foldable
+  * literal — it compiles ONCE per expression instance and ships into
+  * generated code as a reference object, not a per-row compile.
+  * Returns IntegerType to be a drop-in for `size(...)` (see
+  * [[graft.FoldCountMatches]]).
+  */
+case class CountMatches(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (left.dataType != StringType || right.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string, string), got (${left.dataType}, ${right.dataType})")
+    else if (!right.foldable)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName pattern must be a literal")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+  @transient private lazy val compiled: java.util.regex.Pattern =
+    java.util.regex.Pattern.compile(
+      right.eval().asInstanceOf[UTF8String].toString)
+  override def nullSafeEval(s: Any, p: Any): Any =
+    TextOps.countMatches(s.asInstanceOf[UTF8String], compiled)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("graftCountPattern", compiled,
+      "java.util.regex.Pattern")
+    nullSafeCodeGen(ctx, ev, (s, _) =>
+      s"${ev.value} = graft.functions.TextOps.countMatches($s, $ref);")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "graft_count_matches"
+}
+
 /** Codegen'd Unicode NFC normalization of a string. */
 case class NfcNormalize(child: Expression) extends UnaryExpression {
   override def dataType: DataType = org.apache.spark.sql.types.StringType
@@ -475,6 +527,9 @@ object GraftFunctions {
   def nfc(text: Column): Column =
     toCol(NfcNormalize(toExpr(text)))
 
+  def countMatches(text: Column, pattern: String): Column =
+    toCol(CountMatches(toExpr(text), toExpr(lit(pattern))))
+
   def deflateRatio(text: Column): Column =
     toCol(DeflateRatio(toExpr(text)))
 
@@ -527,6 +582,8 @@ object GraftFunctions {
       es => CharEntropy(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_nfc",
       es => NfcNormalize(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_count_matches",
+      es => CountMatches(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_deflate_ratio",
       es => DeflateRatio(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_bloom_agg",

@@ -10,8 +10,11 @@ import graft.Caching.ScopedPersist
   */
 object TextAnalysis {
 
+  // the native allocation-free count kernel (same regex engine +
+  // find() walk as size(regexp_extract_all(c, p, 0)), bit-identical
+  // counts — FoldCountMatches proves the equivalence in PlanAuditSpec)
   private def nMatches(c: Column, pattern: String): Column =
-    size(regexp_extract_all(c, lit(pattern), lit(0)))
+    graft.functions.GraftFunctions.countMatches(c, pattern)
 
   /** Stopword-marker language ID. Real lang-id uses char n-gram
     * profiles; the operator shape (per-class evidence counts → argmax

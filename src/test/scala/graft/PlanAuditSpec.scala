@@ -64,6 +64,46 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(vals.forall(v => math.abs(v - 1.0) < 1e-9))
   }
 
+  test("CountMatches counts exactly like size(regexp_extract_all(_, p, 0))") {
+    val docs = Tables.documents(spark, sf).limit(200)
+    // overlap-prone, zero-width-capable, unicode-class and anchored
+    // patterns — every find()-semantics edge the builtin walks
+    val patterns = Seq("\\S+", "[aeiou]", "a*", "\\b(the|a|of)\\b", "s.s", "^key")
+    patterns.foreach { p =>
+      val mismatch = docs.select(
+        GraftFunctions.countMatches(col("text"), p).as("native"),
+        size(regexp_extract_all(col("text"), lit(p), lit(0))).as("builtin"))
+        .filter(col("native") =!= col("builtin")).count()
+      assert(mismatch == 0, s"count mismatch for pattern '$p'")
+    }
+    // null in, null out — same as modern size(regexp_extract_all(NULL))
+    val row = spark.sql("SELECT 1").select(
+      GraftFunctions.countMatches(lit(null).cast("string"), "x").as("n")).first()
+    assert(row.isNullAt(0), "null subject must count null, not 0/-1")
+  }
+
+  test("FoldCountMatches rewrites the counting spelling, leaves array consumers") {
+    val docs = Tables.documents(spark, sf)
+    val counting = docs.select(
+      size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))).as("n"))
+    val folded = graft.FoldCountMatches(counting.queryExecution.analyzed)
+    assert(folded.toString.contains("graft_count_matches"),
+      s"counting spelling not folded:\n$folded")
+    // semantics preserved on real data
+    val viaRule = org.apache.spark.sql.GraftColumnBridge.ofRows(spark, folded)
+    assert(viaRule.exceptAll(counting).isEmpty && counting.exceptAll(viaRule).isEmpty)
+    // group index != 0 extracts group text, not whole matches — must not fire
+    val grouped = docs.select(
+      size(regexp_extract_all(col("text"), lit("(a)b"), lit(1))).as("n"))
+    assert(!graft.FoldCountMatches(grouped.queryExecution.analyzed)
+      .toString.contains("graft_count_matches"), "idx=1 must not fold")
+    // a consumed array (distinct-count) must keep the builtin
+    val arrayUse = docs.select(
+      size(array_distinct(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))).as("n"))
+    assert(!graft.FoldCountMatches(arrayUse.queryExecution.analyzed)
+      .toString.contains("graft_count_matches"), "array consumer must not fold")
+  }
+
   test("FoldNfcIdempotence collapses stacked normalizations to one kernel call") {
     val docs = Tables.documents(spark, sf)
     val stacked = docs.select(
