@@ -362,6 +362,38 @@ object CurationQueries {
     // which the PAIR side broadcasts — the corpus never shuffles;
     // source pairs are emitted unordered (least/greatest) so A→B and
     // B→A collapse.
+    // §2.3 — per-SOURCE quality scorecard (round 7): the triage
+    // report a curation run ships per provenance — doc counts,
+    // corpus-wide exact-dup rate, quality keep rate, mean size — the
+    // table that decides which sources stay in the next mix. One md5
+    // hash shuffle (q30's key), one doc_id join, one source-sized
+    // aggregate; every per-doc signal is the existing codegen'd
+    // machinery.
+    "q143_source_scorecard" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val hashed = docs.select(col("doc_id"), col("source"),
+        md5(concat_ws(" ", GraftFunctions.normWords(col("text")))).as("h"))
+      val dupped = hashed
+        .join(hashed.groupBy(col("h")).agg(count(lit(1)).as("nh")), "h")
+        .select(col("doc_id"), col("source"), (col("nh") > 1).as("is_dup"))
+      val quality = TextAnalysis.qualityScore(docs, "doc_id", "text")
+        .select(col("doc_id"), col("keep"), col("n_chars"), col("n_words"))
+      dupped.join(quality, "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("is_dup").cast("long")).as("n_dup"),
+          sum(col("keep").cast("long")).as("n_keep"),
+          sum(col("n_chars").cast("long")).as("sum_chars"),
+          sum(col("n_words").cast("long")).as("sum_words"))
+        .select(col("source"), col("n_docs"), col("n_dup"),
+          round(col("n_dup").cast("double") / col("n_docs"), 6).as("dup_rate"),
+          col("n_keep"),
+          round(col("n_keep").cast("double") / col("n_docs"), 6).as("keep_rate"),
+          round(col("sum_chars").cast("double") / col("n_docs"), 6).as("mean_chars"),
+          round(col("sum_words").cast("double") / col("n_docs"), 6).as("mean_words"))
+        .orderBy(col("source"))
+    },
+
     "q130_dup_leakage" -> { (s, d) =>
       val docs = Tables.documents(s, d)
       val bands = Dedup.lshBandsMd5Narrow(docs, "doc_id", "text",
@@ -653,6 +685,35 @@ object CurationQueries {
          |  c.doc_id = n.canonical_id AS is_canonical
          |FROM comp c JOIN canon n USING (cluster_id)
          |ORDER BY c.doc_id""".stripMargin,
+
+    "q143_source_scorecard" ->
+      s"""WITH w AS (SELECT doc_id, source, $wsSql AS ws FROM documents),
+         |h AS (SELECT doc_id, source, md5(array_to_string(ws, ' ')) AS h FROM w),
+         |hc AS (SELECT h, COUNT(*) AS nh FROM h GROUP BY h),
+         |q AS (SELECT doc_id,
+         |        length(text) AS n_chars,
+         |        len(regexp_extract_all(text, '\\S+')) AS n_words,
+         |        len(regexp_extract_all(lower(text), '\\b(the|a|of|and|to)\\b')) AS n_stop,
+         |        len(list_distinct(regexp_extract_all(lower(text), '\\S+'))) AS n_distinct
+         |      FROM documents),
+         |k AS (SELECT doc_id,
+         |        CASE WHEN n_words >= 10 AND n_stop > 0
+         |              AND CAST(n_distinct AS DOUBLE) / n_words > 0.2
+         |             THEN 1 ELSE 0 END AS keep,
+         |        n_chars, n_words
+         |      FROM q),
+         |j AS (SELECT h.doc_id, h.source, hc.nh > 1 AS is_dup,
+         |        k.keep, k.n_chars, k.n_words
+         |      FROM h JOIN hc ON h.h = hc.h JOIN k ON k.doc_id = h.doc_id)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+         |  ROUND(CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / COUNT(*), 6) AS dup_rate,
+         |  CAST(SUM(keep) AS BIGINT) AS n_keep,
+         |  ROUND(CAST(SUM(keep) AS DOUBLE) / COUNT(*), 6) AS keep_rate,
+         |  ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS mean_chars,
+         |  ROUND(CAST(SUM(n_words) AS DOUBLE) / COUNT(*), 6) AS mean_words
+         |FROM j GROUP BY source ORDER BY source""".stripMargin,
 
     "q130_dup_leakage" ->
       s"""WITH ${TextQueries.bandsSqlFrom("documents", "")},

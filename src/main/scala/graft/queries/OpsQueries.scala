@@ -307,6 +307,38 @@ object OpsQueries {
         .orderBy(col("label"), col("dim"))
     },
 
+    // embedding OUTLIER detection (round 7): distance-to-class-
+    // centroid with a per-label p95 gate — the mislabeled-data /
+    // embedding-quality audit run before clustering or dedup trusts
+    // the vectors. Centroids via the q134 DECIMAL-exact mean
+    // discipline; squared diffs re-quantize to DECIMAL(28,12) so the
+    // per-vector reduction is order-independent; the centroid and
+    // threshold frames are (label × dim)- and label-sized — both
+    // broadcast, so vectors shuffle only for their own partial aggs.
+    "q142_embed_outliers" -> { (s, d) =>
+      import graft.Caching.ScopedPersist
+      val dec = org.apache.spark.sql.types.DecimalType(28, 12)
+      val pe = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"), posexplode(col("embedding")))
+        .select(col("vec_id"), col("label"), col("pos").cast("long").as("dim"),
+          col("col").cast("double").as("v"))
+        .scopedPersist() // consumers: centroid agg + distance join
+      val cent = pe.groupBy(col("label"), col("dim"))
+        .agg((sum(col("v").cast(dec)).cast("double") / count(lit(1))).as("c"))
+      val dist = pe.join(broadcast(cent), Seq("label", "dim"))
+        .select(col("vec_id"), col("label"),
+          ((col("v") - col("c")) * (col("v") - col("c"))).cast(dec).as("sq"))
+        .groupBy(col("vec_id"), col("label"))
+        .agg(round(sqrt(sum(col("sq")).cast("double")), 6).as("dist"))
+        .scopedPersist() // consumers: threshold agg + verdict join
+      val thr = dist.groupBy(col("label"))
+        .agg(round(expr("percentile(dist, 0.95)"), 6).as("p95"))
+      dist.join(broadcast(thr), "label")
+        .select(col("vec_id"), col("label"), col("dist"), col("p95"),
+          (col("dist") > col("p95")).as("is_outlier"))
+        .orderBy(col("vec_id"))
+    },
+
     // PSI drift detection (round 7): population-stability index of the
     // doc-length distribution between a reference slice and a live
     // slice — the monitoring gate that catches a corpus drifting
@@ -552,6 +584,29 @@ object OpsQueries {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
         |  epoch_us(MAX(o_orderdate)) AS last_order_us
         |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "q142_embed_outliers" ->
+      """WITH x AS (
+        |  SELECT vec_id, label,
+        |    unnest([{'d': i - 1, 'v': embedding[i]}
+        |            for i in generate_series(1, len(embedding))]) AS u
+        |  FROM embeddings),
+        |p AS (SELECT vec_id, label, CAST(u.d AS BIGINT) AS dim,
+        |        CAST(u.v AS DOUBLE) AS v
+        |      FROM x),
+        |c AS (SELECT label, dim,
+        |        CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS c
+        |      FROM p GROUP BY label, dim),
+        |sq AS (SELECT p.vec_id, p.label,
+        |         CAST((p.v - c.c) * (p.v - c.c) AS DECIMAL(28,12)) AS sq
+        |       FROM p JOIN c ON p.label = c.label AND p.dim = c.dim),
+        |d AS (SELECT vec_id, label, ROUND(sqrt(CAST(SUM(sq) AS DOUBLE)), 6) AS dist
+        |      FROM sq GROUP BY vec_id, label),
+        |t AS (SELECT label, ROUND(quantile_cont(dist, 0.95), 6) AS p95
+        |      FROM d GROUP BY label)
+        |SELECT d.vec_id, d.label, d.dist, t.p95, d.dist > t.p95 AS is_outlier
+        |FROM d JOIN t ON d.label = t.label
+        |ORDER BY d.vec_id""".stripMargin,
 
     "q134_group_centroids" ->
       """WITH x AS (

@@ -374,6 +374,22 @@ class CurationSpec extends SparkSpecBase {
       Tables.documents(spark, sf).count())
   }
 
+  test("q143 source scorecard: counts conserve and rates recompute") {
+    val sc = q("q143_source_scorecard").persist()
+    val docs = Tables.documents(spark, sf)
+    assert(sc.count() == docs.select("source").distinct().count(),
+      "one row per source")
+    assert(sc.agg(sum(col("n_docs"))).head.getLong(0) == docs.count(),
+      "doc counts must partition the corpus")
+    assert(sc.filter(col("n_dup") > col("n_docs") || col("n_keep") > col("n_docs"))
+      .count() == 0)
+    assert(sc.filter(
+      col("dup_rate") =!= round(col("n_dup").cast("double") / col("n_docs"), 6)
+        || col("keep_rate") =!= round(col("n_keep").cast("double") / col("n_docs"), 6))
+      .count() == 0, "rates must recompute from their counts")
+    sc.unpersist()
+  }
+
   test("dup leakage: unordered source pairs conserve the LSH pair count") {
     val lk = q("q130_dup_leakage")
     assert(lk.filter(col("s1") > col("s2")).count() == 0, "pairs must be unordered")

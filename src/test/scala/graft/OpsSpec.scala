@@ -139,4 +139,24 @@ class OpsSpec extends SparkSpecBase {
       "a mean must lie within its group's range")
     c.unpersist()
   }
+
+  test("q142 embed outliers: p95 gate flags ~5%, never a non-exceeding vector") {
+    val o = OpsQueries.queries("q142_embed_outliers")(spark, sf).persist()
+    assert(o.count() == Tables.embeddings(spark, sf).count(),
+      "every vector gets a verdict")
+    // the verdict column is exactly the dist > p95 predicate
+    assert(o.filter(col("is_outlier") =!= (col("dist") > col("p95"))).count() == 0)
+    // a p95 threshold flags at most ~5% per label (strict > on the
+    // interpolated quantile can only flag fewer), and the gate is
+    // non-degenerate: some label has at least one outlier
+    val per = o.groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("is_outlier").cast("long")).as("k")).collect()
+    per.foreach { r =>
+      assert(r.getLong(2) <= math.ceil(r.getLong(1) * 0.05).toLong + 1,
+        s"label ${r.get(0)}: ${r.getLong(2)}/${r.getLong(1)} flagged — p95 gate leaks")
+    }
+    assert(per.map(_.getLong(2)).sum > 0, "no outliers flagged anywhere")
+    o.unpersist()
+  }
 }
