@@ -657,6 +657,73 @@ class ScaleSpec extends SparkSpecBase {
     assert(viaSql(1L).toSet == viaApi, "SQL and column API must agree")
   }
 
+  test("streaming budget gate: global budget binds across batches, replay-safe") {
+    import spark.implicits._
+    import graft.streaming.BudgetGate
+    // 3 chunks × 40 docs, deterministic token counts; budget binds
+    // mid-chunk-1 so chunk 0 admits fully, chunk 1 partially, chunk 2
+    // not at all
+    def toks(i: Long): Long = 100L + (i % 7)
+    val chunks: Seq[Seq[(Long, Long)]] =
+      (0 until 3).map(c => (c * 40L until (c + 1) * 40L).map(i => (i, toks(i))))
+    val budget = 6000L
+    // sequential reference: admit in (batch, doc_id) order while the
+    // global running total fits
+    var running = 0L
+    val expected = chunks.flatten.filter { case (_, w) =>
+      if (running + w <= budget) { running += w; true } else false
+    }.map(_._1).toSet
+    assert(expected.size > 40 && expected.size < 80, "budget must bind mid-chunk-1")
+
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-budget-src")
+    chunks.zipWithIndex.foreach { case (rows, i) =>
+      val stage = java.nio.file.Files.createTempDirectory(s"graft-budget-chunk$i")
+      rows.toDF("doc_id", "n_tokens")
+        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = java.nio.file.Files.list(stage).iterator()
+      val found = scala.jdk.CollectionConverters.IteratorHasAsScala(part).asScala
+        .find(_.toString.endsWith(".parquet")).get
+      val dst = srcDir.resolve(f"chunk$i%02d.parquet")
+      java.nio.file.Files.move(found, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1500000000000L + i * 60000L))
+    }
+    val ledgerDir = java.nio.file.Files.createTempDirectory("graft-budget-led").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-budget-out").toString
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft-budget-ck").toString
+    BudgetGate.initLedger(spark, ledgerDir)
+    // simulate a crashed first attempt of batch 0: garbage in BOTH
+    // per-batch partitions — the replay must overwrite, and batch 0's
+    // prior-spend read (batch < 0) must not see the poisoned ledger row
+    Seq((999999L, 999999L)).toDF("doc_id", "n_tokens")
+      .write.mode("overwrite").parquet(s"$outDir/batch=0")
+    spark.range(1).select(lit(123456L).as("spent"))
+      .write.mode("overwrite").parquet(s"$ledgerDir/batch=0")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_tokens", org.apache.spark.sql.types.LongType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
+    BudgetGate.run(stream, ledgerDir, outDir, ckptDir,
+      sortCols = Seq("doc_id"), weightCol = "n_tokens", budget = budget)
+
+    val admitted = spark.read.parquet(outDir)
+    val got = admitted.select("doc_id").as[Long].collect().toSet
+    assert(got == expected,
+      s"admitted set diverges: extra=${got -- expected} missing=${expected -- got}")
+    // global watermark: within budget, and monotone in admission order
+    val cums = admitted.orderBy(col("batch"), col("doc_id"))
+      .select("cum_global").as[Long].collect()
+    assert(cums.last <= budget && cums.toSeq == cums.sorted.toSeq)
+    assert(cums.last == chunks.flatten.filter(e => expected(e._1)).map(_._2).sum)
+    // ledger records exactly the committed spend, poisoned row overwritten
+    val ledger = spark.read.parquet(ledgerDir)
+      .select("batch", "spent").as[(Int, Long)].collect().toMap
+    assert(ledger(-1) == 0L && ledger(2) == 0L)
+    assert(ledger(0) + ledger(1) == cums.last,
+      s"ledger ${ledger.toSeq.sorted} must sum to the committed spend")
+  }
+
   test("stateful streaming sessionizer matches batch sessionize") {
     val streamed = StatefulSessions.run(spark, sf, gapSeconds = 1800L)
       .select(col("user_id"), col("session_start_us"), col("session_end_us"), col("n_events"))
