@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.GraftFunctions
 import graft.operators.Retrieval
 
 /** SURVEY.md §2.3 round-3 — retrieval/serving operators: chunking,
@@ -38,6 +39,60 @@ object RetrievalQueries {
       Retrieval.invertedIndex(Tables.documents(s, d), "doc_id", "text",
         postingCap = 100)
         .orderBy(col("word"))
+    },
+
+    // §2.3 — retrieval EVALUATION harness (round 7): rank-quality
+    // metrics (rank of relevant, reciprocal rank, recall@10, nDCG@10)
+    // for a retriever against a labeled query set — the eval loop a
+    // RAG stack runs before swapping rankers. Queries are first-half
+    // excerpts of docs < 20 (the q132 construction — each query's
+    // unique relevant doc is its source), the ranker is exact 3-gram
+    // Jaccard. Scale shape: the query side is EVAL-sized, so the
+    // shingle join's fan-out is bounded by (queries containing sh ×
+    // docs containing sh) per shingle, and the ranking window
+    // partitions per query over its candidate set only — docs with
+    // zero overlap can never outrank a positive-Jaccard candidate, so
+    // candidate-set ranks ARE corpus ranks for the relevant doc.
+    "q144_retrieval_eval" -> { (s, d) =>
+      import graft.Caching.ScopedPersist
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val ws0 = docs
+        .select(col("doc_id"), GraftFunctions.normWords(col("text")).as("ws"))
+        .scopedPersist() // consumers: query construction + corpus shingles
+      val qdocs = ws0.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 2000000).as("qid"),
+          array_join(expr("slice(ws, 1, greatest(1, size(ws) div 2))"), " ")
+            .as("text"))
+      val qsh = qdocs
+        .select(col("qid"), GraftFunctions.normWords(col("text")).as("__ws"))
+        .scopedPersist() // lambda barrier — see Dedup.docShingles
+        .select(col("qid"),
+          array_distinct(GraftFunctions.wordShingles(col("__ws"), 3)).as("shs"))
+      val dsh = ws0
+        .select(col("doc_id"),
+          array_distinct(GraftFunctions.wordShingles(col("ws"), 3)).as("shs"))
+      val qx = qsh.select(col("qid"), size(col("shs")).as("n_q"),
+        explode(col("shs")).as("sh"))
+      val dx = dsh.select(col("doc_id"), size(col("shs")).as("n_d"),
+        explode(col("shs")).as("sh"))
+      val j = qx.join(dx, "sh")
+        .groupBy(col("qid"), col("doc_id"), col("n_q"), col("n_d"))
+        .agg(count(lit(1)).as("n_inter"))
+        .select(col("qid"), col("doc_id"),
+          round(col("n_inter").cast("double") /
+            (col("n_q") + col("n_d") - col("n_inter")), 6).as("jacc"))
+      val ranked = j.withColumn("rank",
+        row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("jacc").desc, col("doc_id"))).cast("long"))
+      ranked.filter(col("doc_id") === col("qid") - 2000000)
+        .select(col("qid"), col("doc_id").as("rel_id"), col("rank"),
+          round(lit(1.0) / col("rank"), 6).as("rr"),
+          (col("rank") <= 10).as("hit10"),
+          when(col("rank") <= 10,
+            round(lit(1.0) / (log(col("rank") + lit(1.0)) / log(lit(2.0))), 6))
+            .otherwise(0.0).as("ndcg10"))
+        .orderBy(col("qid"))
     },
 
     // §2.3 — BM25 top-20 for a fixed query over the documents table.
@@ -83,6 +138,37 @@ object RetrievalQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+
+    "q144_retrieval_eval" ->
+      s"""WITH w0 AS (SELECT doc_id, $wsSql AS ws FROM documents),
+         |q AS (SELECT doc_id + 2000000 AS qid,
+         |        array_to_string(ws[1:greatest(1, len(ws)//2)], ' ') AS text
+         |      FROM w0 WHERE doc_id < 20),
+         |qw AS (SELECT qid, $wsSql AS ws FROM q),
+         |qsh AS (SELECT DISTINCT qid,
+         |          unnest([array_to_string(ws[i:i+2],' ') for i in generate_series(1, len(ws)-2)]) AS sh
+         |        FROM qw WHERE len(ws) >= 3),
+         |dsh AS (SELECT DISTINCT doc_id,
+         |          unnest([array_to_string(ws[i:i+2],' ') for i in generate_series(1, len(ws)-2)]) AS sh
+         |        FROM w0 WHERE len(ws) >= 3),
+         |qc AS (SELECT qid, COUNT(*) AS n_q FROM qsh GROUP BY 1),
+         |dc AS (SELECT doc_id, COUNT(*) AS n_d FROM dsh GROUP BY 1),
+         |i AS (SELECT sq.qid, sd.doc_id, COUNT(*) AS n_inter
+         |      FROM qsh sq JOIN dsh sd ON sq.sh = sd.sh GROUP BY 1, 2),
+         |j AS (SELECT i.qid, i.doc_id,
+         |        ROUND(CAST(i.n_inter AS DOUBLE)
+         |          / (qc.n_q + dc.n_d - i.n_inter), 6) AS jacc
+         |      FROM i JOIN qc ON qc.qid = i.qid JOIN dc ON dc.doc_id = i.doc_id),
+         |r AS (SELECT qid, doc_id,
+         |        CAST(ROW_NUMBER() OVER (PARTITION BY qid
+         |               ORDER BY jacc DESC, doc_id) AS BIGINT) AS rank
+         |      FROM j)
+         |SELECT qid, doc_id AS rel_id, rank,
+         |  ROUND(1.0 / rank, 6) AS rr,
+         |  rank <= 10 AS hit10,
+         |  CASE WHEN rank <= 10 THEN ROUND(1.0 / (ln(rank + 1.0) / ln(2.0)), 6)
+         |       ELSE 0.0 END AS ndcg10
+         |FROM r WHERE doc_id = qid - 2000000 ORDER BY qid""".stripMargin,
 
     "q84_chunk_documents" ->
       s"""WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents),

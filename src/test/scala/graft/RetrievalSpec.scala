@@ -121,4 +121,23 @@ class RetrievalSpec extends SparkSpecBase {
     val fused = rows.map(_.getDouble(3))
     assert(fused.sameElements(fused.sortBy(-(_: Double))), "descending rrf")
   }
+
+  test("q144 retrieval eval: excerpt queries find their source, metrics recompute") {
+    val rows = q("q144_retrieval_eval").collect()
+    assert(rows.length == 20, "one metrics row per query")
+    rows.foreach { r =>
+      val (qid, relId, rank) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(relId == qid - 2000000, "relevance label must be the source doc")
+      assert(rank >= 1)
+      assert(math.abs(r.getDouble(3) - math.rint(1e6 / rank) / 1e6) < 1e-9,
+        s"rr must be round(1/rank, 6), got ${r.getDouble(3)} for rank $rank")
+      assert(r.getBoolean(4) == (rank <= 10), "hit10 ≡ rank ≤ 10")
+      assert((r.getDouble(5) == 0.0) == (rank > 10), "ndcg10 zero iff missed@10")
+    }
+    // a half-document excerpt retrieves its source near the top even
+    // over sf0.001's short shared-vocabulary docs
+    val mrr = rows.map(_.getDouble(3)).sum / rows.length
+    assert(mrr > 0.6, s"MRR $mrr suspiciously low for excerpt queries")
+    assert(rows.count(_.getBoolean(4)) >= 18, "recall@10 collapsed")
+  }
 }
