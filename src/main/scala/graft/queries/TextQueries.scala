@@ -708,6 +708,59 @@ object TextQueries {
         .orderBy(col("lang"))
     },
 
+    // §2.3 — corpus-internal DUPLICATION PROFILE: per-doc fraction of
+    // 8-word shingles shared with ANY other doc (the Lee et al. 2021
+    // "deduplicating training data" duplication-rate figure, per
+    // document) + unique/partial/dup_heavy verdict. Complements q140
+    // (overlap vs an external benchmark) and q104 (which REWRITES —
+    // this audits). One shingle-key shuffle for the df count, one
+    // doc_id aggregate.
+    "q145_dup_profile" -> { (s, d) =>
+      val sh = plantedCorpus(s, d)
+        .select(col("doc_id"), GraftFunctions.normWords(col("text")).as("__ws"))
+        .scopedPersist() // lambda barrier — see Dedup.docShingles
+        .select(col("doc_id"),
+          explode(array_distinct(GraftFunctions.wordShingles(col("__ws"), 8)))
+            .as("sh"))
+        .scopedPersist() // consumers: df count + per-doc join
+      val dfreq = sh.groupBy(col("sh"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      sh.join(dfreq, "sh")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum((col("df") >= 2).cast("long")).as("n_dup"))
+        .withColumn("dup_frac",
+          round(col("n_dup").cast("double") / col("n_shingles"), 6))
+        .withColumn("verdict",
+          when(col("dup_frac") >= 0.5, "dup_heavy")
+            .when(col("n_dup") > 0, "partial")
+            .otherwise("unique"))
+        .orderBy(col("doc_id"))
+    },
+
+    // §2.3 / ops QA — hash-SPLIT UNIFORMITY audit: chi-square
+    // goodness-of-fit of the q52 content-hash splitter over 16 hex
+    // buckets — the check that a deterministic splitter isn't biased
+    // before anyone trusts its holdout. Bounded everywhere: one
+    // 16-key aggregate, a generated 16-row spine (zero-fill), a 1-row
+    // broadcast total.
+    "q146_split_uniformity" -> { (s, d) =>
+      val bucketed = Tables.documents(s, d)
+        .select(conv(substring(md5(col("doc_id").cast("string")), 1, 1), 16, 10)
+          .cast("long").as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      val spine = s.range(16).select(col("id").as("bucket"))
+      val tot = bucketed.agg(sum(col("n")).cast("long").as("total"))
+      spine.join(bucketed, Seq("bucket"), "left")
+        .select(col("bucket"), coalesce(col("n"), lit(0L)).as("n_docs"))
+        .crossJoin(broadcast(tot))
+        .select(col("bucket"), col("n_docs"),
+          round(col("total").cast("double") / 16, 6).as("expected"),
+          round(pow(col("n_docs") - col("total").cast("double") / 16, 2)
+            / (col("total").cast("double") / 16), 6).as("chi_term"))
+        .orderBy(col("bucket"))
+    },
+
     // §2.3 — shingle CONTAINMENT (Broder's asymmetric overlap
     // |A∩B| / |A|): detects documents CONTAINED in others (excerpts,
     // quote pages, aggregators) that symmetric Jaccard misses — an
@@ -1303,6 +1356,40 @@ object TextQueries {
         |  ROUND(CAST(bpe_tokens AS DOUBLE) * 100 / n_bytes, 6) AS bpe_per_100b,
         |  ROUND(CAST(bpe_tokens AS DOUBLE) / ws_tokens, 6) AS fertility_ratio
         |FROM a ORDER BY lang""".stripMargin,
+
+    "q145_dup_profile" ->
+      s"""WITH $corpusSql,
+         |w AS (SELECT doc_id, $wsSql AS ws FROM corpus),
+         |sh AS (SELECT DISTINCT doc_id,
+         |         unnest([array_to_string(ws[i:i+7],' ') for i in generate_series(1, len(ws)-7)]) AS sh
+         |       FROM w WHERE len(ws) >= 8),
+         |f AS (SELECT sh, COUNT(DISTINCT doc_id) AS df FROM sh GROUP BY 1),
+         |p AS (SELECT s.doc_id,
+         |        CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         |        CAST(SUM(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+         |      FROM sh s JOIN f ON f.sh = s.sh GROUP BY 1),
+         |r AS (SELECT *, ROUND(CAST(n_dup AS DOUBLE) / n_shingles, 6) AS dup_frac
+         |      FROM p)
+         |SELECT doc_id, n_shingles, n_dup, dup_frac,
+         |  CASE WHEN dup_frac >= 0.5 THEN 'dup_heavy'
+         |       WHEN n_dup > 0 THEN 'partial'
+         |       ELSE 'unique' END AS verdict
+         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q146_split_uniformity" ->
+      """WITH b AS (
+        |  SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) AS BIGINT) AS bucket,
+        |         COUNT(*) AS n
+        |  FROM documents GROUP BY 1),
+        |spine AS (SELECT unnest(generate_series(0, 15)) AS bucket),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM b)
+        |SELECT CAST(spine.bucket AS BIGINT) AS bucket,
+        |  CAST(COALESCE(b.n, 0) AS BIGINT) AS n_docs,
+        |  ROUND(CAST(t.total AS DOUBLE) / 16, 6) AS expected,
+        |  ROUND(POW(COALESCE(b.n, 0) - CAST(t.total AS DOUBLE) / 16, 2)
+        |    / (CAST(t.total AS DOUBLE) / 16), 6) AS chi_term
+        |FROM spine LEFT JOIN b ON b.bucket = spine.bucket CROSS JOIN t
+        |ORDER BY bucket""".stripMargin,
 
     "q132_containment" ->
       s"""WITH w0 AS (SELECT doc_id, $wsSql AS ws FROM documents),

@@ -390,6 +390,32 @@ class CurationSpec extends SparkSpecBase {
     sc.unpersist()
   }
 
+  test("q145 dup profile: planted exact copies are fully duplicated mass") {
+    val p = graft.queries.TextQueries.queries("q145_dup_profile")(spark, sf).persist()
+    // every planted copy AND its original consists entirely of shared
+    // shingles — both sides of each planted pair read dup_heavy at 1.0
+    val planted = p.filter(col("doc_id") >= 1000000L || col("doc_id") < 50)
+    assert(planted.count() > 0)
+    assert(planted.filter(col("verdict") =!= "dup_heavy" || col("dup_frac") =!= 1.0)
+      .count() == 0, "exact copies must profile as fully duplicated")
+    assert(p.filter(col("n_dup") > col("n_shingles")).count() == 0)
+    assert(p.filter(col("verdict") === "unique" && col("n_dup") > 0).count() == 0)
+    p.unpersist()
+  }
+
+  test("q146 split uniformity: md5 buckets pass the chi-square gate") {
+    val u = graft.queries.TextQueries.queries("q146_split_uniformity")(spark, sf)
+      .collect()
+    assert(u.length == 16, "one row per hex bucket")
+    val total = u.map(_.getAs[Long]("n_docs")).sum
+    assert(total == Tables.documents(spark, sf).count(), "bucket counts conserve")
+    val chi2 = u.map(_.getAs[Double]("chi_term")).sum
+    // χ²(15 df) 99.9th percentile ≈ 37.7 — a uniform hash sits far
+    // below; a biased splitter (e.g. mod on sequential ids with
+    // skewed ranges) blows through it
+    assert(chi2 < 37.7, s"chi-square $chi2 — splitter looks biased")
+  }
+
   test("dup leakage: unordered source pairs conserve the LSH pair count") {
     val lk = q("q130_dup_leakage")
     assert(lk.filter(col("s1") > col("s2")).count() == 0, "pairs must be unordered")
