@@ -14,16 +14,6 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** events.parquet schema as the streaming source must declare it
-    * (ts arrives as INT64 nanos; normalized to timestamp below). */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     // The file stream source wants a directory; the test layout is one
     // flat parquet per table, so expose events.parquet through a
@@ -37,10 +27,15 @@ object EventStream {
     // runs LIFO, so register the dir first, then the link inside it)
     stage.toFile.deleteOnExit()
     link.toFile.deleteOnExit()
-    spark.readStream
-      .schema(rawSchema)
-      .parquet(stage.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    // The stream source needs a declared schema — take it from the
+    // batch parquet footer instead of hard-coding a flavor, then run
+    // the SAME ts normalizer as the batch loader (graft.Tables), so
+    // nanos-as-long / TIMESTAMP_NTZ / TIMESTAMP data all stream
+    // identically. (Round-7 postmortem: a hard-coded nanos assumption
+    // here put every event in Jan 1970 when the testdata went micros.)
+    val batchSchema = spark.read.parquet(src.toString).schema
+    graft.Tables.normalizeEventTs(
+      spark.readStream.schema(batchSchema).parquet(stage.toString))
   }
 
   /** Tumbling 1-hour windowed counts/sums per event type with a
@@ -54,34 +49,46 @@ object EventStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Memory-sink query names must be fresh per run: reusing a name
+    * across runs silently reads the PREVIOUS run's table if the new
+    * query fails to register rows in time under load. Monotonic
+    * suffix ⇒ every run lands in its own table. */
+  private val runSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+  private def freshName(name: String): String =
+    s"${name}_r${runSeq.incrementAndGet()}"
+
+  /** One-shot synchronous drive: Trigger.AvailableNow processes
+    * everything visible at start then terminates the query itself —
+    * awaitTermination() is a hard completion barrier, unlike
+    * processAllAvailable() whose "available" can be a partial listing
+    * under a loaded filesystem (the round-7 flakiness class). */
+  private def runOnce(spark: SparkSession, streamed: DataFrame,
+                      name: String, mode: String): (DataFrame, org.apache.spark.sql.streaming.StreamingQuery) = {
+    val qname = freshName(name)
+    val q = streamed.writeStream
+      .format("memory")
+      .queryName(qname)
+      .outputMode(mode)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    (spark.table(qname), q)
+  }
+
   /** Drive a streaming DataFrame to completion into an in-memory
     * table and return the final result. Complete mode ⇒ every window
     * is emitted regardless of watermark progress, so the result is
     * bit-equal to the batch computation over the same files.
     */
   def runToCompletion(spark: SparkSession, streamed: DataFrame,
-                      name: String): DataFrame = {
-    val q = streamed.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode("complete")
-      .start()
-    try q.processAllAvailable() finally q.stop()
-    spark.table(name)
-  }
+                      name: String): DataFrame =
+    runOnce(spark, streamed, name, "complete")._1
 
   /** Append-mode variant for stateful operators (dedup, session
     * windows) whose incremental output is row-per-first-arrival. */
   def runToCompletionAppend(spark: SparkSession, streamed: DataFrame,
-                            name: String): DataFrame = {
-    val q = streamed.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode("append")
-      .start()
-    try q.processAllAvailable() finally q.stop()
-    spark.table(name)
-  }
+                            name: String): DataFrame =
+    runOnce(spark, streamed, name, "append")._1
 
   /** [[runToCompletionAppend]] that also returns the per-micro-batch
     * StreamingQueryProgress records, so callers can assert on
@@ -91,13 +98,8 @@ object EventStream {
     */
   def runToCompletionAppendTracked(spark: SparkSession, streamed: DataFrame,
       name: String): (DataFrame, Seq[org.apache.spark.sql.streaming.StreamingQueryProgress]) = {
-    val q = streamed.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode("append")
-      .start()
-    try q.processAllAvailable() finally q.stop()
-    (spark.table(name), q.recentProgress.toSeq)
+    val (df, q) = runOnce(spark, streamed, name, "append")
+    (df, q.recentProgress.toSeq)
   }
 
   /** Incremental partitioned-parquet sink via foreachBatch — the
@@ -119,7 +121,8 @@ object EventStream {
           .partitionBy(partitionCols: _*)
           .parquet(outDir)
       }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    try q.processAllAvailable() finally q.stop()
+    try q.awaitTermination() finally q.stop()
   }
 }

@@ -621,8 +621,8 @@ class ScaleSpec extends SparkSpecBase {
     val out = java.nio.file.Files.createTempDirectory("graft-restart-out").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft-restart-ckpt").toString
     val raw = spark.read.parquet(s"$sf/events.parquet")
-    def stream() = spark.readStream.schema(EventStream.rawSchema).parquet(srcDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    def stream() = graft.Tables.normalizeEventTs(
+      spark.readStream.schema(raw.schema).parquet(srcDir))
 
     raw.filter(col("event_id") % 2 === 0).coalesce(1).write.mode("append").parquet(srcDir)
     EventStream.runToParquet(spark, stream(), out, ckpt, Seq("event_type"))
