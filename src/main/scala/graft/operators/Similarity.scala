@@ -79,23 +79,28 @@ object Similarity {
   /** IVF (inverted-file) ANN: coarse-quantize the corpus into
     * nCentroids cells (Lloyd iterations from deterministic seed
     * vectors), then answer queries by scoring only the nProbe nearest
-    * cells. The centroid table is tiny (k×dim floats) and lives on
-    * the driver between iterations — the standard coordination
-    * pattern; assignments and scoring stay distributed. At 100 TB
-    * cell assignment is one broadcast-join pass and each query
-    * touches |corpus|·nProbe/nCentroids vectors.
+    * cells. The centroid table stays DATAFRAME-RESIDENT across
+    * iterations — no driver collect anywhere in the loop, so a
+    * 65k×1024-dim codebook (≈256 MB) never rides the driver heap as
+    * user state. With `distributedCentroids=false` (the small-k
+    * default) each assignment pass carries a broadcast hint — one
+    * broadcast-join pass over the corpus; with `true` the hint is
+    * dropped and Catalyst/AQE picks the join strategy from actual
+    * sizes, the big-codebook path. Assignments and scoring are
+    * distributed either way; each query touches
+    * |corpus|·nProbe/nCentroids vectors.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-              nCentroids: Int = 16, nProbe: Int = 6, iters: Int = 2): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
+              nCentroids: Int = 16, nProbe: Int = 6, iters: Int = 2,
+              distributedCentroids: Boolean = false): DataFrame = {
 
-    def assignTo(cents: Seq[(Int, Array[Float])], df: DataFrame,
-                 idCol: String): DataFrame = {
-      val cdf = broadcast(cents.toDF("cid", "cemb"))
+    def maybeBroadcast(cents: DataFrame): DataFrame =
+      if (distributedCentroids) cents else broadcast(cents)
+
+    def assignTo(cents: DataFrame, df: DataFrame, idCol: String): DataFrame = {
       val w = Window.partitionBy(col(idCol))
         .orderBy(col("__sim").desc, col("cid").asc)
-      df.crossJoin(cdf)
+      df.crossJoin(maybeBroadcast(cents))
         .withColumn("__sim", GraftFunctions.cosine(col("embedding"), col("cemb")))
         .withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1)
@@ -103,28 +108,30 @@ object Similarity {
     }
 
     // deterministic init: the first nCentroids vectors seed the cells
-    var cents: Seq[(Int, Array[Float])] = corpus
+    var cents: DataFrame = corpus
       .filter(col("vec_id") < nCentroids)
-      .select(col("vec_id").cast("int"), col("embedding"))
-      .as[(Int, Array[Float])].collect().toSeq.sortBy(_._1)
+      .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cemb"))
 
     (0 until iters).foreach { _ =>
-      val assigned = assignTo(cents, corpus, "vec_id")
-      val means = assigned
+      // persist each round's centroid table: truncates the per-round
+      // lineage (iters× plan growth otherwise) and is the frame every
+      // corpus row joins against next round. CacheScope reclaims it.
+      val means = assignTo(cents, corpus, "vec_id")
         .select(col("cid"), posexplode(col("embedding")))
         .groupBy(col("cid"), col("pos"))
         .agg(avg(col("col")).as("m"))
         .groupBy(col("cid"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           x => x.getField("m").cast("float")).as("cemb"))
-        .as[(Int, Array[Float])].collect().toSeq.sortBy(_._1)
-      if (means.nonEmpty) cents = means
+        .scopedPersist()
+      // empty-means guard (degenerate seed filter): keep prior round
+      if (means.take(1).nonEmpty) cents = means
     }
 
     val cells = assignTo(cents, corpus, "vec_id")
       .select(col("vec_id").as("neighbor_id"), col("embedding"), col("cid"))
     // each query probes its nProbe nearest cells
-    val cdf = broadcast(cents.toDF("cid", "cemb"))
+    val cdf = maybeBroadcast(cents)
     val pw = Window.partitionBy(col("query_id"))
       .orderBy(col("__sim").desc, col("cid").asc)
     val probes = queries

@@ -182,7 +182,10 @@ object TemporalQueries {
     // §2.4 — stream-static join: the replayed event stream enriched
     // against the static customer dimension (broadcast into every
     // micro-batch), aggregated per market segment. Oracle = the same
-    // join+agg in batch SQL.
+    // join+agg in batch SQL. max_ts_us pins the TIME AXIS into the
+    // compare: in round 7 this query stayed green while every streamed
+    // timestamp was 54 years off, because no time-derived column
+    // survived the aggregation — now a flavor bug cannot hide.
     "q58_stream_static_join" -> { (s, d) =>
       val static = Tables.customer(s, d)
         .select(col("c_custkey"), col("c_mktsegment"))
@@ -190,7 +193,8 @@ object TemporalQueries {
         .join(static, col("user_id") === col("c_custkey"))
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_events"),
-          sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+          sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"),
+          unix_micros(max(col("ts"))).as("max_ts_us"))
       EventStream.runToCompletion(s, joined, "graft_q58")
         .orderBy(col("c_mktsegment"))
     },
@@ -356,7 +360,8 @@ object TemporalQueries {
 
     "q58_stream_static_join" ->
       """SELECT c_mktsegment, COUNT(*) AS n_events,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  epoch_us(MAX(ts)) AS max_ts_us
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,

@@ -96,6 +96,18 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(recall >= 0.5, s"IVF recall $recall below the 0.5 bar")
   }
 
+  test("IVF distributed-centroid path is result-identical to the broadcast path") {
+    // same codebook, same probes, same neighbors — the ONLY difference
+    // may be the join strategy Catalyst picks (hinted broadcast vs
+    // size-based choice); results must be bit-equal.
+    val queries = emb.filter(col("vec_id") < 5)
+    def run(dist: Boolean) =
+      Similarity.ivfTopK(emb, queries, 10, distributedCentroids = dist)
+        .select("query_id", "neighbor_id", "cos_sim")
+        .collect().map(_.toString).sorted.toSeq
+    assert(run(dist = false) == run(dist = true))
+  }
+
   test("semantic dedup drops exactly the planted copies; LSH path never over-drops") {
     val exact = TextQueries.queries("q112_semantic_dedup")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getString(1),
