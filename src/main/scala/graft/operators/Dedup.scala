@@ -486,4 +486,81 @@ object Dedup {
   def simhashTableMd5(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"),
       GraftFunctions.simhashMd5(GraftFunctions.normWords(col(textCol))).as("simhash"))
+
+  /** Span-level duplicate detection (round 8) — the windowed
+    * approximation of suffix-array ExactSubstr dedup ("Deduplicating
+    * Training Data Makes Language Models Better"): doc-level dedup
+    * misses the boilerplate / license header / template PARAGRAPHS
+    * that repeat across otherwise-distinct documents, and those
+    * repeated spans are what the model memorizes.
+    *
+    * Each doc is cut into `window`-token windows on a `stride` grid
+    * and each window is md5-fingerprinted; a repeated span collides
+    * on its grid windows when its occurrences sit at offsets
+    * CONGRUENT mod `stride` (always true for position-templated
+    * boilerplate — headers, footers, license blocks — and for whole-
+    * doc copies). For offset-ROBUST span detection use
+    * [[winnowedFingerprints]]; the grid variant is the cheaper pass
+    * (fan-out len/stride vs len) and counts occurrences exactly.
+    *
+    * Plan shape: tokenize + window expansion are NARROW (fan-out
+    * len/stride per doc, arithmetic, no join); then ONE shuffle on the
+    * fingerprint with partial aggregation. Output is aggregate-only
+    * (counts + min doc), never a per-hash doc list — a boilerplate
+    * span repeated in 10^9 docs is one row, not a hot-key list.
+    */
+  def spanFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                       window: Int = 20, stride: Int = 10): DataFrame = {
+    val toks = filter(split(col(textCol), " "), t => t =!= "")
+    docs
+      .select(col(idCol).as("doc_id"), toks.as("__toks"))
+      .filter(size(col("__toks")) >= window)
+      .select(col("doc_id"), col("__toks"),
+        explode(sequence(lit(0), size(col("__toks")) - window,
+          lit(stride))).as("__s"))
+      .select(col("doc_id"),
+        md5(concat_ws(" ",
+          slice(col("__toks"), col("__s") + 1, lit(window)))).as("span_hash"))
+      .groupBy(col("span_hash"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= 2)
+  }
+
+  /** Winnowing fingerprints (round 8) — offset-robust span-level
+    * duplicate detection (the MOSS algorithm): hash every k-token
+    * gram, then in every window of w consecutive gram hashes select
+    * the MINIMUM hash. The winnowing theorem guarantees any repeated
+    * run of ≥ w+k−1 tokens shares at least one selected fingerprint
+    * REGARDLESS of where it sits in each document — the guarantee the
+    * [[spanFingerprints]] grid cannot give (it needs offsets congruent
+    * mod stride), at ~1/stride more candidate hashes.
+    *
+    * Plan shape: the gram hashing AND the sliding-min selection are
+    * both NARROW — one `transform` producing the per-doc hash array,
+    * one `transform`+`array_min(slice(...))` selecting fingerprints,
+    * `array_distinct` for set semantics — so the only shuffle in the
+    * whole operator is the final fingerprint groupBy (partial-agg,
+    * uniform md5 key). No per-doc window function, no explode before
+    * the distinct.
+    */
+  def winnowedFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                           k: Int = 8, w: Int = 13): DataFrame = {
+    val toks = filter(split(col(textCol), " "), t => t =!= "")
+    docs
+      .select(col(idCol).as("doc_id"), toks.as("__toks"))
+      .filter(size(col("__toks")) >= k + w - 1)
+      .select(col("doc_id"),
+        transform(sequence(lit(1), size(col("__toks")) - (k - 1)),
+          i => md5(concat_ws(" ", slice(col("__toks"), i, lit(k))))).as("__hs"))
+      .select(col("doc_id"),
+        explode(array_distinct(
+          transform(sequence(lit(1), size(col("__hs")) - (w - 1)),
+            i => array_min(slice(col("__hs"), i, lit(w)))))).as("fp"))
+      .groupBy(col("fp"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= 2)
+  }
 }

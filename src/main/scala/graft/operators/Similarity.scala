@@ -238,4 +238,65 @@ object Similarity {
       .select(col("vec_id"),
         when(col("dup_of").isNull, "keep").otherwise("drop").as("verdict"),
         col("dup_of"))
+
+  /** Density-based data pruning (round 8): score every vector by its
+    * embedding-space NEIGHBORHOOD DENSITY (neighbor count at cosine ≥
+    * tau) and keep a deterministic subsample that thins DENSE regions
+    * — the "keep the hard/rare examples" selection rule from the
+    * data-pruning literature: redundant points cluster, informative
+    * ones sit in sparse regions.
+    *
+    *   keep ⇔ density ≤ floor  OR  hash01(vec_id) < floor/density
+    *
+    * so expected kept mass per dense region ≈ floor — an inverse-
+    * density sampler with a hard keep-all floor. hash01 is the
+    * md5-based uniform already used by every sampling op (content-
+    * deterministic, no rand()).
+    *
+    * This exact form scores all pairs (broadcast nested-loop): the
+    * correctness baseline, same contract as [[semanticDedupExact]].
+    * The scale path reuses [[cosineNearDups]]' LSH bucket generator
+    * for the density counts ([[densityPruneLsh]]): candidate pairs ⊆
+    * exact pairs ⇒ LSH densities are UNDERcounts ⇒ it only ever keeps
+    * MORE than the exact rule — one-sided error, never prunes a
+    * sparse-region point the exact rule would keep.
+    */
+  def densityPruneExact(corpus: DataFrame, tau: Double,
+                        floor: Int = 5): DataFrame = {
+    val a = corpus.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+    val b = corpus.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+    val counts = broadcast(a).join(b, col("a_id") =!= col("b_id"))
+      .filter(round(GraftFunctions.cosine(col("a_emb"), col("b_emb")), 6) >= tau)
+      .groupBy(col("b_id")).agg(count(lit(1)).as("density"))
+    keepByDensity(corpus, counts, floor)
+  }
+
+  /** [[densityPruneExact]] with LSH-bucketed neighbor counting —
+    * cost ∝ Σ bucket², never corpus². Densities are one-sided
+    * undercounts (see above), so the kept set ⊇ the exact kept set.
+    */
+  def densityPruneLsh(corpus: DataFrame, tau: Double, floor: Int = 5,
+                      nTables: Int = 8, nBits: Int = 6): DataFrame = {
+    val pairs = cosineNearDups(corpus, tau, nTables, nBits)
+    val counts = pairs.select(col("vec_a").as("b_id"))
+      .unionByName(pairs.select(col("vec_b").as("b_id")))
+      .groupBy(col("b_id")).agg(count(lit(1)).as("density"))
+    keepByDensity(corpus, counts, floor)
+  }
+
+  private def keepByDensity(corpus: DataFrame, counts: DataFrame,
+                            floor: Int): DataFrame =
+    corpus.join(counts, corpus("vec_id") === counts("b_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("density"), lit(0L)).as("density"))
+      // md5-derived uniform in [0,1): first 6 hex chars / 2^24 — the
+      // deterministic sampling primitive shared with the split family
+      .withColumn("__u",
+        conv(substring(md5(concat(lit("dp:"),
+          col("vec_id").cast("string"))), 1, 6), 16, 10)
+          .cast("long").cast("double") / lit(16777216.0))
+      .select(col("vec_id"), col("density"),
+        when(col("density") <= floor ||
+          col("__u") < lit(floor.toDouble) / col("density"), "keep")
+          .otherwise("prune").as("verdict"))
 }

@@ -467,6 +467,20 @@ object CurationQueries {
             .otherwise("budget").as("verdict"),
           col("ws_tokens"), col("cum_tokens"))
         .orderBy(col("doc_id"))
+    },
+
+    // §2.3 (round 8) — DENSITY-BASED data pruning: embedding-space
+    // neighbor count at cosine ≥ 0.2, then a deterministic inverse-
+    // density subsample that thins dense (redundant) regions and
+    // keeps every sparse-region point — the data-pruning selection
+    // rule. Exact all-pairs density is the oracled baseline;
+    // densityPruneLsh is the 100 TB path (one-sided undercounts ⇒
+    // never prunes what the exact rule keeps; spec-asserted).
+    "q148_density_prune" -> { (s, d) =>
+      graft.operators.Similarity.densityPruneExact(
+        Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+        tau = 0.2, floor = 5)
+        .orderBy(col("vec_id"))
     }
   )
 
@@ -474,6 +488,22 @@ object CurationQueries {
     * step: a doc is removed iff its component minimum is not itself.
     */
   val oracleSql: Map[String, String] = Map(
+
+    "q148_density_prune" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |cnt AS (
+        |  SELECT b.vec_id AS id, COUNT(*) AS density
+        |  FROM e a JOIN e b ON a.vec_id <> b.vec_id
+        |  WHERE round(list_cosine_similarity(a.emb, b.emb), 6) >= 0.2
+        |  GROUP BY b.vec_id)
+        |SELECT e.vec_id, CAST(COALESCE(c.density, 0) AS BIGINT) AS density,
+        |  CASE WHEN COALESCE(c.density, 0) <= 5
+        |         OR CAST(('0x' || substr(md5('dp:' || CAST(e.vec_id AS VARCHAR)), 1, 6)) AS BIGINT)
+        |            / 16777216.0 < 5.0 / c.density
+        |       THEN 'keep' ELSE 'prune' END AS verdict
+        |FROM e LEFT JOIN cnt c ON c.id = e.vec_id
+        |ORDER BY e.vec_id""".stripMargin,
 
     "q79_dedup_apply" ->
       s"""WITH RECURSIVE $corpusSql,

@@ -790,6 +790,31 @@ object TextQueries {
             .when(greatest(col("cont_a"), col("cont_b")) >= 0.9, "contained")
             .otherwise("distinct"))
         .orderBy(col("doc_a"))
+    },
+
+    // §2.3 (round 8) — SPAN-level duplicate detection: the windowed
+    // grid approximation of suffix-array ExactSubstr dedup. Doc-level
+    // dedup misses boilerplate/template spans repeated across
+    // otherwise-distinct documents; every 20-token window on a
+    // 10-token grid is fingerprinted and cross-doc repeats surface as
+    // hash collisions (aggregate-only output — a universal span is
+    // one row, never a doc list). Narrow fan-out front, ONE shuffle.
+    "q147_span_dedup" -> { (s, d) =>
+      Dedup.spanFingerprints(Tables.documents(s, d), "doc_id", "text",
+        window = 20, stride = 10)
+        .orderBy(col("span_hash"))
+    },
+
+    // §2.3 (round 8) — WINNOWING fingerprints (MOSS): offset-robust
+    // span detection. Guarantee: any repeated run of ≥ w+k−1 = 20
+    // tokens shares a selected fingerprint wherever it sits in each
+    // doc (the q147 grid needs congruent offsets). Gram hashing and
+    // sliding-min selection are narrow array transforms — the only
+    // shuffle is the final fingerprint groupBy.
+    "q149_winnow_dedup" -> { (s, d) =>
+      Dedup.winnowedFingerprints(Tables.documents(s, d), "doc_id", "text",
+        k = 8, w = 13)
+        .orderBy(col("fp"))
     }
   )
 
@@ -1375,6 +1400,41 @@ object TextQueries {
          |       WHEN n_dup > 0 THEN 'partial'
          |       ELSE 'unique' END AS verdict
          |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q149_winnow_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    [md5(array_to_string(toks[i:i+7], ' '))
+        |       for i in generate_series(1, len(toks)-7)] AS hs
+        |  FROM t WHERE len(toks) >= 20),
+        |f AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest([list_min(hs[i:i+12])
+        |              for i in generate_series(1, len(hs)-12)]) AS fp
+        |  FROM h)
+        |SELECT fp, COUNT(DISTINCT doc_id) AS n_docs, MIN(doc_id) AS first_doc
+        |FROM f
+        |GROUP BY fp HAVING COUNT(DISTINCT doc_id) >= 2
+        |ORDER BY fp""".stripMargin,
+
+    "q147_span_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, md5(array_to_string(toks[s+1:s+20], ' ')) AS span_hash
+        |  FROM t, UNNEST(range(0, greatest(len(toks)-20+1, 0), 10)) AS u(s)
+        |  WHERE len(toks) >= 20)
+        |SELECT span_hash, COUNT(DISTINCT doc_id) AS n_docs,
+        |  COUNT(*) AS n_occurrences, MIN(doc_id) AS first_doc
+        |FROM w
+        |GROUP BY span_hash HAVING COUNT(DISTINCT doc_id) >= 2
+        |ORDER BY span_hash""".stripMargin,
 
     "q146_split_uniformity" ->
       """WITH b AS (

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity}
+
+/** Round-8 span-dedup + density-pruning invariants: the detection
+  * guarantees each operator claims, exercised with planted spans at
+  * controlled offsets.
+  */
+class SpanDedupSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def wordsDoc(seed: Int, n: Int): String =
+    (0 until n).map(i => s"w${seed}_$i").mkString(" ")
+
+  // a 25-token span (≥ w+k−1 = 20) shared verbatim
+  private val span = (0 until 25).map(i => s"shared_$i").mkString(" ")
+
+  test("winnowing catches a shared span at INCONGRUENT offsets; grid does not") {
+    // doc 1 carries the span at token offset 0; doc 2 at offset 3 —
+    // 3 ≢ 0 (mod 10), so the q147 grid windows never align, while the
+    // winnowing theorem guarantees a shared fingerprint.
+    val docs = Seq(
+      (1L, span + " " + wordsDoc(1, 40)),
+      (2L, wordsDoc(2, 3) + " " + span + " " + wordsDoc(3, 40))
+    ).toDF("doc_id", "text")
+
+    val win = Dedup.winnowedFingerprints(docs, "doc_id", "text", k = 8, w = 13)
+    assert(win.count() > 0, "winnowing must fingerprint the shifted span")
+    assert(win.agg(min(col("n_docs"))).as[Long].head() == 2L)
+
+    val grid = Dedup.spanFingerprints(docs, "doc_id", "text", 20, 10)
+    assert(grid.count() == 0,
+      "grid spans at incongruent offsets must NOT collide — if this " +
+        "starts passing the grid semantics changed")
+  }
+
+  test("grid catches the span at congruent offsets, with exact occurrence counts") {
+    // offsets 0 and 10 are congruent mod stride=10 → the grid sees it
+    val docs = Seq(
+      (1L, span + " " + wordsDoc(1, 40)),
+      (2L, wordsDoc(2, 10) + " " + span + " " + wordsDoc(3, 40))
+    ).toDF("doc_id", "text")
+    val grid = Dedup.spanFingerprints(docs, "doc_id", "text", 20, 10)
+      .collect()
+    assert(grid.nonEmpty)
+    grid.foreach { r =>
+      assert(r.getAs[Long]("n_docs") == 2L)
+      assert(r.getAs[Long]("n_occurrences") == 2L)
+      assert(r.getAs[Long]("first_doc") == 1L)
+    }
+  }
+
+  test("winnowing produces no fingerprint for unique docs") {
+    val docs = Seq((1L, wordsDoc(1, 60)), (2L, wordsDoc(2, 60)))
+      .toDF("doc_id", "text")
+    assert(Dedup.winnowedFingerprints(docs, "doc_id", "text").count() == 0)
+  }
+
+  test("LSH density pruning is one-sided: keeps a superset of the exact rule") {
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    def kept(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.filter(col("verdict") === "keep").select("vec_id").as[Long]
+        .collect().toSet
+    val exact = kept(Similarity.densityPruneExact(emb, tau = 0.2, floor = 5))
+    val lsh = kept(Similarity.densityPruneLsh(emb, tau = 0.2, floor = 5))
+    assert(exact.subsetOf(lsh),
+      s"LSH pruned ${(exact -- lsh).size} vectors the exact rule keeps")
+    assert(exact.nonEmpty)
+  }
+
+  test("density verdicts: sparse points always keep; dense regions thin toward the floor") {
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    val out = Similarity.densityPruneExact(emb, tau = 0.2, floor = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    out.filter(_._2 <= 5).foreach { case (id, d, v) =>
+      assert(v == "keep", s"vec $id density $d must keep")
+    }
+    val dense = out.filter(_._2 > 5)
+    if (dense.length > 20) {
+      val keptFrac = dense.count(_._3 == "keep").toDouble / dense.length
+      assert(keptFrac < 1.0, "dense regions must thin")
+    }
+  }
+}
