@@ -13,7 +13,10 @@ class PlanAuditSpec extends SparkSpecBase {
   // q34: broadcast query set; q112: exact semantic-dedup baseline —
   // the broadcast side is the bounded corpus slice by construction
   // (the LSH path is the scale form and plans bucket equi-joins)
-  private val intendedNestedLoop = Set("q34_cosine_topk", "q112_semantic_dedup")
+  // exact all-pairs baselines whose query/corpus side is deliberately
+  // broadcast (bounded by contract); the scale paths are LSH-bucketed
+  private val intendedNestedLoop =
+    Set("q34_cosine_topk", "q112_semantic_dedup", "q148_density_prune")
 
   test("no query plans a CartesianProduct") {
     SparkEntry.queries.foreach { case (name, fn) =>
