@@ -64,7 +64,8 @@ object BudgetGate {
           .write.mode("overwrite").parquet(s"$ledgerDir/batch=$batchId")
         ()
       }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    try q.processAllAvailable() finally q.stop()
+    try q.awaitTermination() finally q.stop()
   }
 }

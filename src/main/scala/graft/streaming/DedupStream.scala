@@ -120,7 +120,8 @@ object DedupStream {
           .write.mode("overwrite").parquet(s"$indexDir/gen=$batchId")
         ()
       }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    try q.processAllAvailable() finally q.stop()
+    try q.awaitTermination() finally q.stop()
   }
 }

@@ -70,7 +70,8 @@ object DriftMonitor {
         } finally terms.unpersist(blocking = false)
         ()
       }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    try q.processAllAvailable() finally q.stop()
+    try q.awaitTermination() finally q.stop()
   }
 }

@@ -39,7 +39,8 @@ object QualityGate {
         } finally flagged.unpersist(blocking = false)
         ()
       }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    try q.processAllAvailable() finally q.stop()
+    try q.awaitTermination() finally q.stop()
   }
 }
