@@ -481,6 +481,64 @@ object CurationQueries {
         Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
         tau = 0.2, floor = 5)
         .orderBy(col("vec_id"))
+    },
+
+    // §2.3 (round 8) — per-source WEIGHTED reservoir sampling (k docs
+    // per source, P ∝ doc length) on the native TopKPerKeyExec.
+    // Classical A-Res keys (u^(1/w)) are transcendental — a 1-ulp pow
+    // divergence between engines could flip an ordering — so the
+    // weight enters as an integer TICKET RACE instead: every char
+    // buys one 48-bit md5 ticket, a doc's priority is its BEST
+    // (minimum) ticket, and min-of-w-uniforms is exactly the
+    // discretized exponential race (P(win) = w/Σw, successive ranks =
+    // draws without replacement). All integer arithmetic — zero
+    // float knife-edges — and the same md5 primitive the sampling
+    // family already uses. The ticket derivation is narrow
+    // (transform+array_min per row); TopKPerKeyExec then shuffles
+    // only k-bounded partials per source, never the corpus.
+    "q150_reservoir_sample" -> { (s, d) =>
+      val ticket = array_min(transform(
+        sequence(lit(1), col("n_chars")),
+        j => conv(substring(md5(concat(lit("q150:"),
+          col("doc_id").cast("string"), lit(":"), j.cast("string"))),
+          1, 12), 16, 10).cast("long")))
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .withColumn("neg_ticket", -ticket)
+      graft.plans.TopKPlan.topKPerKey(docs, Seq("source"),
+          scoreCol = "neg_ticket", tieCol = "doc_id", k = 20)
+        .select(col("source"), col("doc_id"), col("n_chars"), col("rnk"))
+        .orderBy(col("source"), col("rnk"))
+    },
+
+    // §2.3 (round 8) — TEMPERATURE-scaled source mixing (the mT5 /
+    // multilingual-LM rebalance): target share q_s ∝ tokens_s^α with
+    // α = 0.5 flattens the source distribution toward uniform without
+    // inverting it; keep_rate caps at 1 (a source can't upsample
+    // here — q77 covers replication). Dimension-sized algebra: one
+    // per-source partial agg, a 1-row total broadcast; pow appears
+    // only inside round(,6) VALUE columns, never in a filter or
+    // ordering, so no cross-engine float knife-edge exists.
+    "q151_temperature_mix" -> { (s, d) =>
+      val perSrc = Tables.documents(s, d)
+        .groupBy(col("source"))
+        .agg(sum(col("n_chars")).cast("long").as("src_chars"))
+      val tot = perSrc.agg(
+        sum(col("src_chars")).cast("long").as("total_chars"),
+        sum(sqrt(col("src_chars"))).as("z"))
+      val budget = col("total_chars").cast("double") / 2
+      perSrc.crossJoin(broadcast(tot))
+        .select(col("source"), col("src_chars"),
+          round(col("src_chars").cast("double") / col("total_chars"), 6)
+            .as("share_raw"),
+          round(sqrt(col("src_chars")) / col("z"), 6).as("share_temp"),
+          round(least(lit(1.0),
+            budget * (sqrt(col("src_chars")) / col("z"))
+              / col("src_chars")), 6).as("keep_rate"),
+          round(col("src_chars") * least(lit(1.0),
+            budget * (sqrt(col("src_chars")) / col("z"))
+              / col("src_chars")), 6).as("expected_chars"))
+        .orderBy(col("source"))
     }
   )
 
@@ -488,6 +546,37 @@ object CurationQueries {
     * step: a doc is removed iff its component minimum is not itself.
     */
   val oracleSql: Map[String, String] = Map(
+
+    "q150_reservoir_sample" ->
+      """WITH t AS (
+        |  SELECT source, doc_id, n_chars,
+        |    list_min([CAST(('0x' || substr(md5('q150:' || CAST(doc_id AS VARCHAR)
+        |                || ':' || CAST(j AS VARCHAR)), 1, 12)) AS BIGINT)
+        |              for j in generate_series(1, n_chars)]) AS ticket
+        |  FROM documents)
+        |SELECT source, doc_id, n_chars, rnk FROM (
+        |  SELECT source, doc_id, n_chars,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY ticket DESC, doc_id) AS INTEGER) AS rnk
+        |  FROM (SELECT source, doc_id, n_chars, -ticket AS ticket FROM t))
+        |WHERE rnk <= 20
+        |ORDER BY source, rnk""".stripMargin,
+
+    "q151_temperature_mix" ->
+      """WITH s AS (
+        |  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS src_chars
+        |  FROM documents GROUP BY source),
+        |t AS (SELECT CAST(SUM(src_chars) AS BIGINT) AS total_chars,
+        |             SUM(sqrt(src_chars)) AS z FROM s)
+        |SELECT source, src_chars,
+        |  ROUND(CAST(src_chars AS DOUBLE) / total_chars, 6) AS share_raw,
+        |  ROUND(sqrt(src_chars) / z, 6) AS share_temp,
+        |  ROUND(LEAST(1.0, (total_chars / 2.0) * (sqrt(src_chars) / z)
+        |    / src_chars), 6) AS keep_rate,
+        |  ROUND(src_chars * LEAST(1.0, (total_chars / 2.0) * (sqrt(src_chars) / z)
+        |    / src_chars), 6) AS expected_chars
+        |FROM s CROSS JOIN t
+        |ORDER BY source""".stripMargin,
 
     "q148_density_prune" ->
       """WITH e AS (
