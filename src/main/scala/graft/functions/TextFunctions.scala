@@ -241,6 +241,9 @@ object TextOps {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
   }
 
+  /** Public alias for kernels outside this object (WinnowOps). */
+  def md5HexOf(s: String): String = md5Hex(s)
+
   private def md5Hex(s: String): String = {
     val md = md5Digest.get()
     md.reset()
@@ -332,6 +335,77 @@ object TextOps {
     }
     ArrayData.toArrayData(out)
   }
+}
+
+/** Codegen'd winnowing-fingerprint kernel (round 8): fuses k-gram
+  * md5 hashing with the sliding-window minimum selection of
+  * [[graft.operators.Dedup.winnowedFingerprints]] into one O(len)
+  * pass — the compositional `transform`+`array_min(slice)` spelling
+  * re-scans w hashes per window (O(len·w)). The sliding min runs a
+  * MONOTONIC DEQUE (each gram hash enters and leaves the deque at
+  * most once); selected fingerprints dedup in insertion order.
+  * Bit-identical output contract to the compositional form (same
+  * gram text, same md5 hex, same lexicographic minimum), spec- and
+  * oracle-pinned.
+  */
+object WinnowOps {
+  def winnow(tokens: ArrayData, k: Int, w: Int): ArrayData = {
+    val n = tokens.numElements()
+    val nh = n - k + 1
+    if (nh < w)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    // gram md5 hex strings (same joined-with-space text as the oracle)
+    val hs = new Array[String](nh)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < nh) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(tokens.getUTF8String(i + j).toString)
+        j += 1
+      }
+      hs(i) = TextOps.md5HexOf(sb.toString)
+      i += 1
+    }
+    // monotonic deque of indices: values increasing head→tail; the
+    // head is the window minimum. Equal values pop (>= 0) so the
+    // NEWEST minimal index survives — the min VALUE is unaffected.
+    val deque = new Array[Int](nh)
+    var head = 0
+    var tail = 0
+    val out = new java.util.LinkedHashSet[String]()
+    i = 0
+    while (i < nh) {
+      while (tail > head && hs(deque(tail - 1)).compareTo(hs(i)) >= 0) tail -= 1
+      deque(tail) = i
+      tail += 1
+      if (deque(head) <= i - w) head += 1
+      if (i >= w - 1) out.add(hs(deque(head)))
+      i += 1
+    }
+    val arr = new Array[Any](out.size)
+    val it = out.iterator()
+    var o = 0
+    while (it.hasNext) { arr(o) = UTF8String.fromString(it.next()); o += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+}
+
+/** Codegen'd winnowing fingerprints of ArrayType(StringType) tokens →
+  * ArrayType(StringType) distinct selected md5-hex fingerprints. */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(t: Any): Any =
+    WinnowOps.winnow(t.asInstanceOf[ArrayData], k, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      t => s"graft.functions.WinnowOps.winnow($t, $k, $w)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "graft_winnow"
 }
 
 /** Codegen'd one-pass MinHash LSH band signatures of
@@ -521,6 +595,9 @@ object GraftFunctions {
   def shingleSet(tokens: Column, shingleWidth: Int): Column =
     toCol(ShingleSet(toExpr(tokens), shingleWidth))
 
+  def winnow(tokens: Column, k: Int, w: Int): Column =
+    toCol(WinnowFingerprints(toExpr(tokens), k, w))
+
   def charEntropy(text: Column): Column =
     toCol(CharEntropy(toExpr(text)))
 
@@ -578,6 +655,9 @@ object GraftFunctions {
         intLit(es(2), "nSeeds"), intLit(es(3), "rowsPerBand")), "built-in")
     reg.createOrReplaceTempFunction("graft_shingle_set",
       es => ShingleSet(es.head, intLit(es(1), "shingleWidth")), "built-in")
+    reg.createOrReplaceTempFunction("graft_winnow",
+      es => WinnowFingerprints(es.head,
+        intLit(es(1), "k"), intLit(es(2), "w")), "built-in")
     reg.createOrReplaceTempFunction("graft_char_entropy",
       es => CharEntropy(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_nfc",

@@ -537,30 +537,54 @@ object Dedup {
     * [[spanFingerprints]] grid cannot give (it needs offsets congruent
     * mod stride), at ~1/stride more candidate hashes.
     *
-    * Plan shape: the gram hashing AND the sliding-min selection are
-    * both NARROW — one `transform` producing the per-doc hash array,
-    * one `transform`+`array_min(slice(...))` selecting fingerprints,
-    * `array_distinct` for set semantics — so the only shuffle in the
-    * whole operator is the final fingerprint groupBy (partial-agg,
-    * uniform md5 key). No per-doc window function, no explode before
-    * the distinct.
+    * Plan shape: fingerprint selection is one NARROW codegen'd kernel
+    * call per doc ([[graft.functions.WinnowOps.winnow]] — monotonic-
+    * deque sliding min, O(len) per doc where the compositional
+    * `transform`+`array_min(slice)` spelling is O(len·w)); the only
+    * shuffle in the operator is the final fingerprint groupBy
+    * (partial-agg, uniform md5 key). No per-doc window function.
     */
   def winnowedFingerprints(docs: DataFrame, idCol: String, textCol: String,
-                           k: Int = 8, w: Int = 13): DataFrame = {
+                           k: Int = 8, w: Int = 13): DataFrame =
+    fingerprintAgg(
+      tokenized(docs, idCol, textCol, minLen = k + w - 1)
+        .select(col("doc_id"),
+          explode(GraftFunctions.winnow(col("__toks"), k, w)).as("fp")))
+
+  /** The compositional spelling of [[winnowedFingerprints]] —
+    * identical output by construction (the kernel's contract);
+    * retained as the in-repo parity baseline (SpanDedupSpec) and the
+    * shape mirrored by the DuckDB oracle. `__hs` is a materialized
+    * projection column, NOT an inline subtree: it is referenced from
+    * inside a higher-order lambda where Catalyst disables
+    * subexpression elimination (see GraftFunctions.wordShingles).
+    */
+  def winnowedFingerprintsComposed(docs: DataFrame, idCol: String,
+                                   textCol: String,
+                                   k: Int = 8, w: Int = 13): DataFrame =
+    fingerprintAgg(
+      tokenized(docs, idCol, textCol, minLen = k + w - 1)
+        .select(col("doc_id"),
+          transform(sequence(lit(1), size(col("__toks")) - (k - 1)),
+            i => md5(concat_ws(" ", slice(col("__toks"), i, lit(k)))))
+            .as("__hs"))
+        .select(col("doc_id"),
+          explode(array_distinct(
+            transform(sequence(lit(1), size(col("__hs")) - (w - 1)),
+              i => array_min(slice(col("__hs"), i, lit(w)))))).as("fp")))
+
+  private def tokenized(docs: DataFrame, idCol: String, textCol: String,
+                        minLen: Int): DataFrame = {
     val toks = filter(split(col(textCol), " "), t => t =!= "")
     docs
       .select(col(idCol).as("doc_id"), toks.as("__toks"))
-      .filter(size(col("__toks")) >= k + w - 1)
-      .select(col("doc_id"),
-        transform(sequence(lit(1), size(col("__toks")) - (k - 1)),
-          i => md5(concat_ws(" ", slice(col("__toks"), i, lit(k))))).as("__hs"))
-      .select(col("doc_id"),
-        explode(array_distinct(
-          transform(sequence(lit(1), size(col("__hs")) - (w - 1)),
-            i => array_min(slice(col("__hs"), i, lit(w)))))).as("fp"))
+      .filter(size(col("__toks")) >= minLen)
+  }
+
+  private def fingerprintAgg(perDocFps: DataFrame): DataFrame =
+    perDocFps
       .groupBy(col("fp"))
       .agg(countDistinct(col("doc_id")).as("n_docs"),
         min(col("doc_id")).as("first_doc"))
       .filter(col("n_docs") >= 2)
-  }
 }

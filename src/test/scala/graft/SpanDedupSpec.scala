@@ -52,6 +52,22 @@ class SpanDedupSpec extends SparkSpecBase {
     }
   }
 
+  test("winnow kernel (deque) is bit-identical to the compositional formulation") {
+    // real corpus + planted shifted spans, several (k, w) shapes
+    val base = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val planted = base.unionByName(Seq(
+      (900001L, span + " " + wordsDoc(7, 31)),
+      (900002L, wordsDoc(8, 7) + " " + span)).toDF("doc_id", "text"))
+    for ((k, w) <- Seq((8, 13), (4, 5), (3, 18))) {
+      val native = Dedup.winnowedFingerprints(planted, "doc_id", "text", k, w)
+        .collect().map(_.toString).sorted.toSeq
+      val composed = Dedup.winnowedFingerprintsComposed(planted, "doc_id", "text", k, w)
+        .collect().map(_.toString).sorted.toSeq
+      assert(native == composed, s"kernel diverged at k=$k w=$w")
+      assert(native.nonEmpty, s"planted span must collide at k=$k w=$w")
+    }
+  }
+
   test("winnowing produces no fingerprint for unique docs") {
     val docs = Seq((1L, wordsDoc(1, 60)), (2L, wordsDoc(2, 60)))
       .toDF("doc_id", "text")
