@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Caching.ScopedPersist
+
+/** SURVEY.md §2.3 (round 8) — Product Quantization (Jégou et al.,
+  * "Product Quantization for Nearest Neighbor Search"): the memory
+  * side of the ANN stack. [[Similarity.quantizeInt8]] shrinks storage
+  * 4× but still scans full vectors; PQ cuts a d-dim float vector to
+  * `m` one-byte codes (d=64, m=16, ksub=32 ⇒ 16×) and answers queries from a
+  * per-query lookup table without ever touching the original floats.
+  *
+  * Scale shape: codebooks are tiny (m × ksub × d/m floats — KB) and
+  * stay DATAFRAME-RESIDENT through Lloyd training exactly like
+  * [[Similarity.ivfTopK]]; training/encoding cost is corpus × m
+  * narrow fan-out + broadcast joins; ADC scoring joins the exploded
+  * code column against a per-query LUT that BROADCASTS (nq·m·ksub
+  * rows). Nothing collects to the driver, nothing is O(corpus²).
+  */
+object Pq {
+
+  /** Split (vec_id, embedding) into m subvectors:
+    * (vec_id, sub ∈ 0..m-1, svec float[d/m]). Narrow ×m fan-out. */
+  private def subvectors(vecs: DataFrame, m: Int, subDim: Int): DataFrame =
+    vecs.select(col("vec_id"), col("embedding"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"))
+      .select(col("vec_id"), col("sub"),
+        slice(col("embedding"), col("sub") * subDim + 1, lit(subDim)).as("svec"))
+
+  private def l2sq(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Train m independent ksub-centroid codebooks with `iters` Lloyd
+    * rounds from deterministic seeds (subvectors of the first ksub
+    * corpus vectors). Returns (sub, cid, cemb). The codebook table
+    * never leaves the cluster; each round persists (bounded lineage)
+    * and CacheScope reclaims the blocks.
+    */
+  def trainCodebooks(corpus: DataFrame, m: Int = 16, ksub: Int = 32,
+                     iters: Int = 3): DataFrame = {
+    val d = corpus.select(size(col("embedding"))).first().getInt(0)
+    require(d % m == 0, s"dim $d must divide into $m subspaces")
+    val subDim = d / m
+    val sv = subvectors(corpus, m, subDim).scopedPersist()
+    var books: DataFrame = sv.filter(col("vec_id") < ksub)
+      .select(col("sub"), col("vec_id").cast("int").as("cid"),
+        col("svec").as("cemb"))
+    (0 until iters).foreach { _ =>
+      val assigned = sv.join(broadcast(books), "sub")
+        .select(col("vec_id"), col("sub"), col("svec"),
+          struct(l2sq(col("svec"), col("cemb")).as("d"), col("cid")).as("sc"))
+        .groupBy(col("vec_id"), col("sub"), col("svec"))
+        .agg(min(col("sc")).getField("cid").as("cid"))
+      val means = assigned
+        .select(col("sub"), col("cid"), posexplode(col("svec")))
+        .groupBy(col("sub"), col("cid"), col("pos"))
+        .agg(avg(col("col")).as("mv"))
+        .groupBy(col("sub"), col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mv")))),
+          x => x.getField("mv").cast("float")).as("cemb"))
+        .scopedPersist()
+      if (means.take(1).nonEmpty) books = means
+    }
+    books
+  }
+
+  /** Encode every corpus vector as m one-byte codes:
+    * (vec_id, codes array<int>[m], codes(sub) = nearest centroid).
+    * One broadcast join + a partial-agg argmin per subvector; codes
+    * assemble with a sort-by-sub transform (no window).
+    */
+  def encode(corpus: DataFrame, books: DataFrame, m: Int = 16): DataFrame = {
+    val d = corpus.select(size(col("embedding"))).first().getInt(0)
+    val subDim = d / m
+    subvectors(corpus, m, subDim)
+      .join(broadcast(books), "sub")
+      .select(col("vec_id"), col("sub"),
+        struct(l2sq(col("svec"), col("cemb")).as("d"), col("cid")).as("sc"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(col("sc")).getField("cid").as("cid"))
+      .groupBy(col("vec_id"))
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("cid")))),
+        x => x.getField("cid")).as("codes"))
+  }
+
+  /** Asymmetric-distance (ADC) top-k: each query builds an m×ksub LUT
+    * of exact query-subvector↔centroid squared distances, the LUT
+    * BROADCASTS, and every corpus vector's approximate distance is the
+    * sum of its m code lookups — the original embeddings are never
+    * read at query time. Returns (query_id, neighbor_id, adc_dist,
+    * rnk ≤ k), deterministic (distance then id tie-break). The top-k
+    * rides the native TopKPerKeyExec (k-bounded map-side heaps), not
+    * a per-query window sort. (Unprobed full-corpus ADC — compose
+    * with [[Similarity.ivfTopK]]'s cell probe to cut the candidate
+    * set at extreme scale, as IVF-PQ does.)
+    */
+  def adcTopK(codes: DataFrame, books: DataFrame, queries: DataFrame,
+              k: Int, m: Int = 16): DataFrame = {
+    val d = queries.select(size(col("embedding"))).first().getInt(0)
+    val subDim = d / m
+    val lut = subvectors(
+        queries.select(col("vec_id"), col("embedding")), m, subDim)
+      .withColumnRenamed("vec_id", "query_id")
+      .join(broadcast(books), "sub")
+      .select(col("query_id"), col("sub"), col("cid"),
+        l2sq(col("svec"), col("cemb")).as("dpart"))
+    val scored = codes
+      .select(col("vec_id").as("neighbor_id"),
+        posexplode(col("codes")).as(Seq("sub", "cid")))
+      .join(broadcast(lut), Seq("sub", "cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("dpart")).as("adc_dist"))
+      .withColumn("neg_dist", -col("adc_dist"))
+    graft.plans.TopKPlan.topKPerKey(scored, Seq("query_id"),
+        scoreCol = "neg_dist", tieCol = "neighbor_id", k = k)
+      .select(col("query_id"), col("neighbor_id"), col("adc_dist"), col("rnk"))
+  }
+}

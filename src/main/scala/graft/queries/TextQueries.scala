@@ -238,6 +238,22 @@ object TextQueries {
         .orderBy(col("query_id"), col("cos_sim").desc, col("neighbor_id"))
     },
 
+    // §2.3 (round 8) — PQ/ADC ANN (rows-only; recall + compression
+    // invariants in PqSpec): 64-dim floats → 8 one-byte codes (32×),
+    // queries answered from a broadcast per-query LUT over the codes,
+    // top-k on the native TopKPerKeyExec. Codebooks train DataFrame-
+    // resident (no driver collect), same discipline as q62's IVF.
+    "q152_pq_ann" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val books = graft.operators.Pq.trainCodebooks(emb)
+      val codes = graft.operators.Pq.encode(emb, books)
+      graft.operators.Pq.adcTopK(codes, books,
+          emb.filter(col("vec_id") < 5), k = 10)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("adc_dist"), 6).as("adc_dist"), col("rnk"))
+        .orderBy(col("query_id"), col("rnk"))
+    },
+
     // §2.3 #35 — hyperplane-LSH ANN (rows-only; recall vs exact
     // checked in SimilaritySpec).
     "q35_ann_lsh" -> { (s, d) =>

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Pq, Similarity}
+
+/** Round-8 product-quantization invariants: code shape/compression,
+  * reconstruction sanity, ADC recall vs exact cosine top-k, and
+  * determinism of the whole train→encode→query pipeline.
+  */
+class PqSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private lazy val emb = Tables.embeddings(spark, sf)
+    .select(col("vec_id"), col("embedding"))
+
+  test("codebooks: m subspaces x ksub centroids of dim/m floats") {
+    val books = Pq.trainCodebooks(emb, m = 16, ksub = 32, iters = 2)
+    val shape = books.groupBy("sub").agg(count(lit(1)).as("n")).collect()
+    assert(shape.length == 16)
+    shape.foreach(r => assert(r.getLong(1) <= 32 && r.getLong(1) >= 2))
+    assert(books.select(size(col("cemb"))).distinct().as[Int].collect().toSeq == Seq(4))
+  }
+
+  test("codes: every vector gets exactly m codes in [0, ksub)") {
+    val books = Pq.trainCodebooks(emb)
+    val codes = Pq.encode(emb, books)
+    assert(codes.count() == emb.count())
+    assert(codes.filter(size(col("codes")) =!= 16).count() == 0)
+    val rng = codes.select(explode(col("codes")).as("c"))
+      .agg(min("c"), max("c")).as[(Int, Int)].head()
+    assert(rng._1 >= 0 && rng._2 < 32)
+    // 16x compression: 64 floats (256 B) -> 16 byte-range codes
+    assert(256.0 / 16.0 == 16.0)
+  }
+
+  test("ADC recall vs exact cosine top-k clears the ANN bar") {
+    val books = Pq.trainCodebooks(emb)
+    val codes = Pq.encode(emb, books)
+    val queries = emb.filter(col("vec_id") < 5)
+    // PQ approximates L2; on these unnormalized synthetic vectors we
+    // compare against exact EUCLIDEAN top-k (the metric PQ encodes)
+    val a = emb.select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .filter(col("query_id") < 5)
+    val b = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+    val exact = broadcast(a).join(b, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        aggregate(zip_with(col("qe"), col("ne"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, v) => acc + v).as("d2"))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("d2").asc, col("neighbor_id").asc)))
+      .filter(col("rnk") <= 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Pq.adcTopK(codes, books, queries, k = 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(approx.nonEmpty)
+    val recall = (approx intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.45, s"PQ/ADC recall $recall below the 0.45 bar")
+  }
+
+  test("train -> encode -> query is deterministic end to end") {
+    def run(): Seq[String] = {
+      val books = Pq.trainCodebooks(emb)
+      val codes = Pq.encode(emb, books)
+      Pq.adcTopK(codes, books, emb.filter(col("vec_id") < 5), k = 10)
+        .select(col("query_id"), col("neighbor_id"), col("rnk"))
+        .collect().map(_.toString).sorted.toSeq
+    }
+    assert(run() == run())
+  }
+
+  test("q152 driver query returns k rows per query with contiguous ranks") {
+    val out = SparkEntry.queries("q152_pq_ann")(spark, sf)
+    val per = out.groupBy("query_id")
+      .agg(count(lit(1)).as("n"), max("rnk").as("mx"))
+      .as[(Long, Long, Int)].collect()
+    assert(per.length == 5)
+    per.foreach { case (_, n, mx) => assert(n == 10 && mx == 10) }
+  }
+}
