@@ -546,10 +546,16 @@ object Dedup {
     */
   def winnowedFingerprints(docs: DataFrame, idCol: String, textCol: String,
                            k: Int = 8, w: Int = 13): DataFrame =
-    fingerprintAgg(
-      tokenized(docs, idCol, textCol, minLen = k + w - 1)
-        .select(col("doc_id"),
-          explode(GraftFunctions.winnow(col("__toks"), k, w)).as("fp")))
+    fingerprintAgg(winnowDocFingerprints(docs, idCol, textCol, k, w))
+
+  /** Per-doc winnowing fingerprints (doc_id, fp) — the probe/index
+    * primitive [[graft.streaming.SpanStream]] builds on. Fully narrow
+    * (one kernel call + explode per doc). */
+  def winnowDocFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                            k: Int = 8, w: Int = 13): DataFrame =
+    tokenized(docs, idCol, textCol, minLen = k + w - 1)
+      .select(col("doc_id"),
+        explode(GraftFunctions.winnow(col("__toks"), k, w)).as("fp"))
 
   /** The compositional spelling of [[winnowedFingerprints]] —
     * identical output by construction (the kernel's contract);
