@@ -598,6 +598,12 @@ object GraftFunctions {
   def winnow(tokens: Column, k: Int, w: Int): Column =
     toCol(WinnowFingerprints(toExpr(tokens), k, w))
 
+  def nearestCentroid(svec: Column, cands: Column): Column =
+    toCol(NearestCentroid(toExpr(svec), toExpr(cands)))
+
+  def adcDistance(codes: Column, luts: Column): Column =
+    toCol(AdcDistance(toExpr(codes), toExpr(luts)))
+
   def charEntropy(text: Column): Column =
     toCol(CharEntropy(toExpr(text)))
 

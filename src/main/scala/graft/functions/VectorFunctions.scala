@@ -98,3 +98,82 @@ case class HyperplaneSignature(left: Expression, right: Expression, seed: Long)
     copy(left = l, right = r)
   override def prettyName: String = "graft_hyperplane_sig"
 }
+
+/** PQ kernels (round 8): tight loops behind single-call codegen so the
+  * PQ operators don't pay Janino compilation for deeply nested
+  * transform/aggregate lambda trees (the first cut's dominant cost —
+  * ~1 s of codegen per Lloyd round at bench scale).
+  */
+object PqOps {
+  /** Nearest centroid id: cands = array<struct<cid int, cemb
+    * array<float>>>; returns the cid minimizing squared L2, ties to
+    * the smallest cid — the same (dist, cid) lexicographic minimum as
+    * `array_min` over the struct. */
+  def nearestCid(svec: org.apache.spark.sql.catalyst.util.ArrayData,
+                 cands: org.apache.spark.sql.catalyst.util.ArrayData): Int = {
+    var best = Int.MaxValue
+    var bestD = Double.MaxValue
+    val n = cands.numElements()
+    val dim = svec.numElements()
+    var i = 0
+    while (i < n) {
+      val row = cands.getStruct(i, 2)
+      val cid = row.getInt(0)
+      val cemb = row.getArray(1)
+      var d = 0.0
+      var j = 0
+      while (j < dim) {
+        val diff = svec.getFloat(j) - cemb.getFloat(j)
+        d += diff * diff
+        j += 1
+      }
+      if (d < bestD || (d == bestD && cid < best)) { bestD = d; best = cid }
+      i += 1
+    }
+    best
+  }
+
+  /** ADC distance: luts(sub)(code) summed over subspaces in fixed
+    * ascending-sub order (deterministic FP fold). */
+  def adcDist(codes: org.apache.spark.sql.catalyst.util.ArrayData,
+              luts: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+    var s = 0.0
+    val m = codes.numElements()
+    var i = 0
+    while (i < m) {
+      s += luts.getArray(i).getDouble(codes.getInt(i))
+      i += 1
+    }
+    s
+  }
+}
+
+/** Codegen'd nearest-centroid assignment (PQ/IVF): (subvector,
+  * candidate array) → centroid id, one static call. */
+case class NearestCentroid(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullSafeEval(v: Any, c: Any): Any =
+    PqOps.nearestCid(v.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, c) =>
+      s"${ev.value} = graft.functions.PqOps.nearestCid($v, $c);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "graft_nearest_centroid"
+}
+
+/** Codegen'd ADC lookup-sum: (codes, per-sub LUT rows) → approximate
+  * squared distance. */
+case class AdcDistance(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(codes: Any, luts: Any): Any =
+    PqOps.adcDist(codes.asInstanceOf[ArrayData], luts.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, l) =>
+      s"${ev.value} = graft.functions.PqOps.adcDist($c, $l);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "graft_adc_dist"
+}

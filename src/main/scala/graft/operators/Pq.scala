@@ -34,6 +34,26 @@ object Pq {
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, v) => acc + v)
 
+  /** Codebook as m rows of (sub, cands array<struct<cid,cemb>>) so
+    * assignment is a NARROW per-row argmin over a broadcast array —
+    * no shuffle at all in the assign step (the round-8 first cut
+    * grouped an exploded corpus×ksub join per Lloyd round; at bench
+    * scale the 3 extra shuffle stages per round dominated wall-clock).
+    * Struct ordering (dist, cid) keeps the argmin deterministic. */
+  private def candidateArrays(books: DataFrame): DataFrame =
+    books.groupBy(col("sub"))
+      .agg(array_sort(collect_list(struct(col("cid"), col("cemb"))))
+        .as("cands"))
+
+  /** Assignment argmin as ONE codegen'd kernel call
+    * ([[graft.functions.PqOps.nearestCid]]) — same (dist, cid)
+    * lexicographic minimum as the `array_min`-over-structs spelling,
+    * without handing Janino a nested transform/aggregate lambda tree
+    * to compile per plan (the dominant cost of the first cut). */
+  private def nearestCid(svec: org.apache.spark.sql.Column,
+                         cands: org.apache.spark.sql.Column) =
+    graft.functions.GraftFunctions.nearestCentroid(svec, cands)
+
   /** Train m independent ksub-centroid codebooks with `iters` Lloyd
     * rounds from deterministic seeds (subvectors of the first ksub
     * corpus vectors). Returns (sub, cid, cemb). The codebook table
@@ -50,11 +70,9 @@ object Pq {
       .select(col("sub"), col("vec_id").cast("int").as("cid"),
         col("svec").as("cemb"))
     (0 until iters).foreach { _ =>
-      val assigned = sv.join(broadcast(books), "sub")
+      val assigned = sv.join(broadcast(candidateArrays(books)), "sub")
         .select(col("vec_id"), col("sub"), col("svec"),
-          struct(l2sq(col("svec"), col("cemb")).as("d"), col("cid")).as("sc"))
-        .groupBy(col("vec_id"), col("sub"), col("svec"))
-        .agg(min(col("sc")).getField("cid").as("cid"))
+          nearestCid(col("svec"), col("cands")).as("cid"))
       val means = assigned
         .select(col("sub"), col("cid"), posexplode(col("svec")))
         .groupBy(col("sub"), col("cid"), col("pos"))
@@ -68,23 +86,29 @@ object Pq {
     books
   }
 
+  /** All m codebooks folded to ONE broadcastable row:
+    * books_arr(sub+1) = that subspace's sorted candidate array. Lets
+    * encode/ADC run as pure per-row projections. */
+  private def oneRowBooks(books: DataFrame): DataFrame =
+    candidateArrays(books)
+      .groupBy()
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("cands")))),
+        x => x.getField("cands")).as("books_arr"))
+
   /** Encode every corpus vector as m one-byte codes:
     * (vec_id, codes array<int>[m], codes(sub) = nearest centroid).
-    * One broadcast join + a partial-agg argmin per subvector; codes
-    * assemble with a sort-by-sub transform (no window).
+    * The whole codebook rides ONE broadcast row; encoding is a single
+    * narrow projection per vector — zero shuffles, zero fan-out.
     */
   def encode(corpus: DataFrame, books: DataFrame, m: Int = 16): DataFrame = {
     val d = corpus.select(size(col("embedding"))).first().getInt(0)
     val subDim = d / m
-    subvectors(corpus, m, subDim)
-      .join(broadcast(books), "sub")
-      .select(col("vec_id"), col("sub"),
-        struct(l2sq(col("svec"), col("cemb")).as("d"), col("cid")).as("sc"))
-      .groupBy(col("vec_id"), col("sub"))
-      .agg(min(col("sc")).getField("cid").as("cid"))
-      .groupBy(col("vec_id"))
-      .agg(transform(array_sort(collect_list(struct(col("sub"), col("cid")))),
-        x => x.getField("cid")).as("codes"))
+    corpus.crossJoin(broadcast(oneRowBooks(books)))
+      .select(col("vec_id"),
+        transform(sequence(lit(0), lit(m - 1)),
+          sub => nearestCid(
+            slice(col("embedding"), sub * subDim + 1, lit(subDim)),
+            element_at(col("books_arr"), sub + 1))).as("codes"))
   }
 
   /** Asymmetric-distance (ADC) top-k: each query builds an m×ksub LUT
@@ -102,19 +126,31 @@ object Pq {
               k: Int, m: Int = 16): DataFrame = {
     val d = queries.select(size(col("embedding"))).first().getInt(0)
     val subDim = d / m
+    // per query: luts(sub+1)(cid+1) = squared distance from the
+    // query's subvector to that centroid — m×ksub doubles, exact
     val lut = subvectors(
         queries.select(col("vec_id"), col("embedding")), m, subDim)
-      .withColumnRenamed("vec_id", "query_id")
       .join(broadcast(books), "sub")
-      .select(col("query_id"), col("sub"), col("cid"),
+      .select(col("vec_id").as("query_id"), col("sub"), col("cid"),
         l2sq(col("svec"), col("cemb")).as("dpart"))
-    val scored = codes
-      .select(col("vec_id").as("neighbor_id"),
-        posexplode(col("codes")).as(Seq("sub", "cid")))
-      .join(broadcast(lut), Seq("sub", "cid"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .groupBy(col("query_id"), col("neighbor_id"))
-      .agg(sum(col("dpart")).as("adc_dist"))
+      .groupBy(col("query_id"), col("sub"))
+      .agg(transform(array_sort(collect_list(struct(col("cid"), col("dpart")))),
+        x => x.getField("dpart")).as("row"))
+      .groupBy(col("query_id"))
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("row")))),
+        x => x.getField("row")).as("luts"))
+      .groupBy()
+      .agg(collect_list(struct(col("query_id"), col("luts"))).as("qluts"))
+    // scoring: explode the (tiny) query list per corpus vector and
+    // fold the m code lookups — a narrow nq-fan-out projection, no
+    // shuffle before the k-bounded native top-k
+    val scored = codes.crossJoin(broadcast(lut))
+      .select(col("vec_id").as("neighbor_id"), col("codes"),
+        explode(col("qluts")).as("q"))
+      .filter(col("q.query_id") =!= col("neighbor_id"))
+      .select(col("q.query_id").as("query_id"), col("neighbor_id"),
+        graft.functions.GraftFunctions.adcDistance(col("codes"), col("q.luts"))
+          .as("adc_dist"))
       .withColumn("neg_dist", -col("adc_dist"))
     graft.plans.TopKPlan.topKPerKey(scored, Seq("query_id"),
         scoreCol = "neg_dist", tieCol = "neighbor_id", k = k)
