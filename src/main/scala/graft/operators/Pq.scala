@@ -122,14 +122,15 @@ object Pq {
     * with [[Similarity.ivfTopK]]'s cell probe to cut the candidate
     * set at extreme scale, as IVF-PQ does.)
     */
-  def adcTopK(codes: DataFrame, books: DataFrame, queries: DataFrame,
-              k: Int, m: Int = 16): DataFrame = {
+  /** Per-query LUT table (query_id, luts): luts(sub+1)(cid+1) = exact
+    * squared distance from the query's subvector to that centroid —
+    * m×ksub doubles per query. Shared by [[adcTopK]] and
+    * [[ivfPqTopK]]. */
+  def queryLuts(books: DataFrame, queries: DataFrame,
+                m: Int = 16): DataFrame = {
     val d = queries.select(size(col("embedding"))).first().getInt(0)
     val subDim = d / m
-    // per query: luts(sub+1)(cid+1) = squared distance from the
-    // query's subvector to that centroid — m×ksub doubles, exact
-    val lut = subvectors(
-        queries.select(col("vec_id"), col("embedding")), m, subDim)
+    subvectors(queries.select(col("vec_id"), col("embedding")), m, subDim)
       .join(broadcast(books), "sub")
       .select(col("vec_id").as("query_id"), col("sub"), col("cid"),
         l2sq(col("svec"), col("cemb")).as("dpart"))
@@ -139,6 +140,11 @@ object Pq {
       .groupBy(col("query_id"))
       .agg(transform(array_sort(collect_list(struct(col("sub"), col("row")))),
         x => x.getField("row")).as("luts"))
+  }
+
+  def adcTopK(codes: DataFrame, books: DataFrame, queries: DataFrame,
+              k: Int, m: Int = 16): DataFrame = {
+    val lut = queryLuts(books, queries, m)
       .groupBy()
       .agg(collect_list(struct(col("query_id"), col("luts"))).as("qluts"))
     // scoring: explode the (tiny) query list per corpus vector and
@@ -150,6 +156,45 @@ object Pq {
       .filter(col("q.query_id") =!= col("neighbor_id"))
       .select(col("q.query_id").as("query_id"), col("neighbor_id"),
         graft.functions.GraftFunctions.adcDistance(col("codes"), col("q.luts"))
+          .as("adc_dist"))
+      .withColumn("neg_dist", -col("adc_dist"))
+    graft.plans.TopKPlan.topKPerKey(scored, Seq("query_id"),
+        scoreCol = "neg_dist", tieCol = "neighbor_id", k = k)
+      .select(col("query_id"), col("neighbor_id"), col("adc_dist"), col("rnk"))
+  }
+
+  /** IVF-PQ (the FAISS IndexIVFPQ architecture): the IVF coarse
+    * quantizer prunes the CANDIDATE SET (each query touches only its
+    * nProbe cells ≈ |corpus|·nProbe/nCentroids vectors), PQ prunes
+    * the BYTES (candidates are scored from codes via the LUT, never
+    * from raw floats). At 100 TB this is the serving shape: cell
+    * assignment is a write-time batch job, the probe set broadcasts,
+    * and per-query scan cost drops by nCentroids/nProbe on top of
+    * PQ's 16× byte shrink.
+    *
+    * Plan: candidates = codes ⨝ cells (co-keyed on vec_id) ⨝
+    * broadcast probe set on cid; scoring joins the broadcast per-query
+    * LUT and folds via the codegen'd AdcDistance kernel; top-k on
+    * TopKPerKeyExec. One equi-join shuffle over the code table; the
+    * rest broadcasts.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                nCentroids: Int = 16, nProbe: Int = 6,
+                m: Int = 16, ksub: Int = 32): DataFrame = {
+    val cents = Similarity.ivfTrain(corpus, nCentroids)
+    val cellOf = Similarity.ivfAssign(cents, corpus)
+      .select(col("vec_id"), col("cid"))
+    val books = trainCodebooks(corpus, m, ksub)
+    val codes = encode(corpus, books, m)
+    val probes = Similarity.ivfProbes(cents, queries, nProbe)
+      .select(col("query_id"), col("cid"))
+    val luts = queryLuts(books, queries, m)
+    val scored = codes.join(cellOf, "vec_id")
+      .join(broadcast(probes), "cid")
+      .filter(col("query_id") =!= col("vec_id"))
+      .join(broadcast(luts), "query_id")
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        graft.functions.GraftFunctions.adcDistance(col("codes"), col("luts"))
           .as("adc_dist"))
       .withColumn("neg_dist", -col("adc_dist"))
     graft.plans.TopKPlan.topKPerKey(scored, Seq("query_id"),

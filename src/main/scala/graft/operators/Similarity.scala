@@ -93,30 +93,38 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nCentroids: Int = 16, nProbe: Int = 6, iters: Int = 2,
               distributedCentroids: Boolean = false): DataFrame = {
+    val cents = ivfTrain(corpus, nCentroids, iters, distributedCentroids)
+    val cells = ivfAssign(cents, corpus, distributedCentroids)
+      .select(col("vec_id").as("neighbor_id"), col("embedding"), col("cid"))
+    val probes = ivfProbes(cents, queries, nProbe, distributedCentroids)
+    val scored = probes.join(cells, "cid")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(GraftFunctions.cosine(col("q_emb"), col("embedding")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
 
-    def maybeBroadcast(cents: DataFrame): DataFrame =
-      if (distributedCentroids) cents else broadcast(cents)
+  private def maybeBroadcast(cents: DataFrame, distributed: Boolean): DataFrame =
+    if (distributed) cents else broadcast(cents)
 
-    def assignTo(cents: DataFrame, df: DataFrame, idCol: String): DataFrame = {
-      val w = Window.partitionBy(col(idCol))
-        .orderBy(col("__sim").desc, col("cid").asc)
-      df.crossJoin(maybeBroadcast(cents))
-        .withColumn("__sim", GraftFunctions.cosine(col("embedding"), col("cemb")))
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
-        .drop("__rn", "__sim", "cemb")
-    }
-
+  /** Lloyd-train the IVF coarse quantizer: (cid, cemb), DataFrame-
+    * resident throughout (see [[ivfTopK]] docs). Shared by IVF and
+    * IVF-PQ ([[Pq.ivfPqTopK]]). */
+  def ivfTrain(corpus: DataFrame, nCentroids: Int = 16, iters: Int = 2,
+               distributedCentroids: Boolean = false): DataFrame = {
     // deterministic init: the first nCentroids vectors seed the cells
     var cents: DataFrame = corpus
       .filter(col("vec_id") < nCentroids)
       .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cemb"))
-
     (0 until iters).foreach { _ =>
       // persist each round's centroid table: truncates the per-round
       // lineage (iters× plan growth otherwise) and is the frame every
       // corpus row joins against next round. CacheScope reclaims it.
-      val means = assignTo(cents, corpus, "vec_id")
+      val means = ivfAssign(cents, corpus, distributedCentroids)
         .select(col("cid"), posexplode(col("embedding")))
         .groupBy(col("cid"), col("pos"))
         .agg(avg(col("col")).as("m"))
@@ -127,29 +135,35 @@ object Similarity {
       // empty-means guard (degenerate seed filter): keep prior round
       if (means.take(1).nonEmpty) cents = means
     }
+    cents
+  }
 
-    val cells = assignTo(cents, corpus, "vec_id")
-      .select(col("vec_id").as("neighbor_id"), col("embedding"), col("cid"))
-    // each query probes its nProbe nearest cells
-    val cdf = maybeBroadcast(cents)
+  /** Nearest-cell assignment: input (vec_id, embedding, …) gains a
+    * `cid` column (argmax cosine, ties → smallest cid). */
+  def ivfAssign(cents: DataFrame, df: DataFrame,
+                distributedCentroids: Boolean = false): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("__sim").desc, col("cid").asc)
+    df.crossJoin(maybeBroadcast(cents, distributedCentroids))
+      .withColumn("__sim", GraftFunctions.cosine(col("embedding"), col("cemb")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__sim", "cemb")
+  }
+
+  /** Per-query probe set: the nProbe nearest cells —
+    * (query_id, q_emb, cid). */
+  def ivfProbes(cents: DataFrame, queries: DataFrame, nProbe: Int,
+                distributedCentroids: Boolean = false): DataFrame = {
     val pw = Window.partitionBy(col("query_id"))
       .orderBy(col("__sim").desc, col("cid").asc)
-    val probes = queries
+    queries
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-      .crossJoin(cdf)
+      .crossJoin(maybeBroadcast(cents, distributedCentroids))
       .withColumn("__sim", GraftFunctions.cosine(col("q_emb"), col("cemb")))
       .withColumn("__rn", row_number().over(pw))
       .filter(col("__rn") <= nProbe)
       .select(col("query_id"), col("q_emb"), col("cid"))
-    val scored = probes.join(cells, "cid")
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        round(GraftFunctions.cosine(col("q_emb"), col("embedding")), 6).as("cos_sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-    scored.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= k)
-      .drop("__rn")
   }
 
   /** Approximate top-k: nTables independent hyperplane signatures

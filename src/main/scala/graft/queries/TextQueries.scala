@@ -254,6 +254,18 @@ object TextQueries {
         .orderBy(col("query_id"), col("rnk"))
     },
 
+    // §2.3 (round 8) — IVF-PQ ANN (rows-only; pruning + agreement
+    // invariants in PqSpec): the FAISS IndexIVFPQ shape — IVF cells
+    // prune the candidate set, PQ codes prune the bytes, scoring via
+    // broadcast LUT + codegen'd AdcDistance, top-k on TopKPerKeyExec.
+    "q153_ivfpq_ann" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      graft.operators.Pq.ivfPqTopK(emb, emb.filter(col("vec_id") < 5), k = 10)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("adc_dist"), 6).as("adc_dist"), col("rnk"))
+        .orderBy(col("query_id"), col("rnk"))
+    },
+
     // §2.3 #35 — hyperplane-LSH ANN (rows-only; recall vs exact
     // checked in SimilaritySpec).
     "q35_ann_lsh" -> { (s, d) =>

@@ -59,6 +59,22 @@ class PqSpec extends SparkSpecBase {
     assert(recall >= 0.45, s"PQ/ADC recall $recall below the 0.45 bar")
   }
 
+  test("IVF-PQ prunes the candidate set and still clears a recall bar") {
+    val queries = emb.filter(col("vec_id") < 5)
+    val full = Pq.adcTopK(Pq.encode(emb, Pq.trainCodebooks(emb)),
+        Pq.trainCodebooks(emb), queries, k = 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivfpq = Pq.ivfPqTopK(emb, queries, k = 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(ivfpq.nonEmpty)
+    // cell probing can only SHRINK the candidate set vs full ADC: at
+    // nProbe=6 of 16 cells each query scans ~3/8 of the corpus, so
+    // the IVF-PQ result must stay close to full-ADC (which itself
+    // clears 0.45 vs exact)
+    val agree = (ivfpq intersect full).size.toDouble / full.size
+    assert(agree >= 0.5, s"IVF-PQ diverged from full ADC: $agree")
+  }
+
   test("train -> encode -> query is deterministic end to end") {
     def run(): Seq[String] = {
       val books = Pq.trainCodebooks(emb)
