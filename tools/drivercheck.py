@@ -56,6 +56,13 @@ def main(out_dir, sf_dir):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    # crashed queries must fail loudly, not vanish (see selfcheck.py)
+    manifest_path = f"{out_dir}/queries.json"
+    if os.path.exists(manifest_path):
+        for name in json.load(open(manifest_path)):
+            if not os.path.isdir(os.path.join(out_dir, name)):
+                n_fail += 1
+                print(f"FAIL {name}: MISSING output")
     for name in sorted(os.listdir(out_dir)):
         qdir = os.path.join(out_dir, name)
         if not os.path.isdir(qdir) or name not in oracle:

@@ -46,6 +46,19 @@ def main(out_dir, sf_dir):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    # every query Verify ATTEMPTED must have produced an output dir —
+    # a crashed query is a FAILURE, not a silently absent row (the
+    # round-7 vanish: 7 crashed queries dropped out of the artifact)
+    manifest_path = f"{out_dir}/queries.json"
+    if os.path.exists(manifest_path):
+        for name in json.load(open(manifest_path)):
+            if not os.path.isdir(os.path.join(out_dir, name)):
+                n_fail += 1
+                errs = {}
+                errs_path = f"{out_dir}/verify_errors.json"
+                if os.path.exists(errs_path):
+                    errs = json.load(open(errs_path))
+                print(f"FAIL {name}: MISSING output ({errs.get(name, 'no error recorded')})")
     for name in sorted(os.listdir(out_dir)):
         qdir = os.path.join(out_dir, name)
         if not os.path.isdir(qdir):
