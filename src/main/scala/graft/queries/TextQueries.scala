@@ -18,6 +18,25 @@ object TextQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** q115's DECIMAL-exact hashed classifier score per doc, plus the
+    * reference label (n_chars ≥ 300) used by the round-8 eval ops
+    * q154/q155. Mirrored verbatim in their oracles. */
+  private def clfScores(s: SparkSession, d: String): DataFrame = {
+    val words = Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"),
+        explode(GraftFunctions.normWords(col("text"))).as("word"))
+    val bucket = conv(substring(md5(col("word")), 1, 8), 16, 10)
+      .cast("long") % 1024
+    val weight = ((bucket * lit(2654435761L)) % 4096).cast("double") / 2048.0 - 1.0
+    words
+      .select(col("doc_id"), col("n_chars"),
+        weight.cast(DecimalType(18, 12)).as("wt"))
+      .groupBy(col("doc_id"), col("n_chars"))
+      .agg(round(sum(col("wt")).cast("double") / count(lit(1)), 6).as("clf_score"))
+      .select(col("doc_id"), col("clf_score"),
+        (col("n_chars") >= 300).cast("int").as("label"))
+  }
+
   /** documents ∪ exact copies of doc_id<50 (ids +1_000_000): plants
     * deterministic duplicates so dedup operators have real positives.
     * Mirrored verbatim in the oracle SQL.
@@ -264,6 +283,52 @@ object TextQueries {
         .select(col("query_id"), col("neighbor_id"),
           round(col("adc_dist"), 6).as("adc_dist"), col("rnk"))
         .orderBy(col("query_id"), col("rnk"))
+    },
+
+    // §2.3 (round 8) — classifier CALIBRATION audit: before a quality
+    // classifier gates a 100 TB corpus, its scores need a reliability
+    // read — decile bins of the q115 score vs the observed positive
+    // rate of a reference label (here: n_chars ≥ 300; the label is a
+    // config choice, the machinery is the op). Binning is a global
+    // rank — legitimate for an EVAL set (bounded by contract, like
+    // the q144 retrieval eval); the aggregate is 10 rows. Scores and
+    // rates are DECIMAL-exact then rounded, no float knife-edges.
+    "q154_calibration" -> { (s, d) =>
+      val sc = clfScores(s, d)
+      val w = Window.orderBy(col("clf_score"), col("doc_id"))
+      val tot = sc.agg(count(lit(1)).cast("long").as("total"))
+      sc.withColumn("rn", row_number().over(w))
+        .crossJoin(broadcast(tot))
+        .withColumn("bin", expr("((rn - 1) * 10) div total"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("label")).cast("long").as("n_pos"),
+          round(sum(col("label")).cast("double") / count(lit(1)), 6)
+            .as("pos_rate"),
+          round(sum(col("clf_score").cast(DecimalType(18, 6))).cast("double")
+            / count(lit(1)), 6).as("mean_score"))
+        .orderBy(col("bin"))
+    },
+
+    // §2.3 (round 8) — classifier AUC via the Mann–Whitney rank
+    // statistic with MIDRANKS for ties: rank all scores once (eval
+    // set), average row numbers within a tie group, then
+    // AUC = (Σ midrank⁺ − n₁(n₁+1)/2) / (n₁·n₀). Midranks are exact
+    // integers-or-halves, so the sum is order-independent — bit-equal
+    // across engines.
+    "q155_auc" -> { (s, d) =>
+      val sc = clfScores(s, d)
+      val w = Window.orderBy(col("clf_score"), col("doc_id"))
+      val ranked = sc.withColumn("rn", row_number().over(w))
+      val mid = ranked.groupBy(col("clf_score").as("ms"))
+        .agg(avg(col("rn")).as("midrank"))
+      val j = ranked.join(broadcast(mid), col("clf_score") === col("ms"))
+      j.agg(sum(col("label")).cast("long").as("n_pos"),
+          sum(lit(1) - col("label")).cast("long").as("n_neg"),
+          sum(when(col("label") === 1, col("midrank"))).as("rank_sum"))
+        .select(col("n_pos"), col("n_neg"),
+          round((col("rank_sum") - col("n_pos") * (col("n_pos") + 1) / 2.0)
+            / (col("n_pos") * col("n_neg")), 6).as("auc"))
     },
 
     // §2.3 #35 — hyperplane-LSH ANN (rows-only; recall vs exact
@@ -1428,6 +1493,54 @@ object TextQueries {
          |       WHEN n_dup > 0 THEN 'partial'
          |       ELSE 'unique' END AS verdict
          |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q154_calibration" ->
+      s"""WITH w AS (SELECT doc_id, n_chars, $wsSql AS ws FROM documents),
+         |words AS (SELECT doc_id, n_chars, unnest(ws) AS word FROM w),
+         |wt AS (SELECT doc_id, n_chars,
+         |         CAST(CAST((('0x' || substr(md5(word), 1, 8))::UBIGINT % 1024)
+         |                * 2654435761 % 4096 AS DOUBLE) / 2048.0 - 1.0
+         |              AS DECIMAL(18,12)) AS wt
+         |       FROM words),
+         |sc AS (SELECT doc_id,
+         |         ROUND(CAST(SUM(wt) AS DOUBLE) / COUNT(*), 6) AS clf_score,
+         |         CAST(MIN(n_chars) >= 300 AS INT) AS label
+         |       FROM wt GROUP BY doc_id),
+         |r AS (SELECT *, row_number() OVER (ORDER BY clf_score, doc_id) AS rn,
+         |             COUNT(*) OVER () AS total
+         |      FROM sc)
+         |SELECT ((rn - 1) * 10) // total AS bin,
+         |  COUNT(*) AS n_docs,
+         |  CAST(SUM(label) AS BIGINT) AS n_pos,
+         |  ROUND(CAST(SUM(label) AS DOUBLE) / COUNT(*), 6) AS pos_rate,
+         |  ROUND(CAST(SUM(CAST(clf_score AS DECIMAL(18,6))) AS DOUBLE)
+         |    / COUNT(*), 6) AS mean_score
+         |FROM r GROUP BY 1 ORDER BY bin""".stripMargin,
+
+    "q155_auc" ->
+      s"""WITH w AS (SELECT doc_id, n_chars, $wsSql AS ws FROM documents),
+         |words AS (SELECT doc_id, n_chars, unnest(ws) AS word FROM w),
+         |wt AS (SELECT doc_id, n_chars,
+         |         CAST(CAST((('0x' || substr(md5(word), 1, 8))::UBIGINT % 1024)
+         |                * 2654435761 % 4096 AS DOUBLE) / 2048.0 - 1.0
+         |              AS DECIMAL(18,12)) AS wt
+         |       FROM words),
+         |sc AS (SELECT doc_id,
+         |         ROUND(CAST(SUM(wt) AS DOUBLE) / COUNT(*), 6) AS clf_score,
+         |         CAST(MIN(n_chars) >= 300 AS INT) AS label
+         |       FROM wt GROUP BY doc_id),
+         |r AS (SELECT doc_id, clf_score, label,
+         |        row_number() OVER (ORDER BY clf_score, doc_id) AS rn
+         |      FROM sc),
+         |m AS (SELECT clf_score AS ms, AVG(rn) AS midrank FROM r GROUP BY 1),
+         |j AS (SELECT r.label, m.midrank FROM r JOIN m ON r.clf_score = m.ms)
+         |SELECT CAST(SUM(label) AS BIGINT) AS n_pos,
+         |  CAST(SUM(1 - label) AS BIGINT) AS n_neg,
+         |  ROUND((SUM(CASE WHEN label = 1 THEN midrank END)
+         |    - CAST(SUM(label) AS BIGINT) * (CAST(SUM(label) AS BIGINT) + 1) / 2.0)
+         |    / (CAST(SUM(label) AS BIGINT) * CAST(SUM(1 - label) AS BIGINT)), 6)
+         |    AS auc
+         |FROM j""".stripMargin,
 
     "q149_winnow_dedup" ->
       """WITH t AS (
