@@ -664,6 +664,10 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("graft_winnow",
       es => WinnowFingerprints(es.head,
         intLit(es(1), "k"), intLit(es(2), "w")), "built-in")
+    reg.createOrReplaceTempFunction("graft_nearest_centroid",
+      es => NearestCentroid(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_adc_dist",
+      es => AdcDistance(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_char_entropy",
       es => CharEntropy(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_nfc",

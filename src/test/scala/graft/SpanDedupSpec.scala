@@ -68,6 +68,31 @@ class SpanDedupSpec extends SparkSpecBase {
     }
   }
 
+  test("round-8 kernels are SQL-callable and agree with the column API") {
+    graft.functions.GraftFunctions.register(spark)
+    Seq((1L, span + " tail words here and more filler to clear the minimum"))
+      .toDF("doc_id", "text").createOrReplaceTempView("winnow_docs")
+    val viaSql = spark.sql(
+      """SELECT graft_winnow(filter(split(text, ' '), t -> t != ''), 8, 13) AS fps
+        |FROM winnow_docs""".stripMargin)
+      .select(explode(col("fps"))).as[String].collect().toSet
+    val viaApi = graft.operators.Dedup.winnowDocFingerprints(
+        Seq((1L, span + " tail words here and more filler to clear the minimum"))
+          .toDF("doc_id", "text"), "doc_id", "text")
+      .select("fp").as[String].collect().toSet
+    assert(viaSql == viaApi && viaSql.nonEmpty)
+    val nc = spark.sql(
+      """SELECT graft_nearest_centroid(array(CAST(1.0 AS FLOAT)),
+        |  array(named_struct('cid', 3, 'cemb', array(CAST(0.0 AS FLOAT))),
+        |        named_struct('cid', 7, 'cemb', array(CAST(1.0 AS FLOAT))))) AS c
+        |""".stripMargin).as[Int].head()
+    assert(nc == 7)
+    val adc = spark.sql(
+      "SELECT graft_adc_dist(array(1, 0), array(array(10.0D, 20.0D), array(5.0D, 6.0D))) AS d")
+      .as[Double].head()
+    assert(adc == 25.0) // luts(0)(code=1)=20 + luts(1)(code=0)=5
+  }
+
   test("winnowing produces no fingerprint for unique docs") {
     val docs = Seq((1L, wordsDoc(1, 60)), (2L, wordsDoc(2, 60)))
       .toDF("doc_id", "text")
