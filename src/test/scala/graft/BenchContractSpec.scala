@@ -18,6 +18,39 @@ class BenchContractSpec extends AnyFunSuite {
     assert(!text.contains("SYSTEM_OUT"))
   }
 
+  test("end-to-end: sbt-forked Bench emits a bare unprefixed JSON line on stdout") {
+    // Rounds 6-8 all shipped `parsed: null` driver artifacts: first from
+    // log noise sharing stdout, then from sbt's logger prefixing the
+    // forked JVM's stdout with "[info] ". This launches the REAL
+    // incantation (sbt runMain through the fork) on a 1-query subset at
+    // sf0.001 and asserts the JSON line arrives verbatim.
+    import scala.sys.process._
+    val out = new StringBuilder
+    val logger = ProcessLogger(line => out.append(line).append('\n'), _ => ())
+    val cmd = Seq("sbt", "-batch", "-Dsbt.server.autostart=false", "runMain graft.Bench")
+    val env = Seq(
+      "SPARK_GRAFT_SF_DIR" -> "/root/testdata/sf0.001",
+      "SPARK_GRAFT_BENCH_ONLY" -> "q01_pricing_summary",
+      "SPARK_GRAFT_CPUS" -> "4")
+    val exit = Process(cmd, new java.io.File("."), env: _*).!(logger)
+    val lines = out.toString.linesIterator.toVector
+    assert(exit == 0, s"sbt runMain graft.Bench exited $exit\n${lines.takeRight(20).mkString("\n")}")
+    val jsonLines = lines.filter(_.contains("\"metric\":\"total\""))
+    assert(jsonLines.nonEmpty, "no bench JSON line on stdout")
+    val last = jsonLines.last
+    assert(last.startsWith("{"),
+      s"bench JSON line must be unprefixed bare JSON, got: ${last.take(80)}")
+    assert(last.trim.endsWith("}"))
+    assert(last.contains("\"q01_pricing_summary\""))
+  }
+
+  test("parseSnapshot recovers the per-query map from a bench.json line") {
+    val line = """{"metric":"total","value":12.3,"unit":"sec","queries":{"q01_pricing_summary":0.51,"q59_dup_clusters":2.064},"sf":"/x","loadavg_start":"0.5 0.4 0.3"}"""
+    val m = Bench.parseSnapshot(line)
+    assert(m == Map("q01_pricing_summary" -> 0.51, "q59_dup_clusters" -> 2.064))
+    assert(Bench.parseSnapshot("garbage").isEmpty)
+  }
+
   test("live log4j routes through the stderr appender") {
     import org.apache.logging.log4j.LogManager
     import org.apache.logging.log4j.core.LoggerContext
