@@ -66,9 +66,14 @@ object Pq {
     require(d % m == 0, s"dim $d must divide into $m subspaces")
     val subDim = d / m
     val sv = subvectors(corpus, m, subDim).scopedPersist()
-    var books: DataFrame = sv.filter(col("vec_id") < ksub)
-      .select(col("sub"), col("vec_id").cast("int").as("cid"),
-        col("svec").as("cemb"))
+    // Seed by RANK, not by `vec_id < ksub`: sparse or non-0-based ids
+    // would silently yield fewer than ksub seeds. orderBy+limit is a
+    // TakeOrdered (no full sort); row_number runs on ksub rows.
+    val seedIds = corpus.select(col("vec_id")).orderBy(col("vec_id")).limit(ksub)
+      .withColumn("cid",
+        (row_number().over(Window.orderBy(col("vec_id"))) - 1).cast("int"))
+    var books: DataFrame = sv.join(broadcast(seedIds), "vec_id")
+      .select(col("sub"), col("cid"), col("svec").as("cemb"))
     (0 until iters).foreach { _ =>
       val assigned = sv.join(broadcast(candidateArrays(books)), "sub")
         .select(col("vec_id"), col("sub"), col("svec"),
@@ -135,8 +140,17 @@ object Pq {
       .select(col("vec_id").as("query_id"), col("sub"), col("cid"),
         l2sq(col("svec"), col("cemb")).as("dpart"))
       .groupBy(col("query_id"), col("sub"))
-      .agg(transform(array_sort(collect_list(struct(col("cid"), col("dpart")))),
-        x => x.getField("dpart")).as("row"))
+      .agg(collect_list(struct(col("cid"), col("dpart"))).as("pairs"))
+      // DENSE by cid: Lloyd's means update drops centroids that drew
+      // zero assignments, so surviving cids can be non-contiguous. The
+      // ADC kernel indexes each LUT row POSITIONALLY by code (= cid),
+      // so the row must be cid-addressable — position cid holds that
+      // centroid's distance, dropped cids hold +inf (codes never
+      // reference a dropped cid, so the padding is never read).
+      .select(col("query_id"), col("sub"),
+        transform(sequence(lit(0), array_max(col("pairs").getField("cid"))),
+          i => coalesce(element_at(map_from_entries(col("pairs")), i),
+            lit(Double.PositiveInfinity))).as("row"))
       .groupBy(col("query_id"))
       .agg(transform(array_sort(collect_list(struct(col("sub"), col("row")))),
         x => x.getField("row")).as("luts"))

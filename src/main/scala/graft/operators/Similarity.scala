@@ -116,10 +116,15 @@ object Similarity {
     * IVF-PQ ([[Pq.ivfPqTopK]]). */
   def ivfTrain(corpus: DataFrame, nCentroids: Int = 16, iters: Int = 2,
                distributedCentroids: Boolean = false): DataFrame = {
-    // deterministic init: the first nCentroids vectors seed the cells
+    // deterministic init: the nCentroids lowest-id vectors seed the
+    // cells, assigned cid by RANK (not `vec_id < n`, which under-seeds
+    // on sparse or non-0-based ids). TakeOrdered + an n-row window.
     var cents: DataFrame = corpus
-      .filter(col("vec_id") < nCentroids)
-      .select(col("vec_id").cast("int").as("cid"), col("embedding").as("cemb"))
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(col("vec_id")).limit(nCentroids)
+      .withColumn("cid",
+        (row_number().over(Window.orderBy(col("vec_id"))) - 1).cast("int"))
+      .select(col("cid"), col("embedding").as("cemb"))
     (0 until iters).foreach { _ =>
       // persist each round's centroid table: truncates the per-round
       // lineage (iters× plan growth otherwise) and is the frame every

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import java.io.{ByteArrayInputStream, ByteArrayOutputStream, ObjectInputStream, ObjectOutputStream}
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.expressions.Window
@@ -29,16 +29,27 @@ object QuantileMonitor {
   case class Obs(shard: Long, value: Int)
   case class ValueCount(shard: Long, value: Int, count: Long)
 
+  // Version-stable state layout: sorted (int value, long count) pairs
+  // via DataOutputStream, NOT Java object serialization — a HashMap's
+  // ObjectOutputStream byte layout shifts across Scala/JDK versions,
+  // which would brick a checkpointed state store on upgrade.
   private def serialize(m: scala.collection.mutable.HashMap[Int, Long]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
-    val out = new ObjectOutputStream(bos)
-    out.writeObject(m); out.close()
+    val out = new DataOutputStream(bos)
+    out.writeInt(m.size)
+    m.toSeq.sortBy(_._1).foreach { case (v, c) => out.writeInt(v); out.writeLong(c) }
+    out.close()
     bos.toByteArray
   }
 
-  private def deserialize(bytes: Array[Byte]): scala.collection.mutable.HashMap[Int, Long] =
-    new ObjectInputStream(new ByteArrayInputStream(bytes))
-      .readObject().asInstanceOf[scala.collection.mutable.HashMap[Int, Long]]
+  private def deserialize(bytes: Array[Byte]): scala.collection.mutable.HashMap[Int, Long] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val m = scala.collection.mutable.HashMap.empty[Int, Long]
+    var i = 0
+    while (i < n) { m.update(in.readInt(), in.readLong()); i += 1 }
+    m
+  }
 
   /** One histogram slice per shard in a single binary ValueState row. */
   class HistogramProcessor extends StatefulProcessor[Long, Obs, ValueCount] {
@@ -74,13 +85,24 @@ object QuantileMonitor {
     * one row per requested q: (q, value) where value is the smallest
     * v with cumulative count ≥ ⌈q·total⌉ (inclusive/nearest-rank). */
   def histogramQuantiles(hist: DataFrame, qs: Seq[Double]): DataFrame = {
+    // Accept the monitor's RAW emitted output: each micro-batch
+    // re-emits a touched shard's full current counts, so counts for a
+    // (shard, value) repeat across emissions and only grow. Fold to
+    // the running histogram with max-per-(shard,value) FIRST, then sum
+    // across shards (disjoint by construction). A plain (value, count)
+    // frame — no shard column — passes through the same path
+    // unchanged, since each value then has one implicit shard.
+    val perShard =
+      if (hist.columns.contains("shard"))
+        hist.groupBy(col("shard"), col("value")).agg(max(col("count")).as("count"))
+      else hist.select(col("value"), col("count"))
     val w = Window.orderBy(col("value"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = hist
+    val cum = perShard
       .groupBy(col("value")).agg(sum(col("count")).as("n"))
       .withColumn("cum", sum(col("n")).over(w))
       .crossJoin(broadcast(
-        hist.agg(sum(col("count")).cast("long").as("total"))))
+        perShard.agg(sum(col("count")).cast("long").as("total"))))
     qs.map { q =>
       cum.filter(col("cum") >= ceil(lit(q) * col("total")))
         .orderBy(col("value"))

@@ -76,10 +76,20 @@ object SpanStream {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
         val sp = batch.sparkSession
-        val idxMin = sp.read.parquet(indexDir)
-          .filter(col("gen").cast("string") =!= lit(batchId.toString))
-          .groupBy(col("fp"))
-          .agg(min(col("doc_min")).as("doc_min"))
+        // An unseeded index dir (seedIndex never called) has no gen=*
+        // partitions and parquet schema inference would throw; treat
+        // it as an empty index instead — the batch's own spanIndex
+        // schema on zero rows.
+        val root = new org.apache.hadoop.fs.Path(indexDir)
+        val fs = root.getFileSystem(sp.sessionState.newHadoopConf())
+        val hasGens = fs.exists(root) && fs.listStatus(root)
+          .exists(s => s.isDirectory && s.getPath.getName.startsWith("gen="))
+        val idxMin =
+          if (!hasGens) spanIndex(batch.toDF().limit(0), idCol, textCol, k, w)
+          else sp.read.parquet(indexDir)
+            .filter(col("gen").cast("string") =!= lit(batchId.toString))
+            .groupBy(col("fp"))
+            .agg(min(col("doc_min")).as("doc_min"))
         probeBatch(idxMin, batch.toDF(), idCol, textCol, k, w)
           .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
         spanIndex(batch.toDF(), idCol, textCol, k, w)

@@ -86,6 +86,42 @@ class PqSpec extends SparkSpecBase {
     assert(run() == run())
   }
 
+  test("queryLuts rows are dense by cid: dropped centroids pad with +inf") {
+    // Lloyd's means update drops centroids with zero assignments, so
+    // cids can be non-contiguous; the ADC kernel indexes LUT rows
+    // positionally by code (= cid). A books table missing cid 1 must
+    // still produce a cid-addressable row: [d(c0), +inf, d(c2)].
+    val books = Seq((0, 0, Seq(0f, 0f)), (0, 2, Seq(1f, 1f)))
+      .toDF("sub", "cid", "cemb")
+    val q = Seq((100L, Seq(0.5f, 0.5f))).toDF("vec_id", "embedding")
+    val luts = Pq.queryLuts(books, q, m = 1)
+      .select("luts").as[Seq[Seq[Double]]].head()
+    assert(luts.length == 1)
+    val row = luts.head
+    assert(row.length == 3, s"row must span cids 0..2, got $row")
+    assert(row(1).isPosInfinity, s"dropped cid 1 must pad +inf: $row")
+    assert(math.abs(row(0) - 0.5) < 1e-6 && math.abs(row(2) - 0.5) < 1e-6)
+    // and the kernel reads the padded row correctly for a code on the
+    // far side of the gap
+    val codes = Seq((200L, Seq(2))).toDF("vec_id", "codes")
+    val d = codes.crossJoin(Pq.queryLuts(books, q, m = 1))
+      .select(graft.functions.GraftFunctions.adcDistance(col("codes"), col("luts")))
+      .as[Double].head()
+    assert(math.abs(d - 0.5) < 1e-6)
+  }
+
+  test("sparse non-0-based vec_ids still seed full codebooks and cells") {
+    // rank-based seeding: `vec_id < ksub` would find ZERO seeds here
+    val sparse = emb.select((col("vec_id") * 7 + 1000).as("vec_id"), col("embedding"))
+    val books = Pq.trainCodebooks(sparse, m = 16, ksub = 32, iters = 1)
+    val shape = books.groupBy("sub").agg(count(lit(1)).as("n")).collect()
+    assert(shape.length == 16)
+    shape.foreach(r => assert(r.getLong(1) >= 2 && r.getLong(1) <= 32))
+    val cents = Similarity.ivfTrain(sparse, nCentroids = 8, iters = 1)
+    val n = cents.count()
+    assert(n >= 1 && n <= 8, s"IVF must seed from sparse ids, got $n cells")
+  }
+
   test("q152 driver query returns k rows per query with contiguous ranks") {
     val out = SparkEntry.queries("q152_pq_ann")(spark, sf)
     val per = out.groupBy("query_id")

@@ -72,6 +72,14 @@ class QuantileMonitorSpec extends SparkSpecBase {
         s"p$q: ${fromHist(q)} != ${sorted(rank - 1)}")
     }
 
+    // the RAW emitted frame (every micro-batch re-emits a shard's full
+    // current counts) must give the SAME quantiles: histogramQuantiles
+    // max-merges per (shard, value) internally before summing
+    val fromRaw = QuantileMonitor.histogramQuantiles(emitted, qs)
+      .as[(Double, Int)].collect().toMap
+    assert(fromRaw == fromHist,
+      s"raw emitted output double-counted: $fromRaw vs $fromHist")
+
     // state is domain-bounded: one row per (shard, value), shards disjoint
     val perValueShards = emitted.select("value", "shard").distinct()
       .groupBy("value").agg(countDistinct("shard").as("ns"))

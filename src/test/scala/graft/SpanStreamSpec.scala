@@ -13,6 +13,34 @@ class SpanStreamSpec extends SparkSpecBase {
   private def uniq(seed: Int, n: Int): String =
     (0 until n).map(i => s"u${seed}_$i").mkString(" ")
 
+  test("unseeded index dir: first batch treats the index as empty") {
+    // seedIndex never called — the empty dir must not crash schema
+    // inference; batch 0 probes against an empty index (all clean)
+    // and still appends its own generation.
+    val rows = Seq((1L, uniq(21, 30)), (2L, uniq(22, 30)))
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-span-unseeded-src")
+    val stage = java.nio.file.Files.createTempDirectory("graft-span-unseeded-stage")
+    rows.toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    val part = scala.jdk.CollectionConverters.IteratorHasAsScala(
+      java.nio.file.Files.list(stage).iterator()).asScala
+      .find(_.toString.endsWith(".parquet")).get
+    java.nio.file.Files.move(part, srcDir.resolve("chunk00.parquet"))
+    val indexDir = java.nio.file.Files.createTempDirectory("graft-span-unseeded-idx").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-span-unseeded-out").toString
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft-span-unseeded-ckpt").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
+    SpanStream.run(stream, indexDir, outDir, ckptDir, "doc_id", "text")
+    val v = spark.read.parquet(outDir)
+      .select("doc_id", "status").as[(Long, String)].collect().toMap
+    assert(v == Map(1L -> "clean", 2L -> "clean"), s"got $v")
+    assert(spark.read.parquet(indexDir).count() > 0, "batch gen must append")
+  }
+
   test("streaming span index flags shifted spans across batches, replay-safe") {
     val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
     // a corpus doc long enough to donate a 25-token span
