@@ -27,6 +27,40 @@ import org.apache.spark.sql.execution.LogicalRDD
   */
 object Caching {
 
+  /** Checkpoint a loop round. Default path is `localCheckpoint` — the
+    * right call in a single-process session, no FS round-trip. But a
+    * locally-checkpointed block lives ONLY on its executor: on a real
+    * cluster one executor loss or memory-pressure eviction mid-loop
+    * kills the job unrecoverably ("RDD was locally checkpointed …
+    * cannot be recomputed"). So when the session conf
+    * `spark.graft.checkpointDir` is set (an HDFS/S3/posix path), the
+    * iterative family (connected components, PageRank, BFS, BPE)
+    * switches to RELIABLE `checkpoint()` rooted there and every round
+    * survives executor loss. The SparkContext checkpoint dir is set
+    * from the conf on first use (Spark appends a per-app UUID subdir,
+    * so concurrent apps sharing the root don't collide).
+    *
+    * Semantics are unchanged either way: lazy rounds materialize
+    * inside the loop's next action, eager rounds run their own job,
+    * and [[releaseCheckpoint]] stays correct (reliable rounds fall
+    * back to their files; its unpersist of an unpersisted RDD is a
+    * no-op). Checkpoint FILES of superseded rounds are reclaimed by
+    * the ContextCleaner when
+    * `spark.cleaner.referenceTracking.cleanCheckpoints` is on, or by
+    * deleting the app's subdir after the job — they are bounded by
+    * rounds × table size either way.
+    */
+  def loopCheckpoint(df: DataFrame, eager: Boolean = true): DataFrame = {
+    val sp = df.sparkSession
+    sp.conf.getOption("spark.graft.checkpointDir") match {
+      case Some(dir) =>
+        val sc = sp.sparkContext
+        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+        df.checkpoint(eager)
+      case None => df.localCheckpoint(eager)
+    }
+  }
+
   /** Unpersist the checkpointed RDD blocks under `df`'s analyzed plan.
     * Safe once a downstream checkpoint has materialized: later plans
     * read the NEWEST checkpoint's blocks only, so superseded rounds
@@ -77,5 +111,14 @@ object Caching {
     */
   implicit class ScopedPersist(private val df: DataFrame) extends AnyVal {
     def scopedPersist(): DataFrame = CacheScope.persist(df)
+  }
+
+  /** `df.loopCheckpoint(eager)` — drop-in for `.localCheckpoint(eager)`
+    * at iterative-loop rounds that should honor the reliable-
+    * checkpoint policy ([[Caching.loopCheckpoint]]).
+    */
+  implicit class LoopCheckpoint(private val df: DataFrame) extends AnyVal {
+    def loopCheckpoint(eager: Boolean = true): DataFrame =
+      Caching.loopCheckpoint(df, eager)
   }
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.Caching
+import graft.Caching.LoopCheckpoint
 import graft.functions.GraftFunctions
 
 /** SURVEY.md §2.3 — distributed BPE tokenizer-vocabulary learning
@@ -52,7 +53,7 @@ object Bpe {
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
       .select(expr("filter(split(word, ''), c -> c <> '')").as("seq"),
         col("freq"))
-      .localCheckpoint() // vocab-bounded; the corpus is never reread
+      .loopCheckpoint() // vocab-bounded; the corpus is never reread
     var superseded = List.empty[DataFrame]
     var merges = List.empty[DataFrame]
     for (r <- 1 to k) {
@@ -66,14 +67,14 @@ object Bpe {
         .limit(1)
         .select(lit(r).as("rank"), col("left"), col("right"),
           concat(col("left"), col("right")).as("merged"), col("pair_freq"))
-        .localCheckpoint() // 1 row; pins this round's winner
+        .loopCheckpoint() // 1 row; pins this round's winner
       merges ::= best
       val eager = r % ckptEvery == 0 || r == k
       val next = words
         .crossJoin(broadcast(
           best.select(col("left").as("__l"), col("right").as("__r"))))
         .select(expr(applyMergeSql).as("seq"), col("freq"))
-        .localCheckpoint(eager)
+        .loopCheckpoint(eager)
       superseded ::= words // incl. round 1: the initial table is ours
       if (eager) {
         superseded.foreach(Caching.releaseCheckpoint)

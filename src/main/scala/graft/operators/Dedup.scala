@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions
-import graft.Caching.ScopedPersist
+import graft.Caching.{LoopCheckpoint, ScopedPersist}
 
 /** SURVEY.md §2.3 #30-33 — document deduplication at training-corpus
   * scale. All stages are shuffle-on-key DataFrame algebra: never
@@ -430,7 +430,7 @@ object Dedup {
       .scopedPersist()
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
-      .localCheckpoint(true)
+      .loopCheckpoint(true)
     var superseded = List.empty[DataFrame] // our checkpoints, not yet freed
     var converged = false
     var i = 0
@@ -457,7 +457,7 @@ object Dedup {
         .join(neighborMin, Seq("node"), "left")
         .select(col("node"), col("label").as("__old"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .localCheckpoint(false)
+        .loopCheckpoint(false)
       superseded ::= labels
       i += 1
       if (i % 2 == 0 || i >= maxIter) {

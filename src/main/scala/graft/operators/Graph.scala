@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.Caching
+import graft.Caching.LoopCheckpoint
 import graft.Caching.ScopedPersist
 
 /** SURVEY §2.3 — graph analytics over an edge list, complementing the
@@ -66,7 +67,7 @@ object Graph {
         .select(col("id"),
           (lit(1.0 - damping) + lit(damping) *
             coalesce(col("__in").cast("double"), lit(0.0))).as("rank"))
-        .localCheckpoint(eager)
+        .loopCheckpoint(eager)
       // only rounds THIS loop checkpointed are ours to free (round 0's
       // plan may contain a CALLER checkpoint under nodes/edges)
       if (i > 1) superseded ::= ranks
@@ -106,7 +107,7 @@ object Graph {
       val eager = i % ckptEvery == 0 || i == maxDepth
       val merged = dist.union(next)
         .groupBy(col("id")).agg(min(col("dist_hops")).as("dist_hops"))
-        .localCheckpoint(eager)
+        .loopCheckpoint(eager)
       if (i > 1) superseded ::= dist // round 0's plan isn't ours to free
       if (eager) {
         superseded.foreach(Caching.releaseCheckpoint)

@@ -183,6 +183,38 @@ class ScaleSpec extends SparkSpecBase {
     Caching.releaseCheckpoint(bfs)
   }
 
+  test("reliable checkpointDir mode: identical loop results, files on FS") {
+    import spark.implicits._
+    // local[32] default is localCheckpoint; a real cluster sets
+    // spark.graft.checkpointDir so loop rounds survive executor loss.
+    // Same inputs through both modes must produce identical results.
+    val chain = (0L until 1023L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val edges = (0L until 300L).map(i => (i, (i * 7 + 1) % 300)).toDF("src", "dst")
+    def ccRun() = graft.operators.Dedup.connectedComponents(chain, maxIter = 50)
+      .as[(Long, Long)].collect().sorted.toSeq
+    def prRun() = graft.operators.Graph.pageRank(edges, iters = 8, ckptEvery = 3)
+      .select(col("id"), round(col("rank"), 10).as("rank"))
+      .as[(Long, Double)].collect().sorted.toSeq
+    def bpeRun() = graft.operators.Bpe.learnMerges(
+        Seq("aa ab aa ab ba", "aa ab aa").toDF("text"), "text", k = 3)
+      .select("rank", "merged").as[(Int, String)].collect().sorted.toSeq
+    val (ccLocal, prLocal, bpeLocal) = (ccRun(), prRun(), bpeRun())
+    val dir = java.nio.file.Files.createTempDirectory("graft-reliable-ckpt")
+    spark.conf.set("spark.graft.checkpointDir", dir.toString)
+    try {
+      assert(ccRun() == ccLocal, "CC diverged under reliable checkpointing")
+      assert(prRun() == prLocal, "pageRank diverged under reliable checkpointing")
+      assert(bpeRun() == bpeLocal, "BPE diverged under reliable checkpointing")
+      // reliable rounds actually landed on the FS
+      def countFiles(p: java.nio.file.Path): Long = {
+        val s = java.nio.file.Files.walk(p)
+        try s.filter(java.nio.file.Files.isRegularFile(_)).count()
+        finally s.close()
+      }
+      assert(countFiles(dir) > 0, "no reliable checkpoint files written")
+    } finally spark.conf.unset("spark.graft.checkpointDir")
+  }
+
   test("CacheScope.withScope releases operator-internal persists on exit") {
     import spark.implicits._
     spark.catalog.clearCache()
