@@ -579,6 +579,65 @@ object Dedup {
             transform(sequence(lit(1), size(col("__hs")) - (w - 1)),
               i => array_min(slice(col("__hs"), i, lit(w)))))).as("fp")))
 
+  /** Exact-substring dedup with SPAN EXTENTS (round 9) — the Lee et
+    * al.'21 ExactSubstr operator ("Deduplicating Training Data Makes
+    * Language Models Better", §4.1): report the exact boundaries of
+    * every maximal token run that is part of some substring of length
+    * ≥ L occurring more than once in the corpus. The fingerprint
+    * passes prove a repeat EXISTS ([[spanFingerprints]] needs offsets
+    * congruent mod stride; [[winnowedFingerprints]] needs runs
+    * ≥ w+k−1) but report hash collisions, not extents — this is the
+    * operator a cut-the-span-out pipeline actually needs, and it
+    * catches any threshold L.
+    *
+    * Suffix-array-free distributed formulation: every L-gram position
+    * keys by its gram hash; a hash occurring ≥ 2 times corpus-wide
+    * (cross-doc or within-doc — both memorizable) marks its positions
+    * covered; each covered start p contributes the token interval
+    * [p, p+L−1], and overlapping-or-abutting intervals per doc merge
+    * into maximal spans (two starts p < q share a span iff q−p ≤ L).
+    * A repeated substring of length s ≥ L yields s−L+1 consecutive
+    * covered starts, so its merged extent is exactly the repeated run;
+    * distinct repeats that overlap or abut union into one span — the
+    * same all-duplicated-bytes semantics as the paper's cut step.
+    *
+    * Plan shape: L-gram fan-out is NARROW (len rows/doc); duplicate
+    * detection is ONE aggregate-only shuffle on the uniform md5 key
+    * (never a doc list per hash); the hit join re-shuffles grams on
+    * the same key; island-merge is one doc-keyed window whose
+    * partitioning the final groupBy REUSES (doc_id ⊂ group key ⇒ no
+    * 4th exchange). O(corpus tokens) rows end to end — the suffix
+    * array of the single-node original replaced by hash shuffles.
+    *
+    * Returns (doc_id, span_start, span_end, span_len): 1-based
+    * inclusive token indices per maximal duplicated span.
+    */
+  def exactSubstrSpans(docs: DataFrame, idCol: String, textCol: String,
+                       minLen: Int = 15): DataFrame = {
+    val grams = tokenized(docs, idCol, textCol, minLen)
+      .select(col("doc_id"), col("__toks"),
+        explode(sequence(lit(1), size(col("__toks")) - (minLen - 1))).as("pos"))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        md5(concat_ws(" ", slice(col("__toks"), col("pos"), lit(minLen)))).as("h"))
+    val dupHashes = grams.groupBy(col("h"))
+      .agg(count(lit(1)).as("__n")).filter(col("__n") >= 2).select(col("h"))
+    val hits = grams.join(dupHashes, "h").select(col("doc_id"), col("pos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val prev = lag(col("pos"), 1).over(w)
+    hits
+      .withColumn("__new",
+        (prev.isNull || (col("pos") - prev) > minLen).cast("int"))
+      .withColumn("__grp", sum(col("__new")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .groupBy(col("doc_id"), col("__grp"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + (minLen - 1)).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_len"))
+  }
+
   private def tokenized(docs: DataFrame, idCol: String, textCol: String,
                         minLen: Int): DataFrame = {
     val toks = filter(split(col(textCol), " "), t => t =!= "")

@@ -908,6 +908,19 @@ object TextQueries {
       Dedup.winnowedFingerprints(Tables.documents(s, d), "doc_id", "text",
         k = 8, w = 13)
         .orderBy(col("fp"))
+    },
+
+    // §2.3 (round 9) — ExactSubstr dedup with SPAN EXTENTS (Lee et
+    // al.'21): exact [start, end] boundaries of every maximal token
+    // run covered by a ≥ 15-token substring repeated anywhere in the
+    // corpus. q147/q149 report collisions; this reports the extents a
+    // cut-the-span-out pipeline needs, at thresholds below winnowing's
+    // w+k−1 = 20 guarantee. Narrow L-gram front, aggregate-only hash
+    // shuffle, doc-window island merge (partitioning reused).
+    "q156_exact_substr" -> { (s, d) =>
+      Dedup.exactSubstrSpans(Tables.documents(s, d), "doc_id", "text",
+        minLen = 15)
+        .orderBy(col("doc_id"), col("span_start"))
     }
   )
 
@@ -1561,6 +1574,34 @@ object TextQueries {
         |FROM f
         |GROUP BY fp HAVING COUNT(DISTINCT doc_id) >= 2
         |ORDER BY fp""".stripMargin,
+
+    "q156_exact_substr" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |    md5(array_to_string(toks[i:i+14], ' ')) AS h
+        |  FROM t, UNNEST(generate_series(1, len(toks) - 14)) AS u(i)
+        |  WHERE len(toks) >= 15),
+        |d AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) >= 2),
+        |hits AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (h)),
+        |runs AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 15
+        |         THEN 0 ELSE 1 END AS newgrp
+        |  FROM hits),
+        |grps AS (
+        |  SELECT doc_id, pos,
+        |    SUM(newgrp) OVER (PARTITION BY doc_id ORDER BY pos
+        |                      ROWS UNBOUNDED PRECEDING) AS grp
+        |  FROM runs)
+        |SELECT doc_id, MIN(pos) AS span_start,
+        |  MAX(pos) + 14 AS span_end,
+        |  MAX(pos) + 14 - MIN(pos) + 1 AS span_len
+        |FROM grps GROUP BY doc_id, grp
+        |ORDER BY doc_id, span_start""".stripMargin,
 
     "q147_span_dedup" ->
       """WITH t AS (

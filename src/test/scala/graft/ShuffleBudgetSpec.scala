@@ -32,6 +32,9 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "q149_winnow_dedup" -> 3,
     "q43b_asof_native" -> 3,          // co-partition both sides + sort
     "q129_interval_native" -> 4,
+    "q156_exact_substr" -> 3,         // gram agg + hit join + doc window
+                                      // (island groupBy reuses the window
+                                      // partitioning; extents stay narrow)
     "q31b_lsh_pairs" -> 6,
     "q73_tfidf" -> 7,
     "q107_token_budget" -> 7)

@@ -93,6 +93,70 @@ class SpanDedupSpec extends SparkSpecBase {
     assert(adc == 25.0) // luts(0)(code=1)=20 + luts(1)(code=0)=5
   }
 
+  test("exactSubstrSpans reports exact extents for a planted repeat") {
+    // a 17-token repeat planted at different offsets in two docs; with
+    // minLen = 15 the covered L-gram positions are the 3 consecutive
+    // starts of the repeat, so the merged extent must be exactly the
+    // 17 tokens at each occurrence
+    val rep = (0 until 17).map(i => s"rep_$i").mkString(" ")
+    val docs = Seq(
+      (1L, rep + " " + wordsDoc(1, 30)),            // tokens 1..17
+      (2L, wordsDoc(2, 5) + " " + rep + " " + wordsDoc(3, 12)) // tokens 6..22
+    ).toDF("doc_id", "text")
+    val spans = Dedup.exactSubstrSpans(docs, "doc_id", "text", minLen = 15)
+      .select("doc_id", "span_start", "span_end", "span_len")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(spans == Set((1L, 1L, 17L, 17L), (2L, 6L, 22L, 17L)), s"got $spans")
+  }
+
+  test("abutting repeats union into one maximal span; within-doc repeats count") {
+    // doc 3 repeats its own 15-token block twice (within-doc repeat);
+    // doc 4 carries two DIFFERENT 15-token blocks back to back, each
+    // repeated elsewhere — its extents must merge into one 30-token span
+    val blockA = (0 until 15).map(i => s"a_$i").mkString(" ")
+    val blockB = (0 until 15).map(i => s"b_$i").mkString(" ")
+    val docs = Seq(
+      (3L, blockA + " " + wordsDoc(4, 8) + " " + blockA),
+      (4L, blockA + " " + blockB),
+      (5L, blockB + " " + wordsDoc(5, 20))
+    ).toDF("doc_id", "text")
+    val spans = Dedup.exactSubstrSpans(docs, "doc_id", "text", minLen = 15)
+      .select("doc_id", "span_start", "span_end", "span_len")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // doc 3: two occurrences of blockA at 1..15 and 24..38
+    assert(spans.contains((3L, 1L, 15L, 15L)) && spans.contains((3L, 24L, 38L, 15L)),
+      s"within-doc repeat extents wrong: $spans")
+    // doc 4: blockA (1..15) and blockB (16..30) abut -> one 30-token span
+    assert(spans.contains((4L, 1L, 30L, 30L)), s"abutting spans must merge: $spans")
+    assert(spans.contains((5L, 1L, 15L, 15L)))
+  }
+
+  test("exactSubstr catches a short repeat winnowing provably misses") {
+    // winnowing's guarantee starts at w+k−1 = 20 tokens; this repeat
+    // is 16 tokens. With k = 8 the repeat yields 9 shared gram hashes,
+    // fewer than one full w = 13 window, and in these fixed docs the
+    // sliding-min never selects one in both docs — deterministic miss.
+    val short = (0 until 16).map(i => s"s_$i").mkString(" ")
+    val docs = Seq(
+      (6L, short + " " + wordsDoc(6, 30)),
+      (7L, wordsDoc(7, 9) + " " + short + " " + wordsDoc(8, 25))
+    ).toDF("doc_id", "text")
+    val win = Dedup.winnowedFingerprints(docs, "doc_id", "text", k = 8, w = 13)
+    assert(win.count() == 0,
+      "if winnowing starts catching this 16-token repeat the fixture " +
+        "changed; pick a repeat the sliding-min skips in one doc")
+    val spans = Dedup.exactSubstrSpans(docs, "doc_id", "text", minLen = 15)
+      .select("doc_id", "span_start", "span_end", "span_len")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(spans == Set((6L, 1L, 16L, 16L), (7L, 10L, 25L, 16L)), s"got $spans")
+  }
+
+  test("exactSubstrSpans finds nothing in a repeat-free corpus") {
+    val docs = Seq((1L, wordsDoc(11, 60)), (2L, wordsDoc(12, 60)))
+      .toDF("doc_id", "text")
+    assert(Dedup.exactSubstrSpans(docs, "doc_id", "text", minLen = 15).count() == 0)
+  }
+
   test("winnowing produces no fingerprint for unique docs") {
     val docs = Seq((1L, wordsDoc(1, 60)), (2L, wordsDoc(2, 60)))
       .toDF("doc_id", "text")
