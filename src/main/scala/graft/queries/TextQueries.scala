@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 import graft.functions.GraftFunctions
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Boilerplate, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.Caching.ScopedPersist
 
 /** SURVEY.md §2.3 — LLM-training-data operators over documents /
@@ -921,8 +921,42 @@ object TextQueries {
       Dedup.exactSubstrSpans(Tables.documents(s, d), "doc_id", "text",
         minLen = 15)
         .orderBy(col("doc_id"), col("span_start"))
+    },
+
+    // §2.3 (round 9) — HTML boilerplate extraction (jusText-class):
+    // raw web pages arrive as HTML; block segmentation at block-tag
+    // boundaries + per-block word-count/link-density verdicts strip
+    // nav/footer/title chrome and keep body text. The corpus's docs
+    // are wrapped in a deterministic page template (title, nav bar,
+    // link-farm footer) and the extractor must recover exactly the
+    // original text. All narrow regex/arithmetic expressions; the
+    // only shuffles are the per-doc rollup and the output sort.
+    "q157_html_extract" -> { (s, d) =>
+      val pages = Tables.documents(s, d)
+        .select(col("doc_id"),
+          concat(
+            lit(htmlPrefix), col("doc_id").cast("string"), lit(htmlMid),
+            coalesce(col("text"), lit("")), lit(htmlSuffix)).as("html"))
+      Boilerplate.extractMain(pages, "doc_id", "html")
+        .orderBy(col("doc_id"))
     }
   )
+
+  /** q157's deterministic page template — title + nav-bar chrome, the
+    * doc's text as the body paragraph, and a link-farm footer. Shared
+    * between the Spark query and the DuckDB oracle so both wrap the
+    * corpus in byte-identical pages (no apostrophes: the oracle
+    * inlines these into SQL string literals). */
+  private val htmlPrefix = "<html><head><title>Doc "
+  private val htmlMid =
+    "</title></head><body><header><nav><a href=\"/\">Home</a> " +
+      "<a href=\"/about\">About</a> <a href=\"/contact\">Contact</a>" +
+      "</nav></header><div class=\"content\"><p>"
+  private val htmlSuffix =
+    "</p></div><footer><p><a href=\"/terms\">Terms of Service</a> " +
+      "<a href=\"/privacy\">Privacy Policy</a> " +
+      "<a href=\"/cookies\">Cookie Settings</a> (c) 2020</p>" +
+      "</footer></body></html>"
 
   /** Exact O(n²) hamming scan — shared by q32b (compositional path)
     * and q110 (native HammingSelfJoinExec); both must match it. */
@@ -1574,6 +1608,39 @@ object TextQueries {
         |FROM f
         |GROUP BY fp HAVING COUNT(DISTINCT doc_id) >= 2
         |ORDER BY fp""".stripMargin,
+
+    "q157_html_extract" ->
+      s"""WITH d AS (
+        |  SELECT doc_id,
+        |    '$htmlPrefix' || CAST(doc_id AS VARCHAR) ||
+        |    '$htmlMid' ||
+        |    COALESCE(text, '') ||
+        |    '$htmlSuffix' AS html
+        |  FROM documents),
+        |arr AS (
+        |  SELECT doc_id, regexp_split_to_array(html,
+        |    '${Boilerplate.blockTagRe}') AS a
+        |  FROM d),
+        |rawb AS (
+        |  SELECT doc_id, i AS block_idx, a[i] AS raw
+        |  FROM arr, UNNEST(generate_series(1, len(a))) AS u(i)),
+        |b AS (
+        |  SELECT doc_id, block_idx,
+        |    trim(regexp_replace(regexp_replace(raw, '<[^>]*>', '', 'g'), ' +', ' ', 'g')) AS text,
+        |    COALESCE(list_sum(list_transform(
+        |      regexp_extract_all(raw, '(?i)<a[^>]*>([^<]*)</a>', 1), x -> len(x))), 0) AS link_chars
+        |  FROM rawb),
+        |v AS (
+        |  SELECT doc_id, block_idx, text,
+        |    len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_words,
+        |    ROUND(CAST(link_chars AS DOUBLE) / GREATEST(len(text), 1), 6) AS ld
+        |  FROM b WHERE text <> '')
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+        |  CAST(SUM(CASE WHEN n_words >= 5 AND ld <= 0.33 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_content_blocks,
+        |  COALESCE(string_agg(CASE WHEN n_words >= 5 AND ld <= 0.33 THEN text END,
+        |    ' ' ORDER BY block_idx), '') AS main_text
+        |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q156_exact_substr" ->
       """WITH t AS (

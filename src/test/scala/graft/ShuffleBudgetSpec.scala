@@ -25,6 +25,7 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "q150_reservoir_sample" -> 1,     // ticket race rides TopKPerKeyExec
     "q01_pricing_summary" -> 2,       // partial+final agg, range sort
     "q30_exact_dedup" -> 2,           // md5 group + order
+    "q157_html_extract" -> 2,         // narrow regex front; doc rollup + sort
     "q115_classifier_filter" -> 2,    // inference folded into the scan
     // bounded multi-stage shapes
     "q70_decontaminate" -> 3,
