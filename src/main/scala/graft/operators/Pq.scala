@@ -177,6 +177,64 @@ object Pq {
       .select(col("query_id"), col("neighbor_id"), col("adc_dist"), col("rnk"))
   }
 
+  /** Persist a trained IVF-PQ index in its SERVING shape (round 9):
+    * the q152/q153 queries train and query in one job, but a
+    * retrieval service trains once and probes from fresh sessions for
+    * months. Layout under `dir`:
+    *
+    *   books/  — (sub, cid, cemb), m×ksub rows (KB — broadcast side)
+    *   cents/  — (cid, cemb), coarse quantizer (KB — broadcast side)
+    *   codes/  — (vec_id, codes) PARTITIONED BY cid: each IVF cell is
+    *             its own parquet directory, so a probe reads ONLY its
+    *             nProbe cells' files (partition pruning via the
+    *             broadcast probe-set join) — at 100 TB the scan cost
+    *             drops by nCentroids/nProbe before a single byte of
+    *             non-probed cells is touched.
+    *
+    * All three tables are plain parquet a fresh session reads with no
+    * reference to the training session.
+    */
+  def writeIndex(corpus: DataFrame, dir: String,
+                 m: Int = 16, ksub: Int = 32, nCentroids: Int = 16): Unit = {
+    val cents = Similarity.ivfTrain(corpus, nCentroids)
+    val books = trainCodebooks(corpus, m, ksub)
+    val cellOf = Similarity.ivfAssign(cents, corpus)
+      .select(col("vec_id"), col("cid"))
+    books.write.mode("overwrite").parquet(s"$dir/books")
+    cents.write.mode("overwrite").parquet(s"$dir/cents")
+    encode(corpus, books, m).join(cellOf, "vec_id")
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/codes")
+  }
+
+  /** Probe a [[writeIndex]] layout from a (fresh) session. The corpus
+    * side is scan → broadcast-probe join (cell pruning) → broadcast-
+    * LUT join → codegen ADC — NARROW until the single k-bounded
+    * top-k exchange ([[graft.plans.TopKPlan]]). The only other
+    * exchanges in the plan sit on the nq-row QUERY side (probe window,
+    * LUT rollup) — bounded by the request, not the corpus. Pinned in
+    * PqSpec: exactly ONE exchange subtree contains the codes scan.
+    */
+  def probeIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                 queries: DataFrame, k: Int, nProbe: Int = 6,
+                 m: Int = 16): DataFrame = {
+    val books = spark.read.parquet(s"$dir/books")
+    val cents = spark.read.parquet(s"$dir/cents")
+    val codes = spark.read.parquet(s"$dir/codes")
+    val probes = Similarity.ivfProbes(cents, queries, nProbe)
+      .select(col("query_id"), col("cid"))
+    val luts = queryLuts(books, queries, m)
+    val scored = codes.join(broadcast(probes), "cid")
+      .filter(col("query_id") =!= col("vec_id"))
+      .join(broadcast(luts), "query_id")
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        graft.functions.GraftFunctions.adcDistance(col("codes"), col("luts"))
+          .as("adc_dist"))
+      .withColumn("neg_dist", -col("adc_dist"))
+    graft.plans.TopKPlan.topKPerKey(scored, Seq("query_id"),
+        scoreCol = "neg_dist", tieCol = "neighbor_id", k = k)
+      .select(col("query_id"), col("neighbor_id"), col("adc_dist"), col("rnk"))
+  }
+
   /** IVF-PQ (the FAISS IndexIVFPQ architecture): the IVF coarse
     * quantizer prunes the CANDIDATE SET (each query touches only its
     * nProbe cells ≈ |corpus|·nProbe/nCentroids vectors), PQ prunes

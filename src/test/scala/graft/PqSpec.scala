@@ -122,6 +122,45 @@ class PqSpec extends SparkSpecBase {
     assert(n >= 1 && n <= 8, s"IVF must seed from sparse ids, got $n cells")
   }
 
+  test("persisted serving index: fresh-read probe matches in-session IVF-PQ") {
+    // train once, write (books, cents, codes-by-cell), then answer the
+    // same queries from the parquet layout with no reference to any
+    // in-memory training frame — the retrieval-service shape. Training
+    // is deterministic, so served results must be IDENTICAL.
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-index").toString
+    Pq.writeIndex(emb, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+    val served = Pq.probeIndex(spark, dir, queries, k = 10)
+      .select("query_id", "neighbor_id", "rnk")
+      .as[(Long, Long, Int)].collect().toSet
+    val inSession = Pq.ivfPqTopK(emb, queries, k = 10)
+      .select("query_id", "neighbor_id", "rnk")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(served == inSession,
+      s"served index diverged from in-session: ${(served diff inSession).take(5)}")
+
+    // plan shape: the corpus (codes) side must stay NARROW — scan,
+    // broadcast probe join, broadcast LUT join, codegen ADC — all the
+    // way into TopKPerKeyExec, whose k-bounded partial-heap shuffle is
+    // the ONLY corpus-wide data movement (it is an internal RDD
+    // shuffle, not a ShuffleExchangeExec). So: zero SQL exchanges may
+    // contain the codes scan; the remaining exchanges sit on the
+    // nq-row query side (probe window, LUT rollup), bounded by the
+    // request, not the corpus.
+    val sp = Pq.probeIndex(spark, dir, queries, k = 10)
+      .queryExecution.sparkPlan
+    assert(sp.collect { case t: graft.plans.TopKPerKeyExec => t }.nonEmpty,
+      "probe top-k must ride TopKPerKeyExec")
+    val exchanges = sp.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    val corpusSide = exchanges.count(e =>
+      e.collectLeaves().exists(_.toString.contains("/codes")))
+    assert(corpusSide == 0,
+      s"codes-scan side must reach the top-k with no SQL exchange, got $corpusSide")
+    assert(exchanges.size <= 4, s"probe plan grew: ${exchanges.size} exchanges")
+  }
+
   test("q152 driver query returns k rows per query with contiguous ranks") {
     val out = SparkEntry.queries("q152_pq_ann")(spark, sf)
     val per = out.groupBy("query_id")
