@@ -1,0 +1,198 @@
+package graft.functions
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/** KLL-style streaming quantile sketch (Karnin/Lang/Liberty, FOCS'16
+  * shape): a ladder of buffers where level i holds items of weight
+  * 2^i; an over-full level sorts and keeps every other item
+  * (alternating parity so no rank is systematically favored),
+  * promoting the survivors one level up. Memory is O(k·log(n/k))
+  * REGARDLESS of n, and two sketches merge by level-wise
+  * concatenation + the same compaction — exactly the partial-state
+  * contract map-side aggregation needs, so a 100 TB column's
+  * quantiles cost one scan + k-sized shuffle rows instead of the
+  * full-sort `percentile` or a per-group exact window.
+  *
+  * Deterministic by construction (compaction parity is a counter,
+  * not a coin flip): rank error is bounded by the number of
+  * compactions each item survives — ≤ Σ_lvl 2^lvl · n_compactions(lvl)
+  * — the classic deterministic-GK-style bound rather than KLL's
+  * randomized O(1/k); QuantileSketchSpec pins ≤ 2% observed rank
+  * error at k=200 over 50k+ values under multiple partitionings.
+  * (Spark's own approx_percentile brings Greenwald-Khanna; this is
+  * the mergeable-ladder alternative with smaller merge state, and it
+  * demonstrates the TypedImperativeAggregate extension surface.)
+  */
+final class KllDoubleSketch(val k: Int) extends Serializable {
+  // levels(i) holds values of weight 2^i; level 0 is the raw intake
+  val levels: mutable.ArrayBuffer[mutable.ArrayBuffer[Double]] =
+    mutable.ArrayBuffer(mutable.ArrayBuffer.empty[Double])
+  var totalN: Long = 0L
+  var compactions: Long = 0L
+
+  // capacity shrinks geometrically for LOWER levels (older levels
+  // hold fewer, heavier items): cap(top) = k, each level below 2/3
+  private def cap(lvl: Int): Int = {
+    val depth = levels.size - 1 - lvl
+    math.max(8, math.ceil(k * math.pow(2.0 / 3.0, depth)).toInt)
+  }
+
+  def add(v: Double): Unit = {
+    levels(0) += v
+    totalN += 1
+    compress()
+  }
+
+  def compress(): Unit = {
+    var lvl = 0
+    while (lvl < levels.size) {
+      if (levels(lvl).size > cap(lvl)) {
+        val sorted = levels(lvl).sorted
+        if (lvl + 1 == levels.size) levels += mutable.ArrayBuffer.empty[Double]
+        // each adjacent pair promotes ONE survivor (alternating parity
+        // so no rank is always dropped); an odd count leaves the max
+        // unpaired at this level. Weight is conserved exactly:
+        // ⌊n/2⌋ survivors at 2w + (n mod 2) stay-behind at w = n·w.
+        val nPairs = sorted.size / 2
+        val offset = (compactions % 2).toInt
+        compactions += 1
+        var p = 0
+        while (p < nPairs) {
+          levels(lvl + 1) += sorted(2 * p + offset)
+          p += 1
+        }
+        levels(lvl).clear()
+        if (sorted.size % 2 == 1) levels(lvl) += sorted(sorted.size - 1)
+      }
+      lvl += 1
+    }
+  }
+
+  def merge(other: KllDoubleSketch): Unit = {
+    while (levels.size < other.levels.size)
+      levels += mutable.ArrayBuffer.empty[Double]
+    var i = 0
+    while (i < other.levels.size) {
+      levels(i) ++= other.levels(i)
+      i += 1
+    }
+    totalN += other.totalN
+    compactions += other.compactions
+    compress()
+  }
+
+  /** Rank-interpolated quantile estimates: items expanded to
+    * (value, 2^level) weights, sorted once, walked cumulatively.
+    */
+  def quantiles(qs: Seq[Double]): Seq[Double] = {
+    if (totalN == 0) return qs.map(_ => Double.NaN)
+    val weighted = levels.iterator.zipWithIndex.flatMap { case (buf, lvl) =>
+      val w = 1L << lvl
+      buf.iterator.map(v => (v, w))
+    }.toArray.sortBy(_._1)
+    val totalW = weighted.iterator.map(_._2).sum
+    qs.map { q =>
+      val target = q * totalW
+      var cum = 0L
+      var i = 0
+      var ans = weighted.last._1
+      var done = false
+      while (i < weighted.length && !done) {
+        cum += weighted(i)._2
+        if (cum >= target) { ans = weighted(i)._1; done = true }
+        i += 1
+      }
+      ans
+    }
+  }
+
+  /** Retained item count across all levels — the memory bound. */
+  def retained: Int = levels.iterator.map(_.size).sum
+}
+
+/** `graft_kll_quantiles(value, k, qs...)` — returns array of structs
+  * (q, est) plus the exact n, one row per group.
+  */
+case class KllQuantiles(child: Expression, k: Int, qs: Seq[Double],
+                        mutableAggBufferOffset: Int = 0,
+                        inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[KllDoubleSketch] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", LongType),
+    StructField("retained", IntegerType),
+    StructField("ests", ArrayType(StructType(Seq(
+      StructField("q", DoubleType),
+      StructField("est", DoubleType)))))))
+
+  override def createAggregationBuffer(): KllDoubleSketch =
+    new KllDoubleSketch(k)
+
+  override def update(buf: KllDoubleSketch, input: InternalRow): KllDoubleSketch = {
+    val v = child.eval(input)
+    if (v != null) buf.add(v.asInstanceOf[Double])
+    buf
+  }
+
+  override def merge(buf: KllDoubleSketch, other: KllDoubleSketch): KllDoubleSketch = {
+    buf.merge(other); buf
+  }
+
+  override def eval(buf: KllDoubleSketch): Any = {
+    val ests = buf.quantiles(qs)
+    InternalRow(buf.totalN, buf.retained,
+      new GenericArrayData(qs.zip(ests).map { case (q, e) => InternalRow(q, e) }))
+  }
+
+  override def serialize(buf: KllDoubleSketch): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(buf.k)
+    out.writeLong(buf.totalN)
+    out.writeLong(buf.compactions)
+    out.writeInt(buf.levels.size)
+    buf.levels.foreach { lvl =>
+      out.writeInt(lvl.size)
+      lvl.foreach(out.writeDouble)
+    }
+    out.flush(); bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): KllDoubleSketch = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val sk = new KllDoubleSketch(in.readInt())
+    sk.totalN = in.readLong()
+    sk.compactions = in.readLong()
+    val nLevels = in.readInt()
+    sk.levels.clear()
+    (0 until nLevels).foreach { _ =>
+      val buf = mutable.ArrayBuffer.empty[Double]
+      (0 until in.readInt()).foreach(_ => buf += in.readDouble())
+      sk.levels += buf
+    }
+    sk
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): KllQuantiles =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KllQuantiles =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(child = cs.head)
+  override def prettyName: String = "graft_kll_quantiles"
+}
+
+object KllQuantiles {
+  import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
+  def kllQuantiles(c: Column, k: Int, qs: Seq[Double]): Column =
+    toCol(KllQuantiles(toExpr(c), k, qs).toAggregateExpression())
+}

@@ -646,6 +646,49 @@ object Dedup {
       .filter(size(col("__toks")) >= minLen)
   }
 
+  /** Paragraph-level exact dedup with document reassembly (the
+    * RefinedWeb / Falcon curation step): across the WHOLE corpus,
+    * each distinct paragraph survives only at its globally first
+    * occurrence — ordered by (doc_id, position) — and every document
+    * is rebuilt from its surviving paragraphs in original order.
+    * Catches the boilerplate/quote reuse that document-level exact
+    * dedup (q30) misses without the fuzziness of MinHash.
+    *
+    * Shuffle budget: paragraph-hash groupBy (keeper election, uniform
+    * 128-bit key) → hash equi-join back (AQE broadcasts the keeper
+    * table when it fits; both sides shuffle on the same uniform key
+    * otherwise) → per-doc rollup. Three exchanges total, all on
+    * uniform keys — no skew handling needed at 100 TB. The keeper
+    * rank is doc_id·10^5 + position packed into one long so the
+    * argmin is a plain MIN, not a struct comparison.
+    */
+  def paragraphDedup(docs: DataFrame, idCol: String, textCol: String,
+                     sep: String = "\n\n"): DataFrame = {
+    val posBase = 100000L
+    val paras = docs
+      .select(col(idCol).as("doc_id"),
+        when(col(textCol) === "", array().cast("array<string>"))
+          .otherwise(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as("__paras"))
+      .select(col("doc_id"), posexplode(col("__paras")))
+      .select(col("doc_id"), col("pos"),
+        md5(col("col")).as("h"), col("col").as("para"),
+        (col("doc_id") * posBase + col("pos")).as("rank"))
+    val keepers = paras.groupBy(col("h")).agg(min(col("rank")).as("min_rank"))
+    paras.join(keepers, "h")
+      .withColumn("__kept", (col("rank") === col("min_rank")).cast("int"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_paras"),
+        sum(col("__kept")).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(when(col("__kept") === 1,
+            struct(col("pos"), col("para"))))),
+          x => x.getField("para")), sep).as("__new_text"))
+      .select(col("doc_id"), col("n_paras"), col("n_kept"),
+        when(col("n_kept") === 0, lit(null).cast("string"))
+          .otherwise(md5(col("__new_text"))).as("new_hash"))
+  }
+
   private def fingerprintAgg(perDocFps: DataFrame): DataFrame =
     perDocFps
       .groupBy(col("fp"))

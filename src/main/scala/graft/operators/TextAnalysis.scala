@@ -335,6 +335,94 @@ object TextAnalysis {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** C4-style line-level quality filter (Raffel et al.'20 §2.2): the
+    * rule pass every web corpus runs before any model-based scoring.
+    * Input is MULTI-LINE text; per line the C4 rules are
+    *   - keep only lines ending in terminal punctuation (. ! ?),
+    *   - keep only lines with ≥ `minWordsPerLine` words,
+    *   - drop lines containing a blocklist phrase ("javascript" — the
+    *     enable-JS banner — or cookie/lorem chrome),
+    *   - drop lines containing '{' (code/markup leakage);
+    * and per document: keep iff ≥ `minKeptLines` lines survive AND the
+    * page contains no '{' anywhere (C4 drops brace pages whole).
+    *
+    * The entire pass is higher-order array functions over the text
+    * column — split / filter / array_join — ZERO shuffles: at 100 TB
+    * this is a map-only scan whose cost is the read itself. The
+    * retained text is emitted as an md5 so the verdict table stays
+    * row-sized regardless of document length.
+    */
+  def c4Filter(pages: DataFrame, idCol: String, textCol: String,
+               minWordsPerLine: Int = 5, minKeptLines: Int = 3,
+               blocklist: Seq[String] =
+                 Seq("javascript", "lorem ipsum", "cookie policy")): DataFrame = {
+    val lines = when(col(textCol) === "", array().cast("array<string>"))
+      .otherwise(split(col(textCol), "\n"))
+    def lineKeep(l: Column): Column = {
+      val terminal = endswith(l, lit(".")) || endswith(l, lit("!")) ||
+        endswith(l, lit("?"))
+      val longEnough = size(split(l, " ")) >= minWordsPerLine
+      val blocked = blocklist.map(p => l.contains(p))
+        .reduce(_ || _) || l.contains("{")
+      terminal && longEnough && !blocked
+    }
+    pages
+      .withColumn("__lines", lines)
+      .withColumn("__kept", filter(col("__lines"), lineKeep _))
+      .select(col(idCol).as("doc_id"),
+        size(col("__lines")).cast("long").as("n_lines"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        col(textCol).contains("{").as("has_brace"),
+        (size(col("__kept")) >= minKeptLines &&
+          !col(textCol).contains("{")).as("keep"),
+        md5(array_join(col("__kept"), "\n")).as("kept_hash"))
+  }
+
+  /** Jensen-Shannon divergence of each source's unigram distribution
+    * against the rest of the corpus — the distribution-shift score a
+    * mixing pipeline watches per ingest batch (0 = identical,
+    * ln 2 = disjoint). Tokens ABSENT from a source contribute
+    * 0.5·q·ln2 each (p=0 ⇒ m=q/2), so their total is the closed form
+    * 0.5·ln2·(1−Σ_{w∈source} q(w)) and only the source's own vocab is
+    * ever enumerated — never a source × vocab cross join. Per-token
+    * terms are quantized to DECIMAL(18,12) before the sum (the q101
+    * discipline: exact, partition-order-independent reduction).
+    *
+    * Shuffle budget: one (source, word) groupBy; the word-marginal
+    * and source-marginal rollups reuse it (vocab-bounded); the join
+    * tree is broadcast except the vocab-keyed word join. At 100 TB
+    * the per-source vocab table is ≪ the corpus — this is a
+    * metadata-sized job after the first exchange.
+    */
+  def jsDivergenceBySource(docs: DataFrame, srcCol: String,
+                           textCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val sc = docs
+      .select(col(srcCol).as("source"),
+        explode(graft.functions.GraftFunctions.normWords(col(textCol)))
+          .as("word"))
+      .groupBy(col("source"), col("word")).agg(count(lit(1)).as("c"))
+      .scopedPersist() // feeds cw, ns, tt and the join — one shuffle
+    val cw = sc.groupBy(col("word")).agg(sum(col("c")).as("cw"))
+    val ns = sc.groupBy(col("source")).agg(sum(col("c")).as("ns"))
+    val tt = sc.agg(sum(col("c")).as("tt"))
+    val p = col("c").cast("double") / col("ns")
+    val q = (col("cw") - col("c")).cast("double") / (col("tt") - col("ns"))
+    val m = (p + q) / lit(2.0)
+    val term = (p * log(p / m) +
+      when(col("cw") > col("c"), q * log(q / m)).otherwise(lit(0.0))) / lit(2.0)
+    sc.join(cw, "word").join(broadcast(ns), "source").crossJoin(broadcast(tt))
+      .select(col("source"),
+        term.cast(DecimalType(18, 12)).as("term"),
+        q.cast(DecimalType(18, 12)).as("qmass"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("term")).cast("double") +
+          lit(0.5 * math.log(2.0)) *
+            (lit(1.0) - sum(col("qmass")).cast("double")), 6)
+          .as("js_divergence"))
+  }
+
   /** Winnowing fingerprints (Schleimer et al., SIGMOD'03): md5 over
     * char k-grams, per-window minimum, distinct. Array-expression
     * pipeline — no shuffle until the caller aggregates.

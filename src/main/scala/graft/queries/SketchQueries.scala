@@ -7,9 +7,10 @@ import graft.Tables
 
 /** SURVEY.md §2.3 addendum — sketch aggregates. At 100 TB, exact
   * count-distinct/percentile over high-cardinality keys is a full
-  * shuffle of the key space; HLL++ / GK sketches are mergeable
+  * shuffle of the key space; HLL++ / GK / KLL sketches are mergeable
   * map-side state of bounded size. Rows-only (DuckDB's approx
-  * algorithms differ); QualitySpec bounds the relative error vs exact.
+  * algorithms differ); QualitySpec / QuantileSketchSpec bound the
+  * error vs exact.
   */
 object SketchQueries {
 
@@ -25,6 +26,31 @@ object SketchQueries {
           percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("approx_median_price"),
           count(lit(1)).as("n"))
         .orderBy(col("l_returnflag"))
+    },
+
+    // §2.5 (round 9) — native KLL-ladder quantile sketch as a custom
+    // TypedImperativeAggregate: per-event-type value quantiles from
+    // O(k·log n) mergeable state. The monitoring shape at 100 TB —
+    // one scan, map-side partial sketches, k-sized shuffle rows —
+    // where exact per-group quantiles (q53) pay a full sort. Rows-
+    // only: estimates are sketch-algorithm-specific;
+    // QuantileSketchSpec pins ≤2% rank error vs exact at k=200 and
+    // the retained-size bound.
+    "q161_kll_quantiles" -> { (s, d) =>
+      val kll = graft.functions.KllQuantiles.kllQuantiles(
+        col("value"), 200, Seq(0.1, 0.25, 0.5, 0.75, 0.9))
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(kll.as("sk"))
+        .select(col("event_type"),
+          col("sk.n").as("n"),
+          col("sk.retained").as("retained"),
+          round(col("sk.ests")(0)("est"), 6).as("p10"),
+          round(col("sk.ests")(1)("est"), 6).as("p25"),
+          round(col("sk.ests")(2)("est"), 6).as("p50"),
+          round(col("sk.ests")(3)("est"), 6).as("p75"),
+          round(col("sk.ests")(4)("est"), 6).as("p90"))
+        .orderBy(col("event_type"))
     }
   )
 

@@ -285,6 +285,29 @@ object TextQueries {
         .orderBy(col("query_id"), col("rnk"))
     },
 
+    // §2.4/§2.3 (round 9) — STREAMING ANN serving (rows-only;
+    // exactly-once + batch-parity invariants in AnnServeStreamSpec):
+    // the retrieval-service loop — a persisted IVF-PQ index probed by
+    // a query-vector STREAM, per-batch cell-pruned ADC top-k, results
+    // as per-batch overwrite partitions. The serving complement of
+    // q153's one-job train+query shape.
+    "q162_ann_serve" -> { (s, d) =>
+      val base = java.nio.file.Files.createTempDirectory("graft-annserve")
+        .toString
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      graft.operators.Pq.writeIndex(emb, s"$base/index",
+        m = 8, ksub = 16, nCentroids = 8)
+      emb.filter(col("vec_id") < 6)
+        .write.parquet(s"$base/queries")
+      graft.streaming.AnnServeStream.run(s, s"$base/index",
+        s"$base/queries", s"$base/out", s"$base/ckpt",
+        k = 10, nProbe = 4, m = 8)
+      s.read.parquet(s"$base/out")
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("adc_dist"), 6).as("adc_dist"), col("rnk"))
+        .orderBy(col("query_id"), col("rnk"))
+    },
+
     // §2.3 (round 8) — classifier CALIBRATION audit: before a quality
     // classifier gates a 100 TB corpus, its scores need a reliability
     // read — decile bins of the q115 score vs the observed positive
@@ -939,8 +962,85 @@ object TextQueries {
             coalesce(col("text"), lit("")), lit(htmlSuffix)).as("html"))
       Boilerplate.extractMain(pages, "doc_id", "html")
         .orderBy(col("doc_id"))
+    },
+
+    // §2.3 (round 9) — C4-style line-level quality filter (Raffel et
+    // al.'20): the rule pass every raw web corpus runs first. Docs
+    // are rendered as deterministic multi-line pages (8-word lines
+    // with arithmetic-planted enable-JS banners, brace leakage, and
+    // missing terminal punctuation — mirrored verbatim in the
+    // oracle); the filter is split/filter/array_join higher-order
+    // functions — a ZERO-shuffle map-only scan at 100 TB.
+    "q158_c4_filter" -> { (s, d) =>
+      TextAnalysis.c4Filter(c4Pages(s, d), "doc_id", "page")
+        .orderBy(col("doc_id"))
+    },
+
+    // §2.3 (round 9) — paragraph-level exact dedup with reassembly
+    // (RefinedWeb): each distinct paragraph survives only at its
+    // globally first (doc_id, pos) occurrence; docs are rebuilt from
+    // surviving paragraphs in order. Three uniform-key exchanges
+    // (hash groupBy, hash join back, per-doc rollup) — the
+    // between-exact-and-fuzzy dedup tier q30/q31 bracket.
+    "q159_para_dedup" -> { (s, d) =>
+      Dedup.paragraphDedup(paraPages(s, d), "doc_id", "page")
+        .orderBy(col("doc_id"))
+    },
+
+    // §2.3 (round 9) — Jensen-Shannon source-drift audit: each
+    // source's unigram distribution vs the ROT (rest-of-corpus)
+    // distribution, the distribution-shift score a mixing pipeline
+    // watches per ingest batch. Tokens absent from the source
+    // contribute 0.5·ln2·q in closed form, so only the source's own
+    // vocab is ever enumerated — no source × vocab cross join. Per-
+    // token terms quantized to DECIMAL(18,12) before the sum (q101
+    // discipline: exact, partition-order independent). Two vocab-
+    // bounded shuffles + a broadcast-only join tree.
+    "q160_js_drift" -> { (s, d) =>
+      TextAnalysis.jsDivergenceBySource(Tables.documents(s, d),
+        "source", "text")
+        .orderBy(col("source"))
     }
   )
+
+  /** q158's deterministic multi-line page: normWords chunked 8 to a
+    * line; line i of doc d gains ' {x}' iff (3d+i)%13=0, ' javascript
+    * enabled' iff (d+i)%7=0, and its terminal '.' iff (d+i)%3≠0.
+    * Mirrored verbatim in the oracle so both engines build
+    * byte-identical pages.
+    */
+  private def c4Pages(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), GraftFunctions.normWords(col("text")).as("__ws"))
+      .select(col("doc_id"),
+        when(size(col("__ws")) === 0, lit(""))
+          .otherwise(array_join(transform(
+            sequence(lit(0),
+              floor((size(col("__ws")) + lit(7)) / lit(8)).cast("int") - 1),
+            i => concat(
+              array_join(slice(col("__ws"), i * 8 + 1, lit(8)), " "),
+              when((col("doc_id") * 3 + i) % 13 === 0, " {x}").otherwise(""),
+              when((col("doc_id") + i) % 7 === 0, " javascript enabled")
+                .otherwise(""),
+              when((col("doc_id") + i) % 3 =!= 0, ".").otherwise(""))),
+            "\n")).as("page"))
+
+  /** q159's deterministic paragraphs: the planted-dup corpus chunked
+    * 3 words to a paragraph, joined with blank lines — the small
+    * vocabulary makes cross-doc paragraph reuse organic, and the
+    * doc_id<50 full-copy plants guarantee whole-document repeats.
+    * Mirrored verbatim in the oracle.
+    */
+  private def paraPages(s: SparkSession, d: String): DataFrame =
+    plantedCorpus(s, d)
+      .select(col("doc_id"), GraftFunctions.normWords(col("text")).as("__ws"))
+      .select(col("doc_id"),
+        when(size(col("__ws")) === 0, lit(""))
+          .otherwise(array_join(transform(
+            sequence(lit(0),
+              floor((size(col("__ws")) + lit(2)) / lit(3)).cast("int") - 1),
+            i => array_join(slice(col("__ws"), i * 3 + 1, lit(3)), " ")),
+            "\n\n")).as("page"))
 
   /** q157's deterministic page template — title + nav-bar chrome, the
     * doc's text as the body paragraph, and a link-farm footer. Shared
@@ -1669,6 +1769,95 @@ object TextQueries {
         |  MAX(pos) + 14 - MIN(pos) + 1 AS span_len
         |FROM grps GROUP BY doc_id, grp
         |ORDER BY doc_id, span_start""".stripMargin,
+
+    // byte-identical page template: 8-word lines, arithmetic-planted
+    // poison (brace / enable-JS banner / missing terminal punct) —
+    // the same arithmetic as c4Pages.
+    "q158_c4_filter" ->
+      s"""WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents),
+        |pg AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(ws) = 0 THEN '' ELSE array_to_string(
+        |      [array_to_string(ws[i*8+1:i*8+8], ' ')
+        |         || CASE WHEN (doc_id*3+i) % 13 = 0 THEN ' {x}' ELSE '' END
+        |         || CASE WHEN (doc_id+i) % 7 = 0 THEN ' javascript enabled' ELSE '' END
+        |         || CASE WHEN (doc_id+i) % 3 <> 0 THEN '.' ELSE '' END
+        |       for i in generate_series(0, (len(ws)+7)//8 - 1)], chr(10)) END AS page
+        |  FROM w),
+        |l AS (
+        |  SELECT doc_id, page,
+        |    CASE WHEN page = '' THEN []::VARCHAR[]
+        |         ELSE string_split(page, chr(10)) END AS lines
+        |  FROM pg),
+        |k AS (
+        |  SELECT doc_id, page, lines,
+        |    list_filter(lines, x ->
+        |      (ends_with(x, '.') OR ends_with(x, '!') OR ends_with(x, '?'))
+        |      AND len(string_split(x, ' ')) >= 5
+        |      AND NOT contains(x, 'javascript')
+        |      AND NOT contains(x, 'lorem ipsum')
+        |      AND NOT contains(x, 'cookie policy')
+        |      AND NOT contains(x, '{')) AS kept
+        |  FROM l)
+        |SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines,
+        |  CAST(len(kept) AS BIGINT) AS n_kept,
+        |  contains(page, '{') AS has_brace,
+        |  (len(kept) >= 3 AND NOT contains(page, '{')) AS keep,
+        |  md5(COALESCE(array_to_string(kept, chr(10)), '')) AS kept_hash
+        |FROM k ORDER BY doc_id""".stripMargin,
+
+    // byte-identical paragraphs: planted-dup corpus chunked 3 words
+    // per paragraph — the same arithmetic as paraPages.
+    "q159_para_dedup" ->
+      s"""WITH $corpusSql,
+        |w AS (SELECT doc_id, $wsSql AS ws FROM corpus),
+        |pg AS (
+        |  SELECT doc_id,
+        |    [array_to_string(ws[i*3+1:i*3+3], ' ')
+        |     for i in generate_series(0, (len(ws)+2)//3 - 1)] AS paras
+        |  FROM w WHERE len(ws) > 0),
+        |px AS (
+        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, paras[i] AS para
+        |  FROM pg, UNNEST(generate_series(1, len(paras))) AS u(i)),
+        |r AS (
+        |  SELECT doc_id, pos, para, md5(para) AS h,
+        |    doc_id * 100000 + pos AS rnk
+        |  FROM px),
+        |k AS (SELECT h, MIN(rnk) AS min_rnk FROM r GROUP BY h)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_paras,
+        |  CAST(SUM(CASE WHEN rnk = min_rnk THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CASE WHEN SUM(CASE WHEN rnk = min_rnk THEN 1 ELSE 0 END) = 0 THEN NULL
+        |       ELSE md5(string_agg(para, chr(10) || chr(10) ORDER BY pos)
+        |                  FILTER (WHERE rnk = min_rnk)) END AS new_hash
+        |FROM r JOIN k USING (h)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // same DECIMAL(18,12)-quantized per-token terms; the closed-form
+    // absent-token mass uses the identical double literal for
+    // 0.5·ln2 on both engines.
+    "q160_js_drift" ->
+      s"""WITH words AS (SELECT source, unnest($wsSql) AS word FROM documents),
+        |sc AS (SELECT source, word, COUNT(*) AS c FROM words GROUP BY 1, 2),
+        |cw AS (SELECT word, SUM(c) AS cw FROM sc GROUP BY 1),
+        |ns AS (SELECT source, SUM(c) AS ns FROM sc GROUP BY 1),
+        |tt AS (SELECT SUM(c) AS tt FROM sc),
+        |j AS (
+        |  SELECT s.source, s.c, cw.cw, ns.ns, tt.tt,
+        |    CAST(s.c AS DOUBLE) / ns.ns AS p,
+        |    CAST(cw.cw - s.c AS DOUBLE) / (tt.tt - ns.ns) AS q
+        |  FROM sc s JOIN cw USING (word) JOIN ns USING (source) CROSS JOIN tt),
+        |t AS (
+        |  SELECT source,
+        |    CAST((p * ln(p / ((p + q) / 2)) +
+        |          CASE WHEN cw > c THEN q * ln(q / ((p + q) / 2))
+        |               ELSE 0 END) / 2 AS DECIMAL(18,12)) AS term,
+        |    CAST(q AS DECIMAL(18,12)) AS qmass
+        |  FROM j)
+        |SELECT source, COUNT(*) AS n_tokens,
+        |  ROUND(CAST(SUM(term) AS DOUBLE) +
+        |        ${0.5 * math.log(2.0)} * (1.0 - CAST(SUM(qmass) AS DOUBLE)), 6)
+        |    AS js_divergence
+        |FROM t GROUP BY source ORDER BY source""".stripMargin,
 
     "q147_span_dedup" ->
       """WITH t AS (

@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, TextAnalysis}
+
+/** Round-9 curation-filter invariants: C4 line rules, paragraph-level
+  * dedup keeper semantics, and the JS-divergence drift bounds — each
+  * on planted inputs with hand-computable answers.
+  */
+class CurationFilterSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("c4Filter applies the line rules exactly") {
+    val page =
+      "one two three four five six." + "\n" + // kept
+        "too short." + "\n" + // < 5 words
+        "no terminal punct here at all" + "\n" + // no . ! ?
+        "please enable javascript to continue." + "\n" + // blocklist
+        "a b c d { e } f." + "\n" + // brace line
+        "six more words make this fine!" // kept (bang)
+    val docs = Seq((1L, page), (2L, ""), (3L, "clean line with five words.")).toDF("doc_id", "text")
+    val out = TextAnalysis.c4Filter(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+
+    val d1 = out(0)
+    assert(d1.getAs[Long]("n_lines") == 6L)
+    assert(d1.getAs[Long]("n_kept") == 2L)
+    assert(d1.getAs[Boolean]("has_brace"))
+    assert(!d1.getAs[Boolean]("keep"), "brace page must be dropped whole")
+
+    val d2 = out(1) // empty text → zero lines, keep = false
+    assert(d2.getAs[Long]("n_lines") == 0L && !d2.getAs[Boolean]("keep"))
+
+    val d3 = out(2) // 1 kept line < minKeptLines=3 → dropped, no brace
+    assert(d3.getAs[Long]("n_kept") == 1L && !d3.getAs[Boolean]("keep")
+      && !d3.getAs[Boolean]("has_brace"))
+  }
+
+  test("c4Filter keep requires minKeptLines clean lines") {
+    val kept3 = Seq.fill(3)("these five words end properly.").mkString("\n")
+    val docs = Seq((1L, kept3)).toDF("doc_id", "text")
+    val out = TextAnalysis.c4Filter(docs, "doc_id", "text").collect().head
+    assert(out.getAs[Long]("n_kept") == 3L && out.getAs[Boolean]("keep"))
+  }
+
+  test("paragraphDedup keeps only the globally first occurrence and reassembles in order") {
+    // p1 appears in doc1@0 (keeper) and doc1@2 + doc2@0 (dropped);
+    // p2 unique to doc1; p3 unique to doc2.
+    val docs = Seq(
+      (1L, "alpha beta\n\nunique one\n\nalpha beta"),
+      (2L, "alpha beta\n\nunique two")).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+
+    val d1 = out(0)
+    assert(d1.getAs[Long]("n_paras") == 3L && d1.getAs[Long]("n_kept") == 2L)
+    val d2 = out(1)
+    assert(d2.getAs[Long]("n_paras") == 2L && d2.getAs[Long]("n_kept") == 1L)
+
+    // reassembly: doc1 keeps paras 0,1 in order; doc2 keeps only "unique two"
+    val h1 = java.security.MessageDigest.getInstance("MD5")
+      .digest("alpha beta\n\nunique one".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(d1.getAs[String]("new_hash") == h1)
+    val h2 = java.security.MessageDigest.getInstance("MD5")
+      .digest("unique two".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(d2.getAs[String]("new_hash") == h2)
+  }
+
+  test("paragraphDedup: a full-copy doc loses every paragraph (null reassembly)") {
+    val docs = Seq(
+      (1L, "alpha beta\n\ngamma delta"),
+      (5L, "alpha beta\n\ngamma delta")).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("n_kept") == 2L)
+    val copy = out(1)
+    assert(copy.getAs[Long]("n_kept") == 0L)
+    assert(copy.isNullAt(copy.fieldIndex("new_hash")))
+  }
+
+  test("jsDivergence: identical sources score 0, a disjoint-vocab source scores ln 2") {
+    val docs = Seq(
+      ("a", "red green blue red green blue"),
+      ("b", "red green blue red green blue"),
+      ("c", "xx yy zz xx yy zz")).toDF("source", "text")
+    val out = TextAnalysis.jsDivergenceBySource(docs, "source", "text")
+      .orderBy("source").collect()
+    // a vs rest: rest = b(identical dist) + c(disjoint); partial overlap
+    val jsA = out(0).getAs[Double]("js_divergence")
+    assert(jsA > 0.0 && jsA < math.log(2.0))
+    // c's distribution is fully disjoint from a+b → JS = ln 2 exactly
+    val jsC = out(2).getAs[Double]("js_divergence")
+    assert(math.abs(jsC - math.log(2.0)) < 1e-5,
+      s"disjoint source must score ln2, got $jsC")
+    out.foreach { r =>
+      val js = r.getAs[Double]("js_divergence")
+      assert(js >= 0.0 && js <= math.log(2.0) + 1e-9)
+    }
+  }
+
+  test("jsDivergence on the real corpus: every source within [0, ln2], near-uniform corpus scores low") {
+    val out = TextAnalysis.jsDivergenceBySource(
+      Tables.documents(spark, sf), "source", "text").collect()
+    assert(out.length == 20)
+    out.foreach { r =>
+      val js = r.getAs[Double]("js_divergence")
+      assert(js >= 0.0 && js <= math.log(2.0))
+      // sources share one synthetic vocabulary — drift must be tiny
+      assert(js < 0.05, s"${r.getAs[String]("source")} drifted: $js")
+    }
+  }
+}

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{KllDoubleSketch, KllQuantiles}
+
+/** KLL-ladder quantile sketch invariants: exact weight conservation,
+  * bounded retained size, rank-error bounds vs exact quantiles, and
+  * stability of those bounds under different partitionings (the
+  * map-side-merge path).
+  */
+class QuantileSketchSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def exactQuantile(sorted: Array[Double], q: Double): Double =
+    sorted(math.min(sorted.length - 1,
+      math.max(0, math.ceil(q * sorted.length).toInt - 1)))
+
+  private def rankOf(sorted: Array[Double], v: Double): Double = {
+    // fraction of items ≤ v
+    val idx = sorted.count(_ <= v)
+    idx.toDouble / sorted.length
+  }
+
+  test("sketch conserves total weight exactly through compactions") {
+    val sk = new KllDoubleSketch(50)
+    val n = 20000
+    (1 to n).foreach(i => sk.add((i * 2654435761L % 100003).toDouble))
+    assert(sk.totalN == n)
+    val weight = sk.levels.zipWithIndex.map { case (buf, lvl) =>
+      buf.size.toLong * (1L << lvl)
+    }.sum
+    assert(weight == n, s"ladder weight $weight must equal n=$n")
+    assert(sk.retained < 50 * 20,
+      s"retained ${sk.retained} must stay O(k log n), not O(n)")
+  }
+
+  test("driver-side sketch: ≤2% rank error at k=200 on 50k skewed values") {
+    val values = (1 to 50000).map { i =>
+      val u = (i * 2654435761L % 1000003).toDouble / 1000003.0
+      math.pow(u, 3) * 1000.0 // cubed → heavy left skew
+    }.toArray
+    val sk = new KllDoubleSketch(200)
+    values.foreach(sk.add)
+    val sorted = values.sorted
+    for (q <- Seq(0.1, 0.25, 0.5, 0.75, 0.9)) {
+      val est = sk.quantiles(Seq(q)).head
+      val err = math.abs(rankOf(sorted, est) - q)
+      assert(err <= 0.02, s"q=$q est=$est rank err $err > 2%")
+    }
+  }
+
+  test("merge path (4-way) keeps the same rank-error bound and exact n") {
+    val values = (1 to 50000).map(i =>
+      (i * 40503L % 65537).toDouble).toArray
+    val parts = values.grouped(12500).toSeq
+    val sketches = parts.map { p =>
+      val s = new KllDoubleSketch(200); p.foreach(s.add); s
+    }
+    val merged = sketches.reduce { (a, b) => a.merge(b); a }
+    assert(merged.totalN == 50000)
+    val sorted = values.sorted
+    for (q <- Seq(0.1, 0.5, 0.9)) {
+      val est = merged.quantiles(Seq(q)).head
+      val err = math.abs(rankOf(sorted, est) - q)
+      assert(err <= 0.02, s"merged q=$q rank err $err > 2%")
+    }
+  }
+
+  test("aggregate over events: n exact, estimates within 2% rank of exact per group") {
+    val ev = Tables.events(spark, sf).select(col("event_type"), col("value"))
+    val out = ev.groupBy(col("event_type"))
+      .agg(KllQuantiles.kllQuantiles(col("value"), 200,
+        Seq(0.1, 0.5, 0.9)).as("sk"))
+      .select(col("event_type"), col("sk.n").as("n"), col("sk.ests").as("ests"))
+      .collect()
+    val exact = ev.collect().groupBy(_.getString(0))
+      .map { case (k, rows) => k -> rows.map(_.getDouble(1)).sorted }
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val et = r.getAs[String]("event_type")
+      val sorted = exact(et)
+      assert(r.getAs[Long]("n") == sorted.length.toLong)
+      r.getAs[Seq[org.apache.spark.sql.Row]]("ests").foreach { e =>
+        val q = e.getDouble(0); val est = e.getDouble(1)
+        val err = math.abs(rankOf(sorted, est) - q)
+        assert(err <= 0.02, s"$et q=$q rank err $err")
+      }
+    }
+  }
+
+  test("repartitioning changes merge order but not the error bound") {
+    val ev = Tables.events(spark, sf).select(col("value"))
+    val exactSorted = ev.as[Double].collect().sorted
+    for (parts <- Seq(1, 7)) {
+      val est = ev.repartition(parts)
+        .agg(KllQuantiles.kllQuantiles(col("value"), 200, Seq(0.5)).as("sk"))
+        .select(col("sk.ests")(0)("est")).as[Double].head()
+      val err = math.abs(rankOf(exactSorted, est) - 0.5)
+      assert(err <= 0.02, s"parts=$parts median rank err $err")
+    }
+  }
+}
