@@ -131,5 +131,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_ahash64"),
       new ExpressionInfo(classOf[graft.functions.AHash64].getName, "graft_ahash64"),
       (es: Seq[Expression]) => graft.functions.AHash64(es.head)))
+    // variadic quantile list: graft_kll_quantiles(value, k, q1, q2, ...)
+    // — the analyzer wraps the returned AggregateFunction itself
+    def dblLit(ex: Expression, arg: String): Double = ex match {
+      case Literal(v: Double, _) => v
+      case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
+      case Literal(v: Int, _) => v.toDouble
+      case other => throw new IllegalArgumentException(
+        s"$arg must be a numeric literal, got $other")
+    }
+    e.injectFunction((
+      FunctionIdentifier("graft_kll_quantiles"),
+      new ExpressionInfo(classOf[graft.functions.KllQuantiles].getName,
+        "graft_kll_quantiles"),
+      (es: Seq[Expression]) => graft.functions.KllQuantiles(es.head,
+        intLit(es(1), "k"), es.drop(2).map(dblLit(_, "q")))
+        .toAggregateExpression()))
   }
 }

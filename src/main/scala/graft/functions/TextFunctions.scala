@@ -685,5 +685,16 @@ object GraftFunctions {
       es => ImageHeader(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_ahash64",
       es => AHash64(es.head), "built-in")
+    def dblLit(e: Expression, arg: String): Double = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Double, _) => v
+      case org.apache.spark.sql.catalyst.expressions.Literal(
+        v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v.toDouble
+      case other => throw new IllegalArgumentException(
+        s"$arg must be a numeric literal, got $other")
+    }
+    reg.createOrReplaceTempFunction("graft_kll_quantiles",
+      es => KllQuantiles(es.head, intLit(es(1), "k"),
+        es.drop(2).map(dblLit(_, "q"))).toAggregateExpression(), "built-in")
   }
 }

@@ -102,4 +102,46 @@ object Temporal {
       .filter(col("__rn") === 1)
       .drop("__rn")
   }
+
+  /** EWMA smoothing + spike detection per series — the metric-
+    * monitoring pass over an event stream: each point's exponentially
+    * weighted moving average over the trailing `window` points
+    * (α = 1/2, so every weight is an EXACT power of two — no libm
+    * pow() last-ulp drift between engines) and a relative-residual
+    * spike verdict. The frame is a bounded ROWS window per key — one
+    * shuffle on the series key, per-key sorted scan, O(window) work
+    * per row; at 100 TB the cost is the (key, time) sort, which the
+    * sessionization/as-of family already pays and reuses.
+    *
+    * Weighted terms are quantized to DECIMAL(18,12) before the sum
+    * (q101 discipline); the geometric denominator 2 − 2^{1−n} is in
+    * closed form (exact in binary). The verdict compares the rounded
+    * residual against half the smoothed level — deterministic on both
+    * engines.
+    */
+  def ewmaAnomaly(events: DataFrame, keyCol: String, tsCol: String,
+                  idCol: String, valCol: String,
+                  window: Int = 20): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(idCol))
+      .rowsBetween(-(window - 1), Window.currentRow)
+    val withArr = events
+      .select(col(idCol), col(keyCol), col(tsCol), col(valCol),
+        collect_list(col(valCol)).over(w).as("__arr"))
+    val n = size(col("__arr"))
+    val terms = transform(col("__arr"),
+      (x, i) => (x * pow(lit(0.5), (n - 1 - i).cast("double")))
+        .cast(DecimalType(18, 12)))
+    val num = aggregate(terms, lit(0).cast(DecimalType(28, 12)),
+      (acc, t) => (acc + t).cast(DecimalType(28, 12)))
+    val denom = lit(2.0) - pow(lit(0.5), (n - 1).cast("double"))
+    val ewma = round(num.cast("double") / denom, 6)
+    withArr
+      .withColumn("ewma", ewma)
+      .withColumn("resid", round(abs(col(valCol) - col("ewma")), 6))
+      .withColumn("is_spike",
+        col("resid") > lit(0.5) * greatest(abs(col("ewma")), lit(1.0)))
+      .drop("__arr")
+  }
 }

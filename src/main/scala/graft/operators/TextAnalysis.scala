@@ -423,6 +423,42 @@ object TextAnalysis {
           .as("js_divergence"))
   }
 
+  /** Hashing-trick featurizer audit (Weinberger et al.'09, the
+    * fastText/Vowpal-Wabbit input shape): tokens hash to `dims`
+    * buckets with a ±1 sign bit, giving every document a fixed-width
+    * signed-count vector with NO vocabulary table to build, broadcast,
+    * or keep consistent across a 100 TB corpus — the property that
+    * makes it the default featurizer for corpus-scale classifiers
+    * (q115 scores through the same bucket arithmetic). Emits the
+    * audit row per doc: occupied buckets, surviving nonzeros (signs
+    * can cancel), and the exact integer L1/L2² norms.
+    *
+    * Two uniform-key shuffles ((doc, bucket) partial-agg then per-doc
+    * rollup); everything else is narrow md5 arithmetic. All-integer
+    * output — bit-exact on any engine.
+    */
+  def featureHash(docs: DataFrame, idCol: String, textCol: String,
+                  dims: Int = 64): DataFrame = {
+    val word = col("word")
+    val bucket = conv(substring(md5(word), 1, 8), 16, 10)
+      .cast("long") % dims
+    val sgn = when(conv(substring(md5(word), 9, 1), 16, 10)
+      .cast("long") % 2 === 0, lit(1L)).otherwise(lit(-1L))
+    docs
+      .select(col(idCol).as("doc_id"),
+        explode(graft.functions.GraftFunctions.normWords(col(textCol)))
+          .as("word"))
+      .select(col("doc_id"), bucket.as("bucket"), sgn.as("sgn"))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(sum(col("sgn")).as("s"), count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("cnt")).as("n_tokens"),
+        sum(when(col("s") =!= 0, 1L).otherwise(0L)).as("nnz"),
+        sum(col("s") * col("s")).as("l2sq"),
+        sum(abs(col("s"))).as("l1"))
+  }
+
   /** Winnowing fingerprints (Schleimer et al., SIGMOD'03): md5 over
     * char k-grams, per-window minimum, distinct. Array-expression
     * pipeline — no shuffle until the caller aggregates.

@@ -257,6 +257,22 @@ object TemporalQueries {
           .agg(count(lit(1)).as("n_pairs"))
           .orderBy(col("user_id"))
       } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    },
+
+    // §2.4 (round 9) — EWMA smoothing + spike detection per series:
+    // the metric-monitoring read over events — trailing-20 EWMA with
+    // α=1/2 (every weight an exact power of two: no pow() ulp drift
+    // between engines) and a relative-residual spike verdict. One
+    // shuffle on the series key; O(window) narrow work per row.
+    "q163_ewma_anomaly" -> { (s, d) =>
+      Temporal.ewmaAnomaly(
+        Tables.events(s, d)
+          .select(col("event_id"), col("event_type"), col("ts"), col("value")),
+        keyCol = "event_type", tsCol = "ts", idCol = "event_id",
+        valCol = "value", window = 20)
+        .select(col("event_id"), col("event_type"), col("ewma"),
+          col("resid"), col("is_spike"))
+        .orderBy(col("event_id"))
     }
   )
 
@@ -409,6 +425,29 @@ object TemporalQueries {
         | AND p.event_type = 'purchase' AND c.event_type = 'click'
         | AND epoch_us(c.ts) BETWEEN epoch_us(p.ts) - 600000000 AND epoch_us(p.ts)
         |GROUP BY 1
-        |ORDER BY user_id""".stripMargin
+        |ORDER BY user_id""".stripMargin,
+
+    // identical α=1/2 trailing-20 EWMA: per-term DECIMAL(18,12)
+    // quantization, closed-form geometric denominator (exact in
+    // binary on both engines).
+    "q163_ewma_anomaly" ->
+      """WITH b AS (
+        |  SELECT event_id, event_type, value,
+        |    list(value) OVER (PARTITION BY event_type ORDER BY ts, event_id
+        |                      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS arr
+        |  FROM events),
+        |c AS (
+        |  SELECT event_id, event_type, value, len(arr) AS n,
+        |    CAST(list_sum([CAST(arr[i] * pow(0.5, len(arr) - i) AS DECIMAL(18,12))
+        |                   for i in generate_series(1, len(arr))]) AS DOUBLE) AS num
+        |  FROM b),
+        |e AS (
+        |  SELECT event_id, event_type, value,
+        |    ROUND(num / (2.0 - pow(0.5, CAST(n - 1 AS DOUBLE))), 6) AS ewma
+        |  FROM c)
+        |SELECT event_id, event_type, ewma,
+        |  ROUND(abs(value - ewma), 6) AS resid,
+        |  (ROUND(abs(value - ewma), 6) > 0.5 * GREATEST(abs(ewma), 1.0)) AS is_spike
+        |FROM e ORDER BY event_id""".stripMargin
   )
 }

@@ -1000,6 +1000,16 @@ object TextQueries {
       TextAnalysis.jsDivergenceBySource(Tables.documents(s, d),
         "source", "text")
         .orderBy(col("source"))
+    },
+
+    // §2.3 (round 9) — hashing-trick featurizer audit (Weinberger
+    // '09): tokens → 64 signed buckets with no vocabulary table —
+    // the corpus-scale classifier input shape (q115 scores through
+    // the same arithmetic). All-integer norms: bit-exact everywhere.
+    "q164_feature_hash" -> { (s, d) =>
+      TextAnalysis.featureHash(Tables.documents(s, d), "doc_id", "text",
+        dims = 64)
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -1858,6 +1868,25 @@ object TextQueries {
         |        ${0.5 * math.log(2.0)} * (1.0 - CAST(SUM(qmass) AS DOUBLE)), 6)
         |    AS js_divergence
         |FROM t GROUP BY source ORDER BY source""".stripMargin,
+
+    // identical md5 bucket+sign arithmetic as q115's classifier path
+    "q164_feature_hash" ->
+      s"""WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents),
+        |words AS (SELECT doc_id, unnest(ws) AS word FROM w),
+        |f AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(word), 1, 8))::UBIGINT % 64 AS BIGINT) AS bucket,
+        |    CASE WHEN ('0x' || substr(md5(word), 9, 1))::UBIGINT % 2 = 0
+        |         THEN 1 ELSE -1 END AS sgn
+        |  FROM words),
+        |b AS (SELECT doc_id, bucket, SUM(sgn) AS s, COUNT(*) AS cnt
+        |      FROM f GROUP BY 1, 2)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+        |  CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN s <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS nnz,
+        |  CAST(SUM(s * s) AS BIGINT) AS l2sq,
+        |  CAST(SUM(abs(s)) AS BIGINT) AS l1
+        |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q147_span_dedup" ->
       """WITH t AS (

@@ -101,6 +101,32 @@ class CurationFilterSpec extends SparkSpecBase {
     }
   }
 
+  test("featureHash: integer norm identities hold on the real corpus") {
+    val out = TextAnalysis.featureHash(
+      Tables.documents(spark, sf), "doc_id", "text", dims = 64).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val nb = r.getAs[Long]("n_buckets"); val nt = r.getAs[Long]("n_tokens")
+      val nnz = r.getAs[Long]("nnz"); val l1 = r.getAs[Long]("l1")
+      val l2sq = r.getAs[Long]("l2sq")
+      assert(nb <= 64 && nb <= nt, "at most dims occupied buckets")
+      assert(nnz <= nb, "cancelled buckets can only shrink nnz")
+      assert(l1 <= nt, "|Σ±1| per bucket is bounded by its token count")
+      assert(l2sq >= l1, "s² ≥ |s| for integer s")
+      assert(l2sq <= l1 * l1, "Cauchy-Schwarz on the signed counts")
+    }
+  }
+
+  test("featureHash: same token always lands in the same signed bucket (doc permutation invariant)") {
+    import spark.implicits._
+    val a = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.featureHash(a, "doc_id", "text", dims = 64)
+      .select("n_buckets", "n_tokens", "nnz", "l2sq", "l1")
+      .distinct().collect()
+    assert(out.length == 1, "token order must not change the vector")
+  }
+
   test("jsDivergence on the real corpus: every source within [0, ln2], near-uniform corpus scores low") {
     val out = TextAnalysis.jsDivergenceBySource(
       Tables.documents(spark, sf), "source", "text").collect()

@@ -33,6 +33,14 @@ class PipelineSpec extends SparkSpecBase {
     assert(m.getSeq[String](0).length == 2)
     assert(m.getSeq[String](0).forall(_.matches("[0-9a-f]{32}")))
     assert(m.getLong(1) != 0L)
+    // the KLL aggregate registers too (variadic quantile literals)
+    val k = spark.sql(
+      "SELECT graft_kll_quantiles(v, 100, 0.5) AS sk " +
+        "FROM (SELECT CAST(id AS DOUBLE) AS v FROM range(1000))").first()
+    val sk = k.getStruct(0)
+    assert(sk.getLong(0) == 1000L)
+    val med = sk.getSeq[org.apache.spark.sql.Row](2).head.getDouble(1)
+    assert(math.abs(med - 500.0) < 30.0, s"median est $med")
   }
 
   test("GraftExtensions installs without error") {

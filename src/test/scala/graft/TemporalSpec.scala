@@ -81,4 +81,39 @@ class TemporalSpec extends SparkSpecBase {
     val exp = Tables.events(spark, sf).select("user_id", "event_type").distinct()
     assert(got.count() == exp.count())
   }
+
+  test("ewmaAnomaly matches the hand-computed recurrence on a tiny series") {
+    import spark.implicits._
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def t(m: Int) = new java.sql.Timestamp(ts0.getTime + m * 60000L)
+    // flat series with one spike at the end
+    val rows = Seq(
+      (1L, "a", t(0), 10.0), (2L, "a", t(1), 10.0),
+      (3L, "a", t(2), 10.0), (4L, "a", t(3), 100.0))
+      .toDF("event_id", "event_type", "ts", "value")
+    val out = graft.operators.Temporal.ewmaAnomaly(rows, "event_type",
+      "ts", "event_id", "value", window = 20)
+      .orderBy("event_id").collect()
+    // n=1: ewma = x1 = 10; n=4 weights (1/8,1/4,1/2,1), Σ = 15/8:
+    // num = 10/8 + 10/4 + 10/2 + 100 = 108.75; ewma = 108.75/1.875 = 58
+    assert(math.abs(out(0).getAs[Double]("ewma") - 10.0) < 1e-9)
+    assert(math.abs(out(3).getAs[Double]("ewma") - 58.0) < 1e-9)
+    assert(!out(2).getAs[Boolean]("is_spike"))
+    assert(out(3).getAs[Boolean]("is_spike"),
+      "the 10x jump must flag against the trailing average")
+  }
+
+  test("ewmaAnomaly: flat series never flags; window bounds the frame") {
+    import spark.implicits._
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val rows = (1 to 50).map(i =>
+      (i.toLong, "b", new java.sql.Timestamp(ts0.getTime + i * 1000L), 5.0))
+      .toDF("event_id", "event_type", "ts", "value")
+    val out = graft.operators.Temporal.ewmaAnomaly(rows, "event_type",
+      "ts", "event_id", "value", window = 20).collect()
+    out.foreach { r =>
+      assert(math.abs(r.getAs[Double]("ewma") - 5.0) < 1e-9)
+      assert(!r.getAs[Boolean]("is_spike"))
+    }
+  }
 }
