@@ -674,6 +674,7 @@ object Dedup {
       .select(col("doc_id"), col("pos"),
         md5(col("col")).as("h"), col("col").as("para"),
         (col("doc_id") * posBase + col("pos")).as("rank"))
+      .scopedPersist() // keeper election AND the join-back read it
     val keepers = paras.groupBy(col("h")).agg(min(col("rank")).as("min_rank"))
     paras.join(keepers, "h")
       .withColumn("__kept", (col("rank") === col("min_rank")).cast("int"))

@@ -21,15 +21,50 @@ object TextAnalysis {
     * with deterministic tie-break) is identical.
     */
   def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = lower(col(textCol))
-    val en = nMatches(t, "\\b(the|a|of|and|to)\\b")
-    val es = nMatches(t, "\\b(el|la|de|los|que)\\b")
-    val fr = nMatches(t, "\\b(le|les|des|une|est)\\b")
+    val (en, es, fr) = langEvidence(col(textCol))
     docs.select(col(idCol).as("doc_id"),
       en.as("n_en"), es.as("n_es"), fr.as("n_fr"),
-      when(en >= es && en >= fr, lit("en"))
-        .when(es >= fr, lit("es"))
-        .otherwise(lit("fr")).as("pred_lang"))
+      predLang(col(textCol)).as("pred_lang"))
+  }
+
+  private def langEvidence(textCol: Column): (Column, Column, Column) = {
+    val t = lower(textCol)
+    (nMatches(t, "\\b(the|a|of|and|to)\\b"),
+      nMatches(t, "\\b(el|la|de|los|que)\\b"),
+      nMatches(t, "\\b(le|les|des|une|est)\\b"))
+  }
+
+  private def predLang(textCol: Column): Column = {
+    val (en, es, fr) = langEvidence(textCol)
+    when(en >= es && en >= fr, lit("en"))
+      .when(es >= fr, lit("es"))
+      .otherwise(lit("fr"))
+  }
+
+  /** Language-METADATA trust audit: declared language tags in web
+    * corpora are notoriously wrong (crawl headers, site-level tags),
+    * and a mixing pipeline that stratifies on a lying `lang` column
+    * silently skews its mixture. Confusion matrix of declared vs
+    * predicted language plus the per-declared-tag agreement rate —
+    * the report that decides whether the metadata is usable or the
+    * corpus needs re-identification.
+    *
+    * Prediction is inlined into the scan (no self-join back to the
+    * metadata): one narrow kernel pass, one groupBy of the tiny
+    * (declared × predicted) lattice; the window total runs over that
+    * lattice, not the corpus.
+    */
+  def langAudit(docs: DataFrame, textCol: String,
+                declaredCol: String): DataFrame = {
+    val conf = docs
+      .select(col(declaredCol).as("lang"), predLang(col(textCol)).as("pred_lang"))
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+    conf
+      .withColumn("lang_total", sum(col("n")).over(w))
+      .withColumn("rate",
+        round(col("n").cast("double") / col("lang_total"), 6))
   }
 
   /** Length / punctuation / stopword / repetition quality signals +

@@ -1010,6 +1010,16 @@ object TextQueries {
       TextAnalysis.featureHash(Tables.documents(s, d), "doc_id", "text",
         dims = 64)
         .orderBy(col("doc_id"))
+    },
+
+    // §2.3 (round 9) — language-METADATA trust audit: declared lang
+    // tags vs q36's prediction as a confusion matrix + per-tag
+    // agreement rate — the report that decides whether corpus
+    // metadata is usable for stratified mixing or lying. Prediction
+    // inlined into the scan; aggregates over the tiny tag lattice.
+    "q165_lang_audit" -> { (s, d) =>
+      TextAnalysis.langAudit(Tables.documents(s, d), "text", "lang")
+        .orderBy(col("lang"), col("pred_lang"))
     }
   )
 
@@ -1022,6 +1032,8 @@ object TextQueries {
   private def c4Pages(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), GraftFunctions.normWords(col("text")).as("__ws"))
+      .scopedPersist() // bind normWords: CollapseProject would inline it
+                       // into the per-chunk slice lambda (O(len·chunks))
       .select(col("doc_id"),
         when(size(col("__ws")) === 0, lit(""))
           .otherwise(array_join(transform(
@@ -1044,6 +1056,7 @@ object TextQueries {
   private def paraPages(s: SparkSession, d: String): DataFrame =
     plantedCorpus(s, d)
       .select(col("doc_id"), GraftFunctions.normWords(col("text")).as("__ws"))
+      .scopedPersist() // bind normWords (same rationale as c4Pages)
       .select(col("doc_id"),
         when(size(col("__ws")) === 0, lit(""))
           .otherwise(array_join(transform(
@@ -1868,6 +1881,25 @@ object TextQueries {
         |        ${0.5 * math.log(2.0)} * (1.0 - CAST(SUM(qmass) AS DOUBLE)), 6)
         |    AS js_divergence
         |FROM t GROUP BY source ORDER BY source""".stripMargin,
+
+    // same stopword-marker argmax as the q36 oracle, rolled up to the
+    // declared-tag lattice
+    "q165_lang_audit" ->
+      """WITH p AS (
+        |  SELECT lang,
+        |    CASE WHEN n_en >= n_es AND n_en >= n_fr THEN 'en'
+        |         WHEN n_es >= n_fr THEN 'es' ELSE 'fr' END AS pred_lang
+        |  FROM (
+        |    SELECT lang,
+        |      len(regexp_extract_all(lower(text), '\b(the|a|of|and|to)\b')) AS n_en,
+        |      len(regexp_extract_all(lower(text), '\b(el|la|de|los|que)\b')) AS n_es,
+        |      len(regexp_extract_all(lower(text), '\b(le|les|des|une|est)\b')) AS n_fr
+        |    FROM documents)),
+        |c AS (SELECT lang, pred_lang, COUNT(*) AS n FROM p GROUP BY 1, 2)
+        |SELECT lang, pred_lang, n,
+        |  CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT) AS lang_total,
+        |  ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY lang), 6) AS rate
+        |FROM c ORDER BY lang, pred_lang""".stripMargin,
 
     // identical md5 bucket+sign arithmetic as q115's classifier path
     "q164_feature_hash" ->

@@ -127,6 +127,28 @@ class CurationFilterSpec extends SparkSpecBase {
     assert(out.length == 1, "token order must not change the vector")
   }
 
+  test("langAudit: confusion matrix exact on planted multilingual docs") {
+    import spark.implicits._
+    val docs = Seq(
+      ("en", "the cat and the dog of a house to go"),   // truly en
+      ("en", "el perro de la casa que los gatos"),      // mislabeled es
+      ("es", "el gato de la mesa que los perros"),      // truly es
+      ("fr", "le chat est une merveille des les rues"), // truly fr
+      ("fr", "the quick fox and the lazy dog of old"))  // mislabeled en
+      .toDF("lang", "text")
+    val out = graft.operators.TextAnalysis.langAudit(docs, "text", "lang")
+      .orderBy("lang", "pred_lang").collect()
+    val asMap = out.map(r => (r.getString(0), r.getString(1)) ->
+      (r.getAs[Long]("n"), r.getAs[Long]("lang_total"),
+        r.getAs[Double]("rate"))).toMap
+    assert(asMap(("en", "en")) == (1L, 2L, 0.5))
+    assert(asMap(("en", "es")) == (1L, 2L, 0.5))
+    assert(asMap(("es", "es")) == (1L, 1L, 1.0))
+    assert(asMap(("fr", "fr")) == (1L, 2L, 0.5))
+    assert(asMap(("fr", "en")) == (1L, 2L, 0.5))
+    assert(out.length == 5)
+  }
+
   test("jsDivergence on the real corpus: every source within [0, ln2], near-uniform corpus scores low") {
     val out = TextAnalysis.jsDivergenceBySource(
       Tables.documents(spark, sf), "source", "text").collect()

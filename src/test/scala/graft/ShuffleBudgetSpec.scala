@@ -72,6 +72,14 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     // count is dominated by iters × per-round shape — pinned so a new
     // per-round shuffle (e.g. a lost broadcast in assignment) shows up
     // as a big jump, not a silent 100 TB regression
+    // round-9 additions (measured clean-plan counts)
+    "q158_c4_filter" -> 1,     // ZERO-shuffle HOF pass; 1 = output sort
+    "q159_para_dedup" -> 3,    // keeper agg + hash join back + doc rollup
+    "q161_kll_quantiles" -> 2, // sketch partial+final, output sort
+    "q163_ewma_anomaly" -> 2,  // series-key window + output sort
+    "q164_feature_hash" -> 3,  // (doc,bucket) partials + doc rollup + sort
+    "q160_js_drift" -> 9,      // persisted (src,word) agg + 3 marginals + joins
+    "q165_lang_audit" -> 3,    // lattice agg + lattice window + sort
     "q136_curation_chain" -> 25,
     "q62_ann_ivf" -> 42,
     "q152_pq_ann" -> 90,
