@@ -206,6 +206,34 @@ object Pq {
       .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/codes")
   }
 
+  /** Append a new vector batch to a [[writeIndex]] layout WITHOUT
+    * retraining — the index write path of a live retrieval service
+    * (FAISS `add` semantics): codebooks and IVF centroids are FROZEN
+    * (read back from the index, broadcast), the batch is encoded and
+    * cell-assigned by the same narrow kernels as the original build,
+    * and the new codes land as additional files inside the existing
+    * cid partitions. A daily-ingest index never re-trains; quantizer
+    * drift is a monitored re-build decision (q123/q160's drift audits
+    * are the trigger), not an ingest-path cost.
+    *
+    * Scale shape: encoding is one narrow projection over the batch
+    * (broadcast codebook row), assignment one bounded window over
+    * batch × nCentroids, the write one batch-sized append — the
+    * corpus-sized codes table is never read or rewritten. Parquet
+    * appends are file-atomic; a crashed append leaves only complete
+    * files (PqSpec pins append→probe parity with a frozen-books full
+    * rebuild).
+    */
+  def appendToIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                    batch: DataFrame, m: Int = 16): Unit = {
+    val books = spark.read.parquet(s"$dir/books")
+    val cents = spark.read.parquet(s"$dir/cents")
+    val cellOf = Similarity.ivfAssign(cents, batch)
+      .select(col("vec_id"), col("cid"))
+    encode(batch, books, m).join(cellOf, "vec_id")
+      .write.mode("append").partitionBy("cid").parquet(s"$dir/codes")
+  }
+
   /** Probe a [[writeIndex]] layout from a (fresh) session. The corpus
     * side is scan → broadcast-probe join (cell pruning) → broadcast-
     * LUT join → codegen ADC — NARROW until the single k-bounded

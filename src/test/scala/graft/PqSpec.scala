@@ -161,6 +161,55 @@ class PqSpec extends SparkSpecBase {
     assert(exchanges.size <= 4, s"probe plan grew: ${exchanges.size} exchanges")
   }
 
+  test("appendToIndex: frozen-quantizer append equals a frozen-books full rebuild") {
+    // service write path: build the index on an initial corpus, then
+    // append a held-out batch WITHOUT retraining. Probing the appended
+    // index must equal probing an index whose codes were built over
+    // the FULL corpus with the SAME frozen books/cents (training on
+    // the initial corpus is part of the contract — the quantizer does
+    // not move on ingest).
+    val initial = emb.filter(col("vec_id") < 400)
+    val late = emb.filter(col("vec_id") >= 400)
+    assert(late.count() > 0, "need a held-out batch")
+
+    val dirA = java.nio.file.Files.createTempDirectory("graft-pq-app").toString
+    Pq.writeIndex(initial, dirA)
+    Pq.appendToIndex(spark, dirA, late)
+
+    // reference: identical layout, codes built in one pass over the
+    // full corpus with dirA's frozen books/cents
+    val dirB = java.nio.file.Files.createTempDirectory("graft-pq-ref").toString
+    val books = spark.read.parquet(s"$dirA/books")
+    val cents = spark.read.parquet(s"$dirA/cents")
+    books.write.parquet(s"$dirB/books")
+    cents.write.parquet(s"$dirB/cents")
+    val cellOf = Similarity.ivfAssign(cents, emb)
+      .select(col("vec_id"), col("cid"))
+    Pq.encode(emb, books).join(cellOf, "vec_id")
+      .write.partitionBy("cid").parquet(s"$dirB/codes")
+
+    val queries = emb.filter(col("vec_id") < 5)
+    def probe(dir: String) = Pq.probeIndex(spark, dir, queries, k = 10)
+      .select("query_id", "neighbor_id", "rnk")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(probe(dirA) == probe(dirB),
+      "append path diverged from the frozen-books rebuild")
+
+    // an appended vector is actually servable: its own embedding as a
+    // query must return it as the nearest neighbor
+    val lateId = late.select(min(col("vec_id"))).as[Long].head()
+    val lateQ = emb.filter(col("vec_id") === lateId)
+    val top = Pq.probeIndex(spark, dirA, lateQ, k = 3)
+      .filter(col("rnk") === 1).select("neighbor_id").as[Long].collect()
+    // rnk-1 may be a true near-duplicate, but the appended id must be
+    // in the served set at all
+    val servedIds = Pq.probeIndex(spark, dirA, lateQ, k = 10)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(top.nonEmpty)
+    assert(servedIds.exists(id => id >= 400),
+      "appended vectors must be reachable from the probe path")
+  }
+
   test("q152 driver query returns k rows per query with contiguous ranks") {
     val out = SparkEntry.queries("q152_pq_ann")(spark, sf)
     val per = out.groupBy("query_id")
