@@ -234,6 +234,39 @@ object Pq {
       .write.mode("append").partitionBy("cid").parquet(s"$dir/codes")
   }
 
+  /** Compact a [[writeIndex]]+[[appendToIndex]] codes layout back to
+    * one file per IVF cell — the small-files half of the serving
+    * write path: every append adds ≥ 1 file per touched cell, and a
+    * probe's cost at scale is dominated by files-opened, not bytes
+    * (cell pruning already bounds the bytes). One shuffle hashed on
+    * cid (each cell's rows land in exactly one task, so partitionBy
+    * emits exactly one file per cell), staged into a sibling
+    * directory and swapped in with two FS renames. Crash contract:
+    * the stage dir is rebuilt idempotently on retry; the swap window
+    * is two renames wide (a generational layout would close it — the
+    * DedupStream discipline — at the cost of a probe-side gen scan;
+    * documented trade, not an accident).
+    */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession,
+                   dir: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(conf)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val src = s"$dir/codes"
+    val stage = s"$dir/codes_compacting"
+    val trash = s"$dir/codes_old"
+    fs.delete(p(stage), true)
+    val codes = spark.read.parquet(src)
+    val nCells = codes.select(col("cid")).distinct().count().toInt.max(1)
+    codes.repartition(nCells, col("cid"))
+      .write.partitionBy("cid").parquet(stage)
+    fs.delete(p(trash), true)
+    require(fs.rename(p(src), p(trash)), s"rename $src -> $trash failed")
+    require(fs.rename(p(stage), p(src)), s"rename $stage -> $src failed")
+    fs.delete(p(trash), true)
+  }
+
   /** Probe a [[writeIndex]] layout from a (fresh) session. The corpus
     * side is scan → broadcast-probe join (cell pruning) → broadcast-
     * LUT join → codegen ADC — NARROW until the single k-bounded

@@ -1,0 +1,57 @@
+package graft
+
+/** Partitioning-invariance lock-in: a result that changes when
+  * spark.sql.shuffle.partitions changes is a result that will change
+  * between local[32] and a 1000-executor cluster. Every determinism
+  * discipline in the engine — DECIMAL-quantized sums, sorted
+  * collapses, content-hash sampling, rank tie-breaks, min-based
+  * keeper election — exists to make this spec true; here it is pinned
+  * directly for the riskiest shapes (aggregation-order, iterative,
+  * sampling, window, and collect_list-bearing queries) instead of
+  * only being implied by the single-partitioning oracle gate.
+  */
+class PartitionInvarianceSpec extends SparkSpecBase {
+
+  // shapes most likely to leak partitioning: string collapses,
+  // iterative fixpoints, decimal log-sums, hash sampling, reservoir
+  // ticket races, keeper elections, windowed EWMA, packed shards
+  private val queries = Seq(
+    "q09_collapse_flags",   // sorted string-collapse agg
+    "q31b_lsh_pairs",       // banded pair generation
+    "q52_train_split",      // hash split
+    "q59_dup_clusters",     // connected components fixpoint
+    "q72_stratified_sample",
+    "q74_zscore",           // exact decimal moments
+    "q85_shard_shuffle",    // deterministic global shuffle
+    "q91_pagerank",         // iterative decimal power iteration
+    "q101_surprisal",       // decimal log-sums
+    "q113_topk_native",     // native top-k tie-breaks
+    "q150_reservoir_sample",
+    "q156_exact_substr",    // island merge over windows
+    "q159_para_dedup",      // min-rank keeper election
+    "q160_js_drift",        // decimal JS terms + closed form
+    "q163_ewma_anomaly")    // frame-ordered weighted sums
+
+  private def rowsOf(name: String): Set[String] = {
+    spark.catalog.clearCache()
+    SparkEntry.queries(name)(spark, sf)
+      .collect().map(_.toString).toSet
+  }
+
+  test("results are identical under 1, 4 and 13 shuffle partitions") {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    try {
+      val diverged = queries.flatMap { name =>
+        val bySetting = Seq("1", prev, "13").map { p =>
+          spark.conf.set(key, p)
+          rowsOf(name)
+        }
+        if (bySetting.distinct.size == 1) None
+        else Some(s"$name: results depend on $key " +
+          s"(sizes ${bySetting.map(_.size).mkString("/")})")
+      }
+      assert(diverged.isEmpty, diverged.mkString("; "))
+    } finally spark.conf.set(key, prev)
+  }
+}

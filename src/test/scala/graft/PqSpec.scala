@@ -210,6 +210,33 @@ class PqSpec extends SparkSpecBase {
       "appended vectors must be reachable from the probe path")
   }
 
+  test("compactIndex folds append-accumulated files to one per cell, probe unchanged") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-cmp").toString
+    Pq.writeIndex(emb.filter(col("vec_id") < 300), dir)
+    Pq.appendToIndex(spark, dir, emb.filter(col("vec_id") >= 300 && col("vec_id") < 400))
+    Pq.appendToIndex(spark, dir, emb.filter(col("vec_id") >= 400))
+
+    def filesPerCell(): Map[String, Int] = {
+      val root = new java.io.File(s"$dir/codes")
+      root.listFiles().filter(_.getName.startsWith("cid=")).map { d =>
+        d.getName -> d.listFiles().count(_.getName.endsWith(".parquet"))
+      }.toMap
+    }
+    val queries = emb.filter(col("vec_id") < 5)
+    def probe() = Pq.probeIndex(spark, dir, queries, k = 10)
+      .select("query_id", "neighbor_id", "rnk")
+      .as[(Long, Long, Int)].collect().toSet
+
+    val before = probe()
+    assert(filesPerCell().values.exists(_ > 1),
+      "appends should have accumulated multiple files in some cell")
+    Pq.compactIndex(spark, dir)
+    val after = filesPerCell()
+    assert(after.nonEmpty && after.values.forall(_ == 1),
+      s"every cell must compact to one file, got $after")
+    assert(probe() == before, "compaction must not change served answers")
+  }
+
   test("q152 driver query returns k rows per query with contiguous ranks") {
     val out = SparkEntry.queries("q152_pq_ann")(spark, sf)
     val per = out.groupBy("query_id")
