@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Caching.ScopedPersist
+
+/** Distributed classifier TRAINING — full-batch gradient-descent
+  * logistic regression over a fixed-width feature column, built from
+  * DataFrame aggregates only (no MLlib, no driver-side data). This
+  * closes the quality-classifier loop the engine already serves:
+  * q164's hashing-trick featurizer produces the vectors, THIS trains
+  * the weights, q115 scores with them, q154 calibrates, q155
+  * evaluates.
+  *
+  * Scale shape per iteration: weights broadcast as a literal array
+  * (d ≤ a few thousand — the hashing trick's point is that d is
+  * FIXED and vocabulary-free); the gradient is one narrow projection
+  * (σ(w·x) − y scales each feature) followed by a (dim)-keyed partial
+  * aggregate — d rows out of any corpus size — collected to the
+  * driver (d-bounded, the same bounded-collect contract as the BPE
+  * merge table). K iterations = K scans of the persisted feature
+  * frame; nothing driver-side scales with the corpus.
+  *
+  * Determinism: per-row gradient contributions are quantized to
+  * DECIMAL(28,12) BEFORE the sum (the q74/q101 moment discipline), so
+  * every iteration's gradient — and therefore the whole trajectory —
+  * is bit-identical under any partitioning (pinned in
+  * PartitionInvarianceSpec via q166).
+  */
+object Training {
+
+  /** One sigmoid, shared by training and scoring. */
+  private def sigmoid(z: org.apache.spark.sql.Column) =
+    lit(1.0) / (lit(1.0) + exp(-z))
+
+  /** Train on (features array<double> of fixed dim, label 0/1 int).
+    * Returns (weights including bias at index d, per-iteration mean
+    * log-loss). Features frame is scanned once per iteration —
+    * persist it (the caller holds the handle so scoping stays theirs).
+    */
+  def logisticRegression(feats: DataFrame, featCol: String,
+                         labelCol: String, dim: Int, iters: Int = 15,
+                         lr: Double = 1.0): (Array[Double], Seq[Double]) = {
+    val n = feats.count().toDouble
+    require(n > 0, "empty training frame")
+    var w = Array.fill(dim + 1)(0.0) // bias at index dim
+    val losses = scala.collection.mutable.Buffer.empty[Double]
+    (0 until iters).foreach { _ =>
+      val wArr = array(w.take(dim).map(lit): _*)
+      val z = aggregate(
+        zip_with(col(featCol), wArr, (f, wj) => f * wj),
+        lit(0.0), (acc, x) => acc + x) + lit(w(dim))
+      val p = sigmoid(z)
+      val err = p - col(labelCol).cast("double")
+      // per-row quantized contributions: (dim -> err * x_j), bias, loss
+      val contrib = feats.select(
+        posexplode(concat(col(featCol), array(lit(1.0)))).as(Seq("dim", "x")),
+        err.cast(DecimalType(28, 12)).as("err"),
+        (-(col(labelCol).cast("double") * log(greatest(p, lit(1e-12))) +
+          (lit(1.0) - col(labelCol)) * log(greatest(lit(1.0) - p, lit(1e-12)))))
+          .cast(DecimalType(28, 12)).as("loss"))
+        .select(col("dim"),
+          (col("x") * col("err")).cast(DecimalType(28, 12)).as("g"),
+          col("loss"))
+      val rows = contrib.groupBy(col("dim"))
+        .agg(sum(col("g")).as("g"), sum(col("loss")).as("l"))
+        .collect() // d+1 rows — bounded by the feature width, not data
+      val grad = Array.fill(dim + 1)(0.0)
+      var lossSum = 0.0
+      rows.foreach { r =>
+        val d = r.getAs[Int]("dim")
+        grad(d) = r.getAs[java.math.BigDecimal]("g").doubleValue() / n
+        if (d == 0) lossSum = r.getAs[java.math.BigDecimal]("l").doubleValue()
+      }
+      losses += lossSum / n
+      w = w.zip(grad).map { case (wj, gj) => wj - lr * gj }
+    }
+    (w, losses.toSeq)
+  }
+
+  /** Score a feature frame with trained weights (bias at index dim). */
+  def score(feats: DataFrame, featCol: String, w: Array[Double]): DataFrame = {
+    val dim = w.length - 1
+    val wArr = array(w.take(dim).map(lit): _*)
+    val z = aggregate(
+      zip_with(col(featCol), wArr, (f, wj) => f * wj),
+      lit(0.0), (acc, x) => acc + x) + lit(w(dim))
+    feats.withColumn("p", sigmoid(z))
+  }
+
+  /** The full pipeline over documents: q164's hashed features
+    * (normalized signed bucket counts), n_chars ≥ `labelAt` as the
+    * reference label (the q115/q154 convention), trained weights
+    * emitted one row per dimension plus the loss trajectory tail.
+    */
+  def trainQualityClassifier(spark: SparkSession, docs: DataFrame,
+                             idCol: String, textCol: String,
+                             nCharsCol: String, dims: Int = 64,
+                             labelAt: Int = 300, iters: Int = 12): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val word = col("word")
+    val bucket = (conv(substring(md5(word), 1, 8), 16, 10)
+      .cast("long") % dims).cast("int")
+    val sgn = when(conv(substring(md5(word), 9, 1), 16, 10)
+      .cast("long") % 2 === 0, lit(1.0)).otherwise(lit(-1.0))
+    val byBucket = docs
+      .select(col(idCol).as("doc_id"), col(nCharsCol).as("n_chars"),
+        explode(graft.functions.GraftFunctions.normWords(col(textCol)))
+          .as("word"))
+      .select(col("doc_id"), col("n_chars"), bucket.as("dim"), sgn.as("s"))
+      .groupBy(col("doc_id"), col("n_chars"), col("dim"))
+      .agg(sum(col("s")).as("v"), count(lit(1)).as("cnt"))
+    val feats = byBucket
+      .groupBy(col("doc_id"), col("n_chars"))
+      .agg(map_from_entries(collect_list(struct(col("dim"), col("v"))))
+        .as("m"), sum(col("cnt")).as("n_tok"))
+      .select(col("doc_id"),
+        transform(sequence(lit(0), lit(dims - 1)),
+          d => coalesce(element_at(col("m"), d), lit(0.0)) /
+            col("n_tok").cast("double")).as("features"),
+        (col("n_chars") >= labelAt).cast("int").as("label"))
+      .scopedPersist() // K training scans read this frame
+    val (w, losses) = logisticRegression(feats, "features", "label",
+      dims, iters)
+    import spark.implicits._
+    w.zipWithIndex.map { case (wj, j) =>
+      (j, BigDecimal(wj).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(losses.head).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(losses.last).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSeq.toDF("dim", "weight", "loss_first", "loss_last")
+  }
+}

@@ -1020,6 +1020,21 @@ object TextQueries {
     "q165_lang_audit" -> { (s, d) =>
       TextAnalysis.langAudit(Tables.documents(s, d), "text", "lang")
         .orderBy(col("lang"), col("pred_lang"))
+    },
+
+    // §2.3 (round 9) — distributed classifier TRAINING (rows-only;
+    // convergence/separability/invariance invariants in
+    // TrainingSpec): full-batch GD logistic regression over q164's
+    // hashed features, DataFrame aggregates only — the gradient is a
+    // dim-keyed partial agg (d rows from any corpus size, d-bounded
+    // driver collect per iteration), DECIMAL-quantized so the whole
+    // trajectory is partitioning-invariant. Closes the loop: q164
+    // featurizes, THIS trains, q115 scores, q154/q155 evaluate.
+    "q166_train_classifier" -> { (s, d) =>
+      graft.operators.Training.trainQualityClassifier(s,
+        Tables.documents(s, d), "doc_id", "text", "n_chars",
+        dims = 64, iters = 12)
+        .orderBy(col("dim"))
     }
   )
 

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Training
+
+/** Distributed logistic-regression training invariants: monotone
+  * loss, separable-data accuracy, partitioning-invariant trajectory,
+  * and the end-to-end quality-classifier pipeline shape.
+  */
+class TrainingSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  // linearly separable toy set: label = (x0 > 0)
+  private def separable(n: Int) = (1 to n).map { i =>
+    val x0 = if (i % 2 == 0) 1.0 + (i % 7) * 0.1 else -1.0 - (i % 5) * 0.1
+    val x1 = ((i * 31) % 11) / 11.0 - 0.5 // noise dim
+    (i.toLong, Seq(x0, x1), if (x0 > 0) 1 else 0)
+  }.toDF("doc_id", "features", "label")
+
+  test("loss decreases monotonically and separable data is learned") {
+    val feats = separable(400).persist()
+    val (w, losses) = Training.logisticRegression(feats, "features",
+      "label", dim = 2, iters = 20, lr = 2.0)
+    assert(losses.zip(losses.tail).forall { case (a, b) => b <= a + 1e-12 },
+      s"loss must not increase: $losses")
+    assert(losses.last < 0.25 * losses.head,
+      s"loss should drop sharply on separable data: ${losses.head} -> ${losses.last}")
+    val acc = Training.score(feats, "features", w)
+      .select(((col("p") > 0.5).cast("int") === col("label")).cast("int").as("ok"))
+      .agg(avg(col("ok"))).first().getDouble(0)
+    assert(acc >= 0.99, s"separable data must be learned, acc=$acc")
+    assert(w(0) > 0.0, "the informative dim must get positive weight")
+    assert(math.abs(w(1)) < math.abs(w(0)),
+      "the noise dim must matter less than the signal dim")
+    feats.unpersist()
+  }
+
+  test("DECIMAL-quantized gradients make the trajectory partitioning-invariant") {
+    val base = separable(300)
+    val runs = Seq(1, 7).map { parts =>
+      val f = base.repartition(parts).persist()
+      val r = Training.logisticRegression(f, "features", "label",
+        dim = 2, iters = 8, lr = 1.0)
+      f.unpersist()
+      r
+    }
+    val Seq((wA, lA), (wB, lB)) = runs
+    assert(wA.toSeq == wB.toSeq,
+      s"weights diverged under repartitioning: ${wA.toSeq} vs ${wB.toSeq}")
+    assert(lA == lB, "loss trajectories diverged under repartitioning")
+  }
+
+  test("end-to-end quality classifier on documents: sane shape, learning happens") {
+    val out = SparkEntry.queries("q166_train_classifier")(spark, sf).collect()
+    assert(out.length == 65, "64 hashed dims + bias")
+    val first = out.head
+    val lossFirst = first.getAs[Double]("loss_first")
+    val lossLast = first.getAs[Double]("loss_last")
+    assert(lossLast < lossFirst,
+      s"training must reduce loss: $lossFirst -> $lossLast")
+    assert(out.map(_.getAs[Int]("dim")).toSeq == (0 to 64))
+  }
+}
