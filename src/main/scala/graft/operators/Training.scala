@@ -54,27 +54,21 @@ object Training {
         lit(0.0), (acc, x) => acc + x) + lit(w(dim))
       val p = sigmoid(z)
       val err = p - col(labelCol).cast("double")
-      // per-row quantized contributions: (dim -> err * x_j), bias, loss
-      val contrib = feats.select(
-        posexplode(concat(col(featCol), array(lit(1.0)))).as(Seq("dim", "x")),
-        err.cast(DecimalType(28, 12)).as("err"),
-        (-(col(labelCol).cast("double") * log(greatest(p, lit(1e-12))) +
-          (lit(1.0) - col(labelCol)) * log(greatest(lit(1.0) - p, lit(1e-12)))))
-          .cast(DecimalType(28, 12)).as("loss"))
-        .select(col("dim"),
-          (col("x") * col("err")).cast(DecimalType(28, 12)).as("g"),
-          col("loss"))
-      val rows = contrib.groupBy(col("dim"))
-        .agg(sum(col("g")).as("g"), sum(col("loss")).as("l"))
-        .collect() // d+1 rows — bounded by the feature width, not data
-      val grad = Array.fill(dim + 1)(0.0)
-      var lossSum = 0.0
-      rows.foreach { r =>
-        val d = r.getAs[Int]("dim")
-        grad(d) = r.getAs[java.math.BigDecimal]("g").doubleValue() / n
-        if (d == 0) lossSum = r.getAs[java.math.BigDecimal]("l").doubleValue()
-      }
-      losses += lossSum / n
+      val loss = -(col(labelCol).cast("double") * log(greatest(p, lit(1e-12))) +
+        (lit(1.0) - col(labelCol)) * log(greatest(lit(1.0) - p, lit(1e-12))))
+      // one narrow pass: per-row gradient vector (err scales each
+      // feature, bias rides as a trailing 1·err element, loss as one
+      // more) reduced by the exact-decimal vector aggregate — NO
+      // dim-explode, no per-dim shuffle rows, d-bounded partial state
+      val contribVec = concat(
+        transform(col(featCol), f => f * err),
+        array(err, loss))
+      val row = feats
+        .agg(graft.functions.DecimalVectorSum
+          .vectorSum(contribVec, dim + 2).as("vs"))
+        .select(col("vs.sums")).first().getSeq[Double](0)
+      val grad = row.take(dim + 1).map(_ / n).toArray
+      losses += row(dim + 1) / n
       w = w.zip(grad).map { case (wj, gj) => wj - lr * gj }
     }
     (w, losses.toSeq)

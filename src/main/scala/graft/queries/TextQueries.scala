@@ -1033,7 +1033,7 @@ object TextQueries {
     "q166_train_classifier" -> { (s, d) =>
       graft.operators.Training.trainQualityClassifier(s,
         Tables.documents(s, d), "doc_id", "text", "n_chars",
-        dims = 64, iters = 12)
+        dims = 64, iters = 8)
         .orderBy(col("dim"))
     }
   )

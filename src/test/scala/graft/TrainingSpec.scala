@@ -51,6 +51,22 @@ class TrainingSpec extends SparkSpecBase {
     assert(lA == lB, "loss trajectories diverged under repartitioning")
   }
 
+  test("DecimalVectorSum: exact element-wise sums, merge-order independent") {
+    val rows = (1 to 999).map(i =>
+      Tuple1(Seq(0.1, i * 1e-7, -0.1))).toDF("v")
+    for (parts <- Seq(1, 8)) {
+      val s = rows.repartition(parts)
+        .agg(graft.functions.DecimalVectorSum.vectorSum(col("v"), 3).as("vs"))
+        .select(col("vs.n"), col("vs.sums")).first()
+      assert(s.getLong(0) == 999L)
+      val sums = s.getSeq[Double](1)
+      // 999 × 0.1 in exact decimal is exactly 99.9 — float fold would drift
+      assert(sums(0) == 99.9, s"exact decimal sum expected, got ${sums(0)}")
+      assert(sums(2) == -99.9)
+      assert(math.abs(sums(1) - (1 to 999).map(_ * 1e-7).sum) < 1e-9)
+    }
+  }
+
   test("end-to-end quality classifier on documents: sane shape, learning happens") {
     val out = SparkEntry.queries("q166_train_classifier")(spark, sf).collect()
     assert(out.length == 65, "64 hashed dims + bias")
