@@ -1022,6 +1022,43 @@ object TextQueries {
         .orderBy(col("lang"), col("pred_lang"))
     },
 
+    // §2.3 (round 9) — in-context-pretraining packing (Shi et al.'23
+    // ICP): instead of packing the context window with RANDOM
+    // neighbors (q76's doc-order bins), documents are grouped by
+    // nearest-centroid topic (q125 arithmetic) and packed in
+    // similarity order, so each training sequence holds RELATED
+    // documents. Broadcast 8-row centroid table → narrow argmax;
+    // token counts join on the shared id; one window per topic for
+    // the greedy prefix-sum bin fill. The composition is exactly
+    // q125 ∘ q76 — and so is the oracle.
+    "q167_icp_pack" -> { (s, d) =>
+      val budget = 1024L
+      val emb = Tables.embeddings(s, d)
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("topic_id"), col("embedding").as("centroid"))
+      val assigned = emb.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("topic_id"),
+          round(GraftFunctions.cosine(col("embedding"), col("centroid")), 6)
+            .cast("decimal(10,6)").as("sim"))
+        .groupBy(col("vec_id"))
+        .agg(max(struct(col("sim"), (-col("topic_id")).as("nt"))).as("m"))
+        .select(col("vec_id"), (-col("m.nt")).as("topic_id"),
+          col("m.sim").as("sim"))
+      val toks = TextAnalysis.tokenCounts(Tables.documents(s, d),
+          "doc_id", "text")
+        .select(col("doc_id").as("vec_id"),
+          col("ws_tokens").cast("long").as("n_tokens"))
+      val w = Window.partitionBy(col("topic_id"))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      assigned.join(toks, "vec_id")
+        .withColumn("__cum", sum(col("n_tokens")).over(w))
+        .select(col("vec_id"), col("topic_id"),
+          col("sim").cast("double").as("cos_sim"), col("n_tokens"),
+          ((col("__cum") - col("n_tokens")) / budget).cast("long").as("seq_bin"))
+        .orderBy(col("topic_id"), col("cos_sim").desc, col("vec_id"))
+    },
+
     // §2.3 (round 9) — distributed classifier TRAINING (rows-only;
     // convergence/separability/invariance invariants in
     // TrainingSpec): full-batch GD logistic regression over q164's
@@ -1896,6 +1933,31 @@ object TextQueries {
         |        ${0.5 * math.log(2.0)} * (1.0 - CAST(SUM(qmass) AS DOUBLE)), 6)
         |    AS js_divergence
         |FROM t GROUP BY source ORDER BY source""".stripMargin,
+
+    // q125's centroid-argmax CTEs composed with q76's prefix-sum bin
+    // arithmetic — the oracle is the same composition as the query
+    "q167_icp_pack" ->
+      """WITH c AS (SELECT vec_id AS topic_id, embedding AS centroid
+        |           FROM embeddings WHERE vec_id < 8),
+        |s AS (SELECT e.vec_id, c.topic_id,
+        |        round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                     CAST(c.centroid AS DOUBLE[])), 6) AS sim
+        |      FROM embeddings e CROSS JOIN c),
+        |r AS (SELECT vec_id, topic_id, sim,
+        |        row_number() OVER (PARTITION BY vec_id
+        |          ORDER BY sim DESC, topic_id ASC) AS rn
+        |      FROM s),
+        |a AS (SELECT vec_id, topic_id, sim FROM r WHERE rn = 1),
+        |t AS (SELECT doc_id AS vec_id,
+        |        CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+        |      FROM documents),
+        |j AS (SELECT a.vec_id, a.topic_id, a.sim, t.n_tokens
+        |      FROM a JOIN t USING (vec_id))
+        |SELECT vec_id, topic_id, CAST(sim AS DOUBLE) AS cos_sim, n_tokens,
+        |  CAST(FLOOR(CAST(SUM(n_tokens) OVER (PARTITION BY topic_id
+        |         ORDER BY sim DESC, vec_id ROWS UNBOUNDED PRECEDING)
+        |         - n_tokens AS DOUBLE) / 1024) AS BIGINT) AS seq_bin
+        |FROM j ORDER BY topic_id, cos_sim DESC, vec_id""".stripMargin,
 
     // same stopword-marker argmax as the q36 oracle, rolled up to the
     // declared-tag lattice

@@ -80,6 +80,7 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "q164_feature_hash" -> 3,  // (doc,bucket) partials + doc rollup + sort
     "q160_js_drift" -> 9,      // persisted (src,word) agg + 3 marginals + joins
     "q165_lang_audit" -> 3,    // lattice agg + lattice window + sort
+    "q167_icp_pack" -> 3,      // argmax agg + join/window on topic + sort
     "q136_curation_chain" -> 25,
     "q62_ann_ivf" -> 42,
     "q152_pq_ann" -> 90,
