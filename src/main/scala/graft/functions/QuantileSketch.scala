@@ -117,6 +117,41 @@ final class KllDoubleSketch(val k: Int) extends Serializable {
   def retained: Int = levels.iterator.map(_.size).sum
 }
 
+object KllDoubleSketch {
+  /** Version-stable byte layout (DataOutputStream, the QuantileMonitor
+    * discipline) — shared by the SQL aggregate's partial-state
+    * shuffle and the streaming monitor's checkpointed ValueState.
+    */
+  def serialize(buf: KllDoubleSketch): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(buf.k)
+    out.writeLong(buf.totalN)
+    out.writeLong(buf.compactions)
+    out.writeInt(buf.levels.size)
+    buf.levels.foreach { lvl =>
+      out.writeInt(lvl.size)
+      lvl.foreach(out.writeDouble)
+    }
+    out.flush(); bos.toByteArray
+  }
+
+  def deserialize(bytes: Array[Byte]): KllDoubleSketch = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val sk = new KllDoubleSketch(in.readInt())
+    sk.totalN = in.readLong()
+    sk.compactions = in.readLong()
+    val nLevels = in.readInt()
+    sk.levels.clear()
+    (0 until nLevels).foreach { _ =>
+      val buf = mutable.ArrayBuffer.empty[Double]
+      (0 until in.readInt()).foreach(_ => buf += in.readDouble())
+      sk.levels += buf
+    }
+    sk
+  }
+}
+
 /** `graft_kll_quantiles(value, k, qs...)` — returns array of structs
   * (q, est) plus the exact n, one row per group.
   */
@@ -153,34 +188,11 @@ case class KllQuantiles(child: Expression, k: Int, qs: Seq[Double],
       new GenericArrayData(qs.zip(ests).map { case (q, e) => InternalRow(q, e) }))
   }
 
-  override def serialize(buf: KllDoubleSketch): Array[Byte] = {
-    val bos = new java.io.ByteArrayOutputStream()
-    val out = new java.io.DataOutputStream(bos)
-    out.writeInt(buf.k)
-    out.writeLong(buf.totalN)
-    out.writeLong(buf.compactions)
-    out.writeInt(buf.levels.size)
-    buf.levels.foreach { lvl =>
-      out.writeInt(lvl.size)
-      lvl.foreach(out.writeDouble)
-    }
-    out.flush(); bos.toByteArray
-  }
+  override def serialize(buf: KllDoubleSketch): Array[Byte] =
+    KllDoubleSketch.serialize(buf)
 
-  override def deserialize(bytes: Array[Byte]): KllDoubleSketch = {
-    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
-    val sk = new KllDoubleSketch(in.readInt())
-    sk.totalN = in.readLong()
-    sk.compactions = in.readLong()
-    val nLevels = in.readInt()
-    sk.levels.clear()
-    (0 until nLevels).foreach { _ =>
-      val buf = mutable.ArrayBuffer.empty[Double]
-      (0 until in.readInt()).foreach(_ => buf += in.readDouble())
-      sk.levels += buf
-    }
-    sk
-  }
+  override def deserialize(bytes: Array[Byte]): KllDoubleSketch =
+    KllDoubleSketch.deserialize(bytes)
 
   override def withNewMutableAggBufferOffset(o: Int): KllQuantiles =
     copy(mutableAggBufferOffset = o)
