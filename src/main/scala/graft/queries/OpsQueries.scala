@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -93,6 +94,48 @@ object OpsQueries {
         .select(col("c_custkey"),
           coalesce(col("u_name"), col("c_name")).as("c_name"),
           coalesce(col("u_bal"), col("c_acctbal")).as("c_acctbal"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // §2.1 (round 9) — CDC APPLY with deletes and last-wins conflict
+    // resolution: q57's MERGE handles update-else-insert; a real
+    // change feed also carries D rows and multiple ops per key. The
+    // feed here plants all three op kinds INCLUDING a U-then-D
+    // conflict (BUILDING keys divisible by 10 with remainder 3 get
+    // both); resolution is one (key) window taking the max-seq op
+    // (deterministic op tie-break), then a full-outer join applies
+    // U/I column-wise and D drops the key. Two shuffles on the key —
+    // the feed is delta-sized, the snapshot scanned once.
+    "q168_cdc_apply" -> { (s, d) =>
+      val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+      val current = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      val feed = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"), lit("U").as("op"), lit(1L).as("seq"),
+          col("c_name").as("f_name"),
+          round(col("c_acctbal").cast(dec) * lit("1.1").cast(
+            org.apache.spark.sql.types.DecimalType(3, 2)), 2)
+            .cast("double").as("f_bal"))
+        .unionByName(Tables.customer(s, d)
+          .filter(col("c_custkey") % 10 === 3)
+          .select(col("c_custkey"), lit("D").as("op"), lit(2L).as("seq"),
+            lit(null).cast("string").as("f_name"),
+            lit(null).cast("double").as("f_bal")))
+        .unionByName(s.range(1, 4).select(
+          (col("id") + 2000000).as("c_custkey"), lit("I").as("op"),
+          lit(1L).as("seq"),
+          concat(lit("Inserted#"), col("id")).as("f_name"),
+          lit(100.0).as("f_bal")))
+      val w = Window.partitionBy(col("c_custkey"))
+        .orderBy(col("seq").desc, col("op"))
+      val latest = feed.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn", "seq")
+      current.join(latest, Seq("c_custkey"), "full_outer")
+        .filter(col("op").isNull || col("op") =!= "D")
+        .select(col("c_custkey"),
+          coalesce(col("f_name"), col("c_name")).as("c_name"),
+          coalesce(col("f_bal"), col("c_acctbal")).as("c_acctbal"))
         .orderBy(col("c_custkey"))
     },
 
@@ -472,6 +515,32 @@ object OpsQueries {
         |       COALESCE(u.c_acctbal, c.c_acctbal) AS c_acctbal
         |FROM customer c
         |FULL OUTER JOIN updates u ON c.c_custkey = u.c_custkey
+        |ORDER BY c_custkey""".stripMargin,
+
+    // identical feed plants, window resolution, and join arithmetic
+    "q168_cdc_apply" ->
+      """WITH feed AS (
+        |  SELECT c_custkey, 'U' AS op, 1 AS seq, c_name AS f_name,
+        |    CAST(round(CAST(c_acctbal AS DECIMAL(18,2)) * CAST(1.1 AS DECIMAL(3,2)), 2) AS DOUBLE) AS f_bal
+        |  FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  UNION ALL
+        |  SELECT c_custkey, 'D' AS op, 2 AS seq, NULL AS f_name, NULL AS f_bal
+        |  FROM customer WHERE c_custkey % 10 = 3
+        |  UNION ALL
+        |  SELECT 2000000 + i AS c_custkey, 'I' AS op, 1 AS seq,
+        |    'Inserted#' || i AS f_name, 100.0 AS f_bal
+        |  FROM (SELECT unnest(generate_series(1, 3)) AS i)),
+        |latest AS (
+        |  SELECT c_custkey, op, f_name, f_bal FROM (
+        |    SELECT feed.*, row_number() OVER (PARTITION BY c_custkey
+        |      ORDER BY seq DESC, op) AS rn FROM feed)
+        |  WHERE rn = 1)
+        |SELECT COALESCE(c.c_custkey, l.c_custkey) AS c_custkey,
+        |  COALESCE(l.f_name, c.c_name) AS c_name,
+        |  COALESCE(l.f_bal, c.c_acctbal) AS c_acctbal
+        |FROM customer c
+        |FULL OUTER JOIN latest l ON c.c_custkey = l.c_custkey
+        |WHERE l.op IS NULL OR l.op <> 'D'
         |ORDER BY c_custkey""".stripMargin,
 
     // capacity (256) exceeds the corpus vocabulary, so the sketch is

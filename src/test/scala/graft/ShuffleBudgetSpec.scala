@@ -81,6 +81,7 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "q160_js_drift" -> 9,      // persisted (src,word) agg + 3 marginals + joins
     "q165_lang_audit" -> 3,    // lattice agg + lattice window + sort
     "q167_icp_pack" -> 3,      // argmax agg + join/window on topic + sort
+    "q168_cdc_apply" -> 3,     // feed window + outer join + sort
     "q136_curation_chain" -> 25,
     "q62_ann_ivf" -> 42,
     "q152_pq_ann" -> 90,
