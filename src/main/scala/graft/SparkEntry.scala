@@ -19,7 +19,8 @@ object SparkEntry {
       graft.queries.CurationQueries.queries ++
       graft.queries.RetrievalQueries.queries ++
       graft.queries.GraphQueries.queries ++
-      graft.queries.BehaviorQueries.queries
+      graft.queries.BehaviorQueries.queries ++
+      graft.queries.WebQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -35,5 +36,6 @@ object SparkEntry {
       graft.queries.CurationQueries.oracleSql ++
       graft.queries.RetrievalQueries.oracleSql ++
       graft.queries.GraphQueries.oracleSql ++
-      graft.queries.BehaviorQueries.oracleSql
+      graft.queries.BehaviorQueries.oracleSql ++
+      graft.queries.WebQueries.oracleSql
 }
