@@ -601,6 +601,9 @@ object GraftFunctions {
   def nearestCentroid(svec: Column, cands: Column): Column =
     toCol(NearestCentroid(toExpr(svec), toExpr(cands)))
 
+  def momentVector(v: Column): Column =
+    toCol(MomentVector(toExpr(v)))
+
   def adcDistance(codes: Column, luts: Column): Column =
     toCol(AdcDistance(toExpr(codes), toExpr(luts)))
 

@@ -177,3 +177,44 @@ case class AdcDistance(left: Expression, right: Expression)
     copy(left = l, right = r)
   override def prettyName: String = "graft_adc_dist"
 }
+
+/** PCA moment kernels (round 9). */
+object PcaOps {
+  /** Per-row moment vector for one-pass PCA: [v_0..v_{d-1},
+    * upper-triangle outer product row-major v_i·v_j (j ≥ i)] — length
+    * d + d(d+1)/2. Feeding this through the exact-decimal vector
+    * aggregate yields Σv and ΣvvT in ONE corpus pass with
+    * d²-bounded state; symmetry halves the row width.
+    */
+  def momentVec(v: org.apache.spark.sql.catalyst.util.ArrayData)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val d = v.numElements()
+    val out = new Array[Double](d + d * (d + 1) / 2)
+    var i = 0
+    while (i < d) { out(i) = v.getFloat(i).toDouble; i += 1 }
+    var p = d
+    i = 0
+    while (i < d) {
+      val xi = out(i)
+      var j = i
+      while (j < d) { out(p) = xi * out(j); p += 1; j += 1 }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Codegen'd PCA moment row: float vector → [v, upper-tri v·vT]. */
+case class MomentVector(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    PcaOps.momentVec(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.PcaOps.momentVec($v);")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "graft_moment_vec"
+}

@@ -28,7 +28,12 @@ final class DecimalVectorBuffer(val dim: Int) extends Serializable {
     var i = 0
     while (i < dim) {
       if (!values.isNullAt(i)) {
-        val q = new JBigDecimal(values.getDouble(i))
+        // valueOf (shortest decimal repr, ≤ 17 sig digits) beats the
+        // exact-binary-expansion constructor ~5× here; both are
+        // deterministic quantizations of the same double, and the
+        // associativity/invariance property depends only on the
+        // quantize-BEFORE-add order, which is unchanged.
+        val q = JBigDecimal.valueOf(values.getDouble(i))
           .setScale(scale, java.math.RoundingMode.HALF_UP)
         sums(i) = sums(i).add(q)
       }

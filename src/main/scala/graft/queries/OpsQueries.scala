@@ -426,6 +426,23 @@ object OpsQueries {
         .agg(count(lit(1)).as("n_orders"),
           sum(col("price")).cast("double").as("total_price"))
         .orderBy(col("pseud"))
+    },
+
+    // §2.3 (round 9) — distributed PCA over the embedding corpus
+    // (rows-only; orthonormality / variance-identity / invariance
+    // invariants in PcaSpec): ONE corpus pass computes Σv and ΣvvT
+    // via the MomentVector kernel + exact-decimal vector aggregate
+    // (d²-bounded state, bit-identical under any partitioning), the
+    // d×d Jacobi eigensolve is driver-side (d-bounded — the BPE
+    // merge-table contract), and the report is the per-component
+    // variance ledger an embedding pipeline reads before truncating
+    // or whitening. The corpus never shuffles.
+    "q171_pca" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val dim = emb.select(size(col("embedding"))).head.getInt(0)
+      val model = graft.operators.Pca.fit(emb, "embedding", dim)
+      graft.operators.Pca.componentReport(s, model, k = 8)
+        .orderBy(col("component"))
     }
   )
 
