@@ -20,7 +20,8 @@ object SparkEntry {
       graft.queries.RetrievalQueries.queries ++
       graft.queries.GraphQueries.queries ++
       graft.queries.BehaviorQueries.queries ++
-      graft.queries.WebQueries.queries
+      graft.queries.WebQueries.queries ++
+      graft.queries.MediaQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -37,5 +38,6 @@ object SparkEntry {
       graft.queries.RetrievalQueries.oracleSql ++
       graft.queries.GraphQueries.oracleSql ++
       graft.queries.BehaviorQueries.oracleSql ++
-      graft.queries.WebQueries.oracleSql
+      graft.queries.WebQueries.oracleSql ++
+      graft.queries.MediaQueries.oracleSql
 }

@@ -58,4 +58,54 @@ object Selection {
       .filter(col("cum_weight") <= budget)
       .drop("__pid", "__w", "__cum_local", "__offset")
   }
+
+  /** GROUPED distributed prefix sum: `cum_weight` = running total of
+    * `weight` within each `groupCols` group, ordered by `sortCols` —
+    * without ever putting one group through one task (the
+    * `Window.partitionBy(group)` shape is a scale hazard when groups
+    * are few and huge: 5 aspect buckets over a 100 TB corpus is
+    * corpus/5 rows per window task). Same discipline as
+    * [[budgetSelect]]: range-repartition on (group, sort) so each
+    * group's rows occupy a contiguous partition run, partition-local
+    * windows, then per-(partition, group) totals — ≤ parts × groups
+    * rows — prefix-summed per group and broadcast back as offsets.
+    * Exact integer sums over a total order: output is
+    * partition-count-independent (the invariance bar).
+    *
+    * `sortCols` must totally order rows WITHIN a group.
+    */
+  def groupedPrefixSum(df: DataFrame, groupCols: Seq[Column],
+                       sortCols: Seq[Column], weight: Column,
+                       numPartitions: Int = 0): DataFrame = {
+    require(groupCols.nonEmpty && sortCols.nonEmpty,
+      "groupCols and sortCols must be non-empty")
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val rangeKeys = groupCols ++ sortCols
+    val ranged = df.repartitionByRange(parts, rangeKeys: _*)
+      .withColumn("__w", weight.cast("long"))
+      .withColumn("__pid", spark_partition_id())
+    val gNames = groupCols.indices.map(i => s"__g$i")
+    val tagged = gNames.zip(groupCols).foldLeft(ranged) {
+      case (acc, (n, c)) => acc.withColumn(n, c)
+    }
+    val local = Window.partitionBy((col("__pid") +: gNames.map(col)): _*)
+      .orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // one materialization pins __pid for both consumers (see budgetSelect)
+    val withLocal = tagged.withColumn("__cum_local", sum(col("__w")).over(local))
+      .scopedPersist()
+    // per-(partition, group) totals: ≤ parts × |groups| rows; the
+    // offset window partitions by GROUP over this tiny table only
+    val offWin = Window.partitionBy(gNames.map(col): _*).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = withLocal.groupBy((col("__pid") +: gNames.map(col)): _*)
+      .agg(sum(col("__w")).as("__ptotal"))
+      .withColumn("__offset", coalesce(sum(col("__ptotal")).over(offWin), lit(0L)))
+      .select((col("__pid") +: gNames.map(col)) :+ col("__offset"): _*)
+    withLocal.join(broadcast(offsets), ("__pid" +: gNames).toSeq)
+      .withColumn("cum_weight", col("__cum_local") + col("__offset"))
+      .drop((Seq("__pid", "__w", "__cum_local", "__offset") ++ gNames): _*)
+  }
 }

@@ -1,0 +1,106 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Multimodal, Selection}
+
+/** SURVEY.md §2.3 (round 9) — multimodal BATCH ASSEMBLY: aspect-ratio
+  * bucketing + fixed-size batch packing over the media metadata the
+  * corpus already carries (Multimodal.attachBinary's integer-derived
+  * width/height — the same rows q88's resize plan reads).
+  *
+  * Vision-language training can't batch a portrait with a panorama:
+  * images are grouped into a small ladder of canonical aspect buckets
+  * (the SDXL/NaViT recipe) and packed into fixed-size batches within
+  * each bucket. Bucket choice is EXACT integer arithmetic — the
+  * nearest ratio a/b to w/h minimizes |w·b − a·h| · (L/b) with
+  * L = lcm(denominators), so no float division can flip a verdict
+  * cross-engine. Batch sequence numbers come from the GROUPED
+  * distributed prefix sum (Selection.groupedPrefixSum), never a
+  * 5-partition global window.
+  */
+object MediaQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** (idx, a, b, 144/b) — the bucket ladder; 144 = lcm(1,3,4,9,16). */
+  private val ladder = Seq(
+    (0, 1, 1, 144), (1, 4, 3, 48), (2, 3, 4, 36), (3, 16, 9, 16), (4, 9, 16, 9))
+
+  val queries: Map[String, Q] = Map(
+    // §2.3 (round 9) — aspect bucketing + batch packing: narrow
+    // integer argmin picks the bucket, grouped prefix sum assigns
+    // per-bucket sequence numbers (scale-safe: no per-bucket global
+    // window), per-(bucket, batch) rollup reports fill + ViT patch
+    // load (q88's exact resize arithmetic).
+    "q172_aspect_batch" -> { (s, d) =>
+      val B = 16
+      val media = Multimodal.attachBinary(Tables.documents(s, d))
+        .select(col("doc_id"), col("meta.width").as("w"), col("meta.height").as("h"))
+      val scored = ladder.map { case (i, a, b, scale) =>
+        struct(abs(col("w") * b - col("h") * a) * scale,
+          lit(i).as("idx"))
+      }
+      val bucketed = media.withColumn("bucket",
+        array_min(array(scored: _*)).getField("idx"))
+      val seq = Selection.groupedPrefixSum(bucketed,
+        Seq(col("bucket")), Seq(col("doc_id")), lit(1L))
+      // all-integer resize/patch math (q88 arithmetic): `div`, not `/`
+      seq
+        .withColumn("batch_id", expr(s"(cum_weight - 1) div $B"))
+        .withColumn("n_patches", expr(
+          "cast(((greatest(1, (w * 224) div greatest(w, h)) + 15) div 16) * " +
+            "((greatest(1, (h * 224) div greatest(w, h)) + 15) div 16) as bigint)"))
+        .groupBy(col("bucket"), col("batch_id"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("n_patches")).as("total_patches"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy(col("bucket"), col("batch_id"))
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    // meta mirror: width = n_chars % 640 + 1, height = (doc_id*37) % 480 + 1
+    "q172_aspect_batch" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    n_chars % 640 + 1 AS w,
+        |    (doc_id * 37) % 480 + 1 AS h
+        |  FROM documents),
+        |sc AS (
+        |  SELECT doc_id, w, h,
+        |    abs(w * 1 - h * 1) * 144 AS s0,
+        |    abs(w * 3 - h * 4) * 48 AS s1,
+        |    abs(w * 4 - h * 3) * 36 AS s2,
+        |    abs(w * 9 - h * 16) * 16 AS s3,
+        |    abs(w * 16 - h * 9) * 9 AS s4
+        |  FROM m),
+        |bk AS (
+        |  SELECT doc_id, w, h,
+        |    CASE
+        |      WHEN s0 <= s1 AND s0 <= s2 AND s0 <= s3 AND s0 <= s4 THEN 0
+        |      WHEN s1 <= s2 AND s1 <= s3 AND s1 <= s4 THEN 1
+        |      WHEN s2 <= s3 AND s2 <= s4 THEN 2
+        |      WHEN s3 <= s4 THEN 3
+        |      ELSE 4
+        |    END AS bucket
+        |  FROM sc),
+        |sq AS (
+        |  SELECT doc_id, w, h, bucket,
+        |    (ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY doc_id) - 1) // 16
+        |      AS batch_id,
+        |    GREATEST(1, (w * 224) // GREATEST(w, h)) AS out_w,
+        |    GREATEST(1, (h * 224) // GREATEST(w, h)) AS out_h
+        |  FROM bk)
+        |SELECT bucket, CAST(batch_id AS BIGINT) AS batch_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items,
+        |  CAST(SUM(((out_w + 15) // 16) * ((out_h + 15) // 16)) AS BIGINT)
+        |    AS total_patches,
+        |  CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+        |  CAST(MAX(doc_id) AS BIGINT) AS last_doc
+        |FROM sq GROUP BY bucket, batch_id ORDER BY bucket, batch_id""".stripMargin
+  )
+}
