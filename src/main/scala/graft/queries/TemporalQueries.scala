@@ -273,6 +273,34 @@ object TemporalQueries {
         .select(col("event_id"), col("event_type"), col("ewma"),
           col("resid"), col("is_spike"))
         .orderBy(col("event_id"))
+    },
+
+    // §2.4 (round 9) — interaction-log → training-sequence assembly:
+    // each gap session (q44 arithmetic) serializes into one ordered
+    // conversation string — "event_type:floor(value)" turns joined in
+    // (ts, id) order, truncated to the first 50 turns (context
+    // budget), singleton sessions dropped (no training pair). This is
+    // the chat-log→SFT-corpus export shape. One (user) shuffle into
+    // the session window, then the per-session sorted collapse (the
+    // q09 sorted-collect discipline — bounded per session by the
+    // truncation cap); all turn text is integer-rendered so the
+    // cross-engine string hashes can't drift.
+    "q173_dialog_pack" -> { (s, d) =>
+      val sess = Temporal.sessionize(Tables.events(s, d), key = "user_id",
+        timeCol = "ts", idCol = "event_id", gapSeconds = 1800L)
+      sess
+        .select(col("user_id"), col("session_id"),
+          struct(col("ts"), col("event_id"),
+            concat(col("event_type"), lit(":"),
+              floor(col("value")).cast("long").cast("string")).as("turn")).as("t"))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_turns"),
+          concat_ws(" ", transform(
+            slice(array_sort(collect_list(col("t"))), 1, 50),
+            x => x.getField("turn"))).as("convo"))
+        .filter(col("n_turns") >= 2)
+        .withColumn("convo_chars", length(col("convo")).cast("long"))
+        .orderBy(col("user_id"), col("session_id"))
     }
   )
 
@@ -448,6 +476,35 @@ object TemporalQueries {
         |SELECT event_id, event_type, ewma,
         |  ROUND(abs(value - ewma), 6) AS resid,
         |  (ROUND(abs(value - ewma), 6) > 0.5 * GREATEST(abs(ewma), 1.0)) AS is_spike
-        |FROM e ORDER BY event_id""".stripMargin
+        |FROM e ORDER BY event_id""".stripMargin,
+
+    // same q44 session arithmetic, then the ordered turn collapse
+    "q173_dialog_pack" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, event_id, event_type, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |y AS (
+        |  SELECT user_id, ts, event_id,
+        |    event_type || ':' || CAST(CAST(floor(value) AS BIGINT) AS VARCHAR) AS turn,
+        |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM x),
+        |r AS (
+        |  SELECT user_id, session_id, ts, event_id, turn,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+        |                       ORDER BY ts, event_id) AS rk
+        |  FROM y)
+        |SELECT user_id, session_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_turns,
+        |  string_agg(CASE WHEN rk <= 50 THEN turn END, ' ' ORDER BY ts, event_id)
+        |    AS convo,
+        |  CAST(length(string_agg(CASE WHEN rk <= 50 THEN turn END, ' '
+        |                         ORDER BY ts, event_id)) AS BIGINT) AS convo_chars
+        |FROM r GROUP BY user_id, session_id HAVING COUNT(*) >= 2
+        |ORDER BY user_id, session_id""".stripMargin
   )
 }

@@ -116,4 +116,19 @@ class TemporalSpec extends SparkSpecBase {
       assert(!r.getAs[Boolean]("is_spike"))
     }
   }
+
+  test("q173: convo is (ts, id)-ordered, capped at 50 turns, singletons dropped") {
+    val out = SparkEntry.queries("q173_dialog_pack")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val nTurns = r.getAs[Long]("n_turns")
+      assert(nTurns >= 2L, "singleton sessions must be dropped")
+      val emitted = r.getAs[String]("convo").split(" ").length
+      assert(emitted === math.min(nTurns, 50L).toInt,
+        s"convo holds min(n_turns, 50) turns, got $emitted of $nTurns")
+      // every turn renders as type:integer
+      assert(r.getAs[String]("convo").split(" ")
+        .forall(_.matches("[a-z_]+:-?[0-9]+")))
+    }
+  }
 }
