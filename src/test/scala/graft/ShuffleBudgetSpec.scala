@@ -82,6 +82,11 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "q165_lang_audit" -> 3,    // lattice agg + lattice window + sort
     "q167_icp_pack" -> 3,      // argmax agg + join/window on topic + sort
     "q168_cdc_apply" -> 3,     // feed window + outer join + sort
+    "q169_link_audit" -> 3,    // narrow regex front; domain agg (distinct expand) + sort
+    "q170_doc_links" -> 3,     // (doc,domain) partials + doc rollup + sort
+    "q171_pca" -> 1,           // ONE moment agg; eigensolve is driver-side
+    "q172_aspect_batch" -> 8,  // grouped prefix sum (range + offsets) + batch rollup + sort
+    "q173_dialog_pack" -> 2,   // user-key window reused by session agg + sort
     "q136_curation_chain" -> 25,
     "q62_ann_ivf" -> 42,
     "q152_pq_ann" -> 90,
