@@ -107,6 +107,34 @@ object TextQueries {
        |  FROM th CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) bs
        |  GROUP BY doc_id, bs.b)""".stripMargin
 
+  /** documents ∪ MUTATED copies of doc_id<50 (ids +2_000_000): every
+    * 13th normalized word replaced by 'zzz' — NEAR duplicates, not
+    * exact ones, so the dedup tiers genuinely differ in what they
+    * catch (exact copies would be caught by every tier and the recall
+    * report would be degenerate; the ~8% mutation rate yields the
+    * informative gradient exact 0 < simhash < minhash-LSH). Mirrored
+    * verbatim in the q174 oracle.
+    */
+  private def nearDupCorpus(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    docs.unionByName(
+      docs.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          array_join(transform(GraftFunctions.normWords(col("text")),
+            (w, i) => when((i + 1) % 13 === 0, lit("zzz")).otherwise(w)),
+            " ").as("text")))
+  }
+
+  private val nearDupCorpusSql =
+    s"""nd AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 2000000 AS doc_id,
+      |    array_to_string([CASE WHEN i % 13 = 0 THEN 'zzz' ELSE ws[i] END
+      |                     FOR i IN generate_series(1, len(ws))], ' ') AS text
+      |  FROM (SELECT doc_id, $wsSql AS ws FROM documents WHERE doc_id < 50)
+      |)""".stripMargin
+
   /** documents with deterministically planted PII (emails for
     * doc_id % 5 = 0, phone numbers for doc_id % 7 = 0). Mirrored
     * verbatim in the q69 oracle.
@@ -1072,6 +1100,50 @@ object TextQueries {
         Tables.documents(s, d), "doc_id", "text", "n_chars",
         dims = 64, iters = 8)
         .orderBy(col("dim"))
+    },
+
+    // §2.3 (round 9) — dedup-tier RECALL/COST report: the tradeoff
+    // table a curation team reads before choosing a dedup stack. Over
+    // a corpus with 50 planted NEAR duplicates (every 7th word
+    // mutated), each tier reports its candidate-pair volume (the cost
+    // side) and how many planted pairs it catches (the recall side):
+    // exact hashing (misses mutations by construction), banded
+    // MinHash-LSH (probabilistic, band-or), SimHash hamming ≤ 3 (the
+    // native self-join). All three rides are the ALREADY-ORACLED
+    // pair generators — this composes them into one verdict frame.
+    "q174_dedup_recall" -> { (s, d) =>
+      val corpus = nearDupCorpus(s, d)
+      val caught = (col("doc_b") === col("doc_a") + 2000000L) &&
+        (col("doc_a") < 50)
+      def pairStats(pairs: DataFrame, tier: String): DataFrame =
+        pairs.agg(count(lit(1)).cast("long").as("n_candidates"),
+          coalesce(sum(caught.cast("long")), lit(0L)).cast("long").as("n_caught"))
+          .select(lit(tier).as("tier"), col("n_candidates"), col("n_caught"))
+      // exact tier: q30's normalized-words hash equality
+      val eg = corpus.select(col("doc_id"),
+        md5(concat_ws(" ", GraftFunctions.normWords(col("text")))).as("h"))
+      val exactCand = eg.groupBy(col("h")).agg(count(lit(1)).as("n"))
+        .agg(coalesce(expr("sum(n * (n - 1) div 2)"), lit(0L))
+          .cast("long").as("n_candidates"))
+      val exactCaught = eg.filter(col("doc_id") < 50).alias("a")
+        .join(eg.filter(col("doc_id") >= 2000000).alias("b"),
+          col("b.doc_id") === col("a.doc_id") + 2000000L &&
+            col("a.h") === col("b.h"))
+        .agg(count(lit(1)).cast("long").as("n_caught"))
+      val exactRow = exactCand.crossJoin(exactCaught)
+        .select(lit("exact").as("tier"), col("n_candidates"), col("n_caught"))
+      val lshPairs = Dedup.lshCandidatePairs(
+        Dedup.lshBandsMd5Narrow(corpus, "doc_id", "text",
+          shingleWidth = 3, nSeeds = 8, rowsPerBand = 4))
+      val shPairs = graft.plans.HammingJoinPlan.simhashPairs(
+        Dedup.simhashTableMd5(corpus, "doc_id", "text"),
+        "doc_id", "simhash", maxHamming = 3)
+        .select(col("doc_a"), col("doc_b"))
+      exactRow
+        .unionByName(pairStats(lshPairs, "minhash_lsh"))
+        .unionByName(pairStats(shPairs, "simhash"))
+        .withColumn("recall", round(col("n_caught") / lit(50.0), 6))
+        .orderBy(col("tier"))
     }
   )
 
@@ -2062,6 +2134,59 @@ object TextQueries {
          |  CASE WHEN jaccard >= 0.8 THEN 'dup'
          |       WHEN GREATEST(cont_a, cont_b) >= 0.9 THEN 'contained'
          |       ELSE 'distinct' END AS verdict
-         |FROM m ORDER BY doc_a""".stripMargin
+         |FROM m ORDER BY doc_a""".stripMargin,
+
+    // same near-dup plant; exact = q30 hash arithmetic, lsh = q31b
+    // band arithmetic, simhash = q32b pair arithmetic — over nd
+    "q174_dedup_recall" ->
+      s"""WITH $nearDupCorpusSql,
+         |eg AS (SELECT doc_id, md5(array_to_string($wsSql, ' ')) AS h FROM nd),
+         |ec AS (SELECT COALESCE(SUM(n * (n - 1) // 2), 0) AS n_candidates
+         |       FROM (SELECT h, COUNT(*) AS n FROM eg GROUP BY h)),
+         |ek AS (SELECT COUNT(*) AS n_caught
+         |       FROM eg a JOIN eg b
+         |         ON b.doc_id = a.doc_id + 2000000
+         |        AND a.doc_id < 50 AND a.h = b.h),
+         |${bandsSqlFrom("nd", "L")},
+         |lp AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |       FROM Lbands a JOIN Lbands b
+         |         ON a.band = b.band AND a.band_sig = b.band_sig
+         |        AND a.doc_id < b.doc_id),
+         |lc AS (SELECT COUNT(*) AS n_candidates,
+         |         COALESCE(SUM(CASE WHEN doc_b = doc_a + 2000000 AND doc_a < 50
+         |                           THEN 1 ELSE 0 END), 0) AS n_caught
+         |       FROM lp),
+         |sw AS (SELECT doc_id, $wsSql AS ws FROM nd),
+         |stok AS (SELECT doc_id, unnest(ws) AS t FROM sw),
+         |sth AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 16))::UBIGINT AS h
+         |        FROM stok),
+         |sbits AS (
+         |  SELECT doc_id, bs.b AS b,
+         |         CASE WHEN SUM(CASE WHEN (h >> bs.b) & 1 = 1 THEN 1 ELSE -1 END) > 0
+         |              THEN 1 ELSE 0 END AS bit
+         |  FROM sth CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) bs
+         |  GROUP BY doc_id, bs.b),
+         |ssig AS (SELECT doc_id,
+         |           bit_or(CASE WHEN bit = 1 THEN 1::UBIGINT << b
+         |                       ELSE 0::UBIGINT END) AS s
+         |         FROM sbits GROUP BY doc_id),
+         |sp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |       FROM ssig a JOIN ssig b ON a.doc_id < b.doc_id
+         |       WHERE bit_count(xor(a.s, b.s)) <= 3),
+         |sc AS (SELECT COUNT(*) AS n_candidates,
+         |         COALESCE(SUM(CASE WHEN doc_b = doc_a + 2000000 AND doc_a < 50
+         |                           THEN 1 ELSE 0 END), 0) AS n_caught
+         |       FROM sp)
+         |SELECT 'exact' AS tier, CAST(ec.n_candidates AS BIGINT) AS n_candidates,
+         |  CAST(ek.n_caught AS BIGINT) AS n_caught,
+         |  ROUND(ek.n_caught / 50.0, 6) AS recall
+         |FROM ec, ek
+         |UNION ALL
+         |SELECT 'minhash_lsh', CAST(n_candidates AS BIGINT),
+         |  CAST(n_caught AS BIGINT), ROUND(n_caught / 50.0, 6) FROM lc
+         |UNION ALL
+         |SELECT 'simhash', CAST(n_candidates AS BIGINT),
+         |  CAST(n_caught AS BIGINT), ROUND(n_caught / 50.0, 6) FROM sc
+         |ORDER BY tier""".stripMargin
   )
 }

@@ -477,6 +477,30 @@ class DedupSimilaritySpec extends SparkSpecBase {
     c.unpersist()
   }
 
+  test("q174: recall report has the expected tier semantics") {
+    val rows = SparkEntry.queries("q174_dedup_recall")(spark, sf)
+      .collect().map(r => r.getAs[String]("tier") ->
+        (r.getAs[Long]("n_candidates"), r.getAs[Long]("n_caught"),
+          r.getAs[Double]("recall"))).toMap
+    assert(rows.keySet === Set("exact", "minhash_lsh", "simhash"))
+    // exact hashing catches EXACTLY the plants too short to mutate
+    // (< 13 normalized words → the copy is the normalized original)
+    val unmutated = Tables.documents(spark, sf)
+      .filter(col("doc_id") < 50)
+      .filter(size(graft.functions.GraftFunctions.normWords(col("text"))) < 13)
+      .count()
+    assert(rows("exact")._2 === unmutated)
+    // LSH (band-or over shingle overlap) dominates hamming<=3 at this
+    // mutation rate
+    assert(rows("minhash_lsh")._2 >= rows("simhash")._2)
+    assert(rows("minhash_lsh")._2 > rows("exact")._2,
+      "the fuzzy tier must catch plants exact hashing cannot")
+    // recall is caught/50 exactly
+    rows.values.foreach { case (_, caught, recall) =>
+      assert(math.abs(recall - caught / 50.0) < 1e-9)
+    }
+  }
+
   test("every text query returns rows at sf0.001") {
     TextQueries.queries.foreach { case (name, fn) =>
       assert(fn(spark, sf).count() > 0, s"$name returned 0 rows")
