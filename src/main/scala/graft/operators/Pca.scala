@@ -170,4 +170,40 @@ object Pca {
 
   private def round6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Persist the model as one long-format parquet table (kind, i, j,
+    * value) — the index-lifecycle discipline (SURVEY §4 round 9): a
+    * serving session projects against a TRAINED model without
+    * retraining. d-bounded rows; doubles survive parquet bit-exactly,
+    * so a loaded model projects identically to the in-session one
+    * (pinned in PcaSpec). */
+  def save(spark: SparkSession, model: PcaModel, dir: String): Unit = {
+    import spark.implicits._
+    val rows =
+      Seq(("n", 0, 0, model.n.toDouble), ("dim", 0, 0, model.dim.toDouble)) ++
+        model.mean.zipWithIndex.toSeq.map { case (v, i) => ("mean", i, 0, v) } ++
+        model.eigenvalues.zipWithIndex.toSeq.map { case (v, i) => ("eval", i, 0, v) } ++
+        model.components.zipWithIndex.toSeq.flatMap { case (row, i) =>
+          row.zipWithIndex.toSeq.map { case (v, j) => ("comp", i, j, v) }
+        }
+    rows.toDF("kind", "i", "j", "value")
+      .repartition(1).write.mode("overwrite").parquet(dir)
+  }
+
+  /** Load a persisted model (the d²-bounded collect mirrors fit's
+    * driver-side eigensolve contract). */
+  def load(spark: SparkSession, dir: String): PcaModel = {
+    val rows = spark.read.parquet(dir)
+      .select("kind", "i", "j", "value").collect()
+    def of(kind: String) = rows.filter(_.getString(0) == kind)
+    val dim = of("dim").head.getDouble(3).toInt
+    val n = of("n").head.getDouble(3).toLong
+    val mean = Array.ofDim[Double](dim)
+    of("mean").foreach(r => mean(r.getInt(1)) = r.getDouble(3))
+    val evals = Array.ofDim[Double](dim)
+    of("eval").foreach(r => evals(r.getInt(1)) = r.getDouble(3))
+    val comps = Array.ofDim[Double](dim, dim)
+    of("comp").foreach(r => comps(r.getInt(1))(r.getInt(2)) = r.getDouble(3))
+    PcaModel(dim, n, mean, evals, comps)
+  }
 }

@@ -1144,6 +1144,47 @@ object TextQueries {
         .unionByName(pairStats(shPairs, "simhash"))
         .withColumn("recall", round(col("n_caught") / lit(50.0), 6))
         .orderBy(col("tier"))
+    },
+
+    // §2.3 (round 9) — contrastive IN-BATCH negative mining: the pair
+    // assembly of embedding-model training (SimCLR/DPR recipe) —
+    // anchors never scan the corpus for negatives; they use the
+    // other-topic members of their OWN deterministic hash batch, so
+    // pair fan-out is bounded by batch² per batch at any corpus size.
+    // Topic = nearest-centroid argmax (q125/q167 arithmetic, broadcast
+    // 8-row centroid table); batch = md5 bucket; per anchor the top-5
+    // HARDEST negatives (highest cosine — the informative ones) rank
+    // through a bounded per-anchor window. One batch-key equi-join,
+    // no corpus × corpus anything.
+    "q175_contrastive_pairs" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("topic_id"), col("embedding").as("centroid"))
+      val assigned = emb.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("embedding"), col("topic_id"),
+          round(GraftFunctions.cosine(col("embedding"), col("centroid")), 6)
+            .cast("decimal(10,6)").as("sim"))
+        .groupBy(col("vec_id"))
+        .agg(max(struct(col("sim"), (-col("topic_id")).as("nt"))).as("m"),
+          first(col("embedding")).as("emb"))
+        .select(col("vec_id"), (-col("m.nt")).as("topic_id"), col("emb"))
+        .withColumn("batch_id",
+          (conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
+            .cast("long") % 32).cast("int"))
+      val a = assigned.select(col("batch_id"), col("vec_id").as("anchor_id"),
+        col("topic_id").as("a_topic"), col("emb").as("a_emb"))
+      val b = assigned.select(col("batch_id"), col("vec_id").as("neg_id"),
+        col("topic_id").as("n_topic"), col("emb").as("n_emb"))
+      val pairs = a.join(b, Seq("batch_id"))
+        .filter(col("a_topic") =!= col("n_topic"))
+        .select(col("anchor_id"), col("neg_id"), col("batch_id"),
+          round(GraftFunctions.cosine(col("a_emb"), col("n_emb")), 6)
+            .as("cos_sim"))
+      val w = Window.partitionBy(col("anchor_id"))
+        .orderBy(col("cos_sim").desc, col("neg_id"))
+      pairs.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .orderBy(col("anchor_id"), col("rank"))
     }
   )
 
@@ -2187,6 +2228,39 @@ object TextQueries {
          |UNION ALL
          |SELECT 'simhash', CAST(n_candidates AS BIGINT),
          |  CAST(n_caught AS BIGINT), ROUND(n_caught / 50.0, 6) FROM sc
-         |ORDER BY tier""".stripMargin
+         |ORDER BY tier""".stripMargin,
+
+    // q125/q167 nearest-centroid arithmetic + md5 batch + in-batch
+    // other-topic pairs, top-5 hardest per anchor
+    "q175_contrastive_pairs" ->
+      """WITH c AS (SELECT vec_id AS topic_id, CAST(embedding AS DOUBLE[]) AS centroid
+        |           FROM embeddings WHERE vec_id < 8),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |sims AS (SELECT e.vec_id, c.topic_id,
+        |           CAST(round(list_cosine_similarity(e.emb, c.centroid), 6)
+        |                AS DECIMAL(10,6)) AS sim
+        |         FROM e CROSS JOIN c),
+        |asg AS (SELECT vec_id, topic_id FROM (
+        |          SELECT vec_id, topic_id,
+        |            ROW_NUMBER() OVER (PARTITION BY vec_id
+        |                               ORDER BY sim DESC, topic_id ASC) AS rn
+        |          FROM sims) WHERE rn = 1),
+        |bt AS (SELECT vec_id, topic_id,
+        |         CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))::UBIGINT
+        |              % 32 AS INT) AS batch_id
+        |       FROM asg),
+        |p AS (SELECT x.vec_id AS anchor_id, y.vec_id AS neg_id, x.batch_id,
+        |        round(list_cosine_similarity(ex.emb, ey.emb), 6) AS cos_sim
+        |      FROM bt x JOIN bt y
+        |        ON x.batch_id = y.batch_id AND x.topic_id <> y.topic_id
+        |      JOIN e ex ON ex.vec_id = x.vec_id
+        |      JOIN e ey ON ey.vec_id = y.vec_id),
+        |r AS (SELECT anchor_id, neg_id, batch_id, cos_sim,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY anchor_id
+        |                                ORDER BY cos_sim DESC, neg_id) AS INT)
+        |          AS rank
+        |      FROM p)
+        |SELECT anchor_id, neg_id, batch_id, cos_sim, rank
+        |FROM r WHERE rank <= 5 ORDER BY anchor_id, rank""".stripMargin
   )
 }

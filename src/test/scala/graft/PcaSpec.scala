@@ -76,6 +76,24 @@ class PcaSpec extends SparkSpecBase {
     assert(m1.components.map(_.toSeq).toSeq === m7.components.map(_.toSeq).toSeq)
   }
 
+  test("persisted model projects bit-identically to the in-session one") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pca").toString
+    Pca.save(spark, model, dir)
+    val loaded = Pca.load(spark, dir)
+    assert(loaded.n === model.n)
+    assert(loaded.mean.toSeq === model.mean.toSeq)
+    assert(loaded.eigenvalues.toSeq === model.eigenvalues.toSeq)
+    assert(loaded.components.map(_.toSeq).toSeq ===
+      model.components.map(_.toSeq).toSeq)
+    val a = Pca.project(emb, "embedding", model, 3)
+      .select(col("vec_id"), col("coords")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val b = Pca.project(emb, "embedding", loaded, 3)
+      .select(col("vec_id"), col("coords")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(a === b)
+  }
+
   test("q171 report: 8 rows, ratios in [0,1], cum_ratio monotone") {
     val rep = SparkEntry.queries("q171_pca")(spark, sf).collect()
     assert(rep.length === 8)

@@ -88,6 +88,7 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "q172_aspect_batch" -> 8,  // grouped prefix sum (range + offsets) + batch rollup + sort
     "q173_dialog_pack" -> 2,   // user-key window reused by session agg + sort
     "q174_dedup_recall" -> 10, // 3 tiers' pair generators + 3 stat aggs + union sort
+    "q175_contrastive_pairs" -> 6, // argmax agg + batch equi-join + anchor window + sort
     "q136_curation_chain" -> 25,
     "q62_ann_ivf" -> 42,
     "q152_pq_ann" -> 90,
