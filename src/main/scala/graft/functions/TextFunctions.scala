@@ -669,6 +669,8 @@ object GraftFunctions {
         intLit(es(1), "k"), intLit(es(2), "w")), "built-in")
     reg.createOrReplaceTempFunction("graft_nearest_centroid",
       es => NearestCentroid(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_moment_vec",
+      es => MomentVector(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_adc_dist",
       es => AdcDistance(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_char_entropy",

@@ -539,6 +539,37 @@ object CurationQueries {
             budget * (sqrt(col("src_chars")) / col("z"))
               / col("src_chars")), 6).as("expected_chars"))
         .orderBy(col("source"))
+    },
+
+    // §2.3 (round 9) — multi-EPOCH data-schedule planner: q151's
+    // temperature shares under an OVER-subscribed budget (2× the
+    // corpus) — the planning table that answers "how many passes over
+    // each source does this mixture imply, and which sources hit the
+    // repeated-data cap" (Muennighoff'23: ~4 epochs before repeated
+    // tokens stop helping). Pure arithmetic over the tiny per-source
+    // table; one groupBy + a broadcast 1-row total. Verdicts compare
+    // the IDENTICAL double expression on both engines, so no rounding
+    // boundary can flip them.
+    "q176_epoch_schedule" -> { (s, d) =>
+      val perSrc = Tables.documents(s, d)
+        .groupBy(col("source"))
+        .agg(sum(col("n_chars")).cast("long").as("src_chars"))
+      val tot = perSrc.agg(
+        sum(col("src_chars")).cast("long").as("total_chars"),
+        sum(sqrt(col("src_chars"))).as("z"))
+      val alloc = lit(2.0) * col("total_chars") *
+        (sqrt(col("src_chars")) / col("z"))
+      val epochsRaw = alloc / col("src_chars")
+      perSrc.crossJoin(broadcast(tot))
+        .select(col("source"), col("src_chars"),
+          round(sqrt(col("src_chars")) / col("z"), 6).as("share_temp"),
+          round(alloc, 6).as("alloc_chars"),
+          round(epochsRaw, 6).as("epochs_raw"),
+          round(least(lit(4.0), epochsRaw), 6).as("epochs"),
+          when(epochsRaw > 4.0, "repeat_capped")
+            .when(epochsRaw > 1.0, "repeat")
+            .otherwise("fresh").as("verdict"))
+        .orderBy(col("source"))
     }
   )
 
@@ -575,6 +606,29 @@ object CurationQueries {
         |    / src_chars), 6) AS keep_rate,
         |  ROUND(src_chars * LEAST(1.0, (total_chars / 2.0) * (sqrt(src_chars) / z)
         |    / src_chars), 6) AS expected_chars
+        |FROM s CROSS JOIN t
+        |ORDER BY source""".stripMargin,
+
+    // identical double expression order as the Spark side: alloc =
+    // 2.0 * total * (sqrt/z), epochs = alloc / src
+    "q176_epoch_schedule" ->
+      """WITH s AS (
+        |  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS src_chars
+        |  FROM documents GROUP BY source),
+        |t AS (SELECT CAST(SUM(src_chars) AS BIGINT) AS total_chars,
+        |             SUM(sqrt(src_chars)) AS z FROM s)
+        |SELECT source, src_chars,
+        |  ROUND(sqrt(src_chars) / z, 6) AS share_temp,
+        |  ROUND(2.0 * total_chars * (sqrt(src_chars) / z), 6) AS alloc_chars,
+        |  ROUND(2.0 * total_chars * (sqrt(src_chars) / z) / src_chars, 6)
+        |    AS epochs_raw,
+        |  ROUND(LEAST(4.0, 2.0 * total_chars * (sqrt(src_chars) / z) / src_chars), 6)
+        |    AS epochs,
+        |  CASE WHEN 2.0 * total_chars * (sqrt(src_chars) / z) / src_chars > 4.0
+        |       THEN 'repeat_capped'
+        |       WHEN 2.0 * total_chars * (sqrt(src_chars) / z) / src_chars > 1.0
+        |       THEN 'repeat'
+        |       ELSE 'fresh' END AS verdict
         |FROM s CROSS JOIN t
         |ORDER BY source""".stripMargin,
 

@@ -16,6 +16,47 @@ object RetrievalQueries {
 
   import TextQueries.wsSql
 
+  /** q144's eval-set ranking, shared with q177: first-half excerpts
+    * of docs < 20 as queries (qid = doc_id + 2_000_000), exact 3-gram
+    * Jaccard as the ranker, per-query rank over the candidate set
+    * (docs with zero overlap can never outrank a positive-Jaccard
+    * candidate, so candidate-set ranks ARE corpus ranks). Returns
+    * (qid, doc_id, jacc, rank).
+    */
+  private def jaccardRanked(s: SparkSession, d: String): DataFrame = {
+    import graft.Caching.ScopedPersist
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val ws0 = docs
+      .select(col("doc_id"), GraftFunctions.normWords(col("text")).as("ws"))
+      .scopedPersist() // consumers: query construction + corpus shingles
+    val qdocs = ws0.filter(col("doc_id") < 20)
+      .select((col("doc_id") + 2000000).as("qid"),
+        array_join(expr("slice(ws, 1, greatest(1, size(ws) div 2))"), " ")
+          .as("text"))
+    val qsh = qdocs
+      .select(col("qid"), GraftFunctions.normWords(col("text")).as("__ws"))
+      .scopedPersist() // lambda barrier — see Dedup.docShingles
+      .select(col("qid"),
+        array_distinct(GraftFunctions.wordShingles(col("__ws"), 3)).as("shs"))
+    val dsh = ws0
+      .select(col("doc_id"),
+        array_distinct(GraftFunctions.wordShingles(col("ws"), 3)).as("shs"))
+    val qx = qsh.select(col("qid"), size(col("shs")).as("n_q"),
+      explode(col("shs")).as("sh"))
+    val dx = dsh.select(col("doc_id"), size(col("shs")).as("n_d"),
+      explode(col("shs")).as("sh"))
+    val j = qx.join(dx, "sh")
+      .groupBy(col("qid"), col("doc_id"), col("n_q"), col("n_d"))
+      .agg(count(lit(1)).as("n_inter"))
+      .select(col("qid"), col("doc_id"),
+        round(col("n_inter").cast("double") /
+          (col("n_q") + col("n_d") - col("n_inter")), 6).as("jacc"))
+    j.withColumn("rank",
+      row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("jacc").desc, col("doc_id"))).cast("long"))
+  }
+
   val queries: Map[String, Q] = Map(
 
     // §2.3 — context-window chunking: 64-token windows every 48
@@ -54,44 +95,45 @@ object RetrievalQueries {
     // zero overlap can never outrank a positive-Jaccard candidate, so
     // candidate-set ranks ARE corpus ranks for the relevant doc.
     "q144_retrieval_eval" -> { (s, d) =>
-      import graft.Caching.ScopedPersist
-      import org.apache.spark.sql.expressions.Window
-      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-      val ws0 = docs
-        .select(col("doc_id"), GraftFunctions.normWords(col("text")).as("ws"))
-        .scopedPersist() // consumers: query construction + corpus shingles
-      val qdocs = ws0.filter(col("doc_id") < 20)
-        .select((col("doc_id") + 2000000).as("qid"),
-          array_join(expr("slice(ws, 1, greatest(1, size(ws) div 2))"), " ")
-            .as("text"))
-      val qsh = qdocs
-        .select(col("qid"), GraftFunctions.normWords(col("text")).as("__ws"))
-        .scopedPersist() // lambda barrier — see Dedup.docShingles
-        .select(col("qid"),
-          array_distinct(GraftFunctions.wordShingles(col("__ws"), 3)).as("shs"))
-      val dsh = ws0
-        .select(col("doc_id"),
-          array_distinct(GraftFunctions.wordShingles(col("ws"), 3)).as("shs"))
-      val qx = qsh.select(col("qid"), size(col("shs")).as("n_q"),
-        explode(col("shs")).as("sh"))
-      val dx = dsh.select(col("doc_id"), size(col("shs")).as("n_d"),
-        explode(col("shs")).as("sh"))
-      val j = qx.join(dx, "sh")
-        .groupBy(col("qid"), col("doc_id"), col("n_q"), col("n_d"))
-        .agg(count(lit(1)).as("n_inter"))
-        .select(col("qid"), col("doc_id"),
-          round(col("n_inter").cast("double") /
-            (col("n_q") + col("n_d") - col("n_inter")), 6).as("jacc"))
-      val ranked = j.withColumn("rank",
-        row_number().over(Window.partitionBy(col("qid"))
-          .orderBy(col("jacc").desc, col("doc_id"))).cast("long"))
-      ranked.filter(col("doc_id") === col("qid") - 2000000)
+      jaccardRanked(s, d)
+        .filter(col("doc_id") === col("qid") - 2000000)
         .select(col("qid"), col("doc_id").as("rel_id"), col("rank"),
           round(lit(1.0) / col("rank"), 6).as("rr"),
           (col("rank") <= 10).as("hit10"),
           when(col("rank") <= 10,
             round(lit(1.0) / (log(col("rank") + lit(1.0)) / log(lit(2.0))), 6))
             .otherwise(0.0).as("ndcg10"))
+        .orderBy(col("qid"))
+    },
+
+    // §2.3 (round 9) — GRADED-relevance nDCG@10: q144 scores a single
+    // binary relevant; real retrieval evals grade (the source doc = 3,
+    // its two neighbors = 1) and normalize DCG by the ideal ordering.
+    // Same ranked frame; the grade join touches only the 3-row-per-
+    // query relevance table, IDCG is the closed-form ideal (grades
+    // 3,1,1 always exist), and both engines spell log2 as ln(x)/ln(2)
+    // under round(,6) so libm ulp drift cannot leak into the hash.
+    "q177_ndcg_graded" -> { (s, d) =>
+      val ranked = jaccardRanked(s, d)
+      val grade = when(col("doc_id") === col("qid") - 2000000, 3)
+        .when(col("doc_id") === col("qid") - 2000000 + 1, 1)
+        .when(col("doc_id") === col("qid") - 2000000 + 2, 1)
+        .otherwise(0)
+      val gain = (pow(lit(2.0), col("g")) - 1.0) /
+        (log(col("rank") + lit(1.0)) / log(lit(2.0)))
+      val idcg = lit(7.0) / (log(lit(2.0)) / log(lit(2.0))) +
+        lit(1.0) / (log(lit(3.0)) / log(lit(2.0))) +
+        lit(1.0) / (log(lit(4.0)) / log(lit(2.0)))
+      ranked.withColumn("g", grade)
+        .filter(col("g") > 0)
+        .groupBy(col("qid"))
+        .agg(count(lit(1)).as("n_rel_found"),
+          sum((col("g") === 3 && col("rank") <= 10).cast("long"))
+            .as("src_in_top10"),
+          coalesce(sum(when(col("rank") <= 10, gain)), lit(0.0)).as("__dcg"))
+        .select(col("qid"), col("n_rel_found"), col("src_in_top10"),
+          round(col("__dcg"), 6).as("dcg10"),
+          round(col("__dcg") / idcg, 6).as("ndcg10"))
         .orderBy(col("qid"))
     },
 
@@ -169,6 +211,50 @@ object RetrievalQueries {
          |  CASE WHEN rank <= 10 THEN ROUND(1.0 / (ln(rank + 1.0) / ln(2.0)), 6)
          |       ELSE 0.0 END AS ndcg10
          |FROM r WHERE doc_id = qid - 2000000 ORDER BY qid""".stripMargin,
+
+    // same ranked CTEs as q144; grades 3/1/1, ln-ratio log2, closed-
+    // form IDCG
+    "q177_ndcg_graded" ->
+      s"""WITH w0 AS (SELECT doc_id, $wsSql AS ws FROM documents),
+         |q AS (SELECT doc_id + 2000000 AS qid,
+         |        array_to_string(ws[1:greatest(1, len(ws)//2)], ' ') AS text
+         |      FROM w0 WHERE doc_id < 20),
+         |qw AS (SELECT qid, $wsSql AS ws FROM q),
+         |qsh AS (SELECT DISTINCT qid,
+         |          unnest([array_to_string(ws[i:i+2],' ') for i in generate_series(1, len(ws)-2)]) AS sh
+         |        FROM qw WHERE len(ws) >= 3),
+         |dsh AS (SELECT DISTINCT doc_id,
+         |          unnest([array_to_string(ws[i:i+2],' ') for i in generate_series(1, len(ws)-2)]) AS sh
+         |        FROM w0 WHERE len(ws) >= 3),
+         |qc AS (SELECT qid, COUNT(*) AS n_q FROM qsh GROUP BY 1),
+         |dc AS (SELECT doc_id, COUNT(*) AS n_d FROM dsh GROUP BY 1),
+         |i AS (SELECT sq.qid, sd.doc_id, COUNT(*) AS n_inter
+         |      FROM qsh sq JOIN dsh sd ON sq.sh = sd.sh GROUP BY 1, 2),
+         |j AS (SELECT i.qid, i.doc_id,
+         |        ROUND(CAST(i.n_inter AS DOUBLE)
+         |          / (qc.n_q + dc.n_d - i.n_inter), 6) AS jacc
+         |      FROM i JOIN qc ON qc.qid = i.qid JOIN dc ON dc.doc_id = i.doc_id),
+         |r AS (SELECT qid, doc_id,
+         |        CAST(ROW_NUMBER() OVER (PARTITION BY qid
+         |               ORDER BY jacc DESC, doc_id) AS BIGINT) AS rank
+         |      FROM j),
+         |g AS (SELECT qid, doc_id, rank,
+         |        CASE WHEN doc_id = qid - 2000000 THEN 3
+         |             WHEN doc_id = qid - 2000000 + 1 THEN 1
+         |             WHEN doc_id = qid - 2000000 + 2 THEN 1
+         |             ELSE 0 END AS g
+         |      FROM r)
+         |SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_rel_found,
+         |  CAST(SUM(CASE WHEN g = 3 AND rank <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS src_in_top10,
+         |  ROUND(COALESCE(SUM(CASE WHEN rank <= 10
+         |    THEN (pow(2.0, g) - 1.0) / (ln(rank + 1.0) / ln(2.0)) END), 0.0), 6)
+         |    AS dcg10,
+         |  ROUND(COALESCE(SUM(CASE WHEN rank <= 10
+         |    THEN (pow(2.0, g) - 1.0) / (ln(rank + 1.0) / ln(2.0)) END), 0.0)
+         |    / (7.0 / (ln(2.0) / ln(2.0)) + 1.0 / (ln(3.0) / ln(2.0))
+         |       + 1.0 / (ln(4.0) / ln(2.0))), 6) AS ndcg10
+         |FROM g WHERE g > 0 GROUP BY qid ORDER BY qid""".stripMargin,
 
     "q84_chunk_documents" ->
       s"""WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents),

@@ -160,4 +160,28 @@ class CurationFilterSpec extends SparkSpecBase {
       assert(js < 0.05, s"${r.getAs[String]("source")} drifted: $js")
     }
   }
+
+  test("q176: epoch schedule conserves the budget and caps repeats") {
+    val rows = SparkEntry.queries("q176_epoch_schedule")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val totalChars = rows.map(_.getAs[Long]("src_chars")).sum.toDouble
+    // allocations sum back to the 2x budget (before capping)
+    val allocSum = rows.map(_.getAs[Double]("alloc_chars")).sum
+    assert(math.abs(allocSum - 2.0 * totalChars) / (2.0 * totalChars) < 1e-6)
+    rows.foreach { r =>
+      val raw = r.getAs[Double]("epochs_raw")
+      val capped = r.getAs[Double]("epochs")
+      assert(capped <= 4.0 + 1e-9)
+      assert(capped <= raw + 1e-9)
+      val verdict = r.getAs[String]("verdict")
+      if (raw > 4.0) assert(verdict === "repeat_capped")
+      else if (raw > 1.0) assert(verdict === "repeat")
+      else assert(verdict === "fresh")
+    }
+    // a sqrt-temperature mixture over an oversubscribed budget must
+    // upsample the SMALLEST sources hardest
+    val bySize = rows.sortBy(_.getAs[Long]("src_chars"))
+    assert(bySize.head.getAs[Double]("epochs_raw") >=
+      bySize.last.getAs[Double]("epochs_raw"))
+  }
 }

@@ -140,4 +140,18 @@ class RetrievalSpec extends SparkSpecBase {
     assert(mrr > 0.6, s"MRR $mrr suspiciously low for excerpt queries")
     assert(rows.count(_.getBoolean(4)) >= 18, "recall@10 collapsed")
   }
+
+  test("q177: graded nDCG bounded by 1, source doc dominates, all 3 grades findable") {
+    val rows = SparkEntry.queries("q177_ndcg_graded")(spark, sf).collect()
+    assert(rows.length === 20)
+    rows.foreach { r =>
+      val ndcg = r.getAs[Double]("ndcg10")
+      assert(ndcg >= 0.0 && ndcg <= 1.0 + 1e-9, s"ndcg10 $ndcg out of bounds")
+      // the candidate set always contains the 3 graded docs (source +
+      // 2 neighbors share vocabulary via the tiny corpus vocab)
+      assert(r.getAs[Long]("n_rel_found") >= 1L)
+    }
+    // excerpt queries must mostly rank their source doc into the top 10
+    assert(rows.map(_.getAs[Long]("src_in_top10")).sum >= 18L)
+  }
 }
