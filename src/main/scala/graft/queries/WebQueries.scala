@@ -110,8 +110,67 @@ object WebQueries {
     "q170_doc_links" -> { (s, d) =>
       WebLinks.docLinkProfile(linkPages(s, d), "doc_id", "page", blocklist)
         .orderBy(col("doc_id"))
+    },
+
+    // §2.3 (round 9) — training-shard EXPORT MANIFEST: the table a
+    // trainer consumes before reading a single shard — per shard:
+    // doc count, char volume, and an ORDER-INVARIANT id checksum
+    // (sum of 32-bit per-doc hashes). The checksum is deliberately
+    // NOT an ordered digest: an ordered digest needs the shard's full
+    // id list in one aggregation buffer (corpus/16 rows per group at
+    // scale), while a hash SUM is associative → map-side partials,
+    // bounded state, same corruption-detection power for a
+    // set-membership check. Shard key = q85's md5 arithmetic.
+    "q178_shard_manifest" -> { (s, d) =>
+      val h = md5(concat(lit("q85:"), col("doc_id").cast("string")))
+      val ck = conv(substring(md5(concat(lit("ck:"), col("doc_id").cast("string"))),
+        1, 8), 16, 10).cast("long")
+      Tables.documents(s, d)
+        .select((conv(substring(h, 1, 8), 16, 10).cast("long") % 16).as("shard"),
+          col("n_chars"), ck.as("ck"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("n_chars_total"),
+          sum(col("ck")).cast("long").as("ids_checksum"))
+        .orderBy(col("shard"))
+    },
+
+    // §2.3 (round 9) — robots-meta AUDIT: every polite crawler
+    // pipeline drops noindex pages BEFORE any curation spend. Planted
+    // meta tags (noindex for doc_id%9=0, nofollow for doc_id%7=3,
+    // mirrored in the oracle), one narrow regex probe per page, and
+    // the keep/drop verdict rollup.
+    "q179_robots_audit" -> { (s, d) =>
+      val robots = lower(regexp_extract(col("page"),
+        "(?i)<meta[^>]*name=\"robots\"[^>]*content=\"([^\"]*)\"", 1))
+      robotsPages(s, d)
+        .withColumn("robots", robots)
+        .select(col("doc_id"),
+          col("robots").contains("noindex").cast("int").as("noindex"),
+          col("robots").contains("nofollow").cast("int").as("nofollow"))
+        .withColumn("verdict",
+          when(col("noindex") === 1, "drop").otherwise("keep"))
+        .groupBy(col("verdict"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("noindex")).cast("long").as("n_noindex"),
+          sum(col("nofollow")).cast("long").as("n_nofollow"))
+        .orderBy(col("verdict"))
     }
   )
+
+  /** Deterministic html pages with planted robots meta tags —
+    * mirrored verbatim in the q179 oracle. */
+  private def robotsPages(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"),
+      concat(lit("<html><head>"),
+        when(col("doc_id") % 9 === 0,
+          lit("<meta name=\"robots\" content=\"noindex,follow\">"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 3,
+          lit("<meta name=\"robots\" content=\"nofollow\">"))
+          .otherwise(lit("")),
+        lit("</head><body><p>"), col("text"),
+        lit("</p></body></html>")).as("page"))
 
   val oracleSql: Map[String, String] = Map(
     "q169_link_audit" ->
@@ -136,6 +195,45 @@ object WebQueries {
         |  CAST(COUNT(*) AS BIGINT) AS n_domains,
         |  CAST(MAX(dn) AS BIGINT) AS max_domain_links,
         |  CAST(SUM(bn) AS BIGINT) AS blocked_links
-        |FROM bydom GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM bydom GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // q85's md5 shard arithmetic via the 0x-hex cast; checksum is the
+    // order-invariant hash sum
+    "q178_shard_manifest" ->
+      """WITH k AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(('0x' || substr(md5('q85:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+        |         % 16 AS BIGINT) AS shard,
+        |    CAST(('0x' || substr(md5('ck:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+        |         AS BIGINT) AS ck
+        |  FROM documents)
+        |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS n_chars_total,
+        |  CAST(SUM(ck) AS BIGINT) AS ids_checksum
+        |FROM k GROUP BY shard ORDER BY shard""".stripMargin,
+
+    "q179_robots_audit" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    '<html><head>' ||
+        |    CASE WHEN doc_id % 9 = 0
+        |         THEN '<meta name="robots" content="noindex,follow">' ELSE '' END ||
+        |    CASE WHEN doc_id % 7 = 3
+        |         THEN '<meta name="robots" content="nofollow">' ELSE '' END ||
+        |    '</head><body><p>' || text || '</p></body></html>' AS page
+        |  FROM documents),
+        |r AS (SELECT doc_id,
+        |        lower(regexp_extract(page,
+        |          '(?i)<meta[^>]*name="robots"[^>]*content="([^"]*)"', 1)) AS robots
+        |      FROM p),
+        |f AS (SELECT doc_id,
+        |        CASE WHEN robots LIKE '%noindex%' THEN 1 ELSE 0 END AS noindex,
+        |        CASE WHEN robots LIKE '%nofollow%' THEN 1 ELSE 0 END AS nofollow
+        |      FROM r)
+        |SELECT CASE WHEN noindex = 1 THEN 'drop' ELSE 'keep' END AS verdict,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(noindex) AS BIGINT) AS n_noindex,
+        |  CAST(SUM(nofollow) AS BIGINT) AS n_nofollow
+        |FROM f GROUP BY 1 ORDER BY verdict""".stripMargin
   )
 }

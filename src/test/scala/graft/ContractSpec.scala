@@ -21,7 +21,9 @@ class ContractSpec extends SparkSpecBase {
       graft.queries.CurationQueries.queries.keySet,
       graft.queries.RetrievalQueries.queries.keySet,
       graft.queries.GraphQueries.queries.keySet,
-      graft.queries.BehaviorQueries.queries.keySet)
+      graft.queries.BehaviorQueries.queries.keySet,
+      graft.queries.WebQueries.queries.keySet,
+      graft.queries.MediaQueries.queries.keySet)
     val total = groups.map(_.size).sum
     assert(total == SparkEntry.queries.size,
       "duplicate query keys across group maps")
