@@ -135,6 +135,37 @@ object WebQueries {
         .orderBy(col("shard"))
     },
 
+    // §2.3 (round 9) — INCREMENTAL manifest maintenance: q178's
+    // manifest recomputed as BASE (doc_id < 400) ⊎ DELTA (doc_id ≥
+    // 400) merged by summing counts/volumes/checksums — the daily-
+    // append shape where the multi-TB base is never rescanned. The
+    // oracle is the FULL-SCAN manifest over all docs: hash equality
+    // PROVES the merge is exact (the whole point of order-invariant
+    // additive checksums). Two delta-sized jobs + a 16-row merge.
+    "q180_manifest_merge" -> { (s, d) =>
+      def manifest(docs: DataFrame): DataFrame = {
+        val h = md5(concat(lit("q85:"), col("doc_id").cast("string")))
+        val ck = conv(substring(md5(concat(lit("ck:"), col("doc_id").cast("string"))),
+          1, 8), 16, 10).cast("long")
+        docs
+          .select((conv(substring(h, 1, 8), 16, 10).cast("long") % 16).as("shard"),
+            col("n_chars"), ck.as("ck"))
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).cast("long").as("n_chars_total"),
+            sum(col("ck")).cast("long").as("ids_checksum"))
+      }
+      val docs = Tables.documents(s, d)
+      val base = manifest(docs.filter(col("doc_id") < 400))
+      val delta = manifest(docs.filter(col("doc_id") >= 400))
+      base.unionByName(delta)
+        .groupBy(col("shard"))
+        .agg(sum(col("n_docs")).cast("long").as("n_docs"),
+          sum(col("n_chars_total")).cast("long").as("n_chars_total"),
+          sum(col("ids_checksum")).cast("long").as("ids_checksum"))
+        .orderBy(col("shard"))
+    },
+
     // §2.3 (round 9) — robots-meta AUDIT: every polite crawler
     // pipeline drops noindex pages BEFORE any curation spend. Planted
     // meta tags (noindex for doc_id%9=0, nofollow for doc_id%7=3,
@@ -196,6 +227,21 @@ object WebQueries {
         |  CAST(MAX(dn) AS BIGINT) AS max_domain_links,
         |  CAST(SUM(bn) AS BIGINT) AS blocked_links
         |FROM bydom GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the oracle is the FULL-SCAN manifest — hash equality with the
+    // Spark-side base⊎delta merge proves the incremental path exact
+    "q180_manifest_merge" ->
+      """WITH k AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(('0x' || substr(md5('q85:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+        |         % 16 AS BIGINT) AS shard,
+        |    CAST(('0x' || substr(md5('ck:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+        |         AS BIGINT) AS ck
+        |  FROM documents)
+        |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS n_chars_total,
+        |  CAST(SUM(ck) AS BIGINT) AS ids_checksum
+        |FROM k GROUP BY shard ORDER BY shard""".stripMargin,
 
     // q85's md5 shard arithmetic via the 0x-hex cast; checksum is the
     // order-invariant hash sum
