@@ -1185,6 +1185,32 @@ object TextQueries {
       pairs.withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 5)
         .orderBy(col("anchor_id"), col("rank"))
+    },
+
+    // §2.3 (round 9) — per-source n-gram DIVERSITY (distinct-N): the
+    // corpus-diversity lens quality papers report next to repetition
+    // — low distinct-3gram ratio means templated/generated content
+    // even when per-doc repetition (q71) looks clean. Multiplicities
+    // kept (unlike the dedup family's DISTINCT shingles); the top
+    // repeated gram is the (count, gram)-lexicographic max, a
+    // deterministic argmax. Two bounded groupBys.
+    "q181_ngram_diversity" -> { (s, d) =>
+      val grams = Tables.documents(s, d)
+        .select(col("source"), GraftFunctions.normWords(col("text")).as("ws"))
+        .scopedPersist() // bind normWords ahead of the shingle lambda
+        .select(col("source"),
+          explode(GraftFunctions.wordShingles(col("ws"), 3)).as("g"))
+      grams.groupBy(col("source"), col("g"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("source"))
+        .agg(sum(col("n")).cast("long").as("total_grams"),
+          count(lit(1)).as("distinct_grams"),
+          max(struct(col("n"), col("g"))).as("m"))
+        .select(col("source"), col("total_grams"), col("distinct_grams"),
+          round(col("distinct_grams").cast("double") / col("total_grams"), 6)
+            .as("diversity"),
+          col("m.g").as("top_gram"), col("m.n").as("top_gram_n"))
+        .orderBy(col("source"))
     }
   )
 
@@ -2261,6 +2287,29 @@ object TextQueries {
         |          AS rank
         |      FROM p)
         |SELECT anchor_id, neg_id, batch_id, cos_sim, rank
-        |FROM r WHERE rank <= 5 ORDER BY anchor_id, rank""".stripMargin
+        |FROM r WHERE rank <= 5 ORDER BY anchor_id, rank""".stripMargin,
+
+    // multiplicities kept (no DISTINCT); top gram = (n, g) lexico max
+    "q181_ngram_diversity" ->
+      s"""WITH w AS (SELECT source, $wsSql AS ws FROM documents),
+         |g AS (SELECT source,
+         |        unnest([array_to_string(ws[i:i+2],' ')
+         |                for i in generate_series(1, len(ws)-2)]) AS g
+         |      FROM w WHERE len(ws) >= 3),
+         |pg AS (SELECT source, g, COUNT(*) AS n FROM g GROUP BY 1, 2),
+         |agg AS (SELECT source, CAST(SUM(n) AS BIGINT) AS total_grams,
+         |          CAST(COUNT(*) AS BIGINT) AS distinct_grams
+         |        FROM pg GROUP BY 1),
+         |top AS (SELECT source, g, n FROM (
+         |          SELECT source, g, n,
+         |            ROW_NUMBER() OVER (PARTITION BY source
+         |                               ORDER BY n DESC, g DESC) AS rn
+         |          FROM pg) WHERE rn = 1)
+         |SELECT agg.source, agg.total_grams, agg.distinct_grams,
+         |  ROUND(CAST(agg.distinct_grams AS DOUBLE) / agg.total_grams, 6)
+         |    AS diversity,
+         |  top.g AS top_gram, CAST(top.n AS BIGINT) AS top_gram_n
+         |FROM agg JOIN top ON top.source = agg.source
+         |ORDER BY agg.source""".stripMargin
   )
 }

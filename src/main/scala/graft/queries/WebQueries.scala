@@ -166,6 +166,12 @@ object WebQueries {
         .orderBy(col("shard"))
     },
 
+    // §2.3 (round 9) — per-DOMAIN contribution cap APPLIED (the
+    // C4/RefinedWeb per-site cap): dominant-link-domain key, grouped
+    // prefix-sum sequence, keep-first-`cap` in doc order, per-domain
+    // kept/dropped ledger.
+    "q182_domain_cap" -> { (s, d) => domainCapQuery(s, d) },
+
     // §2.3 (round 9) — robots-meta AUDIT: every polite crawler
     // pipeline drops noindex pages BEFORE any curation spend. Planted
     // meta tags (noindex for doc_id%9=0, nofollow for doc_id%7=3,
@@ -188,6 +194,35 @@ object WebQueries {
         .orderBy(col("verdict"))
     }
   )
+
+  /** q182 — per-DOMAIN cap APPLIED: every doc is keyed by its
+    * dominant link domain (the (count, domain)-lexicographic argmax
+    * over its extracted links), then each domain keeps at most `cap`
+    * docs in doc_id order — the C4/RefinedWeb per-site contribution
+    * cap, keyed by extraction rather than a trusted column. The
+    * per-domain sequence number is the GROUPED distributed prefix sum
+    * (no per-domain global window); output is the per-domain
+    * kept/dropped ledger.
+    */
+  private def domainCapQuery(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Selection
+    val cap = 20
+    val dominant = WebLinks.extractLinks(linkPages(s, d), "doc_id", "page")
+      .groupBy(col("doc_id"), col("domain"))
+      .agg(count(lit(1)).as("dn"))
+      .groupBy(col("doc_id"))
+      .agg(max(struct(col("dn"), col("domain"))).as("m"))
+      .select(col("doc_id"), col("m.domain").as("domain"))
+    val seq = Selection.groupedPrefixSum(dominant,
+      Seq(col("domain")), Seq(col("doc_id")), lit(1L))
+    seq
+      .withColumn("kept", (col("cum_weight") <= cap).cast("long"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("kept")).cast("long").as("n_kept"),
+        (count(lit(1)) - sum(col("kept"))).cast("long").as("n_dropped"))
+      .orderBy(col("domain"))
+  }
 
   /** Deterministic html pages with planted robots meta tags —
     * mirrored verbatim in the q179 oracle. */
@@ -257,6 +292,25 @@ object WebQueries {
         |  CAST(SUM(n_chars) AS BIGINT) AS n_chars_total,
         |  CAST(SUM(ck) AS BIGINT) AS ids_checksum
         |FROM k GROUP BY shard ORDER BY shard""".stripMargin,
+
+    // dominant domain = (count, domain)-lexicographic argmax;
+    // cap sequence = row_number in doc order (≡ grouped prefix sum)
+    "q182_domain_cap" ->
+      s"""WITH $linksSql,
+        |bydom AS (SELECT doc_id, domain, COUNT(*) AS dn
+        |          FROM links GROUP BY 1, 2),
+        |dom AS (SELECT doc_id, domain FROM (
+        |          SELECT doc_id, domain,
+        |            ROW_NUMBER() OVER (PARTITION BY doc_id
+        |                               ORDER BY dn DESC, domain DESC) AS rn
+        |          FROM bydom) WHERE rn = 1),
+        |sq AS (SELECT doc_id, domain,
+        |         ROW_NUMBER() OVER (PARTITION BY domain ORDER BY doc_id) AS pos
+        |       FROM dom)
+        |SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN pos <= 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(SUM(CASE WHEN pos > 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+        |FROM sq GROUP BY domain ORDER BY domain""".stripMargin,
 
     "q179_robots_audit" ->
       """WITH p AS (

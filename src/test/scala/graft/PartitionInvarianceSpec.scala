@@ -30,7 +30,10 @@ class PartitionInvarianceSpec extends SparkSpecBase {
     "q156_exact_substr",    // island merge over windows
     "q159_para_dedup",      // min-rank keeper election
     "q160_js_drift",        // decimal JS terms + closed form
-    "q163_ewma_anomaly")    // frame-ordered weighted sums
+    "q163_ewma_anomaly",    // frame-ordered weighted sums
+    "q172_aspect_batch",    // grouped distributed prefix sum
+    "q174_dedup_recall",    // three pair generators composed
+    "q177_ndcg_graded")     // per-group double DCG sums (≤ 3 terms)
 
   private def rowsOf(name: String): Set[String] = {
     spark.catalog.clearCache()

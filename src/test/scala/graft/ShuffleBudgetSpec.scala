@@ -90,6 +90,7 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "q174_dedup_recall" -> 10, // 3 tiers' pair generators + 3 stat aggs + union sort
     "q175_contrastive_pairs" -> 6, // argmax agg + batch equi-join + anchor window + sort
     "q177_ndcg_graded" -> 3,   // shares q144's shingle join + grade rollup + sort
+    "q182_domain_cap" -> 12, // link extract + 2 argmax aggs + grouped prefix sum + ledger
     "q136_curation_chain" -> 25,
     "q62_ann_ivf" -> 42,
     "q152_pq_ann" -> 90,
