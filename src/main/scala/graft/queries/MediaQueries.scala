@@ -59,6 +59,32 @@ object MediaQueries {
           min(col("doc_id")).as("first_doc"),
           max(col("doc_id")).as("last_doc"))
         .orderBy(col("bucket"), col("batch_id"))
+    },
+
+    // §2.3 (round 9) — AUDIO frame-window planning: the preprocessing
+    // bookkeeping a speech pipeline computes BEFORE touching samples
+    // (the q88 resize-plan discipline for the audio modality) —
+    // 400 ms frames on a 160 ms hop over synthetic metadata
+    // (sample_rate ladder, n_samples from n_chars), frame/hop/count/
+    // tail all EXACT integer arithmetic (sr·2/5 and sr·4/25 are whole
+    // samples for every ladder rate), so the plan is metadata-only,
+    // narrow, and byte-identical cross-engine. Decode itself stays
+    // behind the declared Multimodal stub.
+    "q183_audio_windows" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          expr("element_at(array(8000, 16000, 44100), cast(doc_id % 3 as int) + 1)")
+            .as("sample_rate"),
+          (col("n_chars") * 100 + 1).cast("long").as("n_samples"))
+        .withColumn("frame", expr("(sample_rate * 2) div 5").cast("long"))
+        .withColumn("hop", expr("(sample_rate * 4) div 25").cast("long"))
+        .withColumn("n_frames",
+          expr("CASE WHEN n_samples >= frame THEN 1 + (n_samples - frame) div hop ELSE 0 END")
+            .cast("long"))
+        .withColumn("tail_samples",
+          expr("CASE WHEN n_frames > 0 THEN n_samples - (frame + (n_frames - 1) * hop) ELSE n_samples END")
+            .cast("long"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -101,6 +127,28 @@ object MediaQueries {
         |    AS total_patches,
         |  CAST(MIN(doc_id) AS BIGINT) AS first_doc,
         |  CAST(MAX(doc_id) AS BIGINT) AS last_doc
-        |FROM sq GROUP BY bucket, batch_id ORDER BY bucket, batch_id""".stripMargin
+        |FROM sq GROUP BY bucket, batch_id ORDER BY bucket, batch_id""".stripMargin,
+
+    "q183_audio_windows" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    [8000, 16000, 44100][CAST(doc_id % 3 AS INT) + 1] AS sample_rate,
+        |    CAST(n_chars * 100 + 1 AS BIGINT) AS n_samples
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, sample_rate, n_samples,
+        |    CAST((sample_rate * 2) // 5 AS BIGINT) AS frame,
+        |    CAST((sample_rate * 4) // 25 AS BIGINT) AS hop
+        |  FROM m),
+        |n AS (
+        |  SELECT *, CAST(CASE WHEN n_samples >= frame
+        |                      THEN 1 + (n_samples - frame) // hop
+        |                      ELSE 0 END AS BIGINT) AS n_frames
+        |  FROM f)
+        |SELECT doc_id, sample_rate, n_samples, frame, hop, n_frames,
+        |  CAST(CASE WHEN n_frames > 0
+        |            THEN n_samples - (frame + (n_frames - 1) * hop)
+        |            ELSE n_samples END AS BIGINT) AS tail_samples
+        |FROM n ORDER BY doc_id""".stripMargin
   )
 }

@@ -172,6 +172,29 @@ object WebQueries {
     // kept/dropped ledger.
     "q182_domain_cap" -> { (s, d) => domainCapQuery(s, d) },
 
+    // §2.3 (round 9) — HTML TABLE extraction: semi-structured tables
+    // inside crawled pages become typed rows — the q157 boilerplate
+    // pass recovers prose; THIS recovers the tabular payload (the
+    // other half of web-page content a training pipeline wants).
+    // Two nested narrow regex extractions (row split, then cell
+    // split with positions), numeric cells typed via a strict-digit
+    // probe, non-numeric cells kept as NULL val_int (the quarantine
+    // discipline: parse failures are visible, not dropped).
+    "q184_table_extract" -> { (s, d) =>
+      val rows = tablePages(s, d)
+        .select(col("doc_id"), posexplode(
+          regexp_extract_all(col("page"),
+            lit("<tr>((?:<td>[^<]*</td>)*)</tr>"), lit(1)))
+          .as(Seq("row_idx", "rowhtml")))
+      rows
+        .select(col("doc_id"), col("row_idx"), posexplode(
+          regexp_extract_all(col("rowhtml"), lit("<td>([^<]*)</td>"), lit(1)))
+          .as(Seq("col_idx", "cell")))
+        .withColumn("val_int",
+          when(col("cell").rlike("^[0-9]+$"), col("cell").cast("long")))
+        .orderBy(col("doc_id"), col("row_idx"), col("col_idx"))
+    },
+
     // §2.3 (round 9) — robots-meta AUDIT: every polite crawler
     // pipeline drops noindex pages BEFORE any curation spend. Planted
     // meta tags (noindex for doc_id%9=0, nofollow for doc_id%7=3,
@@ -223,6 +246,37 @@ object WebQueries {
         (count(lit(1)) - sum(col("kept"))).cast("long").as("n_dropped"))
       .orderBy(col("domain"))
   }
+
+  /** q184's planted table pages: doc text + a (doc_id%4+1)-row ×
+    * 3-col table whose cell (r, c) is 'n/a' when (doc_id+r+c)%5=0
+    * else the digits (doc_id·7 + r·3 + c) % 100 — numeric and
+    * unparseable cells both exercised. Mirrored in the oracle. */
+  private def tablePages(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"),
+      concat(col("text"), lit(" <table>"),
+        array_join(transform(sequence(lit(1), (col("doc_id") % 4).cast("int") + 1),
+          r => concat(lit("<tr>"),
+            array_join(transform(sequence(lit(1), lit(3)), c =>
+              concat(lit("<td>"),
+                when((col("doc_id") + r + c) % 5 === 0, lit("n/a"))
+                  .otherwise(((col("doc_id") * 7 + r * 3 + c) % 100).cast("string")),
+                lit("</td>"))), ""),
+            lit("</tr>"))), ""),
+        lit("</table>")).as("page"))
+
+  private val tablePagesSql =
+    """tpages AS (
+      |  SELECT doc_id, text || ' <table>' || array_to_string(
+      |    [ '<tr>' || array_to_string(
+      |        [ '<td>' ||
+      |          CASE WHEN (doc_id + r + c) % 5 = 0 THEN 'n/a'
+      |               ELSE CAST((doc_id * 7 + r * 3 + c) % 100 AS VARCHAR) END ||
+      |          '</td>'
+      |          FOR c IN generate_series(1, 3) ], '') || '</tr>'
+      |      FOR r IN generate_series(1, CAST(doc_id % 4 AS INT) + 1) ],
+      |    '') || '</table>' AS page
+      |  FROM documents
+      |)""".stripMargin
 
   /** Deterministic html pages with planted robots meta tags —
     * mirrored verbatim in the q179 oracle. */
@@ -311,6 +365,28 @@ object WebQueries {
         |  CAST(SUM(CASE WHEN pos <= 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
         |  CAST(SUM(CASE WHEN pos > 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
         |FROM sq GROUP BY domain ORDER BY domain""".stripMargin,
+
+    "q184_table_extract" ->
+      s"""WITH $tablePagesSql,
+        |rx AS (SELECT doc_id,
+        |         regexp_extract_all(page, '<tr>((?:<td>[^<]*</td>)*)</tr>', 1) AS rws
+        |       FROM tpages),
+        |rws AS (SELECT doc_id,
+        |          unnest([{'i': i - 1, 'h': rws[i]}
+        |                  FOR i IN generate_series(1, len(rws))]) AS u
+        |        FROM rx),
+        |cx AS (SELECT doc_id, u.i AS row_idx,
+        |         regexp_extract_all(u.h, '<td>([^<]*)</td>', 1) AS cs
+        |       FROM rws),
+        |cells AS (SELECT doc_id, row_idx,
+        |            unnest([{'j': j - 1, 'c': cs[j]}
+        |                    FOR j IN generate_series(1, len(cs))]) AS v
+        |          FROM cx)
+        |SELECT doc_id, CAST(row_idx AS INT) AS row_idx,
+        |  CAST(v.j AS INT) AS col_idx, v.c AS cell,
+        |  CASE WHEN regexp_full_match(v.c, '[0-9]+')
+        |       THEN CAST(v.c AS BIGINT) END AS val_int
+        |FROM cells ORDER BY doc_id, row_idx, col_idx""".stripMargin,
 
     "q179_robots_audit" ->
       """WITH p AS (
