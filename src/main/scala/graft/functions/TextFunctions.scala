@@ -604,6 +604,9 @@ object GraftFunctions {
   def momentVector(v: Column): Column =
     toCol(MomentVector(toExpr(v)))
 
+  def maxSim(q: Column, d: Column, m: Int): Column =
+    toCol(MaxSimScore(toExpr(q), toExpr(d), m))
+
   def adcDistance(codes: Column, luts: Column): Column =
     toCol(AdcDistance(toExpr(codes), toExpr(luts)))
 

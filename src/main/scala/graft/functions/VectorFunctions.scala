@@ -178,6 +178,54 @@ case class AdcDistance(left: Expression, right: Expression)
   override def prettyName: String = "graft_adc_dist"
 }
 
+/** Late-interaction retrieval kernel (round 9): ColBERT-style MaxSim
+  * over token sub-vectors — score = Σ_i max_j <q_i, d_j> where the
+  * flat vector splits into `m` contiguous sub-vectors. Accumulation
+  * order (k ascending inside a dot, i ascending outside) matches the
+  * DuckDB oracle's list_sum order exactly.
+  */
+object LateInteractionOps {
+  def maxSim(a: org.apache.spark.sql.catalyst.util.ArrayData,
+             b: org.apache.spark.sql.catalyst.util.ArrayData, m: Int): Double = {
+    val d = math.min(a.numElements(), b.numElements())
+    val sub = d / m
+    var total = 0.0
+    var i = 0
+    while (i < m) {
+      var best = Double.NegativeInfinity
+      var j = 0
+      while (j < m) {
+        var dot = 0.0
+        var k = 0
+        while (k < sub) {
+          dot += a.getFloat(i * sub + k).toDouble * b.getFloat(j * sub + k).toDouble
+          k += 1
+        }
+        if (dot > best) best = dot
+        j += 1
+      }
+      total += best
+      i += 1
+    }
+    total
+  }
+}
+
+/** Codegen'd MaxSim: (query vec, doc vec) → late-interaction score
+  * over `m` token sub-vectors. */
+case class MaxSimScore(left: Expression, right: Expression, m: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    LateInteractionOps.maxSim(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], m)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.LateInteractionOps.maxSim($a, $b, $m);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "graft_maxsim"
+}
+
 /** PCA moment kernels (round 9). */
 object PcaOps {
   /** Per-row moment vector for one-pass PCA: [v_0..v_{d-1},

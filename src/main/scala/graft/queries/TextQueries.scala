@@ -1211,6 +1211,29 @@ object TextQueries {
             .as("diversity"),
           col("m.g").as("top_gram"), col("m.n").as("top_gram_n"))
         .orderBy(col("source"))
+    },
+
+    // §2.3 (round 9) — late-interaction MaxSim retrieval (ColBERT,
+    // Khattab'20): each vector splits into 8 token sub-vectors and
+    // score(q, d) = Σ_i max_j <q_i, d_j> — the retrieval tier between
+    // single-vector cosine (q34) and full cross-encoding. One
+    // codegen'd kernel per pair (broadcast 5-query side, narrow
+    // scan), the q34 window shape for top-10. Accumulation order is
+    // pinned to the oracle's list_sum order so the score hashes
+    // bit-identically.
+    "q185_maxsim_topk" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      val scored = emb.filter(col("vec_id") >= 5).crossJoin(broadcast(q))
+        .select(col("query_id"), col("vec_id").as("doc_vec_id"),
+          round(GraftFunctions.maxSim(col("qe"), col("embedding"), 8), 6)
+            .as("maxsim"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("maxsim").desc, col("doc_vec_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .orderBy(col("query_id"), col("rank"))
     }
   )
 
@@ -2310,6 +2333,28 @@ object TextQueries {
          |    AS diversity,
          |  top.g AS top_gram, CAST(top.n AS BIGINT) AS top_gram_n
          |FROM agg JOIN top ON top.source = agg.source
-         |ORDER BY agg.source""".stripMargin
+         |ORDER BY agg.source""".stripMargin,
+
+    // identical sub-vector split + accumulation order as the kernel
+    "q185_maxsim_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |           FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < 5),
+        |d AS (SELECT vec_id AS doc_vec_id, emb AS de FROM e WHERE vec_id >= 5),
+        |sc AS (SELECT query_id, doc_vec_id,
+        |         round(list_sum(
+        |           [ list_max(
+        |               [ list_sum([ qe[(i-1)*8+k] * de[(j-1)*8+k]
+        |                            FOR k IN generate_series(1, 8) ])
+        |                 FOR j IN generate_series(1, 8) ])
+        |             FOR i IN generate_series(1, 8) ]), 6) AS maxsim
+        |       FROM q CROSS JOIN d),
+        |r AS (SELECT query_id, doc_vec_id, maxsim,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |                                ORDER BY maxsim DESC, doc_vec_id) AS INT)
+        |          AS rank
+        |      FROM sc)
+        |SELECT query_id, doc_vec_id, maxsim, rank
+        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
   )
 }
