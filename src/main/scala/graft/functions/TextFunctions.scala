@@ -607,6 +607,12 @@ object GraftFunctions {
   def maxSim(q: Column, d: Column, m: Int): Column =
     toCol(MaxSimScore(toExpr(q), toExpr(d), m))
 
+  def hashedFeatures(words: Column, dims: Int): Column =
+    toCol(HashedFeatureVec(toExpr(words), dims))
+
+  def logitContrib(features: Column, wb: Column, label: Column): Column =
+    toCol(LogitContrib(toExpr(features), toExpr(wb), toExpr(label)))
+
   def adcDistance(codes: Column, luts: Column): Column =
     toCol(AdcDistance(toExpr(codes), toExpr(luts)))
 

@@ -266,3 +266,98 @@ case class MomentVector(child: Expression)
     copy(child = c)
   override def prettyName: String = "graft_moment_vec"
 }
+
+/** Training kernels (round 9): the two hot passes of distributed
+  * logistic regression collapsed into single-call codegen — the
+  * hashing-trick featurizer (was: explode + two shuffled groupBys)
+  * and the per-iteration gradient contribution (was: three
+  * CodegenFallback higher-order lambdas). Arithmetic is bit-identical
+  * to the compositional spellings (integer bucket votes, ascending-
+  * index dot fold), pinned by TrainingSpec's parity test.
+  */
+object TrainingOps {
+  /** md5-derived (bucket, sign) per word, votes accumulated into a
+    * dims-length array, normalized by the token count — exactly
+    * conv(substr(md5(w),1,8),16,10)%dims and hex digit 9 parity. */
+  def hashedFeatures(words: org.apache.spark.sql.catalyst.util.ArrayData,
+                     dims: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val v = new Array[Double](dims)
+    val n = words.numElements()
+    var i = 0
+    while (i < n) {
+      md.reset()
+      val h = md.digest(words.getUTF8String(i).getBytes)
+      val bucketVal = ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+        ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+      val bucket = (bucketVal % dims).toInt
+      val sgn = if ((((h(4) >> 4) & 0xf) & 1) == 0) 1.0 else -1.0
+      v(bucket) += sgn
+      i += 1
+    }
+    if (n > 0) {
+      var j = 0
+      while (j < dims) { v(j) = v(j) / n; j += 1 }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(v)
+  }
+
+  /** Per-row gradient contribution: [f_j·err ..., err, loss] with
+    * z = Σ f_j·w_j (ascending fold) + bias, p = σ(z), err = p − y,
+    * loss = −(y·ln max(p,1e-12) + (1−y)·ln max(1−p,1e-12)). */
+  def logitContrib(features: org.apache.spark.sql.catalyst.util.ArrayData,
+                   wb: org.apache.spark.sql.catalyst.util.ArrayData,
+                   label: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val d = features.numElements()
+    var z = 0.0
+    var j = 0
+    while (j < d) { z += features.getDouble(j) * wb.getDouble(j); j += 1 }
+    z += wb.getDouble(d) // bias
+    // StrictMath, not Math: Catalyst's Exp/Log expressions evaluate
+    // through StrictMath, and the parity with the compositional
+    // spelling must hold to the last ulp (TrainingSpec pins it)
+    val p = 1.0 / (1.0 + StrictMath.exp(-z))
+    val y = label.toDouble
+    val err = p - y
+    val loss = -(y * StrictMath.log(StrictMath.max(p, 1e-12)) +
+      (1.0 - y) * StrictMath.log(StrictMath.max(1.0 - p, 1e-12)))
+    val out = new Array[Double](d + 2)
+    j = 0
+    while (j < d) { out(j) = features.getDouble(j) * err; j += 1 }
+    out(d) = err
+    out(d + 1) = loss
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Codegen'd hashing-trick featurizer: words array → normalized
+  * signed-bucket feature vector (no explode, no shuffle). */
+case class HashedFeatureVec(child: Expression, dims: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    TrainingOps.hashedFeatures(v.asInstanceOf[ArrayData], dims)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.TrainingOps.hashedFeatures($v, $dims);")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "graft_hashed_features"
+}
+
+/** Codegen'd logistic gradient contribution row. */
+case class LogitContrib(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(DoubleType, containsNull = false)
+  override def nullSafeEval(f: Any, w: Any, y: Any): Any =
+    TrainingOps.logitContrib(f.asInstanceOf[ArrayData],
+      w.asInstanceOf[ArrayData], y.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (f, w, y) =>
+      s"${ev.value} = graft.functions.TrainingOps.logitContrib($f, $w, $y);")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = "graft_logit_contrib"
+}

@@ -48,21 +48,15 @@ object Training {
     var w = Array.fill(dim + 1)(0.0) // bias at index dim
     val losses = scala.collection.mutable.Buffer.empty[Double]
     (0 until iters).foreach { _ =>
-      val wArr = array(w.take(dim).map(lit): _*)
-      val z = aggregate(
-        zip_with(col(featCol), wArr, (f, wj) => f * wj),
-        lit(0.0), (acc, x) => acc + x) + lit(w(dim))
-      val p = sigmoid(z)
-      val err = p - col(labelCol).cast("double")
-      val loss = -(col(labelCol).cast("double") * log(greatest(p, lit(1e-12))) +
-        (lit(1.0) - col(labelCol)) * log(greatest(lit(1.0) - p, lit(1e-12))))
-      // one narrow pass: per-row gradient vector (err scales each
-      // feature, bias rides as a trailing 1·err element, loss as one
-      // more) reduced by the exact-decimal vector aggregate — NO
+      // one narrow pass: the codegen'd LogitContrib kernel computes
+      // [f_j·err ..., err, loss] per row (z = ascending-index dot +
+      // bias — the zip_with/aggregate fold order, collapsed from
+      // three CodegenFallback higher-order lambdas into one call),
+      // reduced by the exact-decimal vector aggregate — NO
       // dim-explode, no per-dim shuffle rows, d-bounded partial state
-      val contribVec = concat(
-        transform(col(featCol), f => f * err),
-        array(err, loss))
+      val wb = array(w.map(lit).toIndexedSeq: _*) // weights ++ bias
+      val contribVec = graft.functions.GraftFunctions.logitContrib(
+        col(featCol), wb, col(labelCol).cast("int"))
       val row = feats
         .agg(graft.functions.DecimalVectorSum
           .vectorSum(contribVec, dim + 2).as("vs"))
@@ -93,27 +87,19 @@ object Training {
                              idCol: String, textCol: String,
                              nCharsCol: String, dims: Int = 64,
                              labelAt: Int = 300, iters: Int = 12): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val word = col("word")
-    val bucket = (conv(substring(md5(word), 1, 8), 16, 10)
-      .cast("long") % dims).cast("int")
-    val sgn = when(conv(substring(md5(word), 9, 1), 16, 10)
-      .cast("long") % 2 === 0, lit(1.0)).otherwise(lit(-1.0))
-    val byBucket = docs
+    // featurization is ONE narrow codegen'd pass (HashedFeatureVec:
+    // md5 bucket votes accumulated per row, normalized by token
+    // count) — bit-identical to the explode + two-shuffled-groupBys
+    // spelling it replaced (integer votes are order-free; the parity
+    // is pinned in TrainingSpec), with ZERO featurization shuffles.
+    // Empty docs drop, matching the explode path's group semantics.
+    val feats = docs
       .select(col(idCol).as("doc_id"), col(nCharsCol).as("n_chars"),
-        explode(graft.functions.GraftFunctions.normWords(col(textCol)))
-          .as("word"))
-      .select(col("doc_id"), col("n_chars"), bucket.as("dim"), sgn.as("s"))
-      .groupBy(col("doc_id"), col("n_chars"), col("dim"))
-      .agg(sum(col("s")).as("v"), count(lit(1)).as("cnt"))
-    val feats = byBucket
-      .groupBy(col("doc_id"), col("n_chars"))
-      .agg(map_from_entries(collect_list(struct(col("dim"), col("v"))))
-        .as("m"), sum(col("cnt")).as("n_tok"))
+        graft.functions.GraftFunctions.normWords(col(textCol)).as("__ws"))
+      .filter(size(col("__ws")) > 0)
       .select(col("doc_id"),
-        transform(sequence(lit(0), lit(dims - 1)),
-          d => coalesce(element_at(col("m"), d), lit(0.0)) /
-            col("n_tok").cast("double")).as("features"),
+        graft.functions.GraftFunctions.hashedFeatures(col("__ws"), dims)
+          .as("features"),
         (col("n_chars") >= labelAt).cast("int").as("label"))
       .scopedPersist() // K training scans read this frame
     val (w, losses) = logisticRegression(feats, "features", "label",

@@ -18,6 +18,57 @@ class TrainingSpec extends SparkSpecBase {
     (i.toLong, Seq(x0, x1), if (x0 > 0) 1 else 0)
   }.toDF("doc_id", "features", "label")
 
+  test("kernel featurization/contrib match the compositional spellings bit-exactly") {
+    // featurization parity: HashedFeatureVec vs explode + groupBys
+    val docs = Tables.documents(spark, sf).limit(50)
+    val word = col("word")
+    val bucket = (conv(substring(md5(word), 1, 8), 16, 10)
+      .cast("long") % 16).cast("int")
+    val sgn = when(conv(substring(md5(word), 9, 1), 16, 10)
+      .cast("long") % 2 === 0, lit(1.0)).otherwise(lit(-1.0))
+    val composed = docs
+      .select(col("doc_id"),
+        explode(graft.functions.GraftFunctions.normWords(col("text"))).as("word"))
+      .select(col("doc_id"), bucket.as("dim"), sgn.as("s"))
+      .groupBy(col("doc_id"), col("dim"))
+      .agg(sum(col("s")).as("v"), count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(struct(col("dim"), col("v")))).as("m"),
+        sum(col("cnt")).as("n_tok"))
+      .select(col("doc_id"),
+        transform(sequence(lit(0), lit(15)),
+          d => coalesce(element_at(col("m"), d), lit(0.0)) /
+            col("n_tok").cast("double")).as("features"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val kernel = docs
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.normWords(col("text")).as("__ws"))
+      .filter(size(col("__ws")) > 0)
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.hashedFeatures(col("__ws"), 16)
+          .as("features"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(kernel === composed)
+    // contrib parity: LogitContrib vs zip_with/aggregate/transform
+    val w = Array(0.3, -0.7, 0.1) // 2 weights + bias
+    val feats = separable(40)
+    val wArr = array(w.take(2).map(lit).toIndexedSeq: _*)
+    val z = aggregate(zip_with(col("features"), wArr, (f, wj) => f * wj),
+      lit(0.0), (acc, x) => acc + x) + lit(w(2))
+    val p = lit(1.0) / (lit(1.0) + exp(-z))
+    val err = p - col("label").cast("double")
+    val loss = -(col("label").cast("double") * log(greatest(p, lit(1e-12))) +
+      (lit(1.0) - col("label")) * log(greatest(lit(1.0) - p, lit(1e-12))))
+    val composedC = feats.select(col("doc_id"),
+      concat(transform(col("features"), f => f * err), array(err, loss)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val kernelC = feats.select(col("doc_id"),
+      graft.functions.GraftFunctions.logitContrib(col("features"),
+        array(w.map(lit).toIndexedSeq: _*), col("label")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(kernelC === composedC)
+  }
+
   test("loss decreases monotonically and separable data is learned") {
     val feats = separable(400).persist()
     val (w, losses) = Training.logisticRegression(feats, "features",
