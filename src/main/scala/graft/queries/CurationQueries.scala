@@ -570,6 +570,31 @@ object CurationQueries {
             .when(epochsRaw > 1.0, "repeat")
             .otherwise("fresh").as("verdict"))
         .orderBy(col("source"))
+    },
+
+    // §2.3 (round 9) — per-source length CONCENTRATION (Gini): does
+    // one giant document dominate a source's character mass? High
+    // Gini means the source's mixing weight is really a bet on a few
+    // docs — the inequality audit run before trusting per-source
+    // token counts. Ranks come from the GROUPED distributed prefix
+    // sum over the (n_chars, doc_id) total order (never a per-source
+    // global window); the Gini numerators are exact integer sums,
+    // divided once under round(,6) with the identical expression on
+    // both engines.
+    "q186_length_gini" -> { (s, d) =>
+      import graft.operators.Selection
+      val ranked = Selection.groupedPrefixSum(
+        Tables.documents(s, d).select(col("source"), col("doc_id"), col("n_chars")),
+        Seq(col("source")), Seq(col("n_chars"), col("doc_id")), lit(1L))
+      ranked
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("total_chars"),
+          sum(col("cum_weight") * col("n_chars")).cast("long").as("srx"))
+        .select(col("source"), col("n_docs"), col("total_chars"),
+          round((lit(2.0) * col("srx")) / (col("n_docs") * col("total_chars"))
+            - (col("n_docs") + 1) / col("n_docs"), 6).as("gini"))
+        .orderBy(col("source"))
     }
   )
 
@@ -631,6 +656,23 @@ object CurationQueries {
         |       ELSE 'fresh' END AS verdict
         |FROM s CROSS JOIN t
         |ORDER BY source""".stripMargin,
+
+    // identical rank order and double expression as the Spark side
+    "q186_length_gini" ->
+      """WITH r AS (
+        |  SELECT source, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |                       ORDER BY n_chars, doc_id) AS rk
+        |  FROM documents),
+        |a AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |    CAST(SUM(rk * n_chars) AS BIGINT) AS srx
+        |  FROM r GROUP BY source)
+        |SELECT source, n_docs, total_chars,
+        |  ROUND((2.0 * srx) / (n_docs * total_chars)
+        |        - (n_docs + 1) / n_docs, 6) AS gini
+        |FROM a ORDER BY source""".stripMargin,
 
     "q148_density_prune" ->
       """WITH e AS (

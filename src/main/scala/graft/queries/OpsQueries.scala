@@ -443,6 +443,33 @@ object OpsQueries {
       val model = graft.operators.Pca.fit(emb, "embedding", dim)
       graft.operators.Pca.componentReport(s, model, k = 8)
         .orderBy(col("component"))
+    },
+
+    // §4 skew DIAGNOSTIC as a first-class query: the report run
+    // BEFORE choosing a mitigation — q111's planted hot key surfaced
+    // as the top-10 hottest join keys with share, skew factor
+    // (count / mean-per-key), and the salt width Skew.saltedJoin
+    // would need (⌈skew⌉). One key groupBy + a broadcast 1-row
+    // total; at 100 TB this is the cheap pre-flight that decides
+    // between AQE, salting, or a broadcast rewrite.
+    "q187_skew_advisor" -> { (s, d) =>
+      val keyed = Tables.lineitem(s, d).select(
+        when(col("l_orderkey") % 4 =!= 0, lit(0L))
+          .otherwise(col("l_orderkey") % 100).as("hot_key"))
+      val byKey = keyed.groupBy(col("hot_key")).agg(count(lit(1)).as("cnt"))
+      val tot = byKey.agg(sum(col("cnt")).cast("long").as("total"),
+        count(lit(1)).as("n_keys"))
+      val w = Window.orderBy(col("cnt").desc, col("hot_key"))
+      byKey.crossJoin(broadcast(tot))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 10)
+        .select(col("rnk").as("rank"), col("hot_key"), col("cnt"),
+          round(col("cnt") / col("total"), 6).as("share"),
+          round((col("cnt") * col("n_keys")) / col("total"), 6)
+            .as("skew_factor"),
+          ceil((col("cnt") * col("n_keys")) / col("total")).cast("long")
+            .as("recommended_salt"))
+        .orderBy(col("rank"))
     }
   )
 
@@ -727,6 +754,23 @@ object OpsQueries {
         |        * ln(((n_live + 1.0) / (t_live + 5)) / ((n_ref + 1.0) / (t_ref + 5))), 6)
         |    AS psi_term
         |FROM a CROSS JOIN t ORDER BY bin""".stripMargin,
+
+    "q187_skew_advisor" ->
+      """WITH keyed AS (
+        |  SELECT CASE WHEN l_orderkey % 4 <> 0 THEN 0
+        |              ELSE l_orderkey % 100 END AS hot_key
+        |  FROM lineitem),
+        |bykey AS (SELECT hot_key, COUNT(*) AS cnt FROM keyed GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+        |               CAST(COUNT(*) AS BIGINT) AS n_keys FROM bykey),
+        |r AS (SELECT hot_key, cnt, total, n_keys,
+        |        CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, hot_key) AS INT) AS rank
+        |      FROM bykey CROSS JOIN tot)
+        |SELECT rank, hot_key, cnt,
+        |  ROUND(cnt / total, 6) AS share,
+        |  ROUND((cnt * n_keys) / total, 6) AS skew_factor,
+        |  CAST(CEIL((cnt * n_keys) / total) AS BIGINT) AS recommended_salt
+        |FROM r WHERE rank <= 10 ORDER BY rank""".stripMargin,
 
     "q121_pseudonymize" ->
       """SELECT sha256('graft-salt-v1:' || CAST(o_custkey AS VARCHAR)) AS pseud,
