@@ -188,6 +188,11 @@ object LateInteractionOps {
   def maxSim(a: org.apache.spark.sql.catalyst.util.ArrayData,
              b: org.apache.spark.sql.catalyst.util.ArrayData, m: Int): Double = {
     val d = math.min(a.numElements(), b.numElements())
+    // CONTRACT: both vectors are m token sub-vectors of equal width,
+    // so d % m == 0; a ragged width would silently drop the trailing
+    // d % m elements from every dot product — refuse instead.
+    require(d % m == 0,
+      s"maxSim: vector length $d is not divisible by m=$m token sub-vectors")
     val sub = d / m
     var total = 0.0
     var i = 0

@@ -33,6 +33,13 @@ final class DecimalVectorBuffer(val dim: Int) extends Serializable {
         // deterministic quantizations of the same double, and the
         // associativity/invariance property depends only on the
         // quantize-BEFORE-add order, which is unchanged.
+        // CONTRACT: the quantization is of the SHORTEST-DECIMAL repr,
+        // which drifts from the exact binary expansion once |x|
+        // exceeds ~17 significant digits relative to `scale` (at
+        // scale 12, |x| ≳ 1e5 can differ in the last retained digit).
+        // Callers feed gradients/moments/scores with |x| ≪ 1e5; a
+        // caller summing large-magnitude elements must lower `scale`
+        // or accept shortest-repr rounding semantics.
         val q = JBigDecimal.valueOf(values.getDouble(i))
           .setScale(scale, java.math.RoundingMode.HALF_UP)
         sums(i) = sums(i).add(q)

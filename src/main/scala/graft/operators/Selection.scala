@@ -100,12 +100,22 @@ object Selection {
     // offset window partitions by GROUP over this tiny table only
     val offWin = Window.partitionBy(gNames.map(col): _*).orderBy(col("__pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
+    // null-safe (<=>) on the group keys: a NULL group is a legitimate
+    // group for a general operator — plain equality would silently
+    // drop its rows from the output
+    val oNames = gNames.map(n => s"__o$n")
     val offsets = withLocal.groupBy((col("__pid") +: gNames.map(col)): _*)
       .agg(sum(col("__w")).as("__ptotal"))
       .withColumn("__offset", coalesce(sum(col("__ptotal")).over(offWin), lit(0L)))
-      .select((col("__pid") +: gNames.map(col)) :+ col("__offset"): _*)
-    withLocal.join(broadcast(offsets), ("__pid" +: gNames).toSeq)
+      .select((col("__pid").as("__opid") +:
+        gNames.zip(oNames).map { case (g, o) => col(g).as(o) }) :+
+        col("__offset"): _*)
+    val joinCond = gNames.zip(oNames)
+      .map { case (g, o) => col(g) <=> col(o) }
+      .foldLeft(col("__pid") === col("__opid"))(_ && _)
+    withLocal.join(broadcast(offsets), joinCond)
       .withColumn("cum_weight", col("__cum_local") + col("__offset"))
-      .drop((Seq("__pid", "__w", "__cum_local", "__offset") ++ gNames): _*)
+      .drop((Seq("__pid", "__opid", "__w", "__cum_local", "__offset") ++
+        gNames ++ oNames): _*)
   }
 }

@@ -336,21 +336,26 @@ object TextQueries {
         .orderBy(col("query_id"), col("rnk"))
     },
 
-    // §2.3 (round 8) — classifier CALIBRATION audit: before a quality
-    // classifier gates a 100 TB corpus, its scores need a reliability
-    // read — decile bins of the q115 score vs the observed positive
-    // rate of a reference label (here: n_chars ≥ 300; the label is a
-    // config choice, the machinery is the op). Binning is a global
-    // rank — legitimate for an EVAL set (bounded by contract, like
-    // the q144 retrieval eval); the aggregate is 10 rows. Scores and
-    // rates are DECIMAL-exact then rounded, no float knife-edges.
+    // §2.3 (round 8, de-windowed round 10) — classifier CALIBRATION
+    // audit: before a quality classifier gates a 100 TB corpus, its
+    // scores need a reliability read — decile bins of the q115 score
+    // vs the observed positive rate of a reference label (here:
+    // n_chars ≥ 300; the label is a config choice, the machinery is
+    // the op). The decile rank is Selection.budgetSelect's DISTRIBUTED
+    // prefix sum over the (clf_score, doc_id) total order — never an
+    // unpartitioned Window.orderBy over the corpus — so the op scales
+    // to the full table, not just a bounded eval slice. cum_weight
+    // with weight 1 IS row_number; values and hashes are unchanged.
+    // Scores and rates are DECIMAL-exact then rounded, no float
+    // knife-edges.
     "q154_calibration" -> { (s, d) =>
       val sc = clfScores(s, d)
-      val w = Window.orderBy(col("clf_score"), col("doc_id"))
-      val tot = sc.agg(count(lit(1)).cast("long").as("total"))
-      sc.withColumn("rn", row_number().over(w))
-        .crossJoin(broadcast(tot))
-        .withColumn("bin", expr("((rn - 1) * 10) div total"))
+      val ranked = graft.operators.Selection.budgetSelect(sc,
+        Seq(col("clf_score"), col("doc_id")), lit(1L), Long.MaxValue)
+      // total = max rank; reuses budgetSelect's persisted local sums
+      val tot = ranked.agg(max(col("cum_weight")).as("total"))
+      ranked.crossJoin(broadcast(tot))
+        .withColumn("bin", expr("((cum_weight - 1) * 10) div total"))
         .groupBy(col("bin"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("label")).cast("long").as("n_pos"),
@@ -361,22 +366,30 @@ object TextQueries {
         .orderBy(col("bin"))
     },
 
-    // §2.3 (round 8) — classifier AUC via the Mann–Whitney rank
-    // statistic with MIDRANKS for ties: rank all scores once (eval
-    // set), average row numbers within a tie group, then
-    // AUC = (Σ midrank⁺ − n₁(n₁+1)/2) / (n₁·n₀). Midranks are exact
-    // integers-or-halves, so the sum is order-independent — bit-equal
-    // across engines.
+    // §2.3 (round 8, de-windowed round 10) — classifier AUC via the
+    // Mann–Whitney rank statistic with MIDRANKS for ties. The rank
+    // never touches a per-row global window: collapse to the BOUNDED
+    // score domain first (clf_score is rounded to 6 decimals —
+    // |domain| ≪ |corpus|, the q127 value-domain discipline), then a
+    // distributed prefix sum of tie-group counts gives each group's
+    // inclusive cumulative count c and midrank = c − cnt + (cnt+1)/2 —
+    // algebraically AVG(row_number) over the tie group. Midranks are
+    // exact halves and pos·midrank sums stay < 2⁵³, so rank_sum is
+    // EXACT regardless of partitioning or order — bit-equal to the
+    // per-row oracle spelling.
     "q155_auc" -> { (s, d) =>
       val sc = clfScores(s, d)
-      val w = Window.orderBy(col("clf_score"), col("doc_id"))
-      val ranked = sc.withColumn("rn", row_number().over(w))
-      val mid = ranked.groupBy(col("clf_score").as("ms"))
-        .agg(avg(col("rn")).as("midrank"))
-      val j = ranked.join(broadcast(mid), col("clf_score") === col("ms"))
-      j.agg(sum(col("label")).cast("long").as("n_pos"),
-          sum(lit(1) - col("label")).cast("long").as("n_neg"),
-          sum(when(col("label") === 1, col("midrank"))).as("rank_sum"))
+      val dom = sc.groupBy(col("clf_score"))
+        .agg(count(lit(1)).cast("long").as("cnt"),
+          sum(col("label")).cast("long").as("pos"))
+      val cum = graft.operators.Selection.budgetSelect(dom,
+        Seq(col("clf_score")), col("cnt"), Long.MaxValue)
+      cum.withColumn("midrank",
+          (col("cum_weight") - col("cnt")).cast("double")
+            + (col("cnt") + 1) / 2.0)
+        .agg(sum(col("pos")).cast("long").as("n_pos"),
+          sum(col("cnt") - col("pos")).cast("long").as("n_neg"),
+          sum(col("pos") * col("midrank")).as("rank_sum"))
         .select(col("n_pos"), col("n_neg"),
           round((col("rank_sum") - col("n_pos") * (col("n_pos") + 1) / 2.0)
             / (col("n_pos") * col("n_neg")), 6).as("auc"))
@@ -1104,8 +1117,8 @@ object TextQueries {
 
     // §2.3 (round 9) — dedup-tier RECALL/COST report: the tradeoff
     // table a curation team reads before choosing a dedup stack. Over
-    // a corpus with 50 planted NEAR duplicates (every 7th word
-    // mutated), each tier reports its candidate-pair volume (the cost
+    // a corpus with 50 planted NEAR duplicates (every 13th normalized
+    // word mutated, ~8% — see nearDupCorpus), each tier reports its candidate-pair volume (the cost
     // side) and how many planted pairs it catches (the recall side):
     // exact hashing (misses mutations by construction), banded
     // MinHash-LSH (probabilistic, band-or), SimHash hamming ≤ 3 (the
@@ -2335,7 +2348,11 @@ object TextQueries {
          |FROM agg JOIN top ON top.source = agg.source
          |ORDER BY agg.source""".stripMargin,
 
-    // identical sub-vector split + accumulation order as the kernel
+    // identical sub-vector split + accumulation order as the kernel.
+    // SPECIALIZED to the testdata's dim=64 / m=8 (sub-vector width 8
+    // is hardcoded in the comprehensions below); a table-dim change
+    // must update BOTH this SQL and the query's maxSim(…, 8) call —
+    // the kernel itself requires d % m == 0 and would throw.
     "q185_maxsim_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
         |           FROM embeddings),

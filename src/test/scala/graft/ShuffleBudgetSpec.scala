@@ -91,6 +91,12 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "q175_contrastive_pairs" -> 6, // argmax agg + batch equi-join + anchor window + sort
     "q177_ndcg_graded" -> 3,   // shares q144's shingle join + grade rollup + sort
     "q182_domain_cap" -> 12, // link extract + 2 argmax aggs + grouped prefix sum + ledger
+    // round-10 de-windowed eval pair: budgetSelect's persisted prefix
+    // frame is re-derived by each consumer, so the cached subtree's
+    // exchanges print once per consumer — counts are plan-string
+    // totals, not executed-shuffle counts
+    "q154_calibration" -> 19,
+    "q155_auc" -> 11,
     "q136_curation_chain" -> 25,
     "q62_ann_ivf" -> 42,
     "q152_pq_ann" -> 90,
