@@ -131,4 +131,22 @@ object Retrieval {
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(topK)
   }
+
+  /** Eval-set contract, enforced (round 10): the rank-based eval ops
+    * (q144 retrieval eval, q177 graded nDCG) fan the query set out
+    * against corpus shingles and window per query — legitimate ONLY
+    * while the query set is eval-sized. That boundedness used to be a
+    * comment; this makes it code: count the eval side (tiny — the
+    * filter is pushdown-pruned at the scan) and refuse to build the
+    * plan past the cap. A violator should sample deterministically
+    * first, not silently plan a corpus × corpus fan-out.
+    */
+  def requireEvalBounded(df: DataFrame, maxRows: Long, what: String): DataFrame = {
+    val n = df.count()
+    require(n <= maxRows,
+      s"$what has $n rows, over the $maxRows-row eval-set contract; " +
+        "rank-based evaluation over an unbounded set is a scale hazard — " +
+        "take a deterministic sample first")
+    df
+  }
 }

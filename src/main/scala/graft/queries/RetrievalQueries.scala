@@ -30,10 +30,12 @@ object RetrievalQueries {
     val ws0 = docs
       .select(col("doc_id"), GraftFunctions.normWords(col("text")).as("ws"))
       .scopedPersist() // consumers: query construction + corpus shingles
-    val qdocs = ws0.filter(col("doc_id") < 20)
-      .select((col("doc_id") + 2000000).as("qid"),
-        array_join(expr("slice(ws, 1, greatest(1, size(ws) div 2))"), " ")
-          .as("text"))
+    val qdocs = Retrieval.requireEvalBounded(
+      ws0.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 2000000).as("qid"),
+          array_join(expr("slice(ws, 1, greatest(1, size(ws) div 2))"), " ")
+            .as("text")),
+      maxRows = 10000L, what = "q144/q177 eval query set")
     val qsh = qdocs
       .select(col("qid"), GraftFunctions.normWords(col("text")).as("__ws"))
       .scopedPersist() // lambda barrier — see Dedup.docShingles

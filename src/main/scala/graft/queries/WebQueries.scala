@@ -112,26 +112,36 @@ object WebQueries {
         .orderBy(col("doc_id"))
     },
 
-    // §2.3 (round 9) — training-shard EXPORT MANIFEST: the table a
-    // trainer consumes before reading a single shard — per shard:
-    // doc count, char volume, and an ORDER-INVARIANT id checksum
-    // (sum of 32-bit per-doc hashes). The checksum is deliberately
-    // NOT an ordered digest: an ordered digest needs the shard's full
-    // id list in one aggregation buffer (corpus/16 rows per group at
+    // §2.3 (round 9, widened round 10) — training-shard EXPORT
+    // MANIFEST: the table a trainer consumes before reading a single
+    // shard — per shard: doc count, char volume, and an
+    // ORDER-INVARIANT id checksum. The checksum is deliberately NOT
+    // an ordered digest: an ordered digest needs the shard's full id
+    // list in one aggregation buffer (corpus/16 rows per group at
     // scale), while a hash SUM is associative → map-side partials,
     // bounded state, same corruption-detection power for a
-    // set-membership check. Shard key = q85's md5 arithmetic.
+    // set-membership check. Width: TWO independent 32-bit md5 lanes
+    // (combined collision bound 2⁻⁶⁴ per corruption event — a single
+    // 32-bit sum is birthday-plausible to collide silently at 10⁹
+    // docs/shard). Two BIGINT lanes instead of one 64-bit lane
+    // because each lane's exact sum then stays < 2⁶² up to 2³⁰
+    // docs/shard in BOTH engines — a 64-bit lane would need mod-2⁶⁴
+    // wraparound, which ANSI Spark refuses (overflow throws) and
+    // DuckDB's HUGEINT sum doesn't perform. Shard key = q85's md5
+    // arithmetic.
     "q178_shard_manifest" -> { (s, d) =>
       val h = md5(concat(lit("q85:"), col("doc_id").cast("string")))
-      val ck = conv(substring(md5(concat(lit("ck:"), col("doc_id").cast("string"))),
-        1, 8), 16, 10).cast("long")
+      val ckh = md5(concat(lit("ck:"), col("doc_id").cast("string")))
       Tables.documents(s, d)
         .select((conv(substring(h, 1, 8), 16, 10).cast("long") % 16).as("shard"),
-          col("n_chars"), ck.as("ck"))
+          col("n_chars"),
+          conv(substring(ckh, 1, 8), 16, 10).cast("long").as("ck_lo"),
+          conv(substring(ckh, 9, 8), 16, 10).cast("long").as("ck_hi"))
         .groupBy(col("shard"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).cast("long").as("n_chars_total"),
-          sum(col("ck")).cast("long").as("ids_checksum"))
+          sum(col("ck_lo")).cast("long").as("ids_checksum_lo"),
+          sum(col("ck_hi")).cast("long").as("ids_checksum_hi"))
         .orderBy(col("shard"))
     },
 
@@ -145,15 +155,17 @@ object WebQueries {
     "q180_manifest_merge" -> { (s, d) =>
       def manifest(docs: DataFrame): DataFrame = {
         val h = md5(concat(lit("q85:"), col("doc_id").cast("string")))
-        val ck = conv(substring(md5(concat(lit("ck:"), col("doc_id").cast("string"))),
-          1, 8), 16, 10).cast("long")
+        val ckh = md5(concat(lit("ck:"), col("doc_id").cast("string")))
         docs
           .select((conv(substring(h, 1, 8), 16, 10).cast("long") % 16).as("shard"),
-            col("n_chars"), ck.as("ck"))
+            col("n_chars"),
+            conv(substring(ckh, 1, 8), 16, 10).cast("long").as("ck_lo"),
+            conv(substring(ckh, 9, 8), 16, 10).cast("long").as("ck_hi"))
           .groupBy(col("shard"))
           .agg(count(lit(1)).as("n_docs"),
             sum(col("n_chars")).cast("long").as("n_chars_total"),
-            sum(col("ck")).cast("long").as("ids_checksum"))
+            sum(col("ck_lo")).cast("long").as("ids_checksum_lo"),
+            sum(col("ck_hi")).cast("long").as("ids_checksum_hi"))
       }
       val docs = Tables.documents(s, d)
       val base = manifest(docs.filter(col("doc_id") < 400))
@@ -162,7 +174,8 @@ object WebQueries {
         .groupBy(col("shard"))
         .agg(sum(col("n_docs")).cast("long").as("n_docs"),
           sum(col("n_chars_total")).cast("long").as("n_chars_total"),
-          sum(col("ids_checksum")).cast("long").as("ids_checksum"))
+          sum(col("ids_checksum_lo")).cast("long").as("ids_checksum_lo"),
+          sum(col("ids_checksum_hi")).cast("long").as("ids_checksum_hi"))
         .orderBy(col("shard"))
     },
 
@@ -325,26 +338,33 @@ object WebQueries {
         |    CAST(('0x' || substr(md5('q85:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
         |         % 16 AS BIGINT) AS shard,
         |    CAST(('0x' || substr(md5('ck:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
-        |         AS BIGINT) AS ck
+        |         AS BIGINT) AS ck_lo,
+        |    CAST(('0x' || substr(md5('ck:' || CAST(doc_id AS VARCHAR)), 9, 8))::UBIGINT
+        |         AS BIGINT) AS ck_hi
         |  FROM documents)
         |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS n_chars_total,
-        |  CAST(SUM(ck) AS BIGINT) AS ids_checksum
+        |  CAST(SUM(ck_lo) AS BIGINT) AS ids_checksum_lo,
+        |  CAST(SUM(ck_hi) AS BIGINT) AS ids_checksum_hi
         |FROM k GROUP BY shard ORDER BY shard""".stripMargin,
 
     // q85's md5 shard arithmetic via the 0x-hex cast; checksum is the
-    // order-invariant hash sum
+    // order-invariant TWO-LANE 32-bit hash sum (64-bit combined
+    // detection power; per-lane exact BIGINT sums ≤ 2³⁰ docs/shard)
     "q178_shard_manifest" ->
       """WITH k AS (
         |  SELECT doc_id, n_chars,
         |    CAST(('0x' || substr(md5('q85:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
         |         % 16 AS BIGINT) AS shard,
         |    CAST(('0x' || substr(md5('ck:' || CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
-        |         AS BIGINT) AS ck
+        |         AS BIGINT) AS ck_lo,
+        |    CAST(('0x' || substr(md5('ck:' || CAST(doc_id AS VARCHAR)), 9, 8))::UBIGINT
+        |         AS BIGINT) AS ck_hi
         |  FROM documents)
         |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS n_chars_total,
-        |  CAST(SUM(ck) AS BIGINT) AS ids_checksum
+        |  CAST(SUM(ck_lo) AS BIGINT) AS ids_checksum_lo,
+        |  CAST(SUM(ck_hi) AS BIGINT) AS ids_checksum_hi
         |FROM k GROUP BY shard ORDER BY shard""".stripMargin,
 
     // dominant domain = (count, domain)-lexicographic argmax;

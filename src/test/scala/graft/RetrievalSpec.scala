@@ -154,4 +154,17 @@ class RetrievalSpec extends SparkSpecBase {
     // excerpt queries must mostly rank their source doc into the top 10
     assert(rows.map(_.getAs[Long]("src_in_top10")).sum >= 18L)
   }
+
+  test("eval-set contract is code, not comment: oversized eval set throws") {
+    import graft.operators.Retrieval
+    val docs = Tables.documents(spark, sf)
+    // under the cap: passes rows through untouched
+    val ok = Retrieval.requireEvalBounded(docs.limit(5), 5L, "tiny eval")
+    assert(ok.count() == 5)
+    // over the cap: refuses to build the plan (the q144/q177 guard)
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.requireEvalBounded(docs, 3L, "oversized eval")
+    }
+    assert(e.getMessage.contains("eval-set contract"))
+  }
 }

@@ -756,6 +756,24 @@ class ScaleSpec extends SparkSpecBase {
       s"ledger ${ledger.toSeq.sorted} must sum to the committed spend")
   }
 
+  test("manifest checksum: two independent 32-bit lanes, merge-exact") {
+    // Collision bound: one 32-bit additive lane is birthday-plausible
+    // to collide silently at ~10⁹ docs/shard; two INDEPENDENT lanes
+    // (md5 chars 1-8 and 9-16) put a corruption-cancellation event at
+    // ~2⁻⁶⁴ while keeping each lane's exact sum < 2⁶² up to 2³⁰
+    // docs/shard in both engines (no mod-2⁶⁴ wrap, which ANSI Spark
+    // refuses). Incremental merge (q180) must be bit-equal to the
+    // full scan (q178) — the whole point of an additive checksum.
+    import org.apache.spark.sql.functions._
+    val full = SparkEntry.queries("q178_shard_manifest")(spark, sf)
+    val merged = SparkEntry.queries("q180_manifest_merge")(spark, sf)
+    assert(full.exceptAll(merged).isEmpty && merged.exceptAll(full).isEmpty,
+      "incremental manifest merge drifted from the full scan")
+    // lanes are genuinely independent bits, not copies of each other
+    val sameLane = full.filter(col("ids_checksum_lo") === col("ids_checksum_hi")).count()
+    assert(sameLane == 0, "checksum lanes collide on every shard — not independent")
+  }
+
   test("stateful streaming sessionizer matches batch sessionize") {
     val streamed = StatefulSessions.run(spark, sf, gapSeconds = 1800L)
       .select(col("user_id"), col("session_start_us"), col("session_end_us"), col("n_events"))
