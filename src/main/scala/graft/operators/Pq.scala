@@ -198,11 +198,19 @@ object Pq {
                  m: Int = 16, ksub: Int = 32, nCentroids: Int = 16): Unit = {
     val cents = Similarity.ivfTrain(corpus, nCentroids)
     val books = trainCodebooks(corpus, m, ksub)
-    val cellOf = Similarity.ivfAssign(cents, corpus)
-      .select(col("vec_id"), col("cid"))
+    val assigned = Similarity.ivfAssignScored(cents, corpus)
+      .select(col("vec_id"), col("cid"), col("sim"))
     books.write.mode("overwrite").parquet(s"$dir/books")
     cents.write.mode("overwrite").parquet(s"$dir/cents")
-    encode(corpus, books, m).join(cellOf, "vec_id")
+    // training snapshot for the drift→rebuild advisory: per-cell
+    // occupancy + mean assignment cosine at TRAIN time (nCentroids
+    // rows; DECIMAL sum so the mean is partition-invariant)
+    assigned.groupBy(col("cid"))
+      .agg(count(lit(1)).cast("long").as("n_train"),
+        round(sum(col("sim").cast(org.apache.spark.sql.types.DecimalType(18, 12)))
+          .cast("double") / count(lit(1)), 6).as("mean_sim_train"))
+      .write.mode("overwrite").parquet(s"$dir/stats")
+    encode(corpus, books, m).join(assigned.drop("sim"), "vec_id")
       .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/codes")
   }
 
@@ -265,6 +273,72 @@ object Pq {
     require(fs.rename(p(src), p(trash)), s"rename $src -> $trash failed")
     require(fs.rename(p(stage), p(src)), s"rename $stage -> $src failed")
     fs.delete(p(trash), true)
+  }
+
+  /** Drift→rebuild advisory (round 10): the monitored decision
+    * [[appendToIndex]]'s contract defers to — a frozen-quantizer
+    * index degrades silently as the corpus distribution walks away
+    * from the training snapshot, and the observable is NOT recall (no
+    * labels in production) but (a) cell-OCCUPANCY drift — PSI of the
+    * recent batch's cell assignment histogram vs the training
+    * histogram, q123's exact smoothing spelling — and (b)
+    * assignment-QUALITY drift — falling mean cosine to the assigned
+    * centroid vs the per-cell training mean. Everything is bounded:
+    * the recent batch assigns via one broadcast-centroid narrow pass,
+    * then every frame is ≤ nCentroids rows; the verdict crossJoins a
+    * 1-row total back (broadcast). Verdict: `rebuild` when psi_total
+    * ≥ psiThreshold OR the occupancy-weighted mean sim dropped ≥
+    * simDropThreshold; else `keep`.
+    *
+    * Returns one row per cell (occupancy counts/shares, psi_term,
+    * train/recent mean sim) carrying the global (psi_total,
+    * sim_drop, verdict) columns — the frame an ops dashboard lands.
+    */
+  def rebuildAdvisory(spark: org.apache.spark.sql.SparkSession, dir: String,
+                      recent: DataFrame, psiThreshold: Double = 0.25,
+                      simDropThreshold: Double = 0.05): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val cents = spark.read.parquet(s"$dir/cents")
+    val nCells = cents.count()
+    val stats = spark.read.parquet(s"$dir/stats")
+    val cur = Similarity.ivfAssignScored(cents, recent)
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).cast("long").as("n_recent"),
+        round(sum(col("sim").cast(DecimalType(18, 12))).cast("double")
+          / count(lit(1)), 6).as("mean_sim_recent"))
+    // full outer on cid: a cell can be empty on either side (that IS
+    // occupancy drift); both frames are ≤ nCentroids rows
+    val cells = stats.join(cur, Seq("cid"), "full_outer")
+      .select(col("cid"),
+        coalesce(col("n_train"), lit(0L)).as("n_train"),
+        coalesce(col("n_recent"), lit(0L)).as("n_recent"),
+        col("mean_sim_train"), col("mean_sim_recent"))
+    val tot = cells.agg(sum(col("n_train")).cast("long").as("t_train"),
+      sum(col("n_recent")).cast("long").as("t_recent"))
+    val pTrain = (col("n_train") + lit(1.0)) / (col("t_train") + lit(nCells.toDouble))
+    val pRecent = (col("n_recent") + lit(1.0)) / (col("t_recent") + lit(nCells.toDouble))
+    val perCell = cells.crossJoin(broadcast(tot))
+      .select(col("cid"), col("n_train"), col("n_recent"),
+        round(pTrain, 6).as("share_train"),
+        round(pRecent, 6).as("share_recent"),
+        round((pRecent - pTrain) * log(pRecent / pTrain), 6).as("psi_term"),
+        col("mean_sim_train"), col("mean_sim_recent"),
+        // occupancy-weighted contribution to the global sim means;
+        // empty-on-one-side cells contribute zero weight there
+        (col("n_train") * coalesce(col("mean_sim_train"), lit(0.0))).as("__wt"),
+        (col("n_recent") * coalesce(col("mean_sim_recent"), lit(0.0))).as("__wr"))
+    val global = perCell.agg(
+      round(sum(col("psi_term")), 6).as("psi_total"),
+      round(sum(col("__wt")) / sum(col("n_train")), 6).as("sim_train_global"),
+      round(sum(col("__wr")) / sum(col("n_recent")), 6).as("sim_recent_global"))
+      .select(col("psi_total"), col("sim_train_global"), col("sim_recent_global"),
+        round(col("sim_train_global") - col("sim_recent_global"), 6).as("sim_drop"))
+    perCell.drop("__wt", "__wr")
+      .crossJoin(broadcast(global))
+      .withColumn("verdict",
+        when(col("psi_total") >= psiThreshold ||
+          col("sim_drop") >= simDropThreshold, lit("rebuild"))
+          .otherwise(lit("keep")))
   }
 
   /** Probe a [[writeIndex]] layout from a (fresh) session. The corpus

@@ -146,13 +146,22 @@ object Similarity {
   /** Nearest-cell assignment: input (vec_id, embedding, …) gains a
     * `cid` column (argmax cosine, ties → smallest cid). */
   def ivfAssign(cents: DataFrame, df: DataFrame,
-                distributedCentroids: Boolean = false): DataFrame = {
+                distributedCentroids: Boolean = false): DataFrame =
+    ivfAssignScored(cents, df, distributedCentroids).drop("sim")
+
+  /** [[ivfAssign]] keeping the winning cosine as `sim` — the
+    * assignment-QUALITY signal the drift→rebuild advisory
+    * ([[Pq.rebuildAdvisory]]) monitors: a corpus that drifts away
+    * from the frozen centroids shows falling per-cell mean sim. */
+  def ivfAssignScored(cents: DataFrame, df: DataFrame,
+                      distributedCentroids: Boolean = false): DataFrame = {
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("__sim").desc, col("cid").asc)
     df.crossJoin(maybeBroadcast(cents, distributedCentroids))
       .withColumn("__sim", GraftFunctions.cosine(col("embedding"), col("cemb")))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
+      .withColumn("sim", col("__sim"))
       .drop("__rn", "__sim", "cemb")
   }
 

@@ -336,6 +336,35 @@ object TextQueries {
         .orderBy(col("query_id"), col("rnk"))
     },
 
+    // §2.3 (round 10) — index-drift REBUILD advisory (rows-only;
+    // keep/rebuild discrimination + PSI conservation invariants in
+    // PqSpec): closes the frozen-quantizer loop — appendToIndex never
+    // retrains, so SOMETHING must decide when the index stops
+    // reflecting the corpus. Per recent batch: cell-occupancy PSI vs
+    // the training snapshot (q123's smoothing spelling) +
+    // assignment-cosine drop, verdict at the advisory thresholds.
+    // Two scenarios in one frame: the training corpus re-presented
+    // (keep) and a planted distribution shift — every embedding
+    // reversed (rebuild).
+    "q188_index_drift" -> { (s, d) =>
+      val base = java.nio.file.Files.createTempDirectory("graft-drift")
+        .toString
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      graft.operators.Pq.writeIndex(emb, s"$base/index",
+        m = 8, ksub = 16, nCentroids = 8)
+      val inDist = graft.operators.Pq.rebuildAdvisory(s, s"$base/index", emb)
+        .withColumn("scenario", lit("in_dist"))
+      val drifted = graft.operators.Pq.rebuildAdvisory(s, s"$base/index",
+        emb.select(col("vec_id"), reverse(col("embedding")).as("embedding")))
+        .withColumn("scenario", lit("drifted"))
+      inDist.unionByName(drifted)
+        .select(col("scenario"), col("cid"), col("n_train"), col("n_recent"),
+          col("share_train"), col("share_recent"), col("psi_term"),
+          col("mean_sim_train"), col("mean_sim_recent"),
+          col("psi_total"), col("sim_drop"), col("verdict"))
+        .orderBy(col("scenario"), col("cid"))
+    },
+
     // §2.3 (round 8, de-windowed round 10) — classifier CALIBRATION
     // audit: before a quality classifier gates a 100 TB corpus, its
     // scores need a reliability read — decile bins of the q115 score

@@ -237,6 +237,48 @@ class PqSpec extends SparkSpecBase {
     assert(probe() == before, "compaction must not change served answers")
   }
 
+  test("drift advisory: keeps on the training distribution, rebuilds on a planted shift") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-drift").toString
+    Pq.writeIndex(emb, s"$dir/index", m = 8, ksub = 16, nCentroids = 8)
+    // the training corpus re-presented: occupancy identical, sim
+    // identical → PSI ≈ 0 (smoothing only), zero sim drop, keep
+    val inDist = Pq.rebuildAdvisory(spark, s"$dir/index", emb)
+    val inRows = inDist.collect()
+    assert(inRows.nonEmpty)
+    assert(inRows.forall(_.getAs[String]("verdict") == "keep"),
+      s"in-distribution batch advised rebuild: psi=${inRows.head.getAs[Double]("psi_total")}")
+    assert(math.abs(inRows.head.getAs[Double]("psi_total")) < 0.01)
+    assert(math.abs(inRows.head.getAs[Double]("sim_drop")) < 1e-6)
+    // planted covariate shift: reversed embeddings scatter across
+    // cells and sit farther from every frozen centroid → rebuild
+    val drifted = Pq.rebuildAdvisory(spark, s"$dir/index",
+      emb.select(col("vec_id"), reverse(col("embedding")).as("embedding")))
+    val dRows = drifted.collect()
+    assert(dRows.forall(_.getAs[String]("verdict") == "rebuild"),
+      s"planted shift not flagged: psi=${dRows.head.getAs[Double]("psi_total")} " +
+        s"sim_drop=${dRows.head.getAs[Double]("sim_drop")}")
+    // conservation: the global psi is exactly the per-cell sum (up to
+    // the round(,6) each side carries), and smoothed shares sum to 1
+    Seq(inRows, dRows).foreach { rows =>
+      val termSum = rows.map(_.getAs[Double]("psi_term")).sum
+      assert(math.abs(termSum - rows.head.getAs[Double]("psi_total")) < 1e-4)
+      assert(math.abs(rows.map(_.getAs[Double]("share_train")).sum - 1.0) < 1e-3)
+      assert(math.abs(rows.map(_.getAs[Double]("share_recent")).sum - 1.0) < 1e-3)
+    }
+    // partition invariance: the advisory is exact aggregates over a
+    // bounded domain — a 13-way repartition of the batch is bit-equal
+    val repart = Pq.rebuildAdvisory(spark, s"$dir/index", emb.repartition(13))
+    assert(repart.exceptAll(inDist).isEmpty && inDist.exceptAll(repart).isEmpty)
+  }
+
+  test("q188 driver query: one frame, both scenarios, opposite verdicts") {
+    val rows = SparkEntry.queries("q188_index_drift")(spark, sf).collect()
+    val byScenario = rows.groupBy(_.getAs[String]("scenario"))
+    assert(byScenario.keySet == Set("in_dist", "drifted"))
+    assert(byScenario("in_dist").forall(_.getAs[String]("verdict") == "keep"))
+    assert(byScenario("drifted").forall(_.getAs[String]("verdict") == "rebuild"))
+  }
+
   test("q152 driver query returns k rows per query with contiguous ranks") {
     val out = SparkEntry.queries("q152_pq_ann")(spark, sf)
     val per = out.groupBy("query_id")
