@@ -61,4 +61,336 @@ object AnnotationPipeline {
       .foldLeft(template)((acc, src) => acc.join(src, Seq("c_custkey"), "left"))
       .distinct()
   }
+
+  /** Round-10 stretch: ONE tidied frame per reference source family —
+    * all ~20 shapes across the three tidy scripts, each re-expressed
+    * with the SAME dplyr-verb sequence over the TPC-H tables (the
+    * customer key standing in for hgnc_gene_symbol). Scalar families
+    * give one-row-per-key frames; annotation families (alias names,
+    * phenotypes, GO, pathways, PPI edges, paralogs, GWAS traits) stay
+    * legitimately multi-row, exactly as the reference keeps Gene_IDs
+    * vs GO_BP separate. [[annotateGenes]] assembles the wide table.
+    */
+  def sources(s: SparkSession, d: String): Map[String, DataFrame] = {
+    val template = Tables.customer(s, d).select(col("c_custkey")).distinct()
+    def cust = Tables.customer(s, d)
+    def orders = Tables.orders(s, d)
+    def li = Tables.lineitem(s, d)
+    val custOrders = orders.select(col("o_custkey").as("c_custkey"),
+      col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"),
+      col("o_orderdate"), col("o_totalprice"))
+
+    // 1 gene_ids (tidy-api-ftp.R:13-21): select/rename id columns,
+    //   na_if("") sentinel scrub, template join + distinct
+    val geneIds = cust
+      .select(col("c_custkey"), col("c_name").as("entity_name"),
+        col("c_nationkey").cast("string").as("nation_id"),
+        col("c_mktsegment").as("segment_id"))
+      .naIf("", Seq("entity_name", "nation_id", "segment_id"))
+      .templateJoin(template, Seq("c_custkey")).distinct()
+
+    // 2 alias_names (tidy-api-ftp.R:24-42): pipe-collapsed alias string
+    //   separate_rows on "|", drop empties — multi-row per key
+    val aliasNames = custOrders
+      .collapseDistinct(Seq("c_custkey"), "o_orderpriority", "|", "alias")
+      .separateRows("alias", "\\|")
+      .filter(col("alias") =!= "")
+
+    // 3 position_length (tidy-api-ftp.R:94-109): end − start + 1 with
+    //   domain filters (valid chromosome ≈ valid status)
+    val positionLength = custOrders
+      .filter(col("o_orderstatus").isin("F", "O", "P"))
+      .groupBy(col("c_custkey"))
+      .agg(min(col("o_orderdate")).as("start_date"),
+        max(col("o_orderdate")).as("end_date"))
+      .withColumn("span_days",
+        datediff(col("end_date"), col("start_date")) + lit(1))
+
+    // 4 gc_content (tidy-api-ftp.R:111-123): one scalar percentage per
+    //   key, invalid rows filtered before the join
+    val gcContent = custOrders.join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("c_custkey"))
+      .agg(round(sum(col("l_discount").cast(DecimalType(18, 4))).cast("double")
+        * 100 / count(lit(1)), 3).as("pct_discount"))
+
+    // 5 panther_classes (tidy-api-ftp.R:126-137): bridge join through a
+    //   mapping (uniprot ≈ part) + str_to_sentence on the class terms
+    val pantherClasses = custOrders
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+      .select(col("c_custkey"),
+        concat(upper(substring(col("p_type"), 1, 1)),
+          lower(expr("substring(p_type, 2, length(p_type))"))).as("class_term"))
+      .distinct()
+
+    // 6 string_ppi (tidy-api-ftp.R:140-192): many-to-many edge
+    //   expansion through a shared node, "^9606\\." prefix strip,
+    //   combined_score/1000
+    val suppSide = custOrders
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .select(col("c_custkey"), col("l_suppkey")).distinct()
+    val ppiEdges = suppSide.select(col("c_custkey").as("a"), col("l_suppkey"))
+      .join(suppSide.select(col("c_custkey").as("b"), col("l_suppkey")), "l_suppkey")
+      .filter(col("a") < col("b"))
+      .groupBy(col("a").as("c_custkey"), col("b").as("interaction_key"))
+      .agg(count(lit(1)).as("n_shared"))
+      .select(col("c_custkey"),
+        regexp_replace(concat(lit("9606."), col("interaction_key").cast("string")),
+          "^9606\\.", "").as("interaction_id"),
+        round(col("n_shared").cast("double") / 1000.0, 6).as("combined_score"))
+
+    // 7 impc_viability (tidy-api-ftp.R:196-225): conflict dedup at BOTH
+    //   levels, as the reference does — the mgi-record level (drop
+    //   records with conflicting evidence) and then the gene level
+    //   after the one2many mapping join (drop keys whose mapped
+    //   records still disagree)
+    val orderFlags = li.select(col("l_orderkey"), col("l_returnflag"))
+      .keepSingletons(Seq("l_orderkey"), "l_returnflag")
+      .groupBy(col("l_orderkey"))
+      .agg(min(col("l_returnflag")).as("impc_viability"))
+    val impcViability = custOrders
+      .join(orderFlags, col("o_orderkey") === col("l_orderkey"))
+      .select(col("c_custkey"), col("impc_viability"))
+      .keepSingletons(Seq("c_custkey"), "impc_viability")
+      .groupBy(col("c_custkey"))
+      .agg(min(col("impc_viability")).as("impc_viability"))
+
+    // 8 impc_phenotypes (tidy-api-ftp.R:228-244): the full multi-row
+    //   phenotype annotation (zygosity + term per row)
+    val impcPhenotypes = custOrders
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .select(col("c_custkey"), col("l_linestatus").as("impc_zygosity"),
+        col("l_returnflag").as("impc_phenotype"))
+      .distinct()
+
+    // 9 mgi_viability (tidy-api-ftp.R:247-277): lethal-term recode →
+    //   sorted pipe-collapse → viable/lethal verdict → conflicts from
+    //   one2many mappings nullified (q102 semantics)
+    val mgiCollapsed = custOrders
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .select(col("c_custkey"),
+        when(col("l_returnflag") === "R", "y").otherwise("n").as("lethal_flag"))
+      .collapseDistinct(Seq("c_custkey"), "lethal_flag", "|", "mgi_lethal_term")
+      .withColumn("viability_mgi",
+        when(col("mgi_lethal_term") === "n", "viable").otherwise("lethal"))
+    val mgiViability = mgiCollapsed
+      .select(col("c_custkey"), col("viability_mgi"))
+      .nullifyConflicts(Seq("c_custkey"), Seq("viability_mgi"))
+
+    // 10 go_annotations (tidy-api-ftp.R:287-330): per-ontology
+    //    pivot_wider(values_fn=list) + unnest round trip — the GO
+    //    BP/MF/CC long annotation (q68's exact machinery)
+    val statuses = Seq("O", "F", "P")
+    val goWide = custOrders.groupBy(col("c_custkey"))
+      .pivot("o_orderstatus", statuses)
+      .agg(sort_array(collect_list(col("o_orderkey"))))
+    val goAnnotations = goWide.select(col("c_custkey"),
+        explode(array(statuses.map(st =>
+          struct(lit(st).as("ontology"),
+            coalesce(col(st), array().cast("array<bigint>")).as("ks"))): _*)).as("e"))
+      .select(col("c_custkey"), col("e.ontology").as("ontology"),
+        posexplode(col("e.ks")))
+      .select(col("c_custkey"), col("ontology"),
+        (col("pos") + 1).cast("long").as("idx"), col("col").as("go_key"))
+
+    // 11 reactome (tidy-api-ftp.R:332-345): species-prefix grepl filter
+    //    + sub() prefix strip + entrez→symbol bridge
+    val reactome = custOrders
+      .filter(col("o_orderpriority").rlike("^[0-9]-"))
+      .select(col("c_custkey"),
+        regexp_replace(col("o_orderpriority"), "^[0-9]-", "").as("path_name"))
+      .distinct()
+
+    // 12 omim_genemap (tidy-api-ftp.R:349-401): the full genemap parse
+    //    over a deterministic Phenotypes-shaped string — separate_rows
+    //    "; ", moi keyword str_extract_all, brace/bracket/? symbol
+    //    keys, "(n)" number keys, 6-digit id extract, phenotype text
+    //    cleanup. Raw strings are rebuilt from order columns so the
+    //    parse is the op under test, not the data.
+    // only the planted ids run 6 digits; every other digit is isolated
+    val id6 = lpad((col("o_orderkey") % 900000 + 100000).cast("string"), 6, "0")
+    val id6b = lpad(((col("o_orderkey") * 7) % 900000 + 100000).cast("string"), 6, "0")
+    val rawPheno = custOrders.select(col("c_custkey"),
+      concat(
+        when(col("o_orderkey") % 3 === 0, lit("{")).otherwise(lit("")),
+        when(col("o_orderkey") % 5 === 0, lit("[")).otherwise(lit("")),
+        lit("Disorder "), col("o_orderstatus"), lit(" "),
+        col("o_orderpriority"), lit(", "),
+        id6, lit(" ("), (col("o_orderkey") % 4 + 1).cast("string"), lit(")"),
+        lit("; Secondary "), col("o_orderstatus"), lit(" trait, "),
+        id6b, lit(" ("), ((col("o_orderkey") + 1) % 4 + 1).cast("string"),
+        lit(")")).as("phenotypes"))
+    val moiKeywords = "1-URGENT|2-HIGH|3-MEDIUM|4-NOT SPECIFIED|5-LOW"
+    val omimGenemap = rawPheno
+      .separateRows("phenotypes", "; ")
+      // separate_rows on moi, KEEPING keyword-free rows (R's
+      // separate_rows leaves one ""-moi row; the separateRows helper
+      // filters empties, which is the wrong verb here)
+      .withColumn("moi", explode(split(array_join(
+        regexp_extract_all(col("phenotypes"), lit(moiKeywords), lit(0)), "; "),
+        "; ")))
+      .withColumn("symbol_key",
+        when(col("phenotypes").rlike("^\\{"), "susceptibility")
+          .when(col("phenotypes").rlike("^\\["), "nondisease")
+          .when(col("phenotypes").rlike("^\\?"), "provisional")
+          .otherwise(lit(null).cast("string")))
+      .withColumn("number_key",
+        when(col("phenotypes").contains("(1)"), "association")
+          .when(col("phenotypes").contains("(2)"), "linkage")
+          .when(col("phenotypes").contains("(3)"), "molecular")
+          .when(col("phenotypes").contains("(4)"), "contiguous")
+          .otherwise(lit(null).cast("string")))
+      .withColumn("phenotype_id", regexp_extract(col("phenotypes"), "\\d{6}", 0))
+      .withColumn("phenotype",
+        regexp_replace(regexp_replace(
+          regexp_extract(col("phenotypes"), "^(.*?)(?=\\d{6})", 1),
+          "[\\{\\[\\?\\]\\}]", ""), ", $", ""))
+      .filter(col("phenotype") =!= "")
+      .select(col("c_custkey"), col("moi"), col("symbol_key"),
+        col("number_key"), col("phenotype_id"), col("phenotype"))
+
+    // 13 lethality_categories (tidy-api-ftp.R:405-438): the L1..NL
+    //    case_when recode + "-"→NA sentinel scrub
+    val lethalityCategories = custOrders
+      .groupBy(col("c_custkey"))
+      .agg(min(col("o_orderpriority")).as("cat"))
+      .select(col("c_custkey"),
+        when(col("cat") === "1-URGENT", "L1; Prenatal death")
+          .when(col("cat") === "2-HIGH", "L2; Neonatal death")
+          .when(col("cat") === "3-MEDIUM", "L3; Death in infancy")
+          .when(col("cat") === "4-NOT SPECIFIED", "LU; Not determined")
+          .when(col("cat") === "5-LOW", "NL; Non lethal")
+          .otherwise(col("cat")).as("earliest_lethality_category"))
+      .naIf("-", Seq("earliest_lethality_category"))
+
+    // 14 panelapp (tidy-api-ftp.R:441-496): nested JSON → long KV →
+    //    name-filtered columns → confidence recode (green/amber/red)
+    val panelJson = custOrders.groupBy(col("c_custkey"))
+      .agg(to_json(struct(
+        min(col("o_orderpriority")).as("gene_symbol"),
+        (min(col("o_orderkey")) % 3 + 1).cast("string").as("confidence_level"),
+        min(col("o_orderstatus")).as("mode_of_inheritance"))).as("j"))
+    val panelapp = panelJson.select(col("c_custkey"),
+        get_json_object(col("j"), "$.confidence_level").as("confidence_level"),
+        get_json_object(col("j"), "$.mode_of_inheritance").as("mode_of_inheritance"))
+      .select(col("c_custkey"),
+        when(col("confidence_level") === "3", "green")
+          .when(col("confidence_level") === "2", "amber")
+          .when(col("confidence_level") === "1", "red")
+          .otherwise(lit(null).cast("string")).as("confidence_level"),
+        col("mode_of_inheritance"))
+
+    // 15 orthologs (tidy-api-ftp.R:503-515): positional header repair
+    //    (shifted names, drop blank) + select/rename
+    val orthologs = cust
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .selectPositions(Seq(0, 6, 7),
+        Seq("c_custkey", "ortholog_mapping", "ortholog_region"))
+
+    // 16 paralogs (tidy-api-ftp.R:518-531): within-family self bridge,
+    //    empty partners dropped, percent identity rounded
+    val segNation = cust.select(col("c_custkey"), col("c_mktsegment"),
+      col("c_nationkey"))
+    val paralogs = segNation.select(col("c_custkey"), col("c_mktsegment"),
+        col("c_nationkey"))
+      .join(segNation.select(col("c_custkey").as("paralog_custkey"),
+        col("c_mktsegment"), col("c_nationkey")),
+        Seq("c_mktsegment", "c_nationkey"))
+      .filter(col("c_custkey") =!= col("paralog_custkey"))
+      .select(col("c_custkey"), col("paralog_custkey"),
+        round((col("c_custkey") % 100).cast("double") / 100.0, 3).as("perc_id"))
+
+    // 17 depmap (tidy-web.R:10-51): thresholded effect matrix →
+    //    rowSums % essential + rowMeans, full_join, round(3)
+    val depLines = custOrders.join(li, col("o_orderkey") === col("l_orderkey"))
+    val depPct = depLines.groupBy(col("c_custkey"))
+      .agg(round((lit(100) * sum(when(col("l_quantity") <= 10.0, 1L).otherwise(0L)))
+        .cast("double") / count(lit(1)), 3).as("percentage_essential"))
+    val depMean = depLines.groupBy(col("c_custkey"))
+      .agg(round(sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double")
+        / count(lit(1)), 3).as("mean_score_all"))
+    val depmap = depPct.join(depMean, Seq("c_custkey"), "full_outer")
+
+    // 18 mane_constraint (tidy-web.R:141-172): canonical-transcript
+    //    selection — singleton keys kept as-is, duplicated keys keep
+    //    only their MANE-flagged rows, then the score column
+    val gnomadRows = custOrders.select(col("c_custkey"),
+      col("o_orderkey").as("transcript"),
+      (col("o_orderstatus") === "O").as("mane_select"),
+      round(col("o_totalprice").cast(DecimalType(18, 2)).cast("double") / 100000.0, 3)
+        .as("loeuf"))
+    val keyCounts = gnomadRows.groupBy(col("c_custkey")).agg(count(lit(1)).as("__n"))
+    val maneConstraint = gnomadRows.join(keyCounts, "c_custkey")
+      .filter(col("__n") === 1 || col("mane_select"))
+      .select(col("c_custkey"), col("transcript"), col("loeuf"))
+
+    // 19 gwas_traits (tidy-web.R:197-211): "[...]" bracket removal →
+    //    ";"-split → trim → "."→NA → drop empties
+    val gwasRaw = custOrders.select(col("c_custkey"),
+      concat(col("o_orderpriority"), lit(" [pmid 123]; "),
+        col("o_orderstatus"), lit(" ; .")).as("traits"))
+    val gwasTraits = gwasRaw
+      .withColumn("traits", regexp_replace(col("traits"), "\\[[^]]*\\]", ""))
+      .separateRows("traits", ";")
+      .withColumn("gwas_trait", trim(col("traits")))
+      .filter(col("gwas_trait") =!= "")
+      .naIf(".", Seq("gwas_trait"))
+      .filter(col("gwas_trait").isNotNull)
+      .select(col("c_custkey"), col("gwas_trait")).distinct()
+
+    // 20 manuscript_scores (tidy-manuscript.R throughout): positional
+    //    select + rounded score + exact-rank decile assignment + the
+    //    drop-remaining-dups discipline
+    val acct = cust
+      .selectPositions(Seq(0, 4, 3), Seq("c_custkey", "segment", "score"))
+      .select(col("c_custkey"), col("segment"), round(col("score"), 3).as("score"))
+    // decile WITHIN segment (q78 discipline) — a global ntile would be
+    // the unpartitioned-window scale hazard this repo forbids
+    val dw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("segment"))
+      .orderBy(col("score").asc, col("c_custkey").asc)
+    val manuscriptScores = acct
+      .withColumn("decile", ntile(10).over(dw))
+      .select(col("c_custkey"), col("score"), col("decile"))
+
+    Map(
+      "gene_ids" -> geneIds, "alias_names" -> aliasNames,
+      "position_length" -> positionLength, "gc_content" -> gcContent,
+      "panther_classes" -> pantherClasses, "string_ppi" -> ppiEdges,
+      "impc_viability" -> impcViability, "impc_phenotypes" -> impcPhenotypes,
+      "mgi_viability" -> mgiViability, "go_annotations" -> goAnnotations,
+      "reactome" -> reactome, "omim_genemap" -> omimGenemap,
+      "lethality_categories" -> lethalityCategories, "panelapp" -> panelapp,
+      "orthologs" -> orthologs, "paralogs" -> paralogs,
+      "depmap_essentiality" -> depmap, "mane_constraint" -> maneConstraint,
+      "gwas_traits" -> gwasTraits, "manuscript_scores" -> manuscriptScores)
+  }
+
+  /** Families whose tidied frame is legitimately multi-row per key —
+    * collapsed to per-key counts for the wide assembly (the reference
+    * keeps these as separate long tables; the wide table carries
+    * their cardinality the way a summary sheet would). */
+  private[graft] val multiRowFamilies: Set[String] = Set(
+    "alias_names", "panther_classes", "string_ppi", "impc_phenotypes",
+    "go_annotations", "reactome", "omim_genemap", "paralogs",
+    "gwas_traits", "mane_constraint")
+
+  /** The "same capabilities" demo in one call: every reference source
+    * family tidied (SAME verb sequences) and assembled around the key
+    * template. One-row-per-key families join wide; multi-row families
+    * join as per-key annotation counts. All sources aggregate to
+    * ≤ few-rows-per-key BEFORE the assembly joins, so nothing
+    * fact-sized ever crosses it (the buildAnnotations discipline).
+    */
+  def annotateGenes(s: SparkSession, d: String): DataFrame = {
+    val template = Tables.customer(s, d).select(col("c_custkey")).distinct()
+    val srcs = sources(s, d)
+    srcs.toSeq.sortBy(_._1).foldLeft(template) { case (acc, (name, df)) =>
+      val keyed =
+        if (multiRowFamilies(name))
+          df.groupBy(col("c_custkey")).agg(count(lit(1)).as(s"n_$name"))
+        else df
+      acc.join(keyed, Seq("c_custkey"), "left")
+    }
+  }
 }
