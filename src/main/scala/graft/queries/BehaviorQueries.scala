@@ -74,10 +74,63 @@ object BehaviorQueries {
         .select(unix_micros(col("window.start")).as("window_start_us"),
           col("n_events"), col("sum_value"))
         .orderBy(col("window_start_us"))
+    },
+
+    // §2.3 (round 10) — PREFERENCE-PAIR mining (the DPO/RLHF training
+    // shape): interaction feedback per (user, day) becomes one
+    // (chosen, rejected) pair — top-rated vs bottom-rated response —
+    // kept only when the reward margin clears a threshold, so weak
+    // signals never become training pairs. ONE partial aggregation
+    // (argmax/argmin of (value, id) structs — no windows, no
+    // self-join, ties broken by event id on both extremes), then a
+    // row-local margin filter. One shuffle on the uniform (user, day)
+    // key; at 100 TB this is a map-side-combined groupBy, nothing
+    // else.
+    "q190_preference_pairs" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isin("view", "click", "purchase"))
+        .select(col("user_id"), date_trunc("DAY", col("ts")).as("day"),
+          col("event_id"), col("value"))
+      ev.groupBy(col("user_id"), col("day"))
+        .agg(count(lit(1)).as("n_candidates"),
+          max(struct(col("value").as("v"), (-col("event_id")).as("nid")))
+            .as("top"),
+          min(struct(col("value").as("v"), col("event_id").as("id")))
+            .as("bot"))
+        .filter(col("n_candidates") >= 2)
+        .select(col("user_id"), col("day"), col("n_candidates"),
+          (-col("top.nid")).cast("long").as("chosen_event_id"),
+          col("top.v").as("chosen_value"),
+          col("bot.id").as("rejected_event_id"),
+          col("bot.v").as("rejected_value"),
+          round(col("top.v") - col("bot.v"), 6).as("margin"))
+        .filter(col("margin") >= 50.0)
+        .orderBy(col("user_id"), col("day"))
     }
   )
 
   val oracleSql: Map[String, String] = Map(
+
+    "q190_preference_pairs" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_id, value
+        |  FROM events WHERE event_type IN ('view', 'click', 'purchase')
+        |), r AS (
+        |  SELECT *,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, day
+        |                       ORDER BY value DESC, event_id) AS rt,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, day
+        |                       ORDER BY value ASC, event_id) AS rb,
+        |    COUNT(*) OVER (PARTITION BY user_id, day) AS n_candidates
+        |  FROM ev)
+        |SELECT c.user_id, c.day, CAST(c.n_candidates AS BIGINT) AS n_candidates,
+        |  c.event_id AS chosen_event_id, c.value AS chosen_value,
+        |  b.event_id AS rejected_event_id, b.value AS rejected_value,
+        |  ROUND(c.value - b.value, 6) AS margin
+        |FROM (SELECT * FROM r WHERE rt = 1) c
+        |JOIN (SELECT * FROM r WHERE rb = 1) b USING (user_id, day, n_candidates)
+        |WHERE c.n_candidates >= 2 AND ROUND(c.value - b.value, 6) >= 50.0
+        |ORDER BY user_id, day""".stripMargin,
 
     "q96_funnel" ->
       """WITH ev AS (

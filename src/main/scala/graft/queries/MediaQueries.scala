@@ -85,6 +85,50 @@ object MediaQueries {
           expr("CASE WHEN n_frames > 0 THEN n_samples - (frame + (n_frames - 1) * hop) ELSE n_samples END")
             .cast("long"))
         .orderBy(col("doc_id"))
+    },
+
+    // §2.3 (round 10) — VIDEO storyboard planning: the third modality's
+    // metadata-only preprocessing plan (q88 images, q183 audio, THIS
+    // video) — fixed 4-second scene cuts over synthetic (fps,
+    // duration) metadata, k=4 uniformly-strided sample frames per
+    // scene (i·len div k is strictly increasing for k ≤ len, so picks
+    // never collide), and 4×4 contact-sheet packing with an explicit
+    // last-sheet pad. EXACT integer arithmetic end to end (div, never
+    // /), the per-doc rollup carries an order-invariant sampled-frame
+    // checksum, and decode stays behind the declared Multimodal stub.
+    // Narrow explode → one doc-key rollup; nothing scales worse than
+    // frames sampled.
+    "q191_video_storyboard" -> { (s, d) =>
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"),
+          expr("element_at(array(24, 25, 30), cast(doc_id % 3 as int) + 1)")
+            .cast("long").as("fps"),
+          (col("n_chars") * 40 + 500).cast("long").as("duration_ms"))
+        .withColumn("n_frames", expr("(duration_ms * fps) div 1000"))
+        .withColumn("scene_len", col("fps") * 4)
+        .withColumn("n_scenes", expr("(n_frames + scene_len - 1) div scene_len"))
+      val scenes = base
+        .select(col("doc_id"), col("n_frames"), col("n_scenes"),
+          col("scene_len"), explode(expr("sequence(0L, n_scenes - 1)")).as("scene_id"))
+        .withColumn("scene_start", col("scene_id") * col("scene_len"))
+        .withColumn("scene_frames",
+          least(col("scene_len"), col("n_frames") - col("scene_start")))
+        .withColumn("k", least(lit(4L), col("scene_frames")))
+      scenes
+        .select(col("doc_id"), col("n_frames"), col("n_scenes"),
+          explode(expr(
+            "transform(sequence(0L, k - 1), i -> scene_start + (i * scene_frames) div k)"))
+            .as("frame_no"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("n_frames")).as("n_frames"),
+          max(col("n_scenes")).as("n_scenes"),
+          count(lit(1)).as("n_samples"),
+          sum(col("frame_no")).cast("long").as("frames_checksum"),
+          min(col("frame_no")).as("first_frame"),
+          max(col("frame_no")).as("last_frame"))
+        .withColumn("n_sheets", expr("(n_samples + 15) div 16"))
+        .withColumn("last_sheet_pad", expr("(16 - n_samples % 16) % 16"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -128,6 +172,36 @@ object MediaQueries {
         |  CAST(MIN(doc_id) AS BIGINT) AS first_doc,
         |  CAST(MAX(doc_id) AS BIGINT) AS last_doc
         |FROM sq GROUP BY bucket, batch_id ORDER BY bucket, batch_id""".stripMargin,
+
+    // same scene/sample integer arithmetic; // is DuckDB int division
+    "q191_video_storyboard" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 24 WHEN 1 THEN 25 ELSE 30 END AS fps,
+        |    n_chars * 40 + 500 AS duration_ms
+        |  FROM documents),
+        |b AS (SELECT doc_id, fps, (duration_ms * fps) // 1000 AS n_frames,
+        |             fps * 4 AS scene_len FROM m),
+        |c AS (SELECT *, (n_frames + scene_len - 1) // scene_len AS n_scenes FROM b),
+        |sc AS (SELECT doc_id, n_frames, n_scenes, scene_len,
+        |         unnest(generate_series(0, n_scenes - 1)) AS scene_id FROM c),
+        |sf AS (SELECT *, scene_id * scene_len AS scene_start,
+        |         least(scene_len, n_frames - scene_id * scene_len) AS scene_frames
+        |       FROM sc),
+        |sk AS (SELECT *, least(4, scene_frames) AS k FROM sf),
+        |samp AS (SELECT doc_id, n_frames, n_scenes,
+        |           unnest([scene_start + (i * scene_frames) // k
+        |                   FOR i IN generate_series(0, k - 1)]) AS frame_no
+        |         FROM sk)
+        |SELECT doc_id, CAST(MAX(n_frames) AS BIGINT) AS n_frames,
+        |  CAST(MAX(n_scenes) AS BIGINT) AS n_scenes,
+        |  CAST(COUNT(*) AS BIGINT) AS n_samples,
+        |  CAST(SUM(frame_no) AS BIGINT) AS frames_checksum,
+        |  CAST(MIN(frame_no) AS BIGINT) AS first_frame,
+        |  CAST(MAX(frame_no) AS BIGINT) AS last_frame,
+        |  CAST((COUNT(*) + 15) // 16 AS BIGINT) AS n_sheets,
+        |  CAST((16 - COUNT(*) % 16) % 16 AS BIGINT) AS last_sheet_pad
+        |FROM samp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q183_audio_windows" ->
       """WITH m AS (

@@ -79,4 +79,29 @@ class BehaviorSpec extends SparkSpecBase {
     assert(!byType.contains("unchanged"))
     assert(n > 0)
   }
+
+  test("preference pairs: chosen strictly outscores rejected by the margin, ids distinct") {
+    val rows = BehaviorQueries.queries("q190_preference_pairs")(spark, sf).collect()
+    assert(rows.nonEmpty, "no pairs mined at spec scale")
+    rows.foreach { r =>
+      val (cv, rv) = (r.getAs[Double]("chosen_value"), r.getAs[Double]("rejected_value"))
+      assert(cv - rv >= 50.0 - 1e-9, s"margin violated: $cv vs $rv")
+      assert(r.getAs[Long]("chosen_event_id") != r.getAs[Long]("rejected_event_id"),
+        "a pair chose the same event twice")
+      assert(r.getAs[Long]("n_candidates") >= 2L)
+      assert(math.abs(r.getAs[Double]("margin") - math.rint((cv - rv) * 1e6) / 1e6) < 1e-9)
+    }
+    // the extremes really are the extremes: recompute per group
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sf)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("user_id"), date_trunc("DAY", col("ts")).as("day"), col("value"))
+      .groupBy("user_id", "day")
+      .agg(max("value").as("mx"), min("value").as("mn"))
+    val mined = BehaviorQueries.queries("q190_preference_pairs")(spark, sf)
+    val bad = mined.join(ev, Seq("user_id", "day"))
+      .filter(col("chosen_value") =!= col("mx") || col("rejected_value") =!= col("mn"))
+      .count()
+    assert(bad == 0, "a mined pair is not the per-group extreme")
+  }
 }

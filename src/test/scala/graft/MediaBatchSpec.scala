@@ -65,4 +65,23 @@ class MediaBatchSpec extends SparkSpecBase {
     assert(bucketOf(1600, 900) === 3)
     assert(bucketOf(900, 1600) === 4)
   }
+
+  test("q191 storyboard: sample counts, sheet packing, and stride bounds all reconcile") {
+    val rows = SparkEntry.queries("q191_video_storyboard")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nf, ns, nsamp) = (r.getAs[Long]("n_frames"), r.getAs[Long]("n_scenes"),
+        r.getAs[Long]("n_samples"))
+      assert(ns == (nf + 95) / 96 || ns == (nf + 99) / 100 || ns == (nf + 119) / 120,
+        s"n_scenes $ns inconsistent with n_frames $nf for any ladder fps")
+      // ≤ 4 samples per scene, ≥ 1 per scene
+      assert(nsamp >= ns && nsamp <= 4 * ns, s"$nsamp samples vs $ns scenes")
+      assert(r.getAs[Long]("first_frame") == 0L, "first sampled frame is scene 0 start")
+      assert(r.getAs[Long]("last_frame") < nf, "sampled frame beyond the video")
+      val sheets = r.getAs[Long]("n_sheets")
+      val pad = r.getAs[Long]("last_sheet_pad")
+      assert(sheets == (nsamp + 15) / 16 && (nsamp + pad) % 16 == 0,
+        "contact-sheet packing arithmetic broken")
+    }
+  }
 }
