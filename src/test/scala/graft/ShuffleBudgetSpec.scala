@@ -97,6 +97,15 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     // totals, not executed-shuffle counts
     "q154_calibration" -> 19,
     "q155_auc" -> 11,
+    // round-10 additions: q190/q191 are single-agg/narrow-explode
+    // shapes; q188 carries an index BUILD + two advisory scoring
+    // passes; q189 is the 20-source wide assembly (every source
+    // aggregates to per-key rows before its join — the count is
+    // sources × (partial+final), not fact-sized shuffles)
+    "q190_preference_pairs" -> 2,
+    "q191_video_storyboard" -> 2,
+    "q188_index_drift" -> 31,
+    "q189_annotate_genes" -> 40,
     "q136_curation_chain" -> 25,
     "q62_ann_ivf" -> 42,
     "q152_pq_ann" -> 90,
@@ -111,6 +120,8 @@ class ShuffleBudgetSpec extends AnyFunSuite {
   // so the AQE-on count over-states and never under-states. The
   // AQE-off map IS the physical-exchange truth for those queries.
   private val aqeOffOverrides: Map[String, Int] = Map(
+    "q188_index_drift" -> 21,
+    "q189_annotate_genes" -> 37,
     "q107_token_budget" -> 6,
     "q119_bpe_vocab" -> 0,
     "q124_source_overlap" -> 8,
