@@ -30,6 +30,14 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The audited bounded-domain windows (Similarity/Pq/QuantileMonitor/
+    // q187's key table) trip WindowExec's unpartitioned-window WARN on
+    // every execution; across the full surface that spam buries the
+    // one-line JSON/progress contract in the driver's captured tail.
+    // PlanAuditSpec pins them as bounded, so silence just that logger.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     val surface = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
     // Warm JVM/codegen paths with two representative queries, then
     // drop their caches so every timed query materializes its own

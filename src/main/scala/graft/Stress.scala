@@ -20,7 +20,7 @@ import graft.operators.{Dedup, Similarity}
   * (20k vectors, per-replica deterministic perturbation, replica-0
   * exact). It then runs the stress surface, recording wall seconds,
   * plan exchange count, and actual shuffle read/write bytes per query
-  * into STRESS_r10.json, alongside the LSH/simhash bucket-occupancy
+  * into STRESS_r{N}.json, alongside the LSH/simhash bucket-occupancy
   * diagnostics that show which guards fired.
   *
   *   sbt "runMain graft.Stress [srcSfDir] [stressDir] [outJson]"
@@ -74,6 +74,10 @@ object Stress {
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
 
     val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
+    val maxVec = emb.agg(max(col("vec_id"))).head.getLong(0)
+    require(maxVec < 2000,
+      s"generator replicates at stride 2000 (r*2000 + vec_id); a source " +
+        s"vec_id >= 2000 would silently collide replicas — saw $maxVec")
     val reps10 = spark.range(0, 10).select(col("id").cast("int").as("r"))
     // replica 0 exact; others deterministically perturbed per (r, dim)
     val perturbed = transform(col("embedding"),
@@ -92,7 +96,7 @@ object Stress {
   def main(args: Array[String]): Unit = {
     val srcDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val stressDir = args.lift(1).getOrElse("/tmp/graft_stress10")
-    val outJson = args.lift(2).getOrElse("STRESS_r10.json")
+    val outJson = args.lift(2).getOrElse("STRESS_r11.json")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -104,6 +108,14 @@ object Stress {
       .config("spark.driver.memory", sys.env.getOrElse("SPARK_GRAFT_MEM", "48g"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The audited bounded-domain windows (Similarity/Pq/QuantileMonitor/
+    // q187's key table) trip WindowExec's unpartitioned-window WARN on
+    // every execution; across the full surface that spam buries the
+    // one-line JSON/progress contract in the driver's captured tail.
+    // PlanAuditSpec pins them as bounded, so silence just that logger.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
 
     if (!Files.exists(Paths.get(s"$stressDir/documents.parquet")) ||
       args.contains("--regen")) {
@@ -134,11 +146,24 @@ object Stress {
       val df = mk
       // noop sink: materialize EVERY column — a bare count() lets
       // Catalyst prune left-join/window lineage (verdict columns) and
-      // under-measures the probe work by orders of magnitude
+      // under-measures the probe work by orders of magnitude. ONLY the
+      // noop save is timed — the row count runs after the window so
+      // seconds/shuffle bytes reflect a SINGLE execution.
       df.write.mode("overwrite").format("noop").save()
-      val rows = df.count()
       val secs = (System.nanoTime() - t0) / 1e9
+      // drain the async listener bus: poll until the tally is stable so
+      // tail-stage shuffle metrics land before we detach, and the later
+      // count() run cannot leak into the published bytes
+      var last = (-1L, -1L)
+      var stableMs = 0
+      val drainT0 = System.currentTimeMillis()
+      while (stableMs < 400 && System.currentTimeMillis() - drainT0 < 5000) {
+        val cur = (tally.read.get, tally.write.get)
+        if (cur == last) stableMs += 100 else { stableMs = 0; last = cur }
+        Thread.sleep(100)
+      }
       spark.sparkContext.removeSparkListener(tally)
+      val rows = df.count()
       val ex = exchangeRe.findAllIn(df.queryExecution.executedPlan.toString).size
       val base = snapshot.get(name).map(b => f""","sf01_seconds":$b%.3f,"ratio":${secs / b}%.1f""").getOrElse("")
       val line = f""""$name":{"seconds":$secs%.2f,"rows":$rows,"exchanges":$ex,"shuffle_read_mb":${tally.read.get / 1e6}%.1f,"shuffle_write_mb":${tally.write.get / 1e6}%.1f$base}"""
@@ -176,12 +201,12 @@ object Stress {
     val loadEnd = loadavg1()
 
     val json =
-      s"""{"round":10,"corpus":{"docs":$nDocs,"chars":$nChars,"vectors":$nVecs,"recipe":"per sf0.1 doc: 20 exact copies + 20 near-dup mutants (every 13th word) + 20 tripled-long distinct + 40 distinct; 1000-copy hot doc; 80% source=web skew; embeddings 10x with per-replica perturbation"},""" +
+      s"""{"round":11,"corpus":{"docs":$nDocs,"chars":$nChars,"vectors":$nVecs,"recipe":"per sf0.1 doc: 20 exact copies + 20 near-dup mutants (every 13th word) + 20 tripled-long distinct + 40 distinct; 1000-copy hot doc; 80% source=web skew; embeddings 10x with per-replica perturbation"},""" +
         s""""guards":{"lsh_max_bucket":${bStats.getLong(0)},"lsh_buckets_over_cap64":${bStats.getLong(1)},"note":"buckets over the 64 cap degrade to linear chain pairs (Dedup.lshCandidatePairs); the 1000-copy hot family fires this organically"},""" +
         s""""queries":{${qResults.mkString(",")}},""" +
         s""""operators":{${opResults.mkString(",")}},""" +
         f""""loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,""" +
-        s""""notes":"stress corpus is ~100x sf0.1 docs (judge asked 500k; sf0.1 is 5k docs) and ~175x chars, so linear operators legitimately run ~100-200x their sf0.1 seconds; ratio field = stress/sf0.1 wall clock; q148's exact baseline is BY-CONTRACT O(n^2) - compare the semdedup_lsh_20k scale path; timed via a noop sink so Catalyst cannot prune verdict lineage"}"""
+        s""""notes":"stress corpus is ~100x sf0.1 docs (judge asked 500k; sf0.1 is 5k docs) and ~175x chars, so linear operators legitimately run ~100-200x their sf0.1 seconds; ratio field = stress/sf0.1 wall clock; q148's exact baseline is BY-CONTRACT O(n^2) - compare the semdedup_lsh_20k scale path; seconds/shuffle bytes cover EXACTLY ONE noop-sink materialization (rows counted outside the timing window, listener bus drained to stability before detach) so the ratio vs bench.json single-execution baselines is apples-to-apples"}"""
     Files.writeString(Paths.get(outJson), json + "\n")
     println(s"[stress] wrote $outJson")
     spark.stop()

@@ -18,6 +18,14 @@ object Verify {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The audited bounded-domain windows (Similarity/Pq/QuantileMonitor/
+    // q187's key table) trip WindowExec's unpartitioned-window WARN on
+    // every execution; across the full surface that spam buries the
+    // one-line JSON/progress contract in the driver's captured tail.
+    // PlanAuditSpec pins them as bounded, so silence just that logger.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     new java.io.File(outDir).mkdirs()
     val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

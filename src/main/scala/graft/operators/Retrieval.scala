@@ -132,21 +132,31 @@ object Retrieval {
       .limit(topK)
   }
 
-  /** Eval-set contract, enforced (round 10): the rank-based eval ops
-    * (q144 retrieval eval, q177 graded nDCG) fan the query set out
-    * against corpus shingles and window per query — legitimate ONLY
-    * while the query set is eval-sized. That boundedness used to be a
-    * comment; this makes it code: count the eval side (tiny — the
-    * filter is pushdown-pruned at the scan) and refuse to build the
-    * plan past the cap. A violator should sample deterministically
-    * first, not silently plan a corpus × corpus fan-out.
+  /** Eval-set contract, enforced (round 10, made LAZY in round 11):
+    * the rank-based eval ops (q144 retrieval eval, q177 graded nDCG)
+    * fan the query set out against corpus shingles and window per
+    * query — legitimate ONLY while the query set is eval-sized.
+    *
+    * Round 10 counted eagerly at plan construction; that ran a Spark
+    * job for EVERY plan built (the plan-audit suites build all ~193,
+    * some under both AQE modes) while guarding a set the caller had
+    * already hard-bounded — all cost, no protection. Now the guard
+    * rides INSIDE the returned plan: a broadcast 1-row count branch
+    * whose filter raises iff the contract is violated, evaluated
+    * with the query itself. Plan construction is free, and the check
+    * fires wherever the plan actually executes — including a caller
+    * who skipped the bounding filter.
     */
   def requireEvalBounded(df: DataFrame, maxRows: Long, what: String): DataFrame = {
-    val n = df.count()
-    require(n <= maxRows,
-      s"$what has $n rows, over the $maxRows-row eval-set contract; " +
-        "rank-based evaluation over an unbounded set is a scale hazard — " +
-        "take a deterministic sample first")
-    df
+    val msg = s"$what exceeds the $maxRows-row eval-set contract " +
+      "(rank-based evaluation over an unbounded set is a scale hazard — " +
+      "take a deterministic sample first); rows: "
+    val guard = df
+      .select(count(lit(1)).as("__n"))
+      .where(coalesce( // raise_error is non-foldable: the filter survives
+        when(col("__n") > maxRows, raise_error(concat(lit(msg), col("__n")))),
+        lit(true)))
+      .select(lit(1).as("__eval_bounded"))
+    df.crossJoin(broadcast(guard)).drop("__eval_bounded")
   }
 }

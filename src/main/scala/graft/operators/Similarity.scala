@@ -155,6 +155,10 @@ object Similarity {
     * from the frozen centroids shows falling per-cell mean sim. */
   def ivfAssignScored(cents: DataFrame, df: DataFrame,
                       distributedCentroids: Boolean = false): DataFrame = {
+    require(!df.columns.contains("sim"),
+      "ivfAssignScored emits a 'sim' column (and ivfAssign drops it); an " +
+        "input that already carries 'sim' would be silently clobbered — " +
+        "rename it before assignment")
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("__sim").desc, col("cid").asc)
     df.crossJoin(maybeBroadcast(cents, distributedCentroids))

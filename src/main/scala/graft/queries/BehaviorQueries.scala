@@ -106,6 +106,53 @@ object BehaviorQueries {
           round(col("top.v") - col("bot.v"), 6).as("margin"))
         .filter(col("margin") >= 50.0)
         .orderBy(col("user_id"), col("day"))
+    },
+
+    // §2.3 (round 11) — SFT DIALOG VALIDITY audit: chat-style training
+    // data must alternate roles, open with the user, and close with
+    // the assistant — malformed dialogs poison instruction tuning.
+    // The event log stands in as the turn stream (view/click/signup →
+    // user turn, else assistant); per dialog (user_id): turn counts by
+    // role, alternation violations (consecutive same-role turns),
+    // first/last role, longest same-role run (gaps-and-islands over
+    // the per-user window), and the composed validity verdict. All
+    // windows are PARTITIONED by user_id — per-dialog state never
+    // converges on one task, the 100 TB-safe shape.
+    "q194_dialog_audit" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val runs = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          when(col("event_type").isin("view", "click", "signup"), lit("user"))
+            .otherwise(lit("assistant")).as("role"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("prev_role", lag(col("role"), 1).over(w))
+        .withColumn("run_id",
+          sum(when(col("prev_role").isNull ||
+            col("prev_role") =!= col("role"), 1L).otherwise(0L)).over(w))
+      val maxRun = runs
+        .groupBy(col("user_id"), col("run_id"))
+        .agg(count(lit(1)).as("run_len"))
+        .groupBy(col("user_id")).agg(max(col("run_len")).as("max_run"))
+      runs.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_turns"),
+          sum(when(col("role") === "user", 1L).otherwise(0L)).as("n_user"),
+          sum(when(col("role") === "assistant", 1L).otherwise(0L))
+            .as("n_assistant"),
+          sum(when(col("prev_role") === col("role"), 1L).otherwise(0L))
+            .as("n_violations"),
+          max(when(col("rn") === 1, col("role"))).as("first_role"),
+          max_by(col("role"), col("rn")).as("last_role"))
+        .join(maxRun, "user_id")
+        .select(col("user_id"), col("n_turns"), col("n_user"),
+          col("n_assistant"), col("n_violations"),
+          (col("first_role") === "user").as("starts_user"),
+          (col("last_role") === "assistant").as("ends_assistant"),
+          col("max_run"),
+          (col("n_violations") === 0L && col("first_role") === "user" &&
+            col("last_role") === "assistant").as("valid"))
+        .orderBy(col("user_id"))
     }
   )
 
@@ -131,6 +178,43 @@ object BehaviorQueries {
         |JOIN (SELECT * FROM r WHERE rb = 1) b USING (user_id, day, n_candidates)
         |WHERE c.n_candidates >= 2 AND ROUND(c.value - b.value, 6) >= 50.0
         |ORDER BY user_id, day""".stripMargin,
+
+    "q194_dialog_audit" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN event_type IN ('view', 'click', 'signup')
+        |         THEN 'user' ELSE 'assistant' END AS role
+        |  FROM events),
+        |t AS (
+        |  SELECT *, row_number() OVER w AS rn, lag(role) OVER w AS prev_role
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |r AS (
+        |  SELECT *, SUM(CASE WHEN prev_role IS NULL OR prev_role <> role
+        |                     THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS run_id
+        |  FROM t),
+        |mr AS (SELECT user_id, CAST(MAX(run_len) AS BIGINT) AS max_run
+        |       FROM (SELECT user_id, run_id, COUNT(*) AS run_len
+        |             FROM r GROUP BY 1, 2) GROUP BY user_id),
+        |pu AS (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_turns,
+        |    CAST(SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_user,
+        |    CAST(SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_assistant,
+        |    CAST(SUM(CASE WHEN prev_role = role THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_violations,
+        |    MAX(CASE WHEN rn = 1 THEN role END) AS first_role,
+        |    arg_max(role, rn) AS last_role
+        |  FROM r GROUP BY user_id)
+        |SELECT pu.user_id, n_turns, n_user, n_assistant, n_violations,
+        |  first_role = 'user' AS starts_user,
+        |  last_role = 'assistant' AS ends_assistant,
+        |  mr.max_run,
+        |  n_violations = 0 AND first_role = 'user' AND last_role = 'assistant'
+        |    AS valid
+        |FROM pu JOIN mr ON mr.user_id = pu.user_id
+        |ORDER BY pu.user_id""".stripMargin,
 
     "q96_funnel" ->
       """WITH ev AS (

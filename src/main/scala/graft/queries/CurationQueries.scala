@@ -595,6 +595,52 @@ object CurationQueries {
           round((lit(2.0) * col("srx")) / (col("n_docs") * col("total_chars"))
             - (col("n_docs") + 1) / col("n_docs"), 6).as("gini"))
         .orderBy(col("source"))
+    },
+
+    // §2.3 (round 11) — ZIPF-SLOPE corpus-statistics audit: a natural
+    // text corpus follows Zipf's law (log-frequency ≈ slope·log-rank,
+    // slope ≈ −1); synthetic, template, or mode-collapsed sources show
+    // a flatter or steeper spectrum, so the per-source slope is a
+    // cheap generator-artifact detector. Pipeline: one word explode +
+    // groupBy, a PARTITIONED rank window per source, then closed-form
+    // least squares on (ln rank, ln freq) over the top-200 spectrum —
+    // log sums are ~200 bounded terms so double aggregation is
+    // round(.,6)-stable across engines. vocab/n_tokens come from the
+    // full distribution, not the top-200 head.
+    "q195_zipf_audit" -> { (s, d) =>
+      import graft.Caching.ScopedPersist
+      val freq = Tables.documents(s, d)
+        .select(col("source"),
+          explode(GraftFunctions.normWords(col("text"))).as("word"))
+        .groupBy(col("source"), col("word"))
+        .agg(count(lit(1)).as("freq"))
+        .scopedPersist() // consumers: totals agg + ranked head
+      val totals = freq.groupBy(col("source"))
+        .agg(sum(col("freq")).cast("long").as("n_tokens"),
+          count(lit(1)).as("vocab"))
+      val head = freq
+        .withColumn("rnk", row_number().over(Window.partitionBy(col("source"))
+          .orderBy(col("freq").desc, col("word"))))
+        .filter(col("rnk") <= 200)
+        .select(col("source"), log(col("rnk").cast("double")).as("x"),
+          log(col("freq").cast("double")).as("y"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("x") * col("y")).as("sxy"))
+      head.join(totals, "source")
+        .select(col("source"), col("n_tokens"), col("vocab"),
+          col("n").cast("long").as("n_head"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")), 6)
+            .as("zipf_slope"),
+          round((col("sy") - ((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx"))) * col("sx")) /
+            col("n"), 6).as("zipf_intercept"),
+          round(col("vocab") / sqrt(col("n_tokens").cast("double")), 6)
+            .as("heaps_coeff"))
+        .orderBy(col("source"))
     }
   )
 
@@ -994,6 +1040,39 @@ object CurationQueries {
          |LEFT JOIN dup ON dup.doc_id = d.doc_id
          |LEFT JOIN contam ON contam.doc_id = d.doc_id
          |LEFT JOIN kept ON kept.doc_id = d.doc_id
-         |ORDER BY d.doc_id""".stripMargin
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // identical closed-form least squares over the same top-200
+    // (ln rank, ln freq) spectrum; ~200 bounded log terms per source
+    // keep the double sums round(.,6)-stable across engines
+    "q195_zipf_audit" ->
+      s"""WITH f AS (
+         |  SELECT source, w AS word, COUNT(*) AS freq
+         |  FROM (SELECT source, unnest($wsSql) AS w FROM documents)
+         |  GROUP BY 1, 2),
+         |tot AS (SELECT source, CAST(SUM(freq) AS BIGINT) AS n_tokens,
+         |          CAST(COUNT(*) AS BIGINT) AS vocab
+         |        FROM f GROUP BY source),
+         |h AS (
+         |  SELECT source, ln(CAST(rnk AS DOUBLE)) AS x,
+         |         ln(CAST(freq AS DOUBLE)) AS y
+         |  FROM (SELECT source, freq, word, row_number() OVER (PARTITION BY source
+         |          ORDER BY freq DESC, word) AS rnk FROM f)
+         |  WHERE rnk <= 200),
+         |st AS (
+         |  SELECT source, CAST(COUNT(*) AS DOUBLE) AS n,
+         |    SUM(x) AS sx, SUM(y) AS sy, SUM(x * x) AS sxx, SUM(x * y) AS sxy
+         |  FROM h GROUP BY source)
+         |SELECT st.source, tot.n_tokens, tot.vocab,
+         |  CAST(st.n AS BIGINT) AS n_head,
+         |  ROUND((st.n * st.sxy - st.sx * st.sy)
+         |    / (st.n * st.sxx - st.sx * st.sx), 6) AS zipf_slope,
+         |  ROUND((st.sy - ((st.n * st.sxy - st.sx * st.sy)
+         |    / (st.n * st.sxx - st.sx * st.sx)) * st.sx) / st.n, 6)
+         |    AS zipf_intercept,
+         |  ROUND(tot.vocab / sqrt(CAST(tot.n_tokens AS DOUBLE)), 6)
+         |    AS heaps_coeff
+         |FROM st JOIN tot ON tot.source = st.source
+         |ORDER BY st.source""".stripMargin
   )
 }

@@ -470,6 +470,43 @@ object OpsQueries {
           ceil((col("cnt") * col("n_keys")) / col("total")).cast("long")
             .as("recommended_salt"))
         .orderBy(col("rank"))
+    },
+
+    // §2.3 (round 11) — k-NN label-noise detection (the confident-
+    // learning/Cleanlab shape): a vector whose k=5 nearest cosine
+    // neighbors majority-vote a DIFFERENT label is a mislabel suspect
+    // — run before a labeled slice trains a filter model. Eval-set
+    // contract enforced (lazy guard); ranking by the round(.,6)
+    // cosine + vec_id tie-break, the render-stable boundary both
+    // engines compute identically (q34 discipline). Majority via a
+    // single max(struct) argmax — ties break to the SMALLER label.
+    // Scale path: swap bruteForceTopK for Similarity.annLsh candidates
+    // at corpus scale; the vote/verdict algebra is unchanged.
+    "q193_knn_label_noise" -> { (s, d) =>
+      import graft.Caching.ScopedPersist
+      import graft.operators.{Retrieval, Similarity}
+      val sl = Tables.embeddings(s, d).filter(col("vec_id") < 300)
+        .select(col("vec_id"), col("label"), col("embedding"))
+        .scopedPersist() // consumers: query side + corpus side + label joins
+      val slg = Retrieval.requireEvalBounded(sl, 10000L,
+        "q193 label-noise eval slice")
+      val knn = Similarity.bruteForceTopK(sl, slg, k = 5)
+      val votes = knn
+        .join(broadcast(sl.select(col("vec_id").as("neighbor_id"),
+          col("label").as("n_label"))), "neighbor_id")
+        .join(broadcast(sl.select(col("vec_id").as("query_id"),
+          col("label"))), "query_id")
+        .groupBy(col("query_id"), col("label"), col("n_label"))
+        .agg(count(lit(1)).as("cnt"))
+      votes.groupBy(col("query_id"), col("label"))
+        .agg(max(struct(col("cnt"), (-col("n_label")).as("neg"))).as("w"),
+          sum(when(col("n_label") === col("label"), col("cnt"))
+            .otherwise(0L)).as("n_agree"))
+        .select(col("query_id").as("vec_id"), col("label"),
+          (-col("w.neg")).as("knn_label"), col("w.cnt").as("n_votes"),
+          col("n_agree"),
+          ((-col("w.neg")) =!= col("label")).as("suspect"))
+        .orderBy(col("vec_id"))
     }
   )
 
@@ -777,6 +814,35 @@ object OpsQueries {
         |  COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
         |FROM orders
-        |GROUP BY 1 ORDER BY pseud""".stripMargin
+        |GROUP BY 1 ORDER BY pseud""".stripMargin,
+
+    // k-NN label noise: identical ranked-neighbor construction to the
+    // q34 oracle (round(.,6) cosine, vec_id tie-break), then the vote
+    // argmax with ties to the smaller label
+    "q193_knn_label_noise" ->
+      """WITH sl AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+        |            FROM embeddings WHERE vec_id < 300),
+        |nb AS (
+        |  SELECT q.vec_id, q.label, c.label AS n_label,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY round(list_cosine_similarity(q.e, c.e), 6) DESC,
+        |               c.vec_id) AS rn
+        |  FROM sl q JOIN sl c ON c.vec_id <> q.vec_id),
+        |k AS (SELECT vec_id, label, n_label FROM nb WHERE rn <= 5),
+        |v AS (SELECT vec_id, label, n_label, COUNT(*) AS cnt
+        |      FROM k GROUP BY 1, 2, 3),
+        |w AS (SELECT vec_id, label, n_label AS knn_label,
+        |        CAST(cnt AS BIGINT) AS n_votes,
+        |        row_number() OVER (PARTITION BY vec_id
+        |          ORDER BY cnt DESC, n_label) AS vr
+        |      FROM v),
+        |a AS (SELECT vec_id,
+        |        CAST(COALESCE(SUM(CASE WHEN n_label = label THEN cnt END), 0)
+        |          AS BIGINT) AS n_agree
+        |      FROM v GROUP BY vec_id)
+        |SELECT w.vec_id, w.label, w.knn_label, w.n_votes, a.n_agree,
+        |  w.knn_label <> w.label AS suspect
+        |FROM w JOIN a ON a.vec_id = w.vec_id
+        |WHERE w.vr = 1 ORDER BY w.vec_id""".stripMargin
   )
 }

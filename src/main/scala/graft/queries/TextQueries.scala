@@ -1276,6 +1276,104 @@ object TextQueries {
       scored.withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 10)
         .orderBy(col("query_id"), col("rank"))
+    },
+
+    // §2.3 (round 11) — BLEU-style n-gram CONTAMINATION score: q140's
+    // containment verdicts say WHETHER an eval item leaked; this says
+    // HOW MUCH, on the metric reviewers actually read — modified
+    // n-gram precisions p1..p4 of the eval excerpt against each
+    // candidate doc, geometric mean × brevity penalty (Papineni'02).
+    // Candidates are blocked on a shared 4-gram (a pair sharing a
+    // 4-gram shares all lower orders, so every pN > 0 and the
+    // geometric mean is well-defined) — the corpus side streams
+    // through 4 explode-joins against a broadcast eval side, never
+    // all-pairs. Geometric mean spelled sqrt(sqrt(·)) over the
+    // PUBLISHED round(.,6) precisions: IEEE sqrt is correctly rounded
+    // in both engines, so the score hashes bit-identically.
+    "q192_bleu_contam" -> { (s, d) =>
+      import graft.Caching.ScopedPersist
+      import graft.operators.Retrieval
+      val w0 = Tables.documents(s, d)
+        .select(col("doc_id"), GraftFunctions.normWords(col("text")).as("ws"))
+        .scopedPersist() // consumers: eval construction + 4 corpus n-gram passes
+      val ev0 = w0.filter(col("doc_id") < 15)
+        .select((col("doc_id") + 3000000).as("eval_id"),
+          array_join(expr("slice(ws, 1, greatest(1, size(ws) div 2))"), " ")
+            .as("text"))
+      val evw = Retrieval.requireEvalBounded(ev0, 10000L,
+          "q192 eval excerpt set")
+        .select(col("eval_id"), GraftFunctions.normWords(col("text")).as("ws"))
+        .scopedPersist() // lambda barrier + 4 eval n-gram passes + lengths
+      def inter(n: Int) = {
+        val e = evw.select(col("eval_id"),
+            array_distinct(GraftFunctions.wordShingles(col("ws"), n)).as("shs"))
+          .select(col("eval_id"), size(col("shs")).as("n_e"),
+            explode(col("shs")).as("sh"))
+        val dg = w0.select(col("doc_id"),
+            array_distinct(GraftFunctions.wordShingles(col("ws"), n)).as("shs"))
+          .select(col("doc_id"), explode(col("shs")).as("sh"))
+        e.join(dg, "sh")
+          .groupBy(col("eval_id"), col("doc_id"), col("n_e"))
+          .agg(count(lit(1)).as("i"))
+          .select(col("eval_id"), col("doc_id"),
+            round(col("i").cast("double") / col("n_e"), 6).as(s"p$n"))
+      }
+      inter(4)
+        .join(inter(3), Seq("eval_id", "doc_id"))
+        .join(inter(2), Seq("eval_id", "doc_id"))
+        .join(inter(1), Seq("eval_id", "doc_id"))
+        .join(broadcast(evw.select(col("eval_id"), size(col("ws")).as("r"))),
+          "eval_id")
+        .join(w0.select(col("doc_id"), size(col("ws")).as("c")), "doc_id")
+        .select(col("eval_id"), col("doc_id"),
+          col("p1"), col("p2"), col("p3"), col("p4"),
+          round(sqrt(sqrt(col("p1") * col("p2") * col("p3") * col("p4"))) *
+            least(lit(1.0), exp(lit(1.0) - col("r").cast("double") / col("c"))),
+            6).as("bleu"))
+        .orderBy(col("eval_id"), col("doc_id"))
+    },
+
+    // §2.3 (round 11) — CONTENT-DEFINED CHUNKING dedup profile
+    // (rolling-boundary storage dedup, the LBFS/rsync family): chunk
+    // boundaries are set by CONTENT (a word whose md5 lane ≡ 0 mod 8
+    // closes the chunk), not by offset, so an insertion early in a
+    // document only rewrites the chunk it lands in — shared suffixes
+    // keep their chunk hashes and dedup across near-identical docs.
+    // Per-doc prefix sums run under a doc-PARTITIONED window; the
+    // per-source rollup measures the chunk-level duplication a
+    // CDC-addressed store would reclaim.
+    "q196_cdc_chunks" -> { (s, d) =>
+      import graft.Caching.ScopedPersist
+      val pe = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          posexplode(GraftFunctions.normWords(col("text"))))
+        .select(col("doc_id"), col("source"), col("pos"),
+          col("col").as("word"))
+        .withColumn("bflag",
+          (conv(substring(md5(col("word")), 1, 8), 16, 10).cast("long") % 8
+            === 0).cast("long"))
+        .scopedPersist() // consumers: chunk assembly + per-source word totals
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val chunks = pe
+        .withColumn("cid", sum(col("bflag")).over(w) - col("bflag"))
+        .groupBy(col("doc_id"), col("source"), col("cid"))
+        .agg(md5(array_join(
+          transform(sort_array(collect_list(struct(col("pos"), col("word")))),
+            x => x.getField("word")), " ")).as("h"))
+      val words = pe.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_words"))
+      chunks.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_chunks"),
+          countDistinct(col("h")).as("n_distinct_chunks"))
+        .join(words, "source")
+        .select(col("source"), col("n_words"), col("n_chunks"),
+          col("n_distinct_chunks"),
+          round(lit(1.0) -
+            col("n_distinct_chunks").cast("double") / col("n_chunks"), 6)
+            .as("dup_chunk_ratio"),
+          round(col("n_words").cast("double") / col("n_chunks"), 6)
+            .as("avg_chunk_words"))
+        .orderBy(col("source"))
     }
   )
 
@@ -2401,6 +2499,82 @@ object TextQueries {
         |          AS rank
         |      FROM sc)
         |SELECT query_id, doc_vec_id, maxsim, rank
-        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // BLEU contamination: per order n, distinct n-gram sets on both
+    // sides, count the join, precision = inter/|eval set| rounded 6;
+    // geometric mean via sqrt(sqrt(·)) (IEEE-correctly-rounded in
+    // both engines) over the published precisions, × brevity penalty
+    "q192_bleu_contam" ->
+      s"""WITH w0 AS (SELECT doc_id, $wsSql AS ws FROM documents),
+         |ev AS (SELECT doc_id + 3000000 AS eval_id,
+         |         array_to_string(ws[1:greatest(1, len(ws)//2)], ' ') AS text
+         |       FROM w0 WHERE doc_id < 15),
+         |evw AS (SELECT eval_id, $wsSql AS ws FROM ev),
+         |e4 AS (SELECT eval_id, unnest(list_distinct([array_to_string(ws[i:i+3],' ') for i in generate_series(1, len(ws)-3)])) AS sh FROM evw WHERE len(ws) >= 4),
+         |e3 AS (SELECT eval_id, unnest(list_distinct([array_to_string(ws[i:i+2],' ') for i in generate_series(1, len(ws)-2)])) AS sh FROM evw WHERE len(ws) >= 3),
+         |e2 AS (SELECT eval_id, unnest(list_distinct([array_to_string(ws[i:i+1],' ') for i in generate_series(1, len(ws)-1)])) AS sh FROM evw WHERE len(ws) >= 2),
+         |e1 AS (SELECT eval_id, unnest(list_distinct(ws)) AS sh FROM evw WHERE len(ws) >= 1),
+         |d4 AS (SELECT doc_id, unnest(list_distinct([array_to_string(ws[i:i+3],' ') for i in generate_series(1, len(ws)-3)])) AS sh FROM w0 WHERE len(ws) >= 4),
+         |d3 AS (SELECT doc_id, unnest(list_distinct([array_to_string(ws[i:i+2],' ') for i in generate_series(1, len(ws)-2)])) AS sh FROM w0 WHERE len(ws) >= 3),
+         |d2 AS (SELECT doc_id, unnest(list_distinct([array_to_string(ws[i:i+1],' ') for i in generate_series(1, len(ws)-1)])) AS sh FROM w0 WHERE len(ws) >= 2),
+         |d1 AS (SELECT doc_id, unnest(list_distinct(ws)) AS sh FROM w0 WHERE len(ws) >= 1),
+         |ec4 AS (SELECT eval_id, COUNT(*) AS n_e FROM e4 GROUP BY 1),
+         |ec3 AS (SELECT eval_id, COUNT(*) AS n_e FROM e3 GROUP BY 1),
+         |ec2 AS (SELECT eval_id, COUNT(*) AS n_e FROM e2 GROUP BY 1),
+         |ec1 AS (SELECT eval_id, COUNT(*) AS n_e FROM e1 GROUP BY 1),
+         |i4 AS (SELECT e.eval_id, d.doc_id, COUNT(*) AS c FROM e4 e JOIN d4 d ON e.sh = d.sh GROUP BY 1, 2),
+         |i3 AS (SELECT e.eval_id, d.doc_id, COUNT(*) AS c FROM e3 e JOIN d3 d ON e.sh = d.sh GROUP BY 1, 2),
+         |i2 AS (SELECT e.eval_id, d.doc_id, COUNT(*) AS c FROM e2 e JOIN d2 d ON e.sh = d.sh GROUP BY 1, 2),
+         |i1 AS (SELECT e.eval_id, d.doc_id, COUNT(*) AS c FROM e1 e JOIN d1 d ON e.sh = d.sh GROUP BY 1, 2),
+         |el AS (SELECT eval_id, len(ws) AS r FROM evw),
+         |dl AS (SELECT doc_id, len(ws) AS c FROM w0)
+         |SELECT eval_id, doc_id, p1, p2, p3, p4,
+         |  ROUND(sqrt(sqrt(p1 * p2 * p3 * p4)) * bp, 6) AS bleu
+         |FROM (
+         |  SELECT i4.eval_id, i4.doc_id,
+         |    ROUND(CAST(i1.c AS DOUBLE) / ec1.n_e, 6) AS p1,
+         |    ROUND(CAST(i2.c AS DOUBLE) / ec2.n_e, 6) AS p2,
+         |    ROUND(CAST(i3.c AS DOUBLE) / ec3.n_e, 6) AS p3,
+         |    ROUND(CAST(i4.c AS DOUBLE) / ec4.n_e, 6) AS p4,
+         |    LEAST(1.0, exp(1.0 - CAST(el.r AS DOUBLE) / dl.c)) AS bp
+         |  FROM i4
+         |  JOIN i3 ON i3.eval_id = i4.eval_id AND i3.doc_id = i4.doc_id
+         |  JOIN i2 ON i2.eval_id = i4.eval_id AND i2.doc_id = i4.doc_id
+         |  JOIN i1 ON i1.eval_id = i4.eval_id AND i1.doc_id = i4.doc_id
+         |  JOIN ec4 ON ec4.eval_id = i4.eval_id
+         |  JOIN ec3 ON ec3.eval_id = i4.eval_id
+         |  JOIN ec2 ON ec2.eval_id = i4.eval_id
+         |  JOIN ec1 ON ec1.eval_id = i4.eval_id
+         |  JOIN el ON el.eval_id = i4.eval_id
+         |  JOIN dl ON dl.doc_id = i4.doc_id)
+         |ORDER BY eval_id, doc_id""".stripMargin,
+
+    // CDC chunking: same md5-lane boundary rule, prefix-sum chunk ids
+    // via a windowed running sum, chunk hash over the pos-ordered
+    // string_agg — then the per-source duplication rollup
+    "q196_cdc_chunks" ->
+      s"""WITH pe AS (
+         |  SELECT doc_id, source, u.i AS pos, u.w AS word,
+         |    CASE WHEN CAST(('0x' || substr(md5(u.w), 1, 8)) AS UBIGINT) % 8 = 0
+         |         THEN 1 ELSE 0 END AS bflag
+         |  FROM (SELECT doc_id, source, $wsSql AS ws FROM documents),
+         |       unnest([{'i': i - 1, 'w': ws[i]} for i in generate_series(1, len(ws))]) AS t(u)),
+         |r AS (SELECT *, SUM(bflag) OVER (PARTITION BY doc_id ORDER BY pos)
+         |        - bflag AS cid FROM pe),
+         |ch AS (SELECT doc_id, source, cid,
+         |         md5(string_agg(word, ' ' ORDER BY pos)) AS h
+         |       FROM r GROUP BY 1, 2, 3),
+         |wt AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_words
+         |       FROM pe GROUP BY source)
+         |SELECT ch.source, wt.n_words,
+         |  CAST(COUNT(*) AS BIGINT) AS n_chunks,
+         |  CAST(COUNT(DISTINCT h) AS BIGINT) AS n_distinct_chunks,
+         |  ROUND(1.0 - CAST(COUNT(DISTINCT h) AS DOUBLE) / COUNT(*), 6)
+         |    AS dup_chunk_ratio,
+         |  ROUND(CAST(wt.n_words AS DOUBLE) / COUNT(*), 6) AS avg_chunk_words
+         |FROM ch JOIN wt ON wt.source = ch.source
+         |GROUP BY ch.source, wt.n_words
+         |ORDER BY ch.source""".stripMargin
   )
 }

@@ -104,4 +104,45 @@ class BehaviorSpec extends SparkSpecBase {
       .count()
     assert(bad == 0, "a mined pair is not the per-group extreme")
   }
+
+  test("q194 dialog audit: role algebra holds and a sequential golden fold agrees") {
+    import org.apache.spark.sql.functions._
+    val rows = BehaviorQueries.queries("q194_dialog_audit")(spark, sf).collect()
+    assert(rows.nonEmpty, "no dialogs audited at spec scale")
+    rows.foreach { r =>
+      val (turns, nu, na) = (r.getAs[Long]("n_turns"),
+        r.getAs[Long]("n_user"), r.getAs[Long]("n_assistant"))
+      assert(nu + na == turns, s"role counts don't partition the turns: $r")
+      val (viol, maxRun) = (r.getAs[Long]("n_violations"), r.getAs[Long]("max_run"))
+      assert(maxRun >= 1L && maxRun <= turns)
+      assert(viol >= 0L && viol <= turns - 1)
+      // perfectly alternating <=> every run has length 1
+      assert((viol == 0L) == (maxRun == 1L), s"violations/max_run disagree: $r")
+      assert(r.getAs[Boolean]("valid") == (viol == 0L &&
+        r.getAs[Boolean]("starts_user") && r.getAs[Boolean]("ends_assistant")))
+    }
+    // golden: per-user sequential fold over the ordered turn stream
+    val userRoles = Set("view", "click", "signup")
+    val ev = Tables.events(spark, sf)
+      .orderBy(col("user_id"), col("ts"), col("event_id"))
+      .select(col("user_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), if (userRoles(r.getString(1))) "user" else "assistant"))
+    val byUser = ev.groupBy(_._1).view.mapValues(_.map(_._2).toSeq)
+    val audited = rows.map(r => r.getAs[Long]("user_id") -> r).toMap
+    assert(audited.keySet == byUser.keySet.toSet)
+    byUser.foreach { case (u, roles) =>
+      val viol = roles.sliding(2).count { case Seq(a, b) => a == b; case _ => false }
+      var (run, maxRun) = (0L, 0L)
+      var prev = ""
+      roles.foreach { ro =>
+        run = if (ro == prev) run + 1 else 1L; prev = ro
+        maxRun = math.max(maxRun, run)
+      }
+      val r = audited(u)
+      assert(r.getAs[Long]("n_violations") == viol.toLong, s"user $u violations")
+      assert(r.getAs[Long]("max_run") == maxRun, s"user $u max_run")
+      assert(r.getAs[Boolean]("starts_user") == (roles.head == "user"))
+      assert(r.getAs[Boolean]("ends_assistant") == (roles.last == "assistant"))
+    }
+  }
 }

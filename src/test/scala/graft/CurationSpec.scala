@@ -426,4 +426,24 @@ class CurationSpec extends SparkSpecBase {
     assert(lk.agg(sum(col("n_pairs"))).head.getLong(0) == pairs.count(),
       "every near-dup pair must land in exactly one source-pair bucket")
   }
+
+  test("q195 zipf audit: natural-text spectrum invariants per source") {
+    val rows = graft.queries.CurationQueries.queries("q195_zipf_audit")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // frequencies are non-increasing in rank, so the LS slope on the
+      // log-log spectrum can never be positive
+      assert(r.getAs[Double]("zipf_slope") <= 0.0, s"positive slope: $r")
+      assert(r.getAs[Long]("n_head") >= 1L && r.getAs[Long]("n_head") <= 200L)
+      val (vocab, toks) = (r.getAs[Long]("vocab"), r.getAs[Long]("n_tokens"))
+      assert(vocab >= 1L && vocab <= toks, s"vocab exceeds token count: $r")
+      val heaps = r.getAs[Double]("heaps_coeff")
+      assert(math.abs(heaps -
+        math.rint(vocab / math.sqrt(toks.toDouble) * 1e6) / 1e6) < 1e-9)
+      // the most frequent word's ln-freq bounds the fitted intercept from
+      // below only loosely; just pin finiteness of the published pair
+      assert(!r.getAs[Double]("zipf_intercept").isNaN)
+    }
+  }
 }

@@ -162,4 +162,30 @@ class OpsSpec extends SparkSpecBase {
     assert(per.map(_.getLong(2)).sum > 0, "no outliers flagged anywhere")
     o.unpersist()
   }
+
+  test("q193 label noise: vote algebra over k=5 neighborhoods is consistent") {
+    val rows = OpsQueries.queries("q193_knn_label_noise")(spark, sf).collect()
+    val sliceN = graft.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") < 300).count()
+    assert(rows.length.toLong == sliceN, "one verdict row per sliced vector")
+    rows.foreach { r =>
+      val (votes, agree) = (r.getAs[Long]("n_votes"), r.getAs[Long]("n_agree"))
+      assert(votes >= 1L && votes <= 5L, s"winner votes out of range: $r")
+      assert(agree >= 0L && agree <= 5L)
+      val suspect = r.getAs[Boolean]("suspect")
+      assert(suspect == (r.getAs[Int]("knn_label") != r.getAs[Int]("label")))
+      if (!suspect)
+        // winner IS the own label, so its vote count is the agreement count
+        assert(votes == agree, s"non-suspect vote mismatch: $r")
+      else {
+        // winner and own label split the 5 neighbors
+        assert(votes + agree <= 5L, s"suspect votes overlap: $r")
+        // a strict majority (>=3) for the own label always wins the
+        // argmax, and the winner never polls below the loser
+        assert(agree <= 2L && votes >= agree, s"majority lost the vote: $r")
+      }
+    }
+    assert(rows.exists(_.getAs[Boolean]("suspect")),
+      "synthetic labels vs cosine geometry should flag at least one suspect")
+  }
 }

@@ -161,10 +161,14 @@ class RetrievalSpec extends SparkSpecBase {
     // under the cap: passes rows through untouched
     val ok = Retrieval.requireEvalBounded(docs.limit(5), 5L, "tiny eval")
     assert(ok.count() == 5)
-    // over the cap: refuses to build the plan (the q144/q177 guard)
-    val e = intercept[IllegalArgumentException] {
-      Retrieval.requireEvalBounded(docs, 3L, "oversized eval")
-    }
-    assert(e.getMessage.contains("eval-set contract"))
+    // LAZY (round 11): plan construction is free — no Spark job, no
+    // throw — the guard fires at EXECUTION time (the q144/q177 guard)
+    val oversized = Retrieval.requireEvalBounded(docs, 3L, "oversized eval")
+    val e = intercept[Exception] { oversized.count() }
+    // Spark wraps raise_error; the contract message must surface somewhere
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("eval-set contract")), e.toString)
   }
 }

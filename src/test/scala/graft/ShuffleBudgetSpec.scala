@@ -47,7 +47,7 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "q70_decontaminate" -> 3,
     "q128_cluster_canonical" -> 3,
     "q140_contam_score" -> 3,
-    "q144_retrieval_eval" -> 3,
+    "q144_retrieval_eval" -> 4, // +1: lazy eval-contract guard's count branch (r11)
     "q147_span_dedup" -> 3,           // countDistinct expand + sort
     "q149_winnow_dedup" -> 3,
     "q156_exact_substr" -> 3,         // gram agg + hit join + doc window
@@ -89,7 +89,7 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "q173_dialog_pack" -> 2,   // user-key window reused by session agg + sort
     "q174_dedup_recall" -> 10, // 3 tiers' pair generators + 3 stat aggs + union sort
     "q175_contrastive_pairs" -> 6, // argmax agg + batch equi-join + anchor window + sort
-    "q177_ndcg_graded" -> 3,   // shares q144's shingle join + grade rollup + sort
+    "q177_ndcg_graded" -> 4,   // shares q144's shingle join + grade rollup + sort; +1 lazy guard count branch (r11)
     "q182_domain_cap" -> 12, // link extract + 2 argmax aggs + grouped prefix sum + ledger
     // round-10 de-windowed eval pair: budgetSelect's persisted prefix
     // frame is re-derived by each consumer, so the cached subtree's

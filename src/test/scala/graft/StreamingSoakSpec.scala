@@ -68,6 +68,27 @@ class StreamingSoakSpec extends SparkSpecBase {
     val qname = s"graft_soak_${soakSeq.incrementAndGet()}"
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    // Track ingestion with a RUNNING total from a listener, and keep
+    // our own progress log: q.recentProgress is a bounded ring buffer
+    // (default 100 entries), so at a 100ms trigger with long waits the
+    // early data-bearing entries rotate out — re-summing it makes the
+    // cumulative target unreachable and fails the soak spuriously.
+    val ingested = new java.util.concurrent.atomic.AtomicLong(0L)
+    val progressLog =
+      new java.util.concurrent.ConcurrentLinkedQueue[StreamingQueryProgress]()
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
+        if (e.progress.name == qname) {
+          ingested.addAndGet(e.progress.numInputRows)
+          progressLog.add(e.progress)
+        }
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
     val q = transform(stream).writeStream
       .format("memory").queryName(qname).outputMode("append")
       .trigger(Trigger.ProcessingTime("100 milliseconds"))
@@ -78,17 +99,21 @@ class StreamingSoakSpec extends SparkSpecBase {
         expected += c.count()
         landChunk(dir, i, c)
         val target = expected
-        assert(pollUntil(30000L) {
-          q.recentProgress.map(_.numInputRows).sum >= target
-        }, s"soak stalled: chunk $i not ingested within 30s")
+        assert(pollUntil(30000L) { ingested.get() >= target },
+          s"soak stalled: chunk $i not ingested within 30s")
       }
       // trailing no-data batches: watermark commits + timer firings
       assert(pollUntil(30000L) { settled(spark.table(qname)) },
         "soak emissions did not settle within 30s of last chunk")
-      val progress = q.recentProgress.toSeq
+      val progress =
+        scala.jdk.CollectionConverters.IteratorHasAsScala(
+          progressLog.iterator()).asScala.toSeq
       val dataBatches = progress.count(_.numInputRows > 0)
       (spark.table(qname), progress, dataBatches)
-    } finally q.stop()
+    } finally {
+      q.stop()
+      spark.streams.removeListener(listener)
+    }
   }
 
   test("EWMA monitor under a live ProcessingTime soak: 12 batches, golden parity, bounded state") {
