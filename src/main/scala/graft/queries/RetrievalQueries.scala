@@ -178,6 +178,70 @@ object RetrievalQueries {
             .as("rrf"))
         .orderBy(col("rrf").desc, col("id"))
         .limit(20)
+    },
+
+    // §2.3 (round 11) — MMR DIVERSE top-k selection (Carbonell-
+    // Goldstein'98): pure relevance ranking returns 10 near-copies of
+    // the same answer; MMR re-ranks the candidate pool step by step,
+    // score(c) = λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s), trading
+    // relevance against redundancy — the shape behind diverse eval-set
+    // construction and dedup'd RAG contexts. k=5 greedy steps over a
+    // 20-candidate pool per query are UNROLLED into one declarative
+    // plan (the q91 PageRank discipline — fixed iterations, no driver
+    // loop): each step is an anti-join (drop selected), a bounded
+    // max-sim agg against the growing picked set, and one
+    // max(struct) argmax. All frames are (queries × 20)-bounded. The
+    // trajectory runs in EXACT INTEGER MICRO-UNITS: rel/sim are
+    // round(.,6) cosines lifted to ×1e6 longs, score_u = 7·rel_u −
+    // 3·ms_u (λ=0.7 at scale 10), and the published score is the one
+    // IEEE division score_u/1e7 — zero round() calls in the greedy
+    // loop, so no Spark-HALF_UP vs DuckDB-binary-nearest midpoint can
+    // ever split the trajectory (0.7 × a 6-dp value IS such a
+    // midpoint; it fired on first contact at sf0.01).
+    "q197_mmr_select" -> { (s, d) =>
+      import graft.Caching.ScopedPersist
+      import graft.operators.Similarity
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val cand = Similarity.bruteForceTopK(
+          emb, emb.filter(col("vec_id") < 5), k = 20)
+        .select(col("query_id"), col("neighbor_id"),
+          round(col("cos_sim") * 1e6).cast("long").as("rel_u"))
+        .scopedPersist() // consumers: pair sims + every greedy step
+      val psim = cand.select(col("query_id"), col("neighbor_id").as("a"))
+        .join(cand.select(col("query_id"), col("neighbor_id").as("b")),
+          "query_id")
+        .filter(col("a") =!= col("b"))
+        .join(emb.select(col("vec_id").as("a"), col("embedding").as("e_a")), "a")
+        .join(emb.select(col("vec_id").as("b"), col("embedding").as("e_b")), "b")
+        .select(col("query_id"), col("a"), col("b"),
+          round(round(GraftFunctions.cosine(col("e_a"), col("e_b")), 6) * 1e6)
+            .cast("long").as("sim_u"))
+        .scopedPersist() // consumers: steps 2..5
+      def argmaxPick(scored: DataFrame, step: Int): DataFrame =
+        scored.groupBy(col("query_id"))
+          .agg(max(struct(col("score_u"), (-col("neighbor_id")).as("nid")))
+            .as("m"))
+          .select(col("query_id"), (-col("m.nid")).as("vec_id"),
+            lit(step).as("step"),
+            (col("m.score_u") / lit(1.0e7)).as("mmr_score"))
+      val first = argmaxPick(
+        cand.select(col("query_id"), col("neighbor_id"),
+          (lit(7L) * col("rel_u")).as("score_u")), 1)
+      val selected = (2 to 5).foldLeft(first) { (sel, step) =>
+        val remaining = cand.join(sel,
+          cand("query_id") === sel("query_id") &&
+            cand("neighbor_id") === sel("vec_id"), "left_anti")
+        val ms = psim.join(sel.select(col("query_id"), col("vec_id").as("b")),
+            Seq("query_id", "b"))
+          .groupBy(col("query_id"), col("a")).agg(max(col("sim_u")).as("ms_u"))
+        val scored = remaining
+          .join(ms, remaining("query_id") === ms("query_id") &&
+            remaining("neighbor_id") === ms("a"))
+          .select(remaining("query_id"), col("neighbor_id"),
+            (lit(7L) * col("rel_u") - lit(3L) * col("ms_u")).as("score_u"))
+        sel.unionByName(argmaxPick(scored, step))
+      }
+      selected.orderBy(col("query_id"), col("step"))
     }
   )
 
@@ -257,6 +321,75 @@ object RetrievalQueries {
          |    / (7.0 / (ln(2.0) / ln(2.0)) + 1.0 / (ln(3.0) / ln(2.0))
          |       + 1.0 / (ln(4.0) / ln(2.0))), 6) AS ndcg10
          |FROM g WHERE g > 0 GROUP BY qid ORDER BY qid""".stripMargin,
+
+    // MMR: the 5 greedy steps unrolled as chained CTEs (the q91
+    // discipline); the whole trajectory runs in exact ×1e6 BIGINT
+    // micro-units (score_u = 7·rel_u − 3·ms_u) and the published
+    // score is the single IEEE division score_u/1e7 — no ROUND() in
+    // the loop, so no HALF_UP-vs-binary-nearest midpoint can split
+    // the engines (0.7 × a 6-dp cosine IS such a midpoint)
+    "q197_mmr_select" -> {
+      val stepCtes = (2 to 5).map { t =>
+        s"""ms$t AS (SELECT p.query_id, p.a, MAX(p.sim_u) AS ms_u
+           |  FROM psim p JOIN selu${t - 1} s
+           |    ON s.query_id = p.query_id AND s.vec_id = p.b
+           |  GROUP BY 1, 2),
+           |s$t AS (SELECT query_id, a AS vec_id, $t AS step,
+           |          sc_u / CAST(1e7 AS DOUBLE) AS mmr_score
+           |  FROM (
+           |    SELECT c.query_id, c.neighbor_id AS a,
+           |      7 * c.rel_u - 3 * m.ms_u AS sc_u,
+           |      row_number() OVER (PARTITION BY c.query_id
+           |        ORDER BY 7 * c.rel_u - 3 * m.ms_u DESC,
+           |                 c.neighbor_id) AS rn
+           |    FROM cand c
+           |    JOIN ms$t m ON m.query_id = c.query_id AND m.a = c.neighbor_id
+           |    LEFT JOIN selu${t - 1} s
+           |      ON s.query_id = c.query_id AND s.vec_id = c.neighbor_id
+           |    WHERE s.vec_id IS NULL)
+           |  WHERE rn = 1),
+           |selu$t AS (SELECT * FROM selu${t - 1} UNION ALL SELECT * FROM s$t)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH cand AS (
+         |  SELECT query_id, neighbor_id,
+         |    CAST(ROUND(cos_sim * 1000000) AS BIGINT) AS rel_u
+         |  FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |      round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+         |                                   CAST(c.embedding AS DOUBLE[])), 6)
+         |        AS cos_sim,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY round(list_cosine_similarity(
+         |                   CAST(q.embedding AS DOUBLE[]),
+         |                   CAST(c.embedding AS DOUBLE[])), 6) DESC,
+         |                 c.vec_id) AS rn
+         |    FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+         |    WHERE q.vec_id < 5)
+         |  WHERE rn <= 20),
+         |psim AS (
+         |  SELECT c1.query_id, c1.neighbor_id AS a, c2.neighbor_id AS b,
+         |    CAST(ROUND(round(list_cosine_similarity(
+         |           CAST(ea.embedding AS DOUBLE[]),
+         |           CAST(eb.embedding AS DOUBLE[])), 6) * 1000000) AS BIGINT)
+         |      AS sim_u
+         |  FROM cand c1
+         |  JOIN cand c2 ON c2.query_id = c1.query_id
+         |              AND c2.neighbor_id <> c1.neighbor_id
+         |  JOIN embeddings ea ON ea.vec_id = c1.neighbor_id
+         |  JOIN embeddings eb ON eb.vec_id = c2.neighbor_id),
+         |s1 AS (SELECT query_id, neighbor_id AS vec_id, 1 AS step,
+         |         sc_u / CAST(1e7 AS DOUBLE) AS mmr_score
+         |  FROM (
+         |    SELECT query_id, neighbor_id, 7 * rel_u AS sc_u,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY 7 * rel_u DESC, neighbor_id) AS rn
+         |    FROM cand)
+         |  WHERE rn = 1),
+         |selu1 AS (SELECT * FROM s1),
+         |$stepCtes
+         |SELECT query_id, vec_id, step, mmr_score FROM selu5
+         |ORDER BY query_id, step""".stripMargin
+    },
 
     "q84_chunk_documents" ->
       s"""WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents),

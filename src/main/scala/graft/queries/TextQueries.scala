@@ -1374,6 +1374,87 @@ object TextQueries {
           round(col("n_words").cast("double") / col("n_chunks"), 6)
             .as("avg_chunk_words"))
         .orderBy(col("source"))
+    },
+
+    // §2.3 (round 11) — PMI COLLOCATION mining (the word2vec-phrases /
+    // Church-Hanks shape): adjacent word pairs whose joint frequency
+    // beats independence by the largest pointwise-mutual-information
+    // margin are phrase candidates ("new york"), the preprocessing
+    // pass behind phrase-aware tokenization. One bigram explode +
+    // uniform-key groupBy, broadcast 1-row corpus totals, and the
+    // top-50 via orderBy+limit (TakeOrderedAndProject — per-partition
+    // heads, NEVER a corpus-wide single-partition window). The cut
+    // ranks on the EXACT integer-derived ratio c_xy/(c_x·c_y) (PMI is
+    // monotone in it at fixed totals), so the selected SET is
+    // identical across engines even where ln() differs by an ulp.
+    "q198_pmi_collocations" -> { (s, d) =>
+      import graft.Caching.ScopedPersist
+      val ws0 = Tables.documents(s, d)
+        .select(GraftFunctions.normWords(col("text")).as("ws"))
+        .scopedPersist() // consumers: totals + unigrams + bigrams
+      val tot = ws0.agg(
+        sum(size(col("ws"))).cast("double").as("n_tokens"),
+        sum(greatest(size(col("ws")) - 1, lit(0))).cast("double")
+          .as("n_bigrams"))
+      val uni = ws0.select(explode(col("ws")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+        .scopedPersist() // consumers: w1 join + w2 join
+      val bi = ws0
+        .select(explode(GraftFunctions.wordShingles(col("ws"), 2)).as("sh"))
+        .groupBy(col("sh")).agg(count(lit(1)).as("c_xy"))
+        .filter(col("c_xy") >= 5)
+        .select(element_at(split(col("sh"), " "), 1).as("w1"),
+          element_at(split(col("sh"), " "), 2).as("w2"), col("c_xy"))
+      bi.join(uni.select(col("w").as("w1"), col("c").as("c_x")), "w1")
+        .join(uni.select(col("w").as("w2"), col("c").as("c_y")), "w2")
+        .crossJoin(broadcast(tot))
+        .select(col("w1"), col("w2"), col("c_xy"), col("c_x"), col("c_y"),
+          round(log((col("c_xy") / col("n_bigrams")) /
+            ((col("c_x") / col("n_tokens")) * (col("c_y") / col("n_tokens")))),
+            6).as("pmi"),
+          (col("c_xy").cast("double") / (col("c_x") * col("c_y"))).as("__r"))
+        .orderBy(col("__r").desc, col("w1"), col("w2"))
+        .limit(50)
+        .drop("__r")
+        .orderBy(col("pmi").desc, col("w1"), col("w2"))
+    },
+
+    // §2.3 (round 11) — EDIT-DISTANCE dedup VERIFY tier: q33 verifies
+    // LSH candidates by shingle Jaccard (order-insensitive); this is
+    // the order-SENSITIVE twin — Levenshtein distance on the
+    // normalized text, the verifier that distinguishes a reshuffled
+    // document from a truly edited one. Runs ONLY on the bucket-
+    // bounded q31b candidate pairs (O(len²) per pair is affordable
+    // exactly because the LSH tier already cut the corpus² to
+    // candidate pairs); the duplicate verdict compares 5·dist against
+    // the longer length in EXACT integer arithmetic — no float
+    // threshold to straddle.
+    "q199_edit_verify" -> { (s, d) =>
+      import graft.Caching.ScopedPersist
+      val corpus = plantedCorpus(s, d)
+      val norm = corpus
+        .select(col("doc_id"),
+          array_join(GraftFunctions.normWords(col("text")), " ").as("ntext"))
+        .scopedPersist() // consumers: both pair sides
+      val pairs = Dedup.lshCandidatePairs(
+        Dedup.lshBandsMd5Narrow(corpus, "doc_id", "text",
+          shingleWidth = 3, nSeeds = 8, rowsPerBand = 4))
+      pairs
+        .join(norm.select(col("doc_id").as("doc_a"), col("ntext").as("ta")),
+          "doc_a")
+        .join(norm.select(col("doc_id").as("doc_b"), col("ntext").as("tb")),
+          "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          levenshtein(col("ta"), col("tb")).cast("long").as("dist"),
+          length(col("ta")).cast("long").as("len_a"),
+          length(col("tb")).cast("long").as("len_b"))
+        .select(col("doc_a"), col("doc_b"), col("dist"), col("len_a"),
+          col("len_b"),
+          round(lit(1.0) - col("dist").cast("double") /
+            greatest(col("len_a"), col("len_b")), 6).as("edit_sim"),
+          (col("dist") * 5 <= greatest(col("len_a"), col("len_b")))
+            .as("is_dup"))
+        .orderBy(col("doc_a"), col("doc_b"))
     }
   )
 
@@ -2575,6 +2656,71 @@ object TextQueries {
          |  ROUND(CAST(wt.n_words AS DOUBLE) / COUNT(*), 6) AS avg_chunk_words
          |FROM ch JOIN wt ON wt.source = ch.source
          |GROUP BY ch.source, wt.n_words
-         |ORDER BY ch.source""".stripMargin
+         |ORDER BY ch.source""".stripMargin,
+
+    // PMI collocations: the top-50 cut ranks on the exact
+    // integer-derived ratio (identical doubles both engines); ln()
+    // only appears inside the published round(.,6) score
+    "q198_pmi_collocations" ->
+      s"""WITH w0 AS (SELECT $wsSql AS ws FROM documents),
+         |tot AS (SELECT CAST(SUM(len(ws)) AS DOUBLE) AS n_tokens,
+         |          CAST(SUM(greatest(len(ws) - 1, 0)) AS DOUBLE) AS n_bigrams
+         |        FROM w0),
+         |uni AS (SELECT w, COUNT(*) AS c
+         |        FROM (SELECT unnest(ws) AS w FROM w0) GROUP BY w),
+         |bi AS (SELECT sh, COUNT(*) AS c_xy FROM (
+         |         SELECT unnest([array_to_string(ws[i:i+1],' ') for i in generate_series(1, len(ws)-1)]) AS sh
+         |         FROM w0 WHERE len(ws) >= 2)
+         |       GROUP BY sh HAVING COUNT(*) >= 5)
+         |SELECT w1, w2, c_xy, c_x, c_y,
+         |  ROUND(ln((c_xy / n_bigrams) /
+         |    ((c_x / n_tokens) * (c_y / n_tokens))), 6) AS pmi
+         |FROM (
+         |  SELECT string_split(b.sh, ' ')[1] AS w1,
+         |    string_split(b.sh, ' ')[2] AS w2,
+         |    CAST(b.c_xy AS BIGINT) AS c_xy, CAST(u1.c AS BIGINT) AS c_x,
+         |    CAST(u2.c AS BIGINT) AS c_y, t.n_tokens, t.n_bigrams
+         |  FROM bi b
+         |  JOIN uni u1 ON u1.w = string_split(b.sh, ' ')[1]
+         |  JOIN uni u2 ON u2.w = string_split(b.sh, ' ')[2]
+         |  CROSS JOIN tot t
+         |  ORDER BY CAST(b.c_xy AS DOUBLE) / (u1.c * u2.c) DESC,
+         |    string_split(b.sh, ' ')[1], string_split(b.sh, ' ')[2]
+         |  LIMIT 50)
+         |ORDER BY pmi DESC, w1, w2""".stripMargin,
+
+    // edit-distance verify over the exact q31b candidate pairs;
+    // levenshtein is the classic integer DP in both engines and the
+    // dup verdict is a pure integer comparison
+    "q199_edit_verify" ->
+      s"""WITH $corpusSql,
+         |w AS (SELECT doc_id, $wsSql AS ws FROM corpus),
+         |nt AS (SELECT doc_id, array_to_string(ws, ' ') AS ntext FROM w),
+         |sh AS (SELECT DISTINCT doc_id,
+         |         unnest([array_to_string(ws[i:i+2],' ') for i in generate_series(1, len(ws)-2)]) AS sh
+         |       FROM w WHERE len(ws) >= 3),
+         |seeds AS (SELECT unnest(generate_series(0,7)) AS seed),
+         |sigs AS (SELECT doc_id, seed,
+         |           MIN(substr(md5(sh), seed*4+1, 4)) AS minhash
+         |         FROM sh CROSS JOIN seeds GROUP BY doc_id, seed),
+         |bands AS (SELECT doc_id, seed // 4 AS band,
+         |            md5(string_agg(minhash, ',' ORDER BY seed)) AS band_sig
+         |          FROM sigs GROUP BY doc_id, seed // 4),
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |          FROM bands a JOIN bands b
+         |            ON a.band = b.band AND a.band_sig = b.band_sig
+         |           AND a.doc_id < b.doc_id)
+         |SELECT p.doc_a, p.doc_b,
+         |  CAST(levenshtein(na.ntext, nb.ntext) AS BIGINT) AS dist,
+         |  CAST(length(na.ntext) AS BIGINT) AS len_a,
+         |  CAST(length(nb.ntext) AS BIGINT) AS len_b,
+         |  ROUND(1.0 - CAST(levenshtein(na.ntext, nb.ntext) AS DOUBLE)
+         |    / greatest(length(na.ntext), length(nb.ntext)), 6) AS edit_sim,
+         |  levenshtein(na.ntext, nb.ntext) * 5
+         |    <= greatest(length(na.ntext), length(nb.ntext)) AS is_dup
+         |FROM pairs p
+         |JOIN nt na ON na.doc_id = p.doc_a
+         |JOIN nt nb ON nb.doc_id = p.doc_b
+         |ORDER BY doc_a, doc_b""".stripMargin
   )
 }

@@ -553,4 +553,43 @@ class DedupSimilaritySpec extends SparkSpecBase {
     val again = TextQueries.queries("q196_cdc_chunks")(spark, sf).collect()
     assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
   }
+
+  test("q198 PMI collocations: count algebra and cut bounds") {
+    val rows = TextQueries.queries("q198_pmi_collocations")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    val seen = scala.collection.mutable.Set[(String, String)]()
+    rows.foreach { r =>
+      val (cxy, cx, cy) = (r.getAs[Long]("c_xy"), r.getAs[Long]("c_x"),
+        r.getAs[Long]("c_y"))
+      assert(cxy >= 5L, s"min-count cut leaked: $r")
+      // a bigram can occur at most as often as either of its words
+      assert(cx >= cxy && cy >= cxy, s"marginals below the joint: $r")
+      assert(!r.getAs[Double]("pmi").isNaN && !r.getAs[Double]("pmi").isInfinite)
+      assert(seen.add((r.getAs[String]("w1"), r.getAs[String]("w2"))),
+        s"duplicate collocation emitted: $r")
+    }
+  }
+
+  test("q199 edit verify: planted exact copies verify at distance zero") {
+    val rows = TextQueries.queries("q199_edit_verify")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (dist, la, lb) = (r.getAs[Long]("dist"), r.getAs[Long]("len_a"),
+        r.getAs[Long]("len_b"))
+      assert(dist >= 0L && dist <= math.max(la, lb),
+        s"levenshtein out of bounds: $r")
+      assert(r.getAs[Boolean]("is_dup") == (dist * 5 <= math.max(la, lb)))
+      val sim = r.getAs[Double]("edit_sim")
+      assert(sim >= 0.0 - 1e-9 && sim <= 1.0)
+    }
+    // every planted copy pair (d, d+1_000_000) that LSH surfaces must
+    // verify as an exact duplicate
+    val planted = rows.filter(r =>
+      r.getAs[Long]("doc_b") == r.getAs[Long]("doc_a") + 1000000L)
+    assert(planted.nonEmpty, "no planted copy pair surfaced")
+    planted.foreach { r =>
+      assert(r.getAs[Long]("dist") == 0L && r.getAs[Double]("edit_sim") == 1.0
+        && r.getAs[Boolean]("is_dup"), s"planted copy failed verify: $r")
+    }
+  }
 }

@@ -171,4 +171,36 @@ class RetrievalSpec extends SparkSpecBase {
         Option(x.getMessage).toSeq ++ messages(x.getCause))
     assert(messages(e).exists(_.contains("eval-set contract")), e.toString)
   }
+
+  test("q197 MMR: greedy trajectory invariants") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.queries.RetrievalQueries.queries("q197_mmr_select")(spark, sf)
+      .collect()
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (q, picks) =>
+      assert(picks.length == 5, s"query $q picked ${picks.length} != 5")
+      assert(picks.map(_.getAs[Int]("step")).sorted.sameElements(1 to 5))
+      val ids = picks.map(_.getAs[Long]("vec_id"))
+      assert(ids.distinct.length == 5, s"query $q re-picked a candidate")
+      // score(c) only falls as the selected set grows, so the picked
+      // scores are non-increasing along the trajectory
+      val scores = picks.sortBy(_.getAs[Int]("step")).map(_.getAs[Double]("mmr_score"))
+      scores.sliding(2).foreach { case Array(a, b) =>
+        assert(b <= a + 1e-9, s"query $q trajectory rose: $a -> $b")
+      }
+    }
+    // step 1 is the pure-relevance argmax: 0.7 × the q34 top-1 cosine
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val top1 = graft.operators.Similarity
+      .bruteForceTopK(emb, emb.filter(col("vec_id") < 5), k = 1)
+      .collect().map(r =>
+        r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+    byQ.foreach { case (q, picks) =>
+      val p1 = picks.find(_.getAs[Int]("step") == 1).get
+      assert(p1.getAs[Long]("vec_id") == top1(q),
+        s"query $q step 1 is not the relevance argmax")
+    }
+  }
 }
