@@ -520,6 +520,54 @@ case class CountMatches(left: Expression, right: Expression)
   override def prettyName: String = "graft_count_matches"
 }
 
+/** Word-level longest-common-subsequence kernel — the ROUGE-L core
+  * (Lin'04). Classic O(|a|·|b|) DP with a two-row rolling buffer;
+  * words compare as UTF8String (no JVM String churn). Quadratic per
+  * PAIR — callers must feed bounded candidate pairs (the q199
+  * discipline: LSH/blocked candidates only), never a cross join.
+  */
+object LcsOps {
+  def lcsLen(a: ArrayData, b: ArrayData): Long = {
+    val n = a.numElements()
+    val m = b.numElements()
+    if (n == 0 || m == 0) return 0L
+    val bw = new Array[UTF8String](m)
+    var j = 0
+    while (j < m) { bw(j) = b.getUTF8String(j); j += 1 }
+    var prev = new Array[Int](m + 1)
+    var cur = new Array[Int](m + 1)
+    var i = 0
+    while (i < n) {
+      val aw = a.getUTF8String(i)
+      j = 0
+      while (j < m) {
+        cur(j + 1) =
+          if (aw.equals(bw(j))) prev(j) + 1
+          else if (prev(j + 1) >= cur(j)) prev(j + 1)
+          else cur(j)
+        j += 1
+      }
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    prev(m).toLong
+  }
+}
+
+/** Codegen'd word-level LCS length over two array<string> columns. */
+case class LcsLength(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    LcsOps.lcsLen(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.LcsOps.lcsLen($a, $b);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "graft_lcs_len"
+}
+
 /** Codegen'd Unicode NFC normalization of a string. */
 case class NfcNormalize(child: Expression) extends UnaryExpression {
   override def dataType: DataType = org.apache.spark.sql.types.StringType
@@ -606,6 +654,9 @@ object GraftFunctions {
 
   def maxSim(q: Column, d: Column, m: Int): Column =
     toCol(MaxSimScore(toExpr(q), toExpr(d), m))
+
+  def lcsLen(a: Column, b: Column): Column =
+    toCol(LcsLength(toExpr(a), toExpr(b)))
 
   def hashedFeatures(words: Column, dims: Int): Column =
     toCol(HashedFeatureVec(toExpr(words), dims))

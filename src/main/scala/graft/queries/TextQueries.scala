@@ -48,6 +48,51 @@ object TextQueries {
         .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
   }
 
+  /** Content-defined chunk table (q196/q200): per (doc, chunk) the
+    * chunk-content hash `h` and words-per-chunk `wpc`. Boundary rule:
+    * a word whose md5 lane ≡ 0 mod 8 closes its chunk; chunk ids are
+    * doc-PARTITIONED prefix sums over the boundary flags.
+    */
+  private def cdcChunkTable(docs: DataFrame): DataFrame = {
+    val pe = docs
+      .select(col("doc_id"), col("source"),
+        posexplode(GraftFunctions.normWords(col("text"))))
+      .select(col("doc_id"), col("source"), col("pos"), col("col").as("word"))
+      .withColumn("bflag",
+        (conv(substring(md5(col("word")), 1, 8), 16, 10).cast("long") % 8
+          === 0).cast("long"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    pe.withColumn("cid", sum(col("bflag")).over(w) - col("bflag"))
+      .groupBy(col("doc_id"), col("source"), col("cid"))
+      .agg(md5(array_join(
+        transform(sort_array(collect_list(struct(col("pos"), col("word")))),
+          x => x.getField("word")), " ")).as("h"),
+        count(lit(1)).as("wpc"))
+  }
+
+  /** The mergeable per-(source, chunk-hash) count index over a chunk
+    * table — counts ADD across index shards, so base ⊎ delta merges
+    * without rescanning base documents (q200).
+    */
+  private def cdcChunkIndex(chunks: DataFrame): DataFrame =
+    chunks.groupBy(col("source"), col("h"), col("wpc"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** q196's per-source duplication rollup straight off a chunk table. */
+  private def cdcRollup(chunks: DataFrame): DataFrame =
+    chunks.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct(col("h")).as("n_distinct_chunks"),
+        sum(col("wpc")).cast("long").as("n_words"))
+      .select(col("source"), col("n_words"), col("n_chunks"),
+        col("n_distinct_chunks"),
+        round(lit(1.0) -
+          col("n_distinct_chunks").cast("double") / col("n_chunks"), 6)
+          .as("dup_chunk_ratio"),
+        round(col("n_words").cast("double") / col("n_chunks"), 6)
+          .as("avg_chunk_words"))
+      .orderBy(col("source"))
+
   /** Planted encoding-corruption rows shared VERBATIM by the q139
     * query and its oracle (interpolated into the SQL, so both engines
     * see identical code points): classic UTF-8→Latin-1 mojibake
@@ -1343,29 +1388,30 @@ object TextQueries {
     // per-source rollup measures the chunk-level duplication a
     // CDC-addressed store would reclaim.
     "q196_cdc_chunks" -> { (s, d) =>
-      import graft.Caching.ScopedPersist
-      val pe = Tables.documents(s, d)
-        .select(col("doc_id"), col("source"),
-          posexplode(GraftFunctions.normWords(col("text"))))
-        .select(col("doc_id"), col("source"), col("pos"),
-          col("col").as("word"))
-        .withColumn("bflag",
-          (conv(substring(md5(col("word")), 1, 8), 16, 10).cast("long") % 8
-            === 0).cast("long"))
-        .scopedPersist() // consumers: chunk assembly + per-source word totals
-      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      val chunks = pe
-        .withColumn("cid", sum(col("bflag")).over(w) - col("bflag"))
-        .groupBy(col("doc_id"), col("source"), col("cid"))
-        .agg(md5(array_join(
-          transform(sort_array(collect_list(struct(col("pos"), col("word")))),
-            x => x.getField("word")), " ")).as("h"))
-      val words = pe.groupBy(col("source"))
-        .agg(count(lit(1)).as("n_words"))
-      chunks.groupBy(col("source"))
-        .agg(count(lit(1)).as("n_chunks"),
-          countDistinct(col("h")).as("n_distinct_chunks"))
-        .join(words, "source")
+      cdcRollup(cdcChunkTable(Tables.documents(s, d)))
+    },
+
+    // §2.3 (round 11) — INCREMENTAL CDC chunk-INDEX maintenance: the
+    // q180 discipline applied to q196 — the per-(source, chunk-hash)
+    // COUNT index is mergeable (counts add; a hash names its text, so
+    // words-per-chunk rides along), which means a daily delta only
+    // chunks ITS OWN documents and the multi-TB base index is never
+    // rescanned. The oracle is q196's FULL-SCAN rollup, so hash
+    // equality PROVES base ⊎ delta ≡ full scan — the entire point of
+    // keying the index by content hash.
+    "q200_cdc_index_merge" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val base = cdcChunkIndex(cdcChunkTable(
+        docs.filter(col("doc_id") % 10 =!= 0)))
+      val delta = cdcChunkIndex(cdcChunkTable(
+        docs.filter(col("doc_id") % 10 === 0)))
+      val merged = base.unionByName(delta)
+        .groupBy(col("source"), col("h"), col("wpc"))
+        .agg(sum(col("cnt")).as("cnt"))
+      merged.groupBy(col("source"))
+        .agg(sum(col("cnt")).cast("long").as("n_chunks"),
+          count(lit(1)).as("n_distinct_chunks"),
+          sum(col("cnt") * col("wpc")).cast("long").as("n_words"))
         .select(col("source"), col("n_words"), col("n_chunks"),
           col("n_distinct_chunks"),
           round(lit(1.0) -
@@ -1455,6 +1501,44 @@ object TextQueries {
           (col("dist") * 5 <= greatest(col("len_a"), col("len_b")))
             .as("is_dup"))
         .orderBy(col("doc_a"), col("doc_b"))
+    },
+
+    // §2.3/§2.5 (round 11) — ROUGE-L similarity tier (Lin'04) on the
+    // codegen'd word-level LCS kernel: the SUBSEQUENCE-sensitive
+    // verifier completing the triad — q33 Jaccard (set overlap), q199
+    // Levenshtein (edit distance), q201 ROUGE-L (ordered-but-gappy
+    // overlap, the summarization/contamination metric). F1 collapses
+    // to 2·LCS/(n_a+n_b) exactly, so precision/recall/F1 are pure
+    // integer ratios. O(n·m) per pair, which is affordable ONLY
+    // because the pairs are the bucket-bounded q31b LSH candidates —
+    // the kernel doc says so and the query obeys it. Rows-only by
+    // design (no SQL engine computes LCS); the kernel and the planted
+    // self-similarity law are pinned in DedupSimilaritySpec.
+    "q201_rouge_l" -> { (s, d) =>
+      import graft.Caching.ScopedPersist
+      val corpus = plantedCorpus(s, d)
+      val ws = corpus
+        .select(col("doc_id"), GraftFunctions.normWords(col("text")).as("ws"))
+        .scopedPersist() // consumers: both pair sides
+      val pairs = Dedup.lshCandidatePairs(
+        Dedup.lshBandsMd5Narrow(corpus, "doc_id", "text",
+          shingleWidth = 3, nSeeds = 8, rowsPerBand = 4))
+      pairs
+        .join(ws.select(col("doc_id").as("doc_a"), col("ws").as("wa")),
+          "doc_a")
+        .join(ws.select(col("doc_id").as("doc_b"), col("ws").as("wb")),
+          "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          GraftFunctions.lcsLen(col("wa"), col("wb")).as("lcs"),
+          size(col("wa")).cast("long").as("n_a"),
+          size(col("wb")).cast("long").as("n_b"))
+        .select(col("doc_a"), col("doc_b"), col("lcs"), col("n_a"),
+          col("n_b"),
+          round(col("lcs").cast("double") / col("n_a"), 6).as("rouge_r"),
+          round(col("lcs").cast("double") / col("n_b"), 6).as("rouge_p"),
+          round(lit(2.0) * col("lcs") / (col("n_a") + col("n_b")), 6)
+            .as("rouge_f1"))
+        .orderBy(col("doc_a"), col("doc_b"))
     }
   )
 
@@ -1530,6 +1614,34 @@ object TextQueries {
        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.s, b.s)) <= 3
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** CDC full-scan rollup — the oracle for BOTH q196 (direct) and
+    * q200 (incremental): hash equality against the same full scan is
+    * what proves the merged base ⊎ delta index exact.
+    */
+  private val cdcRollupSql: String =
+    s"""WITH pe AS (
+       |  SELECT doc_id, source, u.i AS pos, u.w AS word,
+       |    CASE WHEN CAST(('0x' || substr(md5(u.w), 1, 8)) AS UBIGINT) % 8 = 0
+       |         THEN 1 ELSE 0 END AS bflag
+       |  FROM (SELECT doc_id, source, $wsSql AS ws FROM documents),
+       |       unnest([{'i': i - 1, 'w': ws[i]} for i in generate_series(1, len(ws))]) AS t(u)),
+       |r AS (SELECT *, SUM(bflag) OVER (PARTITION BY doc_id ORDER BY pos)
+       |        - bflag AS cid FROM pe),
+       |ch AS (SELECT doc_id, source, cid,
+       |         md5(string_agg(word, ' ' ORDER BY pos)) AS h
+       |       FROM r GROUP BY 1, 2, 3),
+       |wt AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_words
+       |       FROM pe GROUP BY source)
+       |SELECT ch.source, wt.n_words,
+       |  CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       |  CAST(COUNT(DISTINCT h) AS BIGINT) AS n_distinct_chunks,
+       |  ROUND(1.0 - CAST(COUNT(DISTINCT h) AS DOUBLE) / COUNT(*), 6)
+       |    AS dup_chunk_ratio,
+       |  ROUND(CAST(wt.n_words AS DOUBLE) / COUNT(*), 6) AS avg_chunk_words
+       |FROM ch JOIN wt ON wt.source = ch.source
+       |GROUP BY ch.source, wt.n_words
+       |ORDER BY ch.source""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
 
@@ -2633,30 +2745,12 @@ object TextQueries {
 
     // CDC chunking: same md5-lane boundary rule, prefix-sum chunk ids
     // via a windowed running sum, chunk hash over the pos-ordered
-    // string_agg — then the per-source duplication rollup
-    "q196_cdc_chunks" ->
-      s"""WITH pe AS (
-         |  SELECT doc_id, source, u.i AS pos, u.w AS word,
-         |    CASE WHEN CAST(('0x' || substr(md5(u.w), 1, 8)) AS UBIGINT) % 8 = 0
-         |         THEN 1 ELSE 0 END AS bflag
-         |  FROM (SELECT doc_id, source, $wsSql AS ws FROM documents),
-         |       unnest([{'i': i - 1, 'w': ws[i]} for i in generate_series(1, len(ws))]) AS t(u)),
-         |r AS (SELECT *, SUM(bflag) OVER (PARTITION BY doc_id ORDER BY pos)
-         |        - bflag AS cid FROM pe),
-         |ch AS (SELECT doc_id, source, cid,
-         |         md5(string_agg(word, ' ' ORDER BY pos)) AS h
-         |       FROM r GROUP BY 1, 2, 3),
-         |wt AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_words
-         |       FROM pe GROUP BY source)
-         |SELECT ch.source, wt.n_words,
-         |  CAST(COUNT(*) AS BIGINT) AS n_chunks,
-         |  CAST(COUNT(DISTINCT h) AS BIGINT) AS n_distinct_chunks,
-         |  ROUND(1.0 - CAST(COUNT(DISTINCT h) AS DOUBLE) / COUNT(*), 6)
-         |    AS dup_chunk_ratio,
-         |  ROUND(CAST(wt.n_words AS DOUBLE) / COUNT(*), 6) AS avg_chunk_words
-         |FROM ch JOIN wt ON wt.source = ch.source
-         |GROUP BY ch.source, wt.n_words
-         |ORDER BY ch.source""".stripMargin,
+    // string_agg — then the per-source duplication rollup. q200's
+    // oracle is THIS SAME full-scan rollup: hash equality proves the
+    // merged base ⊎ delta index exact.
+    "q196_cdc_chunks" -> cdcRollupSql,
+
+    "q200_cdc_index_merge" -> cdcRollupSql,
 
     // PMI collocations: the top-50 cut ranks on the exact
     // integer-derived ratio (identical doubles both engines); ln()

@@ -592,4 +592,44 @@ class DedupSimilaritySpec extends SparkSpecBase {
         && r.getAs[Boolean]("is_dup"), s"planted copy failed verify: $r")
     }
   }
+
+  test("q201 ROUGE-L: LCS kernel laws and planted self-similarity") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.GraftFunctions
+    // kernel laws on literal token arrays: known value, symmetry,
+    // self-identity, empty side
+    val k = Seq(
+      (Seq("a", "b", "c", "d"), Seq("a", "x", "c", "y")),
+      (Seq("a", "x", "c", "y"), Seq("a", "b", "c", "d")),
+      (Seq("a", "b", "c"), Seq("a", "b", "c")),
+      (Seq[String](), Seq("a", "b")))
+      .toDF("a", "b")
+      .select(GraftFunctions.lcsLen(col("a"), col("b")).as("lcs"))
+      .collect().map(_.getLong(0))
+    assert(k.sameElements(Array(2L, 2L, 3L, 0L)), k.mkString(","))
+    val rows = TextQueries.queries("q201_rouge_l")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (lcs, na, nb) = (r.getAs[Long]("lcs"), r.getAs[Long]("n_a"),
+        r.getAs[Long]("n_b"))
+      assert(lcs >= 0L && lcs <= math.min(na, nb), s"LCS out of bounds: $r")
+      assert(r.getAs[Double]("rouge_f1") <= 1.0 + 1e-9)
+    }
+    // planted exact copies: LCS spans the whole document, F1 = 1
+    val planted = rows.filter(r =>
+      r.getAs[Long]("doc_b") == r.getAs[Long]("doc_a") + 1000000L)
+    assert(planted.nonEmpty, "no planted copy pair surfaced")
+    planted.foreach { r =>
+      assert(r.getAs[Long]("lcs") == r.getAs[Long]("n_a") &&
+        r.getAs[Long]("n_a") == r.getAs[Long]("n_b") &&
+        r.getAs[Double]("rouge_f1") == 1.0, s"planted copy not perfect: $r")
+    }
+  }
+
+  test("q200 incremental CDC index: merged base+delta equals the full scan") {
+    val full = TextQueries.queries("q196_cdc_chunks")(spark, sf).collect()
+    val merged = TextQueries.queries("q200_cdc_index_merge")(spark, sf).collect()
+    assert(full.map(_.toString).sorted.sameElements(merged.map(_.toString).sorted),
+      "incremental CDC index diverged from the full scan")
+  }
 }
