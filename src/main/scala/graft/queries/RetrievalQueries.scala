@@ -227,19 +227,34 @@ object RetrievalQueries {
       val first = argmaxPick(
         cand.select(col("query_id"), col("neighbor_id"),
           (lit(7L) * col("rel_u")).as("score_u")), 1)
-      val selected = (2 to 5).foldLeft(first) { (sel, step) =>
-        val remaining = cand.join(sel,
-          cand("query_id") === sel("query_id") &&
-            cand("neighbor_id") === sel("vec_id"), "left_anti")
-        val ms = psim.join(sel.select(col("query_id"), col("vec_id").as("b")),
-            Seq("query_id", "b"))
+      // each round's selected frame (≤ 5·step rows) checkpoints: it
+      // has TWO consumers per following step (anti-join + max-sim
+      // join), so raw lineage DOUBLES per step — the plan printed
+      // 600+ exchanges before this (measured via PlanCount). The
+      // iterative-family loopCheckpoint discipline (PageRank/CC/BPE)
+      // truncates each round to its materialized result.
+      import graft.Caching.LoopCheckpoint
+      val selected = (2 to 5).foldLeft(
+        first.loopCheckpoint()) { (sel, step) =>
+        // explicit renames, not dataset-qualified refs: the
+        // checkpointed frame keeps its attribute ids, which defeats
+        // Dataset self-join disambiguation
+        val selK = sel.select(col("query_id").as("s_qid"),
+          col("vec_id").as("s_vid"))
+        val remaining = cand.join(selK,
+          col("query_id") === col("s_qid") &&
+            col("neighbor_id") === col("s_vid"), "left_anti")
+        val ms = psim.join(selK, psim("query_id") === col("s_qid") &&
+            psim("b") === col("s_vid"))
           .groupBy(col("query_id"), col("a")).agg(max(col("sim_u")).as("ms_u"))
+          .select(col("query_id").as("m_qid"), col("a").as("m_id"),
+            col("ms_u"))
         val scored = remaining
-          .join(ms, remaining("query_id") === ms("query_id") &&
-            remaining("neighbor_id") === ms("a"))
-          .select(remaining("query_id"), col("neighbor_id"),
+          .join(ms, col("query_id") === col("m_qid") &&
+            col("neighbor_id") === col("m_id"))
+          .select(col("query_id"), col("neighbor_id"),
             (lit(7L) * col("rel_u") - lit(3L) * col("ms_u")).as("score_u"))
-        sel.unionByName(argmaxPick(scored, step))
+        sel.unionByName(argmaxPick(scored, step)).loopCheckpoint()
       }
       selected.orderBy(col("query_id"), col("step"))
     }

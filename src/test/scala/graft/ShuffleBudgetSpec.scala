@@ -104,6 +104,21 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     // sources × (partial+final), not fact-sized shuffles)
     "q190_preference_pairs" -> 2,
     "q191_video_storyboard" -> 2,
+    // round-11 additions (measured via graft.tools.PlanCount, both
+    // AQE modes): q192 is four eval-bounded explode-join branches +
+    // the lazy-guard count branch; q197 reads its last loopCheckpoint
+    // (iterative-family discipline, like q91); q198's extra AQE-on
+    // exchange is the broadcast-totals branch re-print
+    "q192_bleu_contam" -> 14,
+    "q193_knn_label_noise" -> 3,
+    "q194_dialog_audit" -> 3,
+    "q195_zipf_audit" -> 5,
+    "q196_cdc_chunks" -> 4,
+    "q197_mmr_select" -> 1,
+    "q198_pmi_collocations" -> 4,
+    "q199_edit_verify" -> 6,
+    "q200_cdc_index_merge" -> 6,
+    "q201_rouge_l" -> 6,
     "q188_index_drift" -> 31,
     "q189_annotate_genes" -> 40,
     "q136_curation_chain" -> 25,
