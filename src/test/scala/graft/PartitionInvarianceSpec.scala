@@ -33,7 +33,14 @@ class PartitionInvarianceSpec extends SparkSpecBase {
     "q163_ewma_anomaly",    // frame-ordered weighted sums
     "q172_aspect_batch",    // grouped distributed prefix sum
     "q174_dedup_recall",    // three pair generators composed
-    "q177_ndcg_graded")     // per-group double DCG sums (≤ 3 terms)
+    "q177_ndcg_graded",     // per-group double DCG sums (≤ 3 terms)
+    // round-11 risk shapes: greedy integer argmax fold, double
+    // regression sums over the rank head, ratio-ranked top-50 cut,
+    // mergeable chunk-index rollup
+    "q195_zipf_audit",
+    "q197_mmr_select",
+    "q198_pmi_collocations",
+    "q200_cdc_index_merge")
 
   private def rowsOf(name: String): Set[String] = {
     spark.catalog.clearCache()
