@@ -174,7 +174,10 @@ object Stress {
     val loadStart = loadavg1()
     val docQueries = Seq("q30_exact_dedup", "q31b_lsh_pairs", "q59_dup_clusters",
       "q103_incremental_dedup", "q110_simhash_pairs_native", "q112_semantic_dedup",
-      "q148_density_prune", "q156_exact_substr")
+      "q148_density_prune", "q156_exact_substr",
+      // round 11: CDC chunking — ~50M word rows through doc-partitioned
+      // prefix-sum windows + the chunk-hash rollup
+      "q196_cdc_chunks")
     val qResults = docQueries.map { name =>
       timed(name, SparkEntry.queries(name)(spark, stressDir))
     }

@@ -641,6 +641,37 @@ object CurationQueries {
           round(col("vocab") / sqrt(col("n_tokens").cast("double")), 6)
             .as("heaps_coeff"))
         .orderBy(col("source"))
+    },
+
+    // §2.3 (round 11) — CLASS-BALANCE audit before classifier
+    // training (q115/q166 consume these labels): per-label counts and
+    // shares plus the corpus-level imbalance diagnostics — max/min
+    // ratio, Shannon entropy of the label distribution, and the
+    // effective class count exp(H) (the "how many classes am I really
+    // training on" number that decides whether q109/q77 reweighting
+    // is needed). One label-sized groupBy; every corpus scalar rides
+    // a broadcast 1-row frame.
+    "q203_class_balance" -> { (s, d) =>
+      import graft.Caching.ScopedPersist
+      val lab = Tables.embeddings(s, d).groupBy(col("label"))
+        .agg(count(lit(1)).as("n"))
+        .scopedPersist() // consumers: totals + entropy + final rows
+      val tot = lab.agg(sum(col("n")).cast("long").as("total"),
+        count(lit(1)).as("n_classes"),
+        max(col("n")).as("n_max"), min(col("n")).as("n_min"))
+      val ent = lab.crossJoin(broadcast(tot.select(col("total"))))
+        .select((-(col("n") / col("total")) *
+          log(col("n") / col("total"))).as("term"))
+        .agg(sum(col("term")).as("ent"))
+      lab.crossJoin(broadcast(tot)).crossJoin(broadcast(ent))
+        .select(col("label"), col("n"),
+          round(col("n") / col("total"), 6).as("share"),
+          col("n_classes"),
+          round(col("n_max").cast("double") / col("n_min"), 6)
+            .as("imbalance_ratio"),
+          round(col("ent"), 6).as("entropy"),
+          round(exp(col("ent")), 6).as("effective_classes"))
+        .orderBy(col("label"))
     }
   )
 
@@ -1073,6 +1104,25 @@ object CurationQueries {
          |  ROUND(tot.vocab / sqrt(CAST(tot.n_tokens AS DOUBLE)), 6)
          |    AS heaps_coeff
          |FROM st JOIN tot ON tot.source = st.source
-         |ORDER BY st.source""".stripMargin
+         |ORDER BY st.source""".stripMargin,
+
+    // same two-stage entropy: label-sized counts, exact double shares,
+    // ln terms summed then rounded once
+    "q203_class_balance" ->
+      """WITH lab AS (SELECT label, COUNT(*) AS n FROM embeddings
+        |             GROUP BY label),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total,
+        |          CAST(COUNT(*) AS BIGINT) AS n_classes,
+        |          MAX(n) AS n_max, MIN(n) AS n_min FROM lab),
+        |ent AS (SELECT SUM(-(CAST(n AS DOUBLE) / total)
+        |          * ln(CAST(n AS DOUBLE) / total)) AS ent
+        |        FROM lab, tot)
+        |SELECT l.label, CAST(l.n AS BIGINT) AS n,
+        |  ROUND(CAST(l.n AS DOUBLE) / t.total, 6) AS share,
+        |  t.n_classes,
+        |  ROUND(CAST(t.n_max AS DOUBLE) / t.n_min, 6) AS imbalance_ratio,
+        |  ROUND(e.ent, 6) AS entropy,
+        |  ROUND(exp(e.ent), 6) AS effective_classes
+        |FROM lab l, tot t, ent e ORDER BY l.label""".stripMargin
   )
 }

@@ -507,6 +507,42 @@ object OpsQueries {
           col("n_agree"),
           ((-col("w.neg")) =!= col("label")).as("suspect"))
         .orderBy(col("vec_id"))
+    },
+
+    // §2.3 (round 11) — JOIN-STRATEGY advisor, q187's sibling: before
+    // a star-schema join is planned, measure each table's estimated
+    // in-memory bytes (typed column widths: 8/numeric+ts, 4/int32,
+    // octet_length+4/string) and advise BROADCAST for dimension sides
+    // under the 10 MiB autoBroadcastJoinThreshold, SHUFFLE otherwise
+    // — the decision a plan reviewer makes by hand, as a query. One
+    // single-row aggregate per table; integer arithmetic end to end,
+    // headroom published as the exact bytes/threshold ratio.
+    "q202_join_advisor" -> { (s, d) =>
+      def strW(c: String) = octet_length(col(c)) + lit(4)
+      def est(df: DataFrame, name: String, role: String,
+              w: org.apache.spark.sql.Column) =
+        df.agg(count(lit(1)).as("n_rows"),
+            sum(w.cast("long")).cast("long").as("est_bytes"))
+          .select(lit(name).as("table_name"), lit(role).as("role"),
+            col("n_rows"), col("est_bytes"),
+            when(lit(role) === "dim" && col("est_bytes") <= 10485760L,
+              lit("BROADCAST")).otherwise(lit("SHUFFLE")).as("advice"),
+            round(col("est_bytes") / lit(10485760.0), 6)
+              .as("threshold_ratio"))
+      est(Tables.region(s, d), "region", "dim", lit(4) + strW("r_name"))
+        .unionByName(est(Tables.nation(s, d), "nation", "dim",
+          lit(8) + strW("n_name")))
+        .unionByName(est(Tables.customer(s, d), "customer", "dim",
+          lit(20) + strW("c_name") + strW("c_mktsegment")))
+        .unionByName(est(Tables.supplier(s, d), "supplier", "dim",
+          lit(20) + strW("s_name")))
+        .unionByName(est(Tables.part(s, d), "part", "dim",
+          lit(20) + strW("p_name") + strW("p_brand") + strW("p_type")))
+        .unionByName(est(Tables.orders(s, d), "orders", "fact",
+          lit(32) + strW("o_orderstatus") + strW("o_orderpriority")))
+        .unionByName(est(Tables.lineitem(s, d), "lineitem", "fact",
+          lit(68) + strW("l_returnflag") + strW("l_linestatus")))
+        .orderBy(col("table_name"))
     }
   )
 
@@ -843,6 +879,33 @@ object OpsQueries {
         |SELECT w.vec_id, w.label, w.knn_label, w.n_votes, a.n_agree,
         |  w.knn_label <> w.label AS suspect
         |FROM w JOIN a ON a.vec_id = w.vec_id
-        |WHERE w.vr = 1 ORDER BY w.vec_id""".stripMargin
+        |WHERE w.vr = 1 ORDER BY w.vec_id""".stripMargin,
+
+    // identical per-table typed-width estimates; integer sums, one
+    // exact ratio against the 10 MiB threshold
+    "q202_join_advisor" -> {
+      def t(name: String, role: String, width: String): String =
+        s"""SELECT '$name' AS table_name, '$role' AS role,
+           |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+           |  CAST(SUM($width) AS BIGINT) AS est_bytes,
+           |  CASE WHEN '$role' = 'dim' AND SUM($width) <= 10485760
+           |       THEN 'BROADCAST' ELSE 'SHUFFLE' END AS advice,
+           |  ROUND(CAST(SUM($width) AS DOUBLE) / CAST(10485760.0 AS DOUBLE), 6)
+           |    AS threshold_ratio
+           |FROM $name""".stripMargin
+      Seq(
+        t("region", "dim", "4 + strlen(r_name) + 4"),
+        t("nation", "dim", "8 + strlen(n_name) + 4"),
+        t("customer", "dim",
+          "20 + strlen(c_name) + 4 + strlen(c_mktsegment) + 4"),
+        t("supplier", "dim", "20 + strlen(s_name) + 4"),
+        t("part", "dim",
+          "20 + strlen(p_name) + 4 + strlen(p_brand) + 4 + strlen(p_type) + 4"),
+        t("orders", "fact",
+          "32 + strlen(o_orderstatus) + 4 + strlen(o_orderpriority) + 4"),
+        t("lineitem", "fact",
+          "68 + strlen(l_returnflag) + 4 + strlen(l_linestatus) + 4"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY table_name")
+    }
   )
 }

@@ -446,4 +446,23 @@ class CurationSpec extends SparkSpecBase {
       assert(!r.getAs[Double]("zipf_intercept").isNaN)
     }
   }
+
+  test("q203 class balance: shares sum to one, entropy bounds hold") {
+    val rows = graft.queries.CurationQueries
+      .queries("q203_class_balance")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nClasses = rows.head.getAs[Long]("n_classes")
+    assert(rows.length.toLong == nClasses, "one row per class")
+    assert(math.abs(rows.map(_.getAs[Double]("share")).sum - 1.0) < 1e-4,
+      "shares must partition the corpus")
+    rows.foreach { r =>
+      val (ent, eff) = (r.getAs[Double]("entropy"),
+        r.getAs[Double]("effective_classes"))
+      assert(ent >= 0.0 && ent <= math.log(nClasses.toDouble) + 1e-9,
+        s"entropy outside [0, ln k]: $r")
+      // exp(H) <= k, equality iff perfectly balanced
+      assert(eff >= 1.0 - 1e-9 && eff <= nClasses + 1e-6, s"effective classes: $r")
+      assert(r.getAs[Double]("imbalance_ratio") >= 1.0 - 1e-9)
+    }
+  }
 }

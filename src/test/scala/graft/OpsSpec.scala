@@ -188,4 +188,24 @@ class OpsSpec extends SparkSpecBase {
     assert(rows.exists(_.getAs[Boolean]("suspect")),
       "synthetic labels vs cosine geometry should flag at least one suspect")
   }
+
+  test("q202 join advisor: byte accounting and the broadcast rule") {
+    val rows = OpsQueries.queries("q202_join_advisor")(spark, sf).collect()
+    assert(rows.length == 7)
+    rows.foreach { r =>
+      val (role, bytes) = (r.getAs[String]("role"), r.getAs[Long]("est_bytes"))
+      assert(bytes > r.getAs[Long]("n_rows"),
+        s"estimated bytes below one byte/row: $r")
+      val expected =
+        if (role == "dim" && bytes <= 10485760L) "BROADCAST" else "SHUFFLE"
+      assert(r.getAs[String]("advice") == expected, s"advice rule broken: $r")
+      if (role == "fact")
+        assert(r.getAs[String]("advice") == "SHUFFLE")
+      val ratio = r.getAs[Double]("threshold_ratio")
+      assert(math.abs(ratio - math.rint(bytes / 10485760.0 * 1e6) / 1e6) < 1e-9)
+    }
+    // at spec scale every dimension fits comfortably under the threshold
+    assert(rows.filter(_.getAs[String]("role") == "dim")
+      .forall(_.getAs[String]("advice") == "BROADCAST"))
+  }
 }

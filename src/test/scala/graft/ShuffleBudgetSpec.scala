@@ -119,6 +119,8 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "q199_edit_verify" -> 6,
     "q200_cdc_index_merge" -> 6,
     "q201_rouge_l" -> 6,
+    "q202_join_advisor" -> 7,  // one single-row agg per table
+    "q203_class_balance" -> 8, // label groupBy + 3 broadcast scalar branches
     "q188_index_drift" -> 31,
     "q189_annotate_genes" -> 40,
     "q136_curation_chain" -> 25,
