@@ -254,7 +254,12 @@ object RetrievalQueries {
             col("neighbor_id") === col("m_id"))
           .select(col("query_id"), col("neighbor_id"),
             (lit(7L) * col("rel_u") - lit(3L) * col("ms_u")).as("score_u"))
-        sel.unionByName(argmaxPick(scored, step)).loopCheckpoint()
+        val next = sel.unionByName(argmaxPick(scored, step)).loopCheckpoint()
+        // the eager checkpoint above materialized `next`'s blocks, so
+        // the superseded round's blocks can be freed (Graph discipline
+        // — PersistSweepSpec holds the surface to zero net persists)
+        graft.Caching.releaseCheckpoint(sel)
+        next
       }
       selected.orderBy(col("query_id"), col("step"))
     }
