@@ -153,6 +153,36 @@ object BehaviorQueries {
           (col("n_violations") === 0L && col("first_role") === "user" &&
             col("last_role") === "assistant").as("valid"))
         .orderBy(col("user_id"))
+    },
+
+    // §2.3 (round 11) — CHAT-TEMPLATE rendering: the final mile before
+    // tokenization — each dialog's ordered turns rendered into the
+    // role-tagged template string (<|role|>turn…), with the turn
+    // count, rendered length, and a content digest per dialog. The
+    // digest makes the rendering itself oracle-checkable without
+    // hashing megabyte strings through the driver: both engines must
+    // produce the IDENTICAL byte sequence or the md5 splits. One
+    // groupBy; ordering inside the aggregate is the deterministic
+    // (ts, event_id) sort both engines spell explicitly.
+    "q204_chat_template" -> { (s, d) =>
+      val t = Tables.events(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_id"),
+          when(col("event_type").isin("view", "click", "signup"),
+            lit("user")).otherwise(lit("assistant")).as("role"),
+          col("event_type"))
+        .select(col("user_id"),
+          struct(col("us"), col("event_id"),
+            concat(lit("<|"), col("role"), lit("|>"), col("event_type"),
+              lit("#"), col("event_id").cast("string")).as("p")).as("s"))
+      t.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_turns"),
+          array_join(transform(sort_array(collect_list(col("s"))),
+            x => x.getField("p")), "").as("rendered"))
+        .select(col("user_id"), col("n_turns"),
+          length(col("rendered")).cast("long").as("rendered_chars"),
+          md5(col("rendered")).as("rendered_md5"))
+        .orderBy(col("user_id"))
     }
   )
 
@@ -215,6 +245,25 @@ object BehaviorQueries {
         |    AS valid
         |FROM pu JOIN mr ON mr.user_id = pu.user_id
         |ORDER BY pu.user_id""".stripMargin,
+
+    // '||' kept at end-of-line: a stripMargin line may not START with
+    // the concat operator (the margin strips one pipe)
+    "q204_chat_template" ->
+      """WITH t AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id,
+        |    CASE WHEN event_type IN ('view', 'click', 'signup')
+        |         THEN 'user' ELSE 'assistant' END AS role,
+        |    event_type
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, COUNT(*) AS n,
+        |    string_agg('<|' || role || '|>' || event_type || '#' ||
+        |      CAST(event_id AS VARCHAR), '' ORDER BY us, event_id) AS rendered
+        |  FROM t GROUP BY user_id)
+        |SELECT user_id, CAST(n AS BIGINT) AS n_turns,
+        |  CAST(length(rendered) AS BIGINT) AS rendered_chars,
+        |  md5(rendered) AS rendered_md5
+        |FROM r ORDER BY user_id""".stripMargin,
 
     "q96_funnel" ->
       """WITH ev AS (

@@ -262,6 +262,32 @@ object RetrievalQueries {
         next
       }
       selected.orderBy(col("query_id"), col("step"))
+    },
+
+    // §2.3 (round 11) — RAG CONTEXT assembly: the serving-side
+    // composition after retrieval — q144's ranked candidates cut to
+    // top-3 per query, then greedily packed into a 600-char context
+    // budget in rank order: cumulative chars via a query-PARTITIONED
+    // running sum, a fits flag, and the clipped char count for the
+    // boundary document (exact integer arithmetic — the q84/q107
+    // budget discipline applied per query). What a retrieval service
+    // sends to the model, as one oracled query.
+    "q205_rag_context" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ranked = jaccardRanked(s, d).filter(col("rank") <= 3)
+      val w = Window.partitionBy(col("qid")).orderBy(col("rank"))
+      ranked
+        .join(Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+          "doc_id")
+        .withColumn("cum_chars", sum(col("n_chars")).over(w).cast("long"))
+        .select(col("qid"), col("rank"), col("doc_id"), col("jacc"),
+          col("n_chars"), col("cum_chars"),
+          (col("cum_chars") <= 600L).as("fits"),
+          when(col("cum_chars") <= 600L, col("n_chars"))
+            .otherwise(greatest(lit(0L),
+              lit(600L) - (col("cum_chars") - col("n_chars"))))
+            .cast("long").as("clipped_chars"))
+        .orderBy(col("qid"), col("rank"))
     }
   )
 
@@ -410,6 +436,43 @@ object RetrievalQueries {
          |SELECT query_id, vec_id, step, mmr_score FROM selu5
          |ORDER BY query_id, step""".stripMargin
     },
+
+    // q144's ranked CTEs + the budget-packing window
+    "q205_rag_context" ->
+      s"""WITH w0 AS (SELECT doc_id, $wsSql AS ws FROM documents),
+         |q AS (SELECT doc_id + 2000000 AS qid,
+         |        array_to_string(ws[1:greatest(1, len(ws)//2)], ' ') AS text
+         |      FROM w0 WHERE doc_id < 20),
+         |qw AS (SELECT qid, $wsSql AS ws FROM q),
+         |qsh AS (SELECT DISTINCT qid,
+         |          unnest([array_to_string(ws[i:i+2],' ') for i in generate_series(1, len(ws)-2)]) AS sh
+         |        FROM qw WHERE len(ws) >= 3),
+         |dsh AS (SELECT DISTINCT doc_id,
+         |          unnest([array_to_string(ws[i:i+2],' ') for i in generate_series(1, len(ws)-2)]) AS sh
+         |        FROM w0 WHERE len(ws) >= 3),
+         |qc AS (SELECT qid, COUNT(*) AS n_q FROM qsh GROUP BY 1),
+         |dc AS (SELECT doc_id, COUNT(*) AS n_d FROM dsh GROUP BY 1),
+         |i AS (SELECT sq.qid, sd.doc_id, COUNT(*) AS n_inter
+         |      FROM qsh sq JOIN dsh sd ON sq.sh = sd.sh GROUP BY 1, 2),
+         |j AS (SELECT i.qid, i.doc_id,
+         |        ROUND(CAST(i.n_inter AS DOUBLE)
+         |          / (qc.n_q + dc.n_d - i.n_inter), 6) AS jacc
+         |      FROM i JOIN qc ON qc.qid = i.qid JOIN dc ON dc.doc_id = i.doc_id),
+         |r AS (SELECT qid, doc_id, jacc,
+         |        CAST(ROW_NUMBER() OVER (PARTITION BY qid
+         |               ORDER BY jacc DESC, doc_id) AS BIGINT) AS rank
+         |      FROM j),
+         |sel AS (SELECT t.qid, t.rank, t.doc_id, t.jacc, d.n_chars,
+         |          CAST(SUM(d.n_chars) OVER (PARTITION BY t.qid
+         |                 ORDER BY t.rank) AS BIGINT) AS cum_chars
+         |        FROM (SELECT * FROM r WHERE rank <= 3) t
+         |        JOIN documents d ON d.doc_id = t.doc_id)
+         |SELECT qid, rank, doc_id, jacc, n_chars, cum_chars,
+         |  cum_chars <= 600 AS fits,
+         |  CAST(CASE WHEN cum_chars <= 600 THEN n_chars
+         |       ELSE greatest(0, 600 - (cum_chars - n_chars)) END AS BIGINT)
+         |    AS clipped_chars
+         |FROM sel ORDER BY qid, rank""".stripMargin,
 
     "q84_chunk_documents" ->
       s"""WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents),

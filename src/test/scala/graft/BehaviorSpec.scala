@@ -145,4 +145,29 @@ class BehaviorSpec extends SparkSpecBase {
       assert(r.getAs[Boolean]("ends_assistant") == (roles.last == "assistant"))
     }
   }
+
+  test("q204 chat template: rendering reconciles with a sequential rebuild") {
+    import org.apache.spark.sql.functions._
+    val rows = BehaviorQueries.queries("q204_chat_template")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // rebuild one dialog's template sequentially and compare the digest
+    val userRoles = Set("view", "click", "signup")
+    val ev = Tables.events(spark, sf)
+      .orderBy(col("ts"), col("event_id"))
+      .select(col("user_id"), col("event_id"), col("event_type")).collect()
+    val byUser = ev.groupBy(_.getLong(0))
+    rows.foreach { r =>
+      val u = r.getAs[Long]("user_id")
+      val rebuilt = byUser(u).map { e =>
+        val role = if (userRoles(e.getString(2))) "user" else "assistant"
+        s"<|$role|>${e.getString(2)}#${e.getLong(1)}"
+      }.mkString("")
+      assert(r.getAs[Long]("n_turns") == byUser(u).length.toLong)
+      assert(r.getAs[Long]("rendered_chars") == rebuilt.length.toLong,
+        s"user $u rendered length")
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(rebuilt.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(r.getAs[String]("rendered_md5") == md5, s"user $u digest split")
+    }
+  }
 }

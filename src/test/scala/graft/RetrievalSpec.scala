@@ -203,4 +203,29 @@ class RetrievalSpec extends SparkSpecBase {
         s"query $q step 1 is not the relevance argmax")
     }
   }
+
+  test("q205 RAG context: budget packing is exact and prefix-closed") {
+    val rows = graft.queries.RetrievalQueries.queries("q205_rag_context")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("qid")).foreach { case (q, rs) =>
+      val byRank = rs.sortBy(_.getAs[Long]("rank"))
+      assert(byRank.map(_.getAs[Long]("rank")).toSeq ==
+        (1L to byRank.length.toLong), s"query $q ranks not contiguous")
+      // cumulative chars really accumulate in rank order
+      var cum = 0L
+      byRank.foreach { r =>
+        cum += r.getAs[Long]("n_chars")
+        assert(r.getAs[Long]("cum_chars") == cum, s"query $q cum drift")
+        assert(r.getAs[Boolean]("fits") == (cum <= 600L))
+        assert(r.getAs[Long]("clipped_chars") <= r.getAs[Long]("n_chars"))
+      }
+      // the packed context never exceeds the budget
+      assert(byRank.map(_.getAs[Long]("clipped_chars")).sum <= 600L,
+        s"query $q blew the char budget")
+      // fits is prefix-closed: once a doc doesn't fit, none after it do
+      val fitSeq = byRank.map(_.getAs[Boolean]("fits")).toSeq
+      assert(fitSeq == fitSeq.sortBy(!_), s"query $q fits not prefix-closed")
+    }
+  }
 }

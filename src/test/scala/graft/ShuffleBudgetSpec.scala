@@ -121,6 +121,8 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "q201_rouge_l" -> 6,
     "q202_join_advisor" -> 7,  // one single-row agg per table
     "q203_class_balance" -> 8, // label groupBy + 3 broadcast scalar branches
+    "q204_chat_template" -> 2, // one dialog groupBy + sort
+    "q205_rag_context" -> 4,   // q144 shingle join + doc join + packing window
     "q188_index_drift" -> 31,
     "q189_annotate_genes" -> 40,
     "q136_curation_chain" -> 25,
