@@ -672,6 +672,49 @@ object CurationQueries {
           round(col("ent"), 6).as("entropy"),
           round(exp(col("ent")), 6).as("effective_classes"))
         .orderBy(col("label"))
+    },
+
+    // §2.3 (round 11) — WATER-FILLING token-budget allocation across
+    // sources: given a corpus budget (90% of total chars — scale-free
+    // by construction), every source is funded up to the common water
+    // level c where Σ min(supply, c) = B; small sources keep their
+    // full supply, large sources cap at c. The closed form needs one
+    // ascending prefix-sum pass: source k is fully funded iff
+    // supply_k ≤ (B − P_{k−1})/(n−k+1), and c = (B − P_funded)/
+    // n_capped. The window runs over the SOURCE table (≤ #sources
+    // rows — bounded by contract, the q187 key-table class), never
+    // the corpus; every scalar rides a broadcast 1-row frame. This is
+    // the principled version of q151's temperature mixing when the
+    // constraint is a hard budget.
+    "q206_water_filling" -> { (s, d) =>
+      import graft.Caching.ScopedPersist
+      val sup = Tables.documents(s, d).groupBy(col("source"))
+        .agg(sum(col("n_chars")).cast("long").as("sup"))
+        .scopedPersist() // consumers: totals + ranked pass
+      val tot = sup.agg(sum(col("sup")).cast("long").as("total"),
+        count(lit(1)).as("n"))
+      val w = Window.orderBy(col("sup"), col("source"))
+      val ranked = sup.crossJoin(broadcast(tot))
+        .withColumn("k", row_number().over(w).cast("long"))
+        .withColumn("pprev", coalesce(sum(col("sup")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("budget", expr("(total * 9) div 10"))
+        .withColumn("funded", col("sup") <=
+          (col("budget") - col("pprev")).cast("double") /
+            (col("n") - col("k") + 1))
+        .scopedPersist() // consumers: level agg + final rows
+      val lvl = ranked.agg(
+        sum(when(col("funded"), col("sup")).otherwise(0L)).cast("long")
+          .as("p_funded"),
+        sum(when(col("funded"), 1L).otherwise(0L)).cast("long").as("n_funded"))
+      ranked.crossJoin(broadcast(lvl))
+        .select(col("source"), col("sup").as("supply"), col("funded"),
+          round((col("budget") - col("p_funded")).cast("double") /
+            (col("n") - col("n_funded")), 6).as("level"),
+          round(when(col("funded"), col("sup").cast("double"))
+            .otherwise((col("budget") - col("p_funded")).cast("double") /
+              (col("n") - col("n_funded"))), 6).as("alloc"))
+        .orderBy(col("source"))
     }
   )
 
@@ -1123,6 +1166,34 @@ object CurationQueries {
         |  ROUND(CAST(t.n_max AS DOUBLE) / t.n_min, 6) AS imbalance_ratio,
         |  ROUND(e.ent, 6) AS entropy,
         |  ROUND(exp(e.ent), 6) AS effective_classes
-        |FROM lab l, tot t, ent e ORDER BY l.label""".stripMargin
+        |FROM lab l, tot t, ent e ORDER BY l.label""".stripMargin,
+
+    // identical closed form: ascending prefix pass, funded test,
+    // single capped level; integer budget (total*9)//10
+    "q206_water_filling" ->
+      """WITH sup AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) AS sup
+        |             FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(SUM(sup) AS BIGINT) AS total,
+        |          CAST(COUNT(*) AS BIGINT) AS n FROM sup),
+        |r AS (
+        |  SELECT s.source, s.sup, t.n, (t.total * 9) // 10 AS budget,
+        |    CAST(row_number() OVER (ORDER BY s.sup, s.source) AS BIGINT) AS k,
+        |    COALESCE(SUM(s.sup) OVER (ORDER BY s.sup, s.source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pprev
+        |  FROM sup s, tot t),
+        |f AS (SELECT *, sup <= CAST(budget - pprev AS DOUBLE) / (n - k + 1)
+        |        AS funded FROM r),
+        |lvl AS (SELECT CAST(SUM(CASE WHEN funded THEN sup ELSE 0 END)
+        |          AS BIGINT) AS p_funded,
+        |          CAST(SUM(CASE WHEN funded THEN 1 ELSE 0 END) AS BIGINT)
+        |            AS n_funded
+        |        FROM f)
+        |SELECT f.source, f.sup AS supply, f.funded,
+        |  ROUND(CAST(f.budget - l.p_funded AS DOUBLE)
+        |    / (f.n - l.n_funded), 6) AS level,
+        |  ROUND(CASE WHEN f.funded THEN CAST(f.sup AS DOUBLE)
+        |       ELSE CAST(f.budget - l.p_funded AS DOUBLE)
+        |         / (f.n - l.n_funded) END, 6) AS alloc
+        |FROM f, lvl l ORDER BY f.source""".stripMargin
   )
 }

@@ -465,4 +465,26 @@ class CurationSpec extends SparkSpecBase {
       assert(r.getAs[Double]("imbalance_ratio") >= 1.0 - 1e-9)
     }
   }
+
+  test("q206 water filling: allocations exhaust the budget at one level") {
+    val rows = graft.queries.CurationQueries
+      .queries("q206_water_filling")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val totalSupply = rows.map(_.getAs[Long]("supply")).sum
+    val budget = totalSupply * 9 / 10
+    val level = rows.head.getAs[Double]("level")
+    rows.foreach { r =>
+      assert(r.getAs[Double]("level") == level, "level must be global")
+      val (sup, alloc) = (r.getAs[Long]("supply"), r.getAs[Double]("alloc"))
+      assert(alloc <= sup + 1e-6, s"allocated beyond supply: $r")
+      if (r.getAs[Boolean]("funded")) assert(alloc == sup.toDouble)
+      else assert(math.abs(alloc - level) < 1e-9,
+        s"capped source not at the water level: $r")
+    }
+    // B < total ⇒ at least one source capped; allocations exhaust B
+    assert(rows.exists(!_.getAs[Boolean]("funded")))
+    val total = rows.map(_.getAs[Double]("alloc")).sum
+    assert(math.abs(total - budget.toDouble) < rows.length * 1e-5,
+      s"allocations $total do not exhaust budget $budget")
+  }
 }

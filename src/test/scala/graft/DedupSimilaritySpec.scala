@@ -626,6 +626,27 @@ class DedupSimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("q207 injection scan: planted attacks flagged exactly, control clean") {
+    val rows = TextQueries.queries("q207_injection_scan")(spark, sf).collect()
+    val planted = rows.find(_.getAs[String]("source") == "planted")
+    assert(planted.isDefined, "planted source row missing")
+    val p = planted.get
+    assert(p.getAs[Long]("n_docs") == 5L)
+    // plants: ignore×2 (one via 'ignore all instructions'), disregard,
+    // roleplay + dan in one doc, sysprompt; the bread-baking control
+    // stays clean → 4 of 5 flagged
+    assert(p.getAs[Long]("p_ignore") == 2L, p.toString)
+    assert(p.getAs[Long]("p_disregard") == 1L)
+    assert(p.getAs[Long]("p_roleplay") == 1L)
+    assert(p.getAs[Long]("p_sysprompt") == 1L)
+    assert(p.getAs[Long]("p_dan") == 1L)
+    assert(p.getAs[Long]("n_flagged") == 4L)
+    assert(p.getAs[Double]("flag_rate") == 0.8)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_flagged") <= r.getAs[Long]("n_docs"))
+    }
+  }
+
   test("q200 incremental CDC index: merged base+delta equals the full scan") {
     val full = TextQueries.queries("q196_cdc_chunks")(spark, sf).collect()
     val merged = TextQueries.queries("q200_cdc_index_merge")(spark, sf).collect()

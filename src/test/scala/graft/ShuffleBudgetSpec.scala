@@ -123,6 +123,8 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "q203_class_balance" -> 8, // label groupBy + 3 broadcast scalar branches
     "q204_chat_template" -> 2, // one dialog groupBy + sort
     "q205_rag_context" -> 4,   // q144 shingle join + doc join + packing window
+    "q206_water_filling" -> 10, // source agg + bounded rank window + 2 scalar branches
+    "q207_injection_scan" -> 2, // one narrow flag scan + source groupBy
     "q188_index_drift" -> 31,
     "q189_annotate_genes" -> 40,
     "q136_curation_chain" -> 25,
