@@ -176,8 +176,9 @@ object Stress {
       "q103_incremental_dedup", "q110_simhash_pairs_native", "q112_semantic_dedup",
       "q148_density_prune", "q156_exact_substr",
       // round 11: CDC chunking — ~50M word rows through doc-partitioned
-      // prefix-sum windows + the chunk-hash rollup
-      "q196_cdc_chunks")
+      // prefix-sum windows + the chunk-hash rollup — and the linear
+      // text-statistics family (word explodes at the same width)
+      "q196_cdc_chunks", "q195_zipf_audit", "q198_pmi_collocations")
     val qResults = docQueries.map { name =>
       timed(name, SparkEntry.queries(name)(spark, stressDir))
     }

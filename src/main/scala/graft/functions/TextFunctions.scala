@@ -739,6 +739,8 @@ object GraftFunctions {
       es => NfcNormalize(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_count_matches",
       es => CountMatches(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_lcs_len",
+      es => LcsLength(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_deflate_ratio",
       es => DeflateRatio(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_bloom_agg",

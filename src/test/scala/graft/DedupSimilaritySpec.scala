@@ -607,6 +607,11 @@ class DedupSimilaritySpec extends SparkSpecBase {
       .select(GraftFunctions.lcsLen(col("a"), col("b")).as("lcs"))
       .collect().map(_.getLong(0))
     assert(k.sameElements(Array(2L, 2L, 3L, 0L)), k.mkString(","))
+    // SQL-callable registration (§2.5 #48)
+    graft.functions.GraftFunctions.register(spark)
+    assert(spark.sql(
+      "SELECT graft_lcs_len(array('a','b','c'), array('a','x','c')) AS l")
+      .head.getLong(0) == 2L)
     val rows = TextQueries.queries("q201_rouge_l")(spark, sf).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
