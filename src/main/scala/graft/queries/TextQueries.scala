@@ -1349,24 +1349,34 @@ object TextQueries {
           "q192 eval excerpt set")
         .select(col("eval_id"), GraftFunctions.normWords(col("text")).as("ws"))
         .scopedPersist() // lambda barrier + 4 eval n-gram passes + lengths
-      def inter(n: Int) = {
-        val e = evw.select(col("eval_id"),
-            array_distinct(GraftFunctions.wordShingles(col("ws"), n)).as("shs"))
-          .select(col("eval_id"), size(col("shs")).as("n_e"),
-            explode(col("shs")).as("sh"))
-        val dg = w0.select(col("doc_id"),
-            array_distinct(GraftFunctions.wordShingles(col("ws"), n)).as("shs"))
-          .select(col("doc_id"), explode(col("shs")).as("sh"))
-        e.join(dg, "sh")
-          .groupBy(col("eval_id"), col("doc_id"), col("n_e"))
-          .agg(count(lit(1)).as("i"))
-          .select(col("eval_id"), col("doc_id"),
-            round(col("i").cast("double") / col("n_e"), 6).as(s"p$n"))
-      }
-      inter(4)
-        .join(inter(3), Seq("eval_id", "doc_id"))
-        .join(inter(2), Seq("eval_id", "doc_id"))
-        .join(inter(1), Seq("eval_id", "doc_id"))
+      // ONE tagged-shingle pass per side (round-11 fusion): all four
+      // distinct n-gram sets explode from a single scan as (n, sh)
+      // rows, one (n, sh) equi-join covers every order, and the
+      // per-order precisions pivot back with conditional aggs — the
+      // corpus is read once, not four times. A pair missing at order
+      // 4 is dropped (the blocking rule); present-at-4 implies
+      // present at 1..3, so the lower precisions are never null.
+      def taggedGrams(df: DataFrame, idCol: String) =
+        df.select(col(idCol), explode(flatten(array((1 to 4).map { n =>
+            transform(array_distinct(GraftFunctions.wordShingles(col("ws"), n)),
+              s => struct(lit(n).as("n"), s.as("sh")))
+          }: _*))).as("g"))
+          .select(col(idCol), col("g.n").as("n"), col("g.sh").as("sh"))
+      val eg = taggedGrams(evw, "eval_id")
+        .scopedPersist() // consumers: per-order counts + the join
+      val ec = eg.groupBy(col("eval_id"), col("n"))
+        .agg(count(lit(1)).as("n_e"))
+      def pOrder(n: Int) =
+        max(when(col("n") === n, col("p"))).as(s"p$n")
+      eg.join(taggedGrams(w0, "doc_id"), Seq("n", "sh"))
+        .groupBy(col("eval_id"), col("doc_id"), col("n"))
+        .agg(count(lit(1)).as("i"))
+        .join(broadcast(ec), Seq("eval_id", "n"))
+        .select(col("eval_id"), col("doc_id"), col("n"),
+          round(col("i").cast("double") / col("n_e"), 6).as("p"))
+        .groupBy(col("eval_id"), col("doc_id"))
+        .agg(pOrder(1), pOrder(2), pOrder(3), pOrder(4))
+        .filter(col("p4").isNotNull)
         .join(broadcast(evw.select(col("eval_id"), size(col("ws")).as("r"))),
           "eval_id")
         .join(w0.select(col("doc_id"), size(col("ws")).as("c")), "doc_id")

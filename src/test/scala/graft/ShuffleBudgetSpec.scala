@@ -109,7 +109,7 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     // the lazy-guard count branch; q197 reads its last loopCheckpoint
     // (iterative-family discipline, like q91); q198's extra AQE-on
     // exchange is the broadcast-totals branch re-print
-    "q192_bleu_contam" -> 14,
+    "q192_bleu_contam" -> 7,  // fused single tagged-shingle pass (was 14)
     "q193_knn_label_noise" -> 3,
     "q194_dialog_audit" -> 3,
     "q195_zipf_audit" -> 5,
