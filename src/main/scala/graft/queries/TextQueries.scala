@@ -1368,7 +1368,9 @@ object TextQueries {
         .agg(count(lit(1)).as("n_e"))
       def pOrder(n: Int) =
         max(when(col("n") === n, col("p"))).as(s"p$n")
-      eg.join(taggedGrams(w0, "doc_id"), Seq("n", "sh"))
+      // the eval side is (evals × 4 orders)-bounded — broadcast it so
+      // the corpus grams never shuffle for this join
+      taggedGrams(w0, "doc_id").join(broadcast(eg), Seq("n", "sh"))
         .groupBy(col("eval_id"), col("doc_id"), col("n"))
         .agg(count(lit(1)).as("i"))
         .join(broadcast(ec), Seq("eval_id", "n"))
