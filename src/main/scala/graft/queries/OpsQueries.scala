@@ -543,6 +543,33 @@ object OpsQueries {
         .unionByName(est(Tables.lineitem(s, d), "lineitem", "fact",
           lit(68) + strW("l_returnflag") + strW("l_linestatus")))
         .orderBy(col("table_name"))
+    },
+
+    // §2.5 #51 (round 11, first ORACLED probe of the Z-order row) —
+    // Morton-tile audit: orders keyed on (o_custkey, order day) get
+    // the same exact-integer 16-bit normalization + codegen'd bit
+    // interleave that Layout.zorderWrite clusters files by, then a
+    // 64-tile rollup shows each tile covering a small rectangle in
+    // BOTH dimensions — the file-skipping property a 1-D sort cannot
+    // give the second column. All arithmetic is exact integers (the
+    // norm runs in decimal(38,0) `div`), so the tile extents hash
+    // bit-identically against DuckDB's bit-arithmetic mirror. At
+    // 100 TB the only added cost over any sorted write is the
+    // 1-row bounds broadcast.
+    "q208_zorder_tiles" -> { (s, d) =>
+      import graft.operators.Layout
+      val o = Tables.orders(s, d).select(
+        col("o_custkey"),
+        datediff(col("o_orderdate").cast("date"), lit("1992-01-01"))
+          .cast("long").as("o_day"))
+      Layout.withZKey(o, "o_custkey", "o_day")
+        .withColumn("tile", shiftrightunsigned(col("__z"), 26))
+        .groupBy(col("tile"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("__z")).as("z_min"), max(col("__z")).as("z_max"),
+          min(col("o_custkey")).as("ck_min"), max(col("o_custkey")).as("ck_max"),
+          min(col("o_day")).as("day_min"), max(col("o_day")).as("day_max"))
+        .orderBy(col("tile"))
     }
   )
 
@@ -906,6 +933,37 @@ object OpsQueries {
         t("lineitem", "fact",
           "68 + strlen(l_returnflag) + 4 + strlen(l_linestatus) + 4"))
         .mkString("", "\nUNION ALL\n", "\nORDER BY table_name")
-    }
+    },
+
+    // bit-arithmetic mirror of ZOrderOps.interleave over the same
+    // exact-integer 16-bit normalization (floor div on nonnegative
+    // ranges ≡ decimal `div`): a's bits land at even positions, b's
+    // at odd — list_sum over the 16 bit lanes.
+    "q208_zorder_tiles" ->
+      """WITH b AS (
+        |  SELECT min(o_custkey) AS mna, max(o_custkey) AS mxa,
+        |    min(CAST(o_orderdate AS DATE) - DATE '1992-01-01') AS mnb,
+        |    max(CAST(o_orderdate AS DATE) - DATE '1992-01-01') AS mxb
+        |  FROM orders),
+        |n AS (
+        |  SELECT o_custkey AS ck,
+        |    CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS dy,
+        |    CASE WHEN b.mxa = b.mna THEN 0
+        |         ELSE (o_custkey - b.mna) * 65535 // (b.mxa - b.mna) END AS na,
+        |    CASE WHEN b.mxb = b.mnb THEN 0
+        |         ELSE ((CAST(o_orderdate AS DATE) - DATE '1992-01-01') - b.mnb)
+        |              * 65535 // (b.mxb - b.mnb) END AS nb
+        |  FROM orders, b),
+        |z AS (
+        |  SELECT ck, dy,
+        |    CAST(list_sum([ (((na >> i) & 1) << (2 * i))
+        |                    + (((nb >> i) & 1) << (2 * i + 1))
+        |                    FOR i IN generate_series(0, 15) ]) AS BIGINT) AS zv
+        |  FROM n)
+        |SELECT zv >> 26 AS tile, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  min(zv) AS z_min, max(zv) AS z_max,
+        |  CAST(min(ck) AS BIGINT) AS ck_min, CAST(max(ck) AS BIGINT) AS ck_max,
+        |  CAST(min(dy) AS BIGINT) AS day_min, CAST(max(dy) AS BIGINT) AS day_max
+        |FROM z GROUP BY tile ORDER BY tile""".stripMargin
   )
 }

@@ -1583,8 +1583,102 @@ object TextQueries {
         .withColumn("flag_rate",
           round(col("n_flagged").cast("double") / col("n_docs"), 6))
         .orderBy(col("source"))
+    },
+
+    // §2.3 (round 11) — HARD-NEGATIVE mining for contrastive
+    // training (the q175 in-batch shape, upgraded to corpus-wide
+    // semi-hard mining): for each query vector, gold = best
+    // same-label neighbor; hard negatives = different-label
+    // candidates scoring within a 0.05 margin of gold. One broadcast
+    // of the bounded query set, one 10-key gold aggregation, one
+    // broadcast join back — the corpus side never shuffles, so the
+    // shape holds when `embeddings` is 10^10 rows. Margin compare
+    // runs on the round(,6) sims both engines already agree on
+    // (q34), and `gold_sim - 0.05` is the same IEEE double op in
+    // both engines.
+    "q209_hard_negatives" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val q = broadcast(emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+          col("label").as("q_label")))
+      val scored = emb
+        .select(col("vec_id").as("cand_id"), col("embedding"), col("label"))
+        .join(q, col("cand_id") =!= col("query_id"))
+        .select(col("query_id"), col("q_label"), col("cand_id"), col("label"),
+          round(GraftFunctions.cosine(col("q_emb"), col("embedding")), 6)
+            .as("sim"))
+        .scopedPersist() // consumers: gold aggregation + negative filter
+      val gold = scored.filter(col("label") === col("q_label"))
+        .groupBy(col("query_id")).agg(max(col("sim")).as("gold_sim"))
+      scored.filter(col("label") =!= col("q_label"))
+        .join(broadcast(gold), "query_id")
+        .filter(col("sim") >= col("gold_sim") - lit(0.05))
+        .select(col("query_id"), col("cand_id").as("neg_id"),
+          col("sim").as("neg_sim"), col("gold_sim"),
+          round(col("gold_sim") - col("sim"), 6).as("margin_gap"))
+        .orderBy(col("query_id"), col("neg_sim").desc, col("neg_id"))
+    },
+
+    // §2.3 (round 11) — CODE-vs-PROSE detection: training mixtures
+    // weight code and prose differently, and scraped pages mix both.
+    // Per-doc signals (symbol density via translate-strip, keyword
+    // hits via regexp_extract_all, fenced-block count via
+    // replace-strip) fold into an integer verdict (n_sym*50 > len
+    // avoids any float ratio), then ONE uniform source groupBy.
+    // Planted single-line code/prose rows (q207 discipline) prove
+    // the detector fires; the synthetic corpus stays clean. All
+    // counts are exact integers; the only double is the final
+    // round(,6) rate.
+    "q210_code_detect" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), col("source"))
+        .unionByName(codePlantsDf(s))
+      val sig = docs.select(
+        col("source"),
+        length(col("text")).as("len"),
+        (length(col("text")) -
+          length(translate(col("text"), "{}();=<>", ""))).as("n_sym"),
+        size(expr(s"regexp_extract_all(text, '$codeKwPattern', 0)"))
+          .as("kw_hits"),
+        ((length(col("text")) -
+          length(expr("replace(text, '```', '')"))) / 3 / 2).cast("long")
+          .as("n_blocks"))
+      val isCode = (col("n_sym") * 50 > col("len")) ||
+        (col("kw_hits") >= 3) || (col("n_blocks") >= 1)
+      sig.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(isCode.cast("long")).as("n_code"),
+          sum(col("n_sym")).cast("long").as("sym_total"),
+          sum(col("kw_hits")).cast("long").as("kw_total"),
+          sum(col("n_blocks")).cast("long").as("block_total"))
+        .withColumn("code_rate",
+          round(col("n_code").cast("double") / col("n_docs"), 6))
+        .orderBy(col("source"))
     }
   )
+
+  /** Code-keyword regex — alternation-only (identical Java-regex /
+    * RE2 semantics), interpolated into the oracle verbatim. */
+  private val codeKwPattern =
+    "(def |class |return |import |function |var |=> )"
+
+  /** Planted code/prose rows, shared verbatim with the oracle:
+    * single-line (newline-free — stripMargin-safe interpolation),
+    * apostrophe-free. */
+  private val codePlants: Seq[(Long, String, String)] = Seq(
+    (3600000L, "``` def parse(x) { return x.map(v => v + 1); } ```",
+      "planted_code"),
+    (3600001L, "import os; class Foo { def bar() { return 42; } }",
+      "planted_code"),
+    (3600002L, "function main() { var x = 0; if (x < 1) { x = x + 1; } return x; }",
+      "planted_code"),
+    (3600003L, "a gentle essay about morning walks and the color of autumn leaves",
+      "planted_prose"))
+
+  private def codePlantsDf(s: SparkSession): DataFrame = {
+    import s.implicits._
+    codePlants.toDF("doc_id", "text", "source")
+  }
 
   /** Injection regexes — alternation-only, so Java regex (Spark) and
     * RE2 (DuckDB) agree; interpolated into the oracle verbatim. */
@@ -2908,6 +3002,55 @@ object TextQueries {
          |  ROUND(CAST(SUM(CASE WHEN $anyExpr > 0 THEN 1 ELSE 0 END) AS DOUBLE)
          |    / COUNT(*), 6) AS flag_rate
          |FROM fl GROUP BY source ORDER BY source""".stripMargin
+    },
+
+    "q209_hard_negatives" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb,
+        |    label AS q_label
+        |  FROM embeddings WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.query_id, q.q_label, c.vec_id AS cand_id, c.label,
+        |    round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+        |                                 q.q_emb), 6) AS sim
+        |  FROM embeddings c JOIN q ON c.vec_id <> q.query_id),
+        |gold AS (
+        |  SELECT query_id, max(sim) AS gold_sim FROM scored
+        |  WHERE label = q_label GROUP BY query_id)
+        |SELECT s.query_id, s.cand_id AS neg_id, s.sim AS neg_sim,
+        |  g.gold_sim, round(g.gold_sim - s.sim, 6) AS margin_gap
+        |FROM scored s JOIN gold g USING (query_id)
+        |WHERE s.label <> s.q_label AND s.sim >= g.gold_sim - 0.05
+        |ORDER BY query_id, neg_sim DESC, neg_id""".stripMargin,
+
+    // plants + keyword pattern interpolated VERBATIM from the same
+    // Scala constants the Spark side uses (the q139 discipline)
+    "q210_code_detect" -> {
+      val plantRows = codePlants.map { case (id, t, src) =>
+        s"SELECT $id AS doc_id, '$t' AS text, '$src' AS source"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text, source FROM documents
+         |  UNION ALL
+         |$plantRows),
+         |sig AS (
+         |  SELECT source, length(text) AS len,
+         |    length(text) - length(translate(text, '{}();=<>', '')) AS n_sym,
+         |    len(regexp_extract_all(text, '$codeKwPattern')) AS kw_hits,
+         |    ((length(text) - length(replace(text, '``' || '`', ''))) // 3) // 2
+         |      AS n_blocks
+         |  FROM corpus)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN n_sym * 50 > len OR kw_hits >= 3
+         |                  OR n_blocks >= 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_code,
+         |  CAST(SUM(n_sym) AS BIGINT) AS sym_total,
+         |  CAST(SUM(kw_hits) AS BIGINT) AS kw_total,
+         |  CAST(SUM(n_blocks) AS BIGINT) AS block_total,
+         |  ROUND(CAST(SUM(CASE WHEN n_sym * 50 > len OR kw_hits >= 3
+         |                        OR n_blocks >= 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / COUNT(*), 6) AS code_rate
+         |FROM sig GROUP BY source ORDER BY source""".stripMargin
     }
   )
 }

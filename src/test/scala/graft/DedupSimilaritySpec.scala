@@ -652,6 +652,47 @@ class DedupSimilaritySpec extends SparkSpecBase {
     }
   }
 
+  test("q209 hard negatives: cross-label, within margin, gold dominates") {
+    val rows = TextQueries.queries("q209_hard_negatives")(spark, sf).collect()
+    assert(rows.nonEmpty, "no hard negatives surfaced")
+    // rebuild the ground truth per query from the raw table
+    val byLabel = emb.select(col("vec_id"), col("label")).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+    rows.foreach { r =>
+      val q = r.getAs[Long]("query_id"); val n = r.getAs[Long]("neg_id")
+      assert(byLabel(n) != byLabel(q), s"negative shares the query label: $r")
+      // gap may be NEGATIVE — a different-label candidate scoring
+      // above gold is the hardest (most valuable) negative
+      assert(r.getAs[Double]("neg_sim") >= r.getAs[Double]("gold_sim") - 0.05,
+        s"negative outside the margin: $r")
+    }
+    // gold_sim really is the best same-label sim: recompute for one query
+    val q0 = rows.head.getAs[Long]("query_id")
+    val gold0 = rows.head.getAs[Double]("gold_sim")
+    val sims = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") === q0),
+        k = emb.count().toInt)
+      .collect()
+      .filter(r => byLabel(r.getAs[Long]("neighbor_id")) == byLabel(q0))
+      .map(_.getAs[Double]("cos_sim"))
+    assert(sims.nonEmpty && math.abs(sims.max - gold0) < 1e-9,
+      s"gold_sim ${gold0} != best same-label sim ${sims.max}")
+  }
+
+  test("q210 code detect: planted code flagged, prose control clean") {
+    val rows = TextQueries.queries("q210_code_detect")(spark, sf).collect()
+    val code = rows.find(_.getAs[String]("source") == "planted_code")
+    val prose = rows.find(_.getAs[String]("source") == "planted_prose")
+    assert(code.isDefined && prose.isDefined, "planted sources missing")
+    val c = code.get
+    assert(c.getAs[Long]("n_docs") == 3L)
+    assert(c.getAs[Long]("n_code") == 3L, s"not all code plants flagged: $c")
+    assert(c.getAs[Long]("block_total") == 1L, s"fence census wrong: $c")
+    assert(c.getAs[Double]("code_rate") == 1.0)
+    val p = prose.get
+    assert(p.getAs[Long]("n_code") == 0L, s"prose control flagged: $p")
+    assert(p.getAs[Long]("sym_total") == 0L)
+  }
+
   test("q200 incremental CDC index: merged base+delta equals the full scan") {
     val full = TextQueries.queries("q196_cdc_chunks")(spark, sf).collect()
     val merged = TextQueries.queries("q200_cdc_index_merge")(spark, sf).collect()

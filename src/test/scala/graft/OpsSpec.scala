@@ -208,4 +208,28 @@ class OpsSpec extends SparkSpecBase {
     assert(rows.filter(_.getAs[String]("role") == "dim")
       .forall(_.getAs[String]("advice") == "BROADCAST"))
   }
+
+  test("q208 z-order tiles: every tile covers a small rectangle in BOTH dims") {
+    val rows = OpsQueries.queries("q208_zorder_tiles")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val o = Tables.orders(spark, sf).agg(
+      min(col("o_custkey")).as("mn"), max(col("o_custkey")).as("mx")).head()
+    val ckRange = (o.getAs[Long]("mx") - o.getAs[Long]("mn")).toDouble
+    val dayMin = rows.map(_.getAs[Long]("day_min")).min
+    val dayMax = rows.map(_.getAs[Long]("day_max")).max
+    val dayRange = (dayMax - dayMin).toDouble
+    // tile = top 3 Morton bits of each dimension → each tile spans at
+    // most 1/8 of each normalized range (1/7 allows floor-div slack);
+    // a 1-D sort would leave the second dimension spanning ~the full
+    // range inside every tile.
+    rows.foreach { r =>
+      val ckSpan = r.getAs[Long]("ck_max") - r.getAs[Long]("ck_min")
+      val daySpan = r.getAs[Long]("day_max") - r.getAs[Long]("day_min")
+      assert(ckSpan <= ckRange / 7 + 1, s"tile custkey span too wide: $r")
+      assert(daySpan <= dayRange / 7 + 1, s"tile day span too wide: $r")
+    }
+    // tiles partition all rows
+    val total = rows.map(_.getAs[Long]("n_rows")).sum
+    assert(total == Tables.orders(spark, sf).count())
+  }
 }

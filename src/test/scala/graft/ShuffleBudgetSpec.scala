@@ -125,6 +125,9 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "q205_rag_context" -> 4,   // q144 shingle join + doc join + packing window
     "q206_water_filling" -> 10, // source agg + bounded rank window + 2 scalar branches
     "q207_injection_scan" -> 2, // one narrow flag scan + source groupBy
+    "q208_zorder_tiles" -> 3,  // bounds agg + tile groupBy + sort
+    "q209_hard_negatives" -> 2, // 10-key gold agg; corpus side never shuffles
+    "q210_code_detect" -> 2,   // one narrow signal scan + source groupBy
     "q188_index_drift" -> 31,
     "q189_annotate_genes" -> 40,
     "q136_curation_chain" -> 25,
