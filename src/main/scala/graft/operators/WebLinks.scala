@@ -69,6 +69,35 @@ object WebLinks {
       .withColumn("domain", registrableDomain(col("host")))
   }
 
+  /** Full URL canonicalization for URL-key dedup (round 11): crawl
+    * frontiers and re-crawl dedup key on the canonical URL, where
+    * `HTTPS://www.Site.com/p1?utm=x#top` ≡ `http://site.com/p1` —
+    * scheme/case/fragment/tracking-param variants of one resource.
+    * Rules (each pure column arithmetic, fused into the scan):
+    * scheme strip + host lowercase + `www.` strip, fragment strip,
+    * `utm*` tracking params dropped, surviving params SORTED (param
+    * order is semantically irrelevant), trailing `/` strip. Returns
+    * (canonical_host, canonical) per extracted link. */
+  def canonicalizeUrls(docs: DataFrame, idCol: String, htmlCol: String): DataFrame = {
+    val noFrag = regexp_replace(
+      regexp_replace(col("__raw"), "(?i)^https?://", ""), "#.*$", "")
+    val hostPath = regexp_extract(noFrag, "^([^?]*)", 1)
+    val qs = regexp_extract(noFrag, "\\?(.*)$", 1)
+    val host = regexp_replace(
+      lower(regexp_extract(hostPath, "^([^/:]+)", 1)), "^www\\.", "")
+    val path = regexp_replace(
+      coalesce(regexp_extract(hostPath, "^[^/]*(/.*)?$", 1), lit("")), "/$", "")
+    val keep = array_join(array_sort(filter(split(qs, "&"),
+      p => (p =!= "") && not(p.startsWith("utm")))), "&")
+    docs
+      .select(col(idCol).as("doc_id"),
+        explode(regexp_extract_all(col(htmlCol), lit(urlRe), lit(0))).as("__raw"))
+      .select(col("doc_id"), host.as("canonical_host"),
+        concat(host, path,
+          when(keep =!= "", concat(lit("?"), keep)).otherwise(lit("")))
+          .as("canonical"))
+  }
+
   /** Per-registrable-domain rollup with blocklist verdicts:
     * (domain, n_links, n_docs, n_hosts, blocked). Link rows shuffle
     * once on the bounded domain key; the blocklist is a literal set

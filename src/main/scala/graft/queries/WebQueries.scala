@@ -228,6 +228,27 @@ object WebQueries {
           sum(col("noindex")).cast("long").as("n_noindex"),
           sum(col("nofollow")).cast("long").as("n_nofollow"))
         .orderBy(col("verdict"))
+    },
+
+    // §2.3 (round 11) — URL CANONICALIZATION dedup: a crawl frontier
+    // keys on the canonical URL, where scheme case, `www.`,
+    // fragments, and `utm*` tracking params are all variants of one
+    // resource (the q169 plant generates exactly those variants:
+    // `HTTPS://` + `?utm=x` on every k%5==0 link, `www.` on k%2==0).
+    // Canonicalization is string arithmetic fused into the scan
+    // (WebLinks.canonicalizeUrls); the only shuffles are the bounded
+    // host rollup (hosts ≪ links) and its countDistinct expand —
+    // at 100 TB the URL stream never joins anything.
+    "q211_url_canonical" -> { (s, d) =>
+      WebLinks.canonicalizeUrls(linkPages(s, d), "doc_id", "page")
+        .groupBy(col("canonical_host"))
+        .agg(count(lit(1)).as("n_urls"),
+          countDistinct(col("canonical")).as("n_canonical"))
+        .withColumn("dup_extra",
+          (col("n_urls") - col("n_canonical")).cast("long"))
+        .withColumn("dup_rate",
+          round(col("dup_extra").cast("double") / col("n_urls"), 6))
+        .orderBy(col("canonical_host"))
     }
   )
 
@@ -430,6 +451,44 @@ object WebQueries {
         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(SUM(noindex) AS BIGINT) AS n_noindex,
         |  CAST(SUM(nofollow) AS BIGINT) AS n_nofollow
-        |FROM f GROUP BY 1 ORDER BY verdict""".stripMargin
+        |FROM f GROUP BY 1 ORDER BY verdict""".stripMargin,
+
+    // mirror of WebLinks.canonicalizeUrls: scheme/www/fragment strip,
+    // utm* params dropped, survivors sorted, trailing slash strip
+    "q211_url_canonical" ->
+      s"""WITH $linkPagesSql,
+        |raw AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_extract_all(page, '(?i)https?://[a-z0-9.-]+(?:/[^ "<>]*)?'))
+        |      AS u
+        |  FROM pages),
+        |s1 AS (
+        |  SELECT regexp_replace(regexp_replace(u, '(?i)^https?://', ''),
+        |                        '#.*$$', '') AS nofrag
+        |  FROM raw),
+        |s2 AS (
+        |  SELECT regexp_extract(nofrag, '^([^?]*)', 1) AS hostpath,
+        |         regexp_extract(nofrag, '\\?(.*)$$', 1) AS qs
+        |  FROM s1),
+        |s3 AS (
+        |  SELECT
+        |    regexp_replace(lower(regexp_extract(hostpath, '^([^/:]+)', 1)),
+        |                   '^www\\.', '') AS host,
+        |    regexp_replace(coalesce(regexp_extract(hostpath, '^[^/]*(/.*)?$$', 1), ''),
+        |                   '/$$', '') AS path,
+        |    array_to_string(list_sort(
+        |      [p FOR p IN string_split(qs, '&') IF p <> '' AND p NOT LIKE 'utm%']),
+        |      '&') AS keep
+        |  FROM s2),
+        |c AS (
+        |  SELECT host AS canonical_host, host || path ||
+        |    CASE WHEN keep <> '' THEN '?' || keep ELSE '' END AS canonical
+        |  FROM s3)
+        |SELECT canonical_host, CAST(COUNT(*) AS BIGINT) AS n_urls,
+        |  CAST(COUNT(DISTINCT canonical) AS BIGINT) AS n_canonical,
+        |  CAST(COUNT(*) - COUNT(DISTINCT canonical) AS BIGINT) AS dup_extra,
+        |  ROUND(CAST(COUNT(*) - COUNT(DISTINCT canonical) AS DOUBLE)
+        |    / COUNT(*), 6) AS dup_rate
+        |FROM c GROUP BY canonical_host ORDER BY canonical_host""".stripMargin
   )
 }

@@ -128,6 +128,7 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "q208_zorder_tiles" -> 3,  // bounds agg + tile groupBy + sort
     "q209_hard_negatives" -> 2, // 10-key gold agg; corpus side never shuffles
     "q210_code_detect" -> 2,   // one narrow signal scan + source groupBy
+    "q211_url_canonical" -> 3, // host rollup + countDistinct expand + sort
     "q188_index_drift" -> 31,
     "q189_annotate_genes" -> 40,
     "q136_curation_chain" -> 25,

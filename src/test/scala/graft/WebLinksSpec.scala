@@ -62,4 +62,24 @@ class WebLinksSpec extends SparkSpecBase {
     assert(r.getAs[Long]("max_domain_links") === 3L)
     assert(r.getAs[Long]("blocked_links") === 3L)
   }
+
+  test("canonicalization: scheme/www/fragment/utm variants collapse; params sort") {
+    val docs = Seq(
+      (1L, "HTTPS://www.Ex.com/p1?utm=x&b=2&a=1#frag"),
+      (2L, "http://ex.com/p1?a=1&b=2"),
+      (3L, "http://ex.com/p1/?b=2&a=1&utm_source=feed"),
+      (4L, "http://ex.com/p2")).toDF("doc_id", "page")
+    val out = WebLinks.canonicalizeUrls(docs, "doc_id", "page")
+      .select("canonical").collect().map(_.getString(0))
+    // docs 1-3 are variants of ONE resource; doc 4 is distinct
+    assert(out.distinct.sorted === Array("ex.com/p1?a=1&b=2", "ex.com/p2"))
+    // corpus-level invariants: no canonical keeps a variant artifact
+    val canon = graft.queries.WebQueries.queries("q211_url_canonical")(spark, sf)
+      .collect()
+    assert(canon.nonEmpty)
+    assert(canon.forall(r => !r.getAs[String]("canonical_host").startsWith("www.")))
+    // the plant's utm=x / scheme-case variants guarantee collapses
+    assert(canon.map(_.getAs[Long]("dup_extra")).sum > 0,
+      "no URL variants collapsed — canonicalization inert")
+  }
 }
