@@ -13,6 +13,31 @@ object Bench {
     else entry.findAllMatchIn(line.substring(qStart)).map(m => m.group(1) -> m.group(2).toDouble).toMap
   }
 
+  /** Contamination verdict for a bench pass (factored out for
+    * BenchContractSpec). Two independent signals, either flags:
+    * (a) per-query blowout — ≥ 3 queries still > 3× their committed
+    * idle snapshot after the retry passes; (b) total-wall drift —
+    * the summed time over snapshot-shared queries > 1.25× the summed
+    * idle snapshot (round 11's driver artifact ran +17% total under
+    * loadavg 2 with only ONE query over the 3× line and published
+    * `contaminated: false`; the total-wall guard catches exactly that
+    * diffuse-load shape). The total guard needs ≥ 5 s of shared idle
+    * time so a 1-query subset pass can't flag on sub-second noise.
+    * A hot start with no snapshot at all is flagged conservatively.
+    */
+  private[graft] def contaminationVerdict(results: Seq[(String, Double)],
+                                          snapshot: Map[String, Double],
+                                          hotStart: Boolean): Boolean = {
+    val blown = results.count { case (n, t) =>
+      snapshot.get(n).exists(idle => idle >= 0.2 && t > 3.0 * idle)
+    }
+    val shared = results.filter { case (n, _) => snapshot.contains(n) }
+    val sharedIdle = shared.map { case (n, _) => snapshot(n) }.sum
+    val totalDrift = sharedIdle >= 5.0 &&
+      shared.map(_._2).sum > 1.25 * sharedIdle
+    blown >= 3 || totalDrift || (hotStart && snapshot.isEmpty)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -90,15 +115,11 @@ object Bench {
     // Contamination verdict. End-loadavg alone cannot be the signal:
     // a 32-thread local bench ALWAYS leaves the 1-min loadavg above
     // 1.5 at completion (self-inflicted load, not a co-tenant), so an
-    // end-load rule flags every healthy run. The reliable signal is
-    // DEVIATION FROM THE IDLE SNAPSHOT: if, even after the retry
-    // passes, ≥ 3 queries still sit > 3x their committed idle time,
-    // something external distorted the run. A hot start with no
-    // snapshot to compare against is flagged conservatively.
-    val blown = results.count { case (n, t) =>
-      snapshot.get(n).exists(idle => idle >= 0.2 && t > 3.0 * idle)
-    }
-    val contaminated = blown >= 3 || (hotStart && snapshot.isEmpty)
+    // end-load rule flags every healthy run. The reliable signals are
+    // DEVIATION FROM THE IDLE SNAPSHOT — per-query (≥ 3 queries > 3×
+    // idle) or total-wall (shared total > 1.25× shared idle total) —
+    // see contaminationVerdict.
+    val contaminated = contaminationVerdict(results, snapshot, hotStart)
     def f(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     def jsonOf(rs: Seq[(String, Double)], total: Double): String = {
       val qs = rs.map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")

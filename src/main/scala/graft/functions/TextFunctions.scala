@@ -533,16 +533,21 @@ object LcsOps {
     if (n == 0 || m == 0) return 0L
     val bw = new Array[UTF8String](m)
     var j = 0
-    while (j < m) { bw(j) = b.getUTF8String(j); j += 1 }
+    while (j < m) {
+      bw(j) = if (b.isNullAt(j)) null else b.getUTF8String(j)
+      j += 1
+    }
     var prev = new Array[Int](m + 1)
     var cur = new Array[Int](m + 1)
     var i = 0
     while (i < n) {
-      val aw = a.getUTF8String(i)
+      // null array elements never match (SQL null semantics) — they
+      // contribute nothing to the subsequence instead of NPEing.
+      val aw = if (a.isNullAt(i)) null else a.getUTF8String(i)
       j = 0
       while (j < m) {
         cur(j + 1) =
-          if (aw.equals(bw(j))) prev(j) + 1
+          if (aw != null && bw(j) != null && aw.equals(bw(j))) prev(j) + 1
           else if (prev(j + 1) >= cur(j)) prev(j + 1)
           else cur(j)
         j += 1
@@ -558,6 +563,17 @@ object LcsOps {
 case class LcsLength(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    def ok(dt: DataType) = dt match {
+      case org.apache.spark.sql.types.ArrayType(StringType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<string>, array<string>), " +
+        s"got (${left.dataType}, ${right.dataType})")
+  }
   override def nullSafeEval(a: Any, b: Any): Any =
     LcsOps.lcsLen(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =

@@ -146,6 +146,14 @@ object Retrieval {
     * with the query itself. Plan construction is free, and the check
     * fires wherever the plan actually executes — including a caller
     * who skipped the bounding filter.
+    *
+    * CONTRACT: `df` must be DETERMINISTIC (re-evaluating its plan
+    * yields the same rows). The guard's count branch re-executes the
+    * subplan, so a non-deterministic frame (an unseeded random sample,
+    * an unpersisted rand() filter) could count different rows than the
+    * main lineage processes and let an oversized set through. All
+    * in-repo callers pass deterministic frames; a caller with a
+    * non-deterministic source must persist/checkpoint it first.
     */
   def requireEvalBounded(df: DataFrame, maxRows: Long, what: String): DataFrame = {
     val msg = s"$what exceeds the $maxRows-row eval-set contract " +

@@ -1442,9 +1442,12 @@ object TextQueries {
     // uniform-key groupBy, broadcast 1-row corpus totals, and the
     // top-50 via orderBy+limit (TakeOrderedAndProject — per-partition
     // heads, NEVER a corpus-wide single-partition window). The cut
-    // ranks on the EXACT integer-derived ratio c_xy/(c_x·c_y) (PMI is
-    // monotone in it at fixed totals), so the selected SET is
-    // identical across engines even where ln() differs by an ulp.
+    // ranks on the ratio c_xy/(c_x·c_y) (PMI is monotone in it at
+    // fixed totals), computed OVERFLOW-SAFELY as the double-division
+    // chain (c_xy/c_x)/c_y — the c_x·c_y 64-bit product would wrap
+    // silently in non-ANSI Spark (and raise in DuckDB) once corpus
+    // word counts pass ~3e9. The identical IEEE chain on both sides
+    // keeps the selected SET equal even where ln() differs by an ulp.
     "q198_pmi_collocations" -> { (s, d) =>
       import graft.Caching.ScopedPersist
       val ws0 = Tables.documents(s, d)
@@ -1470,7 +1473,7 @@ object TextQueries {
           round(log((col("c_xy") / col("n_bigrams")) /
             ((col("c_x") / col("n_tokens")) * (col("c_y") / col("n_tokens")))),
             6).as("pmi"),
-          (col("c_xy").cast("double") / (col("c_x") * col("c_y"))).as("__r"))
+          (col("c_xy").cast("double") / col("c_x") / col("c_y")).as("__r"))
         .orderBy(col("__r").desc, col("w1"), col("w2"))
         .limit(50)
         .drop("__r")
@@ -2914,9 +2917,10 @@ object TextQueries {
 
     "q200_cdc_index_merge" -> cdcRollupSql,
 
-    // PMI collocations: the top-50 cut ranks on the exact
-    // integer-derived ratio (identical doubles both engines); ln()
-    // only appears inside the published round(.,6) score
+    // PMI collocations: the top-50 cut ranks on the overflow-safe
+    // double-division chain (c_xy/c_x)/c_y — identical IEEE doubles
+    // both engines, no BIGINT product to wrap/raise; ln() only
+    // appears inside the published round(.,6) score
     "q198_pmi_collocations" ->
       s"""WITH w0 AS (SELECT $wsSql AS ws FROM documents),
          |tot AS (SELECT CAST(SUM(len(ws)) AS DOUBLE) AS n_tokens,
@@ -2940,7 +2944,7 @@ object TextQueries {
          |  JOIN uni u1 ON u1.w = string_split(b.sh, ' ')[1]
          |  JOIN uni u2 ON u2.w = string_split(b.sh, ' ')[2]
          |  CROSS JOIN tot t
-         |  ORDER BY CAST(b.c_xy AS DOUBLE) / (u1.c * u2.c) DESC,
+         |  ORDER BY CAST(b.c_xy AS DOUBLE) / u1.c / u2.c DESC,
          |    string_split(b.sh, ' ')[1], string_split(b.sh, ' ')[2]
          |  LIMIT 50)
          |ORDER BY pmi DESC, w1, w2""".stripMargin,

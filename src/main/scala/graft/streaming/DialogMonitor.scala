@@ -15,7 +15,7 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig,
   * the batch audit (q194) owns it; the stream reports everything
   * knowable mid-flight.
   *
-  * State is ONE fixed 58-byte row per dialog (six longs + two role
+  * State is ONE fixed 50-byte row per dialog (six longs + two role
   * bytes packed via DataOutputStream — the QuantileMonitor layout
   * discipline), so total state is O(#dialogs) regardless of stream
   * length. Within a micro-batch, per-key rows are sorted by (ts, id)
@@ -38,7 +38,7 @@ object DialogMonitor {
   private def roleByte(r: String): Byte = if (r == "user") 1 else 2
 
   private def pack(s: S): Array[Byte] = {
-    val bos = new ByteArrayOutputStream(58)
+    val bos = new ByteArrayOutputStream(50)
     val out = new DataOutputStream(bos)
     out.writeLong(s.nTurns); out.writeLong(s.nUser); out.writeLong(s.nAssistant)
     out.writeLong(s.nViol); out.writeLong(s.maxRun); out.writeLong(s.curRun)

@@ -51,6 +51,41 @@ class BenchContractSpec extends AnyFunSuite {
     assert(Bench.parseSnapshot("garbage").isEmpty)
   }
 
+  test("contamination verdict flags diffuse total-wall drift, not just per-query blowouts") {
+    // Round 11's driver artifact: loadavg 2.06, total +17%, q154 at
+    // 3.7x idle — but only ONE query crossed the 3x line, so the old
+    // >=3-blowouts rule published `contaminated: false`. The total-wall
+    // guard (shared total > 1.25x shared idle total) must catch it.
+    val idle = Map("qa" -> 3.0, "qb" -> 4.0, "qc" -> 5.0, "qd" -> 8.0)
+
+    // healthy run: mild noise, under both thresholds
+    assert(!Bench.contaminationVerdict(
+      Seq("qa" -> 3.2, "qb" -> 4.1, "qc" -> 5.3, "qd" -> 8.2), idle, hotStart = false))
+
+    // round-11 shape: one 3x+ blowout, everything else +10-20% -> total
+    // drift crosses 1.25x even though per-query blowouts stay at 1
+    assert(Bench.contaminationVerdict(
+      Seq("qa" -> 11.0, "qb" -> 4.8, "qc" -> 6.0, "qd" -> 9.5), idle, hotStart = false))
+
+    // classic shape: >=3 per-query blowouts still flags on its own
+    assert(Bench.contaminationVerdict(
+      Seq("qa" -> 10.0, "qb" -> 13.0, "qc" -> 16.0, "qd" -> 8.0), idle, hotStart = false))
+
+    // 1-query subset pass (BenchContractSpec's own e2e case): shared
+    // idle under the 5 s floor -> sub-second noise can never flag
+    assert(!Bench.contaminationVerdict(
+      Seq("qa" -> 4.4), Map("qa" -> 3.0), hotStart = false))
+
+    // no snapshot at all: flag conservatively only under a hot start
+    assert(Bench.contaminationVerdict(Seq("qa" -> 1.0), Map.empty, hotStart = true))
+    assert(!Bench.contaminationVerdict(Seq("qa" -> 1.0), Map.empty, hotStart = false))
+
+    // queries with no snapshot entry (new this round) never count
+    // toward the drift ratio
+    assert(!Bench.contaminationVerdict(
+      Seq("qa" -> 3.1, "qnew" -> 99.0), Map("qa" -> 3.0, "qb" -> 4.0, "qc" -> 5.0), hotStart = false))
+  }
+
   test("live log4j routes through the stderr appender") {
     import org.apache.logging.log4j.LogManager
     import org.apache.logging.log4j.core.LoggerContext
