@@ -556,6 +556,41 @@ object OpsQueries {
     // bit-identically against DuckDB's bit-arithmetic mirror. At
     // 100 TB the only added cost over any sorted write is the
     // 1-row bounds broadcast.
+    // §2.2/§2.5 (round 12) — SNAPSHOT DATA-SKIPPING end-to-end: orders
+    // (projected to the integral key domain, the q208 discipline)
+    // publish Z-ORDERED on (o_custkey, o_day) into a snapshot
+    // generation whose per-file min/max manifest is harvested from
+    // parquet FOOTERS (metadata-only), then a selective 2-D range
+    // predicate reads back through Snapshot.readWhere — the pruned
+    // path opens only the files whose [min,max] intervals can satisfy
+    // the predicate (SnapshotSpec asserts the file-count drop; at
+    // 100 TB that pruning IS the query time) and re-applies the full
+    // row filter, so the aggregate below is hash-identical to
+    // DuckDB's plain filtered scan of the source table BY
+    // CONSTRUCTION — which is exactly what this oracle proves.
+    "q212_pruned_read" -> { (s, d) =>
+      import graft.sources.{Snapshot, SnapshotStats}
+      import SnapshotStats.StatsPred.{And => PAnd, Between}
+      val base = java.nio.file.Files.createTempDirectory("graft-skip")
+        .toString
+      val o = Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_custkey"),
+        datediff(col("o_orderdate").cast("date"), lit("1995-01-01"))
+          .cast("long").as("o_day"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      Snapshot.publishZOrdered(o, base, "o_custkey", "o_day", nFiles = 16)
+      val pred = PAnd(Between("o_custkey", 10L, 60L),
+        Between("o_day", 365L, 1095L))
+      Snapshot.readWhere(s, base, pred)
+        .groupBy(floor(col("o_day") / 91).cast("long").as("qtr"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("cents")).cast("long").as("sum_cents"),
+          countDistinct(col("o_custkey")).as("n_custs"),
+          min(col("o_orderkey")).as("min_okey"),
+          max(col("o_orderkey")).as("max_okey"))
+        .orderBy(col("qtr"))
+    },
+
     "q208_zorder_tiles" -> { (s, d) =>
       import graft.operators.Layout
       val o = Tables.orders(s, d).select(
@@ -939,6 +974,24 @@ object OpsQueries {
     // exact-integer 16-bit normalization (floor div on nonnegative
     // ranges ≡ decimal `div`): a's bits land at even positions, b's
     // at odd — list_sum over the 16 bit lanes.
+    // stats-pruned snapshot read: the engine side goes through the
+    // z-ordered generation + footer-stats file pruning; the oracle is
+    // the PLAIN filtered scan — equality proves pruning lossless
+    "q212_pruned_read" ->
+      """SELECT CAST(o_day // 91 AS BIGINT) AS qtr,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+        |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+        |  CAST(MIN(o_orderkey) AS BIGINT) AS min_okey,
+        |  CAST(MAX(o_orderkey) AS BIGINT) AS max_okey
+        |FROM (
+        |  SELECT o_orderkey, o_custkey,
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '1995-01-01' AS BIGINT) AS o_day,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        |  FROM orders)
+        |WHERE o_custkey BETWEEN 10 AND 60 AND o_day BETWEEN 365 AND 1095
+        |GROUP BY qtr ORDER BY qtr""".stripMargin,
+
     "q208_zorder_tiles" ->
       """WITH b AS (
         |  SELECT min(o_custkey) AS mna, max(o_custkey) AS mxa,

@@ -126,6 +126,10 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "q206_water_filling" -> 10, // source agg + bounded rank window + 2 scalar branches
     "q207_injection_scan" -> 2, // one narrow flag scan + source groupBy
     "q208_zorder_tiles" -> 3,  // bounds agg + tile groupBy + sort
+    // round-12: the pruned-path read — qtr agg (countDistinct expand)
+    // + sort; the z-order WRITE side's exchanges were spent in the
+    // publish job, not this plan
+    "q212_pruned_read" -> 3,
     "q209_hard_negatives" -> 2, // 10-key gold agg; corpus side never shuffles
     "q210_code_detect" -> 2,   // one narrow signal scan + source groupBy
     "q211_url_canonical" -> 3, // host rollup + countDistinct expand + sort
