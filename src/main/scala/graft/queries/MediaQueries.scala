@@ -129,6 +129,58 @@ object MediaQueries {
         .withColumn("n_sheets", expr("(n_samples + 15) div 16"))
         .withColumn("last_sheet_pad", expr("(16 - n_samples % 16) % 16"))
         .orderBy(col("doc_id"))
+    },
+
+    // §2.3 (round 12) — CROSS-MODAL ALIGNMENT audit (the CLIP-score
+    // shape): the multimodal family finally RELATES modalities. Each
+    // "image" carries a stub vision-encoder feature — its paired text
+    // embedding perturbed by deterministic integer-derived noise (a
+    // declared stand-in, like Multimodal.decodeFrames: real encoders
+    // aren't in this container, but the stub is exact integer + IEEE
+    // arithmetic, so unlike q117 the whole audit ORACLE-checks) — and
+    // a PLANTED caption mixup: every img_id ≡ 5 (mod 17) was
+    // "captioned" with its successor's text. The audit scores every
+    // pair's own-caption cosine, then MINES mismatches over a bounded
+    // audit slice (img_id < 170) with the broadcast top-1 machinery
+    // (q193's argmax-by-struct discipline — no corpus-wide window):
+    // best_id ≠ img_id flags the mixup and recovers the true caption.
+    // Scale path: the mining slice stays audit-sized by contract;
+    // corpus-wide mining swaps the brute-force cross join for
+    // Similarity.annLsh candidates with the argmax unchanged.
+    "q213_clip_align" -> { (s, d) =>
+      import graft.Caching.ScopedPersist
+      import graft.functions.GraftFunctions
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val src = emb.select(col("vec_id").as("img_id"),
+        when(col("vec_id") % 17 === 5, col("vec_id") + 1)
+          .otherwise(col("vec_id")).as("src_id"))
+      val img = src.join(emb.select(col("vec_id").as("src_id"),
+          col("embedding").as("src_emb")), "src_id")
+        .select(col("img_id"), expr(
+          "transform(src_emb, (x, i) -> cast(cast(x as double) + " +
+          "(cast((img_id * 31 + i * 7) % 11 as double) - 5.0D) / 50.0D as float))")
+          .as("img_emb"))
+        .scopedPersist() // consumers: own-pair scoring + mining slice
+      val own = img.join(emb.select(col("vec_id").as("img_id"),
+          col("embedding").as("own_emb")), "img_id")
+        .select(col("img_id"),
+          round(GraftFunctions.cosine(col("img_emb"), col("own_emb")), 6)
+            .as("own_cos"))
+      val audit = img.filter(col("img_id") < 170)
+      val scored = emb.select(col("vec_id").as("cand_id"),
+          col("embedding").as("cand_emb"))
+        .crossJoin(broadcast(audit))
+        .select(col("img_id"), col("cand_id"),
+          round(GraftFunctions.cosine(col("img_emb"), col("cand_emb")), 6)
+            .as("cos"))
+      val best = scored.groupBy(col("img_id"))
+        .agg(max(struct(col("cos"), (-col("cand_id")).as("neg_id"))).as("b"))
+        .select(col("img_id"), col("b.cos").as("best_cos"),
+          (-col("b.neg_id")).as("best_id"))
+      best.join(own, "img_id")
+        .select(col("img_id"), col("own_cos"), col("best_id"),
+          col("best_cos"), (col("best_id") =!= col("img_id")).as("is_mismatch"))
+        .orderBy(col("img_id"))
     }
   )
 
@@ -202,6 +254,44 @@ object MediaQueries {
         |  CAST((COUNT(*) + 15) // 16 AS BIGINT) AS n_sheets,
         |  CAST((16 - COUNT(*) % 16) % 16 AS BIGINT) AS last_sheet_pad
         |FROM samp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // stub vision feature mirrored as a 1-based list comprehension
+    // ((i-1)*7 ≡ Spark's 0-based i*7); cosine parity via
+    // list_cosine_similarity on DOUBLE[] (the q34 precedent); top-1
+    // via row_number on the round(.,6) landscape + cand_id tie-break
+    "q213_clip_align" ->
+      """WITH src AS (
+        |  SELECT vec_id AS img_id,
+        |    CASE WHEN vec_id % 17 = 5 THEN vec_id + 1 ELSE vec_id END AS src_id
+        |  FROM embeddings),
+        |img AS (
+        |  SELECT s.img_id,
+        |    [CAST(CAST(se.embedding[i] AS DOUBLE) +
+        |       (CAST((s.img_id * 31 + (i - 1) * 7) % 11 AS DOUBLE) - 5.0) / 50.0
+        |       AS FLOAT)
+        |     FOR i IN generate_series(1, len(se.embedding))] AS img_emb
+        |  FROM src s JOIN embeddings se ON se.vec_id = s.src_id),
+        |own AS (
+        |  SELECT i.img_id,
+        |    round(list_cosine_similarity(CAST(i.img_emb AS DOUBLE[]),
+        |      CAST(e.embedding AS DOUBLE[])), 6) AS own_cos
+        |  FROM img i JOIN embeddings e ON e.vec_id = i.img_id),
+        |mine AS (
+        |  SELECT i.img_id, c.vec_id AS cand_id,
+        |    round(list_cosine_similarity(CAST(i.img_emb AS DOUBLE[]),
+        |      CAST(c.embedding AS DOUBLE[])), 6) AS cos
+        |  FROM img i CROSS JOIN embeddings c
+        |  WHERE i.img_id < 170),
+        |best AS (
+        |  SELECT img_id, cand_id, cos,
+        |    row_number() OVER (PARTITION BY img_id
+        |      ORDER BY cos DESC, cand_id) AS rn
+        |  FROM mine)
+        |SELECT b.img_id, o.own_cos, b.cand_id AS best_id, b.cos AS best_cos,
+        |  (b.cand_id <> b.img_id) AS is_mismatch
+        |FROM best b JOIN own o ON o.img_id = b.img_id
+        |WHERE b.rn = 1
+        |ORDER BY b.img_id""".stripMargin,
 
     "q183_audio_windows" ->
       """WITH m AS (

@@ -84,4 +84,33 @@ class MediaBatchSpec extends SparkSpecBase {
         "contact-sheet packing arithmetic broken")
     }
   }
+
+  test("q213 clip alignment: every planted mixup recovered, every control aligned") {
+    val rows = SparkEntry.queries("q213_clip_align")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val maxId = rows.map(_.getAs[Long]("img_id")).max
+    val (planted, controls) = rows.partition(_.getAs[Long]("img_id") % 17 == 5)
+    assert(planted.nonEmpty && controls.nonEmpty)
+    planted.foreach { r =>
+      val id = r.getAs[Long]("img_id")
+      // the last id has no successor embedding only when id+1 is past
+      // the corpus; the inner source join already dropped that case
+      assert(r.getAs[Boolean]("is_mismatch"), s"planted mixup $id not flagged")
+      assert(r.getAs[Long]("best_id") == id + 1,
+        s"mixup $id must recover its true caption ${id + 1}, got ${r.getAs[Long]("best_id")}")
+    }
+    controls.foreach { r =>
+      val id = r.getAs[Long]("img_id")
+      assert(!r.getAs[Boolean]("is_mismatch"), s"control pair $id falsely flagged")
+      assert(r.getAs[Long]("best_id") == id)
+      assert(r.getAs[Double]("best_cos") == r.getAs[Double]("own_cos"))
+    }
+    // alignment scores discriminate: the worst aligned control beats
+    // the best mixed-up pair's own-caption score
+    val minControlOwn = controls.map(_.getAs[Double]("own_cos")).min
+    val maxPlantedOwn = planted.map(_.getAs[Double]("own_cos")).max
+    assert(minControlOwn > maxPlantedOwn,
+      s"alignment score fails to separate: control min $minControlOwn vs planted max $maxPlantedOwn")
+    assert(maxId < 170, "audit slice must stay bounded")
+  }
 }

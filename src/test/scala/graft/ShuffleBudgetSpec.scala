@@ -130,6 +130,7 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     // + sort; the z-order WRITE side's exchanges were spent in the
     // publish job, not this plan
     "q212_pruned_read" -> 3,
+    "q213_clip_align" -> 3,    // own-pair join + argmax agg + sort; mining side broadcast
     "q209_hard_negatives" -> 2, // 10-key gold agg; corpus side never shuffles
     "q210_code_detect" -> 2,   // one narrow signal scan + source groupBy
     "q211_url_canonical" -> 3, // host rollup + countDistinct expand + sort
