@@ -756,6 +756,103 @@ class ScaleSpec extends SparkSpecBase {
       s"ledger ${ledger.toSeq.sorted} must sum to the committed spend")
   }
 
+  test("composed curation stream equals the one-shot batch chain, exactly-once over planted debris") {
+    import spark.implicits._
+    import graft.streaming.CurationStream
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    def textOf(id: Long): String =
+      docs.filter(col("doc_id") === id).select("text").as[String].first()
+    val benchmark = docs.filter(col("doc_id") < 20)
+    // three doc_id-ordered chunks with planted cases: a cross-batch
+    // exact dup (55 copies 25), a contaminated doc (56 copies
+    // benchmark doc 5), and an in-batch dup pair (57, 58 both copy 30)
+    val chunks: Seq[Seq[(Long, String)]] = Seq(
+      (20L to 39L).map(i => (i, textOf(i))),
+      (40L to 54L).map(i => (i, textOf(i))) ++
+        Seq((55L, textOf(25)), (56L, textOf(5))),
+      Seq((57L, textOf(30)), (58L, textOf(30))) ++
+        (59L to 70L).map(i => (i, textOf(i))))
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-cur-src")
+    chunks.zipWithIndex.foreach { case (rows, i) =>
+      val stage = java.nio.file.Files.createTempDirectory(s"graft-cur-chunk$i")
+      rows.toDF("doc_id", "text")
+        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = java.nio.file.Files.list(stage).iterator()
+      val found = scala.jdk.CollectionConverters.IteratorHasAsScala(part).asScala
+        .find(_.toString.endsWith(".parquet")).get
+      val dst = srcDir.resolve(f"chunk$i%02d.parquet")
+      java.nio.file.Files.move(found, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+    }
+    val union = chunks.flatten.toDF("doc_id", "text")
+    // budget at ~60% of the union's whitespace tokens so the boundary
+    // lands mid-stream: both "kept" and "budget" verdicts must occur
+    val budget = union
+      .select(size(split(trim(col("text")), "\\s+")).cast("long").as("w"))
+      .agg(sum(col("w"))).first().getLong(0) * 6 / 10
+
+    val indexDir = java.nio.file.Files.createTempDirectory("graft-cur-idx").toString
+    val ledgerDir = java.nio.file.Files.createTempDirectory("graft-cur-led").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-cur-out").toString
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft-cur-ckpt").toString
+    CurationStream.init(spark, indexDir, ledgerDir)
+    // planted crash debris from a "failed first attempt", both state
+    // dirs: a poisoned index generation for batch 0 (keep_id -999
+    // would flag every same-hash doc as a dup of a ghost) and a
+    // poisoned ledger row for batch 0 (a huge eligible would zero the
+    // remaining budget). The replay must ignore BOTH (own-generation
+    // exclusion / strictly-earlier ledger read) and overwrite them.
+    spark.range(1)
+      .select(lit("deadbeef").as("th"), lit(-999L).as("keep_id"))
+      .write.mode("overwrite").parquet(s"$indexDir/gen=0")
+    spark.range(1)
+      .select(lit(1000000000L).as("eligible"), lit(1000000000L).as("spent"))
+      .write.mode("overwrite").parquet(s"$ledgerDir/batch=0")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
+    CurationStream.run(stream, benchmark, indexDir, ledgerDir, outDir, ckptDir,
+      budget = budget)
+
+    val streamed = spark.read.parquet(outDir)
+      .select("doc_id", "verdict", "ws_tokens", "dup_of", "cum_global")
+      .as[(Long, String, Long, Option[Long], Option[Long])].collect().toSet
+    val emptyPrior = spark.range(0)
+      .select(lit("").as("th"), lit(0L).as("keep_id"))
+    val (goldenDf, _) = graft.streaming.CurationStream.verdictChain(
+      union, benchmark, emptyPrior, priorEligible = 0L, budget = budget,
+      contamN = 8)
+    val golden = goldenDf
+      .select("doc_id", "verdict", "ws_tokens", "dup_of", "cum_global")
+      .as[(Long, String, Long, Option[Long], Option[Long])].collect().toSet
+    assert(streamed.size == chunks.map(_.size).sum)
+    assert(streamed == golden,
+      s"stream/batch verdict divergence: ${(streamed diff golden).take(5)} vs ${(golden diff streamed).take(5)}")
+    // the planted cases came out as planted
+    val byId = streamed.map(v => v._1 -> v).toMap
+    assert(byId(55L)._2 == "dup" && byId(55L)._4.contains(25L), s"cross-batch dup: ${byId(55L)}")
+    assert(byId(57L)._2 == "dup" && byId(57L)._4.contains(30L))
+    assert(byId(58L)._2 == "dup" && byId(58L)._4.contains(30L))
+    assert(byId(56L)._2 == "contam", s"contamination not flagged: ${byId(56L)}")
+    assert(streamed.exists(_._2 == "kept") && streamed.exists(_._2 == "budget"),
+      "budget boundary must land mid-stream")
+    // debris was overwritten, not merged: no ghost ids in the index,
+    // and the ledger's global accounting reconciles with the output
+    assert(spark.read.parquet(indexDir).filter(col("keep_id") < 0).count() == 0,
+      "poisoned index generation survived the replay")
+    val ledger = spark.read.parquet(ledgerDir)
+      .agg(sum(col("eligible")), sum(col("spent"))).first()
+    val outAgg = spark.read.parquet(outDir)
+      .agg(sum(when(col("verdict").isin("kept", "budget"), col("ws_tokens"))),
+        sum(when(col("verdict") === "kept", col("ws_tokens")))).first()
+    assert(ledger.getLong(0) == outAgg.getLong(0) && ledger.getLong(1) == outAgg.getLong(1),
+      "ledger does not reconcile with committed output")
+    assert(ledger.getLong(1) <= budget, "admitted spend exceeds the budget")
+  }
+
   test("manifest checksum: two independent 32-bit lanes, merge-exact") {
     // Collision bound: one 32-bit additive lane is birthday-plausible
     // to collide silently at ~10⁹ docs/shard; two INDEPENDENT lanes
