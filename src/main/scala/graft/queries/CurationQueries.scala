@@ -31,7 +31,7 @@ object CurationQueries {
       val corpus = plantedCorpus(s, d)
       val bands = Dedup.lshBandsMd5Narrow(corpus, "doc_id", "text",
         shingleWidth = 3, nSeeds = 8, rowsPerBand = 4)
-      val clusters = Dedup.connectedComponents(Dedup.lshCandidatePairs(bands))
+      val clusters = Dedup.connectedComponentsTwoPhase(Dedup.lshCandidatePairs(bands))
       val removed = clusters.filter(col("cluster_id") =!= col("doc_id"))
         .select(col("doc_id"))
       corpus.join(removed, Seq("doc_id"), "left_anti")
@@ -339,7 +339,7 @@ object CurationQueries {
       val corpus = plantedCorpus(s, d)
       val bands = Dedup.lshBandsMd5Narrow(corpus, "doc_id", "text",
         shingleWidth = 3, nSeeds = 8, rowsPerBand = 4)
-      val member = Dedup.connectedComponents(Dedup.lshCandidatePairs(bands))
+      val member = Dedup.connectedComponentsTwoPhase(Dedup.lshCandidatePairs(bands))
         .join(TextAnalysis.qualityScore(corpus, "doc_id", "text")
           .select(col("doc_id"), col("distinct_ratio")), "doc_id")
         .scopedPersist() // consumers: canonical argmax + member emit

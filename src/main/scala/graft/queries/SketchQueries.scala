@@ -51,6 +51,40 @@ object SketchQueries {
           round(col("sk.ests")(3)("est"), 6).as("p75"),
           round(col("sk.ests")(4)("est"), 6).as("p90"))
         .orderBy(col("event_type"))
+    },
+
+    // §2.5 (round 12) — count-min sketch point-frequency estimates
+    // (functions/CountMin.scala): Space-Saving (q56) surfaces the
+    // heavy keys; CMS answers "how often does THIS key occur" for
+    // ANY key from depth×width mergeable counters — cell-wise-ADD
+    // merge means map-side partials combine associatively and daily
+    // sketches roll up to any window without rescanning. The query
+    // builds one corpus-wide sketch (one aggregate, d·w·8 bytes of
+    // state), broadcasts the bytes, and probes the exact top-20
+    // tokens through the codegen'd estimator — est ≥ exact always
+    // (one-sided error), with the overcount published per token.
+    // Rows-only by design (no SQL-expressible oracle for the sketch
+    // cells); QuantileSketchSpec pins est ≥ exact on a forced-
+    // collision domain, additive merge ≡ single-pass build, and the
+    // ε·N error bound.
+    "q217_cms_freq" -> { (s, d) =>
+      import graft.Caching.ScopedPersist
+      import graft.functions.{CmsFunctions, GraftFunctions}
+      val depth = 4
+      val width = 64
+      val words = Tables.documents(s, d)
+        .select(explode(GraftFunctions.normWords(col("text"))).as("word"))
+        .scopedPersist() // consumers: sketch build + exact counts
+      val sk = words.agg(
+        CmsFunctions.cmsAgg(col("word"), lit(1L), depth, width).as("sk"))
+      words.groupBy(col("word")).agg(count(lit(1)).as("exact"))
+        .crossJoin(broadcast(sk)) // 1-row sketch frame
+        .select(col("word"), col("exact"),
+          CmsFunctions.cmsEstimate(col("sk"), col("word"), depth, width)
+            .as("est"))
+        .withColumn("overcount", col("est") - col("exact"))
+        .orderBy(col("exact").desc, col("word"))
+        .limit(20)
     }
   )
 

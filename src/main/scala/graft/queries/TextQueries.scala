@@ -509,7 +509,7 @@ object TextQueries {
       val bands = Dedup.lshBandsMd5Narrow(plantedCorpus(s, d), "doc_id", "text",
         shingleWidth = 3, nSeeds = 8, rowsPerBand = 4)
       val pairs = Dedup.lshCandidatePairs(bands)
-      Dedup.connectedComponents(pairs)
+      Dedup.connectedComponentsTwoPhase(pairs)
         .orderBy(col("doc_id"))
     },
 
@@ -1657,8 +1657,101 @@ object TextQueries {
         .withColumn("code_rate",
           round(col("n_code").cast("double") / col("n_docs"), 6))
         .orderBy(col("source"))
+    },
+
+    // §2.3 (round 12) — BLOCKLIST tagging on an Aho-Corasick
+    // automaton (functions/AhoCorasick.scala): a regex alternation
+    // over K terms scans O(len·K); the AC automaton scans O(len)
+    // regardless of K, so a 10k-term safety blocklist prices like a
+    // single contains() at 100 TB. The automaton is driver-built
+    // from the bounded term list and rides into generated code as a
+    // reference object (the CountMatches discipline) — ONE codegen'd
+    // pass per doc, zero joins, zero shuffles before the final
+    // order. Planted spam suffixes (doc_id arithmetic, mirrored in
+    // the oracle) give real positives; the term "win" exercises
+    // inside-word matching organically ("window" fires it). Terms
+    // are borderless by [[AcAutomaton]] contract, so per-term counts
+    // equal DuckDB's non-overlapping replace()-count exactly.
+    "q214_blocklist_scan" -> { (s, d) =>
+      val planted = Tables.documents(s, d).select(
+        col("doc_id"), col("source"),
+        concat(col("text"),
+          when(col("doc_id") % 7 === 0, lit(" casino jackpot casino"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 11 === 3, lit(" viagra pills now"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 13 === 5,
+            lit(" crypto lottery winner betting crypto"))
+            .otherwise(lit(""))).as("t"))
+      planted
+        .select(col("doc_id"), col("source"),
+          GraftFunctions.acScan(col("t"), blockTerms).as("ac"))
+        .filter(col("ac.n_hits") > 0)
+        .select(col("doc_id"), col("source"),
+          col("ac.n_hits").as("n_hits"),
+          col("ac.n_terms").cast("long").as("n_terms"),
+          col("ac.first_term").as("first_term"))
+        .orderBy(col("doc_id"))
+    },
+
+    // §2.3 (round 12) — INTRA-document repetition removal with
+    // reassembly: q159 dedups paragraphs ACROSS the corpus; this is
+    // the RefinedWeb/Gopher WITHIN-document pass (q71 only measures
+    // the signal — this applies the fix): drop repeated lines inside
+    // each document, keep first occurrences, reassemble in original
+    // order, report the per-doc savings ledger. Lines are normWords
+    // chunked 6 (the c4Pages discipline); planted repeats (doc_id
+    // arithmetic, mirrored in the oracle) guarantee real positives.
+    // Scale shape: everything is keyed by doc_id — the (doc_id, line)
+    // dedup aggregate partial-combines map-side and NO line content
+    // ever crosses documents, so the pass is embarrassingly
+    // data-parallel at 100 TB (contrast q159's corpus-wide hash key).
+    "q215_intradoc_dedup" -> { (s, d) =>
+      val la0 = Tables.documents(s, d)
+        .select(col("doc_id"), GraftFunctions.normWords(col("text")).as("__ws"))
+        .scopedPersist() // bind normWords (the c4Pages rationale)
+        .select(col("doc_id"),
+          when(size(col("__ws")) === 0,
+            array().cast("array<string>"))
+            .otherwise(transform(
+              sequence(lit(0),
+                floor((size(col("__ws")) + lit(5)) / lit(6)).cast("int") - 1),
+              i => array_join(slice(col("__ws"), i * 6 + 1, lit(6)), " ")))
+            .as("la"))
+      val lines = la0
+        .select(col("doc_id"),
+          concat(col("la"),
+            when(col("doc_id") % 3 === 0, slice(col("la"), 1, 2))
+              .otherwise(slice(col("la"), 1, 0)),
+            when(col("doc_id") % 5 === 2, slice(col("la"), 1, 1))
+              .otherwise(slice(col("la"), 1, 0))).as("la"))
+        .select(col("doc_id"), size(col("la")).cast("long").as("n_lines"),
+          posexplode(col("la")))
+        .select(col("doc_id"), col("n_lines"), col("pos"),
+          col("col").as("line"))
+      lines
+        .groupBy(col("doc_id"), col("line"))
+        .agg(first(col("n_lines")).as("n_lines"), min(col("pos")).as("p"))
+        .groupBy(col("doc_id"))
+        .agg(first(col("n_lines")).as("n_lines"),
+          count(lit(1)).as("n_kept"),
+          array_join(transform(
+            sort_array(collect_list(struct(col("p"), col("line")))),
+            x => x.getField("line")), " ").as("dedup_text"))
+        .select(col("doc_id"), col("n_lines"), col("n_kept"),
+          (col("n_lines") - col("n_kept")).as("n_removed"),
+          col("dedup_text"))
+        .orderBy(col("doc_id"))
     }
   )
+
+  /** q214's blocklist — ASCII, borderless (AcAutomaton-checked),
+    * includes "win" (a prefix of "winner" AND a substring of the
+    * organic vocab word "window") to pin substring + nested-term
+    * semantics in both engines. Interpolated into the oracle. */
+  private val blockTerms: Seq[String] = Seq(
+    "betting", "casino", "crypto", "jackpot", "lottery",
+    "pills", "viagra", "win", "winner")
 
   /** Code-keyword regex — alternation-only (identical Java-regex /
     * RE2 semantics), interpolated into the oracle verbatim. */
@@ -3055,6 +3148,56 @@ object TextQueries {
          |                        OR n_blocks >= 1 THEN 1 ELSE 0 END) AS DOUBLE)
          |    / COUNT(*), 6) AS code_rate
          |FROM sig GROUP BY source ORDER BY source""".stripMargin
-    }
+    },
+
+    "q214_blocklist_scan" -> {
+      // per-term occurrence count via the replace trick (== the AC
+      // count for borderless terms); first_term = argmin over
+      // (first position, term), encoded as a zero-padded sortable
+      // string so the MIN carries the tiebreak.
+      val termList = blockTerms.map(t => s"'$t'").mkString(", ")
+      s"""WITH planted AS (
+         |  SELECT doc_id, source, text ||
+         |    CASE WHEN doc_id % 7 = 0 THEN ' casino jackpot casino' ELSE '' END ||
+         |    CASE WHEN doc_id % 11 = 3 THEN ' viagra pills now' ELSE '' END ||
+         |    CASE WHEN doc_id % 13 = 5
+         |         THEN ' crypto lottery winner betting crypto' ELSE '' END AS t
+         |  FROM documents),
+         |per_term AS (
+         |  SELECT doc_id, source, term,
+         |    (length(t) - length(replace(t, term, ''))) // length(term) AS cnt,
+         |    strpos(t, term) AS pos
+         |  FROM planted CROSS JOIN (SELECT unnest([$termList]) AS term) tl),
+         |agg AS (
+         |  SELECT doc_id, source,
+         |    CAST(SUM(cnt) AS BIGINT) AS n_hits,
+         |    CAST(SUM(CASE WHEN cnt > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_terms,
+         |    MIN(CASE WHEN cnt > 0 THEN printf('%08d', pos) || term END) AS ft
+         |  FROM per_term GROUP BY doc_id, source)
+         |SELECT doc_id, source, n_hits, n_terms, substr(ft, 9) AS first_term
+         |FROM agg WHERE n_hits > 0 ORDER BY doc_id""".stripMargin
+    },
+
+    "q215_intradoc_dedup" ->
+      s"""WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents),
+         |la0 AS (SELECT doc_id,
+         |    [array_to_string(ws[i*6+1:i*6+6], ' ')
+         |     FOR i IN generate_series(0, (len(ws) + 5) // 6 - 1)] AS la
+         |  FROM w),
+         |la AS (SELECT doc_id, la ||
+         |    CASE WHEN doc_id % 3 = 0 THEN la[1:2] ELSE la[1:0] END ||
+         |    CASE WHEN doc_id % 5 = 2 THEN la[1:1] ELSE la[1:0] END AS la
+         |  FROM la0),
+         |pe AS (SELECT doc_id, len(la) AS n_lines, u.i AS pos, u.v AS line
+         |       FROM la, unnest([{'i': i, 'v': la[i]}
+         |                        FOR i IN generate_series(1, len(la))]) AS u),
+         |firsts AS (SELECT doc_id, MIN(n_lines) AS n_lines, line,
+         |             MIN(pos) AS p
+         |           FROM pe GROUP BY doc_id, line)
+         |SELECT doc_id, CAST(MIN(n_lines) AS BIGINT) AS n_lines,
+         |  CAST(COUNT(*) AS BIGINT) AS n_kept,
+         |  CAST(MIN(n_lines) - COUNT(*) AS BIGINT) AS n_removed,
+         |  string_agg(line, ' ' ORDER BY p) AS dedup_text
+         |FROM firsts GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

@@ -249,6 +249,60 @@ object WebQueries {
         .withColumn("dup_rate",
           round(col("dup_extra").cast("double") / col("n_urls"), 6))
         .orderBy(col("canonical_host"))
+    },
+
+    // §2.3 (round 12) — RE-CRAWL delta audit: before re-ingesting a
+    // crawl, measure what actually changed since the last snapshot —
+    // per-page shingle Jaccard between the two crawl generations
+    // drives both the refresh priority (major-change pages re-enter
+    // the pipeline) and dedup cost forecasting (unchanged pages skip
+    // it). The previous crawl is derived deterministically (mirrored
+    // in the oracle): pages doc_id%17==0 did not exist yet ('new'),
+    // pages doc_id%3==0 changed (every 11th word replaced), the rest
+    // are byte-identical. Shingle sets are computed IN THE SCAN
+    // projection of each side (narrow, per-doc arrays — the
+    // ngramJaccard packing), so the only data moved by the equi-join
+    // is one array row per page; at 100 TB the two snapshots bucket
+    // by url and this joins co-located. Classification runs in exact
+    // integer micro-units (j_u = HALF_UP(1e6·|∩|/|∪|) via pure
+    // BIGINT arithmetic — no float compare anywhere), and the
+    // per-source mean is one double division over exact long sums.
+    "q216_recrawl_delta" -> { (s, d) =>
+      import graft.functions.GraftFunctions
+      import graft.operators.Dedup
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("text"))
+      val oldDocs = docs.filter(col("doc_id") % 17 =!= 0)
+        .select((col("doc_id") + 5000000L).as("doc_id"),
+          when(col("doc_id") % 3 === 0,
+            array_join(transform(GraftFunctions.normWords(col("text")),
+              (w, i) => when(i % 11 === 0, lit("upd")).otherwise(w)), " "))
+            .otherwise(col("text")).as("text"))
+      val corpus = docs.select(col("doc_id"), col("text")).unionByName(oldDocs)
+      val pairs = docs.filter(col("doc_id") % 17 =!= 0)
+        .select(col("doc_id").as("doc_a"),
+          (col("doc_id") + 5000000L).as("doc_b"))
+      val j = Dedup.ngramJaccard(corpus, pairs, "doc_id", "text",
+          shingleWidth = 3)
+        .select(col("doc_a").as("doc_id"),
+          // HALF_UP(1e6·ni/u) in pure BIGINT arithmetic (`div`, not
+          // `/` — Column./ is IEEE double division)
+          expr("(n_inter * 2000000 + (n_a + n_b - n_inter)) div " +
+            "((n_a + n_b - n_inter) * 2)").cast("long").as("j_u"))
+      val status = when(col("j_u").isNull, "new")
+        .when(col("j_u") === 1000000L, "unchanged")
+        .when(col("j_u") >= 500000L, "minor")
+        .otherwise("major")
+      docs.join(j, Seq("doc_id"), "left")
+        .select(col("source"), status.as("status"), col("j_u"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_pages"),
+          sum((col("status") === "new").cast("long")).as("n_new"),
+          sum((col("status") === "unchanged").cast("long")).as("n_unchanged"),
+          sum((col("status") === "minor").cast("long")).as("n_minor"),
+          sum((col("status") === "major").cast("long")).as("n_major"),
+          round(avg(col("j_u")) / 1e6, 6).as("mean_jaccard"))
+        .orderBy(col("source"))
     }
   )
 
@@ -489,6 +543,52 @@ object WebQueries {
         |  CAST(COUNT(*) - COUNT(DISTINCT canonical) AS BIGINT) AS dup_extra,
         |  ROUND(CAST(COUNT(*) - COUNT(DISTINCT canonical) AS DOUBLE)
         |    / COUNT(*), 6) AS dup_rate
-        |FROM c GROUP BY canonical_host ORDER BY canonical_host""".stripMargin
+        |FROM c GROUP BY canonical_host ORDER BY canonical_host""".stripMargin,
+
+    "q216_recrawl_delta" ->
+      s"""WITH w AS (SELECT doc_id, source, ${TextQueries.wsSql} AS ws
+         |           FROM documents),
+         |oldw AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 3 = 0 THEN
+         |      [CASE WHEN (i-1) % 11 = 0 THEN 'upd' ELSE ws[i] END
+         |       FOR i IN generate_series(1, len(ws))]
+         |    ELSE ws END AS ws
+         |  FROM w WHERE doc_id % 17 <> 0),
+         |shn AS (SELECT DISTINCT doc_id,
+         |    unnest([array_to_string(ws[i:i+2],' ')
+         |            FOR i IN generate_series(1, len(ws)-2)]) AS sh
+         |  FROM w WHERE len(ws) >= 3),
+         |sho AS (SELECT DISTINCT doc_id,
+         |    unnest([array_to_string(ws[i:i+2],' ')
+         |            FOR i IN generate_series(1, len(ws)-2)]) AS sh
+         |  FROM oldw WHERE len(ws) >= 3),
+         |cn AS (SELECT doc_id, COUNT(*) AS n FROM shn GROUP BY 1),
+         |co AS (SELECT doc_id, COUNT(*) AS n FROM sho GROUP BY 1),
+         |inter AS (SELECT x.doc_id, COUNT(*) AS ni
+         |          FROM shn x JOIN sho y ON y.doc_id = x.doc_id AND y.sh = x.sh
+         |          GROUP BY 1),
+         |j AS (SELECT cn.doc_id,
+         |        (COALESCE(i.ni, 0) * 2000000
+         |           + (cn.n + co.n - COALESCE(i.ni, 0)))
+         |          // ((cn.n + co.n - COALESCE(i.ni, 0)) * 2) AS j_u
+         |      FROM cn JOIN co USING (doc_id) LEFT JOIN inter i USING (doc_id)),
+         |cls AS (SELECT w.source,
+         |      CASE WHEN j.j_u IS NULL THEN 'new'
+         |           WHEN j.j_u = 1000000 THEN 'unchanged'
+         |           WHEN j.j_u >= 500000 THEN 'minor'
+         |           ELSE 'major' END AS status,
+         |      j.j_u
+         |    FROM w LEFT JOIN j USING (doc_id))
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_pages,
+         |  CAST(SUM(CASE WHEN status = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_new,
+         |  CAST(SUM(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_unchanged,
+         |  CAST(SUM(CASE WHEN status = 'minor' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_minor,
+         |  CAST(SUM(CASE WHEN status = 'major' THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_major,
+         |  ROUND(AVG(j_u) / 1000000, 6) AS mean_jaccard
+         |FROM cls GROUP BY source ORDER BY source""".stripMargin
   )
 }

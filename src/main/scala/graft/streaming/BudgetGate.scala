@@ -49,19 +49,26 @@ object BudgetGate {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
         val sp = batch.sparkSession
-        val prior = sp.read.parquet(ledgerDir)
-          .filter(col("batch") < batchId)
-          .agg(coalesce(sum(col("spent")), lit(0L))).first().getLong(0)
-        val remaining = math.max(0L, budget - prior)
-        Selection.budgetSelect(batch.toDF(), sortCols.map(col),
-            col(weightCol), remaining)
-          .withColumn("cum_global", col("cum_weight") + lit(prior))
-          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
-        val spent = sp.read.parquet(s"$outDir/batch=$batchId")
-          .agg(coalesce(sum(col(weightCol).cast("long")), lit(0L)))
-          .first().getLong(0)
-        sp.range(1).select(lit(spent).as("spent"))
-          .write.mode("overwrite").parquet(s"$ledgerDir/batch=$batchId")
+        // persist the micro-batch: budgetSelect's prefix-sum machinery
+        // consumes it more than once, and an un-persisted batch
+        // re-reads the SOURCE files per consumer (STRESS_r12 measured
+        // up to 3x input rows per trigger before this)
+        val cached = batch.persist()
+        try {
+          val prior = sp.read.parquet(ledgerDir)
+            .filter(col("batch") < batchId)
+            .agg(coalesce(sum(col("spent")), lit(0L))).first().getLong(0)
+          val remaining = math.max(0L, budget - prior)
+          Selection.budgetSelect(cached.toDF(), sortCols.map(col),
+              col(weightCol), remaining)
+            .withColumn("cum_global", col("cum_weight") + lit(prior))
+            .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+          val spent = sp.read.parquet(s"$outDir/batch=$batchId")
+            .agg(coalesce(sum(col(weightCol).cast("long")), lit(0L)))
+            .first().getLong(0)
+          sp.range(1).select(lit(spent).as("spent"))
+            .write.mode("overwrite").parquet(s"$ledgerDir/batch=$batchId")
+        } finally cached.unpersist(blocking = false)
         ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

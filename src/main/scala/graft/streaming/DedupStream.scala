@@ -103,21 +103,29 @@ object DedupStream {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
         val sp = batch.sparkSession
-        // `gen` is the partition-discovery column the per-generation
-        // subdirs produce. Exclude THIS batch's generation: after a
-        // crash strictly between the two writes, the replayed batch
-        // would otherwise probe the half-committed index of its own
-        // failed attempt and flag every doc as a duplicate of itself.
-        val idxMin = sp.read.parquet(indexDir)
-          .filter(col("gen").cast("string") =!= lit(batchId.toString))
-          .groupBy(col("band"), col("band_sig"))
-          .agg(min(col("idx_min")).as("idx_min"))
-        Dedup.probeBatch(idxMin, batch, idCol, textCol,
-            shingleWidth, nSeeds, rowsPerBand, Dedup.lshBandsNarrow)
-          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
-        Dedup.bandIndex(batch, idCol, textCol,
-            shingleWidth, nSeeds, rowsPerBand, Dedup.lshBandsNarrow)
-          .write.mode("overwrite").parquet(s"$indexDir/gen=$batchId")
+        // persist the micro-batch: the probe and the index append both
+        // consume it, and an un-persisted batch re-reads the SOURCE
+        // files once per consumer — STRESS_r12's streaming harness
+        // caught this as 2x input rows per trigger (2x ingest IO at
+        // 100 TB)
+        val cached = batch.persist()
+        try {
+          // `gen` is the partition-discovery column the per-generation
+          // subdirs produce. Exclude THIS batch's generation: after a
+          // crash strictly between the two writes, the replayed batch
+          // would otherwise probe the half-committed index of its own
+          // failed attempt and flag every doc as a duplicate of itself.
+          val idxMin = sp.read.parquet(indexDir)
+            .filter(col("gen").cast("string") =!= lit(batchId.toString))
+            .groupBy(col("band"), col("band_sig"))
+            .agg(min(col("idx_min")).as("idx_min"))
+          Dedup.probeBatch(idxMin, cached.toDF(), idCol, textCol,
+              shingleWidth, nSeeds, rowsPerBand, Dedup.lshBandsNarrow)
+            .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+          Dedup.bandIndex(cached.toDF(), idCol, textCol,
+              shingleWidth, nSeeds, rowsPerBand, Dedup.lshBandsNarrow)
+            .write.mode("overwrite").parquet(s"$indexDir/gen=$batchId")
+        } finally cached.unpersist(blocking = false)
         ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

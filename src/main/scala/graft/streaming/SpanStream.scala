@@ -76,24 +76,31 @@ object SpanStream {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
         val sp = batch.sparkSession
-        // An unseeded index dir (seedIndex never called) has no gen=*
-        // partitions and parquet schema inference would throw; treat
-        // it as an empty index instead — the batch's own spanIndex
-        // schema on zero rows.
-        val root = new org.apache.hadoop.fs.Path(indexDir)
-        val fs = root.getFileSystem(sp.sessionState.newHadoopConf())
-        val hasGens = fs.exists(root) && fs.listStatus(root)
-          .exists(s => s.isDirectory && s.getPath.getName.startsWith("gen="))
-        val idxMin =
-          if (!hasGens) spanIndex(batch.toDF().limit(0), idCol, textCol, k, w)
-          else sp.read.parquet(indexDir)
-            .filter(col("gen").cast("string") =!= lit(batchId.toString))
-            .groupBy(col("fp"))
-            .agg(min(col("doc_min")).as("doc_min"))
-        probeBatch(idxMin, batch.toDF(), idCol, textCol, k, w)
-          .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
-        spanIndex(batch.toDF(), idCol, textCol, k, w)
-          .write.mode("overwrite").parquet(s"$indexDir/gen=$batchId")
+        // persist the micro-batch: probe (which scans it twice — fps +
+        // verdict join) and index append each re-read the SOURCE files
+        // when un-persisted; STRESS_r12's harness measured 3x input
+        // rows per trigger before this (3x ingest IO at 100 TB)
+        val cached = batch.persist()
+        try {
+          // An unseeded index dir (seedIndex never called) has no gen=*
+          // partitions and parquet schema inference would throw; treat
+          // it as an empty index instead — the batch's own spanIndex
+          // schema on zero rows.
+          val root = new org.apache.hadoop.fs.Path(indexDir)
+          val fs = root.getFileSystem(sp.sessionState.newHadoopConf())
+          val hasGens = fs.exists(root) && fs.listStatus(root)
+            .exists(s => s.isDirectory && s.getPath.getName.startsWith("gen="))
+          val idxMin =
+            if (!hasGens) spanIndex(cached.toDF().limit(0), idCol, textCol, k, w)
+            else sp.read.parquet(indexDir)
+              .filter(col("gen").cast("string") =!= lit(batchId.toString))
+              .groupBy(col("fp"))
+              .agg(min(col("doc_min")).as("doc_min"))
+          probeBatch(idxMin, cached.toDF(), idCol, textCol, k, w)
+            .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+          spanIndex(cached.toDF(), idCol, textCol, k, w)
+            .write.mode("overwrite").parquet(s"$indexDir/gen=$batchId")
+        } finally cached.unpersist(blocking = false)
         ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

@@ -31,7 +31,7 @@ package object syntax {
       Dedup.lshBandsNarrow(df, idCol, textCol, shingleWidth, nSeeds, rowsPerBand)
 
     def nearDupClusters(idCol: String, textCol: String): DataFrame =
-      Dedup.connectedComponents(
+      Dedup.connectedComponentsTwoPhase(
         Dedup.lshCandidatePairs(Dedup.lshBandsNarrow(df, idCol, textCol, 3, 8, 4)))
 
     def simhashNearDups(idCol: String, textCol: String, maxHamming: Int = 3): DataFrame =

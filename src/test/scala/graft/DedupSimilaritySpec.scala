@@ -699,4 +699,30 @@ class DedupSimilaritySpec extends SparkSpecBase {
     assert(full.map(_.toString).sorted.sameElements(merged.map(_.toString).sorted),
       "incremental CDC index diverged from the full scan")
   }
+
+  test("two-phase CC labels exactly match min-label CC on adversarial shapes") {
+    import spark.implicits._
+    def parity(pairs: org.apache.spark.sql.DataFrame): Unit = {
+      val a = graft.operators.Dedup.connectedComponents(pairs)
+        .as[(Long, Long)].collect().toSet
+      val b = graft.operators.Dedup.connectedComponentsTwoPhase(pairs)
+        .as[(Long, Long)].collect().toSet
+      assert(a == b, s"divergence: ${(a diff b).take(3)} vs ${(b diff a).take(3)}")
+    }
+    // long chain (the hot-bucket degradation shape — worst case for
+    // propagation depth)
+    parity((0L until 200L).map(i => (i, i + 1)).toDF("doc_a", "doc_b"))
+    // star + separate clique + isolated pair, shuffled ids
+    val star = (1L to 50L).map(i => (1000L, 1000L + i))
+    val clique = for (i <- 1L to 8L; j <- (i + 1) to 8L) yield (i, j)
+    parity((star ++ clique ++ Seq((5000L, 4999L))).toDF("doc_a", "doc_b"))
+    // deterministic pseudo-random pairs over a small id space (creates
+    // several mid-size components with merges in both directions)
+    val rnd = (0L until 300L).map(i => ((i * 7919) % 97, (i * 104729) % 97))
+      .filter(p => p._1 != p._2)
+    parity(rnd.toDF("doc_a", "doc_b"))
+    // self-loops and duplicate edges are tolerated identically
+    parity(Seq((1L, 1L), (1L, 2L), (2L, 1L), (1L, 2L), (3L, 3L))
+      .toDF("doc_a", "doc_b"))
+  }
 }

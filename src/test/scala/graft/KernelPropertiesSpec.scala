@@ -140,4 +140,39 @@ class KernelPropertiesSpec extends AnyFunSuite {
     // and of "a" (public reference value)
     assert(TextOps.fnv1a64(UTF8String.fromString("a")) == 0xaf63dc4c8601ec8cL)
   }
+
+  test("Aho-Corasick counts == brute-force substring counts on random text") {
+    import graft.functions.AcAutomaton
+    val terms = Seq("ab", "abcd", "bc", "cab", "d", "win", "window")
+    // every term borderless; "ab"⊂"abcd", "win"⊂"window" exercise
+    // nested outputs; "cab"/"ab"/"bc" overlap across positions
+    val ac = new AcAutomaton(terms)
+    def brute(text: String, t: String): Long =
+      (0 to text.length - t.length).count(i => text.startsWith(t, i)).toLong
+    val gen = Gen.listOfN(40, Gen.oneOf('a', 'b', 'c', 'd', 'w', 'i', 'n'))
+      .map(_.mkString)
+    forAll(gen, 200) { text =>
+      val counts = new Array[Long](terms.length)
+      val firsts = Array.fill(terms.length)(-1)
+      val bytes = text.getBytes("UTF-8")
+      val total = ac.scanInto(bytes, bytes.length, counts, firsts)
+      assert(total == counts.sum)
+      terms.zipWithIndex.foreach { case (t, ti) =>
+        assert(counts(ti) == brute(text, t),
+          s"term '$t' on '$text': ac ${counts(ti)} vs brute ${brute(text, t)}")
+        val expFirst = text.indexOf(t)
+        assert(firsts(ti) == expFirst,
+          s"term '$t' on '$text': first ${firsts(ti)} vs ${expFirst}")
+      }
+    }
+  }
+
+  test("AcAutomaton rejects bordered and non-ASCII terms") {
+    import graft.functions.AcAutomaton
+    intercept[IllegalArgumentException](new AcAutomaton(Seq("aa"))) // border "a"
+    intercept[IllegalArgumentException](new AcAutomaton(Seq("abab"))) // border "ab"
+    intercept[IllegalArgumentException](new AcAutomaton(Seq("Café")))
+    intercept[IllegalArgumentException](new AcAutomaton(Seq("")))
+    intercept[IllegalArgumentException](new AcAutomaton(Seq("ok", "ok")))
+  }
 }

@@ -100,4 +100,56 @@ class QuantileSketchSpec extends SparkSpecBase {
       assert(err <= 0.02, s"parts=$parts median rank err $err")
     }
   }
+
+  // --- count-min sketch (q217, functions/CountMin.scala) ---
+
+  test("count-min: est ≥ exact always; overcount bounded; merge ≡ one pass") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.{CmsOps, CmsSketch}
+    // forced-collision domain: 5000 distinct keys into 4×64 counters
+    val depth = 4; val width = 64
+    val full = new CmsSketch(depth, width)
+    val a = new CmsSketch(depth, width)
+    val b = new CmsSketch(depth, width)
+    val exact = scala.collection.mutable.Map[String, Long]()
+    val n = 20000
+    (0 until n).foreach { i =>
+      val key = s"k${(i * 7919) % 5000}"
+      val u = UTF8String.fromString(key)
+      full.add(u, 1L)
+      (if (i % 2 == 0) a else b).add(u, 1L)
+      exact(key) = exact.getOrElse(key, 0L) + 1L
+    }
+    assert(full.total == n)
+    a.merge(b)
+    // cell-wise additive merge is EXACT: merged state == one-pass state
+    assert(a.counts.sameElements(full.counts) && a.total == full.total,
+      "merge must equal the single-pass build cell for cell")
+    var over = 0L
+    val bytes = full.serialize()
+    exact.foreach { case (k, c) =>
+      val u = UTF8String.fromString(k)
+      val est = full.estimate(u)
+      assert(est >= c, s"$k: est $est < exact $c — CMS can never undercount")
+      // serialized codegen-path estimator agrees with the live sketch
+      assert(CmsOps.estimate(bytes, u, depth, width) == est)
+      over += est - c
+    }
+    assert(over > 0, "5000 keys in 64 cells must actually collide")
+    // ε·N bound with ε = e/width, checked on the MEAN overcount (the
+    // per-key bound is probabilistic; the mean is far inside it)
+    assert(over.toDouble / exact.size <= math.E / width * n,
+      s"mean overcount ${over / exact.size} exceeds eN/width")
+  }
+
+  test("q217 publishes est ≥ exact with non-negative overcounts") {
+    val rows = graft.queries.SketchQueries
+      .queries("q217_cms_freq")(spark, sf).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("est") >= r.getAs[Long]("exact"))
+      assert(r.getAs[Long]("overcount") ==
+        r.getAs[Long]("est") - r.getAs[Long]("exact"))
+    }
+  }
 }
