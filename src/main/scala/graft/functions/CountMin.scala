@@ -5,7 +5,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.types.{BinaryType, ByteType, DataType, IntegerType, LongType, ShortType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Count-min sketch (Cormode–Muthukrishnan, J. Algorithms '05) as a
@@ -32,24 +33,29 @@ final class CmsSketch(val depth: Int, val width: Int) extends Serializable {
   val counts: Array[Long] = new Array[Long](depth * width)
   var total: Long = 0L
 
-  @inline private def cell(item: UTF8String, row: Int): Int = {
-    val h1 = TextOps.fnv1a64(item)
-    val h2 = VectorOps.mix64(h1) | 1L
+  // h1/h2 are hoisted out of the per-row loop: hashing the item once
+  // per add/estimate (not once per depth row) matches the serialized
+  // probe path in CmsOps.estimate.
+  @inline private def cellFromHashes(h1: Long, h2: Long, row: Int): Int = {
     val h = h1 + row.toLong * h2
     row * width + (((h % width) + width) % width).toInt
   }
 
   def add(item: UTF8String, inc: Long): Unit = {
+    val h1 = TextOps.fnv1a64(item)
+    val h2 = VectorOps.mix64(h1) | 1L
     var r = 0
-    while (r < depth) { counts(cell(item, r)) += inc; r += 1 }
+    while (r < depth) { counts(cellFromHashes(h1, h2, r)) += inc; r += 1 }
     total += inc
   }
 
   def estimate(item: UTF8String): Long = {
+    val h1 = TextOps.fnv1a64(item)
+    val h2 = VectorOps.mix64(h1) | 1L
     var est = Long.MaxValue
     var r = 0
     while (r < depth) {
-      val c = counts(cell(item, r))
+      val c = counts(cellFromHashes(h1, h2, r))
       if (c < est) est = c
       r += 1
     }
@@ -116,6 +122,29 @@ case class CmsAggregate(child: Expression, weight: Expression,
   override def nullable: Boolean = false
   override def dataType: DataType = BinaryType
 
+  // Analysis-time contract: item is STRING, weight any integral type
+  // (a caller's lit(1) arrives as INT — widen, don't ClassCastException
+  // inside the hot update loop).
+  override def checkInputDataTypes(): TypeCheckResult = {
+    if (child.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_cms_agg item must be STRING, got ${child.dataType.catalogString}")
+    else weight.dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        TypeCheckResult.TypeCheckSuccess
+      case dt => TypeCheckResult.TypeCheckFailure(
+        s"graft_cms_agg weight must be an integral type, got ${dt.catalogString}")
+    }
+  }
+
+  @transient private lazy val weightAsLong: Any => Long =
+    weight.dataType match {
+      case LongType    => w => w.asInstanceOf[Long]
+      case IntegerType => w => w.asInstanceOf[Int].toLong
+      case ShortType   => w => w.asInstanceOf[Short].toLong
+      case _           => w => w.asInstanceOf[Byte].toLong
+    }
+
   override def createAggregationBuffer(): CmsSketch =
     new CmsSketch(depth, width)
 
@@ -123,8 +152,7 @@ case class CmsAggregate(child: Expression, weight: Expression,
     val v = child.eval(input)
     if (v != null) {
       val w = weight.eval(input)
-      if (w != null) buf.add(v.asInstanceOf[UTF8String],
-        w.asInstanceOf[Long])
+      if (w != null) buf.add(v.asInstanceOf[UTF8String], weightAsLong(w))
     }
     buf
   }

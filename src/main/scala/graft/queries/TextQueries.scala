@@ -3190,7 +3190,7 @@ object TextQueries {
          |  FROM la0),
          |pe AS (SELECT doc_id, len(la) AS n_lines, u.i AS pos, u.v AS line
          |       FROM la, unnest([{'i': i, 'v': la[i]}
-         |                        FOR i IN generate_series(1, len(la))]) AS u),
+         |                        FOR i IN generate_series(1, len(la))]) AS t(u)),
          |firsts AS (SELECT doc_id, MIN(n_lines) AS n_lines, line,
          |             MIN(pos) AS p
          |           FROM pe GROUP BY doc_id, line)

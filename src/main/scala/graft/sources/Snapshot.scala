@@ -158,11 +158,17 @@ object Snapshot {
     var gen = allGenDirs(fs, dir).lastOption.getOrElse(0L) + 1L
     while (attempt < maxAttempts) {
       val genDir = s"$dir/gen=$gen"
+      // Only "file already exists" means the claim race was lost; any
+      // other IOException (network blip, permission) is a real failure
+      // and must propagate, not silently burn attempts/generations.
       val claimed =
         try {
           writeMarker(fs, new Path(s"$genDir/_CLAIM"), uuid, overwrite = false)
           true
-        } catch { case _: java.io.IOException => false }
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        }
       if (claimed) {
         val dataDir = s"data-$uuid"
         df.write.mode("overwrite").parquet(s"$genDir/$dataDir")
