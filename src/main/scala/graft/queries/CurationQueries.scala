@@ -715,6 +715,86 @@ object CurationQueries {
             .otherwise((col("budget") - col("p_funded")).cast("double") /
               (col("n") - col("n_funded"))), 6).as("alloc"))
         .orderBy(col("source"))
+    },
+
+    // §2.3 (round 13) — K-ANONYMITY suppression audit (Sweeney '02):
+    // before releasing a curated corpus with per-document metadata,
+    // every quasi-identifier combination (source, lang, length bucket)
+    // that matches fewer than k documents is re-identifiable and must
+    // be suppressed. Reports, per source: group/row suppression counts
+    // and the k actually achieved by the kept rows (min kept group
+    // size). Scale shape: two partial-agg groupBys — the QI-group
+    // frame is |distinct QI| rows regardless of corpus size, and no
+    // text ever shuffles; this is the same two-level rollup discipline
+    // as q143's scorecard.
+    "q220_k_anonymity" -> { (s, d) =>
+      val k = 5L
+      val g = Tables.documents(s, d)
+        .select(col("source"), col("lang"),
+          floor(col("n_chars") / 100).cast("long").as("len_bkt"))
+        .groupBy(col("source"), col("lang"), col("len_bkt"))
+        .agg(count(lit(1)).as("g"))
+      g.groupBy(col("source"))
+        .agg(sum(col("g")).cast("long").as("n_rows"),
+          count(lit(1)).as("n_groups"),
+          sum(when(col("g") < k, 1L).otherwise(0L)).cast("long")
+            .as("groups_suppressed"),
+          sum(when(col("g") < k, col("g")).otherwise(0L)).cast("long")
+            .as("rows_suppressed"),
+          sum(when(col("g") >= k, col("g")).otherwise(0L)).cast("long")
+            .as("rows_kept"),
+          coalesce(min(when(col("g") >= k, col("g"))), lit(0L))
+            .cast("long").as("k_achieved"))
+        .orderBy(col("source"))
+    },
+
+    // §2.3 (round 13) — RANDOMIZED-RESPONSE release (Warner '65, the
+    // local-DP mechanism behind RAPPOR): each event reports its true
+    // category with p = 3/4, otherwise one of the m−1 others chosen
+    // uniformly by a deterministic md5 coin — and the release
+    // publishes BOTH the noisy counts and the unbiased estimator
+    // n̂_j = (obs_j − n(1−p)/(m−1)) / (p − (1−p)/(m−1)), which for
+    // p=3/4 is exact rational arithmetic until ONE final IEEE
+    // division. True counts ride along so the audit shows the
+    // noise/debias round trip. Scale shape: the mechanism is a
+    // narrow per-row map (category index via a broadcast m-row dim),
+    // then two partial-agg groupBys on the category — nothing about
+    // it changes at 100 TB; the md5 coin is the engine's standard
+    // derandomization (q150/q109 discipline).
+    "q222_rr_privacy" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d).select(col("event_id"), col("event_type"))
+      val types = ev.select(col("event_type")).distinct()
+        .withColumn("idx",
+          row_number().over(Window.orderBy(col("event_type"))).cast("long")
+            - 1L) // bounded domain: |event_type| rows (metadata-sized)
+      val m = types.agg(count(lit(1)).as("m"))
+      val coin = conv(substring(md5(concat(lit("q222:"),
+        col("event_id").cast("string"))), 1, 8), 16, 10)
+        .cast("long") % 16
+      val reported = ev
+        .join(broadcast(types), "event_type")
+        .crossJoin(broadcast(m))
+        .select(col("event_type"),
+          when(coin < 4,
+            pmod(col("idx") + 1L + (coin % (col("m") - 1L)), col("m")))
+            .otherwise(col("idx")).as("rep_idx"))
+      val obs = reported
+        .join(broadcast(types.select(col("idx").as("rep_idx"),
+          col("event_type").as("rep_type"))), "rep_idx")
+        .groupBy(col("rep_type")).agg(count(lit(1)).as("reported_count"))
+        .select(col("rep_type").as("event_type"), col("reported_count"))
+      val truth = ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("true_count"))
+      val tot = ev.agg(count(lit(1)).as("n"))
+      // n̂ = (obs − n(1−p)/(m−1)) / (p − (1−p)/(m−1)) with p = 3/4
+      //   = (4(m−1)·obs − n) / (3m − 4): exact integers, ONE division.
+      truth.join(obs, Seq("event_type")).crossJoin(broadcast(tot))
+        .crossJoin(broadcast(m))
+        .select(col("event_type"), col("true_count"), col("reported_count"),
+          round((lit(4.0) * (col("m") - 1L) * col("reported_count") -
+            col("n")) / (col("m") * 3L - 4L), 6).as("debiased_est"))
+        .orderBy(col("event_type"))
     }
   )
 
@@ -1194,6 +1274,56 @@ object CurationQueries {
         |  ROUND(CASE WHEN f.funded THEN CAST(f.sup AS DOUBLE)
         |       ELSE CAST(f.budget - l.p_funded AS DOUBLE)
         |         / (f.n - l.n_funded) END, 6) AS alloc
-        |FROM f, lvl l ORDER BY f.source""".stripMargin
+        |FROM f, lvl l ORDER BY f.source""".stripMargin,
+
+    "q220_k_anonymity" ->
+      """WITH g AS (
+        |  SELECT source, lang, n_chars // 100 AS len_bkt,
+        |    CAST(COUNT(*) AS BIGINT) AS g
+        |  FROM documents GROUP BY source, lang, len_bkt)
+        |SELECT source,
+        |  CAST(SUM(g) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |  CAST(SUM(CASE WHEN g < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS groups_suppressed,
+        |  CAST(SUM(CASE WHEN g < 5 THEN g ELSE 0 END) AS BIGINT)
+        |    AS rows_suppressed,
+        |  CAST(SUM(CASE WHEN g >= 5 THEN g ELSE 0 END) AS BIGINT)
+        |    AS rows_kept,
+        |  CAST(COALESCE(MIN(CASE WHEN g >= 5 THEN g END), 0) AS BIGINT)
+        |    AS k_achieved
+        |FROM g GROUP BY source ORDER BY source""".stripMargin,
+
+    "q222_rr_privacy" ->
+      """WITH ty AS (
+        |  SELECT event_type,
+        |    CAST(row_number() OVER (ORDER BY event_type) AS BIGINT) - 1
+        |      AS idx
+        |  FROM (SELECT DISTINCT event_type FROM events)),
+        |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM ty),
+        |rep AS (
+        |  SELECT e.event_type,
+        |    CASE WHEN c.c16 < 4
+        |         THEN (t.idx + 1 + (c.c16 % (mm.m - 1))) % mm.m
+        |         ELSE t.idx END AS rep_idx
+        |  FROM events e
+        |  JOIN ty t USING (event_type)
+        |  CROSS JOIN mm
+        |  CROSS JOIN LATERAL (SELECT
+        |    CAST(CAST(('0x' || substr(md5('q222:' ||
+        |      CAST(e.event_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 16
+        |      AS BIGINT) AS c16) c),
+        |obs AS (
+        |  SELECT t2.event_type, CAST(COUNT(*) AS BIGINT) AS reported_count
+        |  FROM rep JOIN ty t2 ON rep.rep_idx = t2.idx
+        |  GROUP BY t2.event_type),
+        |tru AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS true_count
+        |        FROM events GROUP BY event_type),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events)
+        |SELECT tru.event_type, tru.true_count, obs.reported_count,
+        |  ROUND((4.0 * (mm.m - 1) * obs.reported_count - tot.n)
+        |    / (mm.m * 3 - 4), 6) AS debiased_est
+        |FROM tru JOIN obs USING (event_type), tot, mm
+        |ORDER BY event_type""".stripMargin
   )
 }

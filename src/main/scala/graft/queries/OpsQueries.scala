@@ -628,6 +628,46 @@ object OpsQueries {
           min(col("o_custkey")).as("ck_min"), max(col("o_custkey")).as("ck_max"),
           min(col("o_day")).as("day_min"), max(col("o_day")).as("day_max"))
         .orderBy(col("tile"))
+    },
+
+    // §2.5/§2.2 (round 13) — SMALL-FILE COMPACTION PLANNER: the
+    // maintenance job every 100 TB table needs (streaming sinks and
+    // per-partition writers leave thousands of KB-scale files; scan
+    // cost is then per-FILE, not per-byte). Input is a file ledger —
+    // here derived from lineitem shards (l_orderkey % 97 → "file",
+    // exact cents as its byte size) so the plan is oracled; in
+    // production it comes from Snapshot's _STATS manifest (q212
+    // machinery) without touching data. Plan: next-fit by cumulative
+    // size over files ordered size-DESC — file f lands in bin
+    // floor(prefix_sum_before(f) / target) with target = total//12+1,
+    // all exact integers. The ledger is ≤97 rows BY CONSTRUCTION
+    // (an aggregate under the window satisfies the plan audit's
+    // bounded rule): the planner shuffles metadata, never data, so
+    // the only corpus-scale cost is the one groupBy that builds the
+    // ledger — and against a stats manifest even that disappears.
+    "q221_compaction_plan" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val ledger = Tables.lineitem(s, d)
+        .select((col("l_orderkey") % 97).as("shard"),
+          round(col("l_extendedprice") * 100, 0).cast("long").as("cents"))
+        .groupBy(col("shard"))
+        .agg(sum(col("cents")).as("f_bytes"), count(lit(1)).as("n_rows"))
+      val tot = ledger.agg(sum(col("f_bytes")).as("total"))
+      val w = Window.orderBy(col("f_bytes").desc, col("shard"))
+      ledger.crossJoin(broadcast(tot))
+        .withColumn("target", expr("total div 12") + 1L)
+        .withColumn("prev",
+          coalesce(sum(col("f_bytes")).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("bin", expr("prev div target"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_files"),
+          sum(col("f_bytes")).as("bin_bytes"),
+          sum(col("n_rows")).cast("long").as("bin_rows"),
+          min(col("shard")).as("min_shard"), max(col("shard")).as("max_shard"),
+          round(max(col("f_bytes")).cast("double") /
+            min(col("f_bytes")), 6).as("skew"))
+        .orderBy(col("bin"))
     }
   )
 
@@ -1040,6 +1080,29 @@ object OpsQueries {
         |  min(zv) AS z_min, max(zv) AS z_max,
         |  CAST(min(ck) AS BIGINT) AS ck_min, CAST(max(ck) AS BIGINT) AS ck_max,
         |  CAST(min(dy) AS BIGINT) AS day_min, CAST(max(dy) AS BIGINT) AS day_max
-        |FROM z GROUP BY tile ORDER BY tile""".stripMargin
+        |FROM z GROUP BY tile ORDER BY tile""".stripMargin,
+
+    "q221_compaction_plan" ->
+      """WITH ledger AS (
+        |  SELECT l_orderkey % 97 AS shard,
+        |    CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS f_bytes,
+        |    CAST(COUNT(*) AS BIGINT) AS n_rows
+        |  FROM lineitem GROUP BY shard),
+        |tot AS (SELECT CAST(SUM(f_bytes) AS BIGINT) AS total FROM ledger),
+        |placed AS (
+        |  SELECT shard, f_bytes, n_rows,
+        |    (tot.total // 12) + 1 AS target,
+        |    COALESCE(SUM(f_bytes) OVER (ORDER BY f_bytes DESC, shard
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+        |  FROM ledger, tot),
+        |bins AS (SELECT shard, f_bytes, n_rows,
+        |           CAST(prev // target AS BIGINT) AS bin FROM placed)
+        |SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_files,
+        |  CAST(SUM(f_bytes) AS BIGINT) AS bin_bytes,
+        |  CAST(SUM(n_rows) AS BIGINT) AS bin_rows,
+        |  min(shard) AS min_shard, max(shard) AS max_shard,
+        |  ROUND(CAST(MAX(f_bytes) AS DOUBLE) / MIN(f_bytes), 6) AS skew
+        |FROM bins GROUP BY bin ORDER BY bin""".stripMargin
   )
 }

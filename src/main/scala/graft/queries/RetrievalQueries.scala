@@ -288,6 +288,103 @@ object RetrievalQueries {
               lit(600L) - (col("cum_chars") - col("n_chars"))))
             .cast("long").as("clipped_chars"))
         .orderBy(col("qid"), col("rank"))
+    },
+
+    // §2.3 (round 13) — MARGIN-BASED BITEXT MINING (Artetxe & Schwenk
+    // ACL'19, the LASER/CCMatrix parallel-corpus miner): split the
+    // embedding space into two "languages" (vec_id parity), score
+    // every cross pair by margin = cos(a,b) / mean(topK fwd ∪ bwd
+    // neighborhoods), keep MUTUAL-BEST pairs above a margin bar. The
+    // margin normalizes away hubness (a vector close to everything
+    // scores no pair highly). Float discipline: cosines quantize to
+    // ×1e6 longs (the q197 pattern), top-4 neighborhood sums stay
+    // exact integers, and margin = 8·cos_u/(sumF+sumB) is ONE IEEE
+    // division — bit-identical across engines, no round() midpoints.
+    // Scale shape: the full A×B table here is the correctness
+    // baseline (B broadcast, narrow scan of A); at 100 TB the pair
+    // generator swaps to the IVF candidate path (q62/q153) and the
+    // margin/mutual-best stages are unchanged — they only ever see
+    // (a_id, b_id, cos_u) tuples, shuffled by a_id then b_id.
+    "q219_bitext_mine" -> { (s, d) =>
+      import graft.Caching.ScopedPersist
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val a = emb.filter(col("vec_id") % 2 === 0)
+        .select(col("vec_id").as("a_id"), col("embedding").as("e_a"))
+      val b = emb.filter(col("vec_id") % 2 === 1)
+        .select(col("vec_id").as("b_id"), col("embedding").as("e_b"))
+      val pairs = a.join(broadcast(b), col("a_id") =!= col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          round(round(GraftFunctions.cosine(col("e_a"), col("e_b")), 6) * 1e6)
+            .cast("long").as("cos_u"))
+        .scopedPersist() // consumers: fwd topk, bwd topk, margin join
+      val wA = Window.partitionBy(col("a_id"))
+        .orderBy(col("cos_u").desc, col("b_id"))
+      val wB = Window.partitionBy(col("b_id"))
+        .orderBy(col("cos_u").desc, col("a_id"))
+      val fwd = pairs.withColumn("__rk", row_number().over(wA))
+        .filter(col("__rk") <= 4)
+        .groupBy(col("a_id")).agg(sum(col("cos_u")).as("sum_fwd"))
+      val bwd = pairs.withColumn("__rk", row_number().over(wB))
+        .filter(col("__rk") <= 4)
+        .groupBy(col("b_id")).agg(sum(col("cos_u")).as("sum_bwd"))
+      val margins = pairs
+        .join(broadcast(fwd), "a_id").join(broadcast(bwd), "b_id")
+        .select(col("a_id"), col("b_id"),
+          (lit(8.0) * col("cos_u") / (col("sum_fwd") + col("sum_bwd")))
+            .as("margin"))
+      val wBestA = Window.partitionBy(col("a_id"))
+        .orderBy(col("margin").desc, col("b_id"))
+      val wBestB = Window.partitionBy(col("b_id"))
+        .orderBy(col("margin").desc, col("a_id"))
+      margins
+        .withColumn("__ra", row_number().over(wBestA))
+        .withColumn("__rb", row_number().over(wBestB))
+        .filter(col("__ra") === 1 && col("__rb") === 1 &&
+          col("margin") > 1.05)
+        .select(col("a_id"), col("b_id"), round(col("margin"), 6).as("margin"))
+        .orderBy(col("a_id"))
+    },
+
+    // §2.3 (round 13) — RANKER-AGREEMENT audit (Kendall tau-a): when a
+    // pipeline swaps quality rankers (a cheap heuristic for a learned
+    // scorer), the decision metric is rank correlation on a shared
+    // slice, not absolute scores. Rankers here: n_chars vs normalized
+    // word count, compared per source over all intra-source pairs;
+    // tau_a = (C − D) / (n(n−1)/2) with ties counted as neither. All
+    // pair verdicts are integer sign tests, the tau is ONE IEEE
+    // division — exact cross-engine. Scale shape: pairs are generated
+    // WITHIN source partitions (never corpus²); at 100 TB bound the
+    // per-source slice by sampling (q72) before pairing — the O(n²)
+    // is per-group and explicit, same contract as q33's pair stage.
+    "q223_kendall_tau" -> { (s, d) =>
+      val m = Tables.documents(s, d)
+        .select(col("source"), col("doc_id"), col("n_chars"),
+          size(GraftFunctions.normWords(col("text"))).cast("long")
+            .as("n_words"))
+      val a = m.select(col("source"), col("doc_id").as("id_a"),
+        col("n_chars").as("x_a"), col("n_words").as("y_a"))
+      val b = m.select(col("source"), col("doc_id").as("id_b"),
+        col("n_chars").as("x_b"), col("n_words").as("y_b"))
+      val verdicts = a.join(b, Seq("source"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("source"),
+          signum((col("x_a") - col("x_b")) * (col("y_a") - col("y_b")))
+            .cast("long").as("sgn"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum((col("sgn") === 1L).cast("long")).as("concordant"),
+          sum((col("sgn") === -1L).cast("long")).as("discordant"))
+      m.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        .join(verdicts, Seq("source"))
+        .select(col("source"), col("n_docs"), col("concordant"),
+          col("discordant"),
+          (col("n_pairs") - col("concordant") - col("discordant"))
+            .as("n_ties"),
+          round(lit(2.0) * (col("concordant") - col("discordant")) /
+            greatest(lit(1L), col("n_docs") * (col("n_docs") - 1L)), 6)
+            .as("tau"))
+        .orderBy(col("source"))
     }
   )
 
@@ -598,6 +695,60 @@ object RetrievalQueries {
          |  FROM lex l FULL JOIN sem s ON l.doc_id = s.vec_id)
          |SELECT id, rank_lex, rank_sem, rrf FROM fused
          |ORDER BY rrf DESC, id
-         |LIMIT 20""".stripMargin
+         |LIMIT 20""".stripMargin,
+
+    "q219_bitext_mine" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+         |           FROM embeddings),
+         |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |    CAST(ROUND(round(list_cosine_similarity(a.emb, b.emb), 6) * 1e6)
+         |      AS BIGINT) AS cos_u
+         |  FROM e a JOIN e b ON a.vec_id % 2 = 0 AND b.vec_id % 2 = 1),
+         |fwd AS (SELECT a_id, SUM(cos_u) AS sum_fwd FROM (
+         |    SELECT a_id, cos_u,
+         |      row_number() OVER (PARTITION BY a_id
+         |                         ORDER BY cos_u DESC, b_id) AS rk
+         |    FROM p) WHERE rk <= 4 GROUP BY a_id),
+         |bwd AS (SELECT b_id, SUM(cos_u) AS sum_bwd FROM (
+         |    SELECT b_id, cos_u,
+         |      row_number() OVER (PARTITION BY b_id
+         |                         ORDER BY cos_u DESC, a_id) AS rk
+         |    FROM p) WHERE rk <= 4 GROUP BY b_id),
+         |m AS (SELECT p.a_id, p.b_id,
+         |    8.0 * p.cos_u / (f.sum_fwd + w.sum_bwd) AS margin
+         |  FROM p JOIN fwd f USING (a_id) JOIN bwd w USING (b_id)),
+         |r AS (SELECT a_id, b_id, margin,
+         |    row_number() OVER (PARTITION BY a_id
+         |                       ORDER BY margin DESC, b_id) AS ra,
+         |    row_number() OVER (PARTITION BY b_id
+         |                       ORDER BY margin DESC, a_id) AS rb
+         |  FROM m)
+         |SELECT a_id, b_id, ROUND(margin, 6) AS margin
+         |FROM r WHERE ra = 1 AND rb = 1 AND margin > 1.05
+         |ORDER BY a_id""".stripMargin,
+
+    "q223_kendall_tau" ->
+      s"""WITH m AS (SELECT source, doc_id, n_chars,
+         |    CAST(len($wsSql) AS BIGINT) AS n_words
+         |  FROM documents),
+         |v AS (SELECT a.source,
+         |    sign((a.n_chars - b.n_chars) * (a.n_words - b.n_words)) AS sgn
+         |  FROM m a JOIN m b
+         |    ON a.source = b.source AND a.doc_id < b.doc_id),
+         |agg AS (SELECT source,
+         |    CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |    CAST(SUM(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS concordant,
+         |    CAST(SUM(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS discordant
+         |  FROM v GROUP BY source),
+         |nd AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+         |       FROM m GROUP BY source)
+         |SELECT nd.source, nd.n_docs, agg.concordant, agg.discordant,
+         |  agg.n_pairs - agg.concordant - agg.discordant AS n_ties,
+         |  ROUND(2.0 * (agg.concordant - agg.discordant) /
+         |    greatest(1, nd.n_docs * (nd.n_docs - 1)), 6) AS tau
+         |FROM nd JOIN agg USING (source)
+         |ORDER BY source""".stripMargin
   )
 }

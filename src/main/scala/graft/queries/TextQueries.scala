@@ -1742,6 +1742,45 @@ object TextQueries {
           (col("n_lines") - col("n_kept")).as("n_removed"),
           col("dedup_text"))
         .orderBy(col("doc_id"))
+    },
+
+    // §2.3 (round 13) — READABILITY scoring (Flesch reading ease,
+    // Flesch '48): the classic quality-filter axis FineWeb/C4-style
+    // pipelines bucket documents by. Per doc: words = |normWords|,
+    // sentences = terminator count ([.!?]), syllables = vowel-group
+    // count over the normalized words (the standard heuristic);
+    // flesch = 206.835 − 1.015·(w/s) − 84.6·(syl/w), denominators
+    // clamped to ≥1 (non-Latin docs normalize to zero words). All
+    // three counts are exact integers, so the per-doc double is
+    // bit-identical in both engines; the per-source mean runs the
+    // q91 discipline (quantize round(·,6) → DECIMAL(28,6), exact
+    // order-independent SUM, ONE final IEEE division). Scale shape:
+    // one narrow map over the corpus + one partial-agg groupBy on
+    // source — no shuffle carries text, only (source, decimal, flags).
+    "q218_readability" -> { (s, d) =>
+      val base = Tables.documents(s, d)
+        .select(col("source"), col("text"),
+          GraftFunctions.normWords(col("text")).as("ws"))
+      val nw = greatest(lit(1L), size(col("ws")).cast("long"))
+      val nsent = greatest(lit(1L),
+        size(regexp_extract_all(col("text"), lit("[.!?]"), lit(0)))
+          .cast("long"))
+      val nsyl = size(regexp_extract_all(array_join(col("ws"), " "),
+        lit("[aeiouy]+"), lit(0))).cast("long")
+      val flesch = lit(206.835) - lit(1.015) * (nw / nsent) -
+        lit(84.6) * (nsyl / nw)
+      base
+        .select(col("source"), flesch.as("flesch"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(round(col("flesch"), 6).cast(DecimalType(28, 6))).as("fsum"),
+          sum((col("flesch") < 30.0).cast("long")).as("n_hard"))
+        .select(col("source"), col("n_docs"),
+          round(col("fsum").cast("double") / col("n_docs"), 6)
+            .as("avg_flesch"),
+          round(col("n_hard").cast("double") / col("n_docs"), 6)
+            .as("pct_hard"))
+        .orderBy(col("source"))
     }
   )
 
@@ -3198,6 +3237,25 @@ object TextQueries {
          |  CAST(COUNT(*) AS BIGINT) AS n_kept,
          |  CAST(MIN(n_lines) - COUNT(*) AS BIGINT) AS n_removed,
          |  string_agg(line, ' ' ORDER BY p) AS dedup_text
-         |FROM firsts GROUP BY doc_id ORDER BY doc_id""".stripMargin
+         |FROM firsts GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q218_readability" ->
+      s"""WITH base AS (SELECT source, text, $wsSql AS ws FROM documents),
+         |cnt AS (SELECT source,
+         |    greatest(1, len(ws)) AS nw,
+         |    greatest(1, len(regexp_extract_all(text, '[.!?]'))) AS nsent,
+         |    len(regexp_extract_all(array_to_string(ws, ' '), '[aeiouy]+'))
+         |      AS nsyl
+         |  FROM base),
+         |f AS (SELECT source,
+         |    206.835 - 1.015 * (CAST(nw AS DOUBLE) / nsent) -
+         |      84.6 * (CAST(nsyl AS DOUBLE) / nw) AS flesch
+         |  FROM cnt)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  ROUND(CAST(SUM(CAST(ROUND(flesch, 6) AS DECIMAL(28,6))) AS DOUBLE)
+         |    / COUNT(*), 6) AS avg_flesch,
+         |  ROUND(CAST(SUM(CASE WHEN flesch < 30.0 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / COUNT(*), 6) AS pct_hard
+         |FROM f GROUP BY source ORDER BY source""".stripMargin
   )
 }

@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.queries.{CurationQueries, OpsQueries, RetrievalQueries, TextQueries}
+
+/** Invariants for the round-13 operators (q218–q223). Every one of
+  * these is also hash-checked against its DuckDB oracle; the cases
+  * here pin the SEMANTIC properties a hash can't name.
+  */
+class Round13Spec extends SparkSpecBase {
+
+  private val sf01 = "/root/testdata/sf0.01"
+
+  test("q218: per-source doc counts cover the corpus; rates are proper fractions") {
+    val r = TextQueries.queries("q218_readability")(spark, sf01).collect()
+    val total = Tables.documents(spark, sf01).count()
+    assert(r.map(_.getAs[Long]("n_docs")).sum == total)
+    r.foreach { row =>
+      val pct = row.getAs[Double]("pct_hard")
+      assert(pct >= 0.0 && pct <= 1.0, s"pct_hard out of range: $row")
+      // Flesch is unbounded in theory but the synthetic corpus is
+      // ordinary prose; a per-source mean outside [-200, 206.835]
+      // means a denominator clamp regressed.
+      val avg = row.getAs[Double]("avg_flesch")
+      assert(avg > -200.0 && avg <= 206.835, s"avg_flesch implausible: $row")
+    }
+  }
+
+  test("q219: mined pairs are mutual-best, one per vector on each side, margin > bar") {
+    val pairs = RetrievalQueries.queries("q219_bitext_mine")(spark, sf01).collect()
+    assert(pairs.nonEmpty, "no bitext pairs mined at sf0.01")
+    // one-to-one: a vector appears at most once per side (mutual best)
+    val as = pairs.map(_.getAs[Long]("a_id"))
+    val bs = pairs.map(_.getAs[Long]("b_id"))
+    assert(as.distinct.length == as.length, "a_id repeated — not mutual-best")
+    assert(bs.distinct.length == bs.length, "b_id repeated — not mutual-best")
+    pairs.foreach { p =>
+      assert(p.getAs[Long]("a_id") % 2 == 0 && p.getAs[Long]("b_id") % 2 == 1)
+      assert(p.getAs[Double]("margin") > 1.05)
+    }
+  }
+
+  test("q220: suppression ledger balances and kept groups honor k") {
+    val r = CurationQueries.queries("q220_k_anonymity")(spark, sf01).collect()
+    val total = Tables.documents(spark, sf01).count()
+    assert(r.map(_.getAs[Long]("n_rows")).sum == total)
+    r.foreach { row =>
+      assert(row.getAs[Long]("rows_kept") + row.getAs[Long]("rows_suppressed") ==
+        row.getAs[Long]("n_rows"), s"ledger does not balance: $row")
+      val k = row.getAs[Long]("k_achieved")
+      assert(k == 0L || k >= 5L, s"kept group below k: $row")
+    }
+  }
+
+  test("q221: bins partition the ledger exactly and are contiguous from 0") {
+    val bins = OpsQueries.queries("q221_compaction_plan")(spark, sf01).collect()
+    val nFiles = bins.map(_.getAs[Long]("n_files")).sum
+    assert(nFiles == 97L, s"bins cover $nFiles of 97 ledger files")
+    val ids = bins.map(_.getAs[Long]("bin")).sorted
+    assert(ids.head == 0L && ids.last == ids.length - 1L,
+      s"bin ids not contiguous: ${ids.mkString(",")}")
+    // next-fit by cumulative: every bin except possibly the last
+    // overfills only by its boundary file — bin_bytes ≥ target is not
+    // guaranteed, but total is conserved exactly.
+    val ledgerTotal = Tables.lineitem(spark, sf01)
+      .select(round(col("l_extendedprice") * 100, 0).cast("long").as("c"))
+      .agg(sum(col("c"))).head.getLong(0)
+    assert(bins.map(_.getAs[Long]("bin_bytes")).sum == ledgerTotal)
+  }
+
+  test("q222: reported counts conserve n, debiased estimates sum to exactly n, lie rate ≈ 1/4") {
+    val r = CurationQueries.queries("q222_rr_privacy")(spark, sf01).collect()
+    val n = Tables.events(spark, sf01).count()
+    assert(r.map(_.getAs[Long]("reported_count")).sum == n)
+    assert(r.map(_.getAs[Long]("true_count")).sum == n)
+    // Σ n̂ = (4(m−1)Σobs − m·n)/(3m−4) = n identically — the estimator
+    // is self-normalizing; rounding admits 6-dp slack per category.
+    val estSum = r.map(_.getAs[Double]("debiased_est")).sum
+    assert(math.abs(estSum - n) < 1e-4 * r.length, s"estimates sum to $estSum, n=$n")
+    // the md5 coin lies with prob 4/16; uniformity keeps the observed
+    // rate near 1/4 at n=10k (loose 5σ-ish bounds)
+    val lies = Tables.events(spark, sf01)
+      .select((conv(substring(md5(concat(lit("q222:"),
+        col("event_id").cast("string"))), 1, 8), 16, 10)
+        .cast("long") % 16 < 4).cast("long").as("lie"))
+      .agg(sum(col("lie"))).head.getLong(0)
+    val rate = lies.toDouble / n
+    assert(rate > 0.2 && rate < 0.3, s"lie rate $rate far from 1/4")
+  }
+
+  test("q223: pair verdicts partition n(n-1)/2 and tau is a strong positive correlation") {
+    val r = RetrievalQueries.queries("q223_kendall_tau")(spark, sf01).collect()
+    r.foreach { row =>
+      val n = row.getAs[Long]("n_docs")
+      val pairs = row.getAs[Long]("concordant") + row.getAs[Long]("discordant") +
+        row.getAs[Long]("n_ties")
+      assert(pairs == n * (n - 1) / 2, s"pair ledger wrong: $row")
+      val tau = row.getAs[Double]("tau")
+      assert(tau >= -1.0 && tau <= 1.0)
+      // n_words tracks n_chars closely on prose; a weak tau means a
+      // ranker input regressed
+      assert(tau > 0.3, s"tau implausibly weak for correlated rankers: $row")
+    }
+  }
+}
