@@ -77,6 +77,39 @@ final class CmsSketch(val depth: Int, val width: Int) extends Serializable {
 }
 
 object CmsOps {
+
+  @inline private def cellAt(bytes: Array[Byte], idx: Int): Long = {
+    val off = 8 * (idx + 1) // layout: 8-byte total, then row-major cells
+    var c = 0L
+    var b = 0
+    while (b < 8) { c = (c << 8) | (bytes(off + b) & 0xffL); b += 1 }
+    c
+  }
+
+  /** JOIN-SIZE estimate from two serialized sketches (Cormode–
+    * Muthukrishnan §4.2): |A ⋈ B| = Σ_k a_k·b_k, estimated as
+    * min over rows of Σ_col cmsA[r][c]·cmsB[r][c]. One-sided like the
+    * point query (est ≥ true ALWAYS; ≤ true + (e/width)·Na·Nb w.h.p.)
+    * — the sketches must share (depth, width, hash family), which
+    * every CmsAggregate with equal dims does by construction. */
+  def innerProduct(a: Array[Byte], b: Array[Byte], depth: Int,
+                   width: Int): Long = {
+    var est = Long.MaxValue
+    var r = 0
+    while (r < depth) {
+      var s = 0L
+      var c = 0
+      while (c < width) {
+        val idx = r * width + c
+        s += cellAt(a, idx) * cellAt(b, idx)
+        c += 1
+      }
+      if (s < est) est = s
+      r += 1
+    }
+    est
+  }
+
   def deserialize(bytes: Array[Byte], depth: Int, width: Int): CmsSketch = {
     val sk = new CmsSketch(depth, width)
     val bb = java.nio.ByteBuffer.wrap(bytes)
@@ -192,6 +225,23 @@ case class CmsEstimate(left: Expression, right: Expression,
   override def prettyName: String = "graft_cms_estimate"
 }
 
+/** `graft_cms_inner(sketchA, sketchB)` — codegen'd join-size estimate
+  * Σ_k a_k·b_k from two same-dims serialized sketches. */
+case class CmsInnerProduct(left: Expression, right: Expression,
+                           depth: Int, width: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    CmsOps.innerProduct(a.asInstanceOf[Array[Byte]],
+      b.asInstanceOf[Array[Byte]], depth, width)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.CmsOps.innerProduct($a, $b, $depth, $width)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "graft_cms_inner"
+}
+
 object CmsFunctions {
   import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
 
@@ -201,4 +251,7 @@ object CmsFunctions {
 
   def cmsEstimate(sketch: Column, item: Column, depth: Int, width: Int): Column =
     toCol(CmsEstimate(toExpr(sketch), toExpr(item), depth, width))
+
+  def cmsInnerProduct(a: Column, b: Column, depth: Int, width: Int): Column =
+    toCol(CmsInnerProduct(toExpr(a), toExpr(b), depth, width))
 }

@@ -85,6 +85,42 @@ object SketchQueries {
         .withColumn("overcount", col("est") - col("exact"))
         .orderBy(col("exact").desc, col("word"))
         .limit(20)
+    },
+
+    // §2.5 (round 13) — JOIN-SIZE ESTIMATION from CMS inner products
+    // (Cormode–Muthukrishnan §4.2): |A ⋈ B| = Σ_k a_k·b_k, estimated
+    // as min over rows of the cell-wise product of two SAME-DIMS
+    // sketches. This is the join-planning primitive at 100 TB: each
+    // side reduces to d·w·8 bytes with ONE map-side-combining
+    // aggregate (no shuffle of the key space), the product is a
+    // driver-sized broadcast op, and the answer is one-sided
+    // (est ≥ true always — safe for "will this join explode?"
+    // admission decisions, complementing q202's skew advisor). The
+    // exact Σ ca·cb rides along as the audit column, same contract
+    // as q217. Rows-only by design; QuantileSketchSpec pins
+    // est ≥ exact and the (e/width)·Na·Nb error bound.
+    "q224_join_size_est" -> { (s, d) =>
+      import graft.functions.CmsFunctions
+      val depth = 4
+      val width = 256
+      val a = Tables.events(s, d).select(col("user_id").cast("string").as("k"))
+      val b = Tables.orders(s, d)
+        .select(col("o_custkey").cast("string").as("k"))
+      val skA = a.agg(CmsFunctions.cmsAgg(col("k"), lit(1L), depth, width)
+        .as("ska"))
+      val skB = b.agg(CmsFunctions.cmsAgg(col("k"), lit(1L), depth, width)
+        .as("skb"))
+      a.groupBy(col("k")).agg(count(lit(1)).as("ca"))
+        .join(b.groupBy(col("k")).agg(count(lit(1)).as("cb")), "k")
+        .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("exact_pairs"))
+        .crossJoin(broadcast(skA)).crossJoin(broadcast(skB))
+        .select(col("exact_pairs"),
+          CmsFunctions.cmsInnerProduct(col("ska"), col("skb"), depth, width)
+            .as("est_pairs"))
+        .withColumn("overcount", col("est_pairs") - col("exact_pairs"))
+        .withColumn("rel_err",
+          round(col("overcount").cast("double") /
+            greatest(lit(1L), col("exact_pairs")), 6))
     }
   )
 

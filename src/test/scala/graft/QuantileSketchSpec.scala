@@ -152,4 +152,52 @@ class QuantileSketchSpec extends SparkSpecBase {
         r.getAs[Long]("est") - r.getAs[Long]("exact"))
     }
   }
+
+  test("count-min inner product: est ≥ exact join size; bounded; zero on disjoint keys") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.{CmsOps, CmsSketch}
+    val depth = 4; val width = 64
+    val a = new CmsSketch(depth, width)
+    val b = new CmsSketch(depth, width)
+    val ca = scala.collection.mutable.Map[String, Long]()
+    val cb = scala.collection.mutable.Map[String, Long]()
+    val na = 6000; val nb = 9000
+    (0 until na).foreach { i =>
+      val k = s"k${(i * 7919) % 500}"
+      a.add(UTF8String.fromString(k), 1L); ca(k) = ca.getOrElse(k, 0L) + 1L
+    }
+    (0 until nb).foreach { i =>
+      // keys k0..k349 overlap A's domain; j0.. are B-only
+      val k = if (i % 3 == 0) s"j${i % 700}" else s"k${(i * 104729) % 350}"
+      b.add(UTF8String.fromString(k), 1L); cb(k) = cb.getOrElse(k, 0L) + 1L
+    }
+    val exact = ca.iterator.map { case (k, c) => c * cb.getOrElse(k, 0L) }.sum
+    val est = CmsOps.innerProduct(a.serialize(), b.serialize(), depth, width)
+    assert(est >= exact, s"inner product $est < exact join size $exact")
+    // CM §4.2 bound: est ≤ exact + (e/width)·Na·Nb w.h.p. — check with
+    // the deterministic data (collisions are forced: 850 keys, 64 cells)
+    assert(est <= exact + (math.E / width * na * nb).toLong,
+      s"overcount ${est - exact} exceeds the e/width·Na·Nb bound")
+    // fully disjoint small domains that happen not to collide → exact 0
+    val p = new CmsSketch(depth, width)
+    val q = new CmsSketch(depth, width)
+    p.add(UTF8String.fromString("only-in-p"), 3L)
+    q.add(UTF8String.fromString("only-in-q"), 5L)
+    val dEst = CmsOps.innerProduct(p.serialize(), q.serialize(), depth, width)
+    assert(dEst == 0L || dEst == 15L, // 15 only if all 4 rows collide — impossible odds
+      s"disjoint-key estimate $dEst")
+    assert(dEst == 0L, "one of 4 rows must separate two keys in 64 cells")
+  }
+
+  test("q224 publishes est ≥ exact with the ledger's overcount arithmetic") {
+    val r = graft.queries.SketchQueries
+      .queries("q224_join_size_est")(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("exact_pairs") > 0L, "join must be non-empty at sf0.001")
+    assert(row.getAs[Long]("est_pairs") >= row.getAs[Long]("exact_pairs"))
+    assert(row.getAs[Long]("overcount") ==
+      row.getAs[Long]("est_pairs") - row.getAs[Long]("exact_pairs"))
+    assert(row.getAs[Double]("rel_err") >= 0.0)
+  }
 }
