@@ -385,6 +385,59 @@ object RetrievalQueries {
             greatest(lit(1L), col("n_docs") * (col("n_docs") - 1L)), 6)
             .as("tau"))
         .orderBy(col("source"))
+    },
+
+    // §2.3 (round 13) — K-CENTER GREEDY CORESET (Gonzalez '85
+    // farthest-point traversal, the 2-approximation behind active-
+    // learning coreset selection à la Sener & Savarese ICLR'18):
+    // MMR (q197) diversifies a RANKING; this selects the k vectors
+    // that COVER the space — each round picks the point farthest
+    // from the selected set (its distance = the current covering
+    // radius, published per step, monotone non-increasing). Float
+    // discipline: distances are exact ×1e6 longs (d_u = 1e6 − cos_u),
+    // argmax is max(struct(d_u, −vec_id)) — no float comparisons
+    // cross rows. Scale shape: k passes, each ONE partial-agg argmax
+    // + ONE narrow re-min against the new pick broadcast as a 1-row
+    // frame; per-round loopCheckpoint (the q91/q197 iterative
+    // discipline) keeps lineage flat. At 100 TB this is exactly the
+    // distributed k-center recipe — cost k · (scan + 1-row shuffle),
+    // never corpus².
+    "q225_coreset" -> { (s, d) =>
+      import graft.Caching.{LoopCheckpoint, ScopedPersist}
+      def cosU(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        round(round(GraftFunctions.cosine(a, b), 6) * 1e6).cast("long")
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"))
+        .scopedPersist() // consumers: seed frame + per-round pick joins
+      val seed = emb.filter(col("vec_id") === 0L)
+        .select(col("vec_id").as("p_id"), col("embedding").as("p_emb"))
+      val seedRow = seed.select(lit(1L).as("step"), col("p_id").as("vec_id"),
+        lit(null).cast("long").as("radius_u"))
+      var state = emb.filter(col("vec_id") =!= 0L)
+        .crossJoin(broadcast(seed))
+        .select(col("vec_id"), col("embedding"),
+          (lit(1000000L) - cosU(col("embedding"), col("p_emb"))).as("d_u"))
+        .loopCheckpoint()
+      var picks = seedRow
+      (2 to 8).foreach { step =>
+        val pick = state
+          .agg(max(struct(col("d_u"), (-col("vec_id")).as("nid"))).as("m"))
+          .select((-col("m.nid")).as("p_id"), col("m.d_u").as("radius_u"))
+        val pickEmb = broadcast(pick
+          .join(emb.select(col("vec_id").as("p_id"),
+            col("embedding").as("p_emb")), "p_id"))
+        picks = picks.unionByName(pickEmb
+          .select(lit(step.toLong).as("step"), col("p_id").as("vec_id"),
+            col("radius_u")))
+        state = state.crossJoin(pickEmb.select(col("p_id"), col("p_emb")))
+          .filter(col("vec_id") =!= col("p_id"))
+          .select(col("vec_id"), col("embedding"),
+            least(col("d_u"),
+              lit(1000000L) - cosU(col("embedding"), col("p_emb")))
+              .as("d_u"))
+          .loopCheckpoint()
+      }
+      picks.orderBy(col("step"))
     }
   )
 
@@ -749,6 +802,43 @@ object RetrievalQueries {
          |  ROUND(2.0 * (agg.concordant - agg.discordant) /
          |    greatest(1, nd.n_docs * (nd.n_docs - 1)), 6) AS tau
          |FROM nd JOIN agg USING (source)
-         |ORDER BY source""".stripMargin
+         |ORDER BY source""".stripMargin,
+
+    // Gonzalez farthest-point traversal, 7 unrolled pick/re-min CTE
+    // pairs (the q91 unrolled-iteration pattern); distances in exact
+    // ×1e6 micro-units so every argmax ties out bit-identically.
+    "q225_coreset" -> {
+      val rounds = (2 to 8).map { i =>
+        val prev = s"s${i - 1}"
+        val reMin =
+          if (i == 8) "" // s8 is never consumed
+          else s""",
+             |s$i AS (SELECT d.vec_id, LEAST(d.du,
+             |    1000000 - CAST(ROUND(round(list_cosine_similarity(
+             |      e2.emb, pe.emb), 6) * 1e6) AS BIGINT)) AS du
+             |  FROM $prev d
+             |  JOIN e e2 ON e2.vec_id = d.vec_id
+             |  CROSS JOIN (SELECT e.emb FROM p$i
+             |              JOIN e ON e.vec_id = p$i.vec_id) pe
+             |  WHERE d.vec_id <> (SELECT vec_id FROM p$i))""".stripMargin
+        s"""p$i AS (SELECT vec_id, du FROM $prev
+           |        ORDER BY du DESC, vec_id LIMIT 1)""".stripMargin + reMin
+      }.mkString(",\n")
+      val steps = (2 to 8).map(i =>
+        s"UNION ALL SELECT CAST($i AS BIGINT), vec_id, du FROM p$i")
+        .mkString("\n")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+         |           FROM embeddings),
+         |s1 AS (SELECT d.vec_id,
+         |    1000000 - CAST(ROUND(round(list_cosine_similarity(
+         |      d.emb, s.emb), 6) * 1e6) AS BIGINT) AS du
+         |  FROM e d CROSS JOIN (SELECT emb FROM e WHERE vec_id = 0) s
+         |  WHERE d.vec_id <> 0),
+         |$rounds
+         |SELECT CAST(1 AS BIGINT) AS step, CAST(0 AS BIGINT) AS vec_id,
+         |  CAST(NULL AS BIGINT) AS radius_u
+         |$steps
+         |ORDER BY step""".stripMargin
+    }
   )
 }

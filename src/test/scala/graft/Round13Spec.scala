@@ -104,4 +104,20 @@ class Round13Spec extends SparkSpecBase {
       assert(tau > 0.3, s"tau implausibly weak for correlated rankers: $row")
     }
   }
+
+  test("q225: picks are distinct, seeded at 0, covering radius monotone non-increasing") {
+    val picks = RetrievalQueries.queries("q225_coreset")(spark, sf01)
+      .orderBy(col("step")).collect()
+    assert(picks.length == 8)
+    assert(picks.head.getAs[Long]("step") == 1L &&
+      picks.head.getAs[Long]("vec_id") == 0L && picks.head.isNullAt(2))
+    val ids = picks.map(_.getAs[Long]("vec_id"))
+    assert(ids.distinct.length == 8, s"repeated pick: ${ids.mkString(",")}")
+    val radii = picks.tail.map(_.getAs[Long]("radius_u"))
+    radii.sliding(2).foreach { case Array(a, b) =>
+      assert(a >= b, s"covering radius grew: ${radii.mkString(",")}")
+    }
+    assert(radii.forall(r => r >= 0L && r <= 2000000L),
+      "radius outside the [0, 2e6] cosine-distance range")
+  }
 }
