@@ -211,6 +211,51 @@ object AnalyticQueries {
           scoreCol = "l_extendedprice", tieCol = "uid", k = 2)
         .drop("uid")
         .orderBy(col("l_suppkey"), col("rnk"))
+    },
+
+    // §2.3 (round 13) — FELLEGI–SUNTER probabilistic record linkage
+    // (Fellegi & Sunter JASA'69, the Splink/dedupe.io model): q49's
+    // fuzzy match scores ONE string; real entity resolution scores a
+    // VECTOR of field comparisons with log-likelihood weights
+    // log2(m_i/u_i) on agreement and log2((1−m_i)/(1−u_i)) on
+    // disagreement, then thresholds the summed match weight. Linking
+    // customers to suppliers: block on nationkey (candidate pairs are
+    // |C_n|·|S_n| per nation — never corpus²; at 100 TB the block key
+    // comes from LSH/sorted-neighborhood, q31's machinery), compare
+    // (key%97 residue, acctbal thousands bucket, name-suffix%100) —
+    // three deterministic field agreements with published (m,u) priors
+    // baked as exact MILLI-unit weights (+6526/−4307, +3307/−3184,
+    // +6409/−2722), summed in integer space; score = milli/1000.0 is
+    // the ONE IEEE division. Matches = score ≥ 9.0 (strong evidence:
+    // needs the identifier field plus at least one corroborator).
+    "q227_record_linkage" -> { (s, d) =>
+      val c = Tables.customer(s, d).select(
+        col("c_custkey"), col("c_nationkey").as("nk"),
+        (col("c_custkey") % 97).as("c_res"),
+        floor(col("c_acctbal") / 1000.0).as("c_bal"),
+        (regexp_extract(col("c_name"), "([0-9]+)$", 1)
+          .cast("long") % 100).as("c_sfx"))
+      val su = Tables.supplier(s, d).select(
+        col("s_suppkey"), col("s_nationkey").as("nk"),
+        (col("s_suppkey") % 97).as("s_res"),
+        floor(col("s_acctbal") / 1000.0).as("s_bal"),
+        (regexp_extract(col("s_name"), "([0-9]+)$", 1)
+          .cast("long") % 100).as("s_sfx"))
+      val f1 = (col("c_res") === col("s_res")).cast("int")
+      val f2 = (col("c_bal") === col("s_bal")).cast("int")
+      val f3 = (col("c_sfx") === col("s_sfx")).cast("int")
+      c.join(broadcast(su), "nk")
+        .select(col("c_custkey"), col("s_suppkey"),
+          f1.as("agr_id"), f2.as("agr_bal"), f3.as("agr_sfx"),
+          (f1 * lit(6526L) + (lit(1) - f1) * lit(-4307L)
+            + f2 * lit(3307L) + (lit(1) - f2) * lit(-3184L)
+            + f3 * lit(6409L) + (lit(1) - f3) * lit(-2722L))
+            .as("w_milli"))
+        .filter(col("w_milli") >= 9000L)
+        .select(col("c_custkey"), col("s_suppkey"),
+          col("agr_id"), col("agr_bal"), col("agr_sfx"),
+          (col("w_milli") / 1000.0).as("match_weight"))
+        .orderBy(col("c_custkey"), col("s_suppkey"))
     }
   )
 
@@ -321,6 +366,36 @@ object AnalyticQueries {
         |      ORDER BY l_extendedprice DESC, l_orderkey * 10 + l_linenumber) AS INTEGER) AS rnk
         |  FROM lineitem)
         |WHERE rnk <= 2
-        |ORDER BY l_suppkey, rnk""".stripMargin
+        |ORDER BY l_suppkey, rnk""".stripMargin,
+
+    "q227_record_linkage" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_nationkey AS nk,
+        |    c_custkey % 97 AS c_res,
+        |    FLOOR(c_acctbal / 1000.0) AS c_bal,
+        |    CAST(regexp_extract(c_name, '([0-9]+)$', 1) AS BIGINT) % 100 AS c_sfx
+        |  FROM customer),
+        |su AS (
+        |  SELECT s_suppkey, s_nationkey AS nk,
+        |    s_suppkey % 97 AS s_res,
+        |    FLOOR(s_acctbal / 1000.0) AS s_bal,
+        |    CAST(regexp_extract(s_name, '([0-9]+)$', 1) AS BIGINT) % 100 AS s_sfx
+        |  FROM supplier),
+        |sc AS (
+        |  SELECT c_custkey, s_suppkey,
+        |    CAST(c_res = s_res AS INTEGER) AS agr_id,
+        |    CAST(c_bal = s_bal AS INTEGER) AS agr_bal,
+        |    CAST(c_sfx = s_sfx AS INTEGER) AS agr_sfx
+        |  FROM c JOIN su USING (nk)),
+        |w AS (
+        |  SELECT c_custkey, s_suppkey, agr_id, agr_bal, agr_sfx,
+        |    agr_id * 6526 + (1 - agr_id) * -4307
+        |      + agr_bal * 3307 + (1 - agr_bal) * -3184
+        |      + agr_sfx * 6409 + (1 - agr_sfx) * -2722 AS w_milli
+        |  FROM sc)
+        |SELECT c_custkey, s_suppkey, agr_id, agr_bal, agr_sfx,
+        |  w_milli / 1000.0 AS match_weight
+        |FROM w WHERE w_milli >= 9000
+        |ORDER BY c_custkey, s_suppkey""".stripMargin
   )
 }

@@ -668,6 +668,45 @@ object OpsQueries {
           round(max(col("f_bytes")).cast("double") /
             min(col("f_bytes")), 6).as("skew"))
         .orderBy(col("bin"))
+    },
+
+    // §2.5 (round 13) — BLOOM RUNTIME-FILTER SEMIJOIN reduction: the
+    // dimension-filter-pushed-into-the-fact-scan technique every
+    // 100 TB warehouse join depends on (Spark's own runtime filters /
+    // DPP, made explicit on graft's Bloom machinery from 48b). A
+    // selective predicate keeps ~2% of orders; instead of shuffling
+    // ALL of lineitem into the join, the order keys fold into a
+    // 16 KiB Bloom filter (ONE mergeable aggregate), broadcast as a
+    // 1-row frame, and probe INSIDE the lineitem scan's codegen'd
+    // filter — rows that cannot join never reach the exchange. False
+    // positives are removed by the real join that follows; false
+    // negatives are impossible, so the result is HASH-IDENTICAL to
+    // the plain join (the oracle proves it). Round13Spec additionally
+    // pins the reduction: probe-survivor count ≪ lineitem count, and
+    // parity with the unfiltered plan.
+    "q228_bloom_semijoin" -> { (s, d) =>
+      import graft.functions.BloomFunctions
+      val dim = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_totalprice") > 150000.0)
+        .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+      val bloom = dim.agg(BloomFunctions.bloomAgg(
+        col("o_orderkey").cast("string"), 1 << 17, 5).as("bits"))
+      val pre = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+        .crossJoin(broadcast(bloom)) // 1-row filter frame
+        .filter(BloomFunctions.bloomContains(
+          col("bits"), col("l_orderkey").cast("string"), 5))
+        .drop("bits")
+      pre.join(dim, pre("l_orderkey") === dim("o_orderkey"))
+        .groupBy(col("o_year"))
+        .agg(countDistinct(col("o_orderkey")).as("n_orders"),
+          count(lit(1)).as("n_lines"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"))
+        .orderBy(col("o_year"))
     }
   )
 
@@ -1103,6 +1142,22 @@ object OpsQueries {
         |  CAST(SUM(n_rows) AS BIGINT) AS bin_rows,
         |  min(shard) AS min_shard, max(shard) AS max_shard,
         |  ROUND(CAST(MAX(f_bytes) AS DOUBLE) / MIN(f_bytes), 6) AS skew
-        |FROM bins GROUP BY bin ORDER BY bin""".stripMargin
+        |FROM bins GROUP BY bin ORDER BY bin""".stripMargin,
+
+    // the PLAIN join — the Bloom pre-filter must be invisible in the
+    // result (no false negatives; FPs removed by the join)
+    "q228_bloom_semijoin" ->
+      """WITH dim AS (
+        |  SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS o_year
+        |  FROM orders
+        |  WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000.0)
+        |SELECT o_year,
+        |  CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+        |  CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM lineitem JOIN dim ON l_orderkey = o_orderkey
+        |GROUP BY o_year ORDER BY o_year""".stripMargin
   )
 }

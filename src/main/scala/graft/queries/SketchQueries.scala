@@ -121,6 +121,60 @@ object SketchQueries {
         .withColumn("rel_err",
           round(col("overcount").cast("double") /
             greatest(lit(1L), col("exact_pairs")), 6))
+    },
+
+    // §2.5 (round 13) — KMV/THETA-SKETCH set operations
+    // (functions/ThetaSketch.scala): the cross-source overlap-
+    // CARDINALITY question ("how many distinct tokens do A and B
+    // share?") that HLL cannot answer — HLL unions, KMV also
+    // INTERSECTS. q124 answers it exactly with a distinct self-join
+    // of the full shingle space; the sketch path reduces each source
+    // to its k smallest token hashes (k·8 bytes, ONE map-side-
+    // combining aggregate — the key space never shuffles), then every
+    // pair estimate is a linear merge of two sorted k-arrays + one
+    // IEEE division on a C(sources,2)-row frame. est_* relative error
+    // is O(1/√k); exact distinct/∩/∪ ride along as audit columns
+    // (the q217/q224 contract — at 100 TB the exact branch is the
+    // query you no longer run). Rows-only by design; Round13Spec pins
+    // the ≤15% relative-error bound at k=256 plus merge-order
+    // invariance (sketch of union ≡ merged sketches).
+    "q226_theta_overlap" -> { (s, d) =>
+      import graft.Caching.ScopedPersist
+      import graft.functions.{GraftFunctions, KmvFunctions}
+      val k = 256
+      val words = Tables.documents(s, d)
+        .select(col("source"),
+          explode(GraftFunctions.normWords(col("text"))).as("w"))
+        .distinct()
+        .scopedPersist() // consumers: sketches + exact audit joins
+      val sk = words.groupBy(col("source"))
+        .agg(KmvFunctions.kmvAgg(col("w"), k).as("sk"),
+          count(lit(1)).as("exact_distinct"))
+      val inter = words.as("a")
+        .join(words.as("b"),
+          col("a.w") === col("b.w") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+        .agg(count(lit(1)).as("exact_inter"))
+      sk.as("x").join(sk.as("y"), col("x.source") < col("y.source"))
+        .select(col("x.source").as("s1"), col("y.source").as("s2"),
+          col("x.exact_distinct").as("exact_a"),
+          col("y.exact_distinct").as("exact_b"),
+          col("x.sk").as("ska"), col("y.sk").as("skb"))
+        .join(inter, Seq("s1", "s2"), "left")
+        .na.fill(0L, Seq("exact_inter"))
+        .select(col("s1"), col("s2"), col("exact_a"), col("exact_b"),
+          col("exact_inter"),
+          (col("exact_a") + col("exact_b") - col("exact_inter"))
+            .as("exact_union"),
+          round(KmvFunctions.kmvEstimate(col("ska")), 2).as("est_a"),
+          round(KmvFunctions.kmvEstimate(col("skb")), 2).as("est_b"),
+          round(KmvFunctions.kmvIntersect(col("ska"), col("skb")), 2)
+            .as("est_inter"),
+          round(KmvFunctions.kmvUnion(col("ska"), col("skb")), 2)
+            .as("est_union"),
+          round(KmvFunctions.kmvJaccard(col("ska"), col("skb")), 6)
+            .as("est_jaccard"))
+        .orderBy(col("s1"), col("s2"))
     }
   )
 

@@ -1781,6 +1781,43 @@ object TextQueries {
           round(col("n_hard").cast("double") / col("n_docs"), 6)
             .as("pct_hard"))
         .orderBy(col("source"))
+    },
+
+    // §2.3 (round 13) — SELF-BLEU corpus-diversity audit (Zhu et
+    // al.'18 Texygen): generated/synthetic corpora collapse toward
+    // repeated phrasing long before exact dedup fires; per-doc
+    // modified 3-gram precision against the REST of the corpus is the
+    // standard diversity number. Naively that's n_docs BLEU passes
+    // (corpus² gram joins); here the rest-of-corpus count factors as
+    // c_rest(g) = c_total(g) − c_doc(g), so ONE gram scan + ONE
+    // corpus-totals aggregate + ONE 1:1 join on gram gives every doc
+    // overlap = Σ_g min(c_doc, c_total − c_doc), p3 = overlap/Σ c_doc
+    // — all exact integers to ONE IEEE division per doc. Scale shape:
+    // both groupBys partial-combine map-side, the join key is the
+    // uniform gram hash space, and fan-out per gram is exactly its
+    // per-doc row count — no pair space anywhere (q192's fused-scan
+    // discipline applied to the self-similarity question).
+    "q229_self_bleu" -> { (s, d) =>
+      import graft.Caching.ScopedPersist
+      val grams = Tables.documents(s, d)
+        .select(col("doc_id"), GraftFunctions.normWords(col("text")).as("ws"))
+        .filter(size(col("ws")) >= 3)
+        .scopedPersist() // bind ws before the shingle lambda
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(ws)-3), " +
+            "i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))")).as("g"))
+      val perDoc = grams.groupBy(col("doc_id"), col("g"))
+        .agg(count(lit(1)).as("c"))
+        .scopedPersist() // consumers: corpus totals + the 1:1 join
+      val totals = perDoc.groupBy(col("g")).agg(sum(col("c")).as("ct"))
+      perDoc.join(totals, "g")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_grams"),
+          sum(least(col("c"), col("ct") - col("c"))).as("overlap"))
+        .select(col("doc_id"), col("n_grams"), col("overlap"),
+          round(col("overlap").cast("double") / col("n_grams"), 6)
+            .as("p3"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -3256,6 +3293,22 @@ object TextQueries {
          |    / COUNT(*), 6) AS avg_flesch,
          |  ROUND(CAST(SUM(CASE WHEN flesch < 30.0 THEN 1 ELSE 0 END) AS DOUBLE)
          |    / COUNT(*), 6) AS pct_hard
-         |FROM f GROUP BY source ORDER BY source""".stripMargin
+         |FROM f GROUP BY source ORDER BY source""".stripMargin,
+
+    "q229_self_bleu" ->
+      s"""WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents),
+         |grams AS (SELECT doc_id,
+         |    unnest([array_to_string(ws[i:i+2],' ')
+         |            for i in generate_series(1, len(ws)-2)]) AS g
+         |  FROM w WHERE len(ws) >= 3),
+         |per_doc AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c
+         |            FROM grams GROUP BY doc_id, g),
+         |totals AS (SELECT g, CAST(SUM(c) AS BIGINT) AS ct
+         |           FROM per_doc GROUP BY g)
+         |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+         |  CAST(SUM(LEAST(c, ct - c)) AS BIGINT) AS overlap,
+         |  ROUND(CAST(SUM(LEAST(c, ct - c)) AS DOUBLE) / SUM(c), 6) AS p3
+         |FROM per_doc JOIN totals USING (g)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

@@ -143,9 +143,10 @@ class KernelPropertiesSpec extends AnyFunSuite {
 
   test("Aho-Corasick counts == brute-force substring counts on random text") {
     import graft.functions.AcAutomaton
-    val terms = Seq("ab", "abcd", "bc", "cab", "d", "win", "window")
-    // every term borderless; "ab"⊂"abcd", "win"⊂"window" exercise
-    // nested outputs; "cab"/"ab"/"bc" overlap across positions
+    // every term borderless ("window" would NOT be — border 'w');
+    // "ab"⊂"abcd", "win"⊂"wind" exercise nested outputs;
+    // "cab"/"ab"/"bc" overlap across positions
+    val terms = Seq("ab", "abcd", "bc", "cab", "d", "win", "wind")
     val ac = new AcAutomaton(terms)
     def brute(text: String, t: String): Long =
       (0 to text.length - t.length).count(i => text.startsWith(t, i)).toLong

@@ -120,4 +120,103 @@ class Round13Spec extends SparkSpecBase {
     assert(radii.forall(r => r >= 0L && r <= 2000000L),
       "radius outside the [0, 2e6] cosine-distance range")
   }
+
+  test("q226: KMV estimates within O(1/sqrt k) of exact; non-full sketches exact; partition-invariant") {
+    import graft.queries.SketchQueries
+    val rows = SketchQueries.queries("q226_theta_overlap")(spark, sf01).collect()
+    assert(rows.nonEmpty, "no source pairs")
+    rows.foreach { r =>
+      val (ea, eb) = (r.getAs[Long]("exact_a"), r.getAs[Long]("exact_b"))
+      val (eu, ei) = (r.getAs[Long]("exact_union"), r.getAs[Long]("exact_inter"))
+      def rel(est: Double, exact: Long): Double =
+        math.abs(est - exact) / math.max(1L, exact)
+      // k=256 ⇒ 1/sqrt(255) ≈ 6.3% std; 15% is a ~2.4 sigma bar
+      assert(rel(r.getAs[Double]("est_a"), ea) <= 0.15, s"est_a off: $r")
+      assert(rel(r.getAs[Double]("est_b"), eb) <= 0.15, s"est_b off: $r")
+      assert(rel(r.getAs[Double]("est_union"), eu) <= 0.15, s"est_union off: $r")
+      // intersection error scales with the UNION size (the common-θ
+      // sample covers A∪B), not the intersection itself
+      assert(math.abs(r.getAs[Double]("est_inter") - ei) <= 0.15 * eu,
+        s"est_inter off: $r")
+      assert(math.abs(r.getAs[Double]("est_jaccard") - ei.toDouble / eu) <= 0.1,
+        s"est_jaccard off: $r")
+      // sketches smaller than k retain every hash — exact by construction
+      if (ea < 256) assert(r.getAs[Double]("est_a") == ea.toDouble, s"non-full sketch not exact: $r")
+      if (eb < 256) assert(r.getAs[Double]("est_b") == eb.toDouble, s"non-full sketch not exact: $r")
+    }
+    // mergeability: the aggregate is a set-union keep-k-smallest, so
+    // the estimate cannot depend on partitioning
+    import graft.functions.{GraftFunctions, KmvFunctions}
+    val words = Tables.documents(spark, sf01)
+      .select(explode(GraftFunctions.normWords(col("text"))).as("w"))
+    def est(parts: Int): Double =
+      words.repartition(parts)
+        .agg(KmvFunctions.kmvEstimate(
+          KmvFunctions.kmvAgg(col("w"), 256)).as("e"))
+        .collect().head.getAs[Double]("e")
+    assert(est(1) == est(13), "KMV estimate depends on partitioning — merge broken")
+  }
+
+  test("q227: matches require the identifier field plus a corroborator; weights are the closed-form sums") {
+    import graft.queries.AnalyticQueries
+    val rows = AnalyticQueries.queries("q227_record_linkage")(spark, sf01).collect()
+    assert(rows.nonEmpty, "no linked pairs at sf0.01")
+    rows.foreach { r =>
+      assert(r.getAs[Int]("agr_id") == 1,
+        s"match without identifier agreement cannot clear 9.0: $r")
+      val w = r.getAs[Double]("match_weight")
+      // f1 fixed: the only sums ≥ 9.0 are 6526−3184+6409 and 6526+3307+6409
+      assert(w == 9.751 || w == 16.242, s"weight not a closed-form sum: $r")
+      if (w == 16.242) assert(r.getAs[Int]("agr_bal") == 1 && r.getAs[Int]("agr_sfx") == 1)
+      else assert(r.getAs[Int]("agr_bal") == 0 && r.getAs[Int]("agr_sfx") == 1)
+    }
+  }
+
+  test("q228: bloom pre-filter drops most of lineitem yet the join result is identical without it") {
+    import graft.queries.OpsQueries
+    import graft.functions.BloomFunctions
+    val d = sf01
+    val got = OpsQueries.queries("q228_bloom_semijoin")(spark, d).collect()
+    // the same aggregate over the PLAIN join (no bloom pre-filter)
+    val dim = Tables.orders(spark, d)
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        col("o_totalprice") > 150000.0)
+      .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+    val plain = Tables.lineitem(spark, d)
+      .join(dim, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_year"))
+      .agg(countDistinct(col("o_orderkey")).as("n_orders"),
+        count(lit(1)).as("n_lines"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+      .orderBy(col("o_year")).collect()
+    assert(got.toSeq == plain.toSeq, "bloom pre-filter changed the join result")
+    // and the filter actually filters: survivors ≪ the full fact table
+    val bloom = dim.agg(BloomFunctions.bloomAgg(
+      col("o_orderkey").cast("string"), 1 << 17, 5).as("bits"))
+    val survivors = Tables.lineitem(spark, d)
+      .crossJoin(broadcast(bloom))
+      .filter(BloomFunctions.bloomContains(
+        col("bits"), col("l_orderkey").cast("string"), 5))
+      .count()
+    val total = Tables.lineitem(spark, d).count()
+    assert(survivors < total / 5,
+      s"bloom kept $survivors of $total — not a useful runtime filter")
+  }
+
+  test("q229: p3 is a proper fraction, overlap ≤ n_grams, and planted duplicates score ≈ 1") {
+    val rows = TextQueries.queries("q229_self_bleu")(spark, sf01).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, o) = (r.getAs[Long]("n_grams"), r.getAs[Long]("overlap"))
+      assert(o >= 0L && o <= n, s"overlap ledger broken: $r")
+      val p = r.getAs[Double]("p3")
+      assert(p >= 0.0 && p <= 1.0, s"p3 out of range: $r")
+    }
+    // the testdata plants exact/near duplicates — SOME doc must be
+    // fully covered by the rest of the corpus, and diversity must
+    // vary (a constant p3 means the totals join collapsed)
+    assert(rows.exists(_.getAs[Double]("p3") >= 0.999), "no duplicate-heavy doc found")
+    assert(rows.map(_.getAs[Double]("p3")).distinct.length > 10, "p3 suspiciously constant")
+  }
 }
