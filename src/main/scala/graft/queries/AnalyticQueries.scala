@@ -256,6 +256,71 @@ object AnalyticQueries {
           col("agr_id"), col("agr_bal"), col("agr_sfx"),
           (col("w_milli") / 1000.0).as("match_weight"))
         .orderBy(col("c_custkey"), col("s_suppkey"))
+    },
+
+    // §2.3 (round 13) — SORTED-NEIGHBORHOOD blocking (Hernández &
+    // Stolfo SIGMOD'95, the merge/purge method): q227 compares every
+    // pair inside an equality block — O(|C_n|·|S_n|) per block. SNM
+    // is the scale alternative when blocks are fat or keys are noisy:
+    // sort ALL records (both sides unioned) by a proximity key, and
+    // only records within a w-row window ever meet — O(n·w) candidate
+    // pairs total, tunable, order-robust to key typos that equality
+    // blocking misses. Here: customers ∪ suppliers sorted by acctbal
+    // WITHIN nation (the window rank is PARTITIONED by nation — never
+    // an unbounded global sort), window w=4; cross-kind candidates
+    // score with q227's exact milli-unit weights. Per-nation ledger:
+    // records, window pairs, cross-kind pairs, matches — the
+    // blocking-efficiency report (pairs considered vs pairs found)
+    // that decides w in production.
+    "q230_sorted_neighborhood" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val recs = Tables.customer(s, d).select(
+        col("c_nationkey").as("nk"), lit("c").as("kind"),
+        col("c_custkey").as("rid"),
+        col("c_acctbal").as("bal"),
+        (col("c_custkey") % 97).as("res"),
+        floor(col("c_acctbal") / 1000.0).as("balb"),
+        (regexp_extract(col("c_name"), "([0-9]+)$", 1)
+          .cast("long") % 100).as("sfx"))
+        .unionByName(Tables.supplier(s, d).select(
+          col("s_nationkey").as("nk"), lit("s").as("kind"),
+          col("s_suppkey").as("rid"),
+          col("s_acctbal").as("bal"),
+          (col("s_suppkey") % 97).as("res"),
+          floor(col("s_acctbal") / 1000.0).as("balb"),
+          (regexp_extract(col("s_name"), "([0-9]+)$", 1)
+            .cast("long") % 100).as("sfx")))
+      val ranked = recs.withColumn("rnk",
+        row_number().over(Window.partitionBy(col("nk"))
+          .orderBy(col("bal"), col("kind"), col("rid"))))
+      val pairs = ranked.as("a").join(ranked.as("b"),
+        col("a.nk") === col("b.nk") &&
+          col("b.rnk") - col("a.rnk") >= 1 &&
+          col("b.rnk") - col("a.rnk") <= 3)
+      val isCross = (col("a.kind") =!= col("b.kind")).cast("long")
+      val f1 = (col("a.res") === col("b.res")).cast("long")
+      val f2 = (col("a.balb") === col("b.balb")).cast("long")
+      val f3 = (col("a.sfx") === col("b.sfx")).cast("long")
+      val w = f1 * lit(6526L) + (lit(1L) - f1) * lit(-4307L) +
+        f2 * lit(3307L) + (lit(1L) - f2) * lit(-3184L) +
+        f3 * lit(6409L) + (lit(1L) - f3) * lit(-2722L)
+      pairs
+        .select(col("a.nk").as("nk"), isCross.as("cross"),
+          // the Fellegi–Sunter THREE-ZONE decision: ≥ 9.0 auto-match,
+          // ≥ 6.0 clerical-review (id field + one corroborator),
+          // below — non-match
+          (isCross * (w >= 6000L).cast("long")).as("rev"),
+          (isCross * (w >= 9000L).cast("long")).as("m"))
+        .groupBy(col("nk"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("cross")).as("n_cross_pairs"),
+          sum(col("rev")).as("n_review"),
+          sum(col("m")).as("n_matches"))
+        .join(recs.groupBy(col("nk"))
+          .agg(count(lit(1)).as("n_records")), Seq("nk"))
+        .select(col("nk"), col("n_records"), col("n_pairs"),
+          col("n_cross_pairs"), col("n_review"), col("n_matches"))
+        .orderBy(col("nk"))
     }
   )
 
@@ -396,6 +461,49 @@ object AnalyticQueries {
         |SELECT c_custkey, s_suppkey, agr_id, agr_bal, agr_sfx,
         |  w_milli / 1000.0 AS match_weight
         |FROM w WHERE w_milli >= 9000
-        |ORDER BY c_custkey, s_suppkey""".stripMargin
+        |ORDER BY c_custkey, s_suppkey""".stripMargin,
+
+    "q230_sorted_neighborhood" ->
+      """WITH recs AS (
+        |  SELECT c_nationkey AS nk, 'c' AS kind, c_custkey AS rid,
+        |    c_acctbal AS bal, c_custkey % 97 AS res,
+        |    FLOOR(c_acctbal / 1000.0) AS balb,
+        |    CAST(regexp_extract(c_name, '([0-9]+)$', 1) AS BIGINT) % 100 AS sfx
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT s_nationkey AS nk, 's' AS kind, s_suppkey AS rid,
+        |    s_acctbal AS bal, s_suppkey % 97 AS res,
+        |    FLOOR(s_acctbal / 1000.0) AS balb,
+        |    CAST(regexp_extract(s_name, '([0-9]+)$', 1) AS BIGINT) % 100 AS sfx
+        |  FROM supplier),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY nk
+        |    ORDER BY bal, kind, rid) AS rnk
+        |  FROM recs),
+        |pairs AS (
+        |  SELECT a.nk,
+        |    CAST(a.kind <> b.kind AS BIGINT) AS crossk,
+        |    CAST(a.res = b.res AS BIGINT) AS f1,
+        |    CAST(a.balb = b.balb AS BIGINT) AS f2,
+        |    CAST(a.sfx = b.sfx AS BIGINT) AS f3
+        |  FROM ranked a JOIN ranked b
+        |    ON a.nk = b.nk AND b.rnk - a.rnk BETWEEN 1 AND 3),
+        |scored AS (
+        |  SELECT nk, crossk,
+        |    f1 * 6526 + (1 - f1) * -4307
+        |      + f2 * 3307 + (1 - f2) * -3184
+        |      + f3 * 6409 + (1 - f3) * -2722 AS w
+        |  FROM pairs),
+        |agg AS (
+        |  SELECT nk, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |    CAST(SUM(crossk) AS BIGINT) AS n_cross_pairs,
+        |    CAST(SUM(crossk * CAST(w >= 6000 AS BIGINT)) AS BIGINT) AS n_review,
+        |    CAST(SUM(crossk * CAST(w >= 9000 AS BIGINT)) AS BIGINT) AS n_matches
+        |  FROM scored GROUP BY nk),
+        |cnt AS (SELECT nk, CAST(COUNT(*) AS BIGINT) AS n_records
+        |        FROM recs GROUP BY nk)
+        |SELECT nk, n_records, n_pairs, n_cross_pairs, n_review, n_matches
+        |FROM agg JOIN cnt USING (nk)
+        |ORDER BY nk""".stripMargin
   )
 }

@@ -707,6 +707,64 @@ object OpsQueries {
           sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
             .as("sum_price"))
         .orderBy(col("o_year"))
+    },
+
+    // §2.5 (round 13) — ANALYZE-style COLUMN STATISTICS collection:
+    // the optimizer-statistics pass (`ANALYZE TABLE ... COMPUTE
+    // STATISTICS FOR COLUMNS`) made an explicit, auditable query —
+    // these numbers are what q202's join advisor, q224's cardinality
+    // estimates and the CBO's broadcast decisions consume. Per
+    // analyzed column of orders: row/null/exact-NDV counts, numeric
+    // min/max, exact interpolated quartiles (the equi-depth histogram
+    // edges), string min/max, and the most-common value with its
+    // count (ties break to the smaller value — render-stable). MCV
+    // strings only for bounded-domain columns; a double's MCV is
+    // meaningless and stays NULL. Scale shape: one aggregate per
+    // column (partial-combining; the quantile is the one full-sort
+    // component — at 100 TB swap in the KLL sketch q161 for the same
+    // columns) + one dimension-bounded top-1 groupBy for the MCV.
+    "q231_analyze_stats" -> { (s, d) =>
+      import graft.Caching.ScopedPersist
+      val o = Tables.orders(s, d).scopedPersist()
+      def numStats(c: String): DataFrame = o.agg(
+        count(lit(1)).as("n"),
+        sum(col(c).isNull.cast("long")).as("n_nulls"),
+        countDistinct(col(c)).as("ndv"),
+        round(min(col(c)).cast("double"), 6).as("min_num"),
+        round(max(col(c)).cast("double"), 6).as("max_num"),
+        round(expr(s"percentile($c, 0.25)"), 6).as("q25"),
+        round(expr(s"percentile($c, 0.5)"), 6).as("q50"),
+        round(expr(s"percentile($c, 0.75)"), 6).as("q75"))
+        .select(lit(c).as("col_name"), col("n"), col("n_nulls"),
+          col("ndv"), col("min_num"), col("max_num"),
+          col("q25"), col("q50"), col("q75"),
+          lit(null).cast("string").as("min_str"),
+          lit(null).cast("string").as("max_str"),
+          lit(null).cast("string").as("mcv"),
+          lit(null).cast("long").as("mcv_cnt"))
+      val prio = o.groupBy(col("o_orderpriority")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("o_orderpriority"))
+        .limit(1)
+        .select(col("o_orderpriority").as("mcv"), col("c").as("mcv_cnt"))
+      val strStats = o.agg(
+        count(lit(1)).as("n"),
+        sum(col("o_orderpriority").isNull.cast("long")).as("n_nulls"),
+        countDistinct(col("o_orderpriority")).as("ndv"),
+        min(col("o_orderpriority")).as("min_str"),
+        max(col("o_orderpriority")).as("max_str"))
+        .crossJoin(broadcast(prio)) // 1-row MCV frame
+        .select(lit("o_orderpriority").as("col_name"), col("n"),
+          col("n_nulls"), col("ndv"),
+          lit(null).cast("double").as("min_num"),
+          lit(null).cast("double").as("max_num"),
+          lit(null).cast("double").as("q25"),
+          lit(null).cast("double").as("q50"),
+          lit(null).cast("double").as("q75"),
+          col("min_str"), col("max_str"), col("mcv"), col("mcv_cnt"))
+      numStats("o_custkey")
+        .unionByName(numStats("o_totalprice"))
+        .unionByName(strStats)
+        .orderBy(col("col_name"))
     }
   )
 
@@ -1158,6 +1216,51 @@ object OpsQueries {
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
         |    AS sum_price
         |FROM lineitem JOIN dim ON l_orderkey = o_orderkey
-        |GROUP BY o_year ORDER BY o_year""".stripMargin
+        |GROUP BY o_year ORDER BY o_year""".stripMargin,
+
+    "q231_analyze_stats" ->
+      """WITH ck AS (
+        |  SELECT 'o_custkey' AS col_name,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        |    CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS ndv,
+        |    ROUND(CAST(MIN(o_custkey) AS DOUBLE), 6) AS min_num,
+        |    ROUND(CAST(MAX(o_custkey) AS DOUBLE), 6) AS max_num,
+        |    ROUND(quantile_cont(o_custkey, 0.25), 6) AS q25,
+        |    ROUND(quantile_cont(o_custkey, 0.5), 6) AS q50,
+        |    ROUND(quantile_cont(o_custkey, 0.75), 6) AS q75,
+        |    CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str,
+        |    CAST(NULL AS VARCHAR) AS mcv, CAST(NULL AS BIGINT) AS mcv_cnt
+        |  FROM orders),
+        |tp AS (
+        |  SELECT 'o_totalprice' AS col_name,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        |    CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) AS ndv,
+        |    ROUND(CAST(MIN(o_totalprice) AS DOUBLE), 6) AS min_num,
+        |    ROUND(CAST(MAX(o_totalprice) AS DOUBLE), 6) AS max_num,
+        |    ROUND(quantile_cont(o_totalprice, 0.25), 6) AS q25,
+        |    ROUND(quantile_cont(o_totalprice, 0.5), 6) AS q50,
+        |    ROUND(quantile_cont(o_totalprice, 0.75), 6) AS q75,
+        |    CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str,
+        |    CAST(NULL AS VARCHAR) AS mcv, CAST(NULL AS BIGINT) AS mcv_cnt
+        |  FROM orders),
+        |mc AS (
+        |  SELECT o_orderpriority AS mcv, CAST(COUNT(*) AS BIGINT) AS mcv_cnt
+        |  FROM orders GROUP BY o_orderpriority
+        |  ORDER BY mcv_cnt DESC, mcv LIMIT 1),
+        |op AS (
+        |  SELECT 'o_orderpriority' AS col_name,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        |    CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS ndv,
+        |    CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+        |    CAST(NULL AS DOUBLE) AS q25, CAST(NULL AS DOUBLE) AS q50,
+        |    CAST(NULL AS DOUBLE) AS q75,
+        |    MIN(o_orderpriority) AS min_str, MAX(o_orderpriority) AS max_str,
+        |    (SELECT mcv FROM mc) AS mcv, (SELECT mcv_cnt FROM mc) AS mcv_cnt
+        |  FROM orders)
+        |SELECT * FROM ck UNION ALL SELECT * FROM tp UNION ALL SELECT * FROM op
+        |ORDER BY col_name""".stripMargin
   )
 }

@@ -219,4 +219,50 @@ class Round13Spec extends SparkSpecBase {
     assert(rows.exists(_.getAs[Double]("p3") >= 0.999), "no duplicate-heavy doc found")
     assert(rows.map(_.getAs[Double]("p3")).distinct.length > 10, "p3 suspiciously constant")
   }
+
+  test("q230: window pair count is the closed form; ledgers nest; SNM finds what q227 finds in-window") {
+    import graft.queries.AnalyticQueries
+    val rows = AnalyticQueries.queries("q230_sorted_neighborhood")(spark, sf01).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_records")
+      // w=4 window (each record pairs with its next ≤3 neighbors):
+      // exactly Σ_{i=1..3} max(0, n−i) pairs — the SNM cost model
+      val expected = (1 to 3).map(i => math.max(0L, n - i)).sum
+      assert(r.getAs[Long]("n_pairs") == expected, s"pair ledger wrong: $r")
+      assert(r.getAs[Long]("n_cross_pairs") <= r.getAs[Long]("n_pairs"))
+      // three-zone nesting: match ⊆ review ⊆ cross-kind pairs
+      assert(r.getAs[Long]("n_matches") <= r.getAs[Long]("n_review"))
+      assert(r.getAs[Long]("n_review") <= r.getAs[Long]("n_cross_pairs"))
+    }
+    // blocking efficiency is the point: the acctbal-sorted window must
+    // surface review-tier candidates (id field + a corroborator)
+    assert(rows.map(_.getAs[Long]("n_review")).sum > 0,
+      "SNM window found no review-tier pairs at sf0.01 — window or weights regressed")
+  }
+
+  test("q231: stats are internally consistent (ndv/null ledgers, ordered quartiles, MCV dominates mean)") {
+    import graft.queries.OpsQueries
+    val rows = OpsQueries.queries("q231_analyze_stats")(spark, sf01).collect()
+    assert(rows.length == 3)
+    val total = Tables.orders(spark, sf01).count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n") == total)
+      assert(r.getAs[Long]("n_nulls") == 0L)
+      assert(r.getAs[Long]("ndv") <= total)
+    }
+    val num = rows.filter(!_.isNullAt(rows.head.fieldIndex("q50")))
+    assert(num.length == 2)
+    num.foreach { r =>
+      val (lo, q25, q50, q75, hi) = (r.getAs[Double]("min_num"),
+        r.getAs[Double]("q25"), r.getAs[Double]("q50"),
+        r.getAs[Double]("q75"), r.getAs[Double]("max_num"))
+      assert(lo <= q25 && q25 <= q50 && q50 <= q75 && q75 <= hi,
+        s"quartiles out of order: $r")
+    }
+    val str = rows.find(_.getAs[String]("col_name") == "o_orderpriority").get
+    val (ndv, mcvCnt) = (str.getAs[Long]("ndv"), str.getAs[Long]("mcv_cnt"))
+    assert(mcvCnt * ndv >= total, "MCV count below the uniform mean — not the mode")
+    assert(str.getAs[String]("min_str") <= str.getAs[String]("mcv"))
+  }
 }
