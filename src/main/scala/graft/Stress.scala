@@ -290,7 +290,7 @@ object Stress {
   def main(args: Array[String]): Unit = {
     val srcDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val stressDir = args.lift(1).getOrElse("/tmp/graft_stress10")
-    val outJson = args.lift(2).getOrElse("STRESS_r12.json")
+    val outJson = args.lift(2).getOrElse("STRESS_r13.json")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -407,7 +407,7 @@ object Stress {
     val loadEnd = loadavg1()
 
     val json =
-      s"""{"round":12,"corpus":{"docs":$nDocs,"chars":$nChars,"vectors":$nVecs,"recipe":"per sf0.1 doc: 20 exact copies + 20 near-dup mutants (every 13th word) + 20 tripled-long distinct + 40 distinct; 1000-copy hot doc; 80% source=web skew; embeddings 10x with per-replica perturbation"},""" +
+      s"""{"round":13,"corpus":{"docs":$nDocs,"chars":$nChars,"vectors":$nVecs,"recipe":"per sf0.1 doc: 20 exact copies + 20 near-dup mutants (every 13th word) + 20 tripled-long distinct + 40 distinct; 1000-copy hot doc; 80% source=web skew; embeddings 10x with per-replica perturbation"},""" +
         s""""guards":{"lsh_max_bucket":${bStats.getLong(0)},"lsh_buckets_over_cap64":${bStats.getLong(1)},"note":"buckets over the 64 cap degrade to linear chain pairs (Dedup.lshCandidatePairs); the 1000-copy hot family fires this organically"},""" +
         s""""queries":{${qResults.mkString(",")}},""" +
         s""""operators":{${opResults.mkString(",")}},""" +

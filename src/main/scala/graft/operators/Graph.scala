@@ -140,4 +140,50 @@ object Graph {
     tri.select(explode(array(col("x"), col("y"), col("z"))).as("id"))
       .groupBy(col("id")).agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** SYNCHRONOUS label propagation (Raghavan et al. '07) over
+    * canonical (a < b) undirected edges: every node starts labeled
+    * with its own id; each round it adopts the MODE of its neighbors'
+    * labels, ties to the SMALLEST label — fully deterministic (the
+    * async/random-order variant of the paper is not reproducible,
+    * which disqualifies it here; synchronous + min-tie is the
+    * GraphFrames/Pregel convention). A fixed iteration count keeps
+    * the result stable (synchronous LPA can oscillate on bipartite
+    * structures — a bounded-round snapshot is the honest contract).
+    *
+    * Scale shape per round: one join of labels onto the symmetric
+    * edge view (fan-out = degree, exactly the PageRank contribution
+    * join) + two partial-agg groupBys; the mode-argmax collapses to
+    * max(struct(count, −label)) so no per-node window or sort exists.
+    * Per-round loopCheckpoint caps lineage like CC/BFS/PageRank.
+    */
+  def labelPropagation(edgesIn: DataFrame, iters: Int = 3,
+                       ckptEvery: Int = 5): DataFrame = {
+    val e = edgesIn.select(col("a").cast("long").as("a"),
+      col("b").cast("long").as("b"))
+      .filter(col("a") < col("b")).distinct()
+    val sym = e.select(col("a").as("u"), col("b").as("v"))
+      .union(e.select(col("b").as("u"), col("a").as("v"))).persist()
+    var labels = sym.select(col("u").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+    var superseded = List.empty[DataFrame]
+    for (i <- 1 to iters) {
+      val eager = i % ckptEvery == 0 || i == iters
+      val next = sym
+        .join(labels.select(col("id").as("v"), col("lbl")), "v")
+        .groupBy(col("u"), col("lbl")).agg(count(lit(1)).as("c"))
+        .groupBy(col("u"))
+        .agg(max(struct(col("c"), (-col("lbl")).as("negl"))).as("m"))
+        .select(col("u").as("id"), (-col("m")("negl")).as("lbl"))
+        .loopCheckpoint(eager)
+      if (i > 1) superseded ::= labels
+      if (eager) {
+        superseded.foreach(Caching.releaseCheckpoint)
+        superseded = Nil
+      }
+      labels = next
+    }
+    sym.unpersist(false)
+    labels
+  }
 }

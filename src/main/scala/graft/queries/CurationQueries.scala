@@ -795,6 +795,65 @@ object CurationQueries {
           round((lit(4.0) * (col("m") - 1L) * col("reported_count") -
             col("n")) / (col("m") * 3L - 4L), 6).as("debiased_est"))
         .orderBy(col("event_type"))
+    },
+
+    // §2.3 (round 13) — DoReMi-STYLE domain reweighting step (Xie et
+    // al.'23, arXiv:2305.10429): the mixing weights q116 SOLVES for a
+    // target and q151 tempers are, in the DoReMi recipe, LEARNED from
+    // per-domain EXCESS LOSS via multiplicative weights — domains the
+    // proxy model finds hardest (above-reference loss) get upweighted.
+    // One published step, fully deterministic: loss_i = per-source
+    // mean unigram surprisal under the corpus LM (q101's discipline —
+    // ln quantized to DECIMAL(18,12) per DISTINCT word, exact decimal
+    // Σ(count·surprisal), ONE division); reference = the corpus-wide
+    // mean; excess_i = max(0, loss_i − ref); update u_i =
+    // exp(η·excess_i) quantized to DECIMAL(18,6) before the exact
+    // normalizing sum; final w_i = (1−ε)·u_i/Σu + ε/m (ε-uniform
+    // smoothing, the paper's trick against weight collapse). Scale
+    // shape: ONE token scan + vocab-sized surprisal table joined back
+    // on the uniform word key + domain-bounded (m-row) weight frames.
+    "q234_doremi_step" -> { (s, d) =>
+      import graft.Caching.ScopedPersist
+      import org.apache.spark.sql.types.DecimalType
+      val eta = 0.1
+      val eps = 0.01
+      val words = Tables.documents(s, d)
+        .select(col("source"),
+          explode(GraftFunctions.normWords(col("text"))).as("w"))
+        .scopedPersist() // consumers: vocab counts + per-source join
+      val tot = words.agg(count(lit(1)).as("ntot"))
+      val surp = words.groupBy(col("w")).agg(count(lit(1)).as("cw"))
+        .crossJoin(broadcast(tot))
+        .select(col("w"),
+          (-log(col("cw").cast("double") / col("ntot")))
+            .cast(DecimalType(18, 12)).as("surp"))
+      val perSrc = words.join(surp, "w")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("surp")).as("ssum"))
+        .select(col("source"), col("n_tokens"),
+          round(col("ssum").cast("double") / col("n_tokens"), 6).as("loss"),
+          col("ssum"))
+      val ref = perSrc.agg(
+        round(sum(col("ssum")).cast("double") / sum(col("n_tokens")), 6)
+          .as("ref_loss"),
+        count(lit(1)).as("m"))
+      val upd = perSrc.crossJoin(broadcast(ref)) // m-row domain frame
+        .select(col("source"), col("n_tokens"), col("loss"), col("ref_loss"),
+          col("m"),
+          round(greatest(lit(0.0), col("loss") - col("ref_loss")), 6)
+            .as("excess"))
+        .withColumn("u",
+          round(exp(lit(eta) * col("excess")), 6).cast(DecimalType(18, 6)))
+      val norm = upd.agg(sum(col("u")).as("usum"))
+      upd.crossJoin(broadcast(norm))
+        .select(col("source"), col("n_tokens"), col("loss"),
+          col("ref_loss"), col("excess"),
+          // 0.99 as a LITERAL in both engines — computing 1.0 − 0.01
+          // lands one ulp away from the parsed constant 0.99
+          round(lit(0.99) * (col("u").cast("double") /
+            col("usum").cast("double")) + lit(eps) / col("m"), 6)
+            .as("weight"))
+        .orderBy(col("source"))
     }
   )
 
@@ -1324,6 +1383,37 @@ object CurationQueries {
         |  ROUND((4.0 * (mm.m - 1) * obs.reported_count - tot.n)
         |    / (mm.m * 3 - 4), 6) AS debiased_est
         |FROM tru JOIN obs USING (event_type), tot, mm
-        |ORDER BY event_type""".stripMargin
+        |ORDER BY event_type""".stripMargin,
+
+    "q234_doremi_step" ->
+      s"""WITH words AS (SELECT source, unnest($wsSql) AS w FROM documents),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS ntot FROM words),
+         |surp AS (
+         |  SELECT w, CAST(-ln(CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(tot.ntot))
+         |    AS DECIMAL(18,12)) AS surp
+         |  FROM words, tot GROUP BY w),
+         |per_src AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |    SUM(surp) AS ssum
+         |  FROM words JOIN surp USING (w) GROUP BY source),
+         |ref AS (
+         |  SELECT ROUND(CAST(SUM(ssum) AS DOUBLE) / SUM(n_tokens), 6)
+         |    AS ref_loss, CAST(COUNT(*) AS BIGINT) AS m
+         |  FROM per_src),
+         |upd AS (
+         |  SELECT source, n_tokens,
+         |    ROUND(CAST(ssum AS DOUBLE) / n_tokens, 6) AS loss,
+         |    ref.ref_loss, ref.m,
+         |    ROUND(GREATEST(0.0,
+         |      ROUND(CAST(ssum AS DOUBLE) / n_tokens, 6) - ref.ref_loss), 6)
+         |      AS excess
+         |  FROM per_src, ref),
+         |u AS (SELECT *, CAST(ROUND(exp(0.1 * excess), 6) AS DECIMAL(18,6))
+         |        AS u FROM upd),
+         |norm AS (SELECT SUM(u) AS usum FROM u)
+         |SELECT source, n_tokens, loss, ref_loss, excess,
+         |  ROUND(0.99 * (CAST(u AS DOUBLE) / CAST(norm.usum AS DOUBLE))
+         |    + 0.01 / m, 6) AS weight
+         |FROM u, norm ORDER BY source""".stripMargin
   )
 }

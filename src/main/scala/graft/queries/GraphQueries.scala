@@ -45,6 +45,21 @@ object GraphQueries {
     "q94_bfs" -> { (s, d) =>
       Graph.bfs(directedEdges(s, d), source = 0L, maxDepth = 8)
         .orderBy(col("id"))
+    },
+
+    // §2.3 (round 13) — synchronous LABEL-PROPAGATION communities
+    // (Raghavan'07; the GraphFrames/Pregel deterministic variant):
+    // CC (q59) answers "which nodes touch at all"; LPA finds DENSE
+    // regions inside one component — the domain-cluster signal the
+    // curation family groups by when no labels exist. Three
+    // synchronous rounds, mode-of-neighbors with min-label ties (no
+    // randomness, no async order-dependence); each round is the
+    // PageRank-shaped label join + two partial-agg groupBys with the
+    // mode as max(struct(count, −label)) — no window, no sort.
+    // Oracled by three unrolled mode-CTEs in DuckDB.
+    "q233_label_propagation" -> { (s, d) =>
+      Graph.labelPropagation(sampledEdges(s, d), iters = 3)
+        .orderBy(col("id"))
     }
   )
 
@@ -77,6 +92,30 @@ object GraphQueries {
         |  UNION
         |  SELECT e.dst, r.d + 1 FROM r JOIN e ON e.src = r.id WHERE r.d < 8
         |)
-        |SELECT id, MIN(d) AS dist_hops FROM r GROUP BY id ORDER BY id""".stripMargin
+        |SELECT id, MIN(d) AS dist_hops FROM r GROUP BY id ORDER BY id""".stripMargin,
+
+    "q233_label_propagation" -> {
+      val iterCtes = (1 to 3).map { i =>
+        s"""l$i AS (
+           |  SELECT u AS id, lbl FROM (
+           |    SELECT u, lbl,
+           |      row_number() OVER (PARTITION BY u
+           |        ORDER BY c DESC, lbl ASC) AS rn
+           |    FROM (SELECT s.u, p.lbl, COUNT(*) AS c
+           |          FROM sym s JOIN l${i - 1} p ON s.v = p.id
+           |          GROUP BY s.u, p.lbl))
+           |  WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pairs AS (
+         |  SELECT LEAST(o_custkey % 200, o_orderkey % 200) AS a,
+         |         GREATEST(o_custkey % 200, o_orderkey % 200) AS b
+         |  FROM orders WHERE o_orderkey % 10 = 1
+         |), e AS (SELECT DISTINCT a, b FROM pairs WHERE a < b),
+         |sym AS (SELECT a AS u, b AS v FROM e
+         |        UNION ALL SELECT b, a FROM e),
+         |l0 AS (SELECT DISTINCT u AS id, u AS lbl FROM sym),
+         |$iterCtes
+         |SELECT id, lbl FROM l3 ORDER BY id""".stripMargin
+    }
   )
 }

@@ -37,6 +37,34 @@ object OpsQueries {
       base.toString
     })
 
+  /** q235's bloom-indexed snapshot: documents STRIPED doc_id-mod-8
+    * across 8 files (every file's [min,max] spans the domain — the
+    * layout min/max pruning cannot help), with the per-file Bloom
+    * point-index on doc_id. Cached per source dir like q212's. */
+  private val q235Cache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def q235SnapshotFor(s: SparkSession, d: String): String =
+    q235Cache.computeIfAbsent(d, { _ =>
+      import graft.sources.Snapshot
+      val base = java.nio.file.Files.createTempDirectory("graft-bloomix")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(p: java.io.File): Unit = {
+          Option(p.listFiles()).foreach(_.foreach(rm)); p.delete(); ()
+        }
+        rm(base.toFile)
+      }))
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        // range-partition on the stripe id: exactly one stripe per
+        // file (hash repartition collides stripes and leaves empty
+        // partitions — file count would be layout-dependent)
+        .repartitionByRange(8, col("doc_id") % 8)
+      Snapshot.publishStatsIndexed(docs, base.toString,
+        bloomCols = Seq("doc_id"))
+      base.toString
+    })
+
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
@@ -765,6 +793,62 @@ object OpsQueries {
         .unionByName(numStats("o_totalprice"))
         .unionByName(strStats)
         .orderBy(col("col_name"))
+    },
+
+    // §2.3 (round 13) — RENDEZVOUS (HRW) HASHING reshard audit
+    // (Thaler & Ravishankar '96, the consistent-placement scheme
+    // behind Ceph/Riak-style sharding): mod-N placement (q85's shard
+    // shuffle) moves ~(1 − 1/M) of ALL keys when N→M; highest-random-
+    // weight placement — shard(doc) = argmax_s md5(doc '#' s) — moves
+    // ONLY the keys whose argmax lands on a NEW shard, exactly
+    // (M−N)/M in expectation, and never between surviving shards.
+    // The audit plans a 12→16 expansion: per old shard, how many docs
+    // sit there and how many will move (all of them to shards 12–15 —
+    // Round13Spec pins that invariant doc-by-doc). Scale shape: the
+    // assignment is a NARROW per-row array-argmax over M ≤ 16 inline
+    // candidates (no shuffle, no doc×M row blow-up in the Spark plan;
+    // the oracle spells the same argmax relationally), then one
+    // partial-agg groupBy on shard id.
+    "q232_rendezvous_reshard" -> { (s, d) =>
+      def hrwShard(n: Int): org.apache.spark.sql.Column =
+        array_max(transform(sequence(lit(0), lit(n - 1)),
+          sh => struct(
+            md5(concat_ws("#", col("doc_id"), sh)).as("h"),
+            sh.as("s"))))("s")
+      Tables.documents(s, d)
+        .select(col("doc_id"), hrwShard(12).as("old_shard"),
+          hrwShard(16).as("new_shard"))
+        .groupBy(col("old_shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum((col("new_shard") =!= col("old_shard")).cast("long"))
+            .as("n_moved"))
+        .select(col("old_shard").cast("int").as("old_shard"),
+          col("n_docs"), col("n_moved"),
+          round(col("n_moved").cast("double") / col("n_docs"), 6)
+            .as("frac_moved"))
+        .orderBy(col("old_shard"))
+    },
+
+    // §2.5 (round 13) — BLOOM POINT-INDEX read path (51d): q212 prunes
+    // RANGE predicates because z-order makes per-file [min,max] tight;
+    // a point lookup on an UNCLUSTERED high-cardinality key (this
+    // fixture stripes doc_id mod 8, so every file's range spans the
+    // whole domain) matches every file's stats and min/max prunes
+    // NOTHING. The `_BLOOM.tsv` sidecar — one 8 KiB mergeable Bloom
+    // per (file, column), built in ONE publish-time pass — answers
+    // "can this file contain the key?" so each equality probe opens
+    // ~1 file of 8 (Round13Spec pins kept ≤ 2 per probe; false
+    // negatives are impossible, so the result is HASH-IDENTICAL to
+    // the plain scan — this oracle). Three point probes, unioned.
+    "q235_bloom_point_read" -> { (s, d) =>
+      import graft.sources.Snapshot
+      import graft.sources.SnapshotStats.StatsPred.EqualTo
+      val base = q235SnapshotFor(s, d)
+      Seq(7L, 123L, 401L)
+        .map(k => Snapshot.readWhere(s, base, EqualTo("doc_id", k)))
+        .reduce(_.unionByName(_))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
     }
   )
 
@@ -1261,6 +1345,39 @@ object OpsQueries {
         |    (SELECT mcv FROM mc) AS mcv, (SELECT mcv_cnt FROM mc) AS mcv_cnt
         |  FROM orders)
         |SELECT * FROM ck UNION ALL SELECT * FROM tp UNION ALL SELECT * FROM op
-        |ORDER BY col_name""".stripMargin
+        |ORDER BY col_name""".stripMargin,
+
+    "q232_rendezvous_reshard" ->
+      """WITH h12 AS (
+        |  SELECT d.doc_id, t.s, md5(concat_ws('#', d.doc_id, t.s)) AS h
+        |  FROM documents d, generate_series(0, 11) AS t(s)),
+        |a12 AS (
+        |  SELECT doc_id, s AS old_shard FROM (
+        |    SELECT doc_id, s,
+        |      row_number() OVER (PARTITION BY doc_id ORDER BY h DESC) AS rn
+        |    FROM h12) WHERE rn = 1),
+        |h16 AS (
+        |  SELECT d.doc_id, t.s, md5(concat_ws('#', d.doc_id, t.s)) AS h
+        |  FROM documents d, generate_series(0, 15) AS t(s)),
+        |a16 AS (
+        |  SELECT doc_id, s AS new_shard FROM (
+        |    SELECT doc_id, s,
+        |      row_number() OVER (PARTITION BY doc_id ORDER BY h DESC) AS rn
+        |    FROM h16) WHERE rn = 1)
+        |SELECT CAST(old_shard AS INTEGER) AS old_shard,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN new_shard <> old_shard THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_moved,
+        |  ROUND(CAST(SUM(CASE WHEN new_shard <> old_shard THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / COUNT(*), 6) AS frac_moved
+        |FROM a12 JOIN a16 USING (doc_id)
+        |GROUP BY old_shard ORDER BY old_shard""".stripMargin,
+
+    // the bloom pre-prune must be invisible in the result (no false
+    // negatives; survivors re-filtered by the row predicate)
+    "q235_bloom_point_read" ->
+      """SELECT doc_id, lang, source, n_chars
+        |FROM documents WHERE doc_id IN (7, 123, 401)
+        |ORDER BY doc_id""".stripMargin
   )
 }

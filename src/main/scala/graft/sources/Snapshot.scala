@@ -115,6 +115,27 @@ object Snapshot {
     gen
   }
 
+  /** [[publishStats]] plus a per-file BLOOM POINT-INDEX on
+    * `bloomCols` (`_BLOOM.tsv`, see [[BloomIndex]]): min/max stats
+    * prune ranges on clustered columns; the Bloom tier prunes
+    * EQUALITY probes on high-cardinality UNclustered columns, at the
+    * documented cost of one extra data pass at publish time. Both
+    * sidecars land BEFORE the marker — a crash leaves everything
+    * invisible.
+    */
+  def publishStatsIndexed(df: DataFrame, dir: String,
+                          bloomCols: Seq[String]): Long = {
+    val spark = df.sparkSession
+    val fs = fsOf(dir, spark)
+    val gen = currentGen(spark, dir).getOrElse(0L) + 1L
+    df.write.mode("overwrite").parquet(s"$dir/gen=$gen/data")
+    SnapshotStats.writeManifest(spark, s"$dir/gen=$gen/data", s"$dir/gen=$gen/_STATS.tsv")
+    BloomIndex.write(spark, s"$dir/gen=$gen/data", bloomCols,
+      s"$dir/gen=$gen/_BLOOM.tsv")
+    writeMarker(fs, new Path(s"$dir/gen=$gen/_COMMITTED"), "", overwrite = true)
+    gen
+  }
+
   /** Publish Z-ordered on (colA, colB) into `nFiles` files, with the
     * stats manifest. The write-side half of data skipping: Z-order
     * clustering makes each file's [min,max] interval tight in BOTH
@@ -205,6 +226,32 @@ object Snapshot {
     * generation without a manifest (legacy [[publish]]) degrades to
     * the full filtered scan.
     */
+  /** Top-level equality conjuncts of a predicate tree — the probes
+    * the Bloom tier can use. Disjunction branches are NOT conjuncts
+    * (an Or's equality only constrains one branch), so they stay
+    * stats-pruned only: soundness over pruning power.
+    */
+  private def eqConjuncts(p: SnapshotStats.StatsPred): Seq[(String, Any)] =
+    p match {
+      case SnapshotStats.StatsPred.EqualTo(c, v) => Seq(c -> v)
+      case SnapshotStats.StatsPred.And(l, r) => eqConjuncts(l) ++ eqConjuncts(r)
+      case _ => Seq.empty
+    }
+
+  private def bloomKept(spark: SparkSession, dir: String, gen: Long,
+                        pred: SnapshotStats.StatsPred,
+                        files: Seq[String]): Seq[String] = {
+    val eqs = eqConjuncts(pred)
+    if (eqs.isEmpty) files
+    else BloomIndex.read(spark, s"$dir/gen=$gen/_BLOOM.tsv") match {
+      case None => files
+      case Some(idx) =>
+        files.filter(f => eqs.forall { case (c, v) =>
+          BloomIndex.mayContain(idx, f, c, v)
+        })
+    }
+  }
+
   def readWhere(spark: SparkSession, dir: String,
                 pred: SnapshotStats.StatsPred): DataFrame = {
     val gen = currentGen(spark, dir).getOrElse(
@@ -212,7 +259,8 @@ object Snapshot {
     SnapshotStats.readManifest(spark, s"$dir/gen=$gen/_STATS.tsv") match {
       case None => readAt(spark, dir, gen).filter(pred.toColumn)
       case Some(stats) =>
-        val kept = stats.filter(pred.mayMatch).map(_.file)
+        val kept = bloomKept(spark, dir, gen, pred,
+          stats.filter(pred.mayMatch).map(_.file))
         if (kept.isEmpty)
           // schema-preserving empty frame: Catalyst folds this to an
           // empty LocalRelation, no file is opened
@@ -231,7 +279,9 @@ object Snapshot {
       throw new IllegalStateException(s"no committed generation in $dir"))
     SnapshotStats.readManifest(spark, s"$dir/gen=$gen/_STATS.tsv") match {
       case None => (0, 0)
-      case Some(stats) => (stats.count(pred.mayMatch), stats.size)
+      case Some(stats) =>
+        (bloomKept(spark, dir, gen, pred,
+          stats.filter(pred.mayMatch).map(_.file)).size, stats.size)
     }
   }
 

@@ -265,4 +265,93 @@ class Round13Spec extends SparkSpecBase {
     assert(mcvCnt * ndv >= total, "MCV count below the uniform mean — not the mode")
     assert(str.getAs[String]("min_str") <= str.getAs[String]("mcv"))
   }
+
+  test("q232: HRW movement goes ONLY to the added shards and tracks (M-N)/M") {
+    import graft.queries.OpsQueries
+    val rows = OpsQueries.queries("q232_rendezvous_reshard")(spark, sf01).collect()
+    val total = Tables.documents(spark, sf01).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == total)
+    // the defining HRW property, checked doc-by-doc: a key either
+    // keeps its shard or moves to one of the NEW shards 12..15 —
+    // never between surviving shards
+    def hrw(n: Int) = array_max(transform(sequence(lit(0), lit(n - 1)),
+      sh => struct(md5(concat_ws("#", col("doc_id"), sh)).as("h"),
+        sh.as("s"))))("s")
+    val bad = Tables.documents(spark, sf01)
+      .select(hrw(12).as("o"), hrw(16).as("n"))
+      .filter(col("n") =!= col("o") && col("n") < 12)
+      .count()
+    assert(bad == 0L, s"$bad docs moved between SURVIVING shards — not rendezvous hashing")
+    val movedFrac = rows.map(_.getAs[Long]("n_moved")).sum.toDouble / total
+    assert(math.abs(movedFrac - 0.25) < 0.08,
+      f"moved fraction $movedFrac%.3f far from (16-12)/16 = 0.25")
+  }
+
+  test("q233: LPA labels are node ids, deterministic under repartitioning, with real communities") {
+    import graft.queries.GraphQueries
+    val rows = GraphQueries.queries("q233_label_propagation")(spark, sf01).collect()
+    val ids = rows.map(_.getAs[Long]("id")).toSet
+    assert(rows.map(_.getAs[Long]("lbl")).forall(ids.contains),
+      "a propagated label is not a node id")
+    val sizes = rows.groupBy(_.getAs[Long]("lbl")).view.mapValues(_.length)
+    assert(sizes.values.max > 1, "no community larger than a singleton")
+    assert(sizes.size < ids.size, "every node kept its own label — propagation never happened")
+    // synchronous + min-tie means the result cannot depend on partitioning
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    val again =
+      try {
+        spark.conf.set(key, "5")
+        GraphQueries.queries("q233_label_propagation")(spark, sf01).collect()
+      } finally spark.conf.set(key, prev)
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      again.map(r => (r.getLong(0), r.getLong(1))).toSeq,
+      "LPA result moved with the partition count")
+  }
+
+  test("q234: weights are a smoothed distribution that upweights above-reference domains") {
+    import graft.queries.CurationQueries
+    val rows = CurationQueries.queries("q234_doremi_step")(spark, sf01).collect()
+    assert(rows.length >= 2)
+    val m = rows.length
+    val wsum = rows.map(_.getAs[Double]("weight")).sum
+    assert(math.abs(wsum - 1.0) < 1e-4, s"weights sum to $wsum, not 1")
+    rows.foreach { r =>
+      assert(r.getAs[Double]("excess") >= 0.0)
+      assert(r.getAs[Double]("loss") > 0.0)
+      // ε-uniform smoothing floor
+      assert(r.getAs[Double]("weight") >= 0.01 / m - 1e-9, s"weight below the ε floor: $r")
+    }
+    // multiplicative weights: a MATERIALLY above-reference domain must
+    // get a strictly larger weight than a zero-excess domain (an
+    // excess small enough to quantize into u = 1.000000 legitimately
+    // ties — the update is exp(0.1·excess) rounded to 6 decimals)
+    // excess ≥ 1e-3 ⇒ u ≥ 1.0001 after quantization ⇒ weight shift
+    // ≥ ~5e-6, visible at the 6-decimal render; smaller excesses
+    // legitimately tie with the zero-excess floor
+    val zeroW = rows.filter(_.getAs[Double]("excess") == 0.0).map(_.getAs[Double]("weight"))
+    val posW = rows.filter(_.getAs[Double]("excess") >= 1e-3).map(_.getAs[Double]("weight"))
+    if (zeroW.nonEmpty && posW.nonEmpty)
+      assert(posW.min > zeroW.max, "an above-reference domain was not upweighted")
+  }
+
+  test("q235: each point probe opens ~1 of 8 striped files; min/max alone keeps all 8") {
+    import graft.queries.OpsQueries
+    import graft.sources.{Snapshot, SnapshotStats}
+    import SnapshotStats.StatsPred.EqualTo
+    val rows = OpsQueries.queries("q235_bloom_point_read")(spark, sf01).collect()
+    assert(rows.map(_.getAs[Long]("doc_id")).toSeq == Seq(7L, 123L, 401L))
+    val base = OpsQueries.q235SnapshotFor(spark, sf01)
+    Seq(7L, 123L, 401L).foreach { k =>
+      val (kept, total) = Snapshot.pruneAudit(spark, base, EqualTo("doc_id", k))
+      assert(total >= 4, s"fixture should stripe into several files, saw $total")
+      assert(kept <= 2, s"bloom kept $kept of $total files for doc_id=$k")
+      // and the stats tier alone cannot prune this layout
+      val gen = Snapshot.currentGen(spark, base).get
+      val stats = SnapshotStats
+        .readManifest(spark, s"$base/gen=$gen/_STATS.tsv").get
+      assert(stats.count(EqualTo("doc_id", k).mayMatch) == total,
+        "striped layout unexpectedly prunable by min/max — fixture broken")
+    }
+  }
 }

@@ -207,4 +207,56 @@ class SnapshotSpec extends SparkSpecBase {
     // current read unaffected
     assert(Snapshot.read(spark, dir).as[(Int, String)].head() == ((4, "v4")))
   }
+
+  test("bloom point-index prunes equality probes where min/max cannot, losslessly") {
+    import graft.sources.SnapshotStats.StatsPred.{And => PAnd, Between, EqualTo, Or => POr}
+    val dir = tmp()
+    // keys striped mod 8 across 8 files: every file's [min,max] spans
+    // nearly the whole domain (stats prune ~nothing for a point
+    // probe), but each key lives in EXACTLY one file (bloom prunes to
+    // ~1). The unclustered-high-cardinality shape the bloom tier is
+    // FOR.
+    val df = spark.range(0, 4000)
+      .select(col("id").as("k"), (col("id") % 8).as("stripe"),
+        concat(lit("u"), col("id")).as("u"))
+      .repartitionByRange(8, col("stripe"))
+    Snapshot.publishStatsIndexed(df, dir, bloomCols = Seq("k", "u"))
+    val probe = EqualTo("k", 1337L)
+    val (keptStats, total) = {
+      // stats-only view of the same probe: count files whose range matches
+      val gen = Snapshot.currentGen(spark, dir).get
+      val stats = graft.sources.SnapshotStats
+        .readManifest(spark, s"$dir/gen=$gen/_STATS.tsv").get
+      (stats.count(probe.mayMatch), stats.size)
+    }
+    val (keptBloom, total2) = Snapshot.pruneAudit(spark, dir, probe)
+    // range partitioner may pack 8 stripes into 4–8 files; the
+    // invariants are layout-independent: stats keep EVERYTHING,
+    // bloom keeps ~the one file holding the stripe
+    assert(total >= 4 && total2 == total)
+    assert(keptStats == total, "stripe layout should defeat min/max pruning")
+    assert(keptBloom <= 2, s"bloom kept $keptBloom of $total files for a point probe")
+    // lossless: pruned read ≡ full filtered scan
+    val got = Snapshot.readWhere(spark, dir, probe).collect()
+    assert(got.length == 1 && got.head.getAs[Long]("k") == 1337L)
+    // string column probe through the same index
+    val (keptU, _) = Snapshot.pruneAudit(spark, dir, EqualTo("u", "u2029"))
+    assert(keptU <= 2)
+    assert(Snapshot.readWhere(spark, dir, EqualTo("u", "u2029"))
+      .collect().map(_.getAs[Long]("k")).toSeq == Seq(2029L))
+    // absent value: no false negatives means result is exactly empty
+    assert(Snapshot.readWhere(spark, dir, EqualTo("k", 999999L)).count() == 0)
+    // Or is NOT a conjunct: bloom must not prune either branch away
+    val either = POr(EqualTo("k", 10L), EqualTo("k", 17L))
+    assert(Snapshot.readWhere(spark, dir, either).count() == 2)
+    // equality under And composes with range pruning
+    val both = PAnd(EqualTo("k", 1337L), Between("k", 0L, 4000L))
+    assert(Snapshot.readWhere(spark, dir, both).count() == 1)
+    // floating columns are rejected at publish (no stable render)
+    intercept[IllegalArgumentException] {
+      Snapshot.publishStatsIndexed(
+        spark.range(2).select(col("id").cast("double").as("d")),
+        tmp(), bloomCols = Seq("d"))
+    }
+  }
 }
