@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
+import graft.functions.GraftFunctions
 
 /** SURVEY.md §2.1 addendum — analytic breadth: hierarchical rollup,
   * window frames, fuzzy string matching (the reference's alias/prev
@@ -321,6 +322,73 @@ object AnalyticQueries {
         .select(col("nk"), col("n_records"), col("n_pairs"),
           col("n_cross_pairs"), col("n_review"), col("n_matches"))
         .orderBy(col("nk"))
+    },
+
+    // §2.3 (round 13) — SPLIT-CONFORMAL prediction intervals (Vovk's
+    // inductive conformal prediction; Papadopoulos'02 / Lei'18): every
+    // model-based filter in the curation family (q115, q154, q166)
+    // emits scores — conformal calibration turns them into intervals
+    // with a DISTRIBUTION-FREE coverage guarantee, the principled way
+    // to set "how wrong can the length predictor be" thresholds. One
+    // deterministic pass: md5 content-hash splits (q52 discipline —
+    // first hex 0-2 calibration, 3-4 test, rest train); OLS
+    // n_chars ~ n_words on train via the q95 exact-decimal sums;
+    // nonconformity = |residual| on calibration; q̂ = the k-th
+    // smallest with k = ⌈(n_cal+1)(1−α)⌉, α = 0.1 — an EXACT order
+    // statistic via orderBy(score).limit(k).max (TakeOrdered);
+    // coverage = fraction of TEST residuals ≤ q̂, guaranteed ≥ 1−α in
+    // expectation. Scale note: k ≈ 0.9·n_cal, so TakeOrdered is only
+    // cheap because the CALIBRATION SET is bounded — which is the
+    // conformal contract itself (the guarantee holds at ANY n_cal;
+    // production caps it by deterministic sampling, q72, to ~10⁴ rows
+    // and the corpus-scale splits never sort).
+    "q236_conformal" -> { (s, d) =>
+      import graft.Caching.ScopedPersist
+      import org.apache.spark.sql.types.DecimalType
+      val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(28, 6))
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars").cast("double").as("y"),
+          size(GraftFunctions.normWords(col("text"))).cast("double").as("x"),
+          substring(md5(col("doc_id").cast("string")), 1, 1).as("h"))
+        .withColumn("split",
+          when(col("h").isin("0", "1", "2"), "calib")
+            .when(col("h").isin("3", "4"), "test")
+            .otherwise("train"))
+        .scopedPersist() // consumers: fit + calibrate + coverage
+      val fit = base.filter(col("split") === "train").agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(dec(col("x"))).cast("double").as("sx"),
+        sum(dec(col("y"))).cast("double").as("sy"),
+        sum(dec(col("x") * col("y"))).cast("double").as("sxy"),
+        sum(dec(col("x") * col("x"))).cast("double").as("sxx"))
+        .select(
+          ((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx"))).as("slope"),
+          col("n").as("n_train"), col("sx"), col("sy"))
+        .select(col("slope"),
+          ((col("sy") - col("slope") * col("sx")) / col("n_train"))
+            .as("intercept"),
+          col("n_train"))
+      val scored = base.crossJoin(broadcast(fit)) // 1-row model frame
+        .withColumn("resid",
+          abs(col("y") - (col("intercept") + col("slope") * col("x"))))
+      val calib = scored.filter(col("split") === "calib").scopedPersist()
+      val nCal = calib.count()
+      val k = math.ceil((nCal + 1) * 0.9).toLong.min(nCal)
+      val qhat = calib.orderBy(col("resid")).limit(k.toInt)
+        .agg(max(col("resid")).as("q_hat"))
+      scored.filter(col("split") === "test")
+        .crossJoin(broadcast(qhat)) // 1-row threshold frame
+        .agg(count(lit(1)).as("n_test"),
+          sum((col("resid") <= col("q_hat")).cast("long")).as("n_covered"),
+          round(first(col("q_hat")), 6).as("q_hat_r"),
+          round(first(col("slope")), 6).as("slope_r"),
+          round(first(col("intercept")), 6).as("intercept_r"))
+        .select(lit(nCal).as("n_calib"), col("n_test"),
+          col("slope_r").as("slope"), col("intercept_r").as("intercept"),
+          col("q_hat_r").as("q_hat"), col("n_covered"),
+          round(col("n_covered").cast("double") / col("n_test"), 6)
+            .as("coverage"))
     }
   )
 
@@ -504,6 +572,48 @@ object AnalyticQueries {
         |        FROM recs GROUP BY nk)
         |SELECT nk, n_records, n_pairs, n_cross_pairs, n_review, n_matches
         |FROM agg JOIN cnt USING (nk)
-        |ORDER BY nk""".stripMargin
+        |ORDER BY nk""".stripMargin,
+
+    "q236_conformal" -> {
+      val wsSql = graft.queries.TextQueries.wsSql
+      s"""WITH base AS (
+         |  SELECT doc_id, CAST(n_chars AS DOUBLE) AS y,
+         |    CAST(len($wsSql) AS DOUBLE) AS x,
+         |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS h
+         |  FROM documents),
+         |sp AS (SELECT *, CASE WHEN h IN ('0','1','2') THEN 'calib'
+         |                      WHEN h IN ('3','4') THEN 'test'
+         |                      ELSE 'train' END AS split FROM base),
+         |fit0 AS (
+         |  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         |    CAST(SUM(CAST(x AS DECIMAL(28,6))) AS DOUBLE) AS sx,
+         |    CAST(SUM(CAST(y AS DECIMAL(28,6))) AS DOUBLE) AS sy,
+         |    CAST(SUM(CAST(x * y AS DECIMAL(28,6))) AS DOUBLE) AS sxy,
+         |    CAST(SUM(CAST(x * x AS DECIMAL(28,6))) AS DOUBLE) AS sxx
+         |  FROM sp WHERE split = 'train'),
+         |fit AS (SELECT (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+         |               n, sx, sy FROM fit0),
+         |fit2 AS (SELECT slope, (sy - slope * sx) / n AS intercept FROM fit),
+         |scored AS (SELECT sp.split, abs(y - (intercept + slope * x)) AS resid,
+         |                  slope, intercept
+         |           FROM sp, fit2),
+         |cal AS (SELECT resid FROM scored WHERE split = 'calib'),
+         |ncal AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_calib FROM cal),
+         |kk AS (SELECT LEAST(CAST(CEIL((n_calib + 1) * 0.9) AS BIGINT),
+         |                    n_calib) AS k FROM ncal),
+         |ranked AS (SELECT resid,
+         |             row_number() OVER (ORDER BY resid) AS rn FROM cal),
+         |qh AS (SELECT resid AS q_hat FROM ranked, kk WHERE rn = kk.k)
+         |SELECT ncal.n_calib, CAST(COUNT(*) AS BIGINT) AS n_test,
+         |  ROUND(ANY_VALUE(slope), 6) AS slope,
+         |  ROUND(ANY_VALUE(intercept), 6) AS intercept,
+         |  ROUND(ANY_VALUE(qh.q_hat), 6) AS q_hat,
+         |  CAST(SUM(CASE WHEN resid <= qh.q_hat THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_covered,
+         |  ROUND(CAST(SUM(CASE WHEN resid <= qh.q_hat THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / COUNT(*), 6) AS coverage
+         |FROM scored, qh, ncal WHERE split = 'test'
+         |GROUP BY ncal.n_calib""".stripMargin
+    }
   )
 }

@@ -1818,6 +1818,42 @@ object TextQueries {
           round(col("overlap").cast("double") / col("n_grams"), 6)
             .as("p3"))
         .orderBy(col("doc_id"))
+    },
+
+    // §2.3 (round 13) — HOMOGLYPH-SKELETON dedup-evasion audit
+    // (Unicode TR39 confusables, the small-map core): exact dedup
+    // (q30) keys on the raw text, so swapping Latin letters for their
+    // Cyrillic look-alikes (а е о р с у) defeats it while rendering
+    // identically — the classic spam/SEO dup-evasion move. The
+    // skeleton = lower(translate(cyrillic → latin)) restores the
+    // collision: group by skeleton, flag groups whose RAW texts
+    // differ (n_raw > 1 = evasion cluster; exact dups collapse to
+    // n_raw = 1 and stay out). Planted: a 3-doc cluster (ascii
+    // original + two differently-substituted twins) and an ascii
+    // control with no twin. One narrow codegen'd scan (translate +
+    // md5) + one uniform-key groupBy — q30's shape with a skeleton
+    // key; the TR39 map here is the 6-char core, production swaps in
+    // the full table as a longer literal.
+    "q238_homoglyph_audit" -> { (s, d) =>
+      import s.implicits._
+      val plants = Seq(
+        (3700000L, "buy cheap meds online today"),
+        (3700001L, "buy сheар meds оnline tоdау"),
+        (3700002L, "totally organic unique prose"),
+        (3700003L, "buу cheap meds online todaу")
+      ).toDF("doc_id", "text")
+      val corpus = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .unionByName(plants)
+      val skel = lower(translate(col("text"), "аеорсу", "aeopcy"))
+      corpus
+        .select(col("doc_id"), col("text"), md5(skel).as("skel_hash"))
+        .groupBy(col("skel_hash"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("text")).as("n_raw"),
+          min(col("doc_id")).as("min_doc"),
+          max(col("doc_id")).as("max_doc"))
+        .filter(col("n_raw") > 1)
+        .orderBy(col("skel_hash"))
     }
   )
 
@@ -3309,6 +3345,28 @@ object TextQueries {
          |  CAST(SUM(LEAST(c, ct - c)) AS BIGINT) AS overlap,
          |  ROUND(CAST(SUM(LEAST(c, ct - c)) AS DOUBLE) / SUM(c), 6) AS p3
          |FROM per_doc JOIN totals USING (g)
-         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q238_homoglyph_audit" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT * FROM (VALUES
+        |    (3700000, 'buy cheap meds online today'),
+        |    (3700001, 'buy сheар meds оnline tоdау'),
+        |    (3700002, 'totally organic unique prose'),
+        |    (3700003, 'buу cheap meds online todaу')
+        |  ) v(doc_id, text)),
+        |sk AS (
+        |  SELECT doc_id, text,
+        |    md5(lower(translate(text, 'аеорсу', 'aeopcy'))) AS skel_hash
+        |  FROM corpus)
+        |SELECT skel_hash, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(DISTINCT text) AS BIGINT) AS n_raw,
+        |  CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+        |  CAST(MAX(doc_id) AS BIGINT) AS max_doc
+        |FROM sk GROUP BY skel_hash
+        |HAVING COUNT(DISTINCT text) > 1
+        |ORDER BY skel_hash""".stripMargin
   )
 }

@@ -303,6 +303,60 @@ object WebQueries {
           sum((col("status") === "major").cast("long")).as("n_major"),
           round(avg(col("j_u")) / 1e6, 6).as("mean_jaccard"))
         .orderBy(col("source"))
+    },
+
+    // §2.3 (round 13) — ROBOTS.TXT PARSE + REP longest-match
+    // evaluation (RFC 9309; q179 reads per-PAGE meta tags, this is
+    // the per-SITE politeness file a crawler must honor BEFORE
+    // fetching): parse each domain's robots.txt text into
+    // (pattern, allow|disallow) rules, then for every frontier URL
+    // apply the REP decision — the MATCHING rule with the LONGEST
+    // pattern wins, Allow beats Disallow on ties, no match ⇒ allowed.
+    // Rules per domain are file-sized (broadcast); the decision is
+    // one broadcast prefix-match join + a per-URL argmax collapsed as
+    // max(struct(pattern_len, is_allow)) in the partial aggregate —
+    // the frontier never shuffles against anything corpus-sized.
+    // Robots text is integer-derived per domain and mirrored verbatim
+    // in the oracle (the q157/q169 planted-fixture discipline).
+    "q237_robots_txt" -> { (s, d) =>
+      import s.implicits._
+      val robots = (0 until 10).map { i =>
+        val lines = Seq("User-agent: *", "Disallow: /private") ++
+          (if (i % 2 == 0) Seq("Allow: /private/public") else Nil) ++
+          (if (i % 3 == 0) Seq("Disallow: /tmp") else Nil)
+        (s"d$i", lines.mkString("\n"))
+      }.toDF("domain", "robots_txt")
+      val rules = robots
+        .select(col("domain"),
+          explode(split(col("robots_txt"), "\n")).as("line"))
+        .withColumn("is_allow",
+          when(col("line").startsWith("Allow: "), lit(1))
+            .when(col("line").startsWith("Disallow: "), lit(0)))
+        .filter(col("is_allow").isNotNull)
+        .withColumn("pattern",
+          regexp_replace(col("line"), "^(Allow|Disallow): ", ""))
+        .select(col("domain"), col("pattern"), col("is_allow"))
+      val urls = Tables.documents(s, d).select(col("doc_id"),
+        concat(lit("d"), (col("doc_id") % 10).cast("string")).as("domain"),
+        concat(element_at(array(lit("/private/public/p"), lit("/private/s"),
+          lit("/tmp/t"), lit("/page/")), (col("doc_id") % 4).cast("int") + 1),
+          col("doc_id").cast("string")).as("path"))
+      val matched = urls.join(broadcast(rules),
+        urls("domain") === rules("domain") &&
+          col("path").startsWith(col("pattern")))
+        .groupBy(col("doc_id"))
+        .agg(max(struct(length(col("pattern")).as("pl"),
+          col("is_allow").as("ia"))).as("m"))
+        .select(col("doc_id"), col("m")("ia").as("best_allow"))
+      urls.join(matched, Seq("doc_id"), "left")
+        .select(col("domain"),
+          coalesce(col("best_allow"), lit(1)).as("allowed"))
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_urls"),
+          sum(col("allowed")).cast("long").as("n_allowed"),
+          (count(lit(1)) - sum(col("allowed"))).cast("long")
+            .as("n_blocked"))
+        .orderBy(col("domain"))
     }
   )
 
@@ -589,6 +643,50 @@ object WebQueries {
          |  CAST(SUM(CASE WHEN status = 'major' THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_major,
          |  ROUND(AVG(j_u) / 1000000, 6) AS mean_jaccard
-         |FROM cls GROUP BY source ORDER BY source""".stripMargin
+         |FROM cls GROUP BY source ORDER BY source""".stripMargin,
+
+    "q237_robots_txt" ->
+      """WITH robots AS (
+        |  SELECT 'd' || CAST(i AS VARCHAR) AS domain,
+        |    'User-agent: *' || chr(10) || 'Disallow: /private' ||
+        |    CASE WHEN i % 2 = 0
+        |         THEN chr(10) || 'Allow: /private/public' ELSE '' END ||
+        |    CASE WHEN i % 3 = 0
+        |         THEN chr(10) || 'Disallow: /tmp' ELSE '' END AS robots_txt
+        |  FROM generate_series(0, 9) t(i)),
+        |lines AS (SELECT domain,
+        |            unnest(string_split(robots_txt, chr(10))) AS line
+        |          FROM robots),
+        |rules AS (
+        |  SELECT domain,
+        |    CASE WHEN starts_with(line, 'Allow: ') THEN 1 ELSE 0 END
+        |      AS is_allow,
+        |    regexp_replace(line, '^(Allow|Disallow): ', '') AS pattern
+        |  FROM lines
+        |  WHERE starts_with(line, 'Allow: ')
+        |     OR starts_with(line, 'Disallow: ')),
+        |urls AS (
+        |  SELECT doc_id, 'd' || CAST(doc_id % 10 AS VARCHAR) AS domain,
+        |    ['/private/public/p','/private/s','/tmp/t','/page/']
+        |      [CAST(doc_id % 4 AS INT) + 1] || CAST(doc_id AS VARCHAR)
+        |      AS path
+        |  FROM documents),
+        |matched AS (
+        |  SELECT u.doc_id, r.is_allow, len(r.pattern) AS pl
+        |  FROM urls u JOIN rules r
+        |    ON u.domain = r.domain AND starts_with(u.path, r.pattern)),
+        |best AS (
+        |  SELECT doc_id, is_allow FROM (
+        |    SELECT doc_id, is_allow,
+        |      row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY pl DESC, is_allow DESC) AS rn
+        |    FROM matched) WHERE rn = 1),
+        |verd AS (
+        |  SELECT u.domain, COALESCE(b.is_allow, 1) AS allowed
+        |  FROM urls u LEFT JOIN best b USING (doc_id))
+        |SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_urls,
+        |  CAST(SUM(allowed) AS BIGINT) AS n_allowed,
+        |  CAST(COUNT(*) - SUM(allowed) AS BIGINT) AS n_blocked
+        |FROM verd GROUP BY domain ORDER BY domain""".stripMargin
   )
 }

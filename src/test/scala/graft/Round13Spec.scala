@@ -354,4 +354,60 @@ class Round13Spec extends SparkSpecBase {
         "striped layout unexpectedly prunable by min/max — fixture broken")
     }
   }
+
+  test("q236: conformal coverage honors the distribution-free guarantee; ledgers consistent") {
+    import graft.queries.AnalyticQueries
+    val r = AnalyticQueries.queries("q236_conformal")(spark, sf01).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("n_calib") > 0 && row.getAs[Long]("n_test") > 0)
+    assert(row.getAs[Double]("q_hat") >= 0.0)
+    assert(row.getAs[Long]("n_covered") <= row.getAs[Long]("n_test"))
+    val cov = row.getAs[Double]("coverage")
+    // guarantee: E[coverage] ≥ 0.9; finite-sample wobble allows a few
+    // points below — 0.8 is a ~3-sigma floor at n_test ≈ 60
+    assert(cov >= 0.8 && cov <= 1.0, s"coverage $cov outside plausible band")
+    // the interval must be doing work: not everything trivially inside
+    assert(row.getAs[Double]("slope") > 0.0,
+      "n_chars should grow with n_words — fit regressed")
+  }
+
+  test("q237: REP verdicts match the closed-form longest-match semantics per domain") {
+    import graft.queries.WebQueries
+    val rows = WebQueries.queries("q237_robots_txt")(spark, sf01).collect()
+    assert(rows.length == 10)
+    // recompute expected verdicts from first principles: path case
+    // c = id%4, domain i = id%10; allowed ⇔ c==3 (no rule) or
+    // c==0 on even domains (Allow /private/public outranks
+    // Disallow /private) or c==2 where no /tmp rule exists (i%3≠0)
+    val ids = Tables.documents(spark, sf01).select("doc_id")
+      .collect().map(_.getLong(0))
+    val expect = ids.groupBy(id => s"d${id % 10}").view.mapValues { g =>
+      val allowed = g.count { id =>
+        val (c, i) = ((id % 4).toInt, (id % 10).toInt)
+        c == 3 || (c == 0 && i % 2 == 0) || (c == 2 && i % 3 != 0)
+      }
+      (g.length.toLong, allowed.toLong)
+    }.toMap
+    rows.foreach { r =>
+      val dom = r.getAs[String]("domain")
+      val (n, allowed) = expect(dom)
+      assert(r.getAs[Long]("n_urls") == n, s"url count wrong for $dom")
+      assert(r.getAs[Long]("n_allowed") == allowed,
+        s"$dom: got ${r.getAs[Long]("n_allowed")} allowed, REP says $allowed")
+      assert(r.getAs[Long]("n_allowed") + r.getAs[Long]("n_blocked") == n)
+    }
+  }
+
+  test("q238: the planted homoglyph cluster is recovered; exact dups stay out") {
+    val rows = TextQueries.queries("q238_homoglyph_audit")(spark, sf01).collect()
+    val planted = rows.filter(_.getAs[Long]("min_doc") == 3700000L)
+    assert(planted.length == 1, "planted evasion cluster not found")
+    val c = planted.head
+    assert(c.getAs[Long]("n_docs") == 3L && c.getAs[Long]("n_raw") == 3L,
+      s"cluster should hold the original + 2 substituted twins: $c")
+    assert(c.getAs[Long]("max_doc") == 3700003L)
+    // the ascii control has no twin and must not surface
+    assert(!rows.exists(r => r.getAs[Long]("min_doc") == 3700002L))
+  }
 }
