@@ -183,6 +183,34 @@ object BehaviorQueries {
           length(col("rendered")).cast("long").as("rendered_chars"),
           md5(col("rendered")).as("rendered_md5"))
         .orderBy(col("user_id"))
+    },
+
+    // §2.3 (round 13) — first-order MARKOV TRANSITION MATRIX over
+    // per-user event streams: the behavioral model behind funnel
+    // drop-off prediction (q96), next-action recommendation, and
+    // bot-vs-human traffic triage (bots have near-deterministic
+    // rows). Per user, consecutive event pairs via lead() over
+    // (ts, event_id) — a PARTITIONED window, bounded by per-user
+    // history; transition counts + row-normalized probabilities
+    // (exact integers to ONE division per cell). The matrix is
+    // |event_type|² rows — dimension-sized regardless of corpus.
+    "q240_markov_transitions" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val pairs = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("event_type").as("from_type"))
+        .withColumn("to_type", lead(col("from_type"), 1).over(w))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val totals = pairs.groupBy(col("from_type"))
+        .agg(sum(col("n")).as("tot"))
+      pairs.join(broadcast(totals), "from_type") // |event_type|-row dim
+        .select(col("from_type"), col("to_type"), col("n"),
+          round(col("n").cast("double") / col("tot"), 6).as("p"))
+        .orderBy(col("from_type"), col("to_type"))
     }
   )
 
@@ -314,6 +342,23 @@ object BehaviorQueries {
         |)
         |SELECT window_start_us, COUNT(*) AS n_events,
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        |FROM hopped GROUP BY window_start_us ORDER BY window_start_us""".stripMargin
+        |FROM hopped GROUP BY window_start_us ORDER BY window_start_us""".stripMargin,
+
+    "q240_markov_transitions" ->
+      """WITH seq AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |pairs AS (
+        |  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM seq WHERE to_type IS NOT NULL
+        |  GROUP BY from_type, to_type),
+        |tot AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS tot
+        |        FROM pairs GROUP BY from_type)
+        |SELECT from_type, to_type, n,
+        |  ROUND(CAST(n AS DOUBLE) / tot, 6) AS p
+        |FROM pairs JOIN tot USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin
   )
 }

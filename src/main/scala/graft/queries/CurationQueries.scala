@@ -748,6 +748,37 @@ object CurationQueries {
         .orderBy(col("source"))
     },
 
+    // §2.3 (round 13) — L-DIVERSITY audit (Machanavalli et al.'07,
+    // the attribute-disclosure complement to q220's k-anonymity):
+    // a QI group can be k-anonymous yet leak the SENSITIVE attribute
+    // outright if every member shares it — diversity requires each
+    // (source, length-bucket) quasi-identifier group to contain ≥ l
+    // distinct sensitive values (lang plays the sensitive role
+    // here). Per source: groups, l-violating groups, rows at
+    // attribute-disclosure risk, and the minimum diversity any group
+    // achieves. Same shape as q220: two partial-agg groupBys, the
+    // QI frame |distinct QI| rows regardless of corpus size, with a
+    // countDistinct expand on the sensitive column as the only
+    // addition.
+    "q239_l_diversity" -> { (s, d) =>
+      val l = 3L
+      val g = Tables.documents(s, d)
+        .select(col("source"),
+          floor(col("n_chars") / 100).cast("long").as("len_bkt"),
+          col("lang"))
+        .groupBy(col("source"), col("len_bkt"))
+        .agg(count(lit(1)).as("g"), countDistinct(col("lang")).as("ndiv"))
+      g.groupBy(col("source"))
+        .agg(sum(col("g")).cast("long").as("n_rows"),
+          count(lit(1)).as("n_groups"),
+          sum(when(col("ndiv") < l, 1L).otherwise(0L)).cast("long")
+            .as("groups_violating"),
+          sum(when(col("ndiv") < l, col("g")).otherwise(0L)).cast("long")
+            .as("rows_at_risk"),
+          min(col("ndiv")).cast("long").as("min_diversity"))
+        .orderBy(col("source"))
+    },
+
     // §2.3 (round 13) — RANDOMIZED-RESPONSE release (Warner '65, the
     // local-DP mechanism behind RAPPOR): each event reports its true
     // category with p = 3/4, otherwise one of the m−1 others chosen
@@ -1414,6 +1445,21 @@ object CurationQueries {
          |SELECT source, n_tokens, loss, ref_loss, excess,
          |  ROUND(0.99 * (CAST(u AS DOUBLE) / CAST(norm.usum AS DOUBLE))
          |    + 0.01 / m, 6) AS weight
-         |FROM u, norm ORDER BY source""".stripMargin
+         |FROM u, norm ORDER BY source""".stripMargin,
+
+    "q239_l_diversity" ->
+      """WITH g AS (
+        |  SELECT source, n_chars // 100 AS len_bkt,
+        |    CAST(COUNT(*) AS BIGINT) AS g,
+        |    CAST(COUNT(DISTINCT lang) AS BIGINT) AS ndiv
+        |  FROM documents GROUP BY source, len_bkt)
+        |SELECT source, CAST(SUM(g) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |  CAST(SUM(CASE WHEN ndiv < 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS groups_violating,
+        |  CAST(SUM(CASE WHEN ndiv < 3 THEN g ELSE 0 END) AS BIGINT)
+        |    AS rows_at_risk,
+        |  CAST(MIN(ndiv) AS BIGINT) AS min_diversity
+        |FROM g GROUP BY source ORDER BY source""".stripMargin
   )
 }

@@ -35,7 +35,16 @@ class PersistSweepSpec extends SparkSpecBase {
           d
         }
         Caching.releaseCheckpoint(df) // iterative results hand the caller ONE table
-        val now = spark.sparkContext.getPersistentRDDs.size
+        // releaseCheckpoint is deliberately NON-blocking (the
+        // production path must not stall a loop on block eviction),
+        // so the registry clears asynchronously — settle briefly
+        // before judging, else the NEXT queries inherit a stale count
+        val deadline = System.currentTimeMillis() + 5000
+        var now = spark.sparkContext.getPersistentRDDs.size
+        while (now > baseline && System.currentTimeMillis() < deadline) {
+          Thread.sleep(50)
+          now = spark.sparkContext.getPersistentRDDs.size
+        }
         if (now > baseline) Some(s"$name: $baseline -> $now") else None
       }
     assert(leaked.isEmpty, s"queries leaking persistent RDDs:\n${leaked.mkString("\n")}")

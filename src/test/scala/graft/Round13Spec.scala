@@ -410,4 +410,33 @@ class Round13Spec extends SparkSpecBase {
     // the ascii control has no twin and must not surface
     assert(!rows.exists(r => r.getAs[Long]("min_doc") == 3700002L))
   }
+
+  test("q239: l-diversity ledgers cover the corpus and nest") {
+    import graft.queries.CurationQueries
+    val rows = CurationQueries.queries("q239_l_diversity")(spark, sf01).collect()
+    val total = Tables.documents(spark, sf01).count()
+    assert(rows.map(_.getAs[Long]("n_rows")).sum == total)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("groups_violating") <= r.getAs[Long]("n_groups"))
+      assert(r.getAs[Long]("rows_at_risk") <= r.getAs[Long]("n_rows"))
+      assert(r.getAs[Long]("min_diversity") >= 1L)
+    }
+  }
+
+  test("q240: transition rows are stochastic and the pair count is users' (n-1) sums") {
+    import graft.queries.BehaviorQueries
+    val rows = BehaviorQueries.queries("q240_markov_transitions")(spark, sf01).collect()
+    assert(rows.nonEmpty)
+    // each from-row's probabilities sum to 1 (up to the 6-dec render)
+    rows.groupBy(_.getAs[String]("from_type")).foreach { case (ft, rs) =>
+      val ps = rs.map(_.getAs[Double]("p")).sum
+      assert(math.abs(ps - 1.0) <= rs.length * 5e-7 + 1e-9,
+        s"row $ft sums to $ps")
+    }
+    // every user with k events contributes exactly k-1 transitions
+    val ev = Tables.events(spark, sf01)
+    val expected = ev.count() - ev.select("user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("n")).sum == expected,
+      "transition count != Σ_users (n_events − 1)")
+  }
 }

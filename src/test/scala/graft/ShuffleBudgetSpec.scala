@@ -139,7 +139,20 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "q136_curation_chain" -> 25,
     "q62_ann_ivf" -> 42,
     "q152_pq_ann" -> 90,
-    "q153_ivfpq_ann" -> 127)
+    "q153_ivfpq_ann" -> 127,
+    // round-13 additions (measured via PlanCount, both AQE modes):
+    // q233 reads its last loopCheckpoint (iterative-family
+    // discipline); q234's count is dominated by the scopedPersist'd
+    // token subtree re-printing per consumer + the m-row scalar
+    // crossJoin branches (SinglePartition exchanges on domain-sized
+    // frames, not corpus shuffles)
+    "q219_bitext_mine" -> 5,
+    "q225_coreset" -> 8,
+    "q228_bloom_semijoin" -> 4,
+    "q229_self_bleu" -> 5,
+    "q233_label_propagation" -> 1,
+    "q234_doremi_step" -> 16,
+    "q226_theta_overlap" -> 9)
 
   // Round 10 (judge ask #6): a real cluster flips
   // spark.sql.adaptive.enabled, so the pins hold under BOTH modes.
@@ -164,7 +177,9 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "q175_contrastive_pairs" -> 5,
     "q182_domain_cap" -> 11,
     "q62_ann_ivf" -> 12,
-    "q79_dedup_apply" -> 3)
+    "q79_dedup_apply" -> 3,
+    "q234_doremi_step" -> 11,
+    "q226_theta_overlap" -> 8)
 
   private val exchangeRe =
     ("Exchange hashpartitioning|Exchange rangepartitioning|" +
