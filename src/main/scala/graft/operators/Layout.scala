@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.ZOrderFunctions
@@ -22,8 +22,12 @@ import graft.functions.ZOrderFunctions
   */
 object Layout {
 
-  /** df augmented with a `__z` Morton key over two long/int columns. */
-  def withZKey(df: DataFrame, colA: String, colB: String): DataFrame = {
+  /** df augmented with a curve key over two 16-bit-normalized
+    * dimensions; `key` builds the curve index from the normalized
+    * int columns. */
+  private def withCurveKey(df: DataFrame, colA: String, colB: String,
+                           out: String,
+                           key: (Column, Column) => Column): DataFrame = {
     val bounds = df.agg(
       min(col(colA).cast("long")).as("__mna"), max(col(colA).cast("long")).as("__mxa"),
       min(col(colB).cast("long")).as("__mnb"), max(col(colB).cast("long")).as("__mxb"))
@@ -40,19 +44,38 @@ object Layout {
         .cast("int")
     }
     df.crossJoin(broadcast(bounds))
-      .withColumn("__z", ZOrderFunctions.interleaveBits(
+      .withColumn(out, key(
         norm16(colA, "__mna", "__mxa"), norm16(colB, "__mnb", "__mxb")))
       .drop("__mna", "__mxa", "__mnb", "__mxb")
   }
 
+  /** df augmented with a `__z` Morton key over two long/int columns. */
+  def withZKey(df: DataFrame, colA: String, colB: String): DataFrame =
+    withCurveKey(df, colA, colB, "__z", ZOrderFunctions.interleaveBits)
+
+  /** df augmented with a `__h` Hilbert key — same normalization, the
+    * curve with no quadrant-seam jumps (consecutive indices are
+    * ADJACENT cells), so contiguous ranges cover compacter rectangles
+    * and per-file intervals come out tighter than Morton's. */
+  def withHilbertKey(df: DataFrame, colA: String, colB: String): DataFrame =
+    withCurveKey(df, colA, colB, "__h", ZOrderFunctions.hilbertIndex)
+
+  private def curveWrite(keyed: DataFrame, path: String, keyCol: String,
+                         nFiles: Int): Unit =
+    keyed.repartitionByRange(nFiles, col(keyCol))
+      .sortWithinPartitions(col(keyCol))
+      .drop(keyCol)
+      .write.mode("overwrite").parquet(path)
+
   /** Write df Z-ordered on (colA, colB) into `nFiles` parquet files. */
   def zorderWrite(df: DataFrame, path: String, colA: String, colB: String,
                   nFiles: Int): Unit =
-    withZKey(df, colA, colB)
-      .repartitionByRange(nFiles, col("__z"))
-      .sortWithinPartitions(col("__z"))
-      .drop("__z")
-      .write.mode("overwrite").parquet(path)
+    curveWrite(withZKey(df, colA, colB), path, "__z", nFiles)
+
+  /** Write df Hilbert-clustered on (colA, colB) into `nFiles` files. */
+  def hilbertWrite(df: DataFrame, path: String, colA: String, colB: String,
+                   nFiles: Int): Unit =
+    curveWrite(withHilbertKey(df, colA, colB), path, "__h", nFiles)
 
   /** Per-file [min, max] spread of a column, as a fraction of the
     * global range — the file-skipping quality metric: a filter on the

@@ -285,6 +285,33 @@ object Snapshot {
     }
   }
 
+  /** OPTIMIZE — rewrite the current generation into `targetFiles`
+    * files and publish the result as a NEW generation (q221 plans the
+    * bins; this executes the rewrite). The maintenance job every
+    * 100 TB table needs: streaming sinks and per-partition writers
+    * leave thousands of KB-scale files, and scan cost is per-FILE.
+    * Content is IDENTICAL by construction (one read, one write, no
+    * row-level transform — the spec pins hash parity); sidecars are
+    * regenerated for the new layout — the stats manifest always, the
+    * Bloom point-index for exactly the columns the previous
+    * generation indexed (read from its `_BLOOM.tsv`), so point-probe
+    * pruning survives compaction. Old generations remain readable
+    * (time travel) until [[vacuum]] reclaims them — compaction is a
+    * publish, never an in-place mutation.
+    */
+  def compact(spark: SparkSession, dir: String, targetFiles: Int): Long = {
+    require(targetFiles >= 1, "need at least one output file")
+    val gen = currentGen(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no committed generation in $dir"))
+    val bloomCols: Seq[String] =
+      BloomIndex.read(spark, s"$dir/gen=$gen/_BLOOM.tsv")
+        .map(_.keys.map(_._2).toSeq.distinct.sorted)
+        .getOrElse(Seq.empty)
+    val df = readAt(spark, dir, gen).coalesce(targetFiles)
+    if (bloomCols.isEmpty) publishStats(df, dir)
+    else publishStatsIndexed(df, dir, bloomCols)
+  }
+
   /** Drop all but the newest `keep` committed generations (plus any
     * uncommitted debris older than the newest committed one).
     */

@@ -73,4 +73,44 @@ class LayoutSpec extends SparkSpecBase {
     assert(zSupp < 0.6, s"z-order suppkey spread $zSupp")
     assert(zSupp < sSupp / 1.5, s"z-order must beat 1-D sort on the second dim: $zSupp vs $sSupp")
   }
+
+  test("hilbert index: bijective and every consecutive pair of cells is adjacent") {
+    import graft.functions.HilbertOps
+    // full 16×16 grid: xy2d must be a bijection onto 0..255, and the
+    // curve's defining property must hold — consecutive indices are
+    // Manhattan-distance-1 neighbors (Morton violates this at every
+    // quadrant seam; Hilbert never does)
+    val bits = 4
+    val n = 1 << bits
+    val cells = for (x <- 0 until n; y <- 0 until n)
+      yield (HilbertOps.xy2d(x, y, bits), (x, y))
+    val byD = cells.sortBy(_._1)
+    assert(byD.map(_._1) == (0L until (n.toLong * n)).toIndexedSeq,
+      "xy2d is not a bijection onto the grid")
+    byD.sliding(2).foreach { case Seq((_, (x1, y1)), (_, (x2, y2))) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"cells d and d+1 not adjacent: ($x1,$y1) -> ($x2,$y2)")
+    }
+    // and the 16-bit production form agrees with the generic transform
+    assert(HilbertOps.hilbert16(0xabcd, 0x1234) == HilbertOps.xy2d(0xabcd, 0x1234, 16))
+  }
+
+  test("hilbert layout prunes at least as well as morton on both dimensions") {
+    val li = Tables.lineitem(spark, sf).select("l_partkey", "l_suppkey")
+    val zDir = java.nio.file.Files.createTempDirectory("graft-z2").toString
+    val hDir = java.nio.file.Files.createTempDirectory("graft-h").toString
+    Layout.zorderWrite(li, zDir, "l_partkey", "l_suppkey", nFiles = 8)
+    Layout.hilbertWrite(li, hDir, "l_partkey", "l_suppkey", nFiles = 8)
+    val zTotal = Layout.fileSpread(spark, zDir, "l_partkey") +
+      Layout.fileSpread(spark, zDir, "l_suppkey")
+    val hTotal = Layout.fileSpread(spark, hDir, "l_partkey") +
+      Layout.fileSpread(spark, hDir, "l_suppkey")
+    info(f"summed two-dim spread: morton $zTotal%.4f vs hilbert $hTotal%.4f")
+    // no quadrant-seam jumps ⇒ contiguous ranges cover compacter
+    // rectangles; allow a whisker of data-dependent slack
+    assert(hTotal <= zTotal * 1.05,
+      s"hilbert spread $hTotal worse than morton $zTotal")
+    // and it must still be a genuine 2-D clustering
+    assert(Layout.fileSpread(spark, hDir, "l_suppkey") < 0.6)
+  }
 }

@@ -259,4 +259,31 @@ class SnapshotSpec extends SparkSpecBase {
         tmp(), bloomCols = Seq("d"))
     }
   }
+
+  test("compact rewrites into fewer files with identical content; sidecars survive") {
+    import graft.sources.SnapshotStats.StatsPred.EqualTo
+    val dir = tmp()
+    val df = spark.range(0, 3000)
+      .select(col("id").as("k"), (col("id") % 8).as("stripe"))
+      .repartitionByRange(8, col("stripe"))
+    val g1 = Snapshot.publishStatsIndexed(df, dir, bloomCols = Seq("k"))
+    val before = Snapshot.read(spark, dir)
+      .collect().map(_.toString).sorted
+    val filesBefore = Snapshot.pruneAudit(spark, dir, EqualTo("k", 5L))._2
+    val g2 = Snapshot.compact(spark, dir, targetFiles = 2)
+    assert(g2 == g1 + 1, "compaction must publish a NEW generation")
+    val after = Snapshot.read(spark, dir)
+      .collect().map(_.toString).sorted
+    assert(after.sameElements(before), "compaction changed the content")
+    val (kept, total) = Snapshot.pruneAudit(spark, dir, EqualTo("k", 5L))
+    assert(total <= 2 && total < filesBefore,
+      s"compaction left $total files (was $filesBefore)")
+    // the bloom sidecar was REBUILT for the new layout: a point probe
+    // still prunes losslessly and an absent key reads empty
+    assert(kept <= total)
+    assert(Snapshot.readWhere(spark, dir, EqualTo("k", 5L)).count() == 1)
+    assert(Snapshot.readWhere(spark, dir, EqualTo("k", 99999L)).count() == 0)
+    // old generation still time-travels until vacuum
+    assert(Snapshot.readAt(spark, dir, g1).count() == 3000)
+  }
 }
