@@ -389,6 +389,57 @@ object AnalyticQueries {
           col("q_hat_r").as("q_hat"), col("n_covered"),
           round(col("n_covered").cast("double") / col("n_test"), 6)
             .as("coverage"))
+    },
+
+    // §2.3 (round 13) — POISSON-BOOTSTRAP confidence intervals
+    // (Chamandy et al., Google '12 "Estimating Uncertainty for
+    // Massive Data Streams"; Efron's bootstrap made distributed):
+    // the classic bootstrap resamples n-of-n WITH replacement — a
+    // global operation no shuffle can express; the Poisson trick
+    // replaces each resample membership count with an independent
+    // Poisson(1) weight PER ROW, so all B resamples fuse into ONE
+    // scan (explode b=0..B−1, weight from a deterministic md5 coin
+    // against exact integer CDF thresholds) and collapse map-side
+    // into (source, b) partials. Per source: point mean of n_chars
+    // plus the [2nd smallest, 2nd largest] of B=32 resample means
+    // (≈ 94% CI) — order statistics over a 32-row frame, window
+    // PARTITIONED by source. Every resample mean is exact integers
+    // to ONE IEEE division; the coin thresholds are floor(CDF·2³²)
+    // literals mirrored verbatim in the oracle.
+    "q241_poisson_bootstrap" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val B = 32
+      val thresholds = Seq(1580030168L, 3160060337L, 3950075421L,
+        4213413783L, 4279248373L, 4292415291L)
+      val coin = conv(substring(md5(concat(col("doc_id").cast("string"),
+        lit(":"), col("b").cast("string"))), 1, 8), 16, 10).cast("long")
+      val w = thresholds.zipWithIndex.foldRight(lit(6L): org.apache.spark.sql.Column) {
+        case ((t, k), elseCol) => when(coin < t, k.toLong).otherwise(elseCol)
+      }
+      val resamples = Tables.documents(s, d)
+        .select(col("source"), col("doc_id"), col("n_chars"))
+        .select(col("source"), col("doc_id"), col("n_chars"),
+          explode(sequence(lit(0), lit(B - 1))).as("b"))
+        .select(col("source"), col("b"), w.as("w"), col("n_chars"))
+        .groupBy(col("source"), col("b"))
+        .agg(sum(col("w") * col("n_chars")).as("wx"), sum(col("w")).as("ws"))
+        .select(col("source"), col("b"),
+          (col("wx").cast("double") / col("ws")).as("m"))
+      val byM = Window.partitionBy(col("source")).orderBy(col("m"))
+      val point = Tables.documents(s, d)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum(col("n_chars")).cast("double") / count(lit(1)), 6)
+            .as("mean_chars"))
+      resamples
+        .withColumn("rk", row_number().over(byM))
+        .groupBy(col("source"))
+        .agg(round(min(when(col("rk") === 2, col("m"))), 6).as("ci_lo"),
+          round(min(when(col("rk") === B - 1, col("m"))), 6).as("ci_hi"))
+        .join(point, Seq("source"))
+        .select(col("source"), col("n_docs"), col("mean_chars"),
+          col("ci_lo"), col("ci_hi"))
+        .orderBy(col("source"))
     }
   )
 
@@ -614,6 +665,48 @@ object AnalyticQueries {
          |    AS DOUBLE) / COUNT(*), 6) AS coverage
          |FROM scored, qh, ncal WHERE split = 'test'
          |GROUP BY ncal.n_calib""".stripMargin
-    }
+    },
+
+    "q241_poisson_bootstrap" ->
+      """WITH ex AS (
+        |  SELECT d.source, d.doc_id, d.n_chars, t.b
+        |  FROM documents d, generate_series(0, 31) AS t(b)),
+        |coins AS (
+        |  SELECT source, b,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+        |       CAST(b AS VARCHAR)), 1, 8))::UBIGINT AS c,
+        |    n_chars
+        |  FROM ex),
+        |weighted AS (
+        |  SELECT source, b,
+        |    CASE WHEN c < 1580030168 THEN 0
+        |         WHEN c < 3160060337 THEN 1
+        |         WHEN c < 3950075421 THEN 2
+        |         WHEN c < 4213413783 THEN 3
+        |         WHEN c < 4279248373 THEN 4
+        |         WHEN c < 4292415291 THEN 5
+        |         ELSE 6 END AS w,
+        |    n_chars
+        |  FROM coins),
+        |means AS (
+        |  SELECT source, b,
+        |    CAST(SUM(w * n_chars) AS DOUBLE) / SUM(w) AS m
+        |  FROM weighted GROUP BY source, b),
+        |ranked AS (
+        |  SELECT source, m,
+        |    row_number() OVER (PARTITION BY source ORDER BY m) AS rk
+        |  FROM means),
+        |ci AS (
+        |  SELECT source,
+        |    ROUND(MIN(CASE WHEN rk = 2 THEN m END), 6) AS ci_lo,
+        |    ROUND(MIN(CASE WHEN rk = 31 THEN m END), 6) AS ci_hi
+        |  FROM ranked GROUP BY source),
+        |pt AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS mean_chars
+        |  FROM documents GROUP BY source)
+        |SELECT source, n_docs, mean_chars, ci_lo, ci_hi
+        |FROM ci JOIN pt USING (source)
+        |ORDER BY source""".stripMargin
   )
 }

@@ -439,4 +439,21 @@ class Round13Spec extends SparkSpecBase {
     assert(rows.map(_.getAs[Long]("n")).sum == expected,
       "transition count != Σ_users (n_events − 1)")
   }
+
+  test("q241: bootstrap intervals are ordered, non-degenerate, and bracket the point mean") {
+    import graft.queries.AnalyticQueries
+    val rows = AnalyticQueries.queries("q241_poisson_bootstrap")(spark, sf01).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (lo, hi, m) = (r.getAs[Double]("ci_lo"), r.getAs[Double]("ci_hi"),
+        r.getAs[Double]("mean_chars"))
+      assert(lo < hi, s"degenerate interval: $r")
+      // resample means center on the sample mean; the ~94% interval
+      // bracketing it is the sanity floor, not a probabilistic claim
+      assert(lo <= m && m <= hi, s"point mean outside its own CI: $r")
+      // and the interval is doing work: materially narrower than the
+      // full data range, wider than zero
+      assert((hi - lo) / m < 1.0, s"implausibly wide CI: $r")
+    }
+  }
 }
