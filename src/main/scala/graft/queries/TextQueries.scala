@@ -1854,6 +1854,40 @@ object TextQueries {
           max(col("doc_id")).as("max_doc"))
         .filter(col("n_raw") > 1)
         .orderBy(col("skel_hash"))
+    },
+
+    // §2.3 (round 13) — GOOD–TURING unseen-mass estimation (Good'53;
+    // the frequency-of-frequencies statistic under Katz/Kneser-Ney
+    // smoothing and the standard "how much vocabulary have we NOT
+    // seen yet" answer when sizing a corpus or a tokenizer): the
+    // probability mass of unseen word types is estimated by N₁/N
+    // (hapax share), and the smoothed count for r-frequency types is
+    // r* = (r+1)·N_{r+1}/N_r. Per source: tokens, vocab, N₁ N₂ N₃,
+    // unseen mass, and r* for r = 1, 2 — all exact integer counts to
+    // ONE IEEE division each. Scale shape: two stacked partial-agg
+    // groupBys (word counts → frequency-of-frequency counts); the
+    // second input is vocab-sized, the output source-count-sized.
+    "q242_good_turing" -> { (s, d) =>
+      val wc = Tables.documents(s, d)
+        .select(col("source"),
+          explode(GraftFunctions.normWords(col("text"))).as("w"))
+        .groupBy(col("source"), col("w"))
+        .agg(count(lit(1)).as("r"))
+      wc.groupBy(col("source"))
+        .agg(sum(col("r")).as("n_tokens"),
+          count(lit(1)).as("vocab"),
+          sum((col("r") === 1).cast("long")).as("n1"),
+          sum((col("r") === 2).cast("long")).as("n2"),
+          sum((col("r") === 3).cast("long")).as("n3"))
+        .select(col("source"), col("n_tokens"), col("vocab"),
+          col("n1"), col("n2"), col("n3"),
+          round(col("n1").cast("double") / col("n_tokens"), 6)
+            .as("unseen_mass"),
+          when(col("n1") > 0,
+            round(lit(2.0) * col("n2") / col("n1"), 6)).as("r_star_1"),
+          when(col("n2") > 0,
+            round(lit(3.0) * col("n3") / col("n2"), 6)).as("r_star_2"))
+        .orderBy(col("source"))
     }
   )
 
@@ -3367,6 +3401,24 @@ object TextQueries {
         |  CAST(MAX(doc_id) AS BIGINT) AS max_doc
         |FROM sk GROUP BY skel_hash
         |HAVING COUNT(DISTINCT text) > 1
-        |ORDER BY skel_hash""".stripMargin
+        |ORDER BY skel_hash""".stripMargin,
+
+    "q242_good_turing" ->
+      s"""WITH wc AS (
+         |  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS r FROM (
+         |    SELECT source, unnest($wsSql) AS w FROM documents)
+         |  GROUP BY source, w),
+         |fof AS (
+         |  SELECT source, CAST(SUM(r) AS BIGINT) AS n_tokens,
+         |    CAST(COUNT(*) AS BIGINT) AS vocab,
+         |    CAST(SUM(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |    CAST(SUM(CASE WHEN r = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         |    CAST(SUM(CASE WHEN r = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3
+         |  FROM wc GROUP BY source)
+         |SELECT source, n_tokens, vocab, n1, n2, n3,
+         |  ROUND(CAST(n1 AS DOUBLE) / n_tokens, 6) AS unseen_mass,
+         |  CASE WHEN n1 > 0 THEN ROUND(2.0 * n2 / n1, 6) END AS r_star_1,
+         |  CASE WHEN n2 > 0 THEN ROUND(3.0 * n3 / n2, 6) END AS r_star_2
+         |FROM fof ORDER BY source""".stripMargin
   )
 }

@@ -456,4 +456,19 @@ class Round13Spec extends SparkSpecBase {
       assert((hi - lo) / m < 1.0, s"implausibly wide CI: $r")
     }
   }
+
+  test("q242: frequency-of-frequency ledgers nest; r* nulls exactly on empty denominators") {
+    val rows = TextQueries.queries("q242_good_turing")(spark, sf01).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, v) = (r.getAs[Long]("n_tokens"), r.getAs[Long]("vocab"))
+      val (n1, n2, n3) = (r.getAs[Long]("n1"), r.getAs[Long]("n2"), r.getAs[Long]("n3"))
+      assert(v <= n && n1 + n2 + n3 <= v, s"ledger broken: $r")
+      val um = r.getAs[Double]("unseen_mass")
+      assert(um >= 0.0 && um < 1.0, s"unseen mass out of range: $r")
+      // the smoothed count is defined iff its denominator count exists
+      assert(r.isNullAt(r.fieldIndex("r_star_1")) == (n1 == 0L), s"r*₁ null contract: $r")
+      assert(r.isNullAt(r.fieldIndex("r_star_2")) == (n2 == 0L), s"r*₂ null contract: $r")
+    }
+  }
 }
