@@ -141,6 +141,104 @@ object Graph {
       .groupBy(col("id")).agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** HITS hubs & authorities (Kleinberg '99) over directed (src, dst)
+    * edges, in EXACT integer arithmetic: with h₀ ≡ 1, each round
+    * computes a(v) = Σ_{u→v} h(u) then h(u) = Σ_{u→v} a(v) — without
+    * per-round normalization these are integer path counts (round-k
+    * authority = #paths of length 2k−1 ending at v alternating
+    * out/in), so every intermediate is a BIGINT and the result is
+    * bit-identical in any engine and under any partitioning. The
+    * single normalization (divide by the max) happens ONCE at the
+    * end — the established exact-integers-to-one-IEEE-division
+    * discipline. Two rounds on a ≤200²-edge graph bound every count
+    * by ~deg³·n < 2⁶³; at true scale the caller drops to normalized
+    * doubles via the q91 decimal-quantize route instead.
+    *
+    * Scale shape per round: two shuffles (aggregate by dst, then by
+    * src) on the edge keys — exactly PageRank's contribution pattern;
+    * hub dsts are what AQE skew-split handles. Returns
+    * (id, auth, hub, auth_norm, hub_norm).
+    */
+  def hits(edgesIn: DataFrame, iters: Int = 2): DataFrame = {
+    val edges = edgesIn.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct().scopedPersist()
+    val nodes = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id"))).distinct()
+    var h = nodes.withColumn("h", lit(1L))
+    var a = nodes.withColumn("a", lit(0L))
+    for (_ <- 1 to iters) {
+      a = edges.join(h.select(col("id").as("src"), col("h")), "src")
+        .groupBy(col("dst")).agg(sum(col("h")).as("a"))
+        .select(col("dst").as("id"), col("a"))
+      a = a.scopedPersist() // consumed by h-update AND the final output
+      h = edges.join(a.select(col("id").as("dst"), col("a")), "dst")
+        .groupBy(col("src")).agg(sum(col("a")).as("h"))
+        .select(col("src").as("id"), col("h"))
+    }
+    // ONE 1-row maxima frame broadcast onto the node table; left joins
+    // restore sources/sinks (auth 0 / hub 0) dropped by the inner
+    // aggregation joins above.
+    val maxes = a.agg(max(col("a")).as("ma"))
+      .crossJoin(h.agg(max(col("h")).as("mh")))
+    nodes
+      .join(a, Seq("id"), "left").join(h, Seq("id"), "left")
+      .select(col("id"), coalesce(col("a"), lit(0L)).as("auth"),
+        coalesce(col("h"), lit(0L)).as("hub"))
+      .crossJoin(broadcast(maxes))
+      .select(col("id"), col("auth"), col("hub"),
+        round(col("auth").cast("double") / col("ma"), 6).as("auth_norm"),
+        round(col("hub").cast("double") / col("mh"), 6).as("hub_norm"))
+  }
+
+  /** k-CORE decomposition (Seidman '83) by synchronous peeling over
+    * canonical (a < b) undirected edges: repeatedly delete every node
+    * whose degree within the surviving subgraph is < k; the fixpoint
+    * is the maximal subgraph of minimum degree ≥ k — the standard
+    * "dense cohesive region" filter upstream of community detection,
+    * and the degeneracy-ordering backbone of triangle/clique work.
+    * A FIXED round count keeps the unrolled DuckDB oracle exactly
+    * equivalent (the q233 contract); callers pick `rounds` ≥ the
+    * graph's peel depth and the spec asserts one extra round is a
+    * no-op (true fixpoint reached).
+    *
+    * Scale shape per round: the symmetric edge view semi-joins the
+    * survivor set on BOTH endpoints (two uniform-key hash joins), then
+    * one partial-agg degree count — no windows, no driver round trips;
+    * per-round loopCheckpoint + superseded-block release as in
+    * [[pageRank]]. Returns surviving (id, core_deg).
+    */
+  def kCore(edgesIn: DataFrame, k: Int, rounds: Int,
+            ckptEvery: Int = 4): DataFrame = {
+    val e = edgesIn.select(col("a").cast("long").as("a"),
+      col("b").cast("long").as("b"))
+      .filter(col("a") < col("b")).distinct()
+    val sym = e.select(col("a").as("u"), col("b").as("v"))
+      .union(e.select(col("b").as("u"), col("a").as("v"))).persist()
+    def degWithin(surv: DataFrame): DataFrame =
+      sym.join(surv.select(col("id").as("u")), "u")
+        .join(surv.select(col("id").as("v")), "v")
+        .groupBy(col("u")).agg(count(lit(1)).as("c"))
+    var surv = sym.select(col("u").as("id")).distinct()
+    var superseded = List.empty[DataFrame]
+    for (i <- 1 to rounds) {
+      val eager = i % ckptEvery == 0 || i == rounds
+      val next = degWithin(surv)
+        .filter(col("c") >= k).select(col("u").as("id"))
+        .loopCheckpoint(eager)
+      if (i > 1) superseded ::= surv
+      if (eager) {
+        superseded.foreach(Caching.releaseCheckpoint)
+        superseded = Nil
+      }
+      surv = next
+    }
+    val out = degWithin(surv)
+      .select(col("u").as("id"), col("c").as("core_deg"))
+    sym.unpersist(false)
+    out
+  }
+
   /** SYNCHRONOUS label propagation (Raghavan et al. '07) over
     * canonical (a < b) undirected edges: every node starts labeled
     * with its own id; each round it adopts the MODE of its neighbors'

@@ -60,6 +60,28 @@ object GraphQueries {
     "q233_label_propagation" -> { (s, d) =>
       Graph.labelPropagation(sampledEdges(s, d), iters = 3)
         .orderBy(col("id"))
+    },
+
+    // §2.3 (round 14) — HITS hubs & authorities (Kleinberg '99): the
+    // link-analysis dual of PageRank (q91). On a crawl graph, hub
+    // scores find link farms / directory pages and authority scores
+    // find canonical sources — both feed the web-curation family
+    // (domain caps q182, robots q179). Two EXACT integer rounds, one
+    // terminal max-normalization division — see Graph.hits.
+    "q243_hits" -> { (s, d) =>
+      Graph.hits(directedEdges(s, d), iters = 2).orderBy(col("id"))
+    },
+
+    // §2.3 (round 14) — k-core decomposition (Seidman '83) by
+    // synchronous peeling: the maximal subgraph of min degree ≥ 3.
+    // CC (q59) says "connected at all", LPA (q233) finds dense
+    // regions; the k-core is the standard cohesion FILTER before
+    // either — and peel depth is the graph's degeneracy, the quantity
+    // that bounds triangle/clique costs. 8 unrolled rounds (spec
+    // asserts round 9 is a no-op), oracled by 8 peel CTEs.
+    "q244_kcore" -> { (s, d) =>
+      Graph.kCore(sampledEdges(s, d), k = 3, rounds = 8)
+        .orderBy(col("id"))
     }
   )
 
@@ -116,6 +138,50 @@ object GraphQueries {
          |l0 AS (SELECT DISTINCT u AS id, u AS lbl FROM sym),
          |$iterCtes
          |SELECT id, lbl FROM l3 ORDER BY id""".stripMargin
+    },
+
+    "q243_hits" ->
+      """WITH e AS (
+        |  SELECT DISTINCT o_custkey % 200 AS src, o_orderkey % 200 AS dst
+        |  FROM orders WHERE o_custkey % 200 <> o_orderkey % 200
+        |), n AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        |a1 AS (SELECT dst AS id, CAST(COUNT(*) AS BIGINT) AS a
+        |       FROM e GROUP BY dst),
+        |h1 AS (SELECT e.src AS id, CAST(SUM(a1.a) AS BIGINT) AS h
+        |       FROM e JOIN a1 ON e.dst = a1.id GROUP BY e.src),
+        |a2 AS (SELECT e.dst AS id, CAST(SUM(h1.h) AS BIGINT) AS a
+        |       FROM e JOIN h1 ON e.src = h1.id GROUP BY e.dst),
+        |h2 AS (SELECT e.src AS id, CAST(SUM(a2.a) AS BIGINT) AS h
+        |       FROM e JOIN a2 ON e.dst = a2.id GROUP BY e.src),
+        |m AS (SELECT (SELECT MAX(a) FROM a2) AS ma,
+        |             (SELECT MAX(h) FROM h2) AS mh)
+        |SELECT n.id, COALESCE(a2.a, 0) AS auth, COALESCE(h2.h, 0) AS hub,
+        |  ROUND(CAST(COALESCE(a2.a, 0) AS DOUBLE) / m.ma, 6) AS auth_norm,
+        |  ROUND(CAST(COALESCE(h2.h, 0) AS DOUBLE) / m.mh, 6) AS hub_norm
+        |FROM n LEFT JOIN a2 ON n.id = a2.id LEFT JOIN h2 ON n.id = h2.id
+        |CROSS JOIN m ORDER BY n.id""".stripMargin,
+
+    "q244_kcore" -> {
+      val peels = (1 to 8).map { i =>
+        s"""d$i AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS c
+           |  FROM sym JOIN s${i - 1} x ON sym.u = x.id
+           |           JOIN s${i - 1} y ON sym.v = y.id
+           |  GROUP BY u),
+           |s$i AS (SELECT u AS id FROM d$i WHERE c >= 3)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pairs AS (
+         |  SELECT LEAST(o_custkey % 200, o_orderkey % 200) AS a,
+         |         GREATEST(o_custkey % 200, o_orderkey % 200) AS b
+         |  FROM orders WHERE o_orderkey % 10 = 1
+         |), e AS (SELECT DISTINCT a, b FROM pairs WHERE a < b),
+         |sym AS (SELECT a AS u, b AS v FROM e
+         |        UNION ALL SELECT b, a FROM e),
+         |s0 AS (SELECT DISTINCT u AS id FROM sym),
+         |$peels,
+         |df AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM sym JOIN s8 x ON sym.u = x.id JOIN s8 y ON sym.v = y.id
+         |  GROUP BY u)
+         |SELECT u AS id, c AS core_deg FROM df ORDER BY id""".stripMargin
     }
   )
 }
