@@ -698,6 +698,12 @@ object GraftFunctions {
   def acScan(text: Column, terms: Seq[String]): Column =
     toCol(AcScan(toExpr(text), terms))
 
+  def jaroWinkler(a: Column, b: Column): Column =
+    toCol(JaroWinklerSim(toExpr(a), toExpr(b)))
+
+  def soundex(name: Column): Column =
+    toCol(SoundexCode(toExpr(name)))
+
   /** Lower-case, strip non-alphanumerics (keeping spaces), split on
     * single spaces, drop empties — the shared normalization used by
     * dedup/text queries; mirrored verbatim in the DuckDB oracles. */
@@ -762,6 +768,10 @@ object GraftFunctions {
       es => LcsLength(es.head, es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_deflate_ratio",
       es => DeflateRatio(es.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_jaro_winkler",
+      es => JaroWinklerSim(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_soundex",
+      es => SoundexCode(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_bloom_agg",
       es => BloomAggregate(es.head, intLit(es(1), "numBits"),
         intLit(es(2), "numHashes")).toAggregateExpression(), "built-in")

@@ -67,6 +67,73 @@ object AnalyticQueries {
         .orderBy(col("c_name"), col("s_name"))
     },
 
+    // §2.1 (round 14) — JARO–WINKLER dirty-record matching on the
+    // native codegen'd kernel (Winkler '90, the census-bureau
+    // comparator; q49's levenshtein sibling at the other end of the
+    // edit-model spectrum — JW favors shared prefixes, which is why
+    // record linkage on names standardized on it). Planted dirty
+    // records (drop the 11th char, swap the last two — both edits
+    // expressed as engine-portable substr arithmetic) match back
+    // against the clean table blocked on nationkey; best candidate
+    // per dirty record via the groupBy-argmax (max of (micro, −key)
+    // struct — no window), similarity quantized to exact ×1e6 micro
+    // units BEFORE the argmax so no cross-row float compare exists.
+    // Oracled against DuckDB's own jaro_winkler_similarity — an
+    // independent implementation agreeing at 6 dp on every pair is
+    // the strongest cross-check a scalar kernel can get. At 100 TB
+    // the nation block swaps for SNM (q230) or LSH (q31) blocking;
+    // the scorer is per-pair and shuffle-free either way.
+    "q245_jw_linkage" -> { (s, d) =>
+      val dirty = Tables.customer(s, d)
+        .filter(col("c_custkey") % 5 === 0)
+        .select(col("c_custkey").as("d_key"), col("c_nationkey"),
+          expr("concat(substr(c_name,1,10), substr(c_name,12))").as("d1"))
+        .select(col("d_key"), col("c_nationkey"),
+          expr("concat(substr(d1,1,length(d1)-2), substr(d1,length(d1),1)," +
+            " substr(d1,length(d1)-1,1))").as("d_name"))
+      val scored = dirty.join(
+        Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"), col("c_name")),
+        "c_nationkey")
+        .select(col("d_key"), col("c_custkey"),
+          round(GraftFunctions.jaroWinkler(col("d_name"), col("c_name"))
+            * 1000000, 0).cast("long").as("micro"))
+      scored.groupBy(col("d_key"))
+        .agg(max(struct(col("micro"), (-col("c_custkey")).as("negk"))).as("m"))
+        .select(col("d_key"), (-col("m")("negk")).as("m_key"),
+          (col("m")("micro") / 1000000.0).as("jw_best"),
+          (col("m")("negk") === -col("d_key")).cast("int").as("is_correct"))
+        .orderBy(col("d_key"))
+    },
+
+    // §2.1 (round 14) — SOUNDEX phonetic blocking (Russell 1918; the
+    // classic pre-LSH blocking key for person/entity names, still the
+    // default in MDM suites): the native codegen'd SoundexCode kernel
+    // groups the part-name vocabulary (+ planted classic pairs
+    // smith/smyth, robert/rupert) by phonetic code and reports
+    // collision groups — words that sound alike but spell apart, i.e.
+    // exactly the candidate blocks a linkage pass would compare. The
+    // kernel is a fully regular pipeline (translate → drop h/w →
+    // collapse runs → drop first code → drop vowels) so the DuckDB
+    // oracle mirrors it verbatim with translate + regexp_replace.
+    // One narrow scan over a vocabulary-sized frame + one uniform
+    // groupBy — blocking keys never shuffle corpus text.
+    "q246_soundex_block" -> { (s, d) =>
+      import s.implicits._
+      val organic = Tables.part(s, d)
+        .select(explode(split(col("p_name"), " ")).as("w"))
+      val planted = Seq("smith", "smyth", "robert", "rupert")
+        .toDF("w")
+      organic.unionByName(planted)
+        .select(lower(regexp_replace(col("w"), "[^a-zA-Z]", "")).as("w"))
+        .filter(col("w") =!= "").distinct()
+        .select(col("w"), GraftFunctions.soundex(col("w")).as("code"))
+        .groupBy(col("code"))
+        .agg(count(lit(1)).as("n_words"),
+          array_join(sort_array(collect_set(col("w"))), ",").as("words"))
+        .filter(col("n_words") > 1)
+        .orderBy(col("code"))
+    },
+
     // histogram binning: document-length distribution (the corpus
     // length histogram every training pipeline reports).
     "q66_histogram" -> { (s, d) =>
@@ -444,6 +511,58 @@ object AnalyticQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+
+    "q245_jw_linkage" ->
+      """WITH dirty0 AS (
+        |  SELECT c_custkey AS d_key, c_nationkey,
+        |    concat(substr(c_name,1,10), substr(c_name,12)) AS d1
+        |  FROM customer WHERE c_custkey % 5 = 0),
+        |dirty AS (
+        |  SELECT d_key, c_nationkey,
+        |    concat(substr(d1,1,length(d1)-2), substr(d1,length(d1),1),
+        |      substr(d1,length(d1)-1,1)) AS d_name
+        |  FROM dirty0),
+        |scored AS (
+        |  SELECT d.d_key, c.c_custkey,
+        |    CAST(ROUND(jaro_winkler_similarity(d.d_name, c.c_name)
+        |      * 1000000, 0) AS BIGINT) AS micro
+        |  FROM dirty d JOIN customer c ON d.c_nationkey = c.c_nationkey),
+        |best AS (
+        |  SELECT d_key, c_custkey, micro,
+        |    row_number() OVER (PARTITION BY d_key
+        |      ORDER BY micro DESC, c_custkey ASC) AS rn
+        |  FROM scored)
+        |SELECT d_key, c_custkey AS m_key, micro / 1000000.0 AS jw_best,
+        |  CASE WHEN c_custkey = d_key THEN 1 ELSE 0 END AS is_correct
+        |FROM best WHERE rn = 1 ORDER BY d_key""".stripMargin,
+
+    "q246_soundex_block" ->
+      """WITH vocab AS (
+        |  SELECT DISTINCT regexp_replace(lower(w), '[^a-z]', '', 'g') AS w
+        |  FROM (SELECT unnest(string_split(p_name, ' ')) AS w FROM part
+        |        UNION ALL
+        |        SELECT * FROM (VALUES ('smith'), ('smyth'),
+        |                              ('robert'), ('rupert')) v(w))
+        |  WHERE regexp_replace(lower(w), '[^a-z]', '', 'g') <> ''),
+        |sx AS (
+        |  SELECT w,
+        |    upper(substr(w,1,1)) || substr(
+        |      replace(
+        |        CASE WHEN substr(w,1,1) IN ('h','w')
+        |             THEN regexp_replace(replace(translate(w,
+        |                    'abcdefghijklmnopqrstuvwxyz',
+        |                    '01230127022455012623017202'), '7', ''),
+        |                  '([0-9])\1+', '\1', 'g')
+        |             ELSE substr(regexp_replace(replace(translate(w,
+        |                    'abcdefghijklmnopqrstuvwxyz',
+        |                    '01230127022455012623017202'), '7', ''),
+        |                  '([0-9])\1+', '\1', 'g'), 2)
+        |        END, '0', '') || '000', 1, 3) AS code
+        |  FROM vocab)
+        |SELECT code, CAST(COUNT(*) AS BIGINT) AS n_words,
+        |  string_agg(w, ',' ORDER BY w) AS words
+        |FROM sx GROUP BY code HAVING COUNT(*) > 1
+        |ORDER BY code""".stripMargin,
 
     "q47_rollup" ->
       """SELECT n_name, c_mktsegment, COUNT(*) AS n_customers,

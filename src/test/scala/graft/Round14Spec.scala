@@ -37,6 +37,61 @@ class Round14Spec extends SparkSpecBase {
     assert(r.exists(_.getAs[Double]("hub_norm") == 1.0), "no max-hub node at 1.0")
   }
 
+  test("jaro-winkler kernel: textbook values incl. boost-threshold and floor-transposition edges") {
+    import graft.functions.StringOps.jaroWinkler
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    def jw(a: String, b: String) = jaroWinkler(u(a), u(b))
+    assert(math.abs(jw("martha", "marhta") - 0.9611111111111111) < 1e-15)
+    assert(math.abs(jw("dwayne", "duane") - 0.8400000000000001) < 1e-15)
+    assert(math.abs(jw("dixon", "dicksonx") - 0.8133333333333332) < 1e-15)
+    // boost threshold: jaro 0.5 with a 2-char common prefix stays 0.5
+    assert(jw("abcdefgh", "abzzzzzz") == 0.5)
+    // DuckDB empty conventions
+    assert(jw("", "") == 0.0 && jw("a", "") == 0.0)
+    assert(jw("abc", "abc") == 1.0)
+    // floor-transposition convention (the round-14 parity fix):
+    // this pair has 3 mismatched matched-positions -> t = 1, not 1.5
+    assert(math.abs(jw("Customer#00000150", "Customer#000000015")
+      - 0.9771241830065359) < 1e-15)
+  }
+
+  test("q245: matcher finds the true record for a solid majority of dirty records") {
+    val r = graft.queries.AnalyticQueries.queries("q245_jw_linkage")(spark, sf01).collect()
+    assert(r.nonEmpty)
+    val acc = r.count(_.getAs[Int]("is_correct") == 1).toDouble / r.length
+    assert(acc >= 0.5, s"linkage accuracy collapsed: $acc")
+    r.foreach { row =>
+      val jw = row.getAs[Double]("jw_best")
+      assert(jw > 0.8 && jw <= 1.0, s"implausible best score: $row")
+    }
+  }
+
+  test("soundex kernel: classic codes, h/w transparency, vowel separation") {
+    import graft.functions.StringOps.soundex
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    def sx(w: String) = soundex(u(w)).toString
+    assert(sx("smith") == "S530" && sx("smyth") == "S530")
+    assert(sx("robert") == "R163" && sx("rupert") == "R163")
+    assert(sx("ashcraft") == "A261") // h-transparency: s,c collapse across h
+    assert(sx("tymczak") == "T522")
+    assert(sx("pfister") == "P236") // first-letter code run absorbs f
+    assert(sx("honeyman") == "H555")
+    assert(sx("red") == "R300" && sx("rod") == "R300")
+    assert(sx("") == "" && sx("123") == "")
+  }
+
+  test("q246: planted phonetic pairs collide; every group is a true collision") {
+    val r = graft.queries.AnalyticQueries.queries("q246_soundex_block")(spark, sf01).collect()
+    val byCode = r.map(row => row.getAs[String]("code") -> row.getAs[String]("words")).toMap
+    assert(byCode.get("S530").exists(w => w.contains("smith") && w.contains("smyth")))
+    assert(byCode.get("R163").exists(w => w.contains("robert") && w.contains("rupert")))
+    r.foreach { row =>
+      assert(row.getAs[Long]("n_words") >= 2)
+      assert(row.getAs[String]("words").split(",").length ==
+        row.getAs[Long]("n_words"))
+    }
+  }
+
   test("q244: 8 peel rounds reach the true 3-core fixpoint; member degrees >= 3") {
     val edges = Tables.orders(spark, sf01)
       .filter(col("o_orderkey") % 10 === 1)
