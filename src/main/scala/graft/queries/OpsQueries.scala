@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 
@@ -849,10 +850,94 @@ object OpsQueries {
         .reduce(_.unionByName(_))
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
         .orderBy(col("doc_id"))
+    },
+
+    // §2.1 (round 14) — GOLDEN-RECORD survivorship merge (the MDM
+    // "merge/purge" endgame): record linkage (q227/q230/q245) decides
+    // WHICH records co-refer; survivorship decides what the merged
+    // entity SAYS. Three planted source systems emit conflicting
+    // records per customer (A = the master, B = a CRM overlay with
+    // upper-cased names and stale balances, C = a billing feed with
+    // corrected balances but no names); rules: per field take the
+    // MOST RECENT NON-NULL value (argmax over (nn_upd, value) structs
+    // — no window), money as exact DECIMAL(18,2) cents end to end,
+    // and a per-entity conflict census (fields with >1 distinct
+    // non-null value). ONE groupBy on the entity key — survivorship
+    // is a partial-agg, never a sort; at 100 TB the union arrives as
+    // source partitions and the merge is one shuffle on the key.
+    "q248_golden_record" -> { (s, d) =>
+      val a = Tables.customer(s, d).select(col("c_custkey").as("k"),
+        lit(1L).as("upd"), col("c_name").as("name"),
+        col("c_acctbal").cast(DecimalType(18, 2)).as("bal"),
+        col("c_mktsegment").as("seg"))
+      val b = Tables.customer(s, d).filter(col("c_custkey") % 4 === 0)
+        .select(col("c_custkey").as("k"), lit(2L).as("upd"),
+          upper(col("c_name")).as("name"),
+          (col("c_acctbal").cast(DecimalType(18, 2)) +
+            expr("CAST(10.00 AS DECIMAL(18,2))")).as("bal"),
+          lit(null).cast("string").as("seg"))
+      val c = Tables.customer(s, d).filter(col("c_custkey") % 8 === 0)
+        .select(col("c_custkey").as("k"), lit(3L).as("upd"),
+          lit(null).cast("string").as("name"),
+          (col("c_acctbal").cast(DecimalType(18, 2)) -
+            expr("CAST(5.25 AS DECIMAL(18,2))")).as("bal"),
+          col("c_mktsegment").as("seg"))
+      a.unionByName(b).unionByName(c)
+        .groupBy(col("k"))
+        .agg(
+          max(struct(when(col("name").isNotNull, col("upd"))
+            .otherwise(-1L).as("u"), col("name").as("v"))).as("mn"),
+          max(struct(col("upd").as("u"), col("bal").as("v"))).as("mb"),
+          max(struct(when(col("seg").isNotNull, col("upd"))
+            .otherwise(-1L).as("u"), col("seg").as("v"))).as("ms"),
+          count(lit(1)).as("n_records"),
+          countDistinct(col("name")).as("cd_name"),
+          countDistinct(col("bal")).as("cd_bal"),
+          countDistinct(col("seg")).as("cd_seg"))
+        .select(col("k"), col("mn")("v").as("golden_name"),
+          col("mb")("v").cast("double").as("golden_bal"),
+          col("ms")("v").as("golden_seg"), col("n_records"),
+          ((col("cd_name") > 1).cast("int") + (col("cd_bal") > 1).cast("int")
+            + (col("cd_seg") > 1).cast("int")).as("n_conflicts"))
+        .orderBy(col("k"))
     }
   )
 
   val oracleSql: Map[String, String] = Map(
+
+    "q248_golden_record" ->
+      """WITH recs AS (
+        |  SELECT c_custkey AS k, 1 AS upd, c_name AS name,
+        |    CAST(c_acctbal AS DECIMAL(18,2)) AS bal, c_mktsegment AS seg
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, 2, upper(c_name),
+        |    CAST(c_acctbal AS DECIMAL(18,2)) + CAST(10.00 AS DECIMAL(18,2)),
+        |    NULL FROM customer WHERE c_custkey % 4 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, 3, NULL,
+        |    CAST(c_acctbal AS DECIMAL(18,2)) - CAST(5.25 AS DECIMAL(18,2)),
+        |    c_mktsegment FROM customer WHERE c_custkey % 8 = 0),
+        |g AS (SELECT k,
+        |  MAX(CASE WHEN name IS NOT NULL THEN upd ELSE -1 END) AS un,
+        |  MAX(upd) AS ub,
+        |  MAX(CASE WHEN seg IS NOT NULL THEN upd ELSE -1 END) AS us,
+        |  CAST(COUNT(*) AS BIGINT) AS n_records,
+        |  COUNT(DISTINCT name) AS cd_name,
+        |  COUNT(DISTINCT bal) AS cd_bal,
+        |  COUNT(DISTINCT seg) AS cd_seg
+        |  FROM recs GROUP BY k)
+        |SELECT g.k, rn.name AS golden_name,
+        |  CAST(rb.bal AS DOUBLE) AS golden_bal,
+        |  rs.seg AS golden_seg, g.n_records,
+        |  (CASE WHEN cd_name > 1 THEN 1 ELSE 0 END
+        |   + CASE WHEN cd_bal > 1 THEN 1 ELSE 0 END
+        |   + CASE WHEN cd_seg > 1 THEN 1 ELSE 0 END) AS n_conflicts
+        |FROM g
+        |JOIN recs rn ON rn.k = g.k AND rn.upd = g.un
+        |JOIN recs rb ON rb.k = g.k AND rb.upd = g.ub
+        |JOIN recs rs ON rs.k = g.k AND rs.upd = g.us
+        |ORDER BY g.k""".stripMargin,
 
     // PageRank, 5 unrolled iterations as chained CTEs — no recursive
     // aggregation needed, and bit-exact against the Spark side because

@@ -1856,6 +1856,58 @@ object TextQueries {
         .orderBy(col("skel_hash"))
     },
 
+    // §2.3 (round 14) — EXACT set-similarity self-join by PREFIX
+    // FILTERING (AllPairs/PPJoin, Bayardo'07 / Xiao'08): the
+    // DETERMINISTIC alternative to MinHash-LSH (q31) — zero false
+    // negatives by construction, which is what dedup audits and
+    // legal-hold pipelines require. Prefix principle: under any
+    // global token order, two sets with J ≥ t share a token in their
+    // first |s| − ⌈t·|s|⌉ + 1 tokens; ordering by (df, token) puts
+    // the RAREST tokens in the prefix, so candidate cost is
+    // Σ df_prefix² — the inverted index only ever lists rare tokens.
+    // All threshold math is integer (⌈0.6n⌉ = (6n+9) div 10; J ≥ 0.6
+    // ⇔ 5·inter ≥ 3·union; length filter 5·min ≥ 3·max) — no float
+    // compares anywhere before the final display division. Verify
+    // stage counts exact intersections by joining candidates back to
+    // the shingle table (the q33 contract: quadratic work only
+    // BEHIND the candidate generator). Oracled by the full O(Σdf²)
+    // brute-force join — feasible on shingle keys precisely because
+    // the same rarity that makes the prefix filter work keeps df low.
+    "q247_setsim_join" -> { (s, d) =>
+      import graft.Caching.ScopedPersist
+      val sh = plantedCorpus(s, d)
+        .select(col("doc_id"), explode(GraftFunctions.shingleSet(
+          GraftFunctions.normWords(col("text")), 3)).as("w"))
+        .scopedPersist() // consumers: df, sizes, prefix ranks, verify join ×2
+      val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val dfc = sh.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      val pref = sh.join(dfc, "w")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("df"), col("w"))))
+        .join(sz, "doc_id")
+        .filter(col("rn") <= col("n") - expr("(n*6+9) div 10") + 1)
+        .select(col("doc_id"), col("w"), col("n"))
+      val cand = pref.as("pa")
+        .join(pref.as("pb"), col("pa.w") === col("pb.w") &&
+          col("pa.doc_id") < col("pb.doc_id"))
+        .filter(col("pa.n") * 5 >= col("pb.n") * 3 &&
+          col("pb.n") * 5 >= col("pa.n") * 3)
+        .select(col("pa.doc_id").as("a"), col("pb.doc_id").as("b"))
+        .distinct()
+      cand
+        .join(sh.select(col("doc_id").as("a"), col("w")), "a")
+        .join(sh.select(col("doc_id").as("b"), col("w")), Seq("b", "w"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_inter"))
+        .join(sz.select(col("doc_id").as("a"), col("n").as("na")), "a")
+        .join(sz.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+        .select(col("a"), col("b"), col("n_inter"),
+          (col("na") + col("nb") - col("n_inter")).as("n_union"))
+        .filter(col("n_inter") * 5 >= col("n_union") * 3)
+        .select(col("a"), col("b"), col("n_inter"), col("n_union"),
+          round(col("n_inter").cast("double") / col("n_union"), 6).as("jac"))
+        .orderBy(col("a"), col("b"))
+    },
+
     // §2.3 (round 13) — GOOD–TURING unseen-mass estimation (Good'53;
     // the frequency-of-frequencies statistic under Katz/Kneser-Ney
     // smoothing and the standard "how much vocabulary have we NOT
@@ -3402,6 +3454,27 @@ object TextQueries {
         |FROM sk GROUP BY skel_hash
         |HAVING COUNT(DISTINCT text) > 1
         |ORDER BY skel_hash""".stripMargin,
+
+    "q247_setsim_join" ->
+      s"""WITH $corpusSql,
+         |w AS (SELECT doc_id, $wsSql AS ws FROM corpus),
+         |sh AS (SELECT DISTINCT doc_id,
+         |         unnest([array_to_string(ws[i:i+2],' ')
+         |                 for i in generate_series(1, len(ws)-2)]) AS g
+         |       FROM w WHERE len(ws) >= 3),
+         |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+         |       FROM sh GROUP BY doc_id),
+         |inter AS (SELECT x.doc_id AS a, y.doc_id AS b,
+         |            CAST(COUNT(*) AS BIGINT) AS i
+         |          FROM sh x JOIN sh y
+         |            ON y.g = x.g AND x.doc_id < y.doc_id
+         |          GROUP BY x.doc_id, y.doc_id),
+         |jc AS (SELECT a, b, i, sa.n + sb.n - i AS u
+         |       FROM inter JOIN sz sa ON sa.doc_id = a
+         |                  JOIN sz sb ON sb.doc_id = b)
+         |SELECT a, b, i AS n_inter, u AS n_union,
+         |  ROUND(CAST(i AS DOUBLE) / u, 6) AS jac
+         |FROM jc WHERE 5 * i >= 3 * u ORDER BY a, b""".stripMargin,
 
     "q242_good_turing" ->
       s"""WITH wc AS (

@@ -92,6 +92,51 @@ class Round14Spec extends SparkSpecBase {
     }
   }
 
+  test("q247: planted exact duplicates recovered; every pair passes the threshold") {
+    val r = graft.queries.TextQueries.queries("q247_setsim_join")(spark, sf01).collect()
+    assert(r.nonEmpty)
+    // plantedCorpus copies doc_id < 50 to id+1_000_000 with identical
+    // text: every copied doc with >= 3 words must appear as a J=1 pair
+    val exact = r.filter(row => row.getAs[Long]("b") == row.getAs[Long]("a") + 1000000)
+    assert(exact.length >= 40, s"only ${exact.length} planted pairs recovered")
+    exact.foreach(row => assert(row.getAs[Double]("jac") == 1.0))
+    r.foreach { row =>
+      assert(row.getAs[Long]("a") < row.getAs[Long]("b"))
+      assert(row.getAs[Long]("n_inter") * 5 >= row.getAs[Long]("n_union") * 3)
+      val j = row.getAs[Double]("jac")
+      assert(j >= 0.6 && j <= 1.0)
+    }
+  }
+
+  test("q248: survivorship rules recomputed first-principles on planted keys") {
+    val r = graft.queries.OpsQueries.queries("q248_golden_record")(spark, sf01)
+      .collect().map(row => row.getAs[Long]("k") -> row).toMap
+    val cust = Tables.customer(spark, sf01)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_mktsegment"))
+      .collect().map(row => row.getLong(0) -> row).toMap
+    assert(r.size == cust.size)
+    cust.foreach { case (k, c) =>
+      val g = r(k)
+      val name = c.getString(1); val seg = c.getString(3)
+      val cents = BigDecimal(c.getDouble(2)).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+      if (k % 8 == 0) {
+        assert(g.getAs[String]("golden_name") == name.toUpperCase) // from sysB
+        assert(g.getAs[String]("golden_seg") == seg) // sysC repeats the master seg
+        assert(BigDecimal(g.getAs[Double]("golden_bal")).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP) == cents - 5.25) // most recent = sysC
+        assert(g.getAs[Long]("n_records") == 3L)
+        assert(g.getAs[Int]("n_conflicts") == 2) // name + bal differ, seg doesn't
+      } else if (k % 4 == 0) {
+        assert(g.getAs[String]("golden_name") == name.toUpperCase)
+        assert(g.getAs[Long]("n_records") == 2L)
+      } else {
+        assert(g.getAs[String]("golden_name") == name)
+        assert(g.getAs[Long]("n_records") == 1L)
+        assert(g.getAs[Int]("n_conflicts") == 0)
+      }
+    }
+  }
+
   test("q244: 8 peel rounds reach the true 3-core fixpoint; member degrees >= 3") {
     val edges = Tables.orders(spark, sf01)
       .filter(col("o_orderkey") % 10 === 1)
