@@ -885,6 +885,39 @@ object CurationQueries {
             col("usum").cast("double")) + lit(eps) / col("m"), 6)
             .as("weight"))
         .orderBy(col("source"))
+    },
+
+    // §2.3 (round 14) — LEAVE-ONE-SOURCE-OUT ablation audit (the
+    // Shapley-flavored "what does each source contribute" question,
+    // answered the cheap exact way: for additive corpus statistics,
+    // removing source s needs no rescan — LOO(s) = (T − t_s)/(N − n_s)
+    // from the per-source partials). Published per source: the
+    // corpus mean-length and long-doc share WITHOUT it, and the
+    // deltas vs the full corpus — the triage table before dropping
+    // or reweighting a source (q234's DoReMi step is the reweighting
+    // sibling). ONE partial-agg groupBy + a broadcast 1-row totals
+    // frame; exact integer sums to one IEEE division per statistic.
+    "q251_source_ablation" -> { (s, d) =>
+      val per = Tables.documents(s, d)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_s"),
+          sum(col("n_chars")).as("chars_s"),
+          sum((col("n_chars") >= 300).cast("long")).as("long_s"))
+      val tot = per.agg(sum(col("n_s")).as("n"),
+        sum(col("chars_s")).as("chars"), sum(col("long_s")).as("longs"))
+      per.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_s").as("n_docs"),
+          round((col("chars") - col("chars_s")).cast("double")
+            / (col("n") - col("n_s")), 6).as("loo_mean_chars"),
+          round((col("chars") - col("chars_s")).cast("double")
+            / (col("n") - col("n_s"))
+            - col("chars").cast("double") / col("n"), 6).as("delta_mean"),
+          round((col("longs") - col("long_s")).cast("double")
+            / (col("n") - col("n_s")), 6).as("loo_share_long"),
+          round((col("longs") - col("long_s")).cast("double")
+            / (col("n") - col("n_s"))
+            - col("longs").cast("double") / col("n"), 6).as("delta_share"))
+        .orderBy(col("source"))
     }
   )
 
@@ -892,6 +925,26 @@ object CurationQueries {
     * step: a doc is removed iff its component minimum is not itself.
     */
   val oracleSql: Map[String, String] = Map(
+
+    "q251_source_ablation" ->
+      """WITH per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s,
+        |    CAST(SUM(n_chars) AS BIGINT) AS chars_s,
+        |    CAST(SUM(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS long_s
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(SUM(n_s) AS BIGINT) AS n,
+        |    CAST(SUM(chars_s) AS BIGINT) AS chars,
+        |    CAST(SUM(long_s) AS BIGINT) AS longs FROM per)
+        |SELECT source, n_s AS n_docs,
+        |  ROUND(CAST(chars - chars_s AS DOUBLE) / (n - n_s), 6)
+        |    AS loo_mean_chars,
+        |  ROUND(CAST(chars - chars_s AS DOUBLE) / (n - n_s)
+        |    - CAST(chars AS DOUBLE) / n, 6) AS delta_mean,
+        |  ROUND(CAST(longs - long_s AS DOUBLE) / (n - n_s), 6)
+        |    AS loo_share_long,
+        |  ROUND(CAST(longs - long_s AS DOUBLE) / (n - n_s)
+        |    - CAST(longs AS DOUBLE) / n, 6) AS delta_share
+        |FROM per CROSS JOIN tot ORDER BY source""".stripMargin,
 
     "q150_reservoir_sample" ->
       """WITH t AS (

@@ -1908,6 +1908,96 @@ object TextQueries {
         .orderBy(col("a"), col("b"))
     },
 
+    // §2.3 (round 14) — TEXTRANK extractive summarization (Mihalcea &
+    // Tarau EMNLP'04): per document, sentences form a graph weighted
+    // by shared-distinct-word counts and the PageRank-style score
+    // picks the most central sentences — the standard zero-training
+    // summarizer, and at corpus scale the "representative snippet"
+    // generator for dedup-cluster review queues (q128's canonicals).
+    // EXACT-integer variant: with r0 ≡ 1, r1(i) = Σ_j w_ij and
+    // r2(i) = Σ_j w_ij·r1(j) are unnormalized integer centralities
+    // (the q243 HITS discipline applied within each doc), so ranking
+    // needs no float compares at all; top-2 per doc via a
+    // doc-partitioned window. The sentence graph is built by a token
+    // equi-join keyed (doc, word) — within-doc quadratic only, the
+    // q223 per-group pair contract.
+    "q249_textrank" -> { (s, d) =>
+      import graft.Caching.ScopedPersist
+      val sent = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(split(col("text"), "[.!?]")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          array_distinct(GraftFunctions.normWords(col("col"))).as("ws"))
+        .filter(size(col("ws")) > 0)
+        .scopedPersist() // consumers: token join ×2 + the spine
+      val tok = sent.select(col("doc_id"), col("pos"), explode(col("ws")).as("w"))
+      val pairs = tok.as("x")
+        .join(tok.as("y"), col("x.doc_id") === col("y.doc_id") &&
+          col("x.w") === col("y.w") && col("x.pos") =!= col("y.pos"))
+        .groupBy(col("x.doc_id").as("doc_id"), col("x.pos").as("pa"),
+          col("y.pos").as("pb"))
+        .agg(count(lit(1)).as("wt"))
+        .scopedPersist() // consumers: r1 + the r2 join
+      val r1 = pairs.groupBy(col("doc_id"), col("pa")).agg(sum(col("wt")).as("r1"))
+      val r2 = pairs
+        .join(r1.select(col("doc_id"), col("pa").as("pb"), col("r1").as("r1b")),
+          Seq("doc_id", "pb"))
+        .groupBy(col("doc_id"), col("pa"))
+        .agg(sum(col("wt") * col("r1b")).as("r2"))
+      sent.select(col("doc_id"), col("pos"))
+        .join(r1.select(col("doc_id"), col("pa").as("pos"), col("r1")),
+          Seq("doc_id", "pos"), "left")
+        .join(r2.select(col("doc_id"), col("pa").as("pos"), col("r2")),
+          Seq("doc_id", "pos"), "left")
+        .select(col("doc_id"), col("pos"),
+          coalesce(col("r1"), lit(0L)).as("r1"),
+          coalesce(col("r2"), lit(0L)).as("r2"))
+        .withColumn("sent_rank", row_number().over(
+          Window.partitionBy(col("doc_id"))
+            .orderBy(col("r2").desc, col("r1").desc, col("pos"))))
+        .filter(col("sent_rank") <= 2)
+        .orderBy(col("doc_id"), col("sent_rank"))
+    },
+
+    // §2.3 (round 14) — FUNCTION-WORD stylometric fingerprints
+    // (Mosteller & Wallace '64 through Burrows' Delta: authorship and
+    // style drift live in the TOP-FREQUENCY function words, not the
+    // content vocabulary). Per source, the relative-frequency profile
+    // over the corpus top-20 words; pairwise source distance is the
+    // L1 distance between profiles computed EXACTLY: |f_a − f_b| =
+    // |cnt_aw·tot_b − cnt_bw·tot_a| / (tot_a·tot_b), summed as exact
+    // BIGINTs over the 20 words with ONE IEEE division at the end —
+    // the q101/q160 discipline. A style-drift matrix between corpus
+    // slices is the cheap first test when two "same" sources diverge.
+    // Scale shape: one token scan → (source × top-20) counts; the
+    // pairwise stage runs on a ≤ |sources|²-row dimension frame.
+    "q250_stylometry" -> { (s, d) =>
+      import graft.Caching.ScopedPersist
+      val wc = Tables.documents(s, d)
+        .select(col("source"),
+          explode(GraftFunctions.normWords(col("text"))).as("w"))
+        .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+        .scopedPersist() // consumers: totals, corpus top-20, profile
+      val tot = wc.groupBy(col("source")).agg(sum(col("c")).as("tot"))
+      val top = wc.groupBy(col("w")).agg(sum(col("c")).as("cw"))
+        .orderBy(col("cw").desc, col("w")).limit(20)
+        .select(col("w"))
+      val prof = tot.crossJoin(broadcast(top))
+        .join(wc, Seq("source", "w"), "left")
+        .select(col("source"), col("w"), col("tot"),
+          coalesce(col("c"), lit(0L)).as("c"))
+      prof.as("pa")
+        .join(prof.as("pb"), col("pa.w") === col("pb.w") &&
+          col("pa.source") < col("pb.source"))
+        .groupBy(col("pa.source").as("src_a"), col("pb.source").as("src_b"))
+        .agg(max(col("pa.tot")).as("tot_a"), max(col("pb.tot")).as("tot_b"),
+          sum(abs(col("pa.c") * col("pb.tot") - col("pb.c") * col("pa.tot")))
+            .as("num"))
+        .select(col("src_a"), col("src_b"),
+          round(col("num").cast("double") / (col("tot_a") * col("tot_b")), 6)
+            .as("l1_dist"))
+        .orderBy(col("src_a"), col("src_b"))
+    },
+
     // §2.3 (round 13) — GOOD–TURING unseen-mass estimation (Good'53;
     // the frequency-of-frequencies statistic under Katz/Kneser-Ney
     // smoothing and the standard "how much vocabulary have we NOT
@@ -3454,6 +3544,58 @@ object TextQueries {
         |FROM sk GROUP BY skel_hash
         |HAVING COUNT(DISTINCT text) > 1
         |ORDER BY skel_hash""".stripMargin,
+
+    "q249_textrank" ->
+      """WITH sp AS (SELECT doc_id, string_split_regex(text, '[.!?]') AS arr
+        |           FROM documents),
+        |pe AS (SELECT doc_id, u.p AS pos, u.s AS stext
+        |       FROM sp, unnest([{'p': CAST(i - 1 AS BIGINT), 's': arr[i]}
+        |                        FOR i IN generate_series(1, len(arr))]) AS t(u)),
+        |sent AS (SELECT doc_id, pos,
+        |    list_distinct(list_filter(string_split(
+        |      regexp_replace(lower(stext), '[^a-z0-9 ]', '', 'g'), ' '),
+        |      x -> x <> '')) AS ws
+        |  FROM pe),
+        |sent2 AS (SELECT doc_id, pos, ws FROM sent WHERE len(ws) > 0),
+        |tok AS (SELECT doc_id, pos, unnest(ws) AS w FROM sent2),
+        |pairs AS (SELECT x.doc_id, x.pos AS pa, y.pos AS pb,
+        |            CAST(COUNT(*) AS BIGINT) AS wt
+        |          FROM tok x JOIN tok y ON y.doc_id = x.doc_id
+        |            AND y.w = x.w AND y.pos <> x.pos
+        |          GROUP BY x.doc_id, x.pos, y.pos),
+        |r1 AS (SELECT doc_id, pa, CAST(SUM(wt) AS BIGINT) AS r1
+        |       FROM pairs GROUP BY doc_id, pa),
+        |r2 AS (SELECT p.doc_id, p.pa, CAST(SUM(p.wt * b.r1) AS BIGINT) AS r2
+        |       FROM pairs p JOIN r1 b ON b.doc_id = p.doc_id AND b.pa = p.pb
+        |       GROUP BY p.doc_id, p.pa),
+        |scored AS (SELECT s.doc_id, s.pos,
+        |    COALESCE(r1.r1, 0) AS r1, COALESCE(r2.r2, 0) AS r2
+        |  FROM sent2 s
+        |  LEFT JOIN r1 ON r1.doc_id = s.doc_id AND r1.pa = s.pos
+        |  LEFT JOIN r2 ON r2.doc_id = s.doc_id AND r2.pa = s.pos),
+        |rk AS (SELECT doc_id, pos, r1, r2,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY r2 DESC, r1 DESC, pos) AS sent_rank
+        |  FROM scored)
+        |SELECT doc_id, pos, r1, r2, sent_rank FROM rk
+        |WHERE sent_rank <= 2 ORDER BY doc_id, sent_rank""".stripMargin,
+
+    "q250_stylometry" ->
+      s"""WITH wc AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM (SELECT source, unnest($wsSql) AS w FROM documents)
+         |  GROUP BY source, w),
+         |tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS tot
+         |        FROM wc GROUP BY source),
+         |top AS (SELECT w FROM (SELECT w, SUM(c) AS cw FROM wc GROUP BY w)
+         |        ORDER BY cw DESC, w LIMIT 20),
+         |prof AS (SELECT t.source, p.w, t.tot, COALESCE(wc.c, 0) AS c
+         |  FROM tot t CROSS JOIN top p
+         |  LEFT JOIN wc ON wc.source = t.source AND wc.w = p.w)
+         |SELECT a.source AS src_a, b.source AS src_b,
+         |  ROUND(CAST(SUM(ABS(a.c * b.tot - b.c * a.tot)) AS DOUBLE)
+         |    / (MAX(a.tot) * MAX(b.tot)), 6) AS l1_dist
+         |FROM prof a JOIN prof b ON a.w = b.w AND a.source < b.source
+         |GROUP BY a.source, b.source ORDER BY src_a, src_b""".stripMargin,
 
     "q247_setsim_join" ->
       s"""WITH $corpusSql,

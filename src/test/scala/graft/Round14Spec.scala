@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.operators.Graph
-import graft.queries.GraphQueries
+import graft.queries.{CurationQueries, GraphQueries, TextQueries}
 
 /** Invariants for the round-14 operators. Every oracled query here is
   * also hash-checked against DuckDB; these cases pin the SEMANTIC
@@ -134,6 +134,60 @@ class Round14Spec extends SparkSpecBase {
         assert(g.getAs[Long]("n_records") == 1L)
         assert(g.getAs[Int]("n_conflicts") == 0)
       }
+    }
+  }
+
+  test("q249: rank-1 sentence is the doc's centrality max; ranks well-formed") {
+    val r = TextQueries.queries("q249_textrank")(spark, sf01).collect()
+    assert(r.nonEmpty)
+    val byDoc = r.groupBy(_.getAs[Long]("doc_id"))
+    byDoc.foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Int]("sent_rank")).sorted.sameElements(
+        (1 to rows.length)))
+      val sorted = rows.sortBy(_.getAs[Int]("sent_rank"))
+      val head = sorted.head
+      // rank 1 dominates rank 2 on (r2, r1, pos) lexicographically
+      sorted.drop(1).foreach { o =>
+        val cmp = (head.getAs[Long]("r2"), o.getAs[Long]("r2"))
+        assert(cmp._1 > cmp._2 ||
+          (cmp._1 == cmp._2 && head.getAs[Long]("r1") >= o.getAs[Long]("r1")))
+      }
+    }
+  }
+
+  test("q250: pairwise stylometric distances well-formed over the source grid") {
+    val r = TextQueries.queries("q250_stylometry")(spark, sf01).collect()
+    val srcs = Tables.documents(spark, sf01).select("source").distinct().count()
+    assert(r.length == (srcs * (srcs - 1) / 2).toInt, "not all a<b source pairs present")
+    r.foreach { row =>
+      assert(row.getAs[String]("src_a") < row.getAs[String]("src_b"))
+      val d = row.getAs[Double]("l1_dist")
+      assert(d >= 0.0 && d <= 2.0, s"L1 out of range: $row")
+    }
+    assert(r.exists(_.getAs[Double]("l1_dist") > 0.0), "all sources identical?")
+  }
+
+  test("q251: LOO identities recomputed from first principles") {
+    val r = CurationQueries.queries("q251_source_ablation")(spark, sf01).collect()
+    val docs = Tables.documents(spark, sf01)
+      .select(col("source"), col("n_chars")).collect()
+    val n = docs.length.toLong
+    val chars = docs.map(_.getAs[Long]("n_chars")).sum
+    val longs = docs.count(_.getAs[Long]("n_chars") >= 300).toLong
+    r.foreach { row =>
+      val src = row.getAs[String]("source")
+      val mine = docs.filter(_.getString(0) == src)
+      val nS = mine.length.toLong
+      val charsS = mine.map(_.getAs[Long]("n_chars")).sum
+      val expMean = BigDecimal((chars - charsS).toDouble / (n - nS))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      assert(BigDecimal(row.getAs[Double]("loo_mean_chars")) == expMean,
+        s"LOO mean mismatch for $src")
+      assert(row.getAs[Long]("n_docs") == nS)
+      val longsS = mine.count(_.getAs[Long]("n_chars") >= 300).toLong
+      val expShare = BigDecimal((longs - longsS).toDouble / (n - nS))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      assert(BigDecimal(row.getAs[Double]("loo_share_long")) == expShare)
     }
   }
 
