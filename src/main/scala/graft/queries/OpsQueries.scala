@@ -900,10 +900,71 @@ object OpsQueries {
           ((col("cd_name") > 1).cast("int") + (col("cd_bal") > 1).cast("int")
             + (col("cd_seg") > 1).cast("int")).as("n_conflicts"))
         .orderBy(col("k"))
+    },
+
+    // §2.3 (round 14) — WELCH two-sample t-test per source vs rest
+    // (Welch '47, the unequal-variance test every A/B framework
+    // defaults to): "is this source's length distribution different
+    // from the rest of the corpus?" — the significance companion to
+    // the q54/q143 profiling family (chi-square q146 answers it for
+    // categorical splits; this is the continuous version). Moments
+    // are EXACT integer sums (Σx, Σx² of n_chars), the rest-of-corpus
+    // side derives by subtraction from the 1-row totals broadcast (no
+    // second scan — q251's LOO identity), and the t statistic +
+    // Welch–Satterthwaite df evaluate through textually identical
+    // formula chains in both engines. ONE partial-agg groupBy.
+    "q254_welch_ttest" -> { (s, d) =>
+      val per = Tables.documents(s, d).groupBy(col("source"))
+        .agg(count(lit(1)).as("n_s"),
+          sum(col("n_chars")).as("sx"),
+          sum(col("n_chars") * col("n_chars")).as("sxx"))
+      val tot = per.agg(sum(col("n_s")).as("n"), sum(col("sx")).as("tsx"),
+        sum(col("sxx")).as("tsxx"))
+      per.crossJoin(broadcast(tot))
+        .withColumn("m1", expr("CAST(sx AS DOUBLE) / n_s"))
+        .withColumn("m2", expr("CAST(tsx - sx AS DOUBLE) / (n - n_s)"))
+        .withColumn("v1", expr("(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)" +
+          " * CAST(sx AS DOUBLE) / n_s) / (n_s - 1)"))
+        .withColumn("v2", expr("(CAST(tsxx - sxx AS DOUBLE)" +
+          " - CAST(tsx - sx AS DOUBLE) * CAST(tsx - sx AS DOUBLE)" +
+          " / (n - n_s)) / (n - n_s - 1)"))
+        .withColumn("se", expr("v1 / n_s + v2 / (n - n_s)"))
+        .select(col("source"), col("n_s").as("n_docs"),
+          round(col("m1"), 6).as("mean_s"),
+          round(col("m2"), 6).as("mean_rest"),
+          expr("ROUND((m1 - m2) / sqrt(se), 6)").as("t_stat"),
+          expr("ROUND(se * se / ((v1 / n_s) * (v1 / n_s) / (n_s - 1)" +
+            " + (v2 / (n - n_s)) * (v2 / (n - n_s)) / (n - n_s - 1)), 6)")
+            .as("df"))
+        .orderBy(col("source"))
     }
   )
 
   val oracleSql: Map[String, String] = Map(
+
+    "q254_welch_ttest" ->
+      """WITH per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s,
+        |    CAST(SUM(n_chars) AS BIGINT) AS sx,
+        |    CAST(SUM(n_chars * n_chars) AS BIGINT) AS sxx
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(SUM(n_s) AS BIGINT) AS n,
+        |    CAST(SUM(sx) AS BIGINT) AS tsx,
+        |    CAST(SUM(sxx) AS BIGINT) AS tsxx FROM per),
+        |b AS (SELECT source, n_s, n,
+        |    CAST(sx AS DOUBLE) / n_s AS m1,
+        |    CAST(tsx - sx AS DOUBLE) / (n - n_s) AS m2,
+        |    (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+        |      / n_s) / (n_s - 1) AS v1,
+        |    (CAST(tsxx - sxx AS DOUBLE) - CAST(tsx - sx AS DOUBLE)
+        |      * CAST(tsx - sx AS DOUBLE) / (n - n_s)) / (n - n_s - 1) AS v2
+        |  FROM per CROSS JOIN tot),
+        |b2 AS (SELECT *, v1 / n_s + v2 / (n - n_s) AS se FROM b)
+        |SELECT source, n_s AS n_docs, ROUND(m1, 6) AS mean_s,
+        |  ROUND(m2, 6) AS mean_rest,
+        |  ROUND((m1 - m2) / sqrt(se), 6) AS t_stat,
+        |  ROUND(se * se / ((v1 / n_s) * (v1 / n_s) / (n_s - 1)
+        |    + (v2 / (n - n_s)) * (v2 / (n - n_s)) / (n - n_s - 1)), 6) AS df
+        |FROM b2 ORDER BY source""".stripMargin,
 
     "q248_golden_record" ->
       """WITH recs AS (

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 import graft.functions.GraftFunctions
@@ -60,6 +61,49 @@ object RetrievalQueries {
   }
 
   val queries: Map[String, Q] = Map(
+
+    // §2.3 (round 14) — DIRICHLET-SMOOTHED QUERY-LIKELIHOOD ranking
+    // (Zhai & Lafferty SIGIR'01 — the language-modeling retrieval
+    // family next to BM25/q87; LMIR-DIR is the standard baseline in
+    // every IR shootout): score(q,d) = Σ_t ln((tf + μ·p(t|C)) /
+    // (len_d + μ)), μ = 100. Smoothing means EVERY doc scores against
+    // every query term (tf 0 rows included via the left join), so the
+    // per-(doc,term) log partials quantize to DECIMAL(18,12) before
+    // the per-doc sum (the q101/q114 ln discipline — exact, order-
+    // free) and the top-20 selects on the EXACT decimal total (no
+    // float ordering anywhere). Scale shape: one token scan; the term
+    // frame (3 rows), collection stats (1 row) and tf table
+    // (docs × matched terms) all broadcast-or-tiny; final top-k is a
+    // TakeOrdered, never a global sort.
+    "q253_ql_dirichlet" -> { (s, d) =>
+      import s.implicits._
+      import graft.Caching.ScopedPersist
+      val w = Tables.documents(s, d)
+        .select(col("doc_id"), explode(GraftFunctions.normWords(col("text"))).as("w"))
+        .scopedPersist() // consumers: len, cf, tot, tf
+      val len = w.groupBy(col("doc_id")).agg(count(lit(1)).as("len"))
+      val termsDf = Seq("data", "model", "training").toDF("t")
+      // terms absent from the collection have p(t|C) = 0 => ln(0);
+      // the QL convention drops them (they can't discriminate anyway)
+      val cf = broadcast(termsDf).join(w, col("w") === col("t"), "left")
+        .groupBy(col("t")).agg(count(col("w")).as("cf"))
+        .filter(col("cf") > 0)
+      val tot = w.agg(count(lit(1)).as("total"))
+      val tf = w.join(broadcast(termsDf), col("w") === col("t"))
+        .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+      len.crossJoin(broadcast(cf)).crossJoin(broadcast(tot))
+        .join(tf, Seq("doc_id", "t"), "left")
+        .select(col("doc_id"), col("len"),
+          log((coalesce(col("tf"), lit(0L)) +
+            lit(100.0) * col("cf") / col("total")) /
+            (col("len") + lit(100.0)))
+            .cast(DecimalType(18, 12)).as("sc"))
+        .groupBy(col("doc_id"), col("len"))
+        .agg(sum(col("sc")).as("ssum"))
+        .orderBy(col("ssum").desc, col("doc_id")).limit(20)
+        .select(col("doc_id"), col("len").as("n_tokens"),
+          round(col("ssum").cast("double"), 6).as("ql_score"))
+    },
 
     // §2.3 — context-window chunking: 64-token windows every 48
     // tokens (16-token overlap), trailing partial window kept.
@@ -442,6 +486,32 @@ object RetrievalQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+
+    "q253_ql_dirichlet" ->
+      """WITH w AS (SELECT doc_id,
+        |    unnest(list_filter(string_split(
+        |      regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' '),
+        |      x -> x <> '')) AS w
+        |  FROM documents),
+        |len AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS len
+        |        FROM w GROUP BY doc_id),
+        |terms AS (SELECT * FROM (VALUES ('data'), ('model'), ('training')) v(t)),
+        |cf0 AS (SELECT t, CAST(COUNT(w.w) AS BIGINT) AS cf
+        |        FROM terms LEFT JOIN w ON w.w = t GROUP BY t),
+        |cf AS (SELECT t, cf FROM cf0 WHERE cf > 0),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM w),
+        |tf AS (SELECT w.doc_id, w.w AS t, CAST(COUNT(*) AS BIGINT) AS tf
+        |       FROM w JOIN terms ON w.w = terms.t GROUP BY w.doc_id, w.w),
+        |parts AS (SELECT l.doc_id, l.len,
+        |    CAST(ln((COALESCE(tf.tf, 0) + 100.0 * c.cf / tot.total)
+        |      / (l.len + 100.0)) AS DECIMAL(18,12)) AS sc
+        |  FROM len l CROSS JOIN cf c CROSS JOIN tot
+        |  LEFT JOIN tf ON tf.doc_id = l.doc_id AND tf.t = c.t),
+        |score AS (SELECT doc_id, len, SUM(sc) AS ssum
+        |          FROM parts GROUP BY doc_id, len)
+        |SELECT doc_id, len AS n_tokens,
+        |  ROUND(CAST(ssum AS DOUBLE), 6) AS ql_score
+        |FROM score ORDER BY ssum DESC, doc_id LIMIT 20""".stripMargin,
 
     "q144_retrieval_eval" ->
       s"""WITH w0 AS (SELECT doc_id, $wsSql AS ws FROM documents),

@@ -1998,6 +1998,44 @@ object TextQueries {
         .orderBy(col("src_a"), col("src_b"))
     },
 
+    // §2.3 (round 14) — UNIGRAM^0.75 negative-sampling table
+    // (Mikolov'13 word2vec: negatives draw from the unigram
+    // distribution raised to 3/4 — the empirical sweet spot between
+    // uniform and raw-frequency — and every embedding/contrastive
+    // trainer since ships the same table; q209's hard-negative miner
+    // is the semantic sibling, this is the frequency-based one). Per
+    // word: weight = count^0.75 quantized to DECIMAL(18,6), share =
+    // weight / EXACT-decimal vocab total, cumulative share over the
+    // published top-50 (the alias-table/bisect cutoffs a sampler
+    // consumes). The cumulative window rides the 50-row limit (plan-
+    // audit bounded rule); the vocab total is one partial agg — the
+    // corpus never sorts. The pow() is the only libm call and it is
+    // quantized BEFORE any sum (the q234 exp discipline).
+    "q252_neg_sampling" -> { (s, d) =>
+      import graft.Caching.ScopedPersist
+      val wc = Tables.documents(s, d)
+        .select(explode(GraftFunctions.normWords(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+        .withColumn("w6", round(pow(col("c").cast("double"), 0.75), 6)
+          .cast(DecimalType(18, 6)))
+        .scopedPersist() // consumers: vocab total + top-50 slice
+      val totw = wc.agg(sum(col("w6")).as("totw"))
+      val top = wc.orderBy(col("c").desc, col("w")).limit(50)
+      val ranked = top.withColumn("rank", row_number().over(
+          Window.orderBy(col("c").desc, col("w"))))
+        .withColumn("cum", sum(col("w6")).over(
+          Window.orderBy(col("c").desc, col("w"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      ranked.crossJoin(broadcast(totw))
+        .select(col("rank"), col("w"), col("c"),
+          col("w6").cast("double").as("weight"),
+          round(col("w6").cast("double") / col("totw").cast("double"), 6)
+            .as("share"),
+          round(col("cum").cast("double") / col("totw").cast("double"), 6)
+            .as("cum_share"))
+        .orderBy(col("rank"))
+    },
+
     // §2.3 (round 13) — GOOD–TURING unseen-mass estimation (Good'53;
     // the frequency-of-frequencies statistic under Katz/Kneser-Ney
     // smoothing and the standard "how much vocabulary have we NOT
@@ -3544,6 +3582,23 @@ object TextQueries {
         |FROM sk GROUP BY skel_hash
         |HAVING COUNT(DISTINCT text) > 1
         |ORDER BY skel_hash""".stripMargin,
+
+    "q252_neg_sampling" ->
+      s"""WITH wc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c,
+         |    CAST(ROUND(pow(CAST(COUNT(*) AS DOUBLE), 0.75), 6)
+         |      AS DECIMAL(18,6)) AS w6
+         |  FROM (SELECT unnest($wsSql) AS w FROM documents) GROUP BY w),
+         |totw AS (SELECT SUM(w6) AS totw FROM wc),
+         |top AS (SELECT w, c, w6 FROM wc ORDER BY c DESC, w LIMIT 50),
+         |ranked AS (SELECT w, c, w6,
+         |    row_number() OVER (ORDER BY c DESC, w) AS rank,
+         |    SUM(w6) OVER (ORDER BY c DESC, w
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM top)
+         |SELECT rank, w, c, CAST(w6 AS DOUBLE) AS weight,
+         |  ROUND(CAST(w6 AS DOUBLE) / CAST(t.totw AS DOUBLE), 6) AS share,
+         |  ROUND(CAST(cum AS DOUBLE) / CAST(t.totw AS DOUBLE), 6) AS cum_share
+         |FROM ranked CROSS JOIN totw t ORDER BY rank""".stripMargin,
 
     "q249_textrank" ->
       """WITH sp AS (SELECT doc_id, string_split_regex(text, '[.!?]') AS arr

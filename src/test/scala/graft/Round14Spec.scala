@@ -191,6 +191,58 @@ class Round14Spec extends SparkSpecBase {
     }
   }
 
+  test("q252: sampling weights concave vs counts; cumulative share monotone") {
+    val r = TextQueries.queries("q252_neg_sampling")(spark, sf01)
+      .collect().sortBy(_.getAs[Int]("rank"))
+    assert(r.nonEmpty)
+    var prevCum = 0.0
+    var prevC = Long.MaxValue
+    r.foreach { row =>
+      val c = row.getAs[Long]("c"); val w = row.getAs[Double]("weight")
+      assert(c <= prevC, "rank order broken"); prevC = c
+      // concavity of ^0.75: weight grows slower than count
+      assert(w <= c.toDouble && w >= math.pow(c.toDouble, 0.75) - 1e-6)
+      val cum = row.getAs[Double]("cum_share")
+      assert(cum >= prevCum - 1e-9, "cumulative share not monotone")
+      prevCum = cum
+      assert(row.getAs[Double]("share") >= 0.0 && cum <= 1.0 + 1e-9)
+    }
+  }
+
+  test("q253: term-bearing docs outrank smoothing-only docs; scores negative") {
+    val top = graft.queries.RetrievalQueries.queries("q253_ql_dirichlet")(spark, sf01)
+      .collect()
+    assert(top.length == 20)
+    top.foreach(row => assert(row.getAs[Double]("ql_score") < 0.0))
+    // every top-20 doc should actually contain at least one query term:
+    // with mu=100 smoothing-only docs sit far below term-bearing ones
+    val terms = Set("data", "model", "training")
+    val ids = top.map(_.getAs[Long]("doc_id")).toSet
+    val hits = Tables.documents(spark, sf01)
+      .select(col("doc_id"), col("text")).collect()
+      .filter(r => ids.contains(r.getLong(0)))
+      .count(r => terms.exists(t =>
+        r.getString(1).toLowerCase.split("[^a-z0-9]+").contains(t)))
+    assert(hits == 20, s"only $hits of top-20 contain a query term")
+  }
+
+  test("q254: t sign tracks the mean difference; df in the Welch range") {
+    val r = graft.queries.OpsQueries.queries("q254_welch_ttest")(spark, sf01).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val t = row.getAs[Double]("t_stat")
+      val d = row.getAs[Double]("mean_s") - row.getAs[Double]("mean_rest")
+      assert(math.signum(t) == math.signum(d) || d == 0.0)
+      val n1 = row.getAs[Long]("n_docs")
+      val total = r.map(_.getAs[Long]("n_docs")).sum
+      val df = row.getAs[Double]("df")
+      // Welch-Satterthwaite bounds: min(n1,n2)-1 <= df <= n1+n2-2
+      assert(df >= math.min(n1, total - n1).toDouble - 1.0 - 1e-6,
+        s"df below the Welch lower bound: $row")
+      assert(df <= (total - 2).toDouble + 1e-6, s"df above n-2: $row")
+    }
+  }
+
   test("q244: 8 peel rounds reach the true 3-core fixpoint; member degrees >= 3") {
     val edges = Tables.orders(spark, sf01)
       .filter(col("o_orderkey") % 10 === 1)
