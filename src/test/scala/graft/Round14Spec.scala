@@ -243,6 +243,100 @@ class Round14Spec extends SparkSpecBase {
     }
   }
 
+  test("dynamic partition pruning fires on a partitioned-layout dim join") {
+    import spark.implicits._
+    // the partition-level complement to Snapshot's stats-file skipping
+    // (51c): when the fact table is laid out partitioned-by-key, a
+    // selective dim-side filter must reach the fact SCAN as a runtime
+    // partition filter — at 100 TB this is the difference between
+    // listing one partition and scanning the table.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dpp").toFile
+    try {
+      Tables.events(spark, sf01)
+        .write.mode("overwrite").partitionBy("event_type")
+        .parquet(tmp.toString)
+      val fact = spark.read.parquet(tmp.toString)
+      // dim must be file-backed: a LocalRelation's filter constant-
+      // folds away before the PartitionPruning rule can see it
+      val dimDir = java.nio.file.Files.createTempDirectory("graft_dpp_dim")
+        .resolve("dim").toFile
+      Seq(("purchase", 1L), ("click", 2L), ("view", 3L),
+        ("error", 4L), ("signup", 5L)).toDF("event_type", "type_id")
+        .write.parquet(dimDir.toString)
+      val dim = spark.read.parquet(dimDir.toString)
+      val joined = fact.join(dim.filter(col("type_id") === 1L), "event_type")
+      val planStr = joined.queryExecution.executedPlan.toString
+      assert(planStr.contains("dynamicpruning"),
+        s"no dynamic partition pruning in plan:\n$planStr")
+      val expected = Tables.events(spark, sf01)
+        .filter(col("event_type") === "purchase").count()
+      assert(joined.count() == expected)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+    }
+  }
+
+  test("streaming decayed top-k: trending burst overtakes a larger stale count, state bounded") {
+    import spark.implicits._
+    import graft.streaming.DecayTopK
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // batch 0: alpha x40 + noise x1; batches 1-3: beta x6 each.
+      // alpha's TOTAL (40) beats beta's (18), but halving per batch
+      // leaves alpha at 5 vs beta at 10 — trending wins. Exact
+      // trajectory: alpha 40→20→10→5; beta 6→9→10; noise prunes at 0.
+      val batches: Seq[Seq[String]] = Seq(
+        Seq.fill(40)("alpha") ++ Seq("noise"),
+        Seq.fill(6)("beta"), Seq.fill(6)("beta"), Seq.fill(6)("beta"))
+      val dir = java.nio.file.Files.createTempDirectory("graft-decaytopk")
+      batches.zipWithIndex.foreach { case (toks, i) =>
+        val stage = java.nio.file.Files.createTempDirectory(s"graft-decay-c$i")
+        toks.map(t => (0L, t)).toDF("shard", "token")
+          .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        val part = scala.jdk.CollectionConverters
+          .IteratorHasAsScala(java.nio.file.Files.list(stage).iterator()).asScala
+          .find(_.toString.endsWith(".parquet")).get
+        val dst = dir.resolve(f"chunk$i%02d.parquet")
+        java.nio.file.Files.move(part, dst)
+        java.nio.file.Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("shard",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("token",
+          org.apache.spark.sql.types.StringType)))
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dir.toString)
+        .as[DecayTopK.Tok]
+      val out = DecayTopK.monitor(stream, k = 3)
+      val (table, progress) = graft.streaming.EventStream
+        .runToCompletionAppendTracked(spark, out.toDF(), "graft_decay_topk")
+      val rows = table.collect()
+      val maxSeq = rows.map(_.getAs[Long]("seq")).max
+      assert(maxSeq == 4L, s"expected 4 shard batches, got $maxSeq")
+      val fin = rows.filter(_.getAs[Long]("seq") == maxSeq)
+        .map(r => (r.getAs[String]("token"), r.getAs[Long]("decayed")))
+        .sortBy { case (t, c) => (-c, t) }
+      assert(fin.headOption.contains(("beta", 10L)), s"final slice: ${fin.toSeq}")
+      assert(fin.contains(("alpha", 5L)), s"final slice: ${fin.toSeq}")
+      assert(!fin.exists(_._1 == "noise"), "pruned token resurfaced")
+      // one serialized map per active shard — never per token/batch
+      val perBatchRows = progress.map(_.stateOperators.map(_.numRowsTotal).sum)
+      assert(perBatchRows.nonEmpty && perBatchRows.max <= 1,
+        s"state rows exceed shard count: $perBatchRows")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("q244: 8 peel rounds reach the true 3-core fixpoint; member degrees >= 3") {
     val edges = Tables.orders(spark, sf01)
       .filter(col("o_orderkey") % 10 === 1)
