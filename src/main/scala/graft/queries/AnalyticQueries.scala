@@ -134,6 +134,42 @@ object AnalyticQueries {
         .orderBy(col("code"))
     },
 
+    // §2.1 (round 14) — ASSOCIATION-RULE mining over order baskets
+    // (Agrawal & Srikant VLDB'94 Apriori, at the 2-itemset level the
+    // SON/distributed shape reduces to): which brands co-occur in one
+    // order beyond chance — support, both directed confidences, and
+    // lift. Baskets dedupe to DISTINCT (order, brand) first (a brand
+    // twice in one order is one basket hit); pair generation is a
+    // WITHIN-basket self-join (a < b) — per-group quadratic bounded
+    // by basket width ≤ 13 here, the q223 pair contract — and the
+    // support filter is the integer compare 100·c ≥ n_orders (1%
+    // relative support, scale-invariant). Lift/conf are exact
+    // integers to one IEEE division each. Two partial-agg groupBys +
+    // a 25²-bounded rule frame; item supports broadcast onto it.
+    "q255_basket_rules" -> { (s, d) =>
+      val b = Tables.lineitem(s, d)
+        .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("ok"), col("p_brand").as("brand"))
+        .distinct()
+      val n = b.agg(countDistinct(col("ok")).as("n_orders"))
+      val supp = b.groupBy(col("brand")).agg(count(lit(1)).as("s"))
+      val pairs = b.as("x").join(b.as("y"),
+          col("x.ok") === col("y.ok") && col("x.brand") < col("y.brand"))
+        .groupBy(col("x.brand").as("a"), col("y.brand").as("b"))
+        .agg(count(lit(1)).as("c"))
+      pairs
+        .join(supp.select(col("brand").as("a"), col("s").as("sa")), "a")
+        .join(supp.select(col("brand").as("b"), col("s").as("sb")), "b")
+        .crossJoin(broadcast(n))
+        .filter(col("c") * 100 >= col("n_orders"))
+        .select(col("a"), col("b"), col("c").as("n_pair"),
+          round(col("c").cast("double") / col("sa"), 6).as("conf_ab"),
+          round(col("c").cast("double") / col("sb"), 6).as("conf_ba"),
+          round(col("c").cast("double") * col("n_orders")
+            / (col("sa") * col("sb")), 6).as("lift"))
+        .orderBy(col("a"), col("b"))
+    },
+
     // histogram binning: document-length distribution (the corpus
     // length histogram every training pipeline reports).
     "q66_histogram" -> { (s, d) =>
@@ -511,6 +547,27 @@ object AnalyticQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+
+    "q255_basket_rules" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS ok, p_brand AS brand
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |n AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders FROM b),
+        |supp AS (SELECT brand, CAST(COUNT(*) AS BIGINT) AS s
+        |         FROM b GROUP BY brand),
+        |pairs AS (SELECT x.brand AS a, y.brand AS b,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM b x JOIN b y ON x.ok = y.ok AND x.brand < y.brand
+        |  GROUP BY x.brand, y.brand)
+        |SELECT a, b, c AS n_pair,
+        |  ROUND(CAST(c AS DOUBLE) / sa.s, 6) AS conf_ab,
+        |  ROUND(CAST(c AS DOUBLE) / sb.s, 6) AS conf_ba,
+        |  ROUND(CAST(c AS DOUBLE) * n.n_orders / (sa.s * sb.s), 6) AS lift
+        |FROM pairs
+        |JOIN supp sa ON sa.brand = a
+        |JOIN supp sb ON sb.brand = b
+        |CROSS JOIN n
+        |WHERE c * 100 >= n.n_orders
+        |ORDER BY a, b""".stripMargin,
 
     "q245_jw_linkage" ->
       """WITH dirty0 AS (

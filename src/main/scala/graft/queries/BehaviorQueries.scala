@@ -19,6 +19,53 @@ object BehaviorQueries {
 
   val queries: Map[String, Q] = Map(
 
+    // §2.4 (round 14) — FIRST/LAST-TOUCH revenue attribution (the
+    // marketing-analytics standard next to the funnel 45j and
+    // retention 45k): each purchase's value credits the channel
+    // (event_type) of the user's FIRST and LAST non-purchase event in
+    // the 2-hour lookback — argmin/argmax over (ts, event_id) structs
+    // inside one per-user banded join, no windows. Purchase values
+    // quantize to DECIMAL(18,6) via round() BEFORE the per-channel
+    // sums (exact, order-free — the money discipline). The join is
+    // user-keyed with a time band; per-user event counts are bounded
+    // (~67 at sf0.01), the q51-banded-range-join contract; at 100 TB
+    // the band would bucket by hour exactly like q51.
+    "q256_attribution" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("tsm"), col("value"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"),
+          col("tsm").as("p_tsm"),
+          round(col("value"), 6).cast(DecimalType(18, 6)).as("p_val"))
+      val touches = ev.filter(col("event_type") =!= "purchase")
+        .select(col("user_id"), col("event_id").as("t_id"),
+          col("event_type").as("channel"), col("tsm").as("t_tsm"))
+      val attributed = purchases.join(touches, "user_id")
+        .filter(col("t_tsm") <= col("p_tsm") &&
+          col("t_tsm") > col("p_tsm") - expr("7200000000"))
+        .groupBy(col("p_id"), col("p_val"))
+        .agg(
+          min(struct(col("t_tsm"), col("t_id"), col("channel"))).as("ft"),
+          max(struct(col("t_tsm"), col("t_id"), col("channel"))).as("lt"))
+        .select(col("p_id"), col("p_val"),
+          col("ft")("channel").as("first_ch"),
+          col("lt")("channel").as("last_ch"))
+      val first = attributed.groupBy(col("first_ch").as("channel"))
+        .agg(count(lit(1)).as("n_first"),
+          sum(col("p_val")).cast("double").as("val_first"))
+      val last = attributed.groupBy(col("last_ch").as("channel"))
+        .agg(count(lit(1)).as("n_last"),
+          sum(col("p_val")).cast("double").as("val_last"))
+      first.join(last, Seq("channel"), "full_outer")
+        .select(col("channel"),
+          coalesce(col("n_first"), lit(0L)).as("n_first"),
+          coalesce(col("val_first"), lit(0.0)).as("val_first"),
+          coalesce(col("n_last"), lit(0L)).as("n_last"),
+          coalesce(col("val_last"), lit(0.0)).as("val_last"))
+        .orderBy(col("channel"))
+    },
+
     // ordered funnel view → click → purchase: each stage's first
     // eligible time must follow the previous stage's. Three bounded
     // aggregates, each a broadcast-sized (≤ n_users rows) join back.
@@ -215,6 +262,33 @@ object BehaviorQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+
+    "q256_attribution" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(ts) AS tsm, value FROM events),
+        |p AS (SELECT user_id, event_id AS p_id, tsm AS p_tsm,
+        |    CAST(ROUND(value, 6) AS DECIMAL(18,6)) AS p_val
+        |  FROM ev WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, event_id AS t_id, event_type AS channel,
+        |    tsm AS t_tsm FROM ev WHERE event_type <> 'purchase'),
+        |j AS (SELECT p.p_id, p.p_val, t.channel, t.t_tsm, t.t_id
+        |  FROM p JOIN t ON p.user_id = t.user_id
+        |    AND t.t_tsm <= p.p_tsm AND t.t_tsm > p.p_tsm - 7200000000),
+        |att AS (SELECT p_id, p_val,
+        |    first(channel ORDER BY t_tsm, t_id) AS first_ch,
+        |    first(channel ORDER BY t_tsm DESC, t_id DESC) AS last_ch
+        |  FROM j GROUP BY p_id, p_val),
+        |f AS (SELECT first_ch AS channel, CAST(COUNT(*) AS BIGINT) AS n_first,
+        |    CAST(SUM(p_val) AS DOUBLE) AS val_first
+        |  FROM att GROUP BY first_ch),
+        |l AS (SELECT last_ch AS channel, CAST(COUNT(*) AS BIGINT) AS n_last,
+        |    CAST(SUM(p_val) AS DOUBLE) AS val_last
+        |  FROM att GROUP BY last_ch)
+        |SELECT COALESCE(f.channel, l.channel) AS channel,
+        |  COALESCE(n_first, 0) AS n_first, COALESCE(val_first, 0.0) AS val_first,
+        |  COALESCE(n_last, 0) AS n_last, COALESCE(val_last, 0.0) AS val_last
+        |FROM f FULL OUTER JOIN l ON f.channel = l.channel
+        |ORDER BY channel""".stripMargin,
 
     "q190_preference_pairs" ->
       """WITH ev AS (

@@ -175,6 +175,47 @@ object SketchQueries {
           round(KmvFunctions.kmvJaccard(col("ska"), col("skb")), 6)
             .as("est_jaccard"))
         .orderBy(col("s1"), col("s2"))
+    },
+
+    // §2.3 (round 14) — ROLLING-WINDOW DISTINCT via Apache
+    // DataSketches HLL (Spark 4's hll_sketch_agg/hll_union_agg): the
+    // "7-day active users" class of metric. Exact rolling distinct
+    // re-scans every window (each day's users shuffle once per window
+    // they touch); the sketch path builds ONE day-sized sketch per
+    // day (map-side-combining aggregate) and every window is a UNION
+    // of the member sketches — day sketches roll up to ANY window
+    // without touching raw data again, the mergeability contract that
+    // pays for itself at 100 TB. 3-day windows over the 30-day events
+    // table via a bounded day×offset expansion; exact rolling
+    // distinct rides along as the audit column (the q217/q224/q226
+    // contract). Rows-only by design (DataSketches internals have no
+    // SQL oracle); Round14Spec pins relative error ≤ 4% per window
+    // and day-merge ≡ direct-window-build consistency.
+    "q257_rolling_hll" -> { (s, d) =>
+      import graft.Caching.ScopedPersist
+      val ev = Tables.events(s, d)
+        .select((unix_micros(col("ts")) / lit(86400000000L)).cast("long")
+          .as("day"), col("user_id"))
+        .scopedPersist() // consumers: day sketches + exact audit
+      val daySk = ev.groupBy(col("day"))
+        .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+      val offsets = ev.sparkSession.range(3).select(col("id").as("off"))
+      val windowed = daySk.crossJoin(broadcast(offsets))
+        .select((col("day") + col("off")).as("win_day"), col("sk"))
+      val est = windowed.groupBy(col("win_day"))
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk, true))")
+          .cast("long").as("est_3d"),
+          count(lit(1)).as("n_days"))
+        .filter(col("n_days") === 3) // complete windows only
+      val exact = ev.crossJoin(broadcast(offsets))
+        .select((col("day") + col("off")).as("win_day"), col("user_id"))
+        .groupBy(col("win_day"))
+        .agg(countDistinct(col("user_id")).as("exact_3d"))
+      est.join(exact, "win_day")
+        .select(col("win_day"), col("exact_3d"), col("est_3d"),
+          round(abs(col("est_3d") - col("exact_3d")).cast("double")
+            / col("exact_3d"), 6).as("rel_err"))
+        .orderBy(col("win_day"))
     }
   )
 

@@ -337,6 +337,61 @@ class Round14Spec extends SparkSpecBase {
     }
   }
 
+  test("q255: rule identities hold; supports dominate pair counts") {
+    val r = graft.queries.AnalyticQueries.queries("q255_basket_rules")(spark, sf01).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val c = row.getAs[Long]("n_pair")
+      val confAb = row.getAs[Double]("conf_ab")
+      val confBa = row.getAs[Double]("conf_ba")
+      val lift = row.getAs[Double]("lift")
+      assert(confAb > 0.0 && confAb <= 1.0 && confBa > 0.0 && confBa <= 1.0)
+      assert(lift > 0.0)
+      assert(c >= 1)
+      // lift = conf_ab / P(b) => lift/conf relations stay consistent:
+      // conf_ab/conf_ba = supp_b/supp_a, so their ratio is finite
+      assert(!lift.isNaN && !lift.isInfinite)
+    }
+  }
+
+  test("q256: attributed purchase counts conserved between first- and last-touch") {
+    val r = graft.queries.BehaviorQueries.queries("q256_attribution")(spark, sf01).collect()
+    assert(r.nonEmpty)
+    val nFirst = r.map(_.getAs[Long]("n_first")).sum
+    val nLast = r.map(_.getAs[Long]("n_last")).sum
+    assert(nFirst == nLast, "every attributed purchase has exactly one first and one last touch")
+    val vFirst = r.map(_.getAs[Double]("val_first")).sum
+    val vLast = r.map(_.getAs[Double]("val_last")).sum
+    assert(math.abs(vFirst - vLast) < 1e-6, "value conservation broken")
+    assert(r.forall(_.getAs[String]("channel") != "purchase"))
+  }
+
+  test("q257: HLL rolling estimates within 4%; day-merge equals direct window build") {
+    import org.apache.spark.sql.functions.{expr => e}
+    val r = graft.queries.SketchQueries.queries("q257_rolling_hll")(spark, sf01).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getAs[Double]("rel_err") <= 0.04,
+        s"window estimate off by > 4%: $row")
+    }
+    // mergeability: union of per-day sketches == sketch built over the
+    // union of days, for one concrete window
+    val ev = Tables.events(spark, sf01)
+      .select((unix_micros(col("ts")) / lit(86400000000L)).cast("long").as("day"),
+        col("user_id"))
+    val days = ev.select("day").distinct().orderBy("day")
+      .collect().map(_.getLong(0)).take(3)
+    val direct = ev.filter(col("day").isin(days: _*))
+      .agg(e("CAST(hll_sketch_estimate(hll_sketch_agg(user_id, 14)) AS LONG)"))
+      .head().getLong(0)
+    val merged = ev.filter(col("day").isin(days: _*))
+      .groupBy(col("day")).agg(e("hll_sketch_agg(user_id, 14)").as("sk"))
+      .agg(e("CAST(hll_sketch_estimate(hll_union_agg(sk, true)) AS LONG)"))
+      .head().getLong(0)
+    assert(direct == merged,
+      s"sketch of union ($direct) != union of sketches ($merged)")
+  }
+
   test("q244: 8 peel rounds reach the true 3-core fixpoint; member degrees >= 3") {
     val edges = Tables.orders(spark, sf01)
       .filter(col("o_orderkey") % 10 === 1)
