@@ -290,7 +290,7 @@ object Stress {
   def main(args: Array[String]): Unit = {
     val srcDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val stressDir = args.lift(1).getOrElse("/tmp/graft_stress10")
-    val outJson = args.lift(2).getOrElse("STRESS_r13.json")
+    val outJson = args.lift(2).getOrElse("STRESS_r14.json")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -386,11 +386,23 @@ object Stress {
     // exact baseline AND the LSH scale path
     val emb20k = spark.read.parquet(s"$stressDir/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
+    val stressDocs0 = spark.read.parquet(s"$stressDir/documents.parquet")
     val opResults = if (streamsOnly) Seq.empty[String] else Seq(
       timed("semdedup_exact_20k",
         Similarity.semanticDedupExact(emb20k, tau = 0.999)),
       timed("semdedup_lsh_20k",
-        Similarity.semanticDedupLsh(emb20k, tau = 0.999)))
+        Similarity.semanticDedupLsh(emb20k, tau = 0.999)),
+      // round 14: the EXACT PPJoin set-similarity join at 501k docs.
+      // t = 0.8 keeps the exact-copy cliques (J = 1) and excludes the
+      // every-13th-word mutants (J ≈ 0.63); the output is still
+      // inherently quadratic in group size — the 20-copy families emit
+      // C(20,2) pairs each and the 1000-copy hot doc emits C(1020,2)
+      // ≈ 520k pairs alone, which is the exact join's honest contract
+      // (the LSH+CC path q59 collapses those same groups into one
+      // component each). Candidate generation stays Σ df_prefix².
+      timed("setsim_join_t08_501k",
+        Dedup.setSimJoin(stressDocs0, "doc_id", "text",
+          shingleWidth = 3, tNum = 4, tDen = 5)))
 
     // guard diagnostics: did the stress corpus actually trigger the
     // hot-bucket machinery? (cap is 64 in lshCandidatePairs)
@@ -407,7 +419,7 @@ object Stress {
     val loadEnd = loadavg1()
 
     val json =
-      s"""{"round":13,"corpus":{"docs":$nDocs,"chars":$nChars,"vectors":$nVecs,"recipe":"per sf0.1 doc: 20 exact copies + 20 near-dup mutants (every 13th word) + 20 tripled-long distinct + 40 distinct; 1000-copy hot doc; 80% source=web skew; embeddings 10x with per-replica perturbation"},""" +
+      s"""{"round":14,"corpus":{"docs":$nDocs,"chars":$nChars,"vectors":$nVecs,"recipe":"per sf0.1 doc: 20 exact copies + 20 near-dup mutants (every 13th word) + 20 tripled-long distinct + 40 distinct; 1000-copy hot doc; 80% source=web skew; embeddings 10x with per-replica perturbation"},""" +
         s""""guards":{"lsh_max_bucket":${bStats.getLong(0)},"lsh_buckets_over_cap64":${bStats.getLong(1)},"note":"buckets over the 64 cap degrade to linear chain pairs (Dedup.lshCandidatePairs); the 1000-copy hot family fires this organically"},""" +
         s""""queries":{${qResults.mkString(",")}},""" +
         s""""operators":{${opResults.mkString(",")}},""" +

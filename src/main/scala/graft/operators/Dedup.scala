@@ -88,6 +88,60 @@ object Dedup {
       explode(GraftFunctions.wordShingles(col("ws"), shingleWidth)).as("sh"))
   }
 
+  /** EXACT set-similarity self-join by PREFIX FILTERING (AllPairs/
+    * PPJoin — Bayardo WWW'07, Xiao'08), threshold t = tNum/tDen over
+    * Jaccard on `shingleWidth`-word shingle SETS. The deterministic
+    * alternative to MinHash-LSH: zero false negatives by
+    * construction. Prefix principle: under any global token order,
+    * J(A,B) ≥ t implies the first |s| − ⌈t·|s|⌉ + 1 tokens of each
+    * share one; ordering by (df, token) puts the RAREST tokens in
+    * the prefix so candidate cost is Σ df_prefix². All threshold
+    * math is integer (⌈tN·n/tD⌉ = (tN·n + tD−1) div tD; J ≥ t ⇔
+    * tD·inter ≥ tN·union; length filter tD·min ≥ tN·max) — no float
+    * compares before the final display division. Verify counts exact
+    * intersections by joining candidates back to the shingle table —
+    * quadratic work strictly BEHIND the candidate generator. NOTE on
+    * duplicate GROUPS: the exact join's output is inherently
+    * quadratic in group size (a g-copy family emits C(g,2) pairs) —
+    * that is the contract's cost, and the reason LSH+CC (q59) stays
+    * the default at 100 TB while this runs on audit slices.
+    */
+  def setSimJoin(docs: DataFrame, idCol: String, textCol: String,
+                 shingleWidth: Int, tNum: Int, tDen: Int): DataFrame = {
+    require(tNum > 0 && tNum < tDen, s"threshold $tNum/$tDen out of (0,1)")
+    val sh = docs.select(col(idCol).as("doc_id"),
+        explode(GraftFunctions.shingleSet(
+          GraftFunctions.normWords(col(textCol)), shingleWidth)).as("w"))
+      .scopedPersist() // consumers: df, sizes, prefix ranks, verify join ×2
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val dfc = sh.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val pref = sh.join(dfc, "w")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("w"))))
+      .join(sz, "doc_id")
+      .filter(col("rn") <=
+        col("n") - expr(s"($tNum * n + ${tDen - 1}) div $tDen") + 1)
+      .select(col("doc_id"), col("w"), col("n"))
+    val cand = pref.as("pa")
+      .join(pref.as("pb"), col("pa.w") === col("pb.w") &&
+        col("pa.doc_id") < col("pb.doc_id"))
+      .filter(col("pa.n") * tDen >= col("pb.n") * tNum &&
+        col("pb.n") * tDen >= col("pa.n") * tNum)
+      .select(col("pa.doc_id").as("a"), col("pb.doc_id").as("b"))
+      .distinct()
+    cand
+      .join(sh.select(col("doc_id").as("a"), col("w")), "a")
+      .join(sh.select(col("doc_id").as("b"), col("w")), Seq("b", "w"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_inter"))
+      .join(sz.select(col("doc_id").as("a"), col("n").as("na")), "a")
+      .join(sz.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+      .select(col("a"), col("b"), col("n_inter"),
+        (col("na") + col("nb") - col("n_inter")).as("n_union"))
+      .filter(col("n_inter") * tDen >= col("n_union") * tNum)
+      .select(col("a"), col("b"), col("n_inter"), col("n_union"),
+        round(col("n_inter").cast("double") / col("n_union"), 6).as("jac"))
+  }
+
   /** Fused md5 LSH band path: per-seed minima AND the per-band
     * signature fold happen in ONE doc_id aggregation — band b's sig is
     * md5 over its seeds' minima column-wise, so the posexplode→

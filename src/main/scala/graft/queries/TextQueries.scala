@@ -1874,37 +1874,8 @@ object TextQueries {
     // brute-force join — feasible on shingle keys precisely because
     // the same rarity that makes the prefix filter work keeps df low.
     "q247_setsim_join" -> { (s, d) =>
-      import graft.Caching.ScopedPersist
-      val sh = plantedCorpus(s, d)
-        .select(col("doc_id"), explode(GraftFunctions.shingleSet(
-          GraftFunctions.normWords(col("text")), 3)).as("w"))
-        .scopedPersist() // consumers: df, sizes, prefix ranks, verify join ×2
-      val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val dfc = sh.groupBy(col("w")).agg(count(lit(1)).as("df"))
-      val pref = sh.join(dfc, "w")
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("doc_id")).orderBy(col("df"), col("w"))))
-        .join(sz, "doc_id")
-        .filter(col("rn") <= col("n") - expr("(n*6+9) div 10") + 1)
-        .select(col("doc_id"), col("w"), col("n"))
-      val cand = pref.as("pa")
-        .join(pref.as("pb"), col("pa.w") === col("pb.w") &&
-          col("pa.doc_id") < col("pb.doc_id"))
-        .filter(col("pa.n") * 5 >= col("pb.n") * 3 &&
-          col("pb.n") * 5 >= col("pa.n") * 3)
-        .select(col("pa.doc_id").as("a"), col("pb.doc_id").as("b"))
-        .distinct()
-      cand
-        .join(sh.select(col("doc_id").as("a"), col("w")), "a")
-        .join(sh.select(col("doc_id").as("b"), col("w")), Seq("b", "w"))
-        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_inter"))
-        .join(sz.select(col("doc_id").as("a"), col("n").as("na")), "a")
-        .join(sz.select(col("doc_id").as("b"), col("n").as("nb")), "b")
-        .select(col("a"), col("b"), col("n_inter"),
-          (col("na") + col("nb") - col("n_inter")).as("n_union"))
-        .filter(col("n_inter") * 5 >= col("n_union") * 3)
-        .select(col("a"), col("b"), col("n_inter"), col("n_union"),
-          round(col("n_inter").cast("double") / col("n_union"), 6).as("jac"))
+      Dedup.setSimJoin(plantedCorpus(s, d), "doc_id", "text",
+        shingleWidth = 3, tNum = 3, tDen = 5)
         .orderBy(col("a"), col("b"))
     },
 
@@ -1996,6 +1967,29 @@ object TextQueries {
           round(col("num").cast("double") / (col("tot_a") * col("tot_b")), 6)
             .as("l1_dist"))
         .orderBy(col("src_a"), col("src_b"))
+    },
+
+    // §2.3 (round 14) — grid-cell DBSCAN density clustering
+    // (Ester'96) on the embedding table's first two dimensions in
+    // exact integer micro-units (the demo projection; production
+    // points come from PCA q171). Centroid methods must assign every
+    // point; DBSCAN labels NOISE — the semantics behind embedding-
+    // space outlier curation (q142's distance-audit sibling). eps =
+    // 0.015, minPts = 4; candidate pairs via the 3×3 ε-grid (a 9-row
+    // broadcast offset frame), exact integer ε-predicate, core
+    // clusters through the pointer-jumping CC operator, border →
+    // minimum neighboring core cluster, rest noise. Oracled by the
+    // full O(n²) brute-force join + recursive closure — feasible at
+    // these point counts, and equality PROVES the grid generated
+    // every ε-pair (zero false negatives, the q247 contract).
+    "q258_dbscan" -> { (s, d) =>
+      val pts = Tables.embeddings(s, d).select(col("vec_id").as("id"),
+        round(element_at(col("embedding"), 1).cast("double") * 1000000, 0)
+          .cast("long").as("x"),
+        round(element_at(col("embedding"), 2).cast("double") * 1000000, 0)
+          .cast("long").as("y"))
+      graft.operators.Density.dbscan2d(pts, eps = 15000L, minPts = 4)
+        .orderBy(col("vec_id"))
     },
 
     // §2.3 (round 14) — UNIGRAM^0.75 negative-sampling table
@@ -3582,6 +3576,44 @@ object TextQueries {
         |FROM sk GROUP BY skel_hash
         |HAVING COUNT(DISTINCT text) > 1
         |ORDER BY skel_hash""".stripMargin,
+
+    "q258_dbscan" ->
+      """WITH RECURSIVE p AS (SELECT vec_id,
+        |    CAST(ROUND(CAST(embedding[1] AS DOUBLE) * 1000000, 0) AS BIGINT) AS x,
+        |    CAST(ROUND(CAST(embedding[2] AS DOUBLE) * 1000000, 0) AS BIGINT) AS y
+        |  FROM embeddings),
+        |prs AS (SELECT a.vec_id AS a, b.vec_id AS b
+        |  FROM p a JOIN p b ON a.vec_id < b.vec_id
+        |    AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+        |        <= 15000 * 15000),
+        |sym AS (SELECT a AS u, b AS v FROM prs
+        |        UNION ALL SELECT b, a FROM prs),
+        |deg AS (SELECT u AS id, CAST(COUNT(*) AS BIGINT) AS c
+        |        FROM sym GROUP BY u),
+        |core AS (SELECT p.vec_id AS id FROM p
+        |  LEFT JOIN deg ON deg.id = p.vec_id
+        |  WHERE COALESCE(deg.c, 0) + 1 >= 4),
+        |ce AS (SELECT a, b FROM prs
+        |  WHERE a IN (SELECT id FROM core) AND b IN (SELECT id FROM core)),
+        |cesym AS (SELECT a, b FROM ce UNION SELECT b, a FROM ce),
+        |reach AS (SELECT a, b FROM cesym
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN cesym e ON r.b = e.a),
+        |ccl AS (SELECT a AS id, least(a, MIN(b)) AS cl
+        |        FROM reach GROUP BY a),
+        |corecl AS (SELECT c.id, COALESCE(ccl.cl, c.id) AS cl
+        |  FROM core c LEFT JOIN ccl ON ccl.id = c.id),
+        |border AS (SELECT s.u AS id, MIN(k.cl) AS cl
+        |  FROM sym s JOIN corecl k ON k.id = s.v
+        |  WHERE s.u NOT IN (SELECT id FROM core) GROUP BY s.u)
+        |SELECT p.vec_id AS vec_id,
+        |  CASE WHEN cc.cl IS NOT NULL THEN 'core'
+        |       WHEN bb.cl IS NOT NULL THEN 'border'
+        |       ELSE 'noise' END AS role,
+        |  COALESCE(cc.cl, bb.cl, -1) AS cluster
+        |FROM p LEFT JOIN corecl cc ON cc.id = p.vec_id
+        |       LEFT JOIN border bb ON bb.id = p.vec_id
+        |ORDER BY vec_id""".stripMargin,
 
     "q252_neg_sampling" ->
       s"""WITH wc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c,

@@ -392,6 +392,31 @@ class Round14Spec extends SparkSpecBase {
       s"sketch of union ($direct) != union of sketches ($merged)")
   }
 
+  test("q258: DBSCAN role/cluster consistency laws hold") {
+    val r = TextQueries.queries("q258_dbscan")(spark, sf01).collect()
+    assert(r.length == Tables.embeddings(spark, sf01).count())
+    val roles = r.groupBy(_.getAs[String]("role")).view.mapValues(_.length).toMap
+    assert(roles.getOrElse("core", 0) > 0, "no core points at sf0.01")
+    assert(roles.getOrElse("noise", 0) > 0, "no noise points at sf0.01")
+    r.foreach { row =>
+      val role = row.getAs[String]("role")
+      val cl = row.getAs[Long]("cluster")
+      if (role == "noise") assert(cl == -1L)
+      else assert(cl >= 0L, s"clustered point without cluster: $row")
+      if (role == "core") {
+        // min-label convention: a core's cluster id is <= its own id
+        assert(cl <= row.getAs[Long]("vec_id"))
+      }
+    }
+    // cluster ids name core points: every cluster id is a core vec_id
+    val coreIds = r.filter(_.getAs[String]("role") == "core")
+      .map(_.getAs[Long]("vec_id")).toSet
+    r.filter(_.getAs[Long]("cluster") >= 0).foreach { row =>
+      assert(coreIds.contains(row.getAs[Long]("cluster")),
+        s"cluster id is not a core point: $row")
+    }
+  }
+
   test("q244: 8 peel rounds reach the true 3-core fixpoint; member degrees >= 3") {
     val edges = Tables.orders(spark, sf01)
       .filter(col("o_orderkey") % 10 === 1)
