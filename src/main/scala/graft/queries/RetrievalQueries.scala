@@ -473,13 +473,19 @@ object RetrievalQueries {
         picks = picks.unionByName(pickEmb
           .select(lit(step.toLong).as("step"), col("p_id").as("vec_id"),
             col("radius_u")))
-        state = state.crossJoin(pickEmb.select(col("p_id"), col("p_emb")))
-          .filter(col("vec_id") =!= col("p_id"))
-          .select(col("vec_id"), col("embedding"),
-            least(col("d_u"),
-              lit(1000000L) - cosU(col("embedding"), col("p_emb")))
-              .as("d_u"))
-          .loopCheckpoint()
+        // the final round's re-min is DEAD state (no later pick reads
+        // it): checkpointing it would persist blocks no caller-visible
+        // plan references, leaving their release to ContextCleaner GC
+        // timing — the one PersistSweep flake in the tree (round 14)
+        if (step < 8) {
+          state = state.crossJoin(pickEmb.select(col("p_id"), col("p_emb")))
+            .filter(col("vec_id") =!= col("p_id"))
+            .select(col("vec_id"), col("embedding"),
+              least(col("d_u"),
+                lit(1000000L) - cosU(col("embedding"), col("p_emb")))
+                .as("d_u"))
+            .loopCheckpoint()
+        }
       }
       picks.orderBy(col("step"))
     }
