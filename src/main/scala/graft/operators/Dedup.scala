@@ -109,32 +109,50 @@ object Dedup {
   def setSimJoin(docs: DataFrame, idCol: String, textCol: String,
                  shingleWidth: Int, tNum: Int, tDen: Int): DataFrame = {
     require(tNum > 0 && tNum < tDen, s"threshold $tNum/$tDen out of (0,1)")
+    // Shingles travel as 60-bit md5-derived LONG keys, never as
+    // strings: the token table, the prefix inverted index and the
+    // verify arrays all move 8-byte keys (the r14 stress measured the
+    // string form at 37 GB shuffle on 501k docs — hashing the token
+    // space is the difference between shipping text and shipping
+    // keys). "Exact" rides the same md5-collision assumption as q30's
+    // exact dedup, and BOTH engines hash identically, so the oracle
+    // equality still proves the pipeline end to end.
     val sh = docs.select(col(idCol).as("doc_id"),
         explode(GraftFunctions.shingleSet(
           GraftFunctions.normWords(col(textCol)), shingleWidth)).as("w"))
-      .scopedPersist() // consumers: df, sizes, prefix ranks, verify join ×2
-    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val dfc = sh.groupBy(col("w")).agg(count(lit(1)).as("df"))
-    val pref = sh.join(dfc, "w")
+      .select(col("doc_id"),
+        conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long").as("h"))
+      .distinct() // a same-doc 60-bit collision must collapse to ONE key
+      .scopedPersist() // consumers: df, sizes+arrays, prefix ranks
+    // per-doc size AND the sorted key array for the verify stage — the
+    // arrays are |set|×8 bytes, so the candidate join ships ~300 B per
+    // doc side instead of re-exploding the token table per pair
+    val docSets = sh.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"), sort_array(collect_list(col("h"))).as("hs"))
+      .scopedPersist() // consumers: prefix length join + verify join ×2
+    val dfc = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val pref = sh.join(dfc, "h")
       .withColumn("rn", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("w"))))
-      .join(sz, "doc_id")
+        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))))
+      .join(docSets.select(col("doc_id"), col("n")), "doc_id")
       .filter(col("rn") <=
         col("n") - expr(s"($tNum * n + ${tDen - 1}) div $tDen") + 1)
-      .select(col("doc_id"), col("w"), col("n"))
+      .select(col("doc_id"), col("h"), col("n"))
     val cand = pref.as("pa")
-      .join(pref.as("pb"), col("pa.w") === col("pb.w") &&
+      .join(pref.as("pb"), col("pa.h") === col("pb.h") &&
         col("pa.doc_id") < col("pb.doc_id"))
       .filter(col("pa.n") * tDen >= col("pb.n") * tNum &&
         col("pb.n") * tDen >= col("pa.n") * tNum)
       .select(col("pa.doc_id").as("a"), col("pb.doc_id").as("b"))
       .distinct()
     cand
-      .join(sh.select(col("doc_id").as("a"), col("w")), "a")
-      .join(sh.select(col("doc_id").as("b"), col("w")), Seq("b", "w"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_inter"))
-      .join(sz.select(col("doc_id").as("a"), col("n").as("na")), "a")
-      .join(sz.select(col("doc_id").as("b"), col("n").as("nb")), "b")
+      .join(docSets.select(col("doc_id").as("a"), col("n").as("na"),
+        col("hs").as("ha")), "a")
+      .join(docSets.select(col("doc_id").as("b"), col("n").as("nb"),
+        col("hs").as("hb")), "b")
+      .select(col("a"), col("b"),
+        size(array_intersect(col("ha"), col("hb"))).cast("long").as("n_inter"),
+        col("na"), col("nb"))
       .select(col("a"), col("b"), col("n_inter"),
         (col("na") + col("nb") - col("n_inter")).as("n_union"))
       .filter(col("n_inter") * tDen >= col("n_union") * tNum)

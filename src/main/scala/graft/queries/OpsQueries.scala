@@ -902,6 +902,78 @@ object OpsQueries {
         .orderBy(col("k"))
     },
 
+    // §2.3 (round 14) — BENFORD first-digit audit (Newcomb 1881 /
+    // Benford '38; the forensic-accounting screen — fabricated or
+    // unit-mangled numeric feeds drift from the log distribution long
+    // before totals look wrong): exact cents (the money discipline)
+    // render to a BIGINT string — integer formatting is engine-
+    // identical, unlike double formatting — and the first character
+    // is the first significant digit (×100 preserves it). Per digit:
+    // count, observed share, the Benford expectation log10(1 + 1/d),
+    // delta, and the digit's chi-square contribution. One narrow scan
+    // + one 9-row groupBy.
+    "q259_benford" -> { (s, d) =>
+      val cents = round(col("o_totalprice") * 100, 0).cast("long")
+      val digits = Tables.orders(s, d)
+        .filter(col("o_totalprice") > 0)
+        .select(substring(cents.cast("string"), 1, 1).cast("int").as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      val tot = digits.agg(sum(col("n")).as("total"))
+      digits.crossJoin(broadcast(tot))
+        // ln-ratio form, textually mirrored in the oracle — engines'
+        // dedicated log10 and change-of-base log can differ in ulp
+        .withColumn("p_benford", expr("ln(1.0 + 1.0 / digit) / ln(10.0)"))
+        .select(col("digit"), col("n"),
+          round(col("n").cast("double") / col("total"), 6).as("share"),
+          round(col("p_benford"), 6).as("benford_share"),
+          round(col("n").cast("double") / col("total") - col("p_benford"), 6)
+            .as("delta"),
+          round(pow(col("n").cast("double") - col("total") * col("p_benford"), 2.0)
+            / (col("total") * col("p_benford")), 6).as("chi2_part"))
+        .orderBy(col("digit"))
+    },
+
+    // §2.3 (round 14) — MANN–WHITNEY U rank-sum test per source vs
+    // rest (Wilcoxon '45 / Mann & Whitney '47; the NONPARAMETRIC
+    // companion to q254's Welch t — the right test when lengths are
+    // skewed, which corpus lengths always are). The classic blocker
+    // at scale is the global rank sort; here ranks derive from the
+    // BOUNDED VALUE DOMAIN instead: per distinct value, DOUBLED
+    // midrank R2(v) = 2·|{x < v}| + m_v + 1 is an exact integer from
+    // a domain-sized cumulative window (aggregate beneath — the
+    // plan-audit bounded rule), so no corpus row ever sorts. Per
+    // source: U from exact integer rank sums, tie-corrected normal
+    // z via textually identical IEEE chains (the q254 contract).
+    "q260_mann_whitney" -> { (s, d) =>
+      import graft.Caching.ScopedPersist
+      val vc = Tables.documents(s, d)
+        .groupBy(col("source"), col("n_chars").as("v"))
+        .agg(count(lit(1)).as("c"))
+        .scopedPersist() // consumers: domain totals + per-source sums
+      val dom = vc.groupBy(col("v")).agg(sum(col("c")).as("m"))
+        .withColumn("cumBefore",
+          coalesce(sum(col("m")).over(Window.orderBy(col("v"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("v"), col("m"),
+          (lit(2L) * col("cumBefore") + col("m") + 1L).as("r2"))
+      val ties = dom.agg(sum(col("m") * col("m") * col("m") - col("m"))
+        .as("tsum"), sum(col("m")).as("nn"))
+      val per = vc.join(dom.select(col("v"), col("r2")), "v")
+        .groupBy(col("source"))
+        .agg(sum(col("c")).as("n_s"), sum(col("c") * col("r2")).as("r2_s"))
+      per.crossJoin(broadcast(ties))
+        .withColumn("n_r", col("nn") - col("n_s"))
+        .withColumn("u", expr("CAST(r2_s - n_s * (n_s + 1) AS DOUBLE) / 2"))
+        .withColumn("mu", expr("CAST(n_s AS DOUBLE) * n_r / 2"))
+        .withColumn("sig2", expr(
+          "CAST(n_s AS DOUBLE) * n_r / 12 * ((nn + 1) " +
+            "- CAST(tsum AS DOUBLE) / (nn * (nn - 1)))"))
+        .select(col("source"), col("n_s"),
+          col("u").as("u_stat"),
+          round(expr("(u - mu) / sqrt(sig2)"), 6).as("z"))
+        .orderBy(col("source"))
+    },
+
     // §2.3 (round 14) — WELCH two-sample t-test per source vs rest
     // (Welch '47, the unequal-variance test every A/B framework
     // defaults to): "is this source's length distribution different
@@ -941,6 +1013,47 @@ object OpsQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+
+    "q259_benford" ->
+      """WITH d AS (SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100, 0)
+        |      AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        |  FROM orders WHERE o_totalprice > 0),
+        |g AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY digit),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM g)
+        |SELECT digit, n,
+        |  ROUND(CAST(n AS DOUBLE) / total, 6) AS share,
+        |  ROUND(ln(1.0 + 1.0 / digit) / ln(10.0), 6) AS benford_share,
+        |  ROUND(CAST(n AS DOUBLE) / total
+        |    - ln(1.0 + 1.0 / digit) / ln(10.0), 6) AS delta,
+        |  ROUND(pow(CAST(n AS DOUBLE)
+        |      - total * (ln(1.0 + 1.0 / digit) / ln(10.0)), 2.0)
+        |    / (total * (ln(1.0 + 1.0 / digit) / ln(10.0))), 6) AS chi2_part
+        |FROM g CROSS JOIN t ORDER BY digit""".stripMargin,
+
+    "q260_mann_whitney" ->
+      """WITH vc AS (SELECT source, n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY source, n_chars),
+        |dom0 AS (SELECT v, CAST(SUM(c) AS BIGINT) AS m FROM vc GROUP BY v),
+        |dom AS (SELECT v, m,
+        |    COALESCE(SUM(m) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        |  FROM dom0),
+        |dom2 AS (SELECT v, m, 2 * cb + m + 1 AS r2 FROM dom),
+        |ties AS (SELECT CAST(SUM(m * m * m - m) AS BIGINT) AS tsum,
+        |         CAST(SUM(m) AS BIGINT) AS nn FROM dom2),
+        |per AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_s,
+        |        CAST(SUM(c * r2) AS BIGINT) AS r2_s
+        |  FROM vc JOIN dom2 USING (v) GROUP BY source),
+        |b AS (SELECT source, n_s, nn - n_s AS n_r, r2_s, tsum, nn
+        |      FROM per CROSS JOIN ties),
+        |b2 AS (SELECT source, n_s,
+        |    CAST(r2_s - n_s * (n_s + 1) AS DOUBLE) / 2 AS u,
+        |    CAST(n_s AS DOUBLE) * n_r / 2 AS mu,
+        |    CAST(n_s AS DOUBLE) * n_r / 12 * ((nn + 1)
+        |      - CAST(tsum AS DOUBLE) / (nn * (nn - 1))) AS sig2
+        |  FROM b)
+        |SELECT source, n_s, u AS u_stat, ROUND((u - mu) / sqrt(sig2), 6) AS z
+        |FROM b2 ORDER BY source""".stripMargin,
 
     "q254_welch_ttest" ->
       """WITH per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s,

@@ -3687,16 +3687,19 @@ object TextQueries {
     "q247_setsim_join" ->
       s"""WITH $corpusSql,
          |w AS (SELECT doc_id, $wsSql AS ws FROM corpus),
-         |sh AS (SELECT DISTINCT doc_id,
+         |sh0 AS (SELECT DISTINCT doc_id,
          |         unnest([array_to_string(ws[i:i+2],' ')
          |                 for i in generate_series(1, len(ws)-2)]) AS g
          |       FROM w WHERE len(ws) >= 3),
+         |sh AS (SELECT DISTINCT doc_id,
+         |         CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) AS h
+         |       FROM sh0),
          |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
          |       FROM sh GROUP BY doc_id),
          |inter AS (SELECT x.doc_id AS a, y.doc_id AS b,
          |            CAST(COUNT(*) AS BIGINT) AS i
          |          FROM sh x JOIN sh y
-         |            ON y.g = x.g AND x.doc_id < y.doc_id
+         |            ON y.h = x.h AND x.doc_id < y.doc_id
          |          GROUP BY x.doc_id, y.doc_id),
          |jc AS (SELECT a, b, i, sa.n + sb.n - i AS u
          |       FROM inter JOIN sz sa ON sa.doc_id = a

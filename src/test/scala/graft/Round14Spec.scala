@@ -417,6 +417,34 @@ class Round14Spec extends SparkSpecBase {
     }
   }
 
+  test("q259: Benford expectations form the log law; observed shares sum to 1") {
+    val r = graft.queries.OpsQueries.queries("q259_benford")(spark, sf01).collect()
+    assert(r.map(_.getAs[Int]("digit")).sorted.sameElements(1 to 9))
+    val shareSum = r.map(_.getAs[Double]("share")).sum
+    assert(math.abs(shareSum - 1.0) < 1e-4, s"shares sum to $shareSum")
+    val benfordSum = r.map(_.getAs[Double]("benford_share")).sum
+    assert(math.abs(benfordSum - 1.0) < 1e-4)
+    // the law is strictly decreasing in the digit
+    val bs = r.sortBy(_.getAs[Int]("digit")).map(_.getAs[Double]("benford_share"))
+    bs.sliding(2).foreach(p => assert(p(0) > p(1)))
+    r.foreach(row => assert(row.getAs[Double]("chi2_part") >= 0.0))
+  }
+
+  test("q260: U + U' = n1*n2 identity; z sign tracks the rank-sum direction") {
+    val r = graft.queries.OpsQueries.queries("q260_mann_whitney")(spark, sf01).collect()
+    assert(r.nonEmpty)
+    val total = r.map(_.getAs[Long]("n_s")).sum
+    r.foreach { row =>
+      val n1 = row.getAs[Long]("n_s"); val n2 = total - n1
+      val u = row.getAs[Double]("u_stat")
+      assert(u >= 0.0 && u <= n1.toDouble * n2,
+        s"U out of [0, n1*n2]: $row")
+      val z = row.getAs[Double]("z")
+      val mu = n1.toDouble * n2 / 2
+      assert(math.signum(z) == math.signum(u - mu) || u == mu)
+    }
+  }
+
   test("q244: 8 peel rounds reach the true 3-core fixpoint; member degrees >= 3") {
     val edges = Tables.orders(spark, sf01)
       .filter(col("o_orderkey") % 10 === 1)
