@@ -152,7 +152,18 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "q229_self_bleu" -> 5,
     "q233_label_propagation" -> 1,
     "q234_doremi_step" -> 16,
-    "q226_theta_overlap" -> 9)
+    "q226_theta_overlap" -> 9,
+    // round-14 additions (PlanCount, both modes): q243's count is the
+    // scopedPersist'd edge subtree re-printing once per consumer
+    // (integer HITS reads edges in every round's two aggregates —
+    // plan-string totals, not executed shuffles; the q234 class);
+    // q247/q258 likewise re-print their persisted token/point
+    // subtrees under AQE's adaptive render
+    "q243_hits" -> 47,
+    "q244_kcore" -> 6,
+    "q247_setsim_join" -> 20,
+    "q255_basket_rules" -> 14,
+    "q258_dbscan" -> 14)
 
   // Round 10 (judge ask #6): a real cluster flips
   // spark.sql.adaptive.enabled, so the pins hold under BOTH modes.
@@ -179,7 +190,12 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "q62_ann_ivf" -> 12,
     "q79_dedup_apply" -> 3,
     "q234_doremi_step" -> 11,
-    "q226_theta_overlap" -> 8)
+    "q226_theta_overlap" -> 8,
+    "q243_hits" -> 46,
+    "q244_kcore" -> 5,
+    "q247_setsim_join" -> 12,
+    "q255_basket_rules" -> 12,
+    "q258_dbscan" -> 6)
 
   private val exchangeRe =
     ("Exchange hashpartitioning|Exchange rangepartitioning|" +
