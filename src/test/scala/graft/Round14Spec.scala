@@ -445,6 +445,26 @@ class Round14Spec extends SparkSpecBase {
     }
   }
 
+  test("setSimJoin threshold generalization: t=0.8 results nest inside t=0.6") {
+    import graft.operators.Dedup
+    val base = Tables.documents(spark, sf01).select(col("doc_id"), col("text"))
+    val docs = base.unionByName(base.filter(col("doc_id") < 50)
+      .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+    val at06 = Dedup.setSimJoin(docs, "doc_id", "text", 3, 3, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jac")).toMap
+    val at08 = Dedup.setSimJoin(docs, "doc_id", "text", 3, 4, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jac")).toMap
+    assert(at08.nonEmpty && at08.size <= at06.size)
+    at08.foreach { case (pair, jac) =>
+      assert(jac >= 0.8, s"pair below the 0.8 bar: $pair -> $jac")
+      assert(at06.get(pair).contains(jac),
+        s"t=0.8 pair missing or differs at t=0.6: $pair")
+    }
+    // exactly the 0.6-pairs meeting the 0.8 bar survive — the
+    // threshold filters, never re-scores
+    assert(at06.count(_._2 >= 0.8) == at08.size)
+  }
+
   test("q244: 8 peel rounds reach the true 3-core fixpoint; member degrees >= 3") {
     val edges = Tables.orders(spark, sf01)
       .filter(col("o_orderkey") % 10 === 1)
