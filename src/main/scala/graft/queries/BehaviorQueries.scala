@@ -19,6 +19,50 @@ object BehaviorQueries {
 
   val queries: Map[String, Q] = Map(
 
+    // §2.4 (round 14) — COHORT LTV curves (the lifetime-value report
+    // next to retention 45k: not "did the cohort come back" but "what
+    // is it WORTH, cumulatively, k weeks in" — the curve subscription
+    // and marketplace teams steer spend by). Cohort = the user's
+    // first-seen week; per (cohort, week offset): active users,
+    // purchase revenue (DECIMAL(18,6)-quantized before the sum — the
+    // money discipline), cumulative revenue via a cohort-partitioned
+    // window over ≤ |weeks| rows (bounded domain), and LTV per
+    // cohort member. Two partial-agg groupBys + one bounded window;
+    // the cohort-size frame broadcasts back onto a |cohorts×weeks|
+    // dimension table.
+    "q261_cohort_ltv" -> { (s, d) =>
+      import graft.Caching.ScopedPersist
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("value"),
+          (unix_micros(col("ts")) / lit(86400000000L) / lit(7L))
+            .cast("long").as("week"))
+        .scopedPersist() // consumers: cohort map + the revenue scan
+      val cohort = ev.groupBy(col("user_id"))
+        .agg(min(col("week")).as("cohort_week"))
+      val sizes = cohort.groupBy(col("cohort_week"))
+        .agg(countDistinct(col("user_id")).as("cohort_size"))
+      val cells = ev.join(cohort, "user_id")
+        .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_active"),
+          sum(when(col("event_type") === "purchase",
+            round(col("value"), 6).cast(DecimalType(18, 6)))
+            .otherwise(expr("CAST(0.0 AS DECIMAL(18,6))"))).as("revenue"))
+      cells
+        .withColumn("cum_revenue", sum(col("revenue")).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("cohort_week")).orderBy(col("week_offset"))
+            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+              org.apache.spark.sql.expressions.Window.currentRow)))
+        .join(sizes, "cohort_week")
+        .select(col("cohort_week"), col("week_offset"),
+          col("n_active"), col("cohort_size"),
+          col("revenue").cast("double").as("revenue"),
+          col("cum_revenue").cast("double").as("cum_revenue"),
+          round(col("cum_revenue").cast("double") / col("cohort_size"), 6)
+            .as("ltv_per_user"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    },
+
     // §2.4 (round 14) — FIRST/LAST-TOUCH revenue attribution (the
     // marketing-analytics standard next to the funnel 45j and
     // retention 45k): each purchase's value credits the channel
@@ -262,6 +306,34 @@ object BehaviorQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+
+    "q261_cohort_ltv" ->
+      """WITH ev AS (SELECT user_id, event_type, value,
+        |    epoch_us(ts) // 86400000000 // 7 AS week FROM events),
+        |cohort AS (SELECT user_id, CAST(MIN(week) AS BIGINT) AS cohort_week
+        |           FROM ev GROUP BY user_id),
+        |sizes AS (SELECT cohort_week,
+        |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS cohort_size
+        |  FROM cohort GROUP BY cohort_week),
+        |cells AS (SELECT c.cohort_week,
+        |    CAST(e.week - c.cohort_week AS BIGINT) AS week_offset,
+        |    CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_active,
+        |    SUM(CASE WHEN e.event_type = 'purchase'
+        |        THEN CAST(ROUND(e.value, 6) AS DECIMAL(18,6))
+        |        ELSE CAST(0.0 AS DECIMAL(18,6)) END) AS revenue
+        |  FROM ev e JOIN cohort c ON c.user_id = e.user_id
+        |  GROUP BY c.cohort_week, e.week - c.cohort_week),
+        |cum AS (SELECT cohort_week, week_offset, n_active, revenue,
+        |    SUM(revenue) OVER (PARTITION BY cohort_week ORDER BY week_offset
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_revenue
+        |  FROM cells)
+        |SELECT c.cohort_week, c.week_offset, c.n_active, s.cohort_size,
+        |  CAST(c.revenue AS DOUBLE) AS revenue,
+        |  CAST(c.cum_revenue AS DOUBLE) AS cum_revenue,
+        |  ROUND(CAST(c.cum_revenue AS DOUBLE) / s.cohort_size, 6)
+        |    AS ltv_per_user
+        |FROM cum c JOIN sizes s ON s.cohort_week = c.cohort_week
+        |ORDER BY c.cohort_week, c.week_offset""".stripMargin,
 
     "q256_attribution" ->
       """WITH ev AS (SELECT user_id, event_id, event_type,

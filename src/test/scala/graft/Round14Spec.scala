@@ -465,6 +465,26 @@ class Round14Spec extends SparkSpecBase {
     assert(at06.count(_._2 >= 0.8) == at08.size)
   }
 
+  test("q261: LTV curves monotone per cohort; actives bounded by cohort size") {
+    val r = graft.queries.BehaviorQueries.queries("q261_cohort_ltv")(spark, sf01)
+      .collect()
+    assert(r.nonEmpty)
+    r.groupBy(_.getAs[Long]("cohort_week")).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("week_offset"))
+      var prev = -1.0
+      sorted.foreach { row =>
+        assert(row.getAs[Long]("week_offset") >= 0L)
+        assert(row.getAs[Long]("n_active") <= row.getAs[Long]("cohort_size"))
+        val cum = row.getAs[Double]("cum_revenue")
+        assert(cum >= prev - 1e-9, s"cumulative revenue regressed: $row")
+        prev = cum
+        assert(row.getAs[Double]("revenue") >= 0.0)
+      }
+      // offset 0 always exists (the cohort's own first week)
+      assert(sorted.head.getAs[Long]("week_offset") == 0L)
+    }
+  }
+
   test("q244: 8 peel rounds reach the true 3-core fixpoint; member degrees >= 3") {
     val edges = Tables.orders(spark, sf01)
       .filter(col("o_orderkey") % 10 === 1)
