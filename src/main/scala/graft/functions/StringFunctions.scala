@@ -21,10 +21,18 @@ object StringOps {
     * matches DuckDB's `jaro_winkler_similarity` (verified on the
     * boost-threshold, transposition and short-string edge cases).
     * Empty strings score 0.0, including empty-vs-empty (the DuckDB
-    * convention).
+    * convention). Comparison is over raw UTF-8 BYTES, not UTF-16 code
+    * units — DuckDB's jaro_winkler_similarity scores the byte strings
+    * (verified: 'münchen'/'munchen' → (6/8+6/7+1)/3 boosted = 0.88214…,
+    * i.e. lengths 8 and 7, and CJK/emoji fixtures all reproduce), so
+    * byte-level comparison is what keeps non-ASCII parity with the
+    * oracle exact. It is also the faster path: UTF8String holds UTF-8
+    * bytes natively, so the kernel runs with zero String decode. The
+    * kernel spec pins multi-byte and astral (surrogate-pair) cases.
     */
   def jaroWinkler(au: UTF8String, bu: UTF8String): Double = {
-    val s = au.toString; val t = bu.toString
+    val s = au.getBytes
+    val t = bu.getBytes
     val ls = s.length; val lt = t.length
     if (ls == 0 || lt == 0) return 0.0
     val window = math.max(0, math.max(ls, lt) / 2 - 1)
@@ -38,7 +46,7 @@ object StringOps {
       var j = lo
       var found = false
       while (j <= hi && !found) {
-        if (!tM(j) && s.charAt(i) == t.charAt(j)) {
+        if (!tM(j) && s(i) == t(j)) {
           sM(i) = true; tM(j) = true; m += 1; found = true
         }
         j += 1
@@ -56,7 +64,7 @@ object StringOps {
     while (i < ls) {
       if (sM(i)) {
         while (!tM(k)) k += 1
-        if (s.charAt(i) != t.charAt(k)) mismatch += 1
+        if (s(i) != t(k)) mismatch += 1
         k += 1
       }
       i += 1
@@ -67,7 +75,7 @@ object StringOps {
     if (jaro > 0.7) {
       var p = 0
       val maxP = math.min(4, math.min(ls, lt))
-      while (p < maxP && s.charAt(p) == t.charAt(p)) p += 1
+      while (p < maxP && s(p) == t(p)) p += 1
       jaro + 0.1 * p * (1.0 - jaro)
     } else jaro
   }

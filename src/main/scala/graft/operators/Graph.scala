@@ -160,9 +160,22 @@ object Graph {
     * (id, auth, hub, auth_norm, hub_norm).
     */
   def hits(edgesIn: DataFrame, iters: Int = 2): DataFrame = {
+    // Enforce the exact-integer precondition instead of documenting it:
+    // counts grow ~deg^(2·iters), so unbounded iters (or a huge edge
+    // set) would wrap the non-ANSI BIGINT sums silently. iters ≤ 3 and
+    // ≤ 200² distinct edges keep every intermediate < 2⁶³ with wide
+    // margin; at true scale callers use the normalized-double /
+    // decimal-quantize route (q91 discipline) instead.
+    require(iters >= 1 && iters <= 3,
+      s"hits(): iters=$iters outside the exact-integer bound [1,3]; " +
+        "use the normalized-double variant beyond that")
     val edges = edgesIn.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"))
       .filter(col("src") =!= col("dst")).distinct().scopedPersist()
+    val nEdges = edges.count()
+    require(nEdges <= 200L * 200L,
+      s"hits(): $nEdges edges exceeds the 200²-edge exact-integer " +
+        "precondition (Long-overflow guard)")
     val nodes = edges.select(col("src").as("id"))
       .union(edges.select(col("dst").as("id"))).distinct()
     var h = nodes.withColumn("h", lit(1L))
@@ -213,8 +226,13 @@ object Graph {
     val e = edgesIn.select(col("a").cast("long").as("a"),
       col("b").cast("long").as("b"))
       .filter(col("a") < col("b")).distinct()
+    // scopedPersist, NOT persist-then-unpersist: the returned frame's
+    // final degWithin still reads sym at collect time, so an eager
+    // unpersist here would silently recompute the symmetric edge union
+    // (and every checkpoint subtree above it). The CacheScope /
+    // caller-must-clear contract releases it after evaluation instead.
     val sym = e.select(col("a").as("u"), col("b").as("v"))
-      .union(e.select(col("b").as("u"), col("a").as("v"))).persist()
+      .union(e.select(col("b").as("u"), col("a").as("v"))).scopedPersist()
     def degWithin(surv: DataFrame): DataFrame =
       sym.join(surv.select(col("id").as("u")), "u")
         .join(surv.select(col("id").as("v")), "v")
@@ -233,10 +251,8 @@ object Graph {
       }
       surv = next
     }
-    val out = degWithin(surv)
+    degWithin(surv)
       .select(col("u").as("id"), col("c").as("core_deg"))
-    sym.unpersist(false)
-    out
   }
 
   /** SYNCHRONOUS label propagation (Raghavan et al. '07) over

@@ -828,6 +828,48 @@ object CurationQueries {
         .orderBy(col("event_type"))
     },
 
+    // §2.3 (round 15) — DIFFERENTIALLY-PRIVATE aggregate release,
+    // rounding out the privacy family (k-anon q220, randomized
+    // response q222, l-diversity q239, pseudonymization q121): the
+    // central-DP histogram publish. Per-source document counts get
+    // DISCRETE-LAPLACE noise via the standard difference-of-two-
+    // geometrics construction (Z = G₁ − G₂, Gᵢ = ⌊−ln(uᵢ)/ε⌋ —
+    // Inusah & Kozubowski '06; the sampler in Google's DP library),
+    // which for sensitivity-1 counts is ε-DP with α = e^(−ε). The
+    // uniforms are SEEDED-HASH (md5 of the group key + salt → 48-bit
+    // mantissa), making the mechanism deterministic and therefore
+    // hash-oracle-able: DuckDB computes the identical md5 → the
+    // identical IEEE ln/divide/floor chain → the identical noise.
+    // (A production release would swap the seeded hash for a CSPRNG
+    // draw; the mechanism, ledger and plan shape are unchanged.)
+    // The release carries an ε-LEDGER row: disjoint groups compose in
+    // PARALLEL, so the release's total spend is ε = 0.5, not k·ε —
+    // the ledger states mechanism, ε, and the group count it covers.
+    // Scale shape: one partial-agg groupBy on the group key; noise is
+    // per-GROUP (not per-row) arithmetic in the projection; the
+    // ledger is a literal 1-row union. True counts are never emitted.
+    "q264_dp_release" -> { (s, d) =>
+      val eps = 0.5
+      def u(salt: String) =
+        (conv(substring(md5(concat(lit(s"q264:$salt:"), col("source"))),
+          1, 12), 16, 10).cast("long") + 1L).cast("double") /
+          lit(281474976710656L).cast("double") // 2^48, exact in double
+      def geom(salt: String) =
+        floor(-log(u(salt)) / lit(eps)).cast("long")
+      val noisy = Tables.documents(s, d)
+        .groupBy(col("source")).agg(count(lit(1)).as("c"))
+        .select(col("source").as("grp"),
+          (col("c") + geom("a") - geom("b")).as("noisy_count"),
+          lit(null).cast("double").as("epsilon"),
+          lit(null).cast("string").as("mechanism"))
+      val k = noisy.agg(count(lit(1)).as("k"))
+      val ledger = k.select(lit("__ledger__").as("grp"),
+        col("k").as("noisy_count"), // group count is public metadata
+        lit(eps).as("epsilon"),
+        lit("discrete_laplace(parallel-composition)").as("mechanism"))
+      noisy.unionByName(ledger).orderBy(col("grp"))
+    },
+
     // §2.3 (round 13) — DoReMi-STYLE domain reweighting step (Xie et
     // al.'23, arXiv:2305.10429): the mixing weights q116 SOLVES for a
     // target and q151 tempers are, in the DoReMi recipe, LEARNED from
@@ -905,17 +947,23 @@ object CurationQueries {
           sum((col("n_chars") >= 300).cast("long")).as("long_s"))
       val tot = per.agg(sum(col("n_s")).as("n"),
         sum(col("chars_s")).as("chars"), sum(col("long_s")).as("longs"))
+      // nullif guard: a single-source corpus makes n − n_s = 0; Spark's
+      // integer division yields NULL but DuckDB's double division
+      // yields ±inf/NaN, so without the shared NULLIF the oracle hash
+      // would silently diverge on the degenerate input. Both engines
+      // now publish NULL for the no-other-source row.
+      val denom = nullif(col("n") - col("n_s"), lit(0L))
       per.crossJoin(broadcast(tot))
         .select(col("source"), col("n_s").as("n_docs"),
           round((col("chars") - col("chars_s")).cast("double")
-            / (col("n") - col("n_s")), 6).as("loo_mean_chars"),
+            / denom, 6).as("loo_mean_chars"),
           round((col("chars") - col("chars_s")).cast("double")
-            / (col("n") - col("n_s"))
+            / denom
             - col("chars").cast("double") / col("n"), 6).as("delta_mean"),
           round((col("longs") - col("long_s")).cast("double")
-            / (col("n") - col("n_s")), 6).as("loo_share_long"),
+            / denom, 6).as("loo_share_long"),
           round((col("longs") - col("long_s")).cast("double")
-            / (col("n") - col("n_s"))
+            / denom
             - col("longs").cast("double") / col("n"), 6).as("delta_share"))
         .orderBy(col("source"))
     }
@@ -936,13 +984,13 @@ object CurationQueries {
         |    CAST(SUM(chars_s) AS BIGINT) AS chars,
         |    CAST(SUM(long_s) AS BIGINT) AS longs FROM per)
         |SELECT source, n_s AS n_docs,
-        |  ROUND(CAST(chars - chars_s AS DOUBLE) / (n - n_s), 6)
+        |  ROUND(CAST(chars - chars_s AS DOUBLE) / NULLIF(n - n_s, 0), 6)
         |    AS loo_mean_chars,
-        |  ROUND(CAST(chars - chars_s AS DOUBLE) / (n - n_s)
+        |  ROUND(CAST(chars - chars_s AS DOUBLE) / NULLIF(n - n_s, 0)
         |    - CAST(chars AS DOUBLE) / n, 6) AS delta_mean,
-        |  ROUND(CAST(longs - long_s AS DOUBLE) / (n - n_s), 6)
+        |  ROUND(CAST(longs - long_s AS DOUBLE) / NULLIF(n - n_s, 0), 6)
         |    AS loo_share_long,
-        |  ROUND(CAST(longs - long_s AS DOUBLE) / (n - n_s)
+        |  ROUND(CAST(longs - long_s AS DOUBLE) / NULLIF(n - n_s, 0)
         |    - CAST(longs AS DOUBLE) / n, 6) AS delta_share
         |FROM per CROSS JOIN tot ORDER BY source""".stripMargin,
 
@@ -1468,6 +1516,30 @@ object CurationQueries {
         |    / (mm.m * 3 - 4), 6) AS debiased_est
         |FROM tru JOIN obs USING (event_type), tot, mm
         |ORDER BY event_type""".stripMargin,
+
+    // identical md5 → identical IEEE ln/divide/floor chain as the
+    // engine: the seeded-hash uniforms make the DP noise deterministic
+    // and therefore exactly mirrorable
+    "q264_dp_release" ->
+      """WITH c AS (SELECT source AS grp, COUNT(*) AS c
+        |           FROM documents GROUP BY source),
+        |n AS (SELECT grp,
+        |  c + CAST(floor(-ln(CAST(CAST(('0x' || substr(md5('q264:a:' || grp),
+        |          1, 12)) AS BIGINT) + 1 AS DOUBLE)
+        |        / CAST(281474976710656 AS DOUBLE))
+        |      / CAST(0.5 AS DOUBLE)) AS BIGINT)
+        |    - CAST(floor(-ln(CAST(CAST(('0x' || substr(md5('q264:b:' || grp),
+        |          1, 12)) AS BIGINT) + 1 AS DOUBLE)
+        |        / CAST(281474976710656 AS DOUBLE))
+        |      / CAST(0.5 AS DOUBLE)) AS BIGINT) AS noisy_count,
+        |  CAST(NULL AS DOUBLE) AS epsilon,
+        |  CAST(NULL AS VARCHAR) AS mechanism FROM c)
+        |SELECT grp, noisy_count, epsilon, mechanism FROM (
+        |  SELECT grp, noisy_count, epsilon, mechanism FROM n
+        |  UNION ALL
+        |  SELECT '__ledger__', (SELECT COUNT(*) FROM n),
+        |    CAST(0.5 AS DOUBLE), 'discrete_laplace(parallel-composition)')
+        |ORDER BY grp""".stripMargin,
 
     "q234_doremi_step" ->
       s"""WITH words AS (SELECT source, unnest($wsSql) AS w FROM documents),

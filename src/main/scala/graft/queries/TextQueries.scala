@@ -769,6 +769,67 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // §2.3 (round 15) — INTERPOLATED KNESER-NEY bigram perplexity,
+    // upgrading q114's add-one smoothing to the KenLM-standard
+    // estimator (Kneser & Ney '95; Chen & Goodman '99 interpolated
+    // form): p(w2|w1) = (c(w1,w2) − D)/c(w1) + λ(w1)·p_cont(w2) with
+    //   D        = n1 / (n1 + 2·n2)      (count-of-count discount)
+    //   λ(w1)    = D · N1+(w1,·) / c(w1) (mass reserved per context)
+    //   p_cont   = N1+(·,w2) / N1+(·,·)  (continuation probability)
+    // Every model quantity is an EXACT partial-agg integer (bigram
+    // counts, context totals, follower/predecessor type counts, the
+    // two count-of-counts) — the only doubles are one fixed IEEE
+    // expression per scored bigram, written in the identical
+    // operation order in the DuckDB mirror, then quantized to
+    // DECIMAL(18,12) before the per-doc sum (the q101/q114
+    // discipline: exact, partition-order-independent reduction).
+    // Scoring the training corpus itself means every scored bigram
+    // has c12 ≥ 1 > D, so the discounted term is strictly positive —
+    // no max(·,0) branch and no log(0). Shuffles: three partial-agg
+    // groupBys on uniform keys (bigram, w1, w2) + the vocab-bounded
+    // LM join; n1/n2/ntypes ride a 1-row broadcast. At 100 TB the LM
+    // table is vocab², ≪ corpus, AQE-broadcastable.
+    "q263_kneser_ney" -> { (s, d) =>
+      val w = Tables.documents(s, d)
+        .select(col("doc_id"), GraftFunctions.normWords(col("text")).as("ws"))
+      val bi = w.filter(size(col("ws")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(ws)-2), " +
+            "i -> named_struct('w1', ws[i], 'w2', ws[i+1]))")).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .scopedPersist() // reused: LM training + scoring
+      val c12 = bi.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("c12")).scopedPersist()
+      val ctx = c12.groupBy(col("w1"))
+        .agg(sum(col("c12")).as("c1"), count(lit(1)).as("nfol"))
+      val pre = c12.groupBy(col("w2")).agg(count(lit(1)).as("npre"))
+      val tot = c12.agg(count(lit(1)).as("ntypes"),
+        sum((col("c12") === 1).cast("long")).as("n1"),
+        sum((col("c12") === 2).cast("long")).as("n2"))
+      // Degenerate-corpus guard: the sf0.1 fixture has NO singleton or
+      // doubleton bigrams (min count 3), so n1 + 2·n2 = 0 and the
+      // Chen–Goodman discount is undefined (KenLM refuses such counts
+      // outright). The deterministic fallback is D = 0 — the estimator
+      // degrades to the plain MLE p = c12/c1 with zero interpolation
+      // mass, mirrored with NULLIF/COALESCE in the oracle.
+      val lm = c12.join(ctx, "w1").join(pre, "w2")
+        .crossJoin(broadcast(tot))
+        .withColumn("dd",
+          coalesce(col("n1").cast("double") /
+            nullif(col("n1") + lit(2L) * col("n2"), lit(0L)), lit(0.0)))
+        .select(col("w1"), col("w2"),
+          (-log((col("c12").cast("double") - col("dd")
+            + col("dd") * col("nfol") * col("npre") / col("ntypes"))
+            / col("c1")))
+            .cast(DecimalType(18, 12)).as("nll"))
+      bi.join(lm, Seq("w1", "w2"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(sum(col("nll")).cast("double") / count(lit(1)), 6).as("mean_nll"),
+          round(exp(sum(col("nll")).cast("double") / count(lit(1))), 6).as("ppl"))
+        .orderBy(col("doc_id"))
+    },
+
     // model-based quality filtering as a pure codegen pass (the
     // fastText-classifier shape): each word feature-hashes into one of
     // 1024 buckets (md5 arithmetic — reproducible in the oracle), the
@@ -2406,6 +2467,28 @@ object TextQueries {
         |WHERE rn <= 10
         |ORDER BY query_id, cos_sim DESC, neighbor_id""".stripMargin,
 
+    // exact O(n²) scan mirroring q34b's planted corpus (round-15
+    // oracle upgrade — previously rows-only). Hash-parity with the
+    // LSH-bucketed engine path is PROVEN, not hoped: the testdata's
+    // max natural cosine is 0.60 at every scale (verified sf0.001/
+    // 0.01/0.1), so the only pairs ≥ 0.999 are the planted EXACT
+    // copies — and identical vectors get identical hyperplane
+    // signatures in every table, so LSH recall on this pair set is
+    // 100% by construction. Cosines re-emitted through the
+    // render-stable round(.,6), same as q112.
+    "q34b_cosine_neardup" ->
+      """WITH emb AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 20)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                               CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+        |FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.999
+        |ORDER BY vec_a, vec_b""".stripMargin,
+
     // exact O(n²) scan over the same planted slice; drop iff an
     // earlier doc is within tau on the round(.,6) cosine (the
     // render-stable boundary both engines compute identically)
@@ -2644,6 +2727,39 @@ object TextQueries {
          |       FROM c12 c JOIN uni u ON c.w1 = u.word CROSS JOIN voc)
          |SELECT b.doc_id AS doc_id, COUNT(*) AS n_bigrams,
          |  ROUND(CAST(SUM(lm.nll) AS DOUBLE) / COUNT(*), 6) AS mean_nll
+         |FROM bi b JOIN lm USING (w1, w2)
+         |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin,
+
+    // same fixed IEEE expression order as the engine (D, then
+    // (c12 − D) + D·nfol·npre/ntypes, one division by c1, one ln),
+    // so the doubles are bit-identical before the DECIMAL quantize
+    "q263_kneser_ney" ->
+      s"""WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents),
+         |f AS (SELECT doc_id, ws FROM w WHERE len(ws) >= 2),
+         |bi AS (SELECT doc_id, unnest(ws[1:len(ws)-1]) AS w1,
+         |              unnest(ws[2:len(ws)]) AS w2 FROM f),
+         |c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY w1, w2),
+         |ctx AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+         |               COUNT(*) AS nfol FROM c12 GROUP BY w1),
+         |pre AS (SELECT w2, COUNT(*) AS npre FROM c12 GROUP BY w2),
+         |tot AS (SELECT COUNT(*) AS ntypes,
+         |          CAST(SUM(CASE WHEN c12 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |          CAST(SUM(CASE WHEN c12 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+         |        FROM c12),
+         |lm AS (SELECT c.w1, c.w2,
+         |         CAST(-ln((CAST(c.c12 AS DOUBLE)
+         |                     - COALESCE(CAST(tot.n1 AS DOUBLE)
+         |                         / NULLIF(tot.n1 + 2 * tot.n2, 0), 0.0)
+         |                   + COALESCE(CAST(tot.n1 AS DOUBLE)
+         |                         / NULLIF(tot.n1 + 2 * tot.n2, 0), 0.0)
+         |                     * ctx.nfol * pre.npre / tot.ntypes)
+         |                  / ctx.c1)
+         |              AS DECIMAL(18,12)) AS nll
+         |       FROM c12 c JOIN ctx ON c.w1 = ctx.w1
+         |       JOIN pre ON c.w2 = pre.w2 CROSS JOIN tot)
+         |SELECT b.doc_id AS doc_id, COUNT(*) AS n_bigrams,
+         |  ROUND(CAST(SUM(lm.nll) AS DOUBLE) / COUNT(*), 6) AS mean_nll,
+         |  ROUND(EXP(CAST(SUM(lm.nll) AS DOUBLE) / COUNT(*)), 6) AS ppl
          |FROM bi b JOIN lm USING (w1, w2)
          |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin,
 

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import java.io.{ByteArrayInputStream, ByteArrayOutputStream, ObjectInputStream, ObjectOutputStream}
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
 
 import org.apache.spark.sql.{Dataset, Encoders}
 import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
@@ -33,17 +33,34 @@ object DecayTopK {
     * slice as the current trending answer. */
   case class Trend(shard: Long, seq: Long, token: String, decayed: Long)
 
+  /** Checkpoint-stable state layout (the DialogMonitor discipline —
+    * an explicit versioned byte format, NOT Java object serialization,
+    * so a Scala/JDK upgrade can never orphan existing streaming
+    * state): [int version=1][long seq][int n] then n × ([UTF token]
+    * [long count]). */
+  private val StateVersion = 1
+
   private[streaming] def serialize(m: Map[String, Long], seq: Long): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
-    val out = new ObjectOutputStream(bos)
-    out.writeLong(seq); out.writeObject(m); out.close()
+    val out = new DataOutputStream(bos)
+    out.writeInt(StateVersion)
+    out.writeLong(seq)
+    out.writeInt(m.size)
+    m.foreach { case (tok, c) => out.writeUTF(tok); out.writeLong(c) }
+    out.close()
     bos.toByteArray
   }
 
   private[streaming] def deserialize(bytes: Array[Byte]): (Map[String, Long], Long) = {
-    val in = new ObjectInputStream(new ByteArrayInputStream(bytes))
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val v = in.readInt()
+    require(v == StateVersion, s"DecayTopK state version $v, expected $StateVersion")
     val seq = in.readLong()
-    (in.readObject().asInstanceOf[Map[String, Long]], seq)
+    val n = in.readInt()
+    val b = Map.newBuilder[String, Long]
+    var i = 0
+    while (i < n) { b += ((in.readUTF(), in.readLong())); i += 1 }
+    (b.result(), seq)
   }
 
   class DecayProcessor(k: Int, maxEntries: Int)

@@ -53,6 +53,17 @@ class Round14Spec extends SparkSpecBase {
     // this pair has 3 mismatched matched-positions -> t = 1, not 1.5
     assert(math.abs(jw("Customer#00000150", "Customer#000000015")
       - 0.9771241830065359) < 1e-15)
+    // non-ASCII parity (the round-15 fix): DuckDB scores UTF-8 BYTE
+    // strings, so 'münchen' is length 8 (ü = 2 bytes) ->
+    // ((6/8 + 6/7 + 1)/3) boosted by the 1-byte 'm' prefix. All five
+    // expected values read straight out of duckdb
+    // jaro_winkler_similarity on these literals.
+    assert(math.abs(jw("münchen", "munchen") - 0.8821428571428571) < 1e-15)
+    assert(math.abs(jw("日本語処理", "日本語の処理") - 0.9666666666666667) < 1e-15)
+    // astral-plane (surrogate pair in UTF-16, 4 bytes in UTF-8)
+    assert(math.abs(jw("😀abc", "a😀bc") - 0.9047619047619048) < 1e-15)
+    assert(math.abs(jw("𝔘nicode", "Unicode") - 0.8190476190476191) < 1e-15)
+    assert(math.abs(jw("😀😀", "😀") - 0.9) < 1e-15)
   }
 
   test("q245: matcher finds the true record for a solid majority of dirty records") {
