@@ -607,6 +607,23 @@ object TextQueries {
         .orderBy(col("rank"))
     },
 
+    // §2.3 (round 15) — UNIGRAM-LM (SentencePiece) tokenizer-
+    // vocabulary learning (Kudo'18): the prune-based counterpart to
+    // q119's merge-based BPE — seed substring vocab → hard-EM with
+    // per-word Viterbi segmentation → prune to target → EM again.
+    // Same corpus-collapses-to-(word,freq) discipline, vocabulary
+    // DataFrame-resident end to end (rides into the row kernel as a
+    // broadcast 1-row piece→cost map — zero driver collects). Rows-
+    // only by design (an EM loop is not a DuckDB scan); UnigramSpec
+    // pins monotone within-phase likelihood, a hand-computable
+    // worked example, char coverage, segmentation round-trip, and
+    // determinism.
+    "q262_unigram_vocab" -> { (s, d) =>
+      graft.operators.Unigram.learnVocab(Tables.documents(s, d), "text",
+          vocabSize = 24, emIters = 2)
+        .orderBy(col("rank"))
+    },
+
     // §2.3 #34b — scalar int8 quantization of the embedding column.
     // The int codes are deterministic (float→double exact, IEEE
     // arithmetic, HALF_UP == away-from-zero for non-negative values),
