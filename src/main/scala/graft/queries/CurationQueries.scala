@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.Caching.ScopedPersist
 import graft.functions.{BloomFunctions, GraftFunctions}
 import graft.operators.{Dedup, TextAnalysis}
 
@@ -870,6 +871,92 @@ object CurationQueries {
       noisy.unionByName(ledger).orderBy(col("grp"))
     },
 
+    // §2.3 (round 15) — MOORE-LEWIS cross-entropy data selection
+    // (Moore & Lewis 2010, the classic in-domain selection recipe;
+    // q118's DSIR importance weights are its hashed-feature
+    // descendant): score every pool document by
+    // ml_score = H_in(doc) − H_gen(doc), the per-token cross-entropy
+    // difference between a unigram LM trained on the IN-DOMAIN slice
+    // (lang = 'en' here) and one trained on the whole pool; docs the
+    // in-domain model likes better (score < 0) are selected. Both LMs
+    // are add-one smoothed over the JOINT vocabulary so OOV tokens are
+    // defined under each: NLL_X(w) = −ln((c_X(w)+1)/(N_X+V)). Exact
+    // integer counts; per-token NLLs quantized to DECIMAL(18,12)
+    // before the per-doc sums (the q101/q114 discipline). Scale
+    // shape: ONE token scan, two vocab-bounded partial-agg LM tables
+    // LEFT-joined back on the uniform word key (AQE-broadcastable),
+    // the (N_in, N_gen, V) totals a 1-row broadcast.
+    "q265_moore_lewis" -> { (s, d) =>
+      import org.apache.spark.sql.types.DecimalType
+      val words = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode(GraftFunctions.normWords(col("text"))).as("word"))
+        .scopedPersist() // one token scan feeds both LMs + the scorer
+      val genLm = words.groupBy(col("word")).agg(count(lit(1)).as("c_gen"))
+      val inLm = words.filter(col("lang") === "en")
+        .groupBy(col("word")).agg(count(lit(1)).as("c_in"))
+      val tot = genLm.agg(sum(col("c_gen")).as("n_gen"),
+        count(lit(1)).as("v"))
+        .crossJoin(words.filter(col("lang") === "en")
+          .agg(count(lit(1)).as("n_in")))
+      val lm = genLm.join(inLm, Seq("word"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("word"),
+          (-log((coalesce(col("c_in"), lit(0L)) + lit(1L)).cast("double")
+            / (col("n_in") + col("v"))))
+            .cast(DecimalType(18, 12)).as("nll_in"),
+          (-log((col("c_gen") + lit(1L)).cast("double")
+            / (col("n_gen") + col("v"))))
+            .cast(DecimalType(18, 12)).as("nll_gen"))
+      words.join(lm, "word")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"),
+          round(sum(col("nll_in")).cast("double") / count(lit(1)), 6)
+            .as("ce_in"),
+          round(sum(col("nll_gen")).cast("double") / count(lit(1)), 6)
+            .as("ce_gen"))
+        .select(col("doc_id"), col("n_words"), col("ce_in"), col("ce_gen"),
+          round(col("ce_in") - col("ce_gen"), 6).as("ml_score"),
+          (round(col("ce_in") - col("ce_gen"), 6) < 0.0).as("selected"))
+        .orderBy(col("doc_id"))
+    },
+
+    // §2.3 (round 15) — CCNet PERPLEXITY BUCKETS (Wenzek et al.'20,
+    // arXiv:1911.00359): the curation step that made "head/middle/
+    // tail" a vocabulary — per LANGUAGE, rank documents by LM
+    // perplexity and cut into terciles; head (lowest-ppl third) is
+    // the presumptively-clean slice, tail the discard candidate.
+    // Doc score = q101's corpus-trained mean unigram surprisal
+    // (identical DECIMAL(18,12) discipline, hash-stable); the tercile
+    // is ntile(3) over a LANG-PARTITIONED window ordered by
+    // (score, doc_id) — deterministic ties, and partitioned windows
+    // scale (per-language sort, never a global one).
+    "q266_ccnet_buckets" -> { (s, d) =>
+      import org.apache.spark.sql.types.DecimalType
+      val words = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode(GraftFunctions.normWords(col("text"))).as("word"))
+        .scopedPersist() // reused: LM training + scoring
+      val wc = words.groupBy(col("word")).agg(count(lit(1)).as("c"))
+      val total = wc.agg(sum(col("c")).as("total"))
+      val surp = wc.crossJoin(broadcast(total))
+        .select(col("word"),
+          (-log(col("c").cast("double") / col("total")))
+            .cast(DecimalType(18, 12)).as("surp"))
+      val scored = words.join(surp, "word")
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(round(sum(col("surp")).cast("double") / count(lit(1)), 6)
+          .as("mean_surprisal"))
+      scored
+        .withColumn("t", ntile(3).over(Window.partitionBy(col("lang"))
+          .orderBy(col("mean_surprisal"), col("doc_id"))))
+        .select(col("doc_id"), col("lang"), col("mean_surprisal"),
+          when(col("t") === 1, lit("head"))
+            .when(col("t") === 2, lit("middle"))
+            .otherwise(lit("tail")).as("bucket"))
+        .orderBy(col("doc_id"))
+    },
+
     // §2.3 (round 13) — DoReMi-STYLE domain reweighting step (Xie et
     // al.'23, arXiv:2305.10429): the mixing weights q116 SOLVES for a
     // target and q151 tempers are, in the DoReMi recipe, LEARNED from
@@ -1540,6 +1627,54 @@ object CurationQueries {
         |  SELECT '__ledger__', (SELECT COUNT(*) FROM n),
         |    CAST(0.5 AS DOUBLE), 'discrete_laplace(parallel-composition)')
         |ORDER BY grp""".stripMargin,
+
+    "q265_moore_lewis" ->
+      s"""WITH words AS (SELECT doc_id, lang, unnest($wsSql) AS word
+         |               FROM documents),
+         |gen AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS c_gen
+         |        FROM words GROUP BY word),
+         |ind AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS c_in
+         |        FROM words WHERE lang = 'en' GROUP BY word),
+         |tot AS (SELECT CAST(SUM(c_gen) AS BIGINT) AS n_gen,
+         |          COUNT(*) AS v,
+         |          (SELECT CAST(COUNT(*) AS BIGINT) FROM words
+         |           WHERE lang = 'en') AS n_in
+         |        FROM gen),
+         |lm AS (SELECT g.word,
+         |    CAST(-ln(CAST(COALESCE(i.c_in, 0) + 1 AS DOUBLE)
+         |             / (tot.n_in + tot.v)) AS DECIMAL(18,12)) AS nll_in,
+         |    CAST(-ln(CAST(g.c_gen + 1 AS DOUBLE)
+         |             / (tot.n_gen + tot.v)) AS DECIMAL(18,12)) AS nll_gen
+         |  FROM gen g LEFT JOIN ind i USING (word) CROSS JOIN tot),
+         |sc AS (SELECT w.doc_id, COUNT(*) AS n_words,
+         |    ROUND(CAST(SUM(lm.nll_in) AS DOUBLE) / COUNT(*), 6) AS ce_in,
+         |    ROUND(CAST(SUM(lm.nll_gen) AS DOUBLE) / COUNT(*), 6) AS ce_gen
+         |  FROM words w JOIN lm USING (word) GROUP BY w.doc_id)
+         |SELECT doc_id, n_words, ce_in, ce_gen,
+         |  ROUND(ce_in - ce_gen, 6) AS ml_score,
+         |  ROUND(ce_in - ce_gen, 6) < 0.0 AS selected
+         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "q266_ccnet_buckets" ->
+      s"""WITH w AS (SELECT doc_id, lang, unnest($wsSql) AS word
+         |           FROM documents),
+         |wc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS c
+         |       FROM w GROUP BY word),
+         |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total FROM wc),
+         |surp AS (SELECT word,
+         |           CAST(-ln(CAST(c AS DOUBLE) / tot.total)
+         |                AS DECIMAL(18,12)) AS surp
+         |         FROM wc, tot),
+         |sc AS (SELECT w.doc_id, w.lang,
+         |         ROUND(CAST(SUM(surp) AS DOUBLE) / COUNT(*), 6)
+         |           AS mean_surprisal
+         |       FROM w JOIN surp USING (word) GROUP BY w.doc_id, w.lang)
+         |SELECT doc_id, lang, mean_surprisal,
+         |  CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM (SELECT sc.*, ntile(3) OVER (PARTITION BY lang
+         |        ORDER BY mean_surprisal, doc_id) AS nt FROM sc)
+         |ORDER BY doc_id""".stripMargin,
 
     "q234_doremi_step" ->
       s"""WITH words AS (SELECT source, unnest($wsSql) AS w FROM documents),

@@ -40,7 +40,7 @@ object DecayTopK {
     * [long count]). */
   private val StateVersion = 1
 
-  private[streaming] def serialize(m: Map[String, Long], seq: Long): Array[Byte] = {
+  private[graft] def serialize(m: Map[String, Long], seq: Long): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(StateVersion)
@@ -51,7 +51,7 @@ object DecayTopK {
     bos.toByteArray
   }
 
-  private[streaming] def deserialize(bytes: Array[Byte]): (Map[String, Long], Long) = {
+  private[graft] def deserialize(bytes: Array[Byte]): (Map[String, Long], Long) = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val v = in.readInt()
     require(v == StateVersion, s"DecayTopK state version $v, expected $StateVersion")

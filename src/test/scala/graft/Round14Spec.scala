@@ -287,6 +287,24 @@ class Round14Spec extends SparkSpecBase {
     }
   }
 
+  test("decayed top-k state uses the explicit versioned layout and round-trips") {
+    import graft.streaming.DecayTopK
+    // round-15 fix: state is an explicit DataOutputStream layout (not
+    // Java object serialization), so a Scala/JDK upgrade can never
+    // orphan a checkpoint. Pin the exact bytes of an empty map and a
+    // round-trip with multi-byte tokens.
+    val m = Map("alpha" -> 40L, "日本語" -> 7L, "" -> 1L)
+    val (m2, seq2) = DecayTopK.deserialize(DecayTopK.serialize(m, 3L))
+    assert(m2 == m && seq2 == 3L)
+    val empty = DecayTopK.serialize(Map.empty, 9L)
+    // [int version=1][long seq=9][int n=0] = 16 bytes, big-endian
+    assert(empty.toSeq == Seq[Byte](0, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 9, 0, 0, 0, 0),
+      s"layout drifted: ${empty.toSeq}")
+    // a wrong version must fail loudly, not deserialize garbage
+    val bad = empty.clone(); bad(3) = 2
+    intercept[IllegalArgumentException](DecayTopK.deserialize(bad))
+  }
+
   test("streaming decayed top-k: trending burst overtakes a larger stale count, state bounded") {
     import spark.implicits._
     import graft.streaming.DecayTopK
