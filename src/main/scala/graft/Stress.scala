@@ -40,15 +40,23 @@ object Stress {
   }
 
   /** `nReps` scales corpus WIDTH, not hotspot depth: reps are grouped
-    * into BLOCKS of 100, and blocks > 0 get a per-block suffix token
-    * appended to the base text, so duplicate-family sizes stay at the
+    * into BLOCKS of 100, and blocks > 0 suffix EVERY WORD of the base
+    * text with the block id, so duplicate-family sizes stay at the
     * r14 recipe's 20/20/20/40 within every block (the realistic 100 TB
     * shape — more documents, not proportionally bigger dup cliques;
     * quadratic-output operators like the exact set-sim join stay
     * LINEAR in nReps, which is exactly the scaling evidence the 2M run
-    * exists to collect). nReps = 100 reproduces the r14 501k corpus
-    * byte-identically (block 0 carries no suffix); nReps = 400 ≈ 2M
-    * docs. The 1000-copy hot doc stays a single constant-size hotspot.
+    * exists to collect). Per-WORD suffixing matters: a first cut
+    * appended one trailing token per block, which left cross-block
+    * copies of the same base doc at 3-shingle Jaccard ≈ (n−2)/(n+2) ≈
+    * 0.97 > t — every base doc became an (nReps·⅕)-copy near-clique
+    * and the exact join's verify shuffle went QUADRATIC in blocks
+    * (filled the disk at 2M). Suffixing every word makes the blocks
+    * pairwise DISJOINT in shingle space, so family structure is
+    * preserved and all dedup-family output scales linearly. nReps =
+    * 100 reproduces the r14 501k corpus byte-identically (block 0
+    * carries no suffix); nReps = 400 ≈ 2M docs. The 1000-copy hot doc
+    * stays a single constant-size hotspot.
     */
   private def generate(spark: SparkSession, srcDir: String, outDir: String,
                        nReps: Int = 100,
@@ -60,7 +68,9 @@ object Stress {
     val reps = spark.range(0, nReps).select(col("id").cast("int").as("r"))
     val blk = (col("r") / 100).cast("int")
     val btext = when(blk === 0, col("text"))
-      .otherwise(concat(col("text"), lit(" blk"), blk))
+      .otherwise(array_join(
+        transform(split(col("text"), " "),
+          w => concat(w, lit("~b"), blk)), " "))
     val ws = split(btext, " ")
     val near = array_join(zip_with(ws,
       sequence(lit(0), size(ws) - 1),
@@ -385,9 +395,13 @@ object Stress {
 
     val loadStart = loadavg1()
     // --streams-only: iterate on the streaming stress without paying
-    // for the (stable) batch surface
+    // for the (stable) batch surface. --scaling-only: iterate on the
+    // 501k→2M scaling section alone (the heavy retry loop when the 2M
+    // exact join needs memory tuning).
     val streamsOnly = args.contains("--streams-only")
-    val docQueries = if (streamsOnly) Seq.empty[String]
+    val scalingOnly = args.contains("--scaling-only")
+    val skipMain = streamsOnly || scalingOnly
+    val docQueries = if (skipMain) Seq.empty[String]
     else Seq("q30_exact_dedup", "q31b_lsh_pairs", "q59_dup_clusters",
       "q103_incremental_dedup", "q110_simhash_pairs_native", "q112_semantic_dedup",
       "q148_density_prune", "q156_exact_substr",
@@ -405,7 +419,7 @@ object Stress {
     val emb20k = spark.read.parquet(s"$stressDir/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
     val stressDocs0 = spark.read.parquet(s"$stressDir/documents.parquet")
-    val opResults = if (streamsOnly) Seq.empty[String] else Seq(
+    val opResults = if (skipMain) Seq.empty[String] else Seq(
       timed("semdedup_exact_20k",
         Similarity.semanticDedupExact(emb20k, tau = 0.999)),
       timed("semdedup_lsh_20k",
@@ -458,7 +472,7 @@ object Stress {
     // a point probe, and a no-prune full predicate — the measured
     // large-corpus datapoint behind the 51c/51d read path (LayoutSpec
     // proves the same pruning on lineitem-scale fixtures).
-    val pruneResults: String = if (streamsOnly) "" else {
+    val pruneResults: String = if (streamsOnly || args.contains("--skip-prune")) "" else {
       val snapDir = Files.createTempDirectory("graft-stress-snap").toString
       val stressDocsSnap = spark.read.parquet(s"$stressDir/documents.parquet")
       sources.Snapshot.publishZOrdered(stressDocsSnap, snapDir,
@@ -487,7 +501,7 @@ object Stress {
       sum((col("n") > 64).cast("long")).as("over")).head
 
     // round 12: the streaming family over the same corpus, chunked
-    val streamResults = streamStress(spark, stressDir,
+    val streamResults = if (scalingOnly) "" else streamStress(spark, stressDir,
       Files.createTempDirectory("graft-sstress").toString)
     val loadEnd = loadavg1()
 

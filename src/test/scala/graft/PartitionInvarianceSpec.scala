@@ -42,7 +42,15 @@ class PartitionInvarianceSpec extends SparkSpecBase {
     "q198_pmi_collocations",
     "q200_cdc_index_merge",
     "q204_chat_template",   // collect_list order normalized by sort_array
-    "q206_water_filling")   // funded test on integer-derived doubles
+    "q206_water_filling",   // funded test on integer-derived doubles
+    // round-15 risk shapes: KN's three-way LM join + decimal NLL sums,
+    // hard-EM fixpoint with broadcast-map Viterbi, seeded-hash DP
+    // noise, OOV left-join log-sums, ntile cuts on rounded doubles
+    "q263_kneser_ney",
+    "q262_unigram_vocab",
+    "q264_dp_release",
+    "q265_moore_lewis",
+    "q266_ccnet_buckets")
 
   private def rowsOf(name: String): Set[String] = {
     spark.catalog.clearCache()
