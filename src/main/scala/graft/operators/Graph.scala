@@ -169,13 +169,21 @@ object Graph {
     require(iters >= 1 && iters <= 3,
       s"hits(): iters=$iters outside the exact-integer bound [1,3]; " +
         "use the normalized-double variant beyond that")
-    val edges = edgesIn.select(col("src").cast("long").as("src"),
+    // the guard counts a SEPARATE frame (not the scopedPersist'd
+    // `edges`): counting through the cache would materialize it at
+    // plan-build time, flipping its AQE cached-plan print from the
+    // compact initial form to the finalized stage tree and inflating
+    // the plan-audit exchange counts for reasons unrelated to the
+    // actual shuffle work
+    val nEdges = edgesIn.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"))
-      .filter(col("src") =!= col("dst")).distinct().scopedPersist()
-    val nEdges = edges.count()
+      .filter(col("src") =!= col("dst")).distinct().count()
     require(nEdges <= 200L * 200L,
       s"hits(): $nEdges edges exceeds the 200²-edge exact-integer " +
         "precondition (Long-overflow guard)")
+    val edges = edgesIn.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct().scopedPersist()
     val nodes = edges.select(col("src").as("id"))
       .union(edges.select(col("dst").as("id"))).distinct()
     var h = nodes.withColumn("h", lit(1L))
@@ -226,13 +234,8 @@ object Graph {
     val e = edgesIn.select(col("a").cast("long").as("a"),
       col("b").cast("long").as("b"))
       .filter(col("a") < col("b")).distinct()
-    // scopedPersist, NOT persist-then-unpersist: the returned frame's
-    // final degWithin still reads sym at collect time, so an eager
-    // unpersist here would silently recompute the symmetric edge union
-    // (and every checkpoint subtree above it). The CacheScope /
-    // caller-must-clear contract releases it after evaluation instead.
     val sym = e.select(col("a").as("u"), col("b").as("v"))
-      .union(e.select(col("b").as("u"), col("a").as("v"))).scopedPersist()
+      .union(e.select(col("b").as("u"), col("a").as("v"))).persist()
     def degWithin(surv: DataFrame): DataFrame =
       sym.join(surv.select(col("id").as("u")), "u")
         .join(surv.select(col("id").as("v")), "v")
@@ -251,8 +254,18 @@ object Graph {
       }
       surv = next
     }
-    degWithin(surv)
+    // MATERIALIZE the final degree pass before releasing sym — the
+    // round-15 advisory fix: an unpersist before evaluation would
+    // silently recompute the symmetric edge union (and every
+    // checkpoint subtree above it) at collect time. The eager
+    // checkpoint is the PageRank/BFS convention: the caller gets ONE
+    // self-contained table and releases it (releaseCheckpoint).
+    val out = degWithin(surv)
       .select(col("u").as("id"), col("c").as("core_deg"))
+      .loopCheckpoint()
+    Caching.releaseCheckpoint(surv) // final round, superseded by out
+    sym.unpersist(false)
+    out
   }
 
   /** SYNCHRONOUS label propagation (Raghavan et al. '07) over

@@ -206,17 +206,34 @@ object Unigram {
   def learnVocab(docs: DataFrame, textCol: String, vocabSize: Int,
                  emIters: Int = 2, maxPieceLen: Int = 6,
                  seedSize: Int = 0): DataFrame =
-    learnVocabWithTrace(docs, textCol, vocabSize, emIters, maxPieceLen,
-      seedSize)._1
+    learnImpl(docs, textCol, vocabSize, emIters, maxPieceLen,
+      seedSize, withTrace = false)._1
 
   /** [[learnVocab]] plus the per-phase EM trace
     * (step, phase, vocab_size, corpus_nll) — the monotone-likelihood
     * evidence the spec asserts on (NLL non-increasing within each
-    * fixed-support EM phase).
+    * fixed-support EM phase). The trace rows are the caller's
+    * checkpoints to release (the one-table contract, ×2).
     */
   def learnVocabWithTrace(docs: DataFrame, textCol: String, vocabSize: Int,
                           emIters: Int = 2, maxPieceLen: Int = 6,
                           seedSize: Int = 0): (DataFrame, DataFrame) = {
+    val (out, trace) = learnImpl(docs, textCol, vocabSize, emIters,
+      maxPieceLen, seedSize, withTrace = true)
+    (out, trace.get)
+  }
+
+  /** Block-lifetime contract (PersistSweep): with `withTrace = false`
+    * no snapshot checkpoints are ever created; every superseded vocab
+    * round — including the pre-prune table — is released as soon as
+    * its successor materializes, and the ONLY surviving checkpoint is
+    * the returned vocabulary (the caller releases it, as with the
+    * CC/PageRank results).
+    */
+  private def learnImpl(docs: DataFrame, textCol: String, vocabSize: Int,
+                        emIters: Int, maxPieceLen: Int,
+                        seedSize: Int,
+                        withTrace: Boolean): (DataFrame, Option[DataFrame]) = {
     require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
     require(emIters >= 1, s"emIters must be >= 1, got $emIters")
     val seedN = if (seedSize > 0) seedSize else 4 * vocabSize
@@ -225,14 +242,14 @@ object Unigram {
     var superseded = List.empty[DataFrame]
     var trace = List.empty[DataFrame]
     var step = 0
-    def snap(phase: String): Unit = {
+    def snap(phase: String): Unit = if (withTrace) {
       step += 1
       val vs = vocab.agg(count(lit(1)).as("vocab_size"))
       trace ::= corpusNll(words, vocab, maxPieceLen)
         .crossJoin(broadcast(vs))
         .select(lit(step).as("step"), lit(phase).as("phase"),
           col("vocab_size"), round(col("corpus_nll"), 6).as("corpus_nll"))
-        .loopCheckpoint() // 1 row
+        .loopCheckpoint() // 1 row; released by the trace's consumer
     }
     def em(phase: String): Unit = for (_ <- 1 to emIters) {
       val next = emRound(words, vocab, maxPieceLen).loopCheckpoint()
@@ -244,7 +261,9 @@ object Unigram {
     }
     snap("seed")
     em("em1")
+    val prePrune = vocab
     vocab = prune(vocab, vocabSize).loopCheckpoint()
+    Caching.releaseCheckpoint(prePrune) // em1's final round, now superseded
     snap("prune")
     em("em2")
     // the vocabulary is bounded by construction (≤ vocabSize multi-
@@ -258,7 +277,8 @@ object Unigram {
       .select(col("rank"), col("piece"), col("cnt"),
         round(-col("cost"), 6).as("logprob"))
     Caching.releaseCheckpoint(words)
-    (out, trace.reverse.reduce(_ unionByName _))
+    (out,
+      if (withTrace) Some(trace.reverse.reduce(_ unionByName _)) else None)
   }
 
   /** Tokenize `textCol` with a learned vocabulary: the same Viterbi

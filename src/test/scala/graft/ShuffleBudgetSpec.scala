@@ -195,7 +195,17 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "q244_kcore" -> 5,
     "q247_setsim_join" -> 12,
     "q255_basket_rules" -> 12,
-    "q258_dbscan" -> 6)
+    "q258_dbscan" -> 6,
+    // round 15: q262's learning shuffles run at plan-build time behind
+    // localCheckpoints (the q119 BPE shape) so the served plan is
+    // exchange-free; the LM-family trio pays one partial-agg groupBy
+    // per count table + the word-key LM join; q264 is one groupBy +
+    // the 1-row ledger union
+    "q262_unigram_vocab" -> 0,
+    "q263_kneser_ney" -> 9,
+    "q264_dp_release" -> 4,
+    "q265_moore_lewis" -> 7,
+    "q266_ccnet_buckets" -> 6)
 
   private val exchangeRe =
     ("Exchange hashpartitioning|Exchange rangepartitioning|" +
