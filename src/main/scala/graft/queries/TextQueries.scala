@@ -847,6 +847,71 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // §2.3 (round 15) — TRIGRAM interpolated Kneser-Ney, the
+    // recursive layer above q263 (Chen & Goodman '99 §3; what KenLM
+    // builds for order 3): the highest order discounts raw trigram
+    // counts, the middle order is built from CONTINUATION counts
+    // (N1+(·,w2,w3) — "how many distinct contexts has this bigram
+    // completed", the Kneser-Ney insight), and the lowest order is
+    // the continuation unigram. Every model table derives from ONE
+    // trigram count table by partial-agg groupBys:
+    //   p2(w3|w2) = (N1+(·w2w3) − D2 + D2·|fol(w2)|·npre(w3)/T) / N1+(·w2·)
+    //   p3(w3|w1w2) = (c123 − D3 + D3·|fol(w1w2)|·p2) / c12
+    // with D_k = n1/(n1+2n2) over the respective count tables
+    // (COALESCE-0 fallback as in q263). Exact integers to a fixed
+    // IEEE chain mirrored in DuckDB; DECIMAL(18,12) per-trigram NLL
+    // quantization before the per-doc sum. Five uniform-key
+    // partial-agg groupBys + the vocab³-bounded LM join.
+    "q267_kn_trigram" -> { (s, d) =>
+      val w = Tables.documents(s, d)
+        .select(col("doc_id"), GraftFunctions.normWords(col("text")).as("ws"))
+      val tri = w.filter(size(col("ws")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(ws)-3), " +
+            "i -> named_struct('w1', ws[i], 'w2', ws[i+1], 'w3', ws[i+2]))"))
+          .as("t"))
+        .select(col("doc_id"), col("t.w1").as("w1"),
+          col("t.w2").as("w2"), col("t.w3").as("w3"))
+        .scopedPersist() // reused: LM training + scoring
+      val c123 = tri.groupBy(col("w1"), col("w2"), col("w3"))
+        .agg(count(lit(1)).as("c123")).scopedPersist()
+      val ctx12 = c123.groupBy(col("w1"), col("w2"))
+        .agg(sum(col("c123")).as("c12"), count(lit(1)).as("nfol12"))
+      val cont = c123.groupBy(col("w2"), col("w3"))
+        .agg(count(lit(1)).as("cont23")).scopedPersist()
+      val mid = cont.groupBy(col("w2"))
+        .agg(sum(col("cont23")).as("cmid2"), count(lit(1)).as("nfolc2"))
+      val pre3 = cont.groupBy(col("w3")).agg(count(lit(1)).as("npre3"))
+      val tot = c123.agg(
+        sum((col("c123") === 1).cast("long")).as("n1_3"),
+        sum((col("c123") === 2).cast("long")).as("n2_3"))
+        .crossJoin(cont.agg(count(lit(1)).as("ntypes2"),
+          sum((col("cont23") === 1).cast("long")).as("n1_c"),
+          sum((col("cont23") === 2).cast("long")).as("n2_c")))
+      val lm = c123.join(ctx12, Seq("w1", "w2"))
+        .join(cont, Seq("w2", "w3")).join(mid, "w2").join(pre3, "w3")
+        .crossJoin(broadcast(tot))
+        .withColumn("d3", coalesce(col("n1_3").cast("double") /
+          nullif(col("n1_3") + lit(2L) * col("n2_3"), lit(0L)), lit(0.0)))
+        .withColumn("d2", coalesce(col("n1_c").cast("double") /
+          nullif(col("n1_c") + lit(2L) * col("n2_c"), lit(0L)), lit(0.0)))
+        .withColumn("p2",
+          (col("cont23").cast("double") - col("d2")
+            + col("d2") * col("nfolc2") * col("npre3") / col("ntypes2"))
+            / col("cmid2"))
+        .select(col("w1"), col("w2"), col("w3"),
+          (-log((col("c123").cast("double") - col("d3")
+            + col("d3") * col("nfol12") * col("p2"))
+            / col("c12")))
+            .cast(DecimalType(18, 12)).as("nll"))
+      tri.join(lm, Seq("w1", "w2", "w3"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_trigrams"),
+          round(sum(col("nll")).cast("double") / count(lit(1)), 6).as("mean_nll"),
+          round(exp(sum(col("nll")).cast("double") / count(lit(1))), 6).as("ppl"))
+        .orderBy(col("doc_id"))
+    },
+
     // model-based quality filtering as a pure codegen pass (the
     // fastText-classifier shape): each word feature-hashes into one of
     // 1024 buckets (md5 arithmetic — reproducible in the oracle), the
@@ -2779,6 +2844,60 @@ object TextQueries {
          |  ROUND(EXP(CAST(SUM(lm.nll) AS DOUBLE) / COUNT(*)), 6) AS ppl
          |FROM bi b JOIN lm USING (w1, w2)
          |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin,
+
+    // the q263 mirror one order up: identical IEEE chain, the middle
+    // order built from continuation counts, all tables from c123
+    "q267_kn_trigram" ->
+      s"""WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents),
+         |f AS (SELECT doc_id, ws FROM w WHERE len(ws) >= 3),
+         |tri AS (SELECT doc_id, unnest(ws[1:len(ws)-2]) AS w1,
+         |               unnest(ws[2:len(ws)-1]) AS w2,
+         |               unnest(ws[3:len(ws)]) AS w3 FROM f),
+         |c123 AS (SELECT w1, w2, w3, COUNT(*) AS c123 FROM tri
+         |         GROUP BY w1, w2, w3),
+         |ctx12 AS (SELECT w1, w2, CAST(SUM(c123) AS BIGINT) AS c12,
+         |                 COUNT(*) AS nfol12 FROM c123 GROUP BY w1, w2),
+         |cont AS (SELECT w2, w3, COUNT(*) AS cont23 FROM c123
+         |         GROUP BY w2, w3),
+         |mid AS (SELECT w2, CAST(SUM(cont23) AS BIGINT) AS cmid2,
+         |               COUNT(*) AS nfolc2 FROM cont GROUP BY w2),
+         |pre3 AS (SELECT w3, COUNT(*) AS npre3 FROM cont GROUP BY w3),
+         |tot AS (SELECT
+         |  (SELECT CAST(SUM(CASE WHEN c123 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |   FROM c123) AS n1_3,
+         |  (SELECT CAST(SUM(CASE WHEN c123 = 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |   FROM c123) AS n2_3,
+         |  (SELECT COUNT(*) FROM cont) AS ntypes2,
+         |  (SELECT CAST(SUM(CASE WHEN cont23 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |   FROM cont) AS n1_c,
+         |  (SELECT CAST(SUM(CASE WHEN cont23 = 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |   FROM cont) AS n2_c),
+         |lm AS (SELECT c.w1, c.w2, c.w3,
+         |  CAST(-ln((CAST(c.c123 AS DOUBLE)
+         |      - COALESCE(CAST(tot.n1_3 AS DOUBLE)
+         |          / NULLIF(tot.n1_3 + 2 * tot.n2_3, 0), 0.0)
+         |      + COALESCE(CAST(tot.n1_3 AS DOUBLE)
+         |          / NULLIF(tot.n1_3 + 2 * tot.n2_3, 0), 0.0)
+         |        * ctx.nfol12
+         |        * ((CAST(cont.cont23 AS DOUBLE)
+         |            - COALESCE(CAST(tot.n1_c AS DOUBLE)
+         |                / NULLIF(tot.n1_c + 2 * tot.n2_c, 0), 0.0)
+         |            + COALESCE(CAST(tot.n1_c AS DOUBLE)
+         |                / NULLIF(tot.n1_c + 2 * tot.n2_c, 0), 0.0)
+         |              * mid.nfolc2 * pre3.npre3 / tot.ntypes2)
+         |           / mid.cmid2))
+         |     / ctx.c12) AS DECIMAL(18,12)) AS nll
+         |  FROM c123 c
+         |  JOIN ctx12 ctx ON c.w1 = ctx.w1 AND c.w2 = ctx.w2
+         |  JOIN cont ON c.w2 = cont.w2 AND c.w3 = cont.w3
+         |  JOIN mid ON c.w2 = mid.w2
+         |  JOIN pre3 ON c.w3 = pre3.w3
+         |  CROSS JOIN tot)
+         |SELECT t.doc_id AS doc_id, COUNT(*) AS n_trigrams,
+         |  ROUND(CAST(SUM(lm.nll) AS DOUBLE) / COUNT(*), 6) AS mean_nll,
+         |  ROUND(EXP(CAST(SUM(lm.nll) AS DOUBLE) / COUNT(*)), 6) AS ppl
+         |FROM tri t JOIN lm USING (w1, w2, w3)
+         |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin,
 
     "q115_classifier_filter" ->
       s"""WITH w AS (SELECT doc_id, $wsSql AS ws FROM documents),

@@ -47,6 +47,7 @@ class PartitionInvarianceSpec extends SparkSpecBase {
     // hard-EM fixpoint with broadcast-map Viterbi, seeded-hash DP
     // noise, OOV left-join log-sums, ntile cuts on rounded doubles
     "q263_kneser_ney",
+    "q267_kn_trigram",
     "q262_unigram_vocab",
     "q264_dp_release",
     "q265_moore_lewis",

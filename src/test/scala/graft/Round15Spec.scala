@@ -101,6 +101,31 @@ class Round15Spec extends SparkSpecBase {
     assert(math.abs(r(0).getDouble(3) - math.exp(meanNll)) < 1e-4)
   }
 
+  test("q267: trigram Kneser-Ney matches the hand-computed closed form") {
+    import spark.implicits._
+    // "a b a b a c": c123 = {aba:2, bab:1, bac:1} => n1=2, n2=1,
+    // D3 = 1/2. Continuations all count 1 => D2 = 1 (full discount —
+    // degenerate but well-defined: middle order collapses onto the
+    // continuation unigram). ctx12: (a,b) c12=2 nfol=1; (b,a) c12=2
+    // nfol=2. mid: a cmid=2 nfolc=2; b cmid=1 nfolc=1. npre all 1,
+    // ntypes2=3.
+    val docs = Seq((1L, "a b a b a c")).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-kn3").toString
+    docs.withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r = graft.queries.TextQueries.queries("q267_kn_trigram")(spark, tmp)
+      .collect()
+    assert(r.length == 1 && r(0).getLong(1) == 4L)
+    val p2 = 1.0 / 3 // identical for all three continuations here
+    val pAba = (2 - 0.5 + 0.5 * 1 * p2) / 2
+    val pBab = (1 - 0.5 + 0.5 * 2 * p2) / 2
+    val meanNll =
+      (2 * -math.log(pAba) + 2 * -math.log(pBab)) / 4 // bac ≡ bab prob
+    assert(math.abs(r(0).getDouble(2) - meanNll) < 1e-5,
+      s"mean_nll ${r(0).getDouble(2)} vs closed form $meanNll")
+  }
+
   test("q265: in-domain (en) docs score better under the in-domain LM than others") {
     val r = graft.queries.CurationQueries.queries("q265_moore_lewis")(spark, sf01)
     val langs = Tables.documents(spark, sf01).select(col("doc_id"), col("lang"))

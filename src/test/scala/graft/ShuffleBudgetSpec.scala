@@ -203,6 +203,7 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     // the 1-row ledger union
     "q262_unigram_vocab" -> 0,
     "q263_kneser_ney" -> 9,
+    "q267_kn_trigram" -> 18,
     "q264_dp_release" -> 4,
     "q265_moore_lewis" -> 7,
     "q266_ccnet_buckets" -> 6)
