@@ -21,7 +21,8 @@ object SparkEntry {
       graft.queries.GraphQueries.queries ++
       graft.queries.BehaviorQueries.queries ++
       graft.queries.WebQueries.queries ++
-      graft.queries.MediaQueries.queries
+      graft.queries.MediaQueries.queries ++
+      graft.queries.StatsQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -39,5 +40,6 @@ object SparkEntry {
       graft.queries.GraphQueries.oracleSql ++
       graft.queries.BehaviorQueries.oracleSql ++
       graft.queries.WebQueries.oracleSql ++
-      graft.queries.MediaQueries.oracleSql
+      graft.queries.MediaQueries.oracleSql ++
+      graft.queries.StatsQueries.oracleSql
 }

@@ -1,0 +1,792 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** SURVEY.md §2.3/§2.4 addendum (round 15) — the classical-statistics
+  * and lifecycle-analytics layer: survival curves, independence and
+  * distribution tests, changepoint detection, customer segmentation,
+  * sequence packing for training batches, autocorrelation, Pareto
+  * classification, smoothing, and distribution drift.
+  *
+  * House discipline throughout: every aggregate a statistic derives
+  * from is an EXACT integer (counts, cent-quantized money, doubled
+  * midranks) or exact decimal, so cross-engine agreement never rests
+  * on float summation order; the final statistic evaluates through a
+  * textually identical IEEE chain in both engines under round(·,6);
+  * every unpartitioned window sits over an aggregate (value-domain /
+  * day-domain / cell-domain frames — the PlanAuditSpec bounded rule);
+  * multi-consumer frames are scopedPersist-pinned.
+  */
+object StatsQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+
+    // §2.3 (round 15) — KAPLAN–MEIER survival estimator (Kaplan &
+    // Meier JASA'58): customer "lifetime" = days between first and
+    // last order; a lifetime is an EVENT (churn observed) when the
+    // last order predates the 90-day horizon before the dataset's
+    // edge, else CENSORED — the right-censoring every retention team
+    // faces. Per distinct duration t: at-risk n_t = N − |durations
+    // < t| from a duration-domain cumulative window (aggregate
+    // beneath — bounded by the day-domain, ~2.4k values), survival
+    // S(t) = Π_{t'≤t}(1 − d/n) via exp∘Σ∘ln over the same ordered
+    // domain, with the d=n absorbing state handled by an explicit
+    // running flag (never ln(0) — DuckDB throws where the JVM returns
+    // −Inf). One partial-agg groupBy over orders, then domain-sized
+    // frames only.
+    "q268_kaplan_meier" -> { (s, d) =>
+      import graft.Caching.ScopedPersist
+      val life = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(min(to_date(col("o_orderdate"))).as("first_d"),
+          max(to_date(col("o_orderdate"))).as("last_d"))
+        .scopedPersist() // consumers: horizon + the duration rollup
+      val hor = life.agg(max(col("last_d")).as("horizon"))
+      val byT = life.crossJoin(broadcast(hor))
+        .select(datediff(col("last_d"), col("first_d")).as("t"),
+          (col("last_d") <= date_sub(col("horizon"), 90))
+            .cast("long").as("ev"))
+        .groupBy(col("t"))
+        .agg(count(lit(1)).as("m"), sum(col("ev")).as("dd"))
+        .scopedPersist() // consumers: N + the survival frame
+      val tot = byT.agg(sum(col("m")).as("nn"))
+      val cumW = Window.orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val runW = Window.orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byT.crossJoin(broadcast(tot))
+        .withColumn("at_risk",
+          col("nn") - coalesce(sum(col("m")).over(cumW), lit(0L)))
+        .withColumn("lnterm",
+          when(col("dd") < col("at_risk"),
+            log(lit(1.0) - col("dd").cast("double") / col("at_risk")))
+            .otherwise(lit(0.0)))
+        .withColumn("dead",
+          max((col("dd") === col("at_risk")).cast("int")).over(runW))
+        .withColumn("survival",
+          when(col("dead") > 0, lit(0.0))
+            .otherwise(round(exp(sum(col("lnterm")).over(runW)), 6)))
+        .filter(col("dd") > 0)
+        .select(col("t").cast("long").as("duration_days"), col("at_risk"),
+          col("dd").as("n_events"), (col("m") - col("dd")).as("n_censored"),
+          col("survival"))
+        .orderBy(col("duration_days"))
+    },
+
+    // §2.3 (round 15) — CHI-SQUARE test of INDEPENDENCE over a two-way
+    // contingency table (market segment × order priority) — the
+    // categorical companion to q254's Welch t and the two-margin
+    // generalization of q146's goodness-of-fit-vs-uniform. Observed
+    // counts and both margins are exact integers; expected = rt·ct/N
+    // through one IEEE division; the statistic accumulates through an
+    // ORDERED cell-domain cumulative window (≤ |segs|·|prios| rows,
+    // aggregate beneath) so both engines sum the identical term
+    // sequence left-to-right — the last row's chi2_cum IS the
+    // statistic, dof rides along from the margins.
+    "q269_chi2_independence" -> { (s, d) =>
+      import graft.Caching.ScopedPersist
+      val cells = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("seg"),
+          col("o_orderpriority").as("prio"))
+        .agg(count(lit(1)).as("obs"))
+        .scopedPersist() // consumers: two margins + totals + the cells
+      val rowm = cells.groupBy(col("seg")).agg(sum(col("obs")).as("rt"))
+      val colm = cells.groupBy(col("prio")).agg(sum(col("obs")).as("ct"))
+      val tot = cells.agg(sum(col("obs")).as("n"),
+        ((countDistinct(col("seg")) - 1)
+          * (countDistinct(col("prio")) - 1)).as("dof"))
+      val w = Window.orderBy(col("seg"), col("prio"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cells.join(broadcast(rowm), "seg").join(broadcast(colm), "prio")
+        .crossJoin(broadcast(tot))
+        .withColumn("ex", (col("rt") * col("ct")).cast("double") / col("n"))
+        .withColumn("term", pow(col("obs") - col("ex"), 2.0) / col("ex"))
+        .select(col("seg"), col("prio"), col("obs"),
+          round(col("ex"), 6).as("expected"),
+          round(col("term"), 6).as("chi2_term"),
+          round(sum(col("term")).over(w), 6).as("chi2_cum"),
+          col("dof"))
+        .orderBy(col("seg"), col("prio"))
+    },
+
+    // §2.3 (round 15) — SPEARMAN rank correlation per return flag
+    // (quantity vs discount): the tie-aware rank transform uses the
+    // q260 doubled-midrank identity R2(v) = 2·|{x<v}| + m_v + 1 over
+    // each group's BOUNDED value domain (50 quantities × 11 discounts
+    // — no corpus row ever sorts), so every rank is an exact integer
+    // and all six correlation moments are exact Long sums (≤ 4n³ ≈
+    // 3·10¹⁶ at sf0.1 — the 100 TB form swaps Long for DECIMAL(38)).
+    // ρ = Pearson over the midranks through one identical IEEE chain.
+    "q270_spearman" -> { (s, d) =>
+      import graft.Caching.ScopedPersist
+      val vc = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag").as("rf"), col("l_quantity").as("x"),
+          col("l_discount").as("y"))
+        .agg(count(lit(1)).as("c"))
+        .scopedPersist() // consumers: x-domain, y-domain, the moment sums
+      def dom(key: String, rank: String): DataFrame = {
+        val w = Window.partitionBy(col("rf")).orderBy(col(key))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        vc.groupBy(col("rf"), col(key)).agg(sum(col("c")).as("m"))
+          .withColumn("cb", coalesce(sum(col("m")).over(w), lit(0L)))
+          .select(col("rf"), col(key),
+            (lit(2L) * col("cb") + col("m") + 1L).as(rank))
+      }
+      vc.join(dom("x", "rx"), Seq("rf", "x"))
+        .join(dom("y", "ry"), Seq("rf", "y"))
+        .groupBy(col("rf"))
+        .agg(sum(col("c")).as("n"),
+          sum(col("c") * col("rx")).as("sx"),
+          sum(col("c") * col("ry")).as("sy"),
+          sum(col("c") * col("rx") * col("rx")).as("sxx"),
+          sum(col("c") * col("ry") * col("ry")).as("syy"),
+          sum(col("c") * col("rx") * col("ry")).as("sxy"))
+        .select(col("rf").as("l_returnflag"), col("n"),
+          round(expr("(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+            + " / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+            + " * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))"),
+            6).as("rho"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // §2.3 (round 15) — two-sample KOLMOGOROV–SMIRNOV test per source
+    // vs rest over the document-length distribution — the
+    // DISTRIBUTION-SHAPE companion to q254 (means) and q260 (ranks):
+    // KS sees bimodality and tail shifts both miss. The sup-gap
+    // evaluates on the DENSE source × length-domain grid (two
+    // aggregates cross-joined, ≤ |sources|·|domain| rows); both ECDFs
+    // are exact integer cumulative counts, the gap maximizes as the
+    // integer |c_s·n_r − c_r·n_s|, and only the final D and its
+    // normal-approx z touch doubles (one division each).
+    "q271_ks_test" -> { (s, d) =>
+      import graft.Caching.ScopedPersist
+      val vc = Tables.documents(s, d)
+        .groupBy(col("source"), col("n_chars").as("v"))
+        .agg(count(lit(1)).as("c"))
+        .scopedPersist() // consumers: domain cum + source totals + grid
+      val dom = vc.groupBy(col("v")).agg(sum(col("c")).as("m"))
+        .withColumn("cum_all", sum(col("m")).over(Window.orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("v"), col("cum_all"))
+      val srcs = vc.groupBy(col("source")).agg(sum(col("c")).as("n_s"))
+      val nn = srcs.agg(sum(col("n_s")).as("nn"))
+      val grid = dom.crossJoin(broadcast(srcs))
+        .join(vc, Seq("source", "v"), "left")
+        .withColumn("c0", coalesce(col("c"), lit(0L)))
+        .withColumn("cum_s", sum(col("c0")).over(
+          Window.partitionBy(col("source")).orderBy(col("v"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      grid.crossJoin(broadcast(nn))
+        .withColumn("gap", abs(col("cum_s") * (col("nn") - col("n_s"))
+          - (col("cum_all") - col("cum_s")) * col("n_s")))
+        .groupBy(col("source"), col("n_s"), col("nn"))
+        .agg(max(col("gap")).as("gmax"))
+        .select(col("source"), col("n_s"),
+          round(col("gmax").cast("double")
+            / (col("n_s") * (col("nn") - col("n_s"))), 6).as("d_stat"),
+          round(col("gmax").cast("double")
+            / (col("n_s") * (col("nn") - col("n_s")))
+            * sqrt(col("n_s").cast("double") * (col("nn") - col("n_s"))
+              / col("nn")), 6).as("ks_z"))
+        .orderBy(col("source"))
+    },
+
+    // §2.4 (round 15) — CUSUM changepoint detection over the daily
+    // revenue series (Page, Biometrika'54): the classic recursion
+    // S_t = max(0, S_{t-1} + dev_t) rewrites EXACTLY as C_t − min_{j≤t}
+    // C_j over the cumulative sum — two ordered windows on the
+    // day-domain aggregate, no per-row recursion. Deviations are
+    // n-scaled cent integers (n·x_t − Σx, mean-free without a single
+    // double), so the whole trace is exact Long arithmetic; only the
+    // reported normalized statistic divides (once) into a double. The
+    // argmax day — the changepoint estimate — flags by exact integer
+    // equality with the full-frame max.
+    "q272_cusum" -> { (s, d) =>
+      import graft.Caching.ScopedPersist
+      val daily = Tables.orders(s, d)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(round(col("o_totalprice"), 2).cast(DecimalType(18, 2)))
+          .as("rev"))
+        .withColumn("rc", (col("rev") * 100).cast("long"))
+        .scopedPersist() // consumers: totals + the deviation frame
+      val tot = daily.agg(count(lit(1)).as("nd"), sum(col("rc")).as("trc"))
+      val runW = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val allW = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      daily.crossJoin(broadcast(tot))
+        .withColumn("dev", col("rc") * col("nd") - col("trc"))
+        .withColumn("cum", sum(col("dev")).over(runW))
+        .withColumn("s_pos", col("cum") - min(col("cum")).over(runW))
+        .withColumn("peak", max(col("s_pos")).over(allW))
+        .select(col("day").cast("timestamp").as("day"),
+          (col("rc").cast("double") / 100).as("revenue"),
+          round(col("s_pos").cast("double") / col("nd") / 100, 6)
+            .as("cusum"),
+          (col("s_pos") === col("peak")).cast("long").as("is_changepoint"))
+        .orderBy(col("day"))
+    },
+
+    // §2.3 (round 15) — RFM segmentation (recency / frequency /
+    // monetary quintiles — the direct-marketing workhorse since
+    // Hughes '94): per-customer stats are one partial-agg groupBy
+    // (money cent-quantized to DECIMAL before summing); the three
+    // quintile ntiles ride unpartitioned windows over the CUSTOMER
+    // aggregate — a dimension-sized frame (the CurationQueries
+    // 696/800 precedent), each with a custkey tiebreak so the total
+    // order (hence every ntile edge) is deterministic in both
+    // engines. Output is the 125-cell segment matrix, not the
+    // customer list.
+    "q273_rfm" -> { (s, d) =>
+      import graft.Caching.ScopedPersist
+      val cust = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(max(to_date(col("o_orderdate"))).as("last_d"),
+          count(lit(1)).as("freq"),
+          sum(round(col("o_totalprice"), 2).cast(DecimalType(18, 2)))
+            .as("mon"))
+        .scopedPersist() // consumers: horizon + the scored frame
+      val hor = cust.agg(max(col("last_d")).as("mx"))
+      cust.crossJoin(broadcast(hor))
+        .withColumn("rec", datediff(col("mx"), col("last_d")))
+        .withColumn("r", ntile(5).over(
+          Window.orderBy(col("rec").desc, col("o_custkey"))).cast("long"))
+        .withColumn("f", ntile(5).over(
+          Window.orderBy(col("freq"), col("o_custkey"))).cast("long"))
+        .withColumn("m", ntile(5).over(
+          Window.orderBy(col("mon"), col("o_custkey"))).cast("long"))
+        .groupBy(col("r"), col("f"), col("m"))
+        .agg(count(lit(1)).as("n_customers"),
+          round(avg(col("rec")), 6).as("avg_recency_days"),
+          round(sum(col("mon")).cast("double") / count(lit(1)), 6)
+            .as("avg_monetary"))
+        .orderBy(col("r"), col("f"), col("m"))
+    },
+
+    // §2.3 (round 15) — SEQUENCE PACKING audit: GPT-style training
+    // batches concatenate the corpus in a fixed document order and
+    // split at context-window boundaries (C = 2048 tokens, chars/4
+    // heuristic); the packing question is how many documents STRADDLE
+    // a boundary (attention-mask fragmentation) and how wide the
+    // worst straddle spans. The global token prefix sum rides
+    // Selection.budgetSelect's DISTRIBUTED two-phase cumsum over the
+    // (doc_id) total order — never a single-task corpus window — and
+    // every chunk index is exact integer division off it. Output is
+    // the span histogram with the total chunk count.
+    "q274_seq_packing" -> { (s, d) =>
+      import graft.Caching.ScopedPersist
+      import graft.operators.Selection
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"),
+          greatest(lit(1L), expr("(n_chars + 3) div 4")).as("tok"))
+      val cum = Selection.budgetSelect(
+        toks, Seq(col("doc_id")), col("tok"), Long.MaxValue)
+        .scopedPersist() // consumers: totals + the span histogram
+      val tot = cum.agg(count(lit(1)).as("n_docs_total"),
+        sum(col("tok")).as("n_tok"))
+      cum
+        .withColumn("first_c", expr("(cum_weight - tok) div 2048"))
+        .withColumn("last_c", expr("(cum_weight - 1) div 2048"))
+        .groupBy((col("last_c") - col("first_c") + 1L).as("span"))
+        .agg(count(lit(1)).as("n_docs"))
+        .crossJoin(broadcast(tot))
+        .select(col("span"), col("n_docs"),
+          round(col("n_docs").cast("double") / col("n_docs_total"), 6)
+            .as("frac"),
+          expr("(n_tok + 2047) div 2048").as("n_chunks"))
+        .orderBy(col("span"))
+    },
+
+    // §2.4 (round 15) — lag-k AUTOCORRELATION (ACF, lags 1–14) of the
+    // daily order-count series — the seasonality fingerprint read
+    // before any forecasting model. The series is the day-domain
+    // aggregate; deviations are n-scaled integers (n·c_t − Σc), the
+    // lag alignment is an equi-join of the day frame against itself
+    // shifted through a broadcast 14-row lag spine, and numerator /
+    // denominator are exact Long sums (≤ n·(n·c)² ≈ 6·10¹² at sf0.1)
+    // meeting in one IEEE division.
+    "q275_acf" -> { (s, d) =>
+      import graft.Caching.ScopedPersist
+      val d0 = Tables.orders(s, d)
+        .agg(min(to_date(col("o_orderdate"))).as("d0"))
+      val daily = Tables.orders(s, d).crossJoin(broadcast(d0))
+        .groupBy(datediff(to_date(col("o_orderdate")), col("d0")).as("di"))
+        .agg(count(lit(1)).as("c"))
+        .scopedPersist() // consumers: totals + denominator + both lag sides
+      val tot = daily.agg(count(lit(1)).as("nd"), sum(col("c")).as("tc"))
+      val den = daily.crossJoin(broadcast(tot))
+        .agg(sum((col("c") * col("nd") - col("tc"))
+          * (col("c") * col("nd") - col("tc"))).as("den"))
+      val lags = s.range(1, 15).select(col("id").as("lag"))
+      daily.crossJoin(broadcast(lags))
+        .withColumn("dj", col("di") + col("lag"))
+        .join(daily.select(col("di").as("dj"), col("c").as("cy")), "dj")
+        .crossJoin(broadcast(tot))
+        .groupBy(col("lag"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum((col("c") * col("nd") - col("tc"))
+            * (col("cy") * col("nd") - col("tc"))).as("num"))
+        .crossJoin(broadcast(den))
+        .select(col("lag"), col("n_pairs"),
+          round(col("num").cast("double") / col("den"), 6).as("acf"))
+        .orderBy(col("lag"))
+    },
+
+    // §2.4 (round 15) — SEQUENTIAL CONTAINMENT mining over user event
+    // streams: for each ordered type pair (a, b), how many users did
+    // SOME a before SOME b — the "A leads to B" pattern q240's
+    // adjacent-transition Markov matrix cannot see (containment spans
+    // arbitrary gaps). Per (user, type) min/max timestamps are one
+    // partial-agg groupBy; the pair expansion is a per-user self-join
+    // bounded by the type-domain width (≤ 5² rows per user); the
+    // verdict min_ts(a) < max_ts(b) is an exact integer compare.
+    "q276_seq_containment" -> { (s, d) =>
+      import graft.Caching.ScopedPersist
+      val ut = Tables.events(s, d)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(min(unix_micros(col("ts"))).as("tmin"),
+          max(unix_micros(col("ts"))).as("tmax"))
+        .scopedPersist() // consumers: both sides of the per-user pair join
+      ut.select(col("user_id"), col("event_type").as("type_a"), col("tmin"))
+        .join(ut.select(col("user_id"), col("event_type").as("type_b"),
+          col("tmax")), Seq("user_id"))
+        .filter(col("type_a") =!= col("type_b"))
+        .groupBy(col("type_a"), col("type_b"))
+        .agg(count(lit(1)).as("n_both"),
+          sum((col("tmin") < col("tmax")).cast("long")).as("n_seq"))
+        .select(col("type_a"), col("type_b"), col("n_both"), col("n_seq"),
+          round(col("n_seq").cast("double") / col("n_both"), 6)
+            .as("containment"))
+        .orderBy(col("type_a"), col("type_b"))
+    },
+
+    // §2.3 (round 15) — PARETO / ABC revenue classification of the
+    // part catalog: parts ranked by discounted revenue; A = the head
+    // covering 80% of revenue, B = the next 15%, C = the tail — the
+    // inventory-policy cut every supply chain runs. Revenue is the
+    // exact DECIMAL product price·(1−disc) in 10⁻⁴ units (never a
+    // double round — the q01 money discipline); the rank-ordered cumulative
+    // share rides budgetSelect's distributed prefix sum over the
+    // (revenue DESC, partkey) total order (never a single-task part
+    // sort); class edges are exact integer compares (cum·100 ≤
+    // tot·80), so the A/B/C assignment is float-free.
+    "q277_pareto_abc" -> { (s, d) =>
+      import graft.Caching.ScopedPersist
+      import graft.operators.Selection
+      val rev = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey"))
+        .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2))
+          * (lit(1).cast(DecimalType(18, 2))
+            - col("l_discount").cast(DecimalType(18, 2)))).as("rev"))
+        .select(col("l_partkey"), (col("rev") * 10000).cast("long").as("rc"))
+      val ranked = Selection.budgetSelect(
+        rev, Seq(col("rc").desc, col("l_partkey")), col("rc"), Long.MaxValue)
+        .scopedPersist() // consumers: totals + the classified rollup
+      val tot = ranked.agg(sum(col("rc")).as("trc"), count(lit(1)).as("np"))
+      ranked.crossJoin(broadcast(tot))
+        .withColumn("cls",
+          when(col("cum_weight") * 100 <= col("trc") * 80, "A")
+            .when(col("cum_weight") * 100 <= col("trc") * 95, "B")
+            .otherwise("C"))
+        .groupBy(col("cls"))
+        .agg(count(lit(1)).as("n_parts"), sum(col("rc")).as("crc"),
+          max(col("trc")).as("trc"), max(col("np")).as("np"))
+        .select(col("cls"), col("n_parts"),
+          round(col("crc").cast("double") / 10000, 2).as("revenue"),
+          round(col("crc").cast("double") / col("trc"), 6).as("rev_share"),
+          round(col("n_parts").cast("double") / col("np"), 6)
+            .as("part_share"))
+        .orderBy(col("cls"))
+    },
+
+    // §2.4 (round 15) — EWMA smoothing of daily revenue (trailing
+    // 7-day geometric half-life): the forecasting primitive under
+    // every anomaly band. The infinite EWMA recursion truncates to
+    // its 7-term window form with POWER-OF-TWO integer weights
+    // (64,32,…,1), so numerator Σ wⱼ·x_{t−j} is an exact cent·weight
+    // Long and the denominator adapts to calendar gaps (missing days
+    // contribute no weight — no zero-imputation bias). The lag
+    // alignment is the q275 broadcast-spine self-join; one IEEE
+    // division chain at the end.
+    "q278_ewma" -> { (s, d) =>
+      import graft.Caching.ScopedPersist
+      val d0 = Tables.orders(s, d)
+        .agg(min(to_date(col("o_orderdate"))).as("d0"))
+      val daily = Tables.orders(s, d).crossJoin(broadcast(d0))
+        .groupBy(to_date(col("o_orderdate")).as("day"),
+          datediff(to_date(col("o_orderdate")), col("d0")).as("di"))
+        .agg(sum(round(col("o_totalprice"), 2).cast(DecimalType(18, 2)))
+          .as("rev"))
+        .withColumn("rc", (col("rev") * 100).cast("long"))
+        .scopedPersist() // consumers: anchor side + lag side
+      val lags = s.range(0, 7)
+        .select(col("id").as("lag"),
+          expr("shiftright(64, CAST(id AS INT))").as("w"))
+      daily.select(col("day"), col("di"), col("rc"))
+        .crossJoin(broadcast(lags))
+        .withColumn("dj", col("di") - col("lag"))
+        .join(daily.select(col("di").as("dj"), col("rc").as("rcj")), "dj")
+        .groupBy(col("day"), col("rc"))
+        .agg(sum(col("rcj") * col("w")).as("num"), sum(col("w")).as("den"))
+        .select(col("day").cast("timestamp").as("day"),
+          (col("rc").cast("double") / 100).as("revenue"),
+          round(col("num").cast("double") / col("den") / 100, 6).as("ewma7"))
+        .orderBy(col("day"))
+    },
+
+    // §2.4 (round 15) — JENSEN–SHANNON divergence of the event-type
+    // mix per weekday vs the global mix — the bounded, symmetric
+    // drift measure (JSD ∈ [0, ln 2]) run before trusting any
+    // day-of-week traffic model; KL alone is infinite on a missing
+    // type, JSD is not. Weekday = epoch-day mod 7 in pure integer
+    // arithmetic (no timezone/locale dow trap); the term grid is
+    // DENSE (weekday totals × global types, so absent cells still
+    // contribute their q-side mass); all probabilities are exact
+    // integer ratios; the divergence accumulates through a
+    // per-weekday ORDERED type-domain window so both engines sum the
+    // identical IEEE sequence — the last row per weekday is its JSD.
+    "q279_js_divergence" -> { (s, d) =>
+      import graft.Caching.ScopedPersist
+      val wt = Tables.events(s, d)
+        .select(expr("(unix_micros(ts) div 86400000000) % 7").as("wd"),
+          col("event_type"))
+        .groupBy(col("wd"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+        .scopedPersist() // consumers: weekday totals + type totals + grid
+      val wdTot = wt.groupBy(col("wd")).agg(sum(col("c")).as("nw"))
+      val gTot = wt.groupBy(col("event_type")).agg(sum(col("c")).as("ct"))
+      val nn = gTot.agg(sum(col("ct")).as("n"))
+      val w = Window.partitionBy(col("wd")).orderBy(col("event_type"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      wdTot.crossJoin(broadcast(gTot))
+        .join(wt, Seq("wd", "event_type"), "left")
+        .withColumn("c0", coalesce(col("c"), lit(0L)))
+        .crossJoin(broadcast(nn))
+        .withColumn("p", col("c0").cast("double") / col("nw"))
+        .withColumn("q", col("ct").cast("double") / col("n"))
+        .withColumn("mm", (col("p") + col("q")) / 2)
+        .withColumn("term",
+          when(col("p") > 0, col("p") * log(col("p") / col("mm")) / 2)
+            .otherwise(lit(0.0))
+            + col("q") * log(col("q") / col("mm")) / 2)
+        .select(col("wd").as("weekday"), col("event_type"),
+          col("c0").as("n_events"),
+          round(col("p"), 6).as("p_weekday"),
+          round(col("q"), 6).as("p_global"),
+          round(sum(col("term")).over(w), 6).as("jsd_cum"))
+        .orderBy(col("weekday"), col("event_type"))
+    }
+  )
+
+  val oracleSql: Map[String, String] = Map(
+
+    "q268_kaplan_meier" ->
+      """WITH life AS (SELECT o_custkey,
+        |    MIN(CAST(o_orderdate AS DATE)) AS first_d,
+        |    MAX(CAST(o_orderdate AS DATE)) AS last_d
+        |  FROM orders GROUP BY o_custkey),
+        |hor AS (SELECT MAX(last_d) AS horizon FROM life),
+        |byt AS (SELECT date_diff('day', first_d, last_d) AS t,
+        |    CAST(COUNT(*) AS BIGINT) AS m,
+        |    CAST(SUM(CASE WHEN last_d <= horizon - 90 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS dd
+        |  FROM life CROSS JOIN hor GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(m) AS BIGINT) AS nn FROM byt),
+        |r AS (SELECT t, m, dd,
+        |    CAST(nn - COALESCE(SUM(m) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS at_risk
+        |  FROM byt CROSS JOIN tot),
+        |r2 AS (SELECT t, m, dd, at_risk,
+        |    CASE WHEN dd < at_risk
+        |      THEN ln(1.0 - CAST(dd AS DOUBLE) / at_risk) ELSE 0.0 END
+        |      AS lnterm,
+        |    MAX(CASE WHEN dd = at_risk THEN 1 ELSE 0 END) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead
+        |  FROM r),
+        |r3 AS (SELECT t, m, dd, at_risk, dead,
+        |    SUM(lnterm) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lncum
+        |  FROM r2)
+        |SELECT CAST(t AS BIGINT) AS duration_days, at_risk,
+        |  dd AS n_events, m - dd AS n_censored,
+        |  CASE WHEN dead > 0 THEN 0.0 ELSE ROUND(EXP(lncum), 6) END
+        |    AS survival
+        |FROM r3 WHERE dd > 0 ORDER BY duration_days""".stripMargin,
+
+    "q269_chi2_independence" ->
+      """WITH cells AS (SELECT c_mktsegment AS seg, o_orderpriority AS prio,
+        |    CAST(COUNT(*) AS BIGINT) AS obs
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |rowm AS (SELECT seg, CAST(SUM(obs) AS BIGINT) AS rt
+        |  FROM cells GROUP BY seg),
+        |colm AS (SELECT prio, CAST(SUM(obs) AS BIGINT) AS ct
+        |  FROM cells GROUP BY prio),
+        |tot AS (SELECT CAST(SUM(obs) AS BIGINT) AS n,
+        |    (COUNT(DISTINCT seg) - 1) * (COUNT(DISTINCT prio) - 1) AS dof
+        |  FROM cells),
+        |b AS (SELECT seg, prio, obs,
+        |    CAST(rt * ct AS DOUBLE) / n AS ex, dof
+        |  FROM cells JOIN rowm USING (seg) JOIN colm USING (prio)
+        |  CROSS JOIN tot),
+        |b2 AS (SELECT seg, prio, obs, ex, dof,
+        |    pow(obs - ex, 2.0) / ex AS term FROM b)
+        |SELECT seg, prio, obs, ROUND(ex, 6) AS expected,
+        |  ROUND(term, 6) AS chi2_term,
+        |  ROUND(SUM(term) OVER (ORDER BY seg, prio
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+        |    AS chi2_cum,
+        |  dof
+        |FROM b2 ORDER BY seg, prio""".stripMargin,
+
+    "q270_spearman" ->
+      """WITH vc AS (SELECT l_returnflag AS rf, l_quantity AS x,
+        |    l_discount AS y, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY 1, 2, 3),
+        |xd0 AS (SELECT rf, x, CAST(SUM(c) AS BIGINT) AS m
+        |  FROM vc GROUP BY rf, x),
+        |xd AS (SELECT rf, x, 2 * COALESCE(SUM(m) OVER (PARTITION BY rf
+        |    ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |    0) + m + 1 AS rx
+        |  FROM xd0),
+        |yd0 AS (SELECT rf, y, CAST(SUM(c) AS BIGINT) AS m
+        |  FROM vc GROUP BY rf, y),
+        |yd AS (SELECT rf, y, 2 * COALESCE(SUM(m) OVER (PARTITION BY rf
+        |    ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |    0) + m + 1 AS ry
+        |  FROM yd0),
+        |sums AS (SELECT rf, CAST(SUM(c) AS BIGINT) AS n,
+        |    CAST(SUM(c * rx) AS BIGINT) AS sx,
+        |    CAST(SUM(c * ry) AS BIGINT) AS sy,
+        |    CAST(SUM(c * rx * rx) AS BIGINT) AS sxx,
+        |    CAST(SUM(c * ry * ry) AS BIGINT) AS syy,
+        |    CAST(SUM(c * rx * ry) AS BIGINT) AS sxy
+        |  FROM vc JOIN xd USING (rf, x) JOIN yd USING (rf, y)
+        |  GROUP BY rf)
+        |SELECT rf AS l_returnflag, n,
+        |  ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        |    / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+        |    * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+        |    AS rho
+        |FROM sums ORDER BY l_returnflag""".stripMargin,
+
+    "q271_ks_test" ->
+      """WITH vc AS (SELECT source, n_chars AS v, CAST(COUNT(*) AS BIGINT)
+        |    AS c
+        |  FROM documents GROUP BY 1, 2),
+        |dom0 AS (SELECT v, CAST(SUM(c) AS BIGINT) AS m FROM vc GROUP BY v),
+        |dom AS (SELECT v, SUM(m) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_all
+        |  FROM dom0),
+        |srcs AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_s
+        |  FROM vc GROUP BY source),
+        |nn AS (SELECT CAST(SUM(n_s) AS BIGINT) AS nn FROM srcs),
+        |grid AS (SELECT d.v, d.cum_all, s.source, s.n_s,
+        |    COALESCE(vc.c, 0) AS c0
+        |  FROM dom d CROSS JOIN srcs s
+        |  LEFT JOIN vc ON vc.source = s.source AND vc.v = d.v),
+        |g2 AS (SELECT source, n_s, cum_all,
+        |    SUM(c0) OVER (PARTITION BY source ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_s
+        |  FROM grid),
+        |g3 AS (SELECT source, n_s, nn,
+        |    ABS(cum_s * (nn - n_s) - (cum_all - cum_s) * n_s) AS gap
+        |  FROM g2 CROSS JOIN nn),
+        |mx AS (SELECT source, n_s, nn, CAST(MAX(gap) AS BIGINT) AS gmax
+        |  FROM g3 GROUP BY source, n_s, nn)
+        |SELECT source, n_s,
+        |  ROUND(CAST(gmax AS DOUBLE) / (n_s * (nn - n_s)), 6) AS d_stat,
+        |  ROUND(CAST(gmax AS DOUBLE) / (n_s * (nn - n_s))
+        |    * sqrt(CAST(n_s AS DOUBLE) * (nn - n_s) / nn), 6) AS ks_z
+        |FROM mx ORDER BY source""".stripMargin,
+
+    "q272_cusum" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2))) * 100
+        |      AS BIGINT) AS rc
+        |  FROM orders GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd,
+        |    CAST(SUM(rc) AS BIGINT) AS trc FROM daily),
+        |b AS (SELECT day, rc, rc * nd - trc AS dev, nd
+        |  FROM daily CROSS JOIN tot),
+        |b2 AS (SELECT day, rc, nd,
+        |    SUM(dev) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM b),
+        |b3 AS (SELECT day, rc, nd,
+        |    cum - MIN(cum) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s_pos
+        |  FROM b2),
+        |b4 AS (SELECT day, rc, nd, s_pos,
+        |    MAX(s_pos) OVER () AS peak FROM b3)
+        |SELECT CAST(day AS TIMESTAMP) AS day,
+        |  CAST(rc AS DOUBLE) / 100 AS revenue,
+        |  ROUND(CAST(s_pos AS DOUBLE) / nd / 100, 6) AS cusum,
+        |  CASE WHEN s_pos = peak THEN 1 ELSE 0 END AS is_changepoint
+        |FROM b4 ORDER BY day""".stripMargin,
+
+    "q273_rfm" ->
+      """WITH cust AS (SELECT o_custkey,
+        |    MAX(CAST(o_orderdate AS DATE)) AS last_d,
+        |    CAST(COUNT(*) AS BIGINT) AS freq,
+        |    SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2))) AS mon
+        |  FROM orders GROUP BY o_custkey),
+        |hor AS (SELECT MAX(last_d) AS mx FROM cust),
+        |scored AS (SELECT o_custkey, freq, mon,
+        |    date_diff('day', last_d, mx) AS rec
+        |  FROM cust CROSS JOIN hor),
+        |tiles AS (SELECT rec, freq, mon,
+        |    CAST(NTILE(5) OVER (ORDER BY rec DESC, o_custkey) AS BIGINT)
+        |      AS r,
+        |    CAST(NTILE(5) OVER (ORDER BY freq, o_custkey) AS BIGINT) AS f,
+        |    CAST(NTILE(5) OVER (ORDER BY mon, o_custkey) AS BIGINT) AS m
+        |  FROM scored)
+        |SELECT r, f, m, CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |  ROUND(AVG(rec), 6) AS avg_recency_days,
+        |  ROUND(CAST(SUM(mon) AS DOUBLE) / COUNT(*), 6) AS avg_monetary
+        |FROM tiles GROUP BY r, f, m ORDER BY r, f, m""".stripMargin,
+
+    "q274_seq_packing" ->
+      """WITH toks AS (SELECT doc_id,
+        |    GREATEST(1, (n_chars + 3) // 4) AS tok FROM documents),
+        |cum AS (SELECT doc_id, tok,
+        |    SUM(tok) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS cum_weight
+        |  FROM toks),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs_total,
+        |    CAST(SUM(tok) AS BIGINT) AS n_tok FROM cum),
+        |spans AS (SELECT ((cum_weight - 1) // 2048)
+        |    - ((cum_weight - tok) // 2048) + 1 AS span FROM cum),
+        |g AS (SELECT CAST(span AS BIGINT) AS span,
+        |    CAST(COUNT(*) AS BIGINT) AS n_docs FROM spans GROUP BY 1)
+        |SELECT span, n_docs,
+        |  ROUND(CAST(n_docs AS DOUBLE) / n_docs_total, 6) AS frac,
+        |  CAST((n_tok + 2047) // 2048 AS BIGINT) AS n_chunks
+        |FROM g CROSS JOIN tot ORDER BY span""".stripMargin,
+
+    "q275_acf" ->
+      """WITH d0 AS (SELECT MIN(CAST(o_orderdate AS DATE)) AS d0
+        |  FROM orders),
+        |daily AS (SELECT date_diff('day', d0, CAST(o_orderdate AS DATE))
+        |    AS di, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM orders CROSS JOIN d0 GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd,
+        |    CAST(SUM(c) AS BIGINT) AS tc FROM daily),
+        |den AS (SELECT CAST(SUM((c * nd - tc) * (c * nd - tc)) AS BIGINT)
+        |    AS den
+        |  FROM daily CROSS JOIN tot),
+        |lags AS (SELECT CAST(range AS BIGINT) AS lag FROM range(1, 15)),
+        |pairs AS (SELECT l.lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |    CAST(SUM((x.c * nd - tc) * (y.c * nd - tc)) AS BIGINT) AS num
+        |  FROM daily x CROSS JOIN lags l
+        |  JOIN daily y ON y.di = x.di + l.lag
+        |  CROSS JOIN tot GROUP BY l.lag)
+        |SELECT lag, n_pairs,
+        |  ROUND(CAST(num AS DOUBLE) / den, 6) AS acf
+        |FROM pairs CROSS JOIN den ORDER BY lag""".stripMargin,
+
+    "q276_seq_containment" ->
+      """WITH ut AS (SELECT user_id, event_type,
+        |    CAST(MIN(epoch_us(ts)) AS BIGINT) AS tmin,
+        |    CAST(MAX(epoch_us(ts)) AS BIGINT) AS tmax
+        |  FROM events GROUP BY 1, 2),
+        |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    a.tmin, b.tmax
+        |  FROM ut a JOIN ut b ON a.user_id = b.user_id
+        |    AND a.event_type <> b.event_type)
+        |SELECT type_a, type_b, CAST(COUNT(*) AS BIGINT) AS n_both,
+        |  CAST(SUM(CASE WHEN tmin < tmax THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_seq,
+        |  ROUND(CAST(SUM(CASE WHEN tmin < tmax THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / COUNT(*), 6) AS containment
+        |FROM p GROUP BY type_a, type_b ORDER BY type_a, type_b""".stripMargin,
+
+    "q277_pareto_abc" ->
+      """WITH rev AS (SELECT l_partkey,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (CAST(1 AS DECIMAL(18,2))
+        |        - CAST(l_discount AS DECIMAL(18,2)))) * 10000
+        |      AS BIGINT) AS rc
+        |  FROM lineitem GROUP BY l_partkey),
+        |ranked AS (SELECT l_partkey, rc,
+        |    SUM(rc) OVER (ORDER BY rc DESC, l_partkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS cum_weight
+        |  FROM rev),
+        |tot AS (SELECT CAST(SUM(rc) AS BIGINT) AS trc,
+        |    CAST(COUNT(*) AS BIGINT) AS np FROM ranked),
+        |cls AS (SELECT CASE WHEN cum_weight * 100 <= trc * 80 THEN 'A'
+        |      WHEN cum_weight * 100 <= trc * 95 THEN 'B'
+        |      ELSE 'C' END AS cls, rc
+        |  FROM ranked CROSS JOIN tot),
+        |g AS (SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_parts,
+        |    CAST(SUM(rc) AS BIGINT) AS crc FROM cls GROUP BY cls)
+        |SELECT cls, n_parts,
+        |  ROUND(CAST(crc AS DOUBLE) / 10000, 2) AS revenue,
+        |  ROUND(CAST(crc AS DOUBLE) / trc, 6) AS rev_share,
+        |  ROUND(CAST(n_parts AS DOUBLE) / np, 6) AS part_share
+        |FROM g CROSS JOIN tot ORDER BY cls""".stripMargin,
+
+    "q278_ewma" ->
+      """WITH d0 AS (SELECT MIN(CAST(o_orderdate AS DATE)) AS d0
+        |  FROM orders),
+        |daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |    date_diff('day', d0, CAST(o_orderdate AS DATE)) AS di,
+        |    CAST(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2))) * 100
+        |      AS BIGINT) AS rc
+        |  FROM orders CROSS JOIN d0 GROUP BY 1, 2),
+        |lags AS (SELECT CAST(range AS BIGINT) AS lag,
+        |    CAST(64 // power(2, range) AS BIGINT) AS w
+        |  FROM range(0, 7)),
+        |j AS (SELECT a.day, a.rc, l.w, b.rc AS rcj
+        |  FROM daily a CROSS JOIN lags l
+        |  JOIN daily b ON b.di = a.di - l.lag),
+        |g AS (SELECT day, rc, CAST(SUM(rcj * w) AS BIGINT) AS num,
+        |    CAST(SUM(w) AS BIGINT) AS den
+        |  FROM j GROUP BY day, rc)
+        |SELECT CAST(day AS TIMESTAMP) AS day,
+        |  CAST(rc AS DOUBLE) / 100 AS revenue,
+        |  ROUND(CAST(num AS DOUBLE) / den / 100, 6) AS ewma7
+        |FROM g ORDER BY day""".stripMargin,
+
+    "q279_js_divergence" ->
+      """WITH wt AS (SELECT (epoch_us(ts) // 86400000000) % 7 AS wd,
+        |    event_type, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |wdtot AS (SELECT wd, CAST(SUM(c) AS BIGINT) AS nw
+        |  FROM wt GROUP BY wd),
+        |gtot AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS ct
+        |  FROM wt GROUP BY event_type),
+        |nn AS (SELECT CAST(SUM(ct) AS BIGINT) AS n FROM gtot),
+        |grid AS (SELECT w.wd, g.event_type, w.nw, g.ct,
+        |    COALESCE(wt.c, 0) AS c0
+        |  FROM wdtot w CROSS JOIN gtot g
+        |  LEFT JOIN wt ON wt.wd = w.wd AND wt.event_type = g.event_type),
+        |b AS (SELECT wd, event_type, c0,
+        |    CAST(c0 AS DOUBLE) / nw AS p,
+        |    CAST(ct AS DOUBLE) / n AS q
+        |  FROM grid CROSS JOIN nn),
+        |b2 AS (SELECT wd, event_type, c0, p, q,
+        |    CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2)) / 2
+        |      ELSE 0.0 END
+        |    + q * ln(q / ((p + q) / 2)) / 2 AS term
+        |  FROM b)
+        |SELECT CAST(wd AS BIGINT) AS weekday, event_type,
+        |  c0 AS n_events, ROUND(p, 6) AS p_weekday,
+        |  ROUND(q, 6) AS p_global,
+        |  ROUND(SUM(term) OVER (PARTITION BY wd ORDER BY event_type
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+        |    AS jsd_cum
+        |FROM b2 ORDER BY weekday, event_type""".stripMargin
+  )
+}

@@ -206,7 +206,24 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "q267_kn_trigram" -> 18,
     "q264_dp_release" -> 4,
     "q265_moore_lewis" -> 7,
-    "q266_ccnet_buckets" -> 6)
+    "q266_ccnet_buckets" -> 6,
+    // round 15 statistics layer: domain-sized frames after one or two
+    // partial-agg groupBys; the larger counts are budgetSelect's
+    // internal two-phase prefix sum appearing on both the totals and
+    // the main branch of the plan string (q274/q277), and the
+    // lag-spine self-joins (q275/q278)
+    "q268_kaplan_meier" -> 10,
+    "q269_chi2_independence" -> 9,
+    "q270_spearman" -> 9,
+    "q271_ks_test" -> 9,
+    "q272_cusum" -> 4,
+    "q273_rfm" -> 4,
+    "q274_seq_packing" -> 15,
+    "q275_acf" -> 15,
+    "q276_seq_containment" -> 4,
+    "q277_pareto_abc" -> 19,
+    "q278_ewma" -> 6,
+    "q279_js_divergence" -> 9)
 
   private val exchangeRe =
     ("Exchange hashpartitioning|Exchange rangepartitioning|" +

@@ -1,0 +1,251 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-15 statistics-layer invariants (q268–q279). Each test
+  * re-derives the statistic INDEPENDENTLY on the driver (plain Scala
+  * over the collected sf0.001 frames — no Spark, no SQL) and compares
+  * against the engine, so a shared misreading of the formula in both
+  * the query and its DuckDB oracle cannot slip through hash-green.
+  */
+class StatsSpec extends SparkSpecBase {
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("q268: Kaplan-Meier survival is a non-increasing product of exact hazard factors") {
+    val rows = q("q268_kaplan_meier").collect()
+    assert(rows.nonEmpty)
+    // monotone non-increasing, within [0,1]
+    val surv = rows.map(_.getDouble(4))
+    assert(surv.forall(v => v >= 0.0 && v <= 1.0))
+    assert(surv.zip(surv.tail).forall { case (a, b) => b <= a + 1e-12 })
+    // independent product recomputation from the emitted (d, n) pairs:
+    // S_k = prod_{i<=k} (1 - d_i/n_i) — the non-event rows the query
+    // filtered out contribute factor 1 and cannot change the product
+    var s = 1.0
+    rows.foreach { r =>
+      val atRisk = r.getLong(1); val d = r.getLong(2)
+      s *= (1.0 - d.toDouble / atRisk)
+      assert(math.abs(r.getDouble(4) - s) < 2e-6,
+        s"t=${r.getLong(0)}: reported ${r.getDouble(4)} vs recomputed $s")
+    }
+    // censoring is real in this horizon construction
+    assert(rows.map(_.getLong(3)).sum > 0, "no censored lifetimes — horizon broken")
+  }
+
+  test("q269: chi-square cells reconcile with margins; cum statistic sums the terms") {
+    val rows = q("q269_chi2_independence").collect()
+    val nOrders = Tables.orders(spark, sf).count()
+    assert(rows.map(_.getLong(2)).sum == nOrders)
+    assert(rows.forall(_.getLong(6) == 16L), "dof must be (5-1)*(5-1)")
+    val termSum = rows.map(_.getDouble(4)).sum
+    val lastCum = rows.last.getDouble(5)
+    assert(math.abs(termSum - lastCum) < 1e-3,
+      s"cum statistic $lastCum drifts from term sum $termSum")
+  }
+
+  test("q270: Spearman rho matches a plain-Scala midrank recomputation") {
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_quantity"), col("l_discount"))
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    def midranks(vs: Seq[Double]): Map[Double, Double] = {
+      val grouped = vs.groupBy(identity).view.mapValues(_.size).toSeq.sortBy(_._1)
+      var before = 0L
+      grouped.map { case (v, m) =>
+        val r = (2L * before + m + 1).toDouble / 2
+        before += m
+        v -> r
+      }.toMap
+    }
+    val expected = li.groupBy(_._1).map { case (rf, rows) =>
+      val rx = midranks(rows.map(_._2)); val ry = midranks(rows.map(_._3))
+      val xs = rows.map(r => rx(r._2)); val ys = rows.map(r => ry(r._3))
+      val n = xs.size.toDouble
+      val sx = xs.sum; val sy = ys.sum
+      val sxx = xs.map(v => v * v).sum; val syy = ys.map(v => v * v).sum
+      val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+      rf -> (n * sxy - sx * sy) /
+        (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+    }
+    q("q270_spearman").collect().foreach { r =>
+      val rho = r.getDouble(2)
+      assert(math.abs(rho) <= 1.0 + 1e-12)
+      assert(math.abs(rho - expected(r.getString(0))) < 1e-6,
+        s"${r.getString(0)}: engine $rho vs recomputed ${expected(r.getString(0))}")
+    }
+  }
+
+  test("q271: KS sup-gap matches a plain-Scala ECDF sweep per source") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val domain = docs.map(_._2).distinct.sorted
+    val total = docs.length.toLong
+    q("q271_ks_test").collect().foreach { r =>
+      val src = r.getString(0); val nS = r.getLong(1)
+      val inSrc = docs.filter(_._1 == src).map(_._2)
+      assert(nS == inSrc.length.toLong)
+      val nR = total - nS
+      var cs = 0L; var ca = 0L; var gmax = 0L
+      domain.foreach { v =>
+        cs += inSrc.count(_ == v)
+        ca += docs.count(_._2 == v)
+        val gap = math.abs(cs * nR - (ca - cs) * nS)
+        if (gap > gmax) gmax = gap
+      }
+      val d = gmax.toDouble / (nS * nR)
+      assert(math.abs(r.getDouble(2) - d) < 1e-6,
+        s"$src: engine D ${r.getDouble(2)} vs recomputed $d")
+    }
+  }
+
+  test("q272: the window rewrite equals Page's max(0, S+dev) recursion exactly") {
+    val rows = q("q272_cusum").collect()
+    val nd = rows.length.toLong
+    val rc = rows.map(r => math.round(r.getDouble(1) * 100))
+    val trc = rc.sum
+    var s = 0L
+    rows.zipWithIndex.foreach { case (r, i) =>
+      s = math.max(0L, s + (rc(i) * nd - trc))
+      val expect = BigDecimal(s.toDouble / nd / 100)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getDouble(2) - expect) < 1e-9,
+        s"day ${r.get(0)}: cusum ${r.getDouble(2)} vs recursion $expect")
+    }
+    assert(rows.count(_.getLong(3) == 1L) >= 1, "argmax day must be flagged")
+  }
+
+  test("q273: RFM quintiles are balanced and cover every customer") {
+    val rows = q("q273_rfm").collect()
+    val nCust = Tables.orders(spark, sf).select(col("o_custkey")).distinct().count()
+    assert(rows.map(_.getLong(3)).sum == nCust)
+    Seq(0, 1, 2).foreach { dim =>
+      val tiles = rows.groupBy(_.getLong(dim)).view
+        .mapValues(_.map(_.getLong(3)).sum).toMap
+      assert(tiles.keySet == Set(1L, 2L, 3L, 4L, 5L), s"dim $dim missing tiles")
+      assert(tiles.values.max - tiles.values.min <= 1,
+        s"dim $dim unbalanced: $tiles")
+    }
+  }
+
+  test("q274: span histogram matches a sequential driver-side packing scan") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), math.max(1L, (r.getLong(1) + 3) / 4)))
+      .sortBy(_._1)
+    var cum = 0L
+    val spans = docs.map { case (_, tok) =>
+      val first = cum / 2048; cum += tok; val last = (cum - 1) / 2048
+      last - first + 1
+    }
+    val expected = spans.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val totalChunks = (cum + 2047) / 2048
+    val rows = q("q274_seq_packing").collect()
+    assert(rows.map(r => r.getLong(0) -> r.getLong(1)).toMap == expected)
+    assert(rows.forall(_.getLong(3) == totalChunks))
+    assert(rows.map(_.getLong(1)).sum == docs.length.toLong)
+  }
+
+  test("q275: lag-1 autocorrelation matches the scaled-integer recomputation") {
+    val daily = Tables.orders(spark, sf)
+      .groupBy(to_date(col("o_orderdate")).as("d")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getDate(0).toLocalDate.toEpochDay, r.getLong(1)))
+      .sortBy(_._1)
+    val nd = daily.length.toLong
+    val tc = daily.map(_._2).sum
+    val byDay = daily.toMap
+    val den = daily.map { case (_, c) => val v = c * nd - tc; v * v }.sum
+    def acf(lag: Long): Double = daily.flatMap { case (di, cx) =>
+      byDay.get(di + lag).map(cy => (cx * nd - tc) * (cy * nd - tc))
+    }.sum.toDouble / den
+    val rows = q("q275_acf").collect()
+    assert(rows.length == 14)
+    rows.take(3).foreach { r =>
+      assert(math.abs(r.getDouble(2) - acf(r.getLong(0))) < 1e-6,
+        s"lag ${r.getLong(0)}: ${r.getDouble(2)} vs ${acf(r.getLong(0))}")
+    }
+  }
+
+  test("q276: containment matches a driver-side first/last sweep for every pair") {
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byUserType = ev.groupBy(e => (e._1, e._2)).view
+      .mapValues(es => (es.map(_._3).min, es.map(_._3).max)).toMap
+    val types = ev.map(_._2).distinct.sorted
+    val users = ev.map(_._1).distinct
+    q("q276_seq_containment").collect().foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      var both = 0L; var seq = 0L
+      users.foreach { u =>
+        (byUserType.get((u, a)), byUserType.get((u, b))) match {
+          case (Some((amin, _)), Some((_, bmax))) =>
+            both += 1; if (amin < bmax) seq += 1
+          case _ =>
+        }
+      }
+      assert(r.getLong(2) == both && r.getLong(3) == seq,
+        s"($a,$b): engine (${r.getLong(2)},${r.getLong(3)}) vs scan ($both,$seq)")
+    }
+    assert(types.size * (types.size - 1) ==
+      q("q276_seq_containment").count().toInt)
+  }
+
+  test("q277: ABC classes partition the catalog and the revenue mass") {
+    val rows = q("q277_pareto_abc").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("A", "B", "C"))
+    val nParts = Tables.lineitem(spark, sf)
+      .select(col("l_partkey")).distinct().count()
+    assert(rows.map(_.getLong(1)).sum == nParts)
+    assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 3e-6)
+    assert(math.abs(rows.map(_.getDouble(4)).sum - 1.0) < 3e-6)
+    // the head class must hold at least its nominal share, and with
+    // far fewer parts than the tail holds
+    val a = rows.find(_.getString(0) == "A").get
+    assert(a.getDouble(3) <= 0.81 && a.getDouble(3) >= 0.75)
+    assert(a.getDouble(4) < a.getDouble(3), "A must be revenue-denser than its part share")
+  }
+
+  test("q278: EWMA stays inside its 7-day window envelope and weights recent days") {
+    val rows = q("q278_ewma").collect()
+    val byDay = rows.map(r => r.getTimestamp(0).getTime -> r.getDouble(1)).toMap
+    val dayMs = 86400000L
+    var checked = 0
+    rows.foreach { r =>
+      val t = r.getTimestamp(0).getTime
+      val window = (0L to 6L).flatMap(j => byDay.get(t - j * dayMs))
+      if (window.size == 7) {
+        checked += 1
+        assert(r.getDouble(2) >= window.min - 1e-6 &&
+          r.getDouble(2) <= window.max + 1e-6)
+        // exact recomputation with the 64..1 geometric weights
+        val num = (0L to 6L).map(j =>
+          math.round(byDay(t - j * dayMs) * 100) * (64L >> j.toInt)).sum
+        val expect = BigDecimal(num.toDouble / 127 / 100)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(math.abs(r.getDouble(2) - expect) < 1e-9)
+      }
+    }
+    // sf0.001's calendar is ~45% dense, so fully-dense 7-day windows
+    // are rare — but each one exercised is an exact-equality check
+    assert(checked >= 10, s"too few dense windows exercised: $checked")
+  }
+
+  test("q279: per-weekday JSD is bounded by ln 2 and its mixture terms are consistent") {
+    val rows = q("q279_js_divergence").collect()
+    val byWd = rows.groupBy(_.getLong(0))
+    assert(byWd.keySet == (0L to 6L).toSet)
+    byWd.foreach { case (wd, rs) =>
+      val jsd = rs.map(_.getDouble(5)).max // cum is non-decreasing? not
+      // necessarily (terms can be negative per-cell) — take the LAST
+      // row in type order, which carries the full sum
+      val last = rs.maxBy(_.getString(1))
+      assert(last.getDouble(5) >= -1e-9 && last.getDouble(5) <= math.log(2.0) + 1e-9,
+        s"weekday $wd JSD ${last.getDouble(5)} outside [0, ln 2]")
+      val pSum = rs.map(_.getDouble(3)).sum
+      assert(math.abs(pSum - 1.0) < 3e-6, s"weekday $wd p-mass $pSum")
+      assert(jsd <= math.log(2.0) + 1e-9)
+    }
+  }
+}
