@@ -483,6 +483,228 @@ object StatsQueries {
           round(col("q"), 6).as("p_global"),
           round(sum(col("term")).over(w), 6).as("jsd_cum"))
         .orderBy(col("weekday"), col("event_type"))
+    },
+
+    // §2.4 (round 15) — DIFFERENCE-IN-DIFFERENCES estimator (the
+    // quasi-experimental workhorse: effect = (treated post − pre) −
+    // (control post − pre), differencing out both group baselines and
+    // the common time trend). Treatment = user-id parity (the
+    // deterministic assignment every holdout splitter uses), post =
+    // the second half of the observation window by integer epoch-day
+    // midpoint; outcome = purchase value DECIMAL(18,6)-quantized
+    // before the four conditional sums — ONE partial-agg pass over
+    // events, eight exact cell aggregates, one IEEE chain. No joins,
+    // no windows.
+    "q280_diff_in_diff" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select((col("user_id") % 2 === 0).cast("int").as("treat"),
+          expr("unix_micros(ts) div 86400000000").as("dy"),
+          when(col("event_type") === "purchase",
+            round(col("value"), 6).cast(DecimalType(18, 6)))
+            .otherwise(expr("CAST(NULL AS DECIMAL(18,6))")).as("pv"))
+      val mid = ev.agg(expr("(MIN(dy) + MAX(dy)) div 2").as("mid"))
+      def cell(t: Int, post: Boolean): org.apache.spark.sql.Column = {
+        val m = col("treat") === t &&
+          (if (post) col("dy") > col("mid") else col("dy") <= col("mid"))
+        m && col("pv").isNotNull
+      }
+      def mean(t: Int, post: Boolean): org.apache.spark.sql.Column =
+        sum(when(cell(t, post), col("pv"))).cast("double") /
+          sum(cell(t, post).cast("long"))
+      ev.crossJoin(broadcast(mid))
+        .agg(
+          sum(cell(1, false).cast("long")).as("n_t_pre"),
+          sum(cell(1, true).cast("long")).as("n_t_post"),
+          sum(cell(0, false).cast("long")).as("n_c_pre"),
+          sum(cell(0, true).cast("long")).as("n_c_post"),
+          round(mean(1, false), 6).as("mean_t_pre"),
+          round(mean(1, true), 6).as("mean_t_post"),
+          round(mean(0, false), 6).as("mean_c_pre"),
+          round(mean(0, true), 6).as("mean_c_post"),
+          round((mean(1, true) - mean(1, false))
+            - (mean(0, true) - mean(0, false)), 6).as("did"))
+    },
+
+    // §2.4 (round 15) — FORECAST-ERROR evaluation of the seasonal
+    // naive baseline ŷ_t = y_{t−7} on daily revenue (the benchmark
+    // every forecasting model must beat before it ships; Hyndman's
+    // MASE uses exactly this denominator). Errors are exact
+    // whole-dollar integers (cents² would overflow a Long at sf0.1 —
+    // the 100 TB form is DECIMAL(38)); MAE/RMSE from exact Σ|e|, Σe²;
+    // MAPE's per-day ratio terms are doubles, so they accumulate
+    // through the day-ordered cumulative window (identical IEEE
+    // sequence in both engines) and the LAST day's row is the report.
+    "q281_forecast_eval" -> { (s, d) =>
+      import graft.Caching.ScopedPersist
+      val d0 = Tables.orders(s, d)
+        .agg(min(to_date(col("o_orderdate"))).as("d0"))
+      val daily = Tables.orders(s, d).crossJoin(broadcast(d0))
+        .groupBy(datediff(to_date(col("o_orderdate")), col("d0")).as("di"))
+        .agg((sum(round(col("o_totalprice"), 2).cast(DecimalType(18, 2)))
+          * 100).cast("long").as("rc"))
+        .withColumn("rd", expr("rc div 100"))
+        .scopedPersist() // consumers: anchor + the 7-day-lag side
+      val runW = Window.orderBy(col("di"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val allW = Window.orderBy(col("di"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      daily.select(col("di"), col("rd"))
+        .join(daily.select((col("di") + 7).as("di"), col("rd").as("rd7")),
+          "di")
+        // di is unique, so this re-aggregate is an exact no-op — it
+        // exists to keep the downstream unpartitioned windows provably
+        // over a day-domain AGGREGATE (the plan-audit bounded rule),
+        // which the cached multi-consumer frame would otherwise hide
+        .groupBy(col("di"))
+        .agg(max(col("rd")).as("rd"), max(col("rd") - col("rd7")).as("e"))
+        .withColumn("n", count(lit(1)).over(runW))
+        .withColumn("sae", sum(abs(col("e"))).over(runW))
+        .withColumn("see", sum(col("e") * col("e")).over(runW))
+        .withColumn("cape", sum(abs(col("e")).cast("double") / col("rd"))
+          .over(runW))
+        .withColumn("mx", max(col("di")).over(allW))
+        .filter(col("di") === col("mx"))
+        .select(col("n").as("n_days"),
+          round(col("sae").cast("double") / col("n"), 6).as("mae"),
+          round(sqrt(col("see").cast("double") / col("n")), 6).as("rmse"),
+          round(col("cape") / col("n"), 6).as("mape"))
+    },
+
+    // §2.4 (round 15) — POISSON DISPERSION test on daily order counts
+    // (Fisher's variance-to-mean index: a Poisson arrival process has
+    // D = 1; D ≫ 1 flags burstiness/clumping, D ≪ 1 a rate limiter —
+    // the first question asked of any event-arrival series): n, Σc,
+    // Σc² are exact integers off the day-domain aggregate; D =
+    // (n·Σc² − (Σc)²) / ((n−1)·Σc) and the chi-square statistic
+    // (n−1)·D evaluate through one identical IEEE chain.
+    "q282_dispersion" -> { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("n_days"), sum(col("c")).as("tc"),
+          sum(col("c") * col("c")).as("tcc"))
+        .select(col("n_days"),
+          round(col("tc").cast("double") / col("n_days"), 6).as("mean"),
+          round((col("n_days") * col("tcc") - col("tc") * col("tc"))
+            .cast("double")
+            / (col("n_days") * (col("n_days") - 1)), 6).as("variance"),
+          round((col("n_days") * col("tcc") - col("tc") * col("tc"))
+            .cast("double")
+            / ((col("n_days") - 1) * col("tc")), 6).as("dispersion"),
+          round((col("n_days") * col("tcc") - col("tc") * col("tc"))
+            .cast("double") / col("tc"), 6).as("chi2"))
+    },
+
+    // §2.4 (round 15) — CROSS-CORRELATION function (CCF, lags −7…+7)
+    // between daily order revenue and daily shipment volume — the
+    // lead/lag diagnostic behind "does X drive Y and by how many
+    // days" (here: shipments trail bookings by the order-to-ship
+    // pipeline). Per lag, Pearson over the PAIRED days from exact
+    // whole-dollar / count integer moments (Σx, Σy, Σxy, Σx², Σy², n
+    // — all Long-safe at sf0.1, DECIMAL(38) at 100 TB); alignment is
+    // an equi-join against the broadcast 15-row lag spine.
+    "q283_cross_correlation" -> { (s, d) =>
+      import graft.Caching.ScopedPersist
+      val d0 = Tables.orders(s, d)
+        .agg(min(to_date(col("o_orderdate"))).as("d0"))
+        .scopedPersist() // consumers: the revenue and shipment spines
+      val x = Tables.orders(s, d).crossJoin(broadcast(d0))
+        .groupBy(datediff(to_date(col("o_orderdate")), col("d0")).as("di"))
+        .agg(expr("(CAST(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2)))"
+          + " * 100 AS BIGINT)) div 100").as("x"))
+      val y = Tables.lineitem(s, d).crossJoin(broadcast(d0))
+        .groupBy(datediff(to_date(col("l_shipdate")), col("d0")).as("dj"))
+        .agg(count(lit(1)).as("y"))
+      val lags = s.range(-7, 8).select(col("id").as("lag"))
+      x.crossJoin(broadcast(lags))
+        .withColumn("dj", col("di") + col("lag"))
+        .join(y, "dj")
+        .groupBy(col("lag"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(col("lag"), col("n_pairs"),
+          round(expr("(CAST(n_pairs AS DOUBLE) * sxy"
+            + " - CAST(sx AS DOUBLE) * sy)"
+            + " / (sqrt(CAST(n_pairs AS DOUBLE) * sxx"
+            + " - CAST(sx AS DOUBLE) * sx)"
+            + " * sqrt(CAST(n_pairs AS DOUBLE) * syy"
+            + " - CAST(sy AS DOUBLE) * sy))"), 6).as("ccf"))
+        .orderBy(col("lag"))
+    },
+
+    // §2.3 (round 15) — 10% TRIMMED MEAN of document length per
+    // source (the robust location estimate q127's winsorized stats
+    // sit next to: winsorizing CLAMPS the tails, trimming DROPS
+    // them). Trim bounds are exact integer ranks (lo = n/10, hi =
+    // n − lo); each domain value contributes its RANK-INTERVAL
+    // OVERLAP max(0, min(cum, hi) − max(cum − m, lo)) — pure integer
+    // clipping off the per-source value-domain cumulative window, so
+    // the trimmed sum is exact and no document row ever sorts.
+    "q284_trimmed_mean" -> { (s, d) =>
+      import graft.Caching.ScopedPersist
+      val vc = Tables.documents(s, d)
+        .groupBy(col("source"), col("n_chars").as("v"))
+        .agg(count(lit(1)).as("m"))
+        .withColumn("cum", sum(col("m")).over(
+          Window.partitionBy(col("source")).orderBy(col("v"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .scopedPersist() // consumers: per-source totals + the clip
+      val tot = vc.groupBy(col("source")).agg(max(col("cum")).as("n_s"))
+      vc.join(broadcast(tot), "source")
+        .withColumn("lo", expr("n_s div 10"))
+        .withColumn("hi", col("n_s") - col("lo"))
+        .withColumn("kept", greatest(lit(0L),
+          least(col("cum"), col("hi"))
+            - greatest(col("cum") - col("m"), col("lo"))))
+        .groupBy(col("source"))
+        .agg(max(col("n_s")).as("n_docs"),
+          sum(col("v") * col("m")).as("sv"),
+          sum(col("v") * col("kept")).as("svt"),
+          max(col("hi") - col("lo")).as("nt"))
+        .select(col("source"), col("n_docs"),
+          round(col("sv").cast("double") / col("n_docs"), 6).as("mean"),
+          round(col("svt").cast("double") / col("nt"), 6)
+            .as("trimmed_mean"))
+        .orderBy(col("source"))
+    },
+
+    // §2.3 (round 15) — MEDIAN ABSOLUTE DEVIATION per source (the
+    // robust scale estimate paired with q284's robust location; the
+    // outlier fence medians ± k·MAD every profiler draws). BOTH
+    // medians are nearest-rank picks off value-domain cumulative
+    // windows — the n_chars domain for the median, then the |v−med|
+    // DEVIATION domain (no bigger) for the MAD — so the whole
+    // statistic is exact integer arithmetic end to end: no doubles,
+    // no interpolation, nothing to round.
+    "q285_mad" -> { (s, d) =>
+      import graft.Caching.ScopedPersist
+      val vc = Tables.documents(s, d)
+        .groupBy(col("source"), col("n_chars").as("v"))
+        .agg(count(lit(1)).as("m"))
+        .withColumn("cum", sum(col("m")).over(
+          Window.partitionBy(col("source")).orderBy(col("v"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .scopedPersist() // consumers: totals + median pick + dev domain
+      val tot = vc.groupBy(col("source")).agg(max(col("cum")).as("n_s"))
+      val med = vc.join(broadcast(tot), "source")
+        .filter(col("cum") * 2 >= col("n_s"))
+        .groupBy(col("source"))
+        .agg(min(col("v")).as("median"), max(col("n_s")).as("n_s"))
+      vc.join(broadcast(med), "source")
+        .groupBy(col("source"), abs(col("v") - col("median")).as("dev"))
+        .agg(sum(col("m")).as("dm"),
+          max(col("median")).as("median"), max(col("n_s")).as("n_s"))
+        .withColumn("cumd", sum(col("dm")).over(
+          Window.partitionBy(col("source")).orderBy(col("dev"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .filter(col("cumd") * 2 >= col("n_s"))
+        .groupBy(col("source"))
+        .agg(max(col("n_s")).as("n_docs"), max(col("median")).as("median"),
+          min(col("dev")).as("mad"))
+        .orderBy(col("source"))
     }
   )
 
@@ -787,6 +1009,178 @@ object StatsQueries {
         |  ROUND(SUM(term) OVER (PARTITION BY wd ORDER BY event_type
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
         |    AS jsd_cum
-        |FROM b2 ORDER BY weekday, event_type""".stripMargin
+        |FROM b2 ORDER BY weekday, event_type""".stripMargin,
+
+    "q280_diff_in_diff" ->
+      """WITH ev AS (SELECT
+        |    CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS treat,
+        |    epoch_us(ts) // 86400000000 AS dy,
+        |    CASE WHEN event_type = 'purchase'
+        |      THEN CAST(ROUND(value, 6) AS DECIMAL(18,6)) END AS pv
+        |  FROM events),
+        |mid AS (SELECT (MIN(dy) + MAX(dy)) // 2 AS mid FROM ev),
+        |b AS (SELECT treat, dy > mid AS post, pv
+        |  FROM ev CROSS JOIN mid WHERE pv IS NOT NULL)
+        |SELECT
+        |  CAST(SUM(CASE WHEN treat = 1 AND NOT post THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_t_pre,
+        |  CAST(SUM(CASE WHEN treat = 1 AND post THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_t_post,
+        |  CAST(SUM(CASE WHEN treat = 0 AND NOT post THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_c_pre,
+        |  CAST(SUM(CASE WHEN treat = 0 AND post THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_c_post,
+        |  ROUND(CAST(SUM(CASE WHEN treat = 1 AND NOT post THEN pv END)
+        |      AS DOUBLE)
+        |    / SUM(CASE WHEN treat = 1 AND NOT post THEN 1 ELSE 0 END), 6)
+        |    AS mean_t_pre,
+        |  ROUND(CAST(SUM(CASE WHEN treat = 1 AND post THEN pv END)
+        |      AS DOUBLE)
+        |    / SUM(CASE WHEN treat = 1 AND post THEN 1 ELSE 0 END), 6)
+        |    AS mean_t_post,
+        |  ROUND(CAST(SUM(CASE WHEN treat = 0 AND NOT post THEN pv END)
+        |      AS DOUBLE)
+        |    / SUM(CASE WHEN treat = 0 AND NOT post THEN 1 ELSE 0 END), 6)
+        |    AS mean_c_pre,
+        |  ROUND(CAST(SUM(CASE WHEN treat = 0 AND post THEN pv END)
+        |      AS DOUBLE)
+        |    / SUM(CASE WHEN treat = 0 AND post THEN 1 ELSE 0 END), 6)
+        |    AS mean_c_post,
+        |  ROUND((CAST(SUM(CASE WHEN treat = 1 AND post THEN pv END)
+        |      AS DOUBLE)
+        |    / SUM(CASE WHEN treat = 1 AND post THEN 1 ELSE 0 END)
+        |    - CAST(SUM(CASE WHEN treat = 1 AND NOT post THEN pv END)
+        |      AS DOUBLE)
+        |    / SUM(CASE WHEN treat = 1 AND NOT post THEN 1 ELSE 0 END))
+        |    - (CAST(SUM(CASE WHEN treat = 0 AND post THEN pv END)
+        |      AS DOUBLE)
+        |    / SUM(CASE WHEN treat = 0 AND post THEN 1 ELSE 0 END)
+        |    - CAST(SUM(CASE WHEN treat = 0 AND NOT post THEN pv END)
+        |      AS DOUBLE)
+        |    / SUM(CASE WHEN treat = 0 AND NOT post THEN 1 ELSE 0 END)), 6)
+        |    AS did
+        |FROM b""".stripMargin,
+
+    "q281_forecast_eval" ->
+      """WITH d0 AS (SELECT MIN(CAST(o_orderdate AS DATE)) AS d0
+        |  FROM orders),
+        |daily AS (SELECT date_diff('day', d0, CAST(o_orderdate AS DATE))
+        |    AS di,
+        |    CAST(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2))) * 100
+        |      AS BIGINT) // 100 AS rd
+        |  FROM orders CROSS JOIN d0 GROUP BY 1),
+        |j AS (SELECT a.di, a.rd, a.rd - b.rd AS e
+        |  FROM daily a JOIN daily b ON a.di = b.di + 7),
+        |c AS (SELECT di,
+        |    CAST(COUNT(*) OVER w AS BIGINT) AS n,
+        |    CAST(SUM(ABS(e)) OVER w AS BIGINT) AS sae,
+        |    CAST(SUM(e * e) OVER w AS BIGINT) AS see,
+        |    SUM(CAST(ABS(e) AS DOUBLE) / rd) OVER w AS cape,
+        |    MAX(di) OVER () AS mx
+        |  FROM j
+        |  WINDOW w AS (ORDER BY di
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT n AS n_days,
+        |  ROUND(CAST(sae AS DOUBLE) / n, 6) AS mae,
+        |  ROUND(sqrt(CAST(see AS DOUBLE) / n), 6) AS rmse,
+        |  ROUND(cape / n, 6) AS mape
+        |FROM c WHERE di = mx""".stripMargin,
+
+    "q282_dispersion" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS c FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+        |    CAST(SUM(c) AS BIGINT) AS tc,
+        |    CAST(SUM(c * c) AS BIGINT) AS tcc FROM daily)
+        |SELECT n_days,
+        |  ROUND(CAST(tc AS DOUBLE) / n_days, 6) AS mean,
+        |  ROUND(CAST(n_days * tcc - tc * tc AS DOUBLE)
+        |    / (n_days * (n_days - 1)), 6) AS variance,
+        |  ROUND(CAST(n_days * tcc - tc * tc AS DOUBLE)
+        |    / ((n_days - 1) * tc), 6) AS dispersion,
+        |  ROUND(CAST(n_days * tcc - tc * tc AS DOUBLE) / tc, 6) AS chi2
+        |FROM t""".stripMargin,
+
+    "q283_cross_correlation" ->
+      """WITH d0 AS (SELECT MIN(CAST(o_orderdate AS DATE)) AS d0
+        |  FROM orders),
+        |x AS (SELECT date_diff('day', d0, CAST(o_orderdate AS DATE))
+        |    AS di,
+        |    CAST(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2))) * 100
+        |      AS BIGINT) // 100 AS x
+        |  FROM orders CROSS JOIN d0 GROUP BY 1),
+        |y AS (SELECT date_diff('day', d0, CAST(l_shipdate AS DATE))
+        |    AS dj, CAST(COUNT(*) AS BIGINT) AS y
+        |  FROM lineitem CROSS JOIN d0 GROUP BY 1),
+        |lags AS (SELECT CAST(range AS BIGINT) AS lag FROM range(-7, 8)),
+        |m AS (SELECT l.lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |    CAST(SUM(x.x) AS BIGINT) AS sx, CAST(SUM(y.y) AS BIGINT) AS sy,
+        |    CAST(SUM(x.x * y.y) AS BIGINT) AS sxy,
+        |    CAST(SUM(x.x * x.x) AS BIGINT) AS sxx,
+        |    CAST(SUM(y.y * y.y) AS BIGINT) AS syy
+        |  FROM x CROSS JOIN lags l JOIN y ON y.dj = x.di + l.lag
+        |  GROUP BY l.lag)
+        |SELECT lag, n_pairs,
+        |  ROUND((CAST(n_pairs AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        |    / (sqrt(CAST(n_pairs AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+        |    * sqrt(CAST(n_pairs AS DOUBLE) * syy
+        |      - CAST(sy AS DOUBLE) * sy)), 6) AS ccf
+        |FROM m ORDER BY lag""".stripMargin,
+
+    "q284_trimmed_mean" ->
+      """WITH vc0 AS (SELECT source, n_chars AS v,
+        |    CAST(COUNT(*) AS BIGINT) AS m
+        |  FROM documents GROUP BY 1, 2),
+        |vc AS (SELECT source, v, m,
+        |    SUM(m) OVER (PARTITION BY source ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM vc0),
+        |tot AS (SELECT source, CAST(MAX(cum) AS BIGINT) AS n_s
+        |  FROM vc GROUP BY source),
+        |b AS (SELECT vc.source, v, m, cum, n_s,
+        |    n_s // 10 AS lo, n_s - n_s // 10 AS hi
+        |  FROM vc JOIN tot ON vc.source = tot.source),
+        |b2 AS (SELECT source, v, m, n_s, hi - lo AS nt,
+        |    GREATEST(0, LEAST(cum, hi) - GREATEST(cum - m, lo)) AS kept
+        |  FROM b),
+        |g AS (SELECT source, CAST(MAX(n_s) AS BIGINT) AS n_docs,
+        |    CAST(SUM(v * m) AS BIGINT) AS sv,
+        |    CAST(SUM(v * kept) AS BIGINT) AS svt,
+        |    CAST(MAX(nt) AS BIGINT) AS nt
+        |  FROM b2 GROUP BY source)
+        |SELECT source, n_docs,
+        |  ROUND(CAST(sv AS DOUBLE) / n_docs, 6) AS mean,
+        |  ROUND(CAST(svt AS DOUBLE) / nt, 6) AS trimmed_mean
+        |FROM g ORDER BY source""".stripMargin,
+
+    "q285_mad" ->
+      """WITH vc0 AS (SELECT source, n_chars AS v,
+        |    CAST(COUNT(*) AS BIGINT) AS m
+        |  FROM documents GROUP BY 1, 2),
+        |vc AS (SELECT source, v, m,
+        |    SUM(m) OVER (PARTITION BY source ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM vc0),
+        |tot AS (SELECT source, CAST(MAX(cum) AS BIGINT) AS n_s
+        |  FROM vc GROUP BY source),
+        |med AS (SELECT vc.source, CAST(MIN(v) AS BIGINT) AS median,
+        |    CAST(MAX(n_s) AS BIGINT) AS n_s
+        |  FROM vc JOIN tot ON vc.source = tot.source
+        |  WHERE cum * 2 >= n_s GROUP BY vc.source),
+        |dv AS (SELECT vc.source, ABS(v - median) AS dev,
+        |    CAST(SUM(m) AS BIGINT) AS dm,
+        |    CAST(MAX(median) AS BIGINT) AS median,
+        |    CAST(MAX(n_s) AS BIGINT) AS n_s
+        |  FROM vc JOIN med ON vc.source = med.source
+        |  GROUP BY vc.source, ABS(v - median)),
+        |dc AS (SELECT source, dev, median, n_s,
+        |    SUM(dm) OVER (PARTITION BY source ORDER BY dev
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumd
+        |  FROM dv)
+        |SELECT source, CAST(MAX(n_s) AS BIGINT) AS n_docs,
+        |  CAST(MAX(median) AS BIGINT) AS median,
+        |  CAST(MIN(dev) AS BIGINT) AS mad
+        |FROM dc WHERE cumd * 2 >= n_s
+        |GROUP BY source ORDER BY source""".stripMargin
   )
 }

@@ -223,7 +223,13 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "q276_seq_containment" -> 4,
     "q277_pareto_abc" -> 19,
     "q278_ewma" -> 6,
-    "q279_js_divergence" -> 9)
+    "q279_js_divergence" -> 9,
+    "q280_diff_in_diff" -> 2,
+    "q281_forecast_eval" -> 6,
+    "q282_dispersion" -> 2,
+    "q283_cross_correlation" -> 6,
+    "q284_trimmed_mean" -> 7,
+    "q285_mad" -> 11)
 
   private val exchangeRe =
     ("Exchange hashpartitioning|Exchange rangepartitioning|" +

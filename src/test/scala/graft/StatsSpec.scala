@@ -232,6 +232,121 @@ class StatsSpec extends SparkSpecBase {
     assert(checked >= 10, s"too few dense windows exercised: $checked")
   }
 
+  test("q280: DiD cells partition the purchases and the estimate is the double difference") {
+    val r = q("q280_diff_in_diff").collect().head
+    val nPurch = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase").count()
+    assert(r.getLong(0) + r.getLong(1) + r.getLong(2) + r.getLong(3) == nPurch)
+    val did = (r.getDouble(5) - r.getDouble(4)) - (r.getDouble(7) - r.getDouble(6))
+    assert(math.abs(r.getDouble(8) - did) < 1e-5,
+      s"did ${r.getDouble(8)} vs cell-mean double difference $did")
+  }
+
+  test("q281: MAE/RMSE/MAPE match a driver-side sweep of the lag-7 naive forecast") {
+    val daily = Tables.orders(spark, sf)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg((sum(round(col("o_totalprice"), 2)
+        .cast(org.apache.spark.sql.types.DecimalType(18, 2))) * 100)
+        .cast("long").as("rc"))
+      .collect()
+      .map(r => (r.getDate(0).toLocalDate.toEpochDay, r.getLong(1) / 100))
+      .toMap
+    val pairs = daily.toSeq.flatMap { case (di, rd) =>
+      daily.get(di - 7).map(rd7 => (rd, rd - rd7))
+    }
+    val n = pairs.size.toDouble
+    val mae = pairs.map(p => math.abs(p._2)).sum / n
+    val rmse = math.sqrt(pairs.map(p => p._2.toDouble * p._2).sum / n)
+    val mape = pairs.map(p => math.abs(p._2).toDouble / p._1).sum / n
+    val r = q("q281_forecast_eval").collect().head
+    assert(r.getLong(0) == pairs.size.toLong)
+    assert(math.abs(r.getDouble(1) - mae) < 1e-5, s"mae ${r.getDouble(1)} vs $mae")
+    assert(math.abs(r.getDouble(2) - rmse) < 1e-5, s"rmse ${r.getDouble(2)} vs $rmse")
+    assert(math.abs(r.getDouble(3) - mape) < 1e-5, s"mape ${r.getDouble(3)} vs $mape")
+  }
+
+  test("q282: dispersion index equals variance/mean of the daily counts") {
+    val cs = Tables.orders(spark, sf)
+      .groupBy(to_date(col("o_orderdate"))).agg(count(lit(1)).as("c"))
+      .collect().map(_.getLong(1))
+    val n = cs.length.toDouble
+    val mean = cs.sum / n
+    val varc = (n * cs.map(c => c * c).sum - cs.sum.toDouble * cs.sum) / (n * (n - 1))
+    val r = q("q282_dispersion").collect().head
+    assert(r.getLong(0) == cs.length.toLong)
+    assert(math.abs(r.getDouble(1) - mean) < 1e-5)
+    assert(math.abs(r.getDouble(2) - varc) < 1e-5)
+    assert(math.abs(r.getDouble(3) - varc / mean) < 1e-5)
+    assert(math.abs(r.getDouble(4) - (n - 1) * (varc / mean)) < 1e-3)
+  }
+
+  test("q283: CCF matches a driver-side Pearson over the paired days at each lag") {
+    val rows = q("q283_cross_correlation").collect()
+    assert(rows.length == 15)
+    assert(rows.forall(r => math.abs(r.getDouble(2)) <= 1.0 + 1e-12))
+    val ord = Tables.orders(spark, sf)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg((sum(round(col("o_totalprice"), 2)
+        .cast(org.apache.spark.sql.types.DecimalType(18, 2))) * 100)
+        .cast("long").as("rc"))
+      .collect()
+      .map(r => (r.getDate(0).toLocalDate.toEpochDay, r.getLong(1) / 100))
+      .toMap
+    val ship = Tables.lineitem(spark, sf)
+      .groupBy(to_date(col("l_shipdate")).as("d")).agg(count(lit(1)).as("c"))
+      .collect()
+      .map(r => (r.getDate(0).toLocalDate.toEpochDay, r.getLong(1))).toMap
+    Seq(0L, 3L, -5L).foreach { lag =>
+      val pairs = ord.toSeq.flatMap { case (di, x) =>
+        ship.get(di + lag).map(y => (x.toDouble, y.toDouble))
+      }
+      val n = pairs.size.toDouble
+      val sx = pairs.map(_._1).sum; val sy = pairs.map(_._2).sum
+      val sxy = pairs.map(p => p._1 * p._2).sum
+      val sxx = pairs.map(p => p._1 * p._1).sum
+      val syy = pairs.map(p => p._2 * p._2).sum
+      val ccf = (n * sxy - sx * sy) /
+        (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+      val engine = rows.find(_.getLong(0) == lag).get
+      assert(engine.getLong(1) == pairs.size.toLong)
+      assert(math.abs(engine.getDouble(2) - ccf) < 1e-6,
+        s"lag $lag: ${engine.getDouble(2)} vs $ccf")
+    }
+  }
+
+  test("q284: trimmed mean equals the sort-drop-average reference per source") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    q("q284_trimmed_mean").collect().foreach { r =>
+      val vs = docs.filter(_._1 == r.getString(0)).map(_._2).sorted
+      val lo = vs.length / 10; val hi = vs.length - lo
+      val kept = vs.slice(lo.toInt, hi.toInt)
+      val tm = kept.sum.toDouble / kept.length
+      assert(r.getLong(1) == vs.length.toLong)
+      assert(math.abs(r.getDouble(3) - tm) < 1e-6,
+        s"${r.getString(0)}: ${r.getDouble(3)} vs $tm")
+      assert(math.abs(r.getDouble(2) - vs.sum.toDouble / vs.length) < 1e-6)
+    }
+  }
+
+  test("q285: median and MAD are the exact nearest-rank picks per source") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    def lowerMedian(vs: Seq[Long]): Long = {
+      val s = vs.sorted; s((vs.length - 1) / 2)
+    }
+    q("q285_mad").collect().foreach { r =>
+      val vs = docs.filter(_._1 == r.getString(0)).map(_._2).toSeq
+      val med = lowerMedian(vs)
+      val mad = lowerMedian(vs.map(v => math.abs(v - med)))
+      assert(r.getLong(1) == vs.length.toLong)
+      assert(r.getLong(2) == med, s"${r.getString(0)}: median ${r.getLong(2)} vs $med")
+      assert(r.getLong(3) == mad, s"${r.getString(0)}: mad ${r.getLong(3)} vs $mad")
+    }
+  }
+
   test("q279: per-weekday JSD is bounded by ln 2 and its mixture terms are consistent") {
     val rows = q("q279_js_divergence").collect()
     val byWd = rows.groupBy(_.getLong(0))
