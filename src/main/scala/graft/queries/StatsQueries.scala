@@ -705,6 +705,80 @@ object StatsQueries {
         .agg(max(col("n_s")).as("n_docs"), max(col("median")).as("median"),
           min(col("dev")).as("mad"))
         .orderBy(col("source"))
+    },
+
+    // §2.4 (round 15) — CUMULATIVE UNIQUES / new-vs-returning daily
+    // report (the DAU growth chart: actives split into first-ever-seen
+    // and returning, plus the running total of distinct users to
+    // date). Running exact distinct normally re-scans every prefix;
+    // here it collapses to FIRST-SEEN day per user (one partial-agg
+    // groupBy) + a day-domain cumulative window — each user counted
+    // once, forever, at their debut. Both frames are day-domain
+    // aggregates; the raw projection is deliberately NOT persisted
+    // (two column-pruned scans beat caching the corpus at 100 TB).
+    "q286_cumulative_uniques" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(expr("unix_micros(ts) div 86400000000").as("dy"),
+          col("user_id"))
+      val da = ev.groupBy(col("dy"))
+        .agg(countDistinct(col("user_id")).as("active_users"))
+      val nu = ev.groupBy(col("user_id")).agg(min(col("dy")).as("dy"))
+        .groupBy(col("dy")).agg(count(lit(1)).as("new_users"))
+      val w = Window.orderBy(col("dy"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      da.join(nu, Seq("dy"), "left")
+        .withColumn("nu0", coalesce(col("new_users"), lit(0L)))
+        .withColumn("cum_users", sum(col("nu0")).over(w))
+        .select(col("dy").as("day"), col("active_users"),
+          col("nu0").as("new_users"),
+          (col("active_users") - col("nu0")).as("returning_users"),
+          col("cum_users"))
+        .orderBy(col("day"))
+    },
+
+    // §2.3 (round 15) — FILL-IN-THE-MIDDLE split planning (Bavarian
+    // et al.'22, arXiv:2207.14255 — the FIM transform behind every
+    // code model's infilling ability: doc → (prefix, middle, suffix),
+    // train on [pre][suf][mid]): two cut points per document from
+    // SEEDED 48-bit md5 uniforms scaled by EXACT integer arithmetic
+    // (h·T div 2^48 — no float in the cut), so the plan is
+    // deterministic, hash-oracle-able, and reproducible across reruns
+    // — the property a training pipeline needs to regenerate the same
+    // split for the same doc (a production run swaps the seeded hash
+    // for a seeded PRNG; plan shape unchanged). Per-source audit:
+    // split-mass fractions (≈ uniform-order-statistics thirds) and
+    // the empty-middle degenerate count. ONE narrow scan + one
+    // source-domain groupBy.
+    "q287_fim_plan" -> { (s, d) =>
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          greatest(lit(1L), expr("(n_chars + 3) div 4")).as("t"))
+        .withColumn("h1", conv(substring(
+          md5(concat(lit("q287:a:"), col("doc_id"))), 1, 12), 16, 10)
+          .cast("long"))
+        .withColumn("h2", conv(substring(
+          md5(concat(lit("q287:b:"), col("doc_id"))), 1, 12), 16, 10)
+          .cast("long"))
+        .withColumn("c1", expr("(h1 * t) div 281474976710656"))
+        .withColumn("c2", expr("(h2 * t) div 281474976710656"))
+        .withColumn("lo", least(col("c1"), col("c2")))
+        .withColumn("hi", greatest(col("c1"), col("c2")))
+      base.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("t")).as("sum_tokens"),
+          sum(col("lo")).as("sp"),
+          sum(col("hi") - col("lo")).as("sm"),
+          sum(col("t") - col("hi")).as("ss"),
+          sum((col("hi") === col("lo")).cast("long")).as("n_empty_middle"))
+        .select(col("source"), col("n_docs"), col("sum_tokens"),
+          round(col("sp").cast("double") / col("sum_tokens"), 6)
+            .as("prefix_frac"),
+          round(col("sm").cast("double") / col("sum_tokens"), 6)
+            .as("middle_frac"),
+          round(col("ss").cast("double") / col("sum_tokens"), 6)
+            .as("suffix_frac"),
+          col("n_empty_middle"))
+        .orderBy(col("source"))
     }
   )
 
@@ -1181,6 +1255,55 @@ object StatsQueries {
         |  CAST(MAX(median) AS BIGINT) AS median,
         |  CAST(MIN(dev) AS BIGINT) AS mad
         |FROM dc WHERE cumd * 2 >= n_s
-        |GROUP BY source ORDER BY source""".stripMargin
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q286_cumulative_uniques" ->
+      """WITH ev AS (SELECT epoch_us(ts) // 86400000000 AS dy, user_id
+        |  FROM events),
+        |da AS (SELECT dy, CAST(COUNT(DISTINCT user_id) AS BIGINT)
+        |    AS active_users
+        |  FROM ev GROUP BY dy),
+        |fs AS (SELECT user_id, MIN(dy) AS dy FROM ev GROUP BY user_id),
+        |nu AS (SELECT dy, CAST(COUNT(*) AS BIGINT) AS new_users
+        |  FROM fs GROUP BY dy),
+        |j AS (SELECT da.dy, da.active_users,
+        |    COALESCE(nu.new_users, 0) AS nu0
+        |  FROM da LEFT JOIN nu ON da.dy = nu.dy)
+        |SELECT CAST(dy AS BIGINT) AS day, active_users,
+        |  nu0 AS new_users,
+        |  active_users - nu0 AS returning_users,
+        |  CAST(SUM(nu0) OVER (ORDER BY dy
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_users
+        |FROM j ORDER BY day""".stripMargin,
+
+    "q287_fim_plan" ->
+      """WITH base AS (SELECT source,
+        |    GREATEST(1, (n_chars + 3) // 4) AS t,
+        |    CAST(('0x' || substr(md5('q287:a:' || doc_id), 1, 12))
+        |      AS BIGINT) AS h1,
+        |    CAST(('0x' || substr(md5('q287:b:' || doc_id), 1, 12))
+        |      AS BIGINT) AS h2
+        |  FROM documents),
+        |cuts AS (SELECT source, t,
+        |    LEAST((h1 * t) // 281474976710656,
+        |      (h2 * t) // 281474976710656) AS lo,
+        |    GREATEST((h1 * t) // 281474976710656,
+        |      (h2 * t) // 281474976710656) AS hi
+        |  FROM base),
+        |g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(t) AS BIGINT) AS sum_tokens,
+        |    CAST(SUM(lo) AS BIGINT) AS sp,
+        |    CAST(SUM(hi - lo) AS BIGINT) AS sm,
+        |    CAST(SUM(t - hi) AS BIGINT) AS ss,
+        |    CAST(SUM(CASE WHEN hi = lo THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_empty_middle
+        |  FROM cuts GROUP BY source)
+        |SELECT source, n_docs, sum_tokens,
+        |  ROUND(CAST(sp AS DOUBLE) / sum_tokens, 6) AS prefix_frac,
+        |  ROUND(CAST(sm AS DOUBLE) / sum_tokens, 6) AS middle_frac,
+        |  ROUND(CAST(ss AS DOUBLE) / sum_tokens, 6) AS suffix_frac,
+        |  n_empty_middle
+        |FROM g ORDER BY source""".stripMargin
   )
 }

@@ -229,7 +229,9 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "q282_dispersion" -> 2,
     "q283_cross_correlation" -> 6,
     "q284_trimmed_mean" -> 7,
-    "q285_mad" -> 11)
+    "q285_mad" -> 11,
+    "q286_cumulative_uniques" -> 5,
+    "q287_fim_plan" -> 2)
 
   private val exchangeRe =
     ("Exchange hashpartitioning|Exchange rangepartitioning|" +

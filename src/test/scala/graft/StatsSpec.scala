@@ -347,6 +347,40 @@ class StatsSpec extends SparkSpecBase {
     }
   }
 
+  test("q286: cumulative uniques is the running count of first-seen users, day by day") {
+    val rows = q("q286_cumulative_uniques").collect()
+    val totalUsers = Tables.events(spark, sf)
+      .select(col("user_id")).distinct().count()
+    // final cumulative = all users ever seen; new_users telescope to it
+    assert(rows.last.getLong(4) == totalUsers)
+    assert(rows.map(_.getLong(2)).sum == totalUsers)
+    // cum is the prefix sum of new_users and is non-decreasing
+    var run = 0L
+    rows.foreach { r =>
+      run += r.getLong(2)
+      assert(r.getLong(4) == run, s"day ${r.getLong(0)}: cum drifts")
+      assert(r.getLong(3) >= 0L, "returning_users negative")
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(3))
+    }
+  }
+
+  test("q287: FIM cuts conserve token mass and land on the order-statistics thirds") {
+    val rows = q("q287_fim_plan").collect()
+    rows.foreach { r =>
+      val fr = Seq(r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(math.abs(fr.sum - 1.0) < 3e-6,
+        s"${r.getString(0)}: split mass ${fr.sum} != 1")
+      // two iid uniform cuts split the unit interval into thirds in
+      // expectation; with hundreds of docs per source the sample
+      // fractions concentrate loosely around 1/3
+      fr.foreach(f => assert(f > 0.15 && f < 0.55,
+        s"${r.getString(0)}: fraction $f far from the uniform-cut law"))
+      assert(r.getLong(6) <= r.getLong(1), "empty-middle count exceeds docs")
+    }
+    assert(rows.map(_.getLong(1)).sum ==
+      Tables.documents(spark, sf).count())
+  }
+
   test("q279: per-weekday JSD is bounded by ln 2 and its mixture terms are consistent") {
     val rows = q("q279_js_divergence").collect()
     val byWd = rows.groupBy(_.getLong(0))
