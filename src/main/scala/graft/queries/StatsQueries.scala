@@ -779,6 +779,135 @@ object StatsQueries {
             .as("suffix_frac"),
           col("n_empty_middle"))
         .orderBy(col("source"))
+    },
+
+    // §2.4 (round 15) — multiplicative SEASONAL INDICES by weekday
+    // (the seasonal step of classical decomposition, and the
+    // normalizer behind every day-of-week-adjusted KPI): index_w =
+    // weekday-mean / grand-mean = sum_w·N / (n_w·T), exact cent
+    // integers meeting in one IEEE chain. Weekday is epoch-day mod 7
+    // (pure integer arithmetic, the q279 no-locale rule); the whole
+    // report is a 7-row weekday-domain rollup of the day-domain
+    // aggregate.
+    "q288_seasonal_index" -> { (s, d) =>
+      import graft.Caching.ScopedPersist
+      val daily = Tables.orders(s, d)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg((sum(round(col("o_totalprice"), 2).cast(DecimalType(18, 2)))
+          * 100).cast("long").as("rc"))
+        .withColumn("wd",
+          expr("datediff(day, DATE '1970-01-01') % 7"))
+        .scopedPersist() // consumers: grand totals + weekday rollup
+      val tot = daily.agg(count(lit(1)).as("nn"), sum(col("rc")).as("tt"))
+      daily.groupBy(col("wd"))
+        .agg(count(lit(1)).as("n_days"), sum(col("rc")).as("sw"))
+        .crossJoin(broadcast(tot))
+        .select(col("wd").cast("long").as("weekday"), col("n_days"),
+          round(col("sw").cast("double") / col("n_days") / 100, 6)
+            .as("avg_revenue"),
+          round((col("sw") * col("nn")).cast("double")
+            / (col("n_days") * col("tt")), 6).as("seasonal_index"))
+        .orderBy(col("weekday"))
+    },
+
+    // §2.4 (round 15) — TOP ENTRY PATHS: each user's first three
+    // event types in (ts, id) order collapse to one "a>b>c" path
+    // string; the report is the top-20 paths by user count — the
+    // onboarding-funnel discovery read (45j's funnel CHECKS a known
+    // path; this FINDS the paths). Rank-3 prefix via a per-user
+    // partitioned window (never global); the ordered collapse is the
+    // q173 sorted-array discipline so the path string cannot drift
+    // with shuffle order; top-20 is a TakeOrdered with a full
+    // (count DESC, path) tiebreak.
+    "q289_top_paths" -> { (s, d) =>
+      val firstN = Tables.events(s, d)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("user_id"))
+            .orderBy(unix_micros(col("ts")), col("event_id"))))
+        .filter(col("rn") <= 3)
+      firstN
+        .groupBy(col("user_id"))
+        .agg(array_join(array_sort(collect_list(struct(col("rn"),
+          col("event_type")))).getField("event_type"), ">").as("path"))
+        .groupBy(col("path"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("n_users").desc, col("path"))
+        .limit(20)
+    },
+
+    // §2.4 (round 15) — BOT-TRAFFIC heuristics rollup: per user, the
+    // three classic machine signals — burst rate (max events in any
+    // one minute), minimum inter-event gap (sub-second repeats), and
+    // type diversity — each an exact integer off one per-user
+    // partitioned pass; verdict thresholds are integer compares. The
+    // report aggregates to the verdict matrix (the triage dashboard),
+    // never shipping per-user rows off the cluster.
+    "q290_bot_score" -> { (s, d) =>
+      import graft.Caching.ScopedPersist
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("tsm"))
+        .scopedPersist() // consumers: per-minute bursts + gap scan
+      val burst = ev
+        .groupBy(col("user_id"), expr("tsm div 60000000").as("minute"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("user_id"))
+        .agg(max(col("c")).as("max_per_min"))
+      val gaps = ev
+        .withColumn("prev", lag(col("tsm"), 1).over(
+          Window.partitionBy(col("user_id"))
+            .orderBy(col("tsm"), col("event_id"))))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("event_type")).as("n_types"),
+          min(when(col("prev").isNotNull, col("tsm") - col("prev")))
+            .as("min_gap_us"))
+      gaps.join(burst, "user_id")
+        .withColumn("verdict",
+          when(col("max_per_min") >= 5 ||
+            (col("min_gap_us").isNotNull && col("min_gap_us") < 1000000L),
+            "bot_like").otherwise("human_like"))
+        .groupBy(col("verdict"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("n_events")).as("total_events"),
+          round(sum(col("n_events")).cast("double") / count(lit(1)), 6)
+            .as("avg_events"),
+          round(sum(col("n_types")).cast("double") / count(lit(1)), 6)
+            .as("avg_types"))
+        .orderBy(col("verdict"))
+    },
+
+    // §2.3 (round 15) — ORDER-FULFILLMENT LAG quantiles per priority
+    // (ship date − order date; the SLA report): the lag domain is
+    // bounded (≤ ~4 months of days), so p50/p90/p99 are EXACT
+    // nearest-rank picks off the per-priority lag-domain cumulative
+    // window — the q53/q127/q285 exact-quantile discipline, never a
+    // row-level sort. 100·cum ≥ q·n keeps every rank edge an integer
+    // compare.
+    "q291_fulfillment_lag" -> { (s, d) =>
+      import graft.Caching.ScopedPersist
+      val vc = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority").as("prio"),
+          datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+            .as("lag"))
+        .agg(count(lit(1)).as("m"))
+        .withColumn("cum", sum(col("m")).over(
+          Window.partitionBy(col("prio")).orderBy(col("lag"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .scopedPersist() // consumers: totals + three rank picks
+      val tot = vc.groupBy(col("prio")).agg(max(col("cum")).as("n"))
+      vc.join(broadcast(tot), "prio")
+        .groupBy(col("prio"))
+        .agg(max(col("n")).as("n_lineitems"),
+          min(when(col("cum") * 100 >= col("n") * 50, col("lag")))
+            .cast("long").as("p50"),
+          min(when(col("cum") * 100 >= col("n") * 90, col("lag")))
+            .cast("long").as("p90"),
+          min(when(col("cum") * 100 >= col("n") * 99, col("lag")))
+            .cast("long").as("p99"),
+          max(col("lag")).cast("long").as("max_lag"))
+        .orderBy(col("prio"))
     }
   )
 
@@ -1304,6 +1433,87 @@ object StatsQueries {
         |  ROUND(CAST(sm AS DOUBLE) / sum_tokens, 6) AS middle_frac,
         |  ROUND(CAST(ss AS DOUBLE) / sum_tokens, 6) AS suffix_frac,
         |  n_empty_middle
-        |FROM g ORDER BY source""".stripMargin
+        |FROM g ORDER BY source""".stripMargin,
+
+    "q288_seasonal_index" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2))) * 100
+        |      AS BIGINT) AS rc
+        |  FROM orders GROUP BY 1),
+        |d2 AS (SELECT rc,
+        |    date_diff('day', DATE '1970-01-01', day) % 7 AS wd
+        |  FROM daily),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn,
+        |    CAST(SUM(rc) AS BIGINT) AS tt FROM d2),
+        |g AS (SELECT wd, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |    CAST(SUM(rc) AS BIGINT) AS sw FROM d2 GROUP BY wd)
+        |SELECT CAST(wd AS BIGINT) AS weekday, n_days,
+        |  ROUND(CAST(sw AS DOUBLE) / n_days / 100, 6) AS avg_revenue,
+        |  ROUND(CAST(sw * nn AS DOUBLE) / (n_days * tt), 6)
+        |    AS seasonal_index
+        |FROM g CROSS JOIN tot ORDER BY weekday""".stripMargin,
+
+    "q289_top_paths" ->
+      """WITH rn AS (SELECT user_id, event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events),
+        |paths AS (SELECT user_id,
+        |    string_agg(event_type, '>' ORDER BY rn) AS path
+        |  FROM rn WHERE rn <= 3 GROUP BY user_id),
+        |g AS (SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+        |  FROM paths GROUP BY path)
+        |SELECT path, n_users FROM g
+        |ORDER BY n_users DESC, path LIMIT 20""".stripMargin,
+
+    "q290_bot_score" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type,
+        |    CAST(epoch_us(ts) AS BIGINT) AS tsm FROM events),
+        |burst AS (SELECT user_id, CAST(MAX(c) AS BIGINT) AS max_per_min
+        |  FROM (SELECT user_id, tsm // 60000000 AS minute,
+        |      CAST(COUNT(*) AS BIGINT) AS c
+        |    FROM ev GROUP BY 1, 2) GROUP BY user_id),
+        |gaps AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+        |    CAST(MIN(CASE WHEN prev IS NOT NULL THEN tsm - prev END)
+        |      AS BIGINT) AS min_gap_us
+        |  FROM (SELECT user_id, event_type, tsm,
+        |      LAG(tsm, 1) OVER (PARTITION BY user_id
+        |        ORDER BY tsm, event_id) AS prev
+        |    FROM ev) GROUP BY user_id),
+        |v AS (SELECT CASE WHEN max_per_min >= 5
+        |      OR (min_gap_us IS NOT NULL AND min_gap_us < 1000000)
+        |      THEN 'bot_like' ELSE 'human_like' END AS verdict,
+        |    n_events, n_types
+        |  FROM gaps JOIN burst USING (user_id))
+        |SELECT verdict, CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  CAST(SUM(n_events) AS BIGINT) AS total_events,
+        |  ROUND(CAST(SUM(n_events) AS DOUBLE) / COUNT(*), 6) AS avg_events,
+        |  ROUND(CAST(SUM(n_types) AS DOUBLE) / COUNT(*), 6) AS avg_types
+        |FROM v GROUP BY verdict ORDER BY verdict""".stripMargin,
+
+    "q291_fulfillment_lag" ->
+      """WITH vc0 AS (SELECT o_orderpriority AS prio,
+        |    date_diff('day', CAST(o_orderdate AS DATE),
+        |      CAST(l_shipdate AS DATE)) AS lag,
+        |    CAST(COUNT(*) AS BIGINT) AS m
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2),
+        |vc AS (SELECT prio, lag, m,
+        |    SUM(m) OVER (PARTITION BY prio ORDER BY lag
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM vc0),
+        |tot AS (SELECT prio, CAST(MAX(cum) AS BIGINT) AS n
+        |  FROM vc GROUP BY prio)
+        |SELECT vc.prio, CAST(MAX(n) AS BIGINT) AS n_lineitems,
+        |  CAST(MIN(CASE WHEN cum * 100 >= n * 50 THEN lag END) AS BIGINT)
+        |    AS p50,
+        |  CAST(MIN(CASE WHEN cum * 100 >= n * 90 THEN lag END) AS BIGINT)
+        |    AS p90,
+        |  CAST(MIN(CASE WHEN cum * 100 >= n * 99 THEN lag END) AS BIGINT)
+        |    AS p99,
+        |  CAST(MAX(lag) AS BIGINT) AS max_lag
+        |FROM vc JOIN tot ON vc.prio = tot.prio
+        |GROUP BY vc.prio ORDER BY vc.prio""".stripMargin
   )
 }

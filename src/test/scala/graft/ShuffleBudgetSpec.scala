@@ -231,7 +231,11 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "q284_trimmed_mean" -> 7,
     "q285_mad" -> 11,
     "q286_cumulative_uniques" -> 5,
-    "q287_fim_plan" -> 2)
+    "q287_fim_plan" -> 2,
+    "q288_seasonal_index" -> 5,
+    "q289_top_paths" -> 2,
+    "q290_bot_score" -> 5,
+    "q291_fulfillment_lag" -> 7)
 
   private val exchangeRe =
     ("Exchange hashpartitioning|Exchange rangepartitioning|" +

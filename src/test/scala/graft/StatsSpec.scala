@@ -381,6 +381,83 @@ class StatsSpec extends SparkSpecBase {
       Tables.documents(spark, sf).count())
   }
 
+  test("q288: seasonal indices average to the grand mean (weighted identity)") {
+    val rows = q("q288_seasonal_index").collect()
+    assert(rows.length == 7)
+    // Σ n_w · index_w = N (the weighted-mean identity: weekday means
+    // scaled by the grand mean must reconstruct the total)
+    val n = rows.map(_.getLong(1)).sum.toDouble
+    val weighted = rows.map(r => r.getLong(1) * r.getDouble(3)).sum
+    assert(math.abs(weighted - n) < 1e-2, s"Σ n_w·idx_w = $weighted != $n")
+    assert(rows.forall(_.getDouble(3) > 0.0))
+  }
+
+  test("q289: top paths match a driver-side first-3-prefix scan") {
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")),
+        col("event_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val expected = ev.groupBy(_._1).map { case (_, es) =>
+      es.sortBy(e => (e._3, e._4)).take(3).map(_._2).mkString(">")
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val rows = q("q289_top_paths").collect()
+    assert(rows.length <= 20)
+    rows.foreach { r =>
+      assert(expected(r.getString(0)) == r.getLong(1),
+        s"${r.getString(0)}: ${r.getLong(1)} vs ${expected(r.getString(0))}")
+    }
+    // top-20 really is the top: no unlisted path outcounts the listed min
+    val listedMin = rows.map(_.getLong(1)).min
+    val unlisted = expected.filterNot(kv => rows.exists(_.getString(0) == kv._1))
+    assert(unlisted.values.forall(_ <= listedMin))
+  }
+
+  test("q290: verdict rollup matches a driver-side heuristic sweep") {
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")),
+        col("event_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val verdicts = ev.groupBy(_._1).toSeq.map { case (_, es) =>
+      val ts = es.map(_._3).sorted
+      val maxPerMin = es.groupBy(_._3 / 60000000L).values.map(_.size).max
+      val minGap = if (ts.length < 2) None
+        else Some(ts.zip(ts.tail).map(p => p._2 - p._1).min)
+      val bot = maxPerMin >= 5 || minGap.exists(_ < 1000000L)
+      (if (bot) "bot_like" else "human_like", es.size.toLong)
+    }
+    val expected = verdicts.groupBy(_._1).view
+      .mapValues(vs => (vs.size.toLong, vs.map(_._2).sum)).toMap
+    q("q290_bot_score").collect().foreach { r =>
+      val (nu, te) = expected(r.getString(0))
+      assert(r.getLong(1) == nu && r.getLong(2) == te,
+        s"${r.getString(0)}: (${r.getLong(1)},${r.getLong(2)}) vs ($nu,$te)")
+    }
+  }
+
+  test("q291: fulfillment-lag quantiles are the exact nearest-rank picks per priority") {
+    val lags = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"),
+        datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate"))))
+      .collect().map(r => (r.getString(0), r.getInt(1).toLong))
+    def nearestRank(vs: Seq[Long], p: Int): Long = {
+      val s = vs.sorted
+      s.zipWithIndex.find { case (_, i) => (i + 1) * 100 >= p * s.length }
+        .get._1
+    }
+    q("q291_fulfillment_lag").collect().foreach { r =>
+      val vs = lags.filter(_._1 == r.getString(0)).map(_._2).toSeq
+      assert(r.getLong(1) == vs.length.toLong)
+      assert(r.getLong(2) == nearestRank(vs, 50))
+      assert(r.getLong(3) == nearestRank(vs, 90))
+      assert(r.getLong(4) == nearestRank(vs, 99))
+      assert(r.getLong(5) == vs.max)
+      assert(r.getLong(2) <= r.getLong(3) && r.getLong(3) <= r.getLong(4))
+    }
+  }
+
   test("q279: per-weekday JSD is bounded by ln 2 and its mixture terms are consistent") {
     val rows = q("q279_js_divergence").collect()
     val byWd = rows.groupBy(_.getLong(0))
