@@ -908,6 +908,160 @@ object StatsQueries {
             .cast("long").as("p99"),
           max(col("lag")).cast("long").as("max_lag"))
         .orderBy(col("prio"))
+    },
+
+    // §2.4 (round 15) — LASPEYRES PRICE INDEX by month (the
+    // fixed-basket inflation measure: I_m = Σ p_m·q₀ / Σ p₀·q₀ over
+    // the base month's basket — the econ-analytics read over any
+    // priced fact table). Unit prices are exact rationals
+    // (cent-revenue / integer quantity per (month, part)); the
+    // basket sums are double terms, so they accumulate through
+    // per-month PART-ORDERED cumulative windows (the part catalog is
+    // a bounded dimension — the CurationQueries 696/800 window
+    // precedent) and the last part's row per month carries the index
+    // — both engines sum the identical IEEE sequence.
+    "q292_price_index" -> { (s, d) =>
+      import graft.Caching.ScopedPersist
+      val mp = Tables.lineitem(s, d)
+        .groupBy((year(to_date(col("l_shipdate"))) * 100
+          + month(to_date(col("l_shipdate")))).as("ym"),
+          col("l_partkey").as("pk"))
+        .agg((sum(round(col("l_extendedprice"), 2)
+          .cast(DecimalType(18, 2))) * 100).cast("long").as("e"),
+          sum(col("l_quantity")).cast("long").as("q"))
+        .scopedPersist() // consumers: base-month basket + every month
+      val base = mp.agg(min(col("ym")).as("ym0"))
+      val basket = mp.join(broadcast(base), col("ym") === col("ym0"))
+        .select(col("pk"), col("e").as("e0"), col("q").as("q0"))
+      val joined = mp.join(basket, "pk")
+        .withColumn("num", col("e").cast("double") / col("q") * col("q0"))
+        .withColumn("den", col("e0").cast("double") / col("q0") * col("q0"))
+      val w = Window.partitionBy(col("ym")).orderBy(col("pk"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      joined
+        .withColumn("cnum", sum(col("num")).over(w))
+        .withColumn("cden", sum(col("den")).over(w))
+        .withColumn("np", count(lit(1)).over(
+          Window.partitionBy(col("ym"))))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("ym")).orderBy(col("pk").desc)))
+        .filter(col("rn") === 1)
+        .select(col("ym").cast("long").as("month"),
+          col("np").as("n_parts"),
+          round(col("cnum") / col("cden"), 6).as("laspeyres_index"))
+        .orderBy(col("month"))
+    },
+
+    // §2.3 (round 15) — DECISION-TREE SPLIT SCORING (information
+    // gain): for each candidate categorical feature, H(label) −
+    // Σ_v (n_v/N)·H(label|v) — the ID3/C4.5 split finder and the
+    // feature-importance read run before training anything. Every
+    // count is an exact integer; every entropy is a sum of ≤
+    // |domain| ln-terms accumulated through ORDERED domain windows
+    // (value, label) so both engines walk the identical IEEE
+    // sequence; the long (feature, value, label) layout scores ALL
+    // features in one aggregation pipeline instead of one query per
+    // feature.
+    "q293_split_gain" -> { (s, d) =>
+      import graft.Caching.ScopedPersist
+      val base = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderstatus").as("label"),
+          col("c_mktsegment").as("segment"),
+          col("o_orderpriority").as("priority"))
+        .scopedPersist() // consumers: both union branches
+      val long = base.select(lit("segment").as("f"),
+        col("segment").as("v"), col("label"))
+        .unionByName(base.select(lit("priority").as("f"),
+          col("priority").as("v"), col("label")))
+      val nvl = long.groupBy(col("f"), col("v"), col("label"))
+        .agg(count(lit(1)).as("c"))
+        .scopedPersist() // consumers: value totals + label marginals + terms
+      val nv = nvl.groupBy(col("f"), col("v")).agg(sum(col("c")).as("nv"))
+      val nl = nvl.filter(col("f") === "segment")
+        .groupBy(col("label")).agg(sum(col("c")).as("cl"))
+      val nn = nl.agg(sum(col("cl")).as("n"))
+      // H(label): ordered label-domain accumulation, last row = total
+      val wl = Window.orderBy(col("label"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val hBefore = nl.crossJoin(broadcast(nn))
+        .withColumn("t", (col("cl").cast("double") / col("n"))
+          * log(col("cl").cast("double") / col("n")))
+        .withColumn("ct", sum(col("t")).over(wl))
+        .withColumn("rn0", row_number().over(
+          Window.orderBy(col("label").desc)))
+        .filter(col("rn0") === 1)
+        .select((-col("ct")).as("h_lbl"))
+      // per-(f,v) conditional entropy via ordered (label) window
+      val wv = Window.partitionBy(col("f"), col("v"))
+        .orderBy(col("label"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val hv = nvl.join(nv, Seq("f", "v"))
+        .withColumn("t", (col("c").cast("double") / col("nv"))
+          * log(col("c").cast("double") / col("nv")))
+        .withColumn("ct", sum(col("t")).over(wv))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("f"), col("v"))
+            .orderBy(col("label").desc)))
+        .filter(col("rn") === 1)
+        .select(col("f"), col("v"), col("nv"), (-col("ct")).as("hv"))
+      // weighted roll-up per feature via ordered (value) window
+      val wf = Window.partitionBy(col("f")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hv.crossJoin(broadcast(nn))
+        .withColumn("wt", (col("nv").cast("double") / col("n")) * col("hv"))
+        .withColumn("cwt", sum(col("wt")).over(wf))
+        .withColumn("rn2", row_number().over(
+          Window.partitionBy(col("f")).orderBy(col("v").desc)))
+        .filter(col("rn2") === 1)
+        .crossJoin(broadcast(hBefore))
+        .select(col("f").as("feature"),
+          round(col("h_lbl"), 6).as("h_label"),
+          round(col("cwt"), 6).as("h_conditional"),
+          round(col("h_lbl") - col("cwt"), 6).as("info_gain"))
+        .orderBy(col("feature"))
+    },
+
+    // §2.3 (round 15) — POINT-IN-TIME feature snapshot + churn label
+    // (the leakage-safe training-set constructor: features from
+    // STRICTLY before the cutoff, the label from the 90 days after —
+    // the temporal firewall every churn model needs and naive
+    // "max-date features" silently violate). Cutoff = dataset edge −
+    // 180d from a 1-row broadcast; features are one pre-cutoff
+    // partial-agg pass (counts, DECIMAL-quantized spend, recency);
+    // the label is an anti-joinable post-window flag folded in the
+    // same orders scan via conditional aggregation — ONE shuffle on
+    // custkey, no window, no self-join.
+    "q294_feature_snapshot" -> { (s, d) =>
+      val edge = Tables.orders(s, d)
+        .agg(max(to_date(col("o_orderdate"))).as("mx"))
+      val cust = Tables.orders(s, d).crossJoin(broadcast(edge))
+        .withColumn("day", to_date(col("o_orderdate")))
+        .withColumn("cutoff", date_sub(col("mx"), 180))
+        .groupBy(col("o_custkey"))
+        .agg(
+          sum((col("day") < col("cutoff")).cast("long")).as("past_orders"),
+          sum(when(col("day") < col("cutoff"),
+            round(col("o_totalprice"), 2).cast(DecimalType(18, 2)))
+            .otherwise(expr("CAST(0 AS DECIMAL(18,2))"))).as("past_spend"),
+          max(when(col("day") < col("cutoff"), col("day"))).as("last_d"),
+          max(col("cutoff")).as("cutoff"),
+          sum((col("day") >= col("cutoff")
+            && col("day") < date_add(col("cutoff"), 90)).cast("long"))
+            .as("post_orders"))
+        .filter(col("past_orders") > 0)
+      cust
+        .withColumn("label",
+          when(col("post_orders") > 0, "retained").otherwise("churned"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_customers"),
+          round(sum(col("past_orders")).cast("double") / count(lit(1)), 6)
+            .as("avg_past_orders"),
+          round(sum(col("past_spend")).cast("double") / count(lit(1)), 6)
+            .as("avg_past_spend"),
+          round(sum(datediff(col("cutoff"), col("last_d")))
+            .cast("double") / count(lit(1)), 6).as("avg_recency_days"))
+        .orderBy(col("label"))
     }
   )
 
@@ -1514,6 +1668,107 @@ object StatsQueries {
         |    AS p99,
         |  CAST(MAX(lag) AS BIGINT) AS max_lag
         |FROM vc JOIN tot ON vc.prio = tot.prio
-        |GROUP BY vc.prio ORDER BY vc.prio""".stripMargin
+        |GROUP BY vc.prio ORDER BY vc.prio""".stripMargin,
+
+    "q292_price_index" ->
+      """WITH mp AS (SELECT year(CAST(l_shipdate AS DATE)) * 100
+        |      + month(CAST(l_shipdate AS DATE)) AS ym,
+        |    l_partkey AS pk,
+        |    CAST(SUM(CAST(ROUND(l_extendedprice, 2) AS DECIMAL(18,2)))
+        |      * 100 AS BIGINT) AS e,
+        |    CAST(SUM(l_quantity) AS BIGINT) AS q
+        |  FROM lineitem GROUP BY 1, 2),
+        |base AS (SELECT MIN(ym) AS ym0 FROM mp),
+        |basket AS (SELECT pk, e AS e0, q AS q0
+        |  FROM mp JOIN base ON ym = ym0),
+        |j AS (SELECT ym, mp.pk,
+        |    CAST(e AS DOUBLE) / q * q0 AS num,
+        |    CAST(e0 AS DOUBLE) / q0 * q0 AS den
+        |  FROM mp JOIN basket ON mp.pk = basket.pk),
+        |c AS (SELECT ym, pk,
+        |    SUM(num) OVER w AS cnum, SUM(den) OVER w AS cden,
+        |    CAST(COUNT(*) OVER (PARTITION BY ym) AS BIGINT) AS np,
+        |    ROW_NUMBER() OVER (PARTITION BY ym ORDER BY pk DESC) AS rn
+        |  FROM j
+        |  WINDOW w AS (PARTITION BY ym ORDER BY pk
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT CAST(ym AS BIGINT) AS month, np AS n_parts,
+        |  ROUND(cnum / cden, 6) AS laspeyres_index
+        |FROM c WHERE rn = 1 ORDER BY month""".stripMargin,
+
+    "q293_split_gain" ->
+      """WITH base AS (SELECT o_orderstatus AS label,
+        |    c_mktsegment AS segment, o_orderpriority AS priority
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |lng AS (SELECT 'segment' AS f, segment AS v, label FROM base
+        |  UNION ALL SELECT 'priority', priority, label FROM base),
+        |nvl AS (SELECT f, v, label, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM lng GROUP BY 1, 2, 3),
+        |nv AS (SELECT f, v, CAST(SUM(c) AS BIGINT) AS nv
+        |  FROM nvl GROUP BY f, v),
+        |nl AS (SELECT label, CAST(SUM(c) AS BIGINT) AS cl
+        |  FROM nvl WHERE f = 'segment' GROUP BY label),
+        |nn AS (SELECT CAST(SUM(cl) AS BIGINT) AS n FROM nl),
+        |hb0 AS (SELECT label,
+        |    (CAST(cl AS DOUBLE) / n) * ln(CAST(cl AS DOUBLE) / n) AS t
+        |  FROM nl CROSS JOIN nn),
+        |hb1 AS (SELECT SUM(t) OVER (ORDER BY label
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ct,
+        |    ROW_NUMBER() OVER (ORDER BY label DESC) AS rn0
+        |  FROM hb0),
+        |hb AS (SELECT -ct AS h_lbl FROM hb1 WHERE rn0 = 1),
+        |hv0 AS (SELECT nvl.f, nvl.v, nv,
+        |    (CAST(c AS DOUBLE) / nv) * ln(CAST(c AS DOUBLE) / nv) AS t,
+        |    label
+        |  FROM nvl JOIN nv ON nvl.f = nv.f AND nvl.v = nv.v),
+        |hv1 AS (SELECT f, v, nv,
+        |    SUM(t) OVER (PARTITION BY f, v ORDER BY label
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ct,
+        |    ROW_NUMBER() OVER (PARTITION BY f, v ORDER BY label DESC)
+        |      AS rn
+        |  FROM hv0),
+        |hv AS (SELECT f, v, nv, -ct AS hv FROM hv1 WHERE rn = 1),
+        |wt0 AS (SELECT f, v,
+        |    (CAST(nv AS DOUBLE) / n) * hv AS wt
+        |  FROM hv CROSS JOIN nn),
+        |wt1 AS (SELECT f,
+        |    SUM(wt) OVER (PARTITION BY f ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cwt,
+        |    ROW_NUMBER() OVER (PARTITION BY f ORDER BY v DESC) AS rn2
+        |  FROM wt0)
+        |SELECT f AS feature, ROUND(h_lbl, 6) AS h_label,
+        |  ROUND(cwt, 6) AS h_conditional,
+        |  ROUND(h_lbl - cwt, 6) AS info_gain
+        |FROM wt1 CROSS JOIN hb WHERE rn2 = 1 ORDER BY feature""".stripMargin,
+
+    "q294_feature_snapshot" ->
+      """WITH edge AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS mx
+        |  FROM orders),
+        |cust AS (SELECT o_custkey,
+        |    CAST(SUM(CASE WHEN CAST(o_orderdate AS DATE) < mx - 180
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS past_orders,
+        |    SUM(CASE WHEN CAST(o_orderdate AS DATE) < mx - 180
+        |      THEN CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2))
+        |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS past_spend,
+        |    MAX(CASE WHEN CAST(o_orderdate AS DATE) < mx - 180
+        |      THEN CAST(o_orderdate AS DATE) END) AS last_d,
+        |    MAX(mx - 180) AS cutoff,
+        |    CAST(SUM(CASE WHEN CAST(o_orderdate AS DATE) >= mx - 180
+        |      AND CAST(o_orderdate AS DATE) < mx - 90
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS post_orders
+        |  FROM orders CROSS JOIN edge GROUP BY o_custkey),
+        |lab AS (SELECT CASE WHEN post_orders > 0 THEN 'retained'
+        |      ELSE 'churned' END AS label,
+        |    past_orders, past_spend,
+        |    date_diff('day', last_d, cutoff) AS rec
+        |  FROM cust WHERE past_orders > 0)
+        |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |  ROUND(CAST(SUM(past_orders) AS DOUBLE) / COUNT(*), 6)
+        |    AS avg_past_orders,
+        |  ROUND(CAST(SUM(past_spend) AS DOUBLE) / COUNT(*), 6)
+        |    AS avg_past_spend,
+        |  ROUND(CAST(SUM(rec) AS DOUBLE) / COUNT(*), 6)
+        |    AS avg_recency_days
+        |FROM lab GROUP BY label ORDER BY label""".stripMargin
   )
 }

@@ -23,7 +23,8 @@ class ContractSpec extends SparkSpecBase {
       graft.queries.GraphQueries.queries.keySet,
       graft.queries.BehaviorQueries.queries.keySet,
       graft.queries.WebQueries.queries.keySet,
-      graft.queries.MediaQueries.queries.keySet)
+      graft.queries.MediaQueries.queries.keySet,
+      graft.queries.StatsQueries.queries.keySet)
     val total = groups.map(_.size).sum
     assert(total == SparkEntry.queries.size,
       "duplicate query keys across group maps")

@@ -235,7 +235,10 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "q288_seasonal_index" -> 5,
     "q289_top_paths" -> 2,
     "q290_bot_score" -> 5,
-    "q291_fulfillment_lag" -> 7)
+    "q291_fulfillment_lag" -> 7,
+    "q292_price_index" -> 6,
+    "q293_split_gain" -> 15,
+    "q294_feature_snapshot" -> 4)
 
   private val exchangeRe =
     ("Exchange hashpartitioning|Exchange rangepartitioning|" +

@@ -458,6 +458,107 @@ class StatsSpec extends SparkSpecBase {
     }
   }
 
+  test("q292: base month indexes to exactly 1 and later months match the basket recomputation") {
+    val rows = q("q292_price_index").collect()
+    assert(rows.nonEmpty)
+    assert(rows.head.getDouble(2) == 1.0, "base month must index to 1.0")
+    // driver-side basket recomputation for every month
+    val mp = Tables.lineitem(spark, sf)
+      .groupBy((year(to_date(col("l_shipdate"))) * 100
+        + month(to_date(col("l_shipdate")))).as("ym"), col("l_partkey"))
+      .agg((sum(round(col("l_extendedprice"), 2)
+        .cast(org.apache.spark.sql.types.DecimalType(18, 2))) * 100)
+        .cast("long").as("e"), sum(col("l_quantity")).cast("long").as("q"))
+      .collect().map(r => ((r.getInt(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+    val ym0 = mp.map(_._1._1).min
+    val basket = mp.filter(_._1._1 == ym0)
+      .map { case ((_, pk), (e, qn)) => pk -> (e, qn) }.toMap
+    rows.foreach { r =>
+      val ym = r.getLong(0).toInt
+      val month = mp.filter(_._1._1 == ym)
+        .map { case ((_, pk), (e, qn)) => pk -> (e, qn) }.toMap
+      val common = month.keySet.intersect(basket.keySet).toSeq.sorted
+      val num = common.map { pk =>
+        val (e, qn) = month(pk); e.toDouble / qn * basket(pk)._2 }.sum
+      val den = common.map { pk =>
+        val (e0, q0) = basket(pk); e0.toDouble / q0 * q0 }.sum
+      assert(r.getLong(1) == common.size.toLong)
+      assert(math.abs(r.getDouble(2) - num / den) < 1e-5,
+        s"month $ym: ${r.getDouble(2)} vs ${num / den}")
+    }
+  }
+
+  test("q293: information gain is non-negative and entropies match a driver recomputation") {
+    val rows = q("q293_split_gain").collect()
+    assert(rows.map(_.getString(0)).sorted.toSeq == Seq("priority", "segment"))
+    rows.foreach { r =>
+      assert(r.getDouble(3) >= -1e-6, s"${r.getString(0)}: negative gain")
+      assert(r.getDouble(2) <= r.getDouble(1) + 1e-6,
+        "conditional entropy exceeds the marginal")
+      assert(math.abs(r.getDouble(1) - r.getDouble(2) - r.getDouble(3)) < 2e-6)
+    }
+    // independent recomputation for the segment feature
+    val base = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderstatus"), col("c_mktsegment"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    def h(counts: Seq[Long]): Double = {
+      val n = counts.sum.toDouble
+      -counts.map(c => c / n * math.log(c / n)).sum
+    }
+    val hLabel = h(base.groupBy(_._1).values.map(_.size.toLong).toSeq)
+    val hCond = base.groupBy(_._2).values.map { vs =>
+      vs.size.toDouble / base.length *
+        h(vs.groupBy(_._1).values.map(_.size.toLong).toSeq)
+    }.sum
+    val seg = rows.find(_.getString(0) == "segment").get
+    assert(math.abs(seg.getDouble(1) - hLabel) < 1e-5)
+    assert(math.abs(seg.getDouble(2) - hCond) < 1e-5)
+  }
+
+  test("q294: the snapshot is point-in-time correct against a driver reconstruction") {
+    val edge = Tables.orders(spark, sf)
+      .agg(max(to_date(col("o_orderdate")))).collect().head
+      .getDate(0).toLocalDate
+    val cutoff = edge.minusDays(180)
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_custkey"), to_date(col("o_orderdate")),
+        round(col("o_totalprice"), 2))
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate, r.getDouble(2)))
+    val byCust = orders.groupBy(_._1).toSeq.flatMap { case (_, os) =>
+      val past = os.filter(_._2.isBefore(cutoff))
+      if (past.isEmpty) None
+      else {
+        val post = os.count(o => !o._2.isBefore(cutoff) &&
+          o._2.isBefore(cutoff.plusDays(90)))
+        Some((if (post > 0) "retained" else "churned",
+          past.size.toLong,
+          past.map(o => math.round(o._3 * 100)).sum,
+          java.time.temporal.ChronoUnit.DAYS.between(
+            past.map(_._2).max, cutoff)))
+      }
+    }
+    val expected = byCust.groupBy(_._1).view.mapValues { vs =>
+      (vs.size.toLong, vs.map(_._2).sum.toDouble / vs.size,
+        vs.map(_._3).sum.toDouble / 100 / vs.size,
+        vs.map(_._4).sum.toDouble / vs.size)
+    }.toMap
+    val rows = q("q294_feature_snapshot").collect()
+    rows.foreach { r =>
+      val (n, po, ps, rec) = expected(r.getString(0))
+      assert(r.getLong(1) == n)
+      assert(math.abs(r.getDouble(2) - po) < 1e-5)
+      assert(math.abs(r.getDouble(3) - ps) < 1e-5)
+      assert(math.abs(r.getDouble(4) - rec) < 1e-5)
+    }
+    // the behavioral sanity read: frequent buyers retain
+    val ret = rows.find(_.getString(0) == "retained").get
+    val chn = rows.find(_.getString(0) == "churned").get
+    assert(ret.getDouble(2) > chn.getDouble(2),
+      "retained cohort should average more past orders")
+  }
+
   test("q279: per-weekday JSD is bounded by ln 2 and its mixture terms are consistent") {
     val rows = q("q279_js_divergence").collect()
     val byWd = rows.groupBy(_.getLong(0))
