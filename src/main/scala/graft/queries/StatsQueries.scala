@@ -1062,6 +1062,81 @@ object StatsQueries {
           round(sum(datediff(col("cutoff"), col("last_d")))
             .cast("double") / count(lit(1)), 6).as("avg_recency_days"))
         .orderBy(col("label"))
+    },
+
+    // §2.3 (round 15) — VOCABULARY COVERAGE CURVE: the OOV rate at
+    // candidate vocab sizes 250 / 1k / 4k (the tokenizer-budget
+    // sizing read that precedes any BPE/Unigram training run — q126
+    // audits ONE vocabulary, this sweeps the size axis). Word ranks
+    // come from budgetSelect's DISTRIBUTED prefix sum over the
+    // (count DESC, word) total order with weight 1 — rank = cum_weight,
+    // no single-task vocabulary sort — and each OOV mass is one exact
+    // conditional integer sum.
+    "q295_vocab_curve" -> { (s, d) =>
+      import graft.operators.Selection
+      import graft.functions.GraftFunctions
+      val vc = Tables.documents(s, d)
+        .select(explode(GraftFunctions.normWords(col("text"))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("c"))
+      val ranked = Selection.budgetSelect(vc,
+        Seq(col("c").desc, col("word")), lit(1L), Long.MaxValue)
+      ranked.agg(sum(col("c")).as("total_tokens"),
+        count(lit(1)).as("vocab_size"),
+        sum(when(col("cum_weight") > 250, col("c"))
+          .otherwise(lit(0L))).as("o250"),
+        sum(when(col("cum_weight") > 1000, col("c"))
+          .otherwise(lit(0L))).as("o1000"),
+        sum(when(col("cum_weight") > 4000, col("c"))
+          .otherwise(lit(0L))).as("o4000"))
+        .select(col("total_tokens"), col("vocab_size"),
+          round(col("o250").cast("double") / col("total_tokens"), 6)
+            .as("oov_250"),
+          round(col("o1000").cast("double") / col("total_tokens"), 6)
+            .as("oov_1000"),
+          round(col("o4000").cast("double") / col("total_tokens"), 6)
+            .as("oov_4000"))
+    },
+
+    // §2.3 (round 15) — UL2 MIXTURE-OF-DENOISERS planning (Tay et
+    // al.'22, arXiv:2205.05131 — the R/S/X denoiser mix behind UL2 /
+    // PaLM-2 pretraining; 40fb's FIM is the S-denoiser's code
+    // cousin): each doc draws its denoiser from a seeded 48-bit md5
+    // mod 3 (R: 15% noise in span-3 chunks, S: prefix-LM masking the
+    // last quarter, X: extreme 50% in span-32 chunks); every span
+    // count and mask size is pure integer arithmetic off the chars/4
+    // token count, so the whole plan is deterministic and
+    // hash-oracle-able. Per (source, denoiser): docs, token mass,
+    // mask fraction, mean spans. ONE narrow scan + one bounded
+    // groupBy.
+    "q296_ul2_mix" -> { (s, d) =>
+      val base = Tables.documents(s, d)
+        .select(col("source"),
+          greatest(lit(1L), expr("(n_chars + 3) div 4")).as("t"),
+          (conv(substring(md5(concat(lit("q296:"), col("doc_id"))),
+            1, 12), 16, 10).cast("long") % 3).as("dz"))
+        .withColumn("denoiser",
+          when(col("dz") === 0, "R").when(col("dz") === 1, "S")
+            .otherwise("X"))
+        .withColumn("n_spans",
+          when(col("dz") === 0, greatest(lit(1L), expr("t div 20")))
+            .when(col("dz") === 1, lit(1L))
+            .otherwise(greatest(lit(1L), expr("t div 64"))))
+        .withColumn("masked",
+          when(col("dz") === 0,
+            least(col("t") - 1, col("n_spans") * 3))
+            .when(col("dz") === 1, greatest(lit(1L), expr("t div 4")))
+            .otherwise(least(col("t") - 1, col("n_spans") * 32)))
+      base.groupBy(col("source"), col("denoiser"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("sum_tokens"),
+          sum(col("masked")).as("sum_masked"),
+          sum(col("n_spans")).as("sum_spans"))
+        .select(col("source"), col("denoiser"), col("n_docs"),
+          col("sum_tokens"),
+          round(col("sum_masked").cast("double") / col("sum_tokens"), 6)
+            .as("mask_frac"),
+          round(col("sum_spans").cast("double") / col("n_docs"), 6)
+            .as("avg_spans"))
+        .orderBy(col("source"), col("denoiser"))
     }
   )
 
@@ -1769,6 +1844,50 @@ object StatsQueries {
         |    AS avg_past_spend,
         |  ROUND(CAST(SUM(rec) AS DOUBLE) / COUNT(*), 6)
         |    AS avg_recency_days
-        |FROM lab GROUP BY label ORDER BY label""".stripMargin
+        |FROM lab GROUP BY label ORDER BY label""".stripMargin,
+
+    "q295_vocab_curve" ->
+      """WITH words AS (SELECT unnest(list_filter(string_split(
+        |      regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' '),
+        |      x -> x <> '')) AS word
+        |  FROM documents),
+        |vc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM words GROUP BY word),
+        |r AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, word)
+        |    AS cum_weight FROM vc)
+        |SELECT CAST(SUM(c) AS BIGINT) AS total_tokens,
+        |  CAST(COUNT(*) AS BIGINT) AS vocab_size,
+        |  ROUND(CAST(SUM(CASE WHEN cum_weight > 250 THEN c ELSE 0 END)
+        |    AS DOUBLE) / SUM(c), 6) AS oov_250,
+        |  ROUND(CAST(SUM(CASE WHEN cum_weight > 1000 THEN c ELSE 0 END)
+        |    AS DOUBLE) / SUM(c), 6) AS oov_1000,
+        |  ROUND(CAST(SUM(CASE WHEN cum_weight > 4000 THEN c ELSE 0 END)
+        |    AS DOUBLE) / SUM(c), 6) AS oov_4000
+        |FROM r""".stripMargin,
+
+    "q296_ul2_mix" ->
+      """WITH base AS (SELECT source,
+        |    GREATEST(1, (n_chars + 3) // 4) AS t,
+        |    CAST(('0x' || substr(md5('q296:' || doc_id), 1, 12))
+        |      AS BIGINT) % 3 AS dz
+        |  FROM documents),
+        |p AS (SELECT source, t, dz,
+        |    CASE WHEN dz = 0 THEN 'R' WHEN dz = 1 THEN 'S'
+        |      ELSE 'X' END AS denoiser,
+        |    CASE WHEN dz = 0 THEN GREATEST(1, t // 20)
+        |      WHEN dz = 1 THEN 1
+        |      ELSE GREATEST(1, t // 64) END AS n_spans
+        |  FROM base),
+        |p2 AS (SELECT source, denoiser, t, n_spans,
+        |    CASE WHEN dz = 0 THEN LEAST(t - 1, n_spans * 3)
+        |      WHEN dz = 1 THEN GREATEST(1, t // 4)
+        |      ELSE LEAST(t - 1, n_spans * 32) END AS masked
+        |  FROM p)
+        |SELECT source, denoiser, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(t) AS BIGINT) AS sum_tokens,
+        |  ROUND(CAST(SUM(masked) AS DOUBLE) / SUM(t), 6) AS mask_frac,
+        |  ROUND(CAST(SUM(n_spans) AS DOUBLE) / COUNT(*), 6) AS avg_spans
+        |FROM p2 GROUP BY source, denoiser
+        |ORDER BY source, denoiser""".stripMargin
   )
 }

@@ -238,7 +238,9 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "q291_fulfillment_lag" -> 7,
     "q292_price_index" -> 6,
     "q293_split_gain" -> 15,
-    "q294_feature_snapshot" -> 4)
+    "q294_feature_snapshot" -> 4,
+    "q295_vocab_curve" -> 9,
+    "q296_ul2_mix" -> 2)
 
   private val exchangeRe =
     ("Exchange hashpartitioning|Exchange rangepartitioning|" +

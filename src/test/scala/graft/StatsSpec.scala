@@ -559,6 +559,46 @@ class StatsSpec extends SparkSpecBase {
       "retained cohort should average more past orders")
   }
 
+  test("q295: OOV curve is monotone in vocab size and matches an exact rank sweep") {
+    val r = q("q295_vocab_curve").collect().head
+    assert(r.getDouble(2) >= r.getDouble(3) && r.getDouble(3) >= r.getDouble(4),
+      "OOV must fall as the vocabulary grows")
+    // driver-side exact recomputation
+    import graft.functions.GraftFunctions
+    val words = Tables.documents(spark, sf)
+      .select(explode(GraftFunctions.normWords(col("text"))).as("w"))
+      .collect().map(_.getString(0))
+    val ranked = words.groupBy(identity).view.mapValues(_.size.toLong)
+      .toSeq.sortBy { case (w, c) => (-c, w) }
+    val total = words.length.toLong
+    assert(r.getLong(0) == total && r.getLong(1) == ranked.size.toLong)
+    Seq((250, r.getDouble(2)), (1000, r.getDouble(3)), (4000, r.getDouble(4)))
+      .foreach { case (k, got) =>
+        val oov = ranked.drop(k).map(_._2).sum.toDouble / total
+        assert(math.abs(got - oov) < 1e-6, s"K=$k: $got vs $oov")
+      }
+  }
+
+  test("q296: denoiser mix covers R/S/X with their nominal mask rates and conserves docs") {
+    val rows = q("q296_ul2_mix").collect()
+    assert(rows.map(_.getLong(2)).sum == Tables.documents(spark, sf).count())
+    val byDen = rows.groupBy(_.getString(1))
+    assert(byDen.keySet == Set("R", "S", "X"), s"missing denoisers: ${byDen.keySet}")
+    // nominal rates: R ~15% (span rounding pulls it below), S ~25%, X ~50%
+    byDen.foreach { case (dz, rs) =>
+      val frac = rs.map(r => r.getDouble(4) * r.getLong(3)).sum /
+        rs.map(_.getLong(3)).sum
+      dz match {
+        case "R" => assert(frac > 0.05 && frac <= 0.16, s"R mask $frac")
+        case "S" => assert(frac > 0.15 && frac <= 0.27, s"S mask $frac")
+        case "X" => assert(frac > 0.3 && frac <= 0.51, s"X mask $frac")
+      }
+    }
+    // spans: S is always exactly one span per doc
+    rows.filter(_.getString(1) == "S").foreach(r =>
+      assert(r.getDouble(5) == 1.0, "S denoiser must plan one span"))
+  }
+
   test("q279: per-weekday JSD is bounded by ln 2 and its mixture terms are consistent") {
     val rows = q("q279_js_divergence").collect()
     val byWd = rows.groupBy(_.getLong(0))
