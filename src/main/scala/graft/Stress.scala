@@ -408,7 +408,13 @@ object Stress {
       // round 11: CDC chunking — ~50M word rows through doc-partitioned
       // prefix-sum windows + the chunk-hash rollup — and the linear
       // text-statistics family (word explodes at the same width)
-      "q196_cdc_chunks", "q195_zipf_audit", "q198_pmi_collocations")
+      "q196_cdc_chunks", "q195_zipf_audit", "q198_pmi_collocations",
+      // round 15: the value-domain statistics family at 501k docs —
+      // the packing prefix sum (budgetSelect two-phase cumsum over
+      // the full corpus), the fully-integer MAD (two value-domain
+      // windows), and the vocab-coverage rank sweep (word explode +
+      // distributed rank, the q195/q196 width)
+      "q274_seq_packing", "q285_mad", "q295_vocab_curve")
     val qResults = docQueries.map { name =>
       timed(name, SparkEntry.queries(name)(spark, stressDir))
     }
