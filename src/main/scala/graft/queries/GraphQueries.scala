@@ -82,6 +82,31 @@ object GraphQueries {
     "q244_kcore" -> { (s, d) =>
       Graph.kCore(sampledEdges(s, d), k = 3, rounds = 8)
         .orderBy(col("id"))
+    },
+
+    // §2.3 (round 15) — LINK PREDICTION (Adamic–Adar / Jaccard /
+    // common neighbors) for every non-adjacent distance-2 pair: on
+    // the reference's STRING PPI table this is "which unlinked gene
+    // pairs share the most interaction partners" — the standard
+    // network-completion query. Wedge self-join + partial-agg
+    // groupBy + edge anti-join; AA terms decimal-quantized so the
+    // sum is partition-order-independent. Pairs with ≥ 2 common
+    // neighbors (the score floor a completion pipeline acts on).
+    "q297_link_prediction" -> { (s, d) =>
+      Graph.linkPrediction(sampledEdges(s, d))
+        .filter(col("common_neighbors") >= 2)
+        .orderBy(col("u"), col("w"))
+    },
+
+    // §2.3 (round 15) — DEGREE ASSORTATIVITY (Newman PRL'02): the
+    // Pearson correlation of endpoint degrees over the symmetric
+    // edge orientation — one number that tells a crawl-curation
+    // pipeline whether this snapshot's topology is social-like
+    // (r > 0) or link-farm/hub-and-spoke (r < 0); logged next to
+    // triangle count (q93) and degeneracy (q244) per crawl. All
+    // moments exact BIGINTs, one terminal IEEE division.
+    "q298_assortativity" -> { (s, d) =>
+      Graph.assortativity(sampledEdges(s, d))
     }
   )
 
@@ -182,6 +207,55 @@ object GraphQueries {
          |  FROM sym JOIN s8 x ON sym.u = x.id JOIN s8 y ON sym.v = y.id
          |  GROUP BY u)
          |SELECT u AS id, c AS core_deg FROM df ORDER BY id""".stripMargin
-    }
+    },
+
+    "q297_link_prediction" ->
+      """WITH pairs AS (
+        |  SELECT LEAST(o_custkey % 200, o_orderkey % 200) AS a,
+        |         GREATEST(o_custkey % 200, o_orderkey % 200) AS b
+        |  FROM orders WHERE o_orderkey % 10 = 1
+        |), e AS (SELECT DISTINCT a, b FROM pairs WHERE a < b),
+        |sym AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+        |deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg
+        |        FROM sym GROUP BY u),
+        |wed AS (
+        |  SELECT l.u AS u, r.u AS w, d.deg AS zdeg
+        |  FROM sym l JOIN sym r ON l.v = r.v AND l.u < r.u
+        |  JOIN deg d ON d.u = l.v),
+        |sc AS (
+        |  SELECT u, w, CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+        |    SUM(CAST(ROUND(1.0 / ln(CAST(zdeg AS DOUBLE)), 12)
+        |        AS DECIMAL(18,12))) AS aa
+        |  FROM wed GROUP BY u, w),
+        |nc AS (SELECT sc.* FROM sc LEFT JOIN e
+        |       ON e.a = sc.u AND e.b = sc.w WHERE e.a IS NULL)
+        |SELECT nc.u, nc.w, common_neighbors,
+        |  ROUND(CAST(common_neighbors AS DOUBLE)
+        |    / CAST(du.deg + dw.deg - common_neighbors AS DOUBLE), 6) AS jaccard,
+        |  ROUND(CAST(aa AS DOUBLE), 6) AS adamic_adar
+        |FROM nc JOIN deg du ON du.u = nc.u JOIN deg dw ON dw.u = nc.w
+        |WHERE common_neighbors >= 2
+        |ORDER BY nc.u, nc.w""".stripMargin,
+
+    "q298_assortativity" ->
+      """WITH pairs AS (
+        |  SELECT LEAST(o_custkey % 200, o_orderkey % 200) AS a,
+        |         GREATEST(o_custkey % 200, o_orderkey % 200) AS b
+        |  FROM orders WHERE o_orderkey % 10 = 1
+        |), e AS (SELECT DISTINCT a, b FROM pairs WHERE a < b),
+        |sym AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+        |deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg
+        |        FROM sym GROUP BY u),
+        |j AS (SELECT du.deg AS d1, dv.deg AS d2
+        |      FROM sym s JOIN deg du ON du.u = s.u
+        |                 JOIN deg dv ON dv.u = s.v),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m2,
+        |  CAST(SUM(d1) AS BIGINT) AS s1,
+        |  CAST(SUM(d1 * d1) AS BIGINT) AS s11,
+        |  CAST(SUM(d1 * d2) AS BIGINT) AS s12 FROM j)
+        |SELECT m2, ROUND(CAST(s1 AS DOUBLE) / m2, 6) AS mean_end_deg,
+        |  ROUND(CAST(m2 * s12 - s1 * s1 AS DOUBLE)
+        |    / CAST(m2 * s11 - s1 * s1 AS DOUBLE), 6) AS assortativity
+        |FROM m""".stripMargin
   )
 }

@@ -1137,6 +1137,477 @@ object StatsQueries {
           round(col("sum_spans").cast("double") / col("n_docs"), 6)
             .as("avg_spans"))
         .orderBy(col("source"), col("denoiser"))
+    },
+
+    // §2.3 (round 15) — DELETE-ONE-GROUP JACKKNIFE (Quenouille/Tukey;
+    // the delete-a-group variant every A/B platform uses to put an
+    // SE on a RATIO metric, where the naive per-row variance is
+    // biased): θ = mean order value; leave each nation's customers
+    // out, θ₍ᵢ₎ from the 1-row totals by subtraction (the q251/q254
+    // LOO identity — no second scan), pseudo-values g·θ̂ − (g−1)·θ₍ᵢ₎,
+    // SE = √((g−1)/g · Σ(θ₍ᵢ₎−θ̄)²). Numerators are exact cents;
+    // θ₍ᵢ₎ and the squared deviations are IEEE doubles QUANTIZED to
+    // decimals before their bounded (g=25) sums, so the estimate is
+    // partition-order-independent. ONE groupBy + three 1-row
+    // broadcasts.
+    "q299_jackknife" -> { (s, d) =>
+      import graft.Caching.ScopedPersist
+      val per = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey").cast("long").as("nk"))
+        .agg(count(lit(1)).as("n_g"),
+          sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents_g"))
+      val tot = per.agg(sum(col("n_g")).as("nn"), sum(col("cents_g")).as("cc"),
+        count(lit(1)).as("g"))
+      val loo = per.crossJoin(broadcast(tot))
+        .withColumn("th_loo",
+          expr("CAST(cc - cents_g AS DOUBLE) / (nn - n_g)"))
+        .withColumn("th_dec",
+          expr("CAST(ROUND(th_loo, 10) AS DECIMAL(28,10))"))
+        .scopedPersist() // consumers: mean pass, deviation pass, output
+      val m1 = loo.agg(sum(col("th_dec")).as("s1"))
+      val dev = loo.crossJoin(broadcast(m1))
+        .withColumn("dv", expr(
+          "CAST(ROUND(pow(CAST(th_dec AS DOUBLE) - CAST(s1 AS DOUBLE) / g," +
+            " 2.0), 10) AS DECIMAL(28,10))"))
+      val ssq = dev.agg(sum(col("dv")).as("ssq"))
+      loo.crossJoin(broadcast(m1)).crossJoin(broadcast(ssq))
+        .select(col("nk"), col("n_g").as("n_orders"),
+          round(col("th_loo"), 6).as("theta_loo"),
+          expr("ROUND(g * (CAST(cc AS DOUBLE) / nn)" +
+            " - (g - 1) * th_loo, 6)").as("pseudo_value"),
+          expr("ROUND(CAST(cc AS DOUBLE) / nn, 6)").as("theta_hat"),
+          expr("ROUND(CAST(s1 AS DOUBLE) / g, 6)").as("jack_mean"),
+          expr("ROUND(sqrt(CAST(g - 1 AS DOUBLE) / g" +
+            " * CAST(ssq AS DOUBLE)), 6)").as("jack_se"))
+        .orderBy(col("nk"))
+    },
+
+    // §2.3 (round 15) — THEIL T INEQUALITY INDEX with within/between
+    // decomposition (Theil '67; the inequality read that — unlike
+    // Gini q223 — decomposes EXACTLY into a within-group plus a
+    // between-group term): over positive account balances by nation,
+    // T = (1/N)Σ(x/μ)ln(x/μ), T_g per nation, share s_g = Σx_g/Σx
+    // (exact cents!), between_g = s_g·ln(μ_g/μ), within_g = s_g·T_g.
+    // Per-element ln-terms are doubles QUANTIZED to DECIMAL(28,12)
+    // before the group/global sums (the pageRank discipline), so
+    // every statistic is partition-order-independent; the spec
+    // asserts T ≈ Σwithin + Σbetween to quantization precision.
+    "q300_theil" -> { (s, d) =>
+      import graft.Caching.ScopedPersist
+      val x = Tables.customer(s, d)
+        .select(col("c_nationkey").cast("long").as("nk"),
+          round(col("c_acctbal") * 100, 0).cast("long").as("x"))
+        .filter(col("x") > 0)
+      val per = x.groupBy(col("nk"))
+        .agg(count(lit(1)).as("n_g"), sum(col("x")).as("sx_g"))
+      val tot = per.agg(sum(col("n_g")).as("nn"), sum(col("sx_g")).as("sx"))
+      val rows = x
+        .join(per.withColumn("mu_g", expr("CAST(sx_g AS DOUBLE) / n_g")), "nk")
+        .crossJoin(broadcast(tot.withColumn("mu",
+          expr("CAST(sx AS DOUBLE) / nn"))))
+        .withColumn("tg_dec", expr(
+          "CAST(ROUND(x / mu_g * ln(x / mu_g), 12) AS DECIMAL(28,12))"))
+        .withColumn("tt_dec", expr(
+          "CAST(ROUND(x / mu * ln(x / mu), 12) AS DECIMAL(28,12))"))
+        .scopedPersist() // consumers: per-group sums + global sum
+      val tTot = rows.agg(sum(col("tt_dec")).as("t_sum"))
+      rows.groupBy(col("nk"))
+        .agg(max(col("n_g")).as("n_g"), max(col("sx_g")).as("sx_g"),
+          max(col("mu_g")).as("mu_g"), max(col("mu")).as("mu"),
+          max(col("sx")).as("sx"), max(col("nn")).as("nn"),
+          sum(col("tg_dec")).as("tg_sum"))
+        .crossJoin(broadcast(tTot))
+        .select(col("nk"), col("n_g"),
+          round(col("mu_g"), 6).as("mean_cents"),
+          expr("ROUND(CAST(tg_sum AS DOUBLE) / n_g, 6)").as("theil_g"),
+          expr("ROUND(CAST(sx_g AS DOUBLE) / sx, 6)").as("share"),
+          expr("ROUND(CAST(sx_g AS DOUBLE) / sx * ln(mu_g / mu), 6)")
+            .as("between_term"),
+          expr("ROUND(CAST(sx_g AS DOUBLE) / sx" +
+            " * (CAST(tg_sum AS DOUBLE) / n_g), 6)").as("within_term"),
+          expr("ROUND(CAST(t_sum AS DOUBLE) / nn, 6)").as("theil_total"))
+        .orderBy(col("nk"))
+    },
+
+    // §2.3 (round 15) — BENJAMINI–HOCHBERG FDR correction (BH '95;
+    // the multiple-testing step-up every per-source testing family
+    // here feeds — q254/q260/q269 emit one test PER SOURCE, and
+    // acting on raw p < 0.05 across dozens of strata is how
+    // pipelines chase noise): per-source Welch z on doc length →
+    // two-sided normal p via the SHARED A&S 26.2.17 tail polynomial
+    // (functions/PValues — ONE SQL text evaluated by both engines, so
+    // cross-engine parity is definitional), rank p ascending, flag
+    // ranks ≤ argmax{i : p₍ᵢ₎ ≤ i·q/m} at q = 0.10. z is ROUNDED
+    // to 6 before the polynomial so upstream last-ulp drift cannot
+    // reach it. Windows sit over a source-domain aggregate (bounded).
+    "q301_bh_fdr" -> { (s, d) =>
+      import graft.Caching.ScopedPersist
+      val per = Tables.documents(s, d).groupBy(col("source"))
+        .agg(count(lit(1)).as("n_s"), sum(col("n_chars")).as("sx"),
+          sum(col("n_chars") * col("n_chars")).as("sxx"))
+      val tot = per.agg(sum(col("n_s")).as("n"), sum(col("sx")).as("tsx"),
+        sum(col("sxx")).as("tsxx"))
+      val z = per.crossJoin(broadcast(tot))
+        .withColumn("m1", expr("CAST(sx AS DOUBLE) / n_s"))
+        .withColumn("m2", expr("CAST(tsx - sx AS DOUBLE) / (n - n_s)"))
+        .withColumn("v1", expr("(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)" +
+          " * CAST(sx AS DOUBLE) / n_s) / (n_s - 1)"))
+        .withColumn("v2", expr("(CAST(tsxx - sxx AS DOUBLE)" +
+          " - CAST(tsx - sx AS DOUBLE) * CAST(tsx - sx AS DOUBLE)" +
+          " / (n - n_s)) / (n - n_s - 1)"))
+        .withColumn("z6", expr(
+          "ROUND((m1 - m2) / sqrt(v1 / n_s + v2 / (n - n_s)), 6)"))
+        .withColumn("p", expr(graft.functions.PValues.twoSidedP("z6")))
+        .withColumn("m", count(lit(1)).over(
+          Window.partitionBy(lit(1))))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("p"), col("source"))))
+        // CAST keeps the chain in pure DOUBLE on both engines (a bare
+        // rank * 0.10 would run decimal arithmetic with
+        // engine-specific scale rules)
+        .withColumn("thr", expr("CAST(rank AS DOUBLE) * 0.1 / m"))
+        .scopedPersist() // consumers: step-up cutoff + output
+      val k = z.agg(max(when(col("p") <= col("thr"), col("rank"))
+        .otherwise(lit(0))).as("k"))
+      z.crossJoin(broadcast(k))
+        .select(col("source"), col("n_s").as("n_docs"),
+          col("z6").as("z"),
+          expr("ROUND(p, 10)").as("p_value"),
+          col("rank"), round(col("thr"), 6).as("bh_threshold"),
+          (col("rank") <= col("k")).cast("int").as("is_discovery"))
+        .orderBy(col("rank"))
+    },
+
+    // §2.4 (round 15) — HOLT double exponential smoothing (Holt '57;
+    // level+trend — the forecasting step past q288's seasonal
+    // indices and q281's naive baselines): per-priority monthly
+    // order counts fold SEQUENTIALLY through l_t = αy_t+(1−α)(l+b),
+    // b_t = β(l_t−l)+(1−β)b (α=0.5, β=0.3, l₁=y₁, b₁=0). The
+    // recursion runs as ONE `aggregate` higher-order fold over the
+    // sorted bounded month array per key (≤ ~8 years of months —
+    // grows with TIME, not data; counts beneath are a partial-agg
+    // groupBy at any scale), mirrored by a recursive CTE in DuckDB —
+    // the same IEEE ops in the same order, textually identical.
+    "q302_holt" -> { (s, d) =>
+      val m = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority").as("prio"),
+          (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+            .cast("long").as("ym"))
+        .agg(count(lit(1)).as("y"))
+      val step = "0.5 * CAST(x.y AS DOUBLE) + 0.5 * (acc.lvl + acc.tr)"
+      m.groupBy(col("prio"))
+        .agg(sort_array(collect_list(struct(col("ym"), col("y")))).as("a"))
+        .select(col("prio"), expr(
+          s"""inline(aggregate(a,
+             |  named_struct('lvl', CAST(0.0 AS DOUBLE),
+             |    'tr', CAST(0.0 AS DOUBLE),
+             |    'out', CAST(array() AS
+             |      ARRAY<STRUCT<ym: BIGINT, y: BIGINT,
+             |                   lvl: DOUBLE, tr: DOUBLE>>)),
+             |  (acc, x) -> CASE WHEN size(acc.out) = 0 THEN named_struct(
+             |      'lvl', CAST(x.y AS DOUBLE), 'tr', CAST(0.0 AS DOUBLE),
+             |      'out', array(named_struct('ym', x.ym, 'y', x.y,
+             |        'lvl', CAST(x.y AS DOUBLE), 'tr', CAST(0.0 AS DOUBLE))))
+             |    ELSE named_struct(
+             |      'lvl', $step,
+             |      'tr', 0.3 * (($step) - acc.lvl) + 0.7 * acc.tr,
+             |      'out', concat(acc.out, array(named_struct(
+             |        'ym', x.ym, 'y', x.y,
+             |        'lvl', $step,
+             |        'tr', 0.3 * (($step) - acc.lvl) + 0.7 * acc.tr))))
+             |  END,
+             |  acc -> acc.out))""".stripMargin))
+        .select(col("prio"), col("ym").as("month"), col("y"),
+          round(col("lvl"), 6).as("level"),
+          round(col("tr"), 6).as("trend"),
+          round(col("lvl") + col("tr"), 6).as("forecast_next"))
+        .orderBy(col("prio"), col("month"))
+    },
+
+    // §2.3 (round 15) — QUANTILE NORMALIZATION across sources (the
+    // Bolstad '03 distribution-alignment step, the cross-source
+    // length-bias remover a mixing pipeline applies before comparing
+    // quality scores): each (source, length) maps to the pooled
+    // length at the same cumulative share — i.e. the smallest pooled
+    // value whose pooled CDF ≥ the source CDF. No θ-join: pooled
+    // points and source points UNION into one value-domain frame
+    // ordered by share (pool rows after tied source rows), and the
+    // mapped value is min(pool value) over CURRENT ROW→FOLLOWING —
+    // monotone, so the window min IS the asof lookup. All shares are
+    // exact-integer ratios; frames are value-domain bounded.
+    "q303_quantile_normalize" -> { (s, d) =>
+      val vc = Tables.documents(s, d)
+        .groupBy(col("source"), col("n_chars").as("v"))
+        .agg(count(lit(1)).as("c"))
+      val dom = vc.groupBy(col("v")).agg(sum(col("c")).as("m"))
+        .withColumn("cm", sum(col("m")).over(
+          Window.orderBy(col("v"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val nTot = dom.agg(max(col("cm")).as("nn"))
+      val pool = dom.crossJoin(broadcast(nTot))
+        .select(lit(null).cast("string").as("source"),
+          col("v"), lit(null).cast("long").as("c"),
+          expr("CAST(cm AS DOUBLE) / nn").as("share"),
+          lit(1).as("is_pool"), col("v").as("pv"))
+      val perSrc = vc
+        .withColumn("cs", sum(col("c")).over(
+          Window.partitionBy(col("source")).orderBy(col("v"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("n_s", sum(col("c")).over(
+          Window.partitionBy(col("source"))))
+        .select(col("source"), col("v"), col("c"),
+          expr("CAST(cs AS DOUBLE) / n_s").as("share"),
+          lit(0).as("is_pool"), lit(null).cast("long").as("pv"))
+      perSrc.unionByName(pool)
+        .withColumn("v_norm", min(col("pv")).over(
+          Window.orderBy(col("share"), col("is_pool"))
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+        .filter(col("is_pool") === 0)
+        .select(col("source"), col("v").as("n_chars"), col("c").as("n_docs"),
+          round(col("share"), 6).as("source_cdf"), col("v_norm"))
+        .orderBy(col("source"), col("n_chars"))
+    },
+
+    // §2.3 (round 15) — FLEISS' KAPPA inter-rater agreement (Fleiss
+    // '71): three deterministic quality raters (length ≥ 300 chars;
+    // ≥ 60 whitespace tokens; mean token length < 8 chars) each vote
+    // keep/drop per document, and kappa says whether the ensemble
+    // agrees beyond chance — the audit run before trusting ANY
+    // rule-combination filter (q36-family), and the same statistic
+    // teams compute over human annotator batches. Category counts
+    // per doc are pure integers off ONE narrow scan; P̄ and P_e come
+    // from exact integer sums; kappa is the single terminal IEEE
+    // chain. One 1-row aggregate, no shuffle beyond it.
+    "q304_fleiss_kappa" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          expr("CASE WHEN length(text) >= 300 THEN 1 ELSE 0 END").as("r1"),
+          expr("CASE WHEN length(text) - length(replace(text, ' ', ''))" +
+            " + 1 >= 60 THEN 1 ELSE 0 END").as("r2"),
+          expr("CASE WHEN length(text) < 8 * (length(text)" +
+            " - length(replace(text, ' ', '')) + 1) THEN 1 ELSE 0 END")
+            .as("r3"))
+        .withColumn("k", col("r1") + col("r2") + col("r3"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("r1")).as("keep_r1"), sum(col("r2")).as("keep_r2"),
+          sum(col("r3")).as("keep_r3"), sum(col("k")).as("sk"),
+          sum(col("k") * col("k") + (lit(3) - col("k"))
+            * (lit(3) - col("k")) - lit(3)).as("sagree"))
+        .select(col("n_docs"), col("keep_r1"), col("keep_r2"),
+          col("keep_r3"),
+          expr("ROUND(CAST(sagree AS DOUBLE) / (n_docs * 6), 6)")
+            .as("p_bar"),
+          expr("ROUND(CAST(sk AS DOUBLE) / (3 * n_docs), 6)")
+            .as("p_keep"),
+          expr("ROUND(pow(CAST(sk AS DOUBLE) / (3 * n_docs), 2.0)" +
+            " + pow(1.0 - CAST(sk AS DOUBLE) / (3 * n_docs), 2.0), 6)")
+            .as("p_e"),
+          expr("ROUND((CAST(sagree AS DOUBLE) / (n_docs * 6)" +
+            " - (pow(CAST(sk AS DOUBLE) / (3 * n_docs), 2.0)" +
+            " + pow(1.0 - CAST(sk AS DOUBLE) / (3 * n_docs), 2.0)))" +
+            " / (1.0 - (pow(CAST(sk AS DOUBLE) / (3 * n_docs), 2.0)" +
+            " + pow(1.0 - CAST(sk AS DOUBLE) / (3 * n_docs), 2.0))), 6)")
+            .as("fleiss_kappa"))
+    },
+
+    // §2.3 (round 15) — CLIFF'S DELTA effect size per source vs rest
+    // (Cliff '93; the ordinal EFFECT SIZE that belongs next to
+    // q260's Mann–Whitney SIGNIFICANCE — at 100 TB every test is
+    // "significant", so the effect size is the actionable number):
+    // δ = (#wins − #losses)/(n_s·n_r) over all cross pairs, computed
+    // EXACTLY on the value domain — wins/losses/ties are integer
+    // products of per-value counts with rest-side cumulative counts
+    // (cb − sb), never a pair join. One value-domain join + bounded
+    // windows + one partial-agg groupBy; a single terminal division.
+    "q305_cliffs_delta" -> { (s, d) =>
+      val vc = Tables.documents(s, d)
+        .groupBy(col("source"), col("n_chars").as("v"))
+        .agg(count(lit(1)).as("c"))
+      val dom = vc.groupBy(col("v")).agg(sum(col("c")).as("m"))
+        .withColumn("cb", coalesce(sum(col("m")).over(
+          Window.orderBy(col("v"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      val tot = dom.agg(sum(col("m")).as("nn"))
+      val ps = vc
+        .withColumn("sb", coalesce(sum(col("c")).over(
+          Window.partitionBy(col("source")).orderBy(col("v"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("n_s", sum(col("c")).over(
+          Window.partitionBy(col("source"))))
+      ps.join(dom, "v").crossJoin(broadcast(tot))
+        .withColumn("rb", col("cb") - col("sb"))
+        .withColumn("ra", (col("nn") - col("cb") - col("m"))
+          - (col("n_s") - col("sb") - col("c")))
+        .groupBy(col("source"))
+        .agg(max(col("n_s")).as("n_s"), max(col("nn")).as("nn"),
+          sum(col("c") * col("rb")).as("wins"),
+          sum(col("c") * col("ra")).as("losses"),
+          sum(col("c") * (col("m") - col("c"))).as("ties"))
+        .select(col("source"), col("n_s"),
+          (col("nn") - col("n_s")).as("n_rest"),
+          col("wins"), col("losses"), col("ties"),
+          expr("ROUND(CAST(wins - losses AS DOUBLE)" +
+            " / (n_s * (nn - n_s)), 6)").as("cliffs_delta"))
+        .orderBy(col("source"))
+    },
+
+    // §2.3 (round 15) — CRAMÉR'S V with Bergsma bias correction
+    // (Cramér '46 / Bergsma '13): the categorical EFFECT SIZE for
+    // q269's chi-square independence — source × language here, the
+    // "is the language mix actually different across sources, and by
+    // how much" audit. Cell χ² terms are doubles off exact counts,
+    // DECIMAL-quantized before the bounded cell sum; r, c, N exact.
+    "q306_cramers_v" -> { (s, d) =>
+      val ct = Tables.documents(s, d)
+        .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("o"))
+      val rm = ct.groupBy(col("source")).agg(sum(col("o")).as("rs"))
+      val cm = ct.groupBy(col("lang")).agg(sum(col("o")).as("cs"))
+      val tot = ct.agg(sum(col("o")).as("n"),
+        countDistinct(col("source")).as("r"),
+        countDistinct(col("lang")).as("cc"))
+      ct.join(rm, "source").join(cm, "lang").crossJoin(broadcast(tot))
+        .withColumn("term", expr(
+          "CAST(ROUND(pow(o - CAST(rs AS DOUBLE) * cs / n, 2.0)" +
+            " / (CAST(rs AS DOUBLE) * cs / n), 12) AS DECIMAL(28,12))"))
+        .agg(max(col("n")).as("n"), max(col("r")).as("r"),
+          max(col("cc")).as("c"), sum(col("term")).as("chi2d"))
+        .select(col("n"), col("r"), col("c"),
+          expr("ROUND(CAST(chi2d AS DOUBLE), 6)").as("chi2"),
+          expr("ROUND(sqrt(CAST(chi2d AS DOUBLE)" +
+            " / (n * least(r - 1, c - 1))), 6)").as("cramers_v"),
+          expr("ROUND(sqrt(greatest(0.0, CAST(chi2d AS DOUBLE) / n" +
+            " - CAST((r - 1) * (c - 1) AS DOUBLE) / (n - 1))" +
+            " / least(r - CAST((r - 1) * (r - 1) AS DOUBLE) / (n - 1)" +
+            " - 1.0, c - CAST((c - 1) * (c - 1) AS DOUBLE) / (n - 1)" +
+            " - 1.0)), 6)").as("cramers_v_bc"))
+    },
+
+    // §2.3 (round 15) — COCHRAN–MANTEL–HAENSZEL stratified test (CMH
+    // '59/'63; "is priority associated with high order value AFTER
+    // controlling for nation" — the Simpson's-paradox-proof
+    // association test; q269's chi-square would confound the strata):
+    // per-nation 2×2 counts are exact integers; E and Var terms are
+    // doubles DECIMAL-quantized before their bounded (25-stratum)
+    // sums; the 1-df χ² p-value reuses the SHARED normal-tail
+    // polynomial via P(χ²₁>x) = 2(1−Φ(√x)).
+    "q307_cmh" -> { (s, d) =>
+      val per = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select(col("c_nationkey").cast("long").as("nk"),
+          when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L).as("x"),
+          when(round(col("o_totalprice") * 100, 0).cast("long")
+            >= 15000000L, 1L).otherwise(0L).as("y"))
+        .groupBy(col("nk"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("r1"),
+          sum(col("y")).as("c1"), sum(col("x") * col("y")).as("a"))
+        .filter(col("n") >= 2)
+        .withColumn("e_dec", expr("CAST(ROUND(CAST(r1 AS DOUBLE) * c1" +
+          " / n, 12) AS DECIMAL(28,12))"))
+        .withColumn("v_dec", expr(
+          "CAST(ROUND(CAST(r1 AS DOUBLE) * (n - r1) * c1 * (n - c1)" +
+            " / (CAST(n AS DOUBLE) * n * (n - 1)), 12)" +
+            " AS DECIMAL(28,12))"))
+      per.agg(count(lit(1)).as("n_strata"), sum(col("a")).as("sum_a"),
+        sum(col("e_dec")).as("se"), sum(col("v_dec")).as("sv"))
+        .withColumn("chi2r", expr(
+          "ROUND(pow(sum_a - CAST(se AS DOUBLE), 2.0)" +
+            " / CAST(sv AS DOUBLE), 6)"))
+        .select(col("n_strata"), col("sum_a"),
+          expr("ROUND(CAST(se AS DOUBLE), 6)").as("sum_expected"),
+          col("chi2r").as("chi2_cmh"),
+          expr(s"ROUND(${graft.functions.PValues.twoSidedP("sqrt(chi2r)")}, 10)")
+            .as("p_value"))
+    },
+
+    // §2.3 (round 15) — WILSON SCORE INTERVAL per source (Wilson
+    // '27; the proportion CI that behaves at p→0/1 and small n,
+    // which Wald intervals do not — the right uncertainty band for
+    // per-source keep rates before acting on a 0.02 difference):
+    // k, n exact integers; the closed form is one textually shared
+    // IEEE chain with z = 1.959964 pinned as a double.
+    "q308_wilson_ci" -> { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_chars") >= 300, 1L).otherwise(0L)).as("k_keep"))
+        .withColumn("zz", expr("CAST(1.959964 AS DOUBLE)"))
+        .withColumn("ph", expr("CAST(k_keep AS DOUBLE) / n_docs"))
+        .withColumn("dn", expr("1.0 + zz * zz / n_docs"))
+        .withColumn("ctr", expr("(ph + zz * zz / (2.0 * n_docs)) / dn"))
+        .withColumn("hw", expr("zz * sqrt(ph * (1.0 - ph) / n_docs" +
+          " + zz * zz / (4.0 * n_docs * n_docs)) / dn"))
+        .select(col("source"), col("n_docs"), col("k_keep"),
+          round(col("ph"), 6).as("p_hat"),
+          expr("ROUND(greatest(0.0, ctr - hw), 6)").as("wilson_lo"),
+          expr("ROUND(least(1.0, ctr + hw), 6)").as("wilson_hi"))
+        .orderBy(col("source"))
+    },
+
+    // §2.3 (round 15) — BRIER SCORE with Murphy decomposition
+    // (Murphy '73: BS = reliability − resolution + uncertainty): the
+    // calibration-vs-discrimination split for a deterministic
+    // length-proxy quality model (p̂ = clamp(chars/1000)) scored
+    // against the q304 2-of-3 rater-ensemble label — says WHETHER
+    // the cheap model is miscalibrated (REL) or just uninformative
+    // (low RES) before anyone retrains it. p̂ lives on an exact
+    // DECIMAL(9,6) grid so Σp̂, Σp̂², Σp̂y are exact; bin terms are
+    // quantized before their 10-row sums; floor() keeps binning
+    // identical across engines (CAST-to-int rounds differently).
+    "q309_brier" -> { (s, d) =>
+      import graft.Caching.ScopedPersist
+      val rows = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"),
+          expr("CASE WHEN length(text) >= 300 THEN 1 ELSE 0 END" +
+            " + CASE WHEN length(text) - length(replace(text, ' ', ''))" +
+            " + 1 >= 60 THEN 1 ELSE 0 END" +
+            " + CASE WHEN length(text) < 8 * (length(text)" +
+            " - length(replace(text, ' ', '')) + 1) THEN 1 ELSE 0 END")
+            .as("votes"))
+        .select(
+          expr("CAST(least(0.99, greatest(0.01," +
+            " CAST(n_chars AS DOUBLE) / 1000)) AS DECIMAL(9,6))").as("p"),
+          expr("CASE WHEN votes >= 2 THEN 1 ELSE 0 END").as("y"))
+        .withColumn("bin", expr("least(9, CAST(floor(p * 10) AS INT))"))
+      val bins = rows.groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_b"), sum(col("p")).as("sp"),
+          sum(col("y")).as("sy"), sum(col("p") * col("p")).as("spp"),
+          sum(col("p") * col("y")).as("spy"))
+        .scopedPersist() // consumers: totals + per-bin terms
+      val tot = bins.agg(sum(col("n_b")).as("nn"), sum(col("sy")).as("ty"),
+        sum(col("spp")).as("tpp"), sum(col("spy")).as("tpy"))
+      val terms = bins.crossJoin(broadcast(tot))
+        .withColumn("rel_dec", expr(
+          "CAST(ROUND(n_b * pow(CAST(sp AS DOUBLE) / n_b" +
+            " - CAST(sy AS DOUBLE) / n_b, 2.0), 12) AS DECIMAL(28,12))"))
+        .withColumn("res_dec", expr(
+          "CAST(ROUND(n_b * pow(CAST(sy AS DOUBLE) / n_b" +
+            " - CAST(ty AS DOUBLE) / nn, 2.0), 12) AS DECIMAL(28,12))"))
+        // generalized (binned) decomposition: within-bin forecast
+        // variance and within-bin forecast/label covariance — with
+        // these the identity BS = REL − RES + UNC + WBV − WBC is
+        // EXACT even though forecasts vary inside a bin
+        .withColumn("wbv_dec", expr(
+          "CAST(ROUND(CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE)" +
+            " * CAST(sp AS DOUBLE) / n_b, 12) AS DECIMAL(28,12))"))
+        .withColumn("wbc_dec", expr(
+          "CAST(ROUND(2.0 * (CAST(spy AS DOUBLE) - CAST(sp AS DOUBLE)" +
+            " * sy / n_b), 12) AS DECIMAL(28,12))"))
+      terms.agg(max(col("nn")).as("nn"), max(col("ty")).as("ty"),
+        max(col("tpp")).as("tpp"), max(col("tpy")).as("tpy"),
+        sum(col("rel_dec")).as("rel"), sum(col("res_dec")).as("res"),
+        sum(col("wbv_dec")).as("wbv"), sum(col("wbc_dec")).as("wbc"))
+        .select(col("nn").as("n_docs"),
+          expr("ROUND((CAST(tpp AS DOUBLE) - 2.0 * CAST(tpy AS DOUBLE)" +
+            " + ty) / nn, 6)").as("brier"),
+          expr("ROUND(CAST(rel AS DOUBLE) / nn, 6)").as("reliability"),
+          expr("ROUND(CAST(res AS DOUBLE) / nn, 6)").as("resolution"),
+          expr("ROUND(CAST(ty AS DOUBLE) / nn" +
+            " * (1.0 - CAST(ty AS DOUBLE) / nn), 6)").as("uncertainty"),
+          expr("ROUND(CAST(wbv AS DOUBLE) / nn, 6)").as("within_bin_var"),
+          expr("ROUND(CAST(wbc AS DOUBLE) / nn, 6)").as("within_bin_cov"),
+          expr("ROUND(CAST(ty AS DOUBLE) / nn, 6)").as("base_rate"))
     }
   )
 
@@ -1888,6 +2359,334 @@ object StatsQueries {
         |  ROUND(CAST(SUM(masked) AS DOUBLE) / SUM(t), 6) AS mask_frac,
         |  ROUND(CAST(SUM(n_spans) AS DOUBLE) / COUNT(*), 6) AS avg_spans
         |FROM p2 GROUP BY source, denoiser
-        |ORDER BY source, denoiser""".stripMargin
+        |ORDER BY source, denoiser""".stripMargin,
+
+    "q299_jackknife" ->
+      """WITH per AS (SELECT CAST(c_nationkey AS BIGINT) AS nk,
+        |    CAST(COUNT(*) AS BIGINT) AS n_g,
+        |    CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS cents_g
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_g) AS BIGINT) AS nn,
+        |  CAST(SUM(cents_g) AS BIGINT) AS cc,
+        |  CAST(COUNT(*) AS BIGINT) AS g FROM per),
+        |loo AS (SELECT nk, n_g, nn, cc, g,
+        |    CAST(cc - cents_g AS DOUBLE) / (nn - n_g) AS th_loo,
+        |    CAST(ROUND(CAST(cc - cents_g AS DOUBLE) / (nn - n_g), 10)
+        |      AS DECIMAL(28,10)) AS th_dec
+        |  FROM per CROSS JOIN tot),
+        |m1 AS (SELECT SUM(th_dec) AS s1 FROM loo),
+        |dev AS (SELECT CAST(ROUND(pow(CAST(th_dec AS DOUBLE)
+        |      - CAST(s1 AS DOUBLE) / g, 2.0), 10) AS DECIMAL(28,10)) AS dv
+        |  FROM loo CROSS JOIN m1),
+        |sq AS (SELECT SUM(dv) AS ssq FROM dev)
+        |SELECT nk, n_g AS n_orders, ROUND(th_loo, 6) AS theta_loo,
+        |  ROUND(g * (CAST(cc AS DOUBLE) / nn) - (g - 1) * th_loo, 6)
+        |    AS pseudo_value,
+        |  ROUND(CAST(cc AS DOUBLE) / nn, 6) AS theta_hat,
+        |  ROUND(CAST(s1 AS DOUBLE) / g, 6) AS jack_mean,
+        |  ROUND(sqrt(CAST(g - 1 AS DOUBLE) / g * CAST(ssq AS DOUBLE)), 6)
+        |    AS jack_se
+        |FROM loo CROSS JOIN m1 CROSS JOIN sq ORDER BY nk""".stripMargin,
+
+    "q300_theil" ->
+      """WITH x AS (SELECT nk, x FROM (
+        |    SELECT CAST(c_nationkey AS BIGINT) AS nk,
+        |      CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS x
+        |    FROM customer) WHERE x > 0),
+        |per AS (SELECT nk, CAST(COUNT(*) AS BIGINT) AS n_g,
+        |  CAST(SUM(x) AS BIGINT) AS sx_g FROM x GROUP BY nk),
+        |tot AS (SELECT CAST(SUM(n_g) AS BIGINT) AS nn,
+        |  CAST(SUM(sx_g) AS BIGINT) AS sx FROM per),
+        |rws AS (SELECT x.nk, x.x, per.n_g, per.sx_g,
+        |    CAST(per.sx_g AS DOUBLE) / per.n_g AS mu_g,
+        |    tot.nn, tot.sx, CAST(tot.sx AS DOUBLE) / tot.nn AS mu
+        |  FROM x JOIN per ON x.nk = per.nk CROSS JOIN tot),
+        |terms AS (SELECT nk, n_g, sx_g, mu_g, mu, sx, nn,
+        |    CAST(ROUND(x / mu_g * ln(x / mu_g), 12)
+        |      AS DECIMAL(28,12)) AS tg_dec,
+        |    CAST(ROUND(x / mu * ln(x / mu), 12)
+        |      AS DECIMAL(28,12)) AS tt_dec
+        |  FROM rws),
+        |ttot AS (SELECT SUM(tt_dec) AS t_sum FROM terms),
+        |grp AS (SELECT nk, MAX(n_g) AS n_g, MAX(sx_g) AS sx_g,
+        |    MAX(mu_g) AS mu_g, MAX(mu) AS mu, MAX(sx) AS sx,
+        |    MAX(nn) AS nn, SUM(tg_dec) AS tg_sum
+        |  FROM terms GROUP BY nk)
+        |SELECT nk, n_g, ROUND(mu_g, 6) AS mean_cents,
+        |  ROUND(CAST(tg_sum AS DOUBLE) / n_g, 6) AS theil_g,
+        |  ROUND(CAST(sx_g AS DOUBLE) / sx, 6) AS share,
+        |  ROUND(CAST(sx_g AS DOUBLE) / sx * ln(mu_g / mu), 6)
+        |    AS between_term,
+        |  ROUND(CAST(sx_g AS DOUBLE) / sx
+        |    * (CAST(tg_sum AS DOUBLE) / n_g), 6) AS within_term,
+        |  ROUND(CAST(t_sum AS DOUBLE) / nn, 6) AS theil_total
+        |FROM grp CROSS JOIN ttot ORDER BY nk""".stripMargin,
+
+    "q301_bh_fdr" -> {
+      val p = graft.functions.PValues.twoSidedP("z6")
+      s"""WITH per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s,
+         |    CAST(SUM(n_chars) AS BIGINT) AS sx,
+         |    CAST(SUM(n_chars * n_chars) AS BIGINT) AS sxx
+         |  FROM documents GROUP BY source),
+         |tot AS (SELECT CAST(SUM(n_s) AS BIGINT) AS n,
+         |  CAST(SUM(sx) AS BIGINT) AS tsx,
+         |  CAST(SUM(sxx) AS BIGINT) AS tsxx FROM per),
+         |b AS (SELECT source, n_s, n,
+         |    CAST(sx AS DOUBLE) / n_s AS m1,
+         |    CAST(tsx - sx AS DOUBLE) / (n - n_s) AS m2,
+         |    (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+         |      / n_s) / (n_s - 1) AS v1,
+         |    (CAST(tsxx - sxx AS DOUBLE) - CAST(tsx - sx AS DOUBLE)
+         |      * CAST(tsx - sx AS DOUBLE) / (n - n_s)) / (n - n_s - 1) AS v2
+         |  FROM per CROSS JOIN tot),
+         |zt AS (SELECT source, n_s,
+         |    ROUND((m1 - m2) / sqrt(v1 / n_s + v2 / (n - n_s)), 6) AS z6
+         |  FROM b),
+         |pt AS (SELECT source, n_s, z6, $p AS p,
+         |    CAST((SELECT COUNT(*) FROM zt) AS BIGINT) AS m FROM zt),
+         |rk AS (SELECT *, CAST(row_number() OVER (ORDER BY p, source)
+         |    AS INTEGER) AS rank FROM pt),
+         |th AS (SELECT *, CAST(rank AS DOUBLE) * 0.1 / m AS thr FROM rk),
+         |kk AS (SELECT MAX(CASE WHEN p <= thr THEN rank ELSE 0 END) AS k
+         |  FROM th)
+         |SELECT source, n_s AS n_docs, z6 AS z, ROUND(p, 10) AS p_value,
+         |  rank, ROUND(thr, 6) AS bh_threshold,
+         |  CAST(CASE WHEN rank <= k THEN 1 ELSE 0 END AS INTEGER)
+         |    AS is_discovery
+         |FROM th CROSS JOIN kk ORDER BY rank""".stripMargin
+    },
+
+    "q302_holt" ->
+      """WITH RECURSIVE m AS (SELECT o_orderpriority AS prio,
+        |    CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)
+        |      AS ym,
+        |    CAST(COUNT(*) AS BIGINT) AS y
+        |  FROM orders GROUP BY 1, 2),
+        |s AS (SELECT prio, ym, y, CAST(row_number() OVER (
+        |    PARTITION BY prio ORDER BY ym) AS BIGINT) AS i FROM m),
+        |rec AS (
+        |  SELECT prio, i, ym, y, CAST(y AS DOUBLE) AS lvl,
+        |    CAST(0.0 AS DOUBLE) AS tr
+        |  FROM s WHERE i = 1
+        |  UNION ALL
+        |  SELECT s.prio, s.i, s.ym, s.y,
+        |    0.5 * CAST(s.y AS DOUBLE) + 0.5 * (rec.lvl + rec.tr),
+        |    0.3 * ((0.5 * CAST(s.y AS DOUBLE) + 0.5 * (rec.lvl + rec.tr))
+        |      - rec.lvl) + 0.7 * rec.tr
+        |  FROM rec JOIN s ON s.prio = rec.prio AND s.i = rec.i + 1)
+        |SELECT prio, ym AS month, y, ROUND(lvl, 6) AS level,
+        |  ROUND(tr, 6) AS trend, ROUND(lvl + tr, 6) AS forecast_next
+        |FROM rec ORDER BY prio, month""".stripMargin,
+
+    "q303_quantile_normalize" ->
+      """WITH vc AS (SELECT source, n_chars AS v,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |dom AS (SELECT v, CAST(SUM(c) AS BIGINT) AS m FROM vc GROUP BY v),
+        |dcm AS (SELECT v, m, CAST(SUM(m) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS cm FROM dom),
+        |nt AS (SELECT MAX(cm) AS nn FROM dcm),
+        |pool AS (SELECT CAST(NULL AS VARCHAR) AS source, v,
+        |    CAST(NULL AS BIGINT) AS c,
+        |    CAST(cm AS DOUBLE) / nn AS share, 1 AS is_pool, v AS pv
+        |  FROM dcm CROSS JOIN nt),
+        |ps AS (SELECT source, v, c,
+        |    CAST(SUM(c) OVER (PARTITION BY source ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |      / CAST(SUM(c) OVER (PARTITION BY source) AS DOUBLE) AS share,
+        |    0 AS is_pool, CAST(NULL AS BIGINT) AS pv FROM vc),
+        |u AS (SELECT * FROM ps UNION ALL SELECT * FROM pool),
+        |w AS (SELECT *, MIN(pv) OVER (ORDER BY share, is_pool
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS v_norm
+        |  FROM u)
+        |SELECT source, v AS n_chars, c AS n_docs,
+        |  ROUND(share, 6) AS source_cdf, v_norm
+        |FROM w WHERE is_pool = 0 ORDER BY source, n_chars""".stripMargin,
+
+    "q304_fleiss_kappa" ->
+      """WITH r AS (SELECT
+        |    CASE WHEN length(text) >= 300 THEN 1 ELSE 0 END AS r1,
+        |    CASE WHEN length(text) - length(replace(text, ' ', '')) + 1
+        |      >= 60 THEN 1 ELSE 0 END AS r2,
+        |    CASE WHEN length(text) < 8 * (length(text)
+        |      - length(replace(text, ' ', '')) + 1) THEN 1 ELSE 0 END AS r3
+        |  FROM documents),
+        |a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(r1) AS BIGINT) AS keep_r1,
+        |    CAST(SUM(r2) AS BIGINT) AS keep_r2,
+        |    CAST(SUM(r3) AS BIGINT) AS keep_r3,
+        |    CAST(SUM(r1 + r2 + r3) AS BIGINT) AS sk,
+        |    CAST(SUM((r1 + r2 + r3) * (r1 + r2 + r3)
+        |      + (3 - (r1 + r2 + r3)) * (3 - (r1 + r2 + r3)) - 3)
+        |      AS BIGINT) AS sagree
+        |  FROM r)
+        |SELECT n_docs, keep_r1, keep_r2, keep_r3,
+        |  ROUND(CAST(sagree AS DOUBLE) / (n_docs * 6), 6) AS p_bar,
+        |  ROUND(CAST(sk AS DOUBLE) / (3 * n_docs), 6) AS p_keep,
+        |  ROUND(pow(CAST(sk AS DOUBLE) / (3 * n_docs), 2.0)
+        |    + pow(1.0 - CAST(sk AS DOUBLE) / (3 * n_docs), 2.0), 6) AS p_e,
+        |  ROUND((CAST(sagree AS DOUBLE) / (n_docs * 6)
+        |    - (pow(CAST(sk AS DOUBLE) / (3 * n_docs), 2.0)
+        |      + pow(1.0 - CAST(sk AS DOUBLE) / (3 * n_docs), 2.0)))
+        |    / (1.0 - (pow(CAST(sk AS DOUBLE) / (3 * n_docs), 2.0)
+        |      + pow(1.0 - CAST(sk AS DOUBLE) / (3 * n_docs), 2.0))), 6)
+        |    AS fleiss_kappa
+        |FROM a""".stripMargin,
+
+    "q305_cliffs_delta" ->
+      """WITH vc AS (SELECT source, n_chars AS v,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |dom AS (SELECT v, CAST(SUM(c) AS BIGINT) AS m FROM vc GROUP BY v),
+        |dcb AS (SELECT v, m, CAST(COALESCE(SUM(m) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS cb FROM dom),
+        |tot AS (SELECT CAST(SUM(m) AS BIGINT) AS nn FROM dom),
+        |ps AS (SELECT source, v, c,
+        |    CAST(COALESCE(SUM(c) OVER (PARTITION BY source ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS sb,
+        |    CAST(SUM(c) OVER (PARTITION BY source) AS BIGINT) AS n_s
+        |  FROM vc),
+        |j AS (SELECT ps.source, ps.c, ps.n_s, d.m, t.nn,
+        |    d.cb - ps.sb AS rb,
+        |    (t.nn - d.cb - d.m) - (ps.n_s - ps.sb - ps.c) AS ra
+        |  FROM ps JOIN dcb d USING (v) CROSS JOIN tot t),
+        |g AS (SELECT source, CAST(MAX(n_s) AS BIGINT) AS n_s,
+        |    CAST(MAX(nn) AS BIGINT) AS nn,
+        |    CAST(SUM(c * rb) AS BIGINT) AS wins,
+        |    CAST(SUM(c * ra) AS BIGINT) AS losses,
+        |    CAST(SUM(c * (m - c)) AS BIGINT) AS ties
+        |  FROM j GROUP BY source)
+        |SELECT source, n_s, nn - n_s AS n_rest, wins, losses, ties,
+        |  ROUND(CAST(wins - losses AS DOUBLE) / (n_s * (nn - n_s)), 6)
+        |    AS cliffs_delta
+        |FROM g ORDER BY source""".stripMargin,
+
+    "q306_cramers_v" ->
+      """WITH ct AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS o
+        |  FROM documents GROUP BY 1, 2),
+        |rm AS (SELECT source, CAST(SUM(o) AS BIGINT) AS rs
+        |  FROM ct GROUP BY source),
+        |cm AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS cs
+        |  FROM ct GROUP BY lang),
+        |tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+        |  CAST(COUNT(DISTINCT source) AS BIGINT) AS r,
+        |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS cc FROM ct),
+        |cells AS (SELECT n, r, cc,
+        |    CAST(ROUND(pow(o - CAST(rs AS DOUBLE) * cs / n, 2.0)
+        |      / (CAST(rs AS DOUBLE) * cs / n), 12) AS DECIMAL(28,12))
+        |      AS term
+        |  FROM ct JOIN rm USING (source) JOIN cm USING (lang)
+        |  CROSS JOIN tot),
+        |ag AS (SELECT MAX(n) AS n, MAX(r) AS r, MAX(cc) AS c,
+        |  SUM(term) AS chi2d FROM cells)
+        |SELECT n, r, c, ROUND(CAST(chi2d AS DOUBLE), 6) AS chi2,
+        |  ROUND(sqrt(CAST(chi2d AS DOUBLE)
+        |    / (n * least(r - 1, c - 1))), 6) AS cramers_v,
+        |  ROUND(sqrt(greatest(0.0, CAST(chi2d AS DOUBLE) / n
+        |    - CAST((r - 1) * (c - 1) AS DOUBLE) / (n - 1))
+        |    / least(r - CAST((r - 1) * (r - 1) AS DOUBLE) / (n - 1)
+        |    - 1.0, c - CAST((c - 1) * (c - 1) AS DOUBLE) / (n - 1)
+        |    - 1.0)), 6) AS cramers_v_bc
+        |FROM ag""".stripMargin,
+
+    "q307_cmh" -> {
+      val p = graft.functions.PValues.twoSidedP("sqrt(chi2r)")
+      s"""WITH per AS (SELECT CAST(c_nationkey AS BIGINT) AS nk,
+         |    CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS r1,
+         |    CAST(SUM(y) AS BIGINT) AS c1, CAST(SUM(x * y) AS BIGINT) AS a
+         |  FROM (SELECT c_nationkey,
+         |      CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+         |        THEN 1 ELSE 0 END AS x,
+         |      CASE WHEN CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+         |        >= 15000000 THEN 1 ELSE 0 END AS y
+         |    FROM orders JOIN customer ON o_custkey = c_custkey)
+         |  GROUP BY 1 HAVING COUNT(*) >= 2),
+         |q AS (SELECT *,
+         |    CAST(ROUND(CAST(r1 AS DOUBLE) * c1 / n, 12)
+         |      AS DECIMAL(28,12)) AS e_dec,
+         |    CAST(ROUND(CAST(r1 AS DOUBLE) * (n - r1) * c1 * (n - c1)
+         |      / (CAST(n AS DOUBLE) * n * (n - 1)), 12)
+         |      AS DECIMAL(28,12)) AS v_dec
+         |  FROM per),
+         |ag AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+         |  CAST(SUM(a) AS BIGINT) AS sum_a, SUM(e_dec) AS se,
+         |  SUM(v_dec) AS sv FROM q),
+         |ch AS (SELECT *, ROUND(pow(sum_a - CAST(se AS DOUBLE), 2.0)
+         |    / CAST(sv AS DOUBLE), 6) AS chi2r FROM ag)
+         |SELECT n_strata, sum_a, ROUND(CAST(se AS DOUBLE), 6)
+         |    AS sum_expected, chi2r AS chi2_cmh,
+         |  ROUND($p, 10) AS p_value
+         |FROM ch""".stripMargin
+    },
+
+    "q308_wilson_ci" ->
+      """WITH g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS k_keep
+        |  FROM documents GROUP BY source),
+        |w AS (SELECT *, CAST(1.959964 AS DOUBLE) AS zz,
+        |    CAST(k_keep AS DOUBLE) / n_docs AS ph FROM g),
+        |w2 AS (SELECT *, 1.0 + zz * zz / n_docs AS dn FROM w),
+        |w3 AS (SELECT *, (ph + zz * zz / (2.0 * n_docs)) / dn AS ctr,
+        |    zz * sqrt(ph * (1.0 - ph) / n_docs
+        |      + zz * zz / (4.0 * n_docs * n_docs)) / dn AS hw FROM w2)
+        |SELECT source, n_docs, k_keep, ROUND(ph, 6) AS p_hat,
+        |  ROUND(greatest(0.0, ctr - hw), 6) AS wilson_lo,
+        |  ROUND(least(1.0, ctr + hw), 6) AS wilson_hi
+        |FROM w3 ORDER BY source""".stripMargin,
+
+    "q309_brier" ->
+      """WITH rw AS (SELECT
+        |    CAST(least(0.99, greatest(0.01, CAST(n_chars AS DOUBLE)
+        |      / 1000)) AS DECIMAL(9,6)) AS p,
+        |    CASE WHEN (CASE WHEN length(text) >= 300 THEN 1 ELSE 0 END
+        |      + CASE WHEN length(text) - length(replace(text, ' ', ''))
+        |        + 1 >= 60 THEN 1 ELSE 0 END
+        |      + CASE WHEN length(text) < 8 * (length(text)
+        |        - length(replace(text, ' ', '')) + 1) THEN 1 ELSE 0 END)
+        |      >= 2 THEN 1 ELSE 0 END AS y
+        |  FROM documents),
+        |rb AS (SELECT p, y, least(9, CAST(floor(p * 10) AS INT)) AS bin
+        |  FROM rw),
+        |bins AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_b, SUM(p) AS sp,
+        |    CAST(SUM(y) AS BIGINT) AS sy, SUM(p * p) AS spp,
+        |    SUM(p * y) AS spy
+        |  FROM rb GROUP BY bin),
+        |tot AS (SELECT CAST(SUM(n_b) AS BIGINT) AS nn,
+        |  CAST(SUM(sy) AS BIGINT) AS ty, SUM(spp) AS tpp,
+        |  SUM(spy) AS tpy FROM bins),
+        |terms AS (SELECT b.n_b, t.nn, t.ty, t.tpp, t.tpy,
+        |    CAST(ROUND(b.n_b * pow(CAST(b.sp AS DOUBLE) / b.n_b
+        |      - CAST(b.sy AS DOUBLE) / b.n_b, 2.0), 12)
+        |      AS DECIMAL(28,12)) AS rel_dec,
+        |    CAST(ROUND(b.n_b * pow(CAST(b.sy AS DOUBLE) / b.n_b
+        |      - CAST(t.ty AS DOUBLE) / t.nn, 2.0), 12)
+        |      AS DECIMAL(28,12)) AS res_dec,
+        |    CAST(ROUND(CAST(b.spp AS DOUBLE) - CAST(b.sp AS DOUBLE)
+        |      * CAST(b.sp AS DOUBLE) / b.n_b, 12)
+        |      AS DECIMAL(28,12)) AS wbv_dec,
+        |    CAST(ROUND(2.0 * (CAST(b.spy AS DOUBLE) - CAST(b.sp AS DOUBLE)
+        |      * b.sy / b.n_b), 12) AS DECIMAL(28,12)) AS wbc_dec
+        |  FROM bins b CROSS JOIN tot t),
+        |ag AS (SELECT MAX(nn) AS nn, MAX(ty) AS ty, MAX(tpp) AS tpp,
+        |  MAX(tpy) AS tpy, SUM(rel_dec) AS rel, SUM(res_dec) AS res,
+        |  SUM(wbv_dec) AS wbv, SUM(wbc_dec) AS wbc
+        |  FROM terms)
+        |SELECT nn AS n_docs,
+        |  ROUND((CAST(tpp AS DOUBLE) - 2.0 * CAST(tpy AS DOUBLE) + ty)
+        |    / nn, 6) AS brier,
+        |  ROUND(CAST(rel AS DOUBLE) / nn, 6) AS reliability,
+        |  ROUND(CAST(res AS DOUBLE) / nn, 6) AS resolution,
+        |  ROUND(CAST(ty AS DOUBLE) / nn
+        |    * (1.0 - CAST(ty AS DOUBLE) / nn), 6) AS uncertainty,
+        |  ROUND(CAST(wbv AS DOUBLE) / nn, 6) AS within_bin_var,
+        |  ROUND(CAST(wbc AS DOUBLE) / nn, 6) AS within_bin_cov,
+        |  ROUND(CAST(ty AS DOUBLE) / nn, 6) AS base_rate
+        |FROM ag""".stripMargin
   )
 }

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-15 batch-3 invariants (effect sizes, stratified inference,
+  * intervals, calibration decomposition): cross-QUERY identities
+  * (Cliff's δ vs the independently-computed Mann–Whitney U), Scala
+  * recomputations of CMH and Wilson, and the Murphy decomposition
+  * identity — the math layer on top of the DuckDB parity gate.
+  */
+class Round15cSpec extends SparkSpecBase {
+
+  test("q305: wins+losses+ties partitions all cross pairs; U cross-check") {
+    val d305 = queries.StatsQueries.queries("q305_cliffs_delta")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getDouble(6))).toMap
+    val u260 = queries.OpsQueries.queries("q260_mann_whitney")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    d305.foreach { case (src, (ns, nr, w, l, t, delta)) =>
+      assert(w + l + t == ns * nr, s"$src: pair partition broken")
+      assert(delta >= -1.0 && delta <= 1.0)
+      // the Mann–Whitney U from q260's midrank formulation must equal
+      // wins + ties/2 from this query's value-domain formulation
+      assert(math.abs(u260(src) - (w + t / 2.0)) < 1e-6,
+        s"$src: U ${u260(src)} != wins+ties/2 ${w + t / 2.0}")
+    }
+  }
+
+  test("q306: chi2 matches a Scala contingency recomputation; V bounds") {
+    val r = queries.StatsQueries.queries("q306_cramers_v")(spark, sf)
+      .collect()(0)
+    val cells = Tables.documents(spark, sf)
+      .groupBy(col("source"), col("lang")).count()
+      .collect().map(x => (x.getString(0), x.getString(1), x.getLong(2)))
+    val n = cells.map(_._3).sum.toDouble
+    val rowM = cells.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val colM = cells.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val chi2 = cells.map { case (s0, l0, o) =>
+      val e = rowM(s0) * colM(l0) / n
+      (o - e) * (o - e) / e
+    }.sum
+    assert(math.abs(r.getDouble(3) - chi2) < 1e-3,
+      s"chi2 ${r.getDouble(3)} vs $chi2")
+    val v = r.getDouble(4)
+    assert(v >= 0.0 && v <= 1.0)
+    assert(r.getDouble(5) <= v + 1e-9, "bias correction must shrink V")
+  }
+
+  test("q307: CMH chi2 matches a Scala per-stratum recomputation") {
+    val out = queries.StatsQueries.queries("q307_cmh")(spark, sf)
+      .collect()(0)
+    val strata = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_nationkey").cast("long").as("nk"),
+        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L).as("x"),
+        when(round(col("o_totalprice") * 100, 0).cast("long")
+          >= 15000000L, 1L).otherwise(0L).as("y"))
+      .groupBy("nk").agg(count(lit(1)).as("n"), sum("x").as("r1"),
+        sum("y").as("c1"), sum(col("x") * col("y")).as("a"))
+      .collect().filter(_.getLong(1) >= 2)
+    val (sa, se, sv) = strata.foldLeft((0.0, 0.0, 0.0)) { case ((a, e, v), r) =>
+      val (n, r1, c1, aa) = (r.getLong(1).toDouble, r.getLong(2).toDouble,
+        r.getLong(3).toDouble, r.getLong(4).toDouble)
+      (a + aa, e + r1 * c1 / n,
+        v + r1 * (n - r1) * c1 * (n - c1) / (n * n * (n - 1)))
+    }
+    val chi2 = (sa - se) * (sa - se) / sv
+    assert(math.abs(out.getDouble(3) - chi2) < 1e-3,
+      s"cmh ${out.getDouble(3)} vs $chi2")
+    val p = out.getDouble(4)
+    assert(p >= 0.0 && p <= 1.0)
+    // 1-df 5% boundary consistency between chi2 and its p-value
+    if (chi2 > 3.85) assert(p < 0.05) else if (chi2 < 3.83) assert(p > 0.05)
+  }
+
+  test("q308: Wilson interval matches the closed form and brackets p-hat") {
+    val rows = queries.StatsQueries.queries("q308_wilson_ci")(spark, sf)
+      .collect()
+    rows.foreach { r =>
+      val (n, k) = (r.getLong(1).toDouble, r.getLong(2).toDouble)
+      val z = 1.959964
+      val ph = k / n
+      val dn = 1.0 + z * z / n
+      val ctr = (ph + z * z / (2 * n)) / dn
+      val hw = z * math.sqrt(ph * (1 - ph) / n + z * z / (4 * n * n)) / dn
+      assert(math.abs(r.getDouble(4) - math.max(0.0, ctr - hw)) < 1e-5)
+      assert(math.abs(r.getDouble(5) - math.min(1.0, ctr + hw)) < 1e-5)
+      assert(r.getDouble(4) <= r.getDouble(3) + 1e-9 &&
+        r.getDouble(3) <= r.getDouble(5) + 1e-9)
+    }
+  }
+
+  test("q309: generalized Murphy identity BS = REL - RES + UNC + WBV - WBC") {
+    val r = queries.StatsQueries.queries("q309_brier")(spark, sf)
+      .collect()(0)
+    val (bs, rel, res, unc, wbv, wbc) =
+      (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+        r.getDouble(5), r.getDouble(6))
+    assert(math.abs(bs - (rel - res + unc + wbv - wbc)) < 1e-4,
+      s"BS $bs != REL $rel - RES $res + UNC $unc + WBV $wbv - WBC $wbc")
+    assert(bs >= 0.0 && rel >= 0.0 && res >= 0.0 && unc >= 0.0 &&
+      unc <= 0.25 && wbv >= 0.0)
+    assert(res <= unc + 1e-9, "between-bin label variance ≤ total variance")
+  }
+}
