@@ -1608,6 +1608,170 @@ object StatsQueries {
           expr("ROUND(CAST(wbv AS DOUBLE) / nn, 6)").as("within_bin_var"),
           expr("ROUND(CAST(wbc AS DOUBLE) / nn, 6)").as("within_bin_cov"),
           expr("ROUND(CAST(ty AS DOUBLE) / nn, 6)").as("base_rate"))
+    },
+
+    // §2.3 (round 15) — NELSON–AALEN cumulative hazard (Nelson '72 /
+    // Aalen '78; the estimator survival texts pair with q268's
+    // Kaplan–Meier: H(t) = Σ d/n with variance Σ d/n², plus the
+    // Fleming–Harrington survival exp(−H) — better-behaved than the
+    // product-limit in small risk sets, and the quantity hazard-rate
+    // models calibrate against). Same lifetime/censoring construction
+    // as q268; per-time d/n terms are doubles DECIMAL-quantized
+    // before their duration-domain cumulative sums (bounded by the
+    // day domain, aggregate beneath) — no exp∘Σ∘ln needed and the
+    // d=n absorbing state is a plain H += 1 step, not a −∞ guard.
+    "q310_nelson_aalen" -> { (s, d) =>
+      import graft.Caching.ScopedPersist
+      val life = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(min(to_date(col("o_orderdate"))).as("first_d"),
+          max(to_date(col("o_orderdate"))).as("last_d"))
+        .scopedPersist() // consumers: horizon + the duration rollup
+      val hor = life.agg(max(col("last_d")).as("horizon"))
+      val byT = life.crossJoin(broadcast(hor))
+        .select(datediff(col("last_d"), col("first_d")).as("t"),
+          (col("last_d") <= date_sub(col("horizon"), 90))
+            .cast("long").as("ev"))
+        .groupBy(col("t"))
+        .agg(count(lit(1)).as("m"), sum(col("ev")).as("dd"))
+      val tot = byT.agg(sum(col("m")).as("nn"))
+      val cumW = Window.orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val runW = Window.orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byT.crossJoin(broadcast(tot))
+        .withColumn("at_risk",
+          col("nn") - coalesce(sum(col("m")).over(cumW), lit(0L)))
+        .withColumn("h_dec", expr(
+          "CAST(ROUND(CAST(dd AS DOUBLE) / at_risk, 12)" +
+            " AS DECIMAL(28,12))"))
+        .withColumn("v_dec", expr(
+          "CAST(ROUND(CAST(dd AS DOUBLE)" +
+            " / (CAST(at_risk AS DOUBLE) * at_risk), 12)" +
+            " AS DECIMAL(28,12))"))
+        .withColumn("ch", sum(col("h_dec")).over(runW))
+        .withColumn("cv", sum(col("v_dec")).over(runW))
+        .filter(col("dd") > 0)
+        .select(col("t").cast("long").as("duration_days"),
+          col("at_risk"), col("dd").as("n_events"),
+          expr("ROUND(CAST(ch AS DOUBLE), 6)").as("cum_hazard"),
+          expr("ROUND(exp(-CAST(ch AS DOUBLE)), 6)").as("fh_survival"),
+          expr("ROUND(CAST(cv AS DOUBLE), 6)").as("hazard_var"))
+        .orderBy(col("duration_days"))
+    },
+
+    // §2.3 (round 15) — LOG-RANK TEST (Mantel '66; "do BUILDING-
+    // segment customers churn on a different clock than everyone
+    // else" — THE two-group survival comparison, and the q307 CMH
+    // statistic summed over event-time strata instead of nations):
+    // per event time the 2×2 is (events, at-risk) × (group 1, rest);
+    // at-risk counts come from per-group cumulative windows over the
+    // SHARED duration grid (the q271 dense-grid precedent) so both
+    // groups are evaluated at every event time; E and hypergeometric
+    // V terms are DECIMAL-quantized before their day-domain sums;
+    // 1-df p via the shared normal-tail polynomial.
+    "q311_log_rank" -> { (s, d) =>
+      import graft.Caching.ScopedPersist
+      val life = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_custkey"),
+          when(col("c_mktsegment") === "BUILDING", 1L).otherwise(0L)
+            .as("g"))
+        .agg(min(to_date(col("o_orderdate"))).as("first_d"),
+          max(to_date(col("o_orderdate"))).as("last_d"))
+        .scopedPersist() // consumers: horizon + the (t, g) rollup
+      val hor = life.agg(max(col("last_d")).as("horizon"))
+      val byTG = life.crossJoin(broadcast(hor))
+        .select(datediff(col("last_d"), col("first_d")).as("t"), col("g"),
+          (col("last_d") <= date_sub(col("horizon"), 90))
+            .cast("long").as("ev"))
+        .groupBy(col("t"), col("g"))
+        .agg(count(lit(1)).as("m"), sum(col("ev")).as("dd"))
+        .scopedPersist() // consumers: grid spine + the measure join
+      val grid = byTG.select(col("t")).distinct()
+        .crossJoin(byTG.select(col("g")).distinct())
+      val full = grid.join(byTG, Seq("t", "g"), "left")
+        .na.fill(0L, Seq("m", "dd"))
+        .withColumn("cb", coalesce(sum(col("m")).over(
+          Window.partitionBy(col("g")).orderBy(col("t"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("n_g", sum(col("m")).over(
+          Window.partitionBy(col("g"))))
+        .withColumn("ar", col("n_g") - col("cb"))
+      val byT = full.groupBy(col("t"))
+        .agg(sum(col("dd")).as("d"), sum(col("ar")).as("n"),
+          sum(when(col("g") === 1, col("dd")).otherwise(0L)).as("d1"),
+          sum(when(col("g") === 1, col("ar")).otherwise(0L)).as("n1"),
+          max(when(col("g") === 1, col("n_g")).otherwise(0L)).as("sz1"),
+          max(when(col("g") === 0, col("n_g")).otherwise(0L)).as("sz0"))
+        .filter(col("d") > 0 && col("n") > 1)
+        .withColumn("e_dec", expr(
+          "CAST(ROUND(CAST(d AS DOUBLE) * n1 / n, 12)" +
+            " AS DECIMAL(28,12))"))
+        .withColumn("v_dec", expr(
+          "CAST(ROUND(CAST(d AS DOUBLE) * (CAST(n1 AS DOUBLE) / n)" +
+            " * (1.0 - CAST(n1 AS DOUBLE) / n) * (n - d) / (n - 1), 12)" +
+            " AS DECIMAL(28,12))"))
+      byT.agg(max(col("sz1")).as("n_group1"), max(col("sz0")).as("n_rest"),
+        sum(col("d1")).as("observed_1"), sum(col("e_dec")).as("se"),
+        sum(col("v_dec")).as("sv"))
+        .withColumn("chi2r", expr(
+          "ROUND(pow(observed_1 - CAST(se AS DOUBLE), 2.0)" +
+            " / CAST(sv AS DOUBLE), 6)"))
+        .select(col("n_group1"), col("n_rest"), col("observed_1"),
+          expr("ROUND(CAST(se AS DOUBLE), 6)").as("expected_1"),
+          col("chi2r").as("chi2_logrank"),
+          expr(s"ROUND(${graft.functions.PValues.twoSidedP("sqrt(chi2r)")}, 10)")
+            .as("p_value"))
+    },
+
+    // §2.3 (round 15) — LIFT / GAINS DECILES for a quality model
+    // (the decile capture table every targeting/selection review
+    // reads next to AUC q166 and calibration q309): docs rank by the
+    // deterministic length-proxy score DESC on the VALUE DOMAIN
+    // (bounded score grid — never a row-level global sort); each
+    // distinct score lands wholly in the decile of its cumulative
+    // start (integer math, so engines agree on stragglers); per
+    // decile: volume, positives, rate, cumulative capture of all
+    // positives, and lift vs the base rate — every number a ratio of
+    // exact integers.
+    "q312_lift_deciles" -> { (s, d) =>
+      import graft.Caching.ScopedPersist
+      val vc = Tables.documents(s, d)
+        .select(
+          expr("CAST(least(0.99, greatest(0.01," +
+            " CAST(n_chars AS DOUBLE) / 1000)) AS DECIMAL(9,6))").as("p"),
+          expr("CASE WHEN (CASE WHEN length(text) >= 300 THEN 1 ELSE 0" +
+            " END + CASE WHEN length(text) - length(replace(text," +
+            " ' ', '')) + 1 >= 60 THEN 1 ELSE 0 END" +
+            " + CASE WHEN length(text) < 8 * (length(text)" +
+            " - length(replace(text, ' ', '')) + 1) THEN 1 ELSE 0 END)" +
+            " >= 2 THEN 1 ELSE 0 END").as("y"))
+        .groupBy(col("p"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+        .withColumn("cb", coalesce(sum(col("n")).over(
+          Window.orderBy(col("p").desc)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .scopedPersist() // consumers: totals + the decile rollup
+      val tot = vc.agg(sum(col("n")).as("nn"), sum(col("pos")).as("tp"))
+      vc.crossJoin(broadcast(tot))
+        .withColumn("decile", expr("(cb * 10) div nn + 1"))
+        .groupBy(col("decile"))
+        .agg(max(col("nn")).as("nn"), max(col("tp")).as("tp"),
+          sum(col("n")).as("n_docs"), sum(col("pos")).as("n_pos"))
+        .withColumn("cpos", sum(col("n_pos")).over(
+          Window.orderBy(col("decile"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("cn", sum(col("n_docs")).over(
+          Window.orderBy(col("decile"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("decile").cast("long").as("decile"), col("n_docs"),
+          col("n_pos"),
+          expr("ROUND(CAST(n_pos AS DOUBLE) / n_docs, 6)").as("pos_rate"),
+          expr("ROUND(CAST(cpos AS DOUBLE) / tp, 6)").as("cum_capture"),
+          expr("ROUND((CAST(cpos AS DOUBLE) / cn)" +
+            " / (CAST(tp AS DOUBLE) / nn), 6)").as("cum_lift"))
+        .orderBy(col("decile"))
     }
   )
 
@@ -2687,6 +2851,138 @@ object StatsQueries {
         |  ROUND(CAST(wbv AS DOUBLE) / nn, 6) AS within_bin_var,
         |  ROUND(CAST(wbc AS DOUBLE) / nn, 6) AS within_bin_cov,
         |  ROUND(CAST(ty AS DOUBLE) / nn, 6) AS base_rate
-        |FROM ag""".stripMargin
+        |FROM ag""".stripMargin,
+
+    "q310_nelson_aalen" ->
+      """WITH life AS (SELECT o_custkey,
+        |    MIN(CAST(o_orderdate AS DATE)) AS first_d,
+        |    MAX(CAST(o_orderdate AS DATE)) AS last_d
+        |  FROM orders GROUP BY o_custkey),
+        |hor AS (SELECT MAX(last_d) AS horizon FROM life),
+        |byt AS (SELECT date_diff('day', first_d, last_d) AS t,
+        |    CAST(COUNT(*) AS BIGINT) AS m,
+        |    CAST(SUM(CASE WHEN last_d <= horizon - 90 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS dd
+        |  FROM life CROSS JOIN hor GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(m) AS BIGINT) AS nn FROM byt),
+        |r AS (SELECT t, m, dd,
+        |    CAST(nn - COALESCE(SUM(m) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS at_risk
+        |  FROM byt CROSS JOIN tot),
+        |r2 AS (SELECT t, dd, at_risk,
+        |    CAST(ROUND(CAST(dd AS DOUBLE) / at_risk, 12)
+        |      AS DECIMAL(28,12)) AS h_dec,
+        |    CAST(ROUND(CAST(dd AS DOUBLE)
+        |      / (CAST(at_risk AS DOUBLE) * at_risk), 12)
+        |      AS DECIMAL(28,12)) AS v_dec
+        |  FROM r),
+        |r3 AS (SELECT t, dd, at_risk,
+        |    SUM(h_dec) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ch,
+        |    SUM(v_dec) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cv
+        |  FROM r2)
+        |SELECT CAST(t AS BIGINT) AS duration_days, at_risk,
+        |  dd AS n_events, ROUND(CAST(ch AS DOUBLE), 6) AS cum_hazard,
+        |  ROUND(exp(-CAST(ch AS DOUBLE)), 6) AS fh_survival,
+        |  ROUND(CAST(cv AS DOUBLE), 6) AS hazard_var
+        |FROM r3 WHERE dd > 0 ORDER BY duration_days""".stripMargin,
+
+    "q311_log_rank" -> {
+      val p = graft.functions.PValues.twoSidedP("sqrt(chi2r)")
+      s"""WITH life AS (SELECT o_custkey,
+         |    CASE WHEN MIN(c_mktsegment) = 'BUILDING' THEN 1 ELSE 0 END
+         |      AS g,
+         |    MIN(CAST(o_orderdate AS DATE)) AS first_d,
+         |    MAX(CAST(o_orderdate AS DATE)) AS last_d
+         |  FROM orders JOIN customer ON o_custkey = c_custkey
+         |  GROUP BY o_custkey),
+         |hor AS (SELECT MAX(last_d) AS horizon FROM life),
+         |bytg AS (SELECT date_diff('day', first_d, last_d) AS t, g,
+         |    CAST(COUNT(*) AS BIGINT) AS m,
+         |    CAST(SUM(CASE WHEN last_d <= horizon - 90 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS dd
+         |  FROM life CROSS JOIN hor GROUP BY 1, 2),
+         |grid AS (SELECT a.t, b.g FROM (SELECT DISTINCT t FROM bytg) a
+         |  CROSS JOIN (SELECT DISTINCT g FROM bytg) b),
+         |full0 AS (SELECT grid.t, grid.g, COALESCE(bytg.m, 0) AS m,
+         |    COALESCE(bytg.dd, 0) AS dd
+         |  FROM grid LEFT JOIN bytg ON grid.t = bytg.t
+         |    AND grid.g = bytg.g),
+         |full1 AS (SELECT t, g, m, dd,
+         |    CAST(COALESCE(SUM(m) OVER (PARTITION BY g ORDER BY t
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS cb,
+         |    CAST(SUM(m) OVER (PARTITION BY g) AS BIGINT) AS n_g
+         |  FROM full0),
+         |full2 AS (SELECT *, n_g - cb AS ar FROM full1),
+         |byt AS (SELECT t, CAST(SUM(dd) AS BIGINT) AS d,
+         |    CAST(SUM(ar) AS BIGINT) AS n,
+         |    CAST(SUM(CASE WHEN g = 1 THEN dd ELSE 0 END) AS BIGINT) AS d1,
+         |    CAST(SUM(CASE WHEN g = 1 THEN ar ELSE 0 END) AS BIGINT) AS n1,
+         |    CAST(MAX(CASE WHEN g = 1 THEN n_g ELSE 0 END) AS BIGINT)
+         |      AS sz1,
+         |    CAST(MAX(CASE WHEN g = 0 THEN n_g ELSE 0 END) AS BIGINT)
+         |      AS sz0
+         |  FROM full2 GROUP BY t
+         |  HAVING SUM(dd) > 0 AND SUM(ar) > 1),
+         |terms AS (SELECT *,
+         |    CAST(ROUND(CAST(d AS DOUBLE) * n1 / n, 12)
+         |      AS DECIMAL(28,12)) AS e_dec,
+         |    CAST(ROUND(CAST(d AS DOUBLE) * (CAST(n1 AS DOUBLE) / n)
+         |      * (1.0 - CAST(n1 AS DOUBLE) / n) * (n - d) / (n - 1), 12)
+         |      AS DECIMAL(28,12)) AS v_dec
+         |  FROM byt),
+         |ag AS (SELECT CAST(MAX(sz1) AS BIGINT) AS n_group1,
+         |  CAST(MAX(sz0) AS BIGINT) AS n_rest,
+         |  CAST(SUM(d1) AS BIGINT) AS observed_1,
+         |  SUM(e_dec) AS se, SUM(v_dec) AS sv FROM terms),
+         |ch AS (SELECT *, ROUND(pow(observed_1 - CAST(se AS DOUBLE), 2.0)
+         |    / CAST(sv AS DOUBLE), 6) AS chi2r FROM ag)
+         |SELECT n_group1, n_rest, observed_1,
+         |  ROUND(CAST(se AS DOUBLE), 6) AS expected_1,
+         |  chi2r AS chi2_logrank, ROUND($p, 10) AS p_value
+         |FROM ch""".stripMargin
+    },
+
+    "q312_lift_deciles" ->
+      """WITH rw AS (SELECT
+        |    CAST(least(0.99, greatest(0.01, CAST(n_chars AS DOUBLE)
+        |      / 1000)) AS DECIMAL(9,6)) AS p,
+        |    CASE WHEN (CASE WHEN length(text) >= 300 THEN 1 ELSE 0 END
+        |      + CASE WHEN length(text) - length(replace(text, ' ', ''))
+        |        + 1 >= 60 THEN 1 ELSE 0 END
+        |      + CASE WHEN length(text) < 8 * (length(text)
+        |        - length(replace(text, ' ', '')) + 1) THEN 1 ELSE 0 END)
+        |      >= 2 THEN 1 ELSE 0 END AS y
+        |  FROM documents),
+        |vc AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(y) AS BIGINT) AS pos
+        |  FROM rw GROUP BY p),
+        |vb AS (SELECT *, CAST(COALESCE(SUM(n) OVER (ORDER BY p DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS cb FROM vc),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn,
+        |  CAST(SUM(pos) AS BIGINT) AS tp FROM vc),
+        |dc AS (SELECT (cb * 10) // nn + 1 AS decile, n, pos, nn, tp
+        |  FROM vb CROSS JOIN tot),
+        |g AS (SELECT decile, CAST(MAX(nn) AS BIGINT) AS nn,
+        |    CAST(MAX(tp) AS BIGINT) AS tp,
+        |    CAST(SUM(n) AS BIGINT) AS n_docs,
+        |    CAST(SUM(pos) AS BIGINT) AS n_pos
+        |  FROM dc GROUP BY decile),
+        |c AS (SELECT *, CAST(SUM(n_pos) OVER (ORDER BY decile
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS cpos,
+        |    CAST(SUM(n_docs) OVER (ORDER BY decile
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cn FROM g)
+        |SELECT CAST(decile AS BIGINT) AS decile, n_docs, n_pos,
+        |  ROUND(CAST(n_pos AS DOUBLE) / n_docs, 6) AS pos_rate,
+        |  ROUND(CAST(cpos AS DOUBLE) / tp, 6) AS cum_capture,
+        |  ROUND((CAST(cpos AS DOUBLE) / cn) / (CAST(tp AS DOUBLE) / nn), 6)
+        |    AS cum_lift
+        |FROM c ORDER BY decile""".stripMargin
   )
 }

@@ -105,4 +105,69 @@ class Round15cSpec extends SparkSpecBase {
       unc <= 0.25 && wbv >= 0.0)
     assert(res <= unc + 1e-9, "between-bin label variance ≤ total variance")
   }
+
+  test("q310: H nondecreasing; KM survival ≤ Fleming-Harrington exp(-H)") {
+    val na = queries.StatsQueries.queries("q310_nelson_aalen")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(3), r.getDouble(4))).toMap
+    val km = queries.StatsQueries.queries("q268_kaplan_meier")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(4))).toMap
+    assert(na.keySet == km.keySet, "same event-time support as KM")
+    val hs = na.toSeq.sortBy(_._1).map(_._2._2)
+    assert(hs.zip(hs.tail).forall { case (a, b) => a <= b + 1e-12 },
+      "cumulative hazard must be nondecreasing")
+    na.foreach { case (t, (ar, _, fh)) =>
+      assert(ar == km(t)._1, s"at-risk mismatch vs KM at t=$t")
+      // 1-x ≤ e^-x termwise ⇒ product-limit ≤ exp(-H)
+      assert(km(t)._2 <= fh + 1e-6, s"KM > FH at t=$t")
+    }
+  }
+
+  test("q311: log-rank chi2 matches a Scala per-time recomputation") {
+    val out = queries.StatsQueries.queries("q311_log_rank")(spark, sf)
+      .collect()(0)
+    // independent reconstruction of the per-(t, g) life table
+    val life = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_custkey"),
+        when(col("c_mktsegment") === "BUILDING", 1L).otherwise(0L).as("g"))
+      .agg(min(to_date(col("o_orderdate"))).as("f"),
+        max(to_date(col("o_orderdate"))).as("l"))
+    val hor = life.agg(max(col("l"))).collect()(0).getDate(0)
+    val rows = life.select(datediff(col("l"), col("f")).as("t"), col("g"),
+      (col("l") <= date_sub(lit(hor), 90)).cast("long").as("ev"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val times = rows.map(_._1).distinct.sorted
+    var (sa, se, sv) = (0.0, 0.0, 0.0)
+    times.foreach { t =>
+      val n1 = rows.count(r => r._2 == 1 && r._1 >= t).toDouble
+      val n0 = rows.count(r => r._2 == 0 && r._1 >= t).toDouble
+      val d1 = rows.count(r => r._2 == 1 && r._1 == t && r._3 == 1).toDouble
+      val d0 = rows.count(r => r._2 == 0 && r._1 == t && r._3 == 1).toDouble
+      val (n, dd) = (n1 + n0, d1 + d0)
+      if (dd > 0 && n > 1) {
+        sa += d1; se += dd * n1 / n
+        sv += dd * (n1 / n) * (1 - n1 / n) * (n - dd) / (n - 1)
+      }
+    }
+    val chi2 = (sa - se) * (sa - se) / sv
+    assert(math.abs(out.getDouble(4) - chi2) < 1e-3,
+      s"logrank ${out.getDouble(4)} vs $chi2")
+    assert(out.getLong(2) == sa.toLong)
+  }
+
+  test("q312: deciles partition the corpus; capture ends at 1; lift ends at 1") {
+    val rows = queries.StatsQueries.queries("q312_lift_deciles")(spark, sf)
+      .orderBy("decile").collect()
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 10L))
+    val n = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum == n, "deciles must partition all docs")
+    val caps = rows.map(_.getDouble(4))
+    assert(caps.zip(caps.tail).forall { case (a, b) => a <= b + 1e-12 })
+    assert(math.abs(caps.last - 1.0) < 1e-9)
+    assert(math.abs(rows.last.getDouble(5) - 1.0) < 1e-9,
+      "cumulative lift at decile 10 is 1 by construction")
+    rows.foreach(r => assert(r.getLong(1) > 0))
+  }
 }
