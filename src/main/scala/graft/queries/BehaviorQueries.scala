@@ -302,6 +302,49 @@ object BehaviorQueries {
         .select(col("from_type"), col("to_type"), col("n"),
           round(col("n").cast("double") / col("tot"), 6).as("p"))
         .orderBy(col("from_type"), col("to_type"))
+    },
+
+    // §2.3 (round 15) — STATIONARY DISTRIBUTION of the q240 Markov
+    // chain by power iteration (π ← πP, 4 rounds from uniform): the
+    // long-run share of traffic each event type absorbs — the
+    // steady-state read behind capacity planning and the PageRank of
+    // the behavioral graph (same machinery: per-round products are
+    // IEEE doubles QUANTIZED to DECIMAL(28,14) before the per-state
+    // sum, so each round is partition-order-independent and mirrors
+    // in unrolled DuckDB CTEs). The matrix is |event_type|² rows —
+    // dimension-sized regardless of corpus; the corpus is touched
+    // ONCE for the transition counts.
+    "q313_stationary_dist" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      import graft.Caching.ScopedPersist
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val pairs = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("event_type").as("from_type"))
+        .withColumn("to_type", lead(col("from_type"), 1).over(w))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val totals = pairs.groupBy(col("from_type"))
+        .agg(sum(col("n")).as("tot"))
+      val p = pairs.join(broadcast(totals), "from_type")
+        .select(col("from_type"), col("to_type"),
+          expr("CAST(n AS DOUBLE) / tot").as("p"))
+        .scopedPersist() // consumers: state list + 4 iteration joins
+      val k = p.select(col("from_type").as("state")).distinct()
+      val kn = k.count() // |event_type| — a dimension, not data
+      var pi = k.withColumn("pi", lit(1.0 / kn))
+      for (_ <- 1 to 4) {
+        pi = p.join(pi.withColumnRenamed("state", "from_type"), "from_type")
+          .withColumn("term", expr(
+            "CAST(ROUND(pi * p, 14) AS DECIMAL(28,14))"))
+          .groupBy(col("to_type").as("state"))
+          .agg(expr("CAST(SUM(term) AS DOUBLE)").as("pi"))
+      }
+      pi.select(col("state").as("event_type"),
+        round(col("pi"), 6).as("stationary_p"))
+        .orderBy(col("event_type"))
     }
   )
 
@@ -505,6 +548,36 @@ object BehaviorQueries {
         |SELECT from_type, to_type, n,
         |  ROUND(CAST(n AS DOUBLE) / tot, 6) AS p
         |FROM pairs JOIN tot USING (from_type)
-        |ORDER BY from_type, to_type""".stripMargin
+        |ORDER BY from_type, to_type""".stripMargin,
+
+    "q313_stationary_dist" -> {
+      val iters = (1 to 4).map { i =>
+        s"""i$i AS (SELECT p.to_type AS state,
+           |    CAST(SUM(CAST(ROUND(i.pi * p.p, 14) AS DECIMAL(28,14)))
+           |      AS DOUBLE) AS pi
+           |  FROM p JOIN i${i - 1} i ON i.state = p.from_type
+           |  GROUP BY p.to_type)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH seq AS (
+         |  SELECT event_type AS from_type,
+         |    lead(event_type, 1) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS to_type
+         |  FROM events),
+         |pairs AS (
+         |  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM seq WHERE to_type IS NOT NULL
+         |  GROUP BY from_type, to_type),
+         |tot AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS tot
+         |        FROM pairs GROUP BY from_type),
+         |p AS (SELECT pairs.from_type, pairs.to_type,
+         |    CAST(n AS DOUBLE) / tot AS p
+         |  FROM pairs JOIN tot USING (from_type)),
+         |k AS (SELECT DISTINCT from_type AS state FROM p),
+         |i0 AS (SELECT state,
+         |  CAST(1.0 AS DOUBLE) / (SELECT COUNT(*) FROM k) AS pi FROM k),
+         |$iters
+         |SELECT state AS event_type, ROUND(pi, 6) AS stationary_p
+         |FROM i4 ORDER BY event_type""".stripMargin
+    }
   )
 }

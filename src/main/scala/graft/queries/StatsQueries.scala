@@ -1772,6 +1772,78 @@ object StatsQueries {
           expr("ROUND((CAST(cpos AS DOUBLE) / cn)" +
             " / (CAST(tp AS DOUBLE) / nn), 6)").as("cum_lift"))
         .orderBy(col("decile"))
+    },
+
+    // §2.3 (round 15) — SAMPLE-RATIO-MISMATCH check (the Kohavi
+    // trustworthy-experiments health gate: a 50/50 assignment whose
+    // observed split is improbably off means the pipeline is eating
+    // users and EVERY downstream test — q254/q260/q301 — is invalid):
+    // three seeded deterministic md5 hash-assignments (the q296
+    // idiom) over customers, 1-df chi-square vs the expected halves,
+    // p via the shared normal-tail polynomial, flag at p < 0.001.
+    // ONE narrow scan + a bounded (3 × 2) groupBy.
+    "q314_srm_check" -> { (s, d) =>
+      Tables.customer(s, d)
+        .select(col("c_custkey"),
+          explode(array(lit("exp1"), lit("exp2"), lit("exp3")))
+            .as("experiment"))
+        .withColumn("arm", conv(substring(md5(concat(col("experiment"),
+          lit(":"), col("c_custkey").cast("string"))), 1, 12), 16, 10)
+          .cast("long") % 2)
+        .groupBy(col("experiment"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_arm1"))
+        .withColumn("n_arm0", col("n") - col("n_arm1"))
+        .withColumn("chi2r", expr(
+          "ROUND(pow(n_arm1 - CAST(n AS DOUBLE) / 2, 2.0)" +
+            " / (CAST(n AS DOUBLE) / 2)" +
+            " + pow(n_arm0 - CAST(n AS DOUBLE) / 2, 2.0)" +
+            " / (CAST(n AS DOUBLE) / 2), 6)"))
+        .withColumn("p", expr(
+          s"ROUND(${graft.functions.PValues.twoSidedP("sqrt(chi2r)")}, 10)"))
+        .select(col("experiment"), col("n"), col("n_arm0"), col("n_arm1"),
+          col("chi2r").as("chi2"), col("p").as("p_value"),
+          expr("CAST(CASE WHEN p < 0.001 THEN 1 ELSE 0 END AS INT)")
+            .as("srm_flag"))
+        .orderBy(col("experiment"))
+    },
+
+    // §2.3 (round 15) — LORENZ CURVE deciles per source (the
+    // concentration table behind q223's Gini scalar: HOW the token
+    // mass piles up — "the top decile of documents carries X% of the
+    // chars" is the sentence a mixing decision quotes): docs rank by
+    // length ASC on the value domain, deciles by integer
+    // cumulative-start math (the q312 discipline), per decile exact
+    // char mass and the cumulative population/mass shares. Windows
+    // sit over (source × value-domain) aggregates.
+    "q315_lorenz" -> { (s, d) =>
+      import graft.Caching.ScopedPersist
+      val vc = Tables.documents(s, d)
+        .groupBy(col("source"), col("n_chars").as("v"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("mass", col("v") * col("n"))
+        .withColumn("cb", coalesce(sum(col("n")).over(
+          Window.partitionBy(col("source")).orderBy(col("v"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .scopedPersist() // consumers: totals + the decile rollup
+      val tot = vc.groupBy(col("source"))
+        .agg(sum(col("n")).as("nn"), sum(col("mass")).as("tm"))
+      vc.join(broadcast(tot), "source")
+        .withColumn("decile", expr("(cb * 10) div nn + 1"))
+        .groupBy(col("source"), col("decile"))
+        .agg(max(col("nn")).as("nn"), max(col("tm")).as("tm"),
+          sum(col("n")).as("n_docs"), sum(col("mass")).as("chars"))
+        .withColumn("cn", sum(col("n_docs")).over(
+          Window.partitionBy(col("source")).orderBy(col("decile"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("cm", sum(col("chars")).over(
+          Window.partitionBy(col("source")).orderBy(col("decile"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("source"), col("decile").cast("long").as("decile"),
+          col("n_docs"), col("chars"),
+          expr("ROUND(CAST(cn AS DOUBLE) / nn, 6)").as("cum_pop_share"),
+          expr("ROUND(CAST(cm AS DOUBLE) / tm, 6)").as("cum_mass_share"))
+        .orderBy(col("source"), col("decile"))
     }
   )
 
@@ -2983,6 +3055,60 @@ object StatsQueries {
         |  ROUND(CAST(cpos AS DOUBLE) / tp, 6) AS cum_capture,
         |  ROUND((CAST(cpos AS DOUBLE) / cn) / (CAST(tp AS DOUBLE) / nn), 6)
         |    AS cum_lift
-        |FROM c ORDER BY decile""".stripMargin
+        |FROM c ORDER BY decile""".stripMargin,
+
+    "q314_srm_check" -> {
+      val p = graft.functions.PValues.twoSidedP("sqrt(chi2r)")
+      s"""WITH asg AS (SELECT c_custkey, e.experiment,
+         |    CAST(('0x' || substr(md5(e.experiment || ':' || c_custkey),
+         |      1, 12)) AS BIGINT) % 2 AS arm
+         |  FROM customer CROSS JOIN (VALUES ('exp1'), ('exp2'), ('exp3'))
+         |    e(experiment)),
+         |g AS (SELECT experiment, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_arm1
+         |  FROM asg GROUP BY experiment),
+         |g2 AS (SELECT experiment, n, n - n_arm1 AS n_arm0, n_arm1
+         |  FROM g),
+         |g3 AS (SELECT *,
+         |    ROUND(pow(n_arm1 - CAST(n AS DOUBLE) / 2, 2.0)
+         |      / (CAST(n AS DOUBLE) / 2)
+         |      + pow(n_arm0 - CAST(n AS DOUBLE) / 2, 2.0)
+         |      / (CAST(n AS DOUBLE) / 2), 6) AS chi2r FROM g2),
+         |g4 AS (SELECT *, ROUND($p, 10) AS p FROM g3)
+         |SELECT experiment, n, n_arm0, n_arm1, chi2r AS chi2,
+         |  p AS p_value,
+         |  CAST(CASE WHEN p < 0.001 THEN 1 ELSE 0 END AS INT) AS srm_flag
+         |FROM g4 ORDER BY experiment""".stripMargin
+    },
+
+    "q315_lorenz" ->
+      """WITH vc AS (SELECT source, n_chars AS v,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1, 2),
+        |vb AS (SELECT *, v * n AS mass,
+        |    CAST(COALESCE(SUM(n) OVER (PARTITION BY source ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cb FROM vc),
+        |tot AS (SELECT source, CAST(SUM(n) AS BIGINT) AS nn,
+        |    CAST(SUM(v * n) AS BIGINT) AS tm FROM vc GROUP BY source),
+        |dc AS (SELECT vb.source, (cb * 10) // nn + 1 AS decile, n, mass,
+        |    nn, tm
+        |  FROM vb JOIN tot ON vb.source = tot.source),
+        |g AS (SELECT source, decile, CAST(MAX(nn) AS BIGINT) AS nn,
+        |    CAST(MAX(tm) AS BIGINT) AS tm,
+        |    CAST(SUM(n) AS BIGINT) AS n_docs,
+        |    CAST(SUM(mass) AS BIGINT) AS chars
+        |  FROM dc GROUP BY source, decile),
+        |c AS (SELECT *, CAST(SUM(n_docs) OVER (PARTITION BY source
+        |      ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS BIGINT) AS cn,
+        |    CAST(SUM(chars) OVER (PARTITION BY source ORDER BY decile
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cm FROM g)
+        |SELECT source, CAST(decile AS BIGINT) AS decile, n_docs, chars,
+        |  ROUND(CAST(cn AS DOUBLE) / nn, 6) AS cum_pop_share,
+        |  ROUND(CAST(cm AS DOUBLE) / tm, 6) AS cum_mass_share
+        |FROM c ORDER BY source, decile""".stripMargin
   )
 }

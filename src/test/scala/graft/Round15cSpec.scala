@@ -170,4 +170,72 @@ class Round15cSpec extends SparkSpecBase {
       "cumulative lift at decile 10 is 1 by construction")
     rows.foreach(r => assert(r.getLong(1) > 0))
   }
+
+  test("q313: engine power iteration equals a Scala re-fold; mass ~ 1") {
+    val pMat = queries.BehaviorQueries.queries(
+      "q240_markov_transitions")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2).toDouble)).toMap
+    // rebuild exact p = n/tot (q240's p column is rounded; use counts)
+    val tots = pMat.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val states = pMat.keys.map(_._1).toSeq.distinct.sorted
+    var pi = states.map(s0 => s0 -> 1.0 / states.size).toMap
+    for (_ <- 1 to 4) {
+      val next = scala.collection.mutable.Map[String, java.math.BigDecimal]()
+      pMat.toSeq.sortBy(_._1).foreach { case ((f, t), n) =>
+        if (pi.contains(f)) {
+          val term = java.math.BigDecimal.valueOf(pi(f) * (n / tots(f)))
+            .setScale(14, java.math.RoundingMode.HALF_UP)
+          next(t) = next.getOrElse(t,
+            java.math.BigDecimal.ZERO).add(term)
+        }
+      }
+      pi = next.map { case (k, v) => k -> v.doubleValue }.toMap
+    }
+    val out = queries.BehaviorQueries.queries(
+      "q313_stationary_dist")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    out.foreach { case (st, p) =>
+      assert(math.abs(p - pi(st)) < 1e-6, s"$st: $p vs ${pi(st)}")
+      assert(p >= 0.0)
+    }
+    assert(math.abs(out.values.sum - 1.0) < 1e-3,
+      "stationary mass conserved (up to dangling-target leakage)")
+  }
+
+  test("q314: assignment counts match a JVM md5 recomputation") {
+    val out = queries.StatsQueries.queries("q314_srm_check")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val keys = Tables.customer(spark, sf)
+      .select(col("c_custkey")).collect().map(_.getLong(0))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Seq("exp1", "exp2", "exp3").foreach { e =>
+      val arm1 = keys.count { k =>
+        val hex = md.digest(s"$e:$k".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.substring(0, 12)
+        java.lang.Long.parseLong(hex, 16) % 2 == 1
+      }
+      val (n, a0, a1) = out(e)
+      assert(n == keys.length && a1 == arm1 && a0 == n - arm1,
+        s"$e: engine ($n,$a0,$a1) vs jvm (${keys.length},${keys.length - arm1},$arm1)")
+    }
+  }
+
+  test("q315: Lorenz shares are monotone, end at 1, sit under the diagonal") {
+    val rows = queries.StatsQueries.queries("q315_lorenz")(spark, sf)
+      .collect()
+    rows.groupBy(_.getString(0)).foreach { case (src, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      val pop = sorted.map(_.getDouble(4))
+      val mass = sorted.map(_.getDouble(5))
+      assert(math.abs(pop.last - 1.0) < 1e-9 &&
+        math.abs(mass.last - 1.0) < 1e-9, s"$src: shares must end at 1")
+      assert(mass.zip(mass.tail).forall { case (a, b) => a <= b + 1e-12 })
+      sorted.foreach { r =>
+        assert(r.getDouble(5) <= r.getDouble(4) + 1e-9,
+          s"$src: ascending-sorted Lorenz must sit under the diagonal")
+      }
+    }
+  }
 }
