@@ -1844,6 +1844,109 @@ object StatsQueries {
           expr("ROUND(CAST(cn AS DOUBLE) / nn, 6)").as("cum_pop_share"),
           expr("ROUND(CAST(cm AS DOUBLE) / tm, 6)").as("cum_mass_share"))
         .orderBy(col("source"), col("decile"))
+    },
+
+    // §2.3 (round 15) — PAIRWISE RATER AGREEMENT: McNemar's paired
+    // test (McNemar '47 — do two quality rules disagree
+    // SYSTEMATICALLY, i.e. is one strictly stricter, which the
+    // marginal rates alone can't tell you) + Cohen's kappa per rater
+    // pair, for the three q304 raters. One narrow scan, one 1-row
+    // aggregate of twelve exact integer sums, unpivoted to the three
+    // pairs via stack/UNION; χ² = (b−c)²/(b+c) (1 df, p via the
+    // shared polynomial), κ from the 2×2 margins.
+    "q316_rater_pairs" -> { (s, d) =>
+      val base = Tables.documents(s, d)
+        .select(
+          expr("CASE WHEN length(text) >= 300 THEN 1 ELSE 0 END").as("r1"),
+          expr("CASE WHEN length(text) - length(replace(text, ' ', ''))" +
+            " + 1 >= 60 THEN 1 ELSE 0 END").as("r2"),
+          expr("CASE WHEN length(text) < 8 * (length(text)" +
+            " - length(replace(text, ' ', '')) + 1) THEN 1 ELSE 0 END")
+            .as("r3"))
+      def cell(x: String, y: String, vx: Int, vy: Int) =
+        sum(when(col(x) === vx && col(y) === vy, 1L).otherwise(0L))
+      val agg = base.agg(
+        cell("r1", "r2", 1, 1).as("a12"), cell("r1", "r2", 1, 0).as("b12"),
+        cell("r1", "r2", 0, 1).as("c12"), cell("r1", "r2", 0, 0).as("d12"),
+        cell("r1", "r3", 1, 1).as("a13"), cell("r1", "r3", 1, 0).as("b13"),
+        cell("r1", "r3", 0, 1).as("c13"), cell("r1", "r3", 0, 0).as("d13"),
+        cell("r2", "r3", 1, 1).as("a23"), cell("r2", "r3", 1, 0).as("b23"),
+        cell("r2", "r3", 0, 1).as("c23"), cell("r2", "r3", 0, 0).as("d23"))
+      agg.select(expr(
+        "stack(3, 'r1_vs_r2', a12, b12, c12, d12," +
+          "         'r1_vs_r3', a13, b13, c13, d13," +
+          "         'r2_vs_r3', a23, b23, c23, d23)" +
+          " AS (pair, a, b, c, d)"))
+        .withColumn("n", col("a") + col("b") + col("c") + col("d"))
+        .withColumn("chi2r", expr(
+          "CASE WHEN b + c = 0 THEN 0.0" +
+            " ELSE ROUND(pow(CAST(b - c AS DOUBLE), 2.0) / (b + c), 6)" +
+            " END"))
+        .withColumn("po", expr("CAST(a + d AS DOUBLE) / n"))
+        .withColumn("pe", expr(
+          "(CAST(a + b AS DOUBLE) / n) * (CAST(a + c AS DOUBLE) / n)" +
+            " + (CAST(c + d AS DOUBLE) / n) * (CAST(b + d AS DOUBLE) / n)"))
+        .select(col("pair"), col("a"), col("b"), col("c"), col("d"),
+          col("chi2r").as("chi2_mcnemar"),
+          expr(s"ROUND(${graft.functions.PValues.twoSidedP("sqrt(chi2r)")}, 10)")
+            .as("p_value"),
+          round(col("po"), 6).as("agreement"),
+          expr("ROUND((po - pe) / (1.0 - pe), 6)").as("cohens_kappa"))
+        .orderBy(col("pair"))
+    },
+
+    // §2.4 (round 15) — CLASSICAL ADDITIVE SEASONAL DECOMPOSITION
+    // (the moving-average y = trend + seasonal + residual split — the
+    // step past q288's raw seasonal indices and the input Holt q302
+    // doesn't model): per-priority monthly order counts; trend is the
+    // centered 12-month MA ((y₋₆/2 + Σ±5 + y₊₆/2)/12 — exact integer
+    // window sums, null at the edges), detrended values are
+    // decimal-quantized before the month-of-year means, seasonal
+    // components CENTER to zero-sum per key, residual closes the
+    // identity. All windows partition by key over the bounded month
+    // domain.
+    "q317_seasonal_decompose" -> { (s, d) =>
+      import graft.Caching.ScopedPersist
+      val m = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority").as("prio"),
+          (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+            .cast("long").as("ym"),
+          month(col("o_orderdate")).cast("long").as("moy"))
+        .agg(count(lit(1)).as("y"))
+      val w = Window.partitionBy(col("prio")).orderBy(col("ym"))
+      // centered-MA trend (l6 + 2·s11 + f6)/24 kept as an EXACT
+      // integer numerator (denominator 24), so the detrended values
+      // sum exactly per month-of-year — no ROUND-at-scale-6 inside
+      // the computation (the midpoint-semantics trap: Spark HALF_UP
+      // vs DuckDB float-multiply diverge on near-midpoint doubles)
+      val det = m
+        .withColumn("l6", lag(col("y"), 6).over(w))
+        .withColumn("f6", lead(col("y"), 6).over(w))
+        .withColumn("s11", sum(col("y")).over(
+          w.rowsBetween(-5, 5)))
+        .withColumn("dnum", expr("24 * y - (l6 + 2 * s11 + f6)"))
+        .scopedPersist() // consumers: seasonal means + output join
+      val s0 = det.filter(col("dnum").isNotNull)
+        .groupBy(col("prio"), col("moy"))
+        .agg(count(lit(1)).as("cnt"), sum(col("dnum")).as("sdnum"))
+        .withColumn("s_raw",
+          expr("CAST(sdnum AS DOUBLE) / (24.0 * cnt)"))
+      val ctr = s0.groupBy(col("prio"))
+        .agg(sum(expr("CAST(ROUND(s_raw, 12) AS DECIMAL(24,12))"))
+          .as("ssum"), count(lit(1)).as("cm"))
+        .withColumn("adj", expr("CAST(ssum AS DOUBLE) / cm"))
+        .select(col("prio"), col("adj"))
+      val seas = s0.join(broadcast(ctr), "prio")
+        .select(col("prio"), col("moy"),
+          expr("s_raw - adj").as("seasonal"))
+      det.join(broadcast(seas), Seq("prio", "moy"), "left")
+        .select(col("prio"), col("ym").as("month"), col("y"),
+          expr("ROUND(CAST(l6 + 2 * s11 + f6 AS DOUBLE) / 24.0, 6)")
+            .as("trend"),
+          round(col("seasonal"), 6).as("seasonal"),
+          expr("ROUND(CAST(dnum AS DOUBLE) / 24.0 - seasonal, 6)")
+            .as("residual"))
+        .orderBy(col("prio"), col("month"))
     }
   )
 
@@ -3109,6 +3212,94 @@ object StatsQueries {
         |SELECT source, CAST(decile AS BIGINT) AS decile, n_docs, chars,
         |  ROUND(CAST(cn AS DOUBLE) / nn, 6) AS cum_pop_share,
         |  ROUND(CAST(cm AS DOUBLE) / tm, 6) AS cum_mass_share
-        |FROM c ORDER BY source, decile""".stripMargin
+        |FROM c ORDER BY source, decile""".stripMargin,
+
+    "q316_rater_pairs" -> {
+      val p = graft.functions.PValues.twoSidedP("sqrt(chi2r)")
+      s"""WITH r AS (SELECT
+         |    CASE WHEN length(text) >= 300 THEN 1 ELSE 0 END AS r1,
+         |    CASE WHEN length(text) - length(replace(text, ' ', '')) + 1
+         |      >= 60 THEN 1 ELSE 0 END AS r2,
+         |    CASE WHEN length(text) < 8 * (length(text)
+         |      - length(replace(text, ' ', '')) + 1) THEN 1 ELSE 0 END
+         |      AS r3
+         |  FROM documents),
+         |ag AS (SELECT
+         |    CAST(SUM(CASE WHEN r1 = 1 AND r2 = 1 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS a12,
+         |    CAST(SUM(CASE WHEN r1 = 1 AND r2 = 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS b12,
+         |    CAST(SUM(CASE WHEN r1 = 0 AND r2 = 1 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS c12,
+         |    CAST(SUM(CASE WHEN r1 = 0 AND r2 = 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS d12,
+         |    CAST(SUM(CASE WHEN r1 = 1 AND r3 = 1 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS a13,
+         |    CAST(SUM(CASE WHEN r1 = 1 AND r3 = 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS b13,
+         |    CAST(SUM(CASE WHEN r1 = 0 AND r3 = 1 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS c13,
+         |    CAST(SUM(CASE WHEN r1 = 0 AND r3 = 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS d13,
+         |    CAST(SUM(CASE WHEN r2 = 1 AND r3 = 1 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS a23,
+         |    CAST(SUM(CASE WHEN r2 = 1 AND r3 = 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS b23,
+         |    CAST(SUM(CASE WHEN r2 = 0 AND r3 = 1 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS c23,
+         |    CAST(SUM(CASE WHEN r2 = 0 AND r3 = 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS d23
+         |  FROM r),
+         |u AS (SELECT 'r1_vs_r2' AS pair, a12 AS a, b12 AS b, c12 AS c,
+         |    d12 AS d FROM ag
+         |  UNION ALL SELECT 'r1_vs_r3', a13, b13, c13, d13 FROM ag
+         |  UNION ALL SELECT 'r2_vs_r3', a23, b23, c23, d23 FROM ag),
+         |u2 AS (SELECT *, a + b + c + d AS n FROM u),
+         |u3 AS (SELECT *,
+         |    CASE WHEN b + c = 0 THEN 0.0
+         |      ELSE ROUND(pow(CAST(b - c AS DOUBLE), 2.0) / (b + c), 6)
+         |      END AS chi2r,
+         |    CAST(a + d AS DOUBLE) / n AS po,
+         |    (CAST(a + b AS DOUBLE) / n) * (CAST(a + c AS DOUBLE) / n)
+         |      + (CAST(c + d AS DOUBLE) / n) * (CAST(b + d AS DOUBLE) / n)
+         |      AS pe
+         |  FROM u2)
+         |SELECT pair, a, b, c, d, chi2r AS chi2_mcnemar,
+         |  ROUND($p, 10) AS p_value, ROUND(po, 6) AS agreement,
+         |  ROUND((po - pe) / (1.0 - pe), 6) AS cohens_kappa
+         |FROM u3 ORDER BY pair""".stripMargin
+    },
+
+    "q317_seasonal_decompose" ->
+      """WITH m AS (SELECT o_orderpriority AS prio,
+        |    CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)
+        |      AS ym,
+        |    CAST(month(o_orderdate) AS BIGINT) AS moy,
+        |    CAST(COUNT(*) AS BIGINT) AS y
+        |  FROM orders GROUP BY 1, 2, 3),
+        |t AS (SELECT *,
+        |    lag(y, 6) OVER (PARTITION BY prio ORDER BY ym) AS l6,
+        |    lead(y, 6) OVER (PARTITION BY prio ORDER BY ym) AS f6,
+        |    CAST(SUM(y) OVER (PARTITION BY prio ORDER BY ym
+        |      ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING) AS BIGINT) AS s11
+        |  FROM m),
+        |t3 AS (SELECT *, 24 * y - (l6 + 2 * s11 + f6) AS dnum FROM t),
+        |s0 AS (SELECT prio, moy, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |    CAST(SUM(dnum) AS BIGINT) AS sdnum
+        |  FROM t3 WHERE dnum IS NOT NULL GROUP BY prio, moy),
+        |s1 AS (SELECT *, CAST(sdnum AS DOUBLE) / (24.0 * cnt) AS s_raw
+        |  FROM s0),
+        |ctr AS (SELECT prio, CAST(SUM(CAST(ROUND(s_raw, 12)
+        |    AS DECIMAL(24,12))) AS DOUBLE) / COUNT(*) AS adj
+        |  FROM s1 GROUP BY prio),
+        |seas AS (SELECT s1.prio, s1.moy, s_raw - adj AS seasonal
+        |  FROM s1 JOIN ctr ON s1.prio = ctr.prio)
+        |SELECT t3.prio, ym AS month, y,
+        |  ROUND(CAST(l6 + 2 * s11 + f6 AS DOUBLE) / 24.0, 6) AS trend,
+        |  ROUND(seasonal, 6) AS seasonal,
+        |  ROUND(CAST(dnum AS DOUBLE) / 24.0 - seasonal, 6) AS residual
+        |FROM t3 LEFT JOIN seas ON t3.prio = seas.prio
+        |  AND t3.moy = seas.moy
+        |ORDER BY t3.prio, month""".stripMargin
   )
 }

@@ -238,4 +238,49 @@ class Round15cSpec extends SparkSpecBase {
       }
     }
   }
+
+  test("q316: 2x2 cells partition the corpus; margins match q304's keeps") {
+    val rows = queries.StatsQueries.queries("q316_rater_pairs")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(8))).toMap
+    val q304 = queries.StatsQueries.queries("q304_fleiss_kappa")(spark, sf)
+      .collect()(0)
+    val (n, k1, k2, k3) = (q304.getLong(0), q304.getLong(1),
+      q304.getLong(2), q304.getLong(3))
+    rows.foreach { case (pair, (a, b, c, d, kappa)) =>
+      assert(a + b + c + d == n, s"$pair: cells must partition the corpus")
+      assert(kappa <= 1.0 + 1e-9)
+    }
+    // marginal cross-check against the independent q304 keep counts
+    val (a12, b12, _, _, _) = rows("r1_vs_r2")
+    val (a13, b13, c13, _, _) = rows("r1_vs_r3")
+    val (a23, b23, _, _, _) = rows("r2_vs_r3")
+    assert(a12 + b12 == k1 && a13 + b13 == k1, "r1 margin")
+    assert(a23 + b23 == k2, "r2 margin")
+    assert(a13 + c13 == k3, "r3 margin")
+  }
+
+  test("q317: y = trend + seasonal + residual; seasonal centers to zero") {
+    val rows = queries.StatsQueries.queries(
+      "q317_seasonal_decompose")(spark, sf).collect()
+    rows.filter(!_.isNullAt(3)).foreach { r =>
+      val recon = r.getDouble(3) + r.getDouble(4) + r.getDouble(5)
+      assert(math.abs(recon - r.getLong(2)) < 3e-6,
+        s"${r.getString(0)}/${r.getLong(1)}: $recon != ${r.getLong(2)}")
+    }
+    rows.groupBy(_.getString(0)).foreach { case (prio, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      // centered MA undefined for exactly the first and last 6 months
+      assert(sorted.take(6).forall(_.isNullAt(3)) &&
+        sorted.takeRight(6).forall(_.isNullAt(3)), s"$prio: edge nulls")
+      assert(sorted.drop(6).dropRight(6).forall(!_.isNullAt(3)),
+        s"$prio: interior trend defined")
+      // one seasonal component per month-of-year, centered to ~zero
+      val seasByMoy = sorted.filter(!_.isNullAt(4))
+        .map(r => (r.getLong(1) % 100) -> r.getDouble(4)).distinct
+      assert(math.abs(seasByMoy.map(_._2).sum) < 2e-5,
+        s"$prio: seasonal must center to zero")
+    }
+  }
 }
