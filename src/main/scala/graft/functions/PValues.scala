@@ -17,13 +17,21 @@ package graft.functions
   */
 object PValues {
 
-  /** SQL text for the two-sided normal p-value of expression `z`. */
+  /** SQL text for the two-sided normal p-value of expression `z`.
+    * Every literal is CAST AS DOUBLE so the whole chain is pure IEEE
+    * Horner — bare decimal literals would pull stages into DECIMAL
+    * arithmetic with engine-specific scale rules (and would diverge
+    * from the Scala twin in streaming/SrmMonitor, which is spec-pinned
+    * bit-identical to this text). */
   def twoSidedP(z: String): String = {
-    val t = s"(1.0 / (1.0 + 0.2316419 * abs($z)))"
-    val poly = s"($t * (0.31938153 + $t * (-0.356563782 + $t * " +
-      s"(1.781477937 + $t * (-1.821255978 + $t * 1.330274429)))))"
+    def d(x: String) = s"CAST($x AS DOUBLE)"
+    val t = s"(${d("1.0")} / (${d("1.0")} + ${d("0.2316419")} * abs($z)))"
+    val poly = s"($t * (${d("0.31938153")} + $t * (${d("-0.356563782")}" +
+      s" + $t * (${d("1.781477937")} + $t * (${d("-1.821255978")}" +
+      s" + $t * ${d("1.330274429")})))))"
     // least() clamps the ≤7.5e-8 approximation overshoot at z≈0
     // (where 2·(1−Φ) brushes 1.0) so consumers can rely on p ∈ [0,1]
-    s"least(1.0, 2.0 * exp(-($z) * ($z) / 2.0) * 0.3989422804014327 * $poly)"
+    s"least(${d("1.0")}, ${d("2.0")} * exp(-($z) * ($z) / ${d("2.0")})" +
+      s" * ${d("0.3989422804014327")} * $poly)"
   }
 }

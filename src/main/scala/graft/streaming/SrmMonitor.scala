@@ -1,0 +1,102 @@
+package graft.streaming
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+
+/** Streaming SAMPLE-RATIO-MISMATCH monitor — the online form of
+  * q314's batch SRM gate: as assignment events arrive, each
+  * experiment's running (arm0, arm1) counts update and every
+  * micro-batch emits one health row with the 1-df chi-square against
+  * the expected 50/50 split and its p-value. An experiment whose
+  * split drifts improbably off flags within minutes of the
+  * assignment-pipeline bug landing, instead of at the end-of-week
+  * readout — the difference between discarding one day and
+  * discarding the whole experiment.
+  *
+  * State is one 16-byte ValueState row per experiment — (n0, n1) in
+  * an explicit DataOutputStream layout (the QuantileMonitor
+  * version-stability discipline) — O(#experiments), independent of
+  * stream length. Counts are commutative, so unlike the CUSUM fold
+  * no within-batch ordering is needed: replay is emission-identical
+  * under any shuffle arrival order by construction.
+  *
+  * The p-value evaluates the SAME Abramowitz–Stegun 26.2.17 tail
+  * polynomial the batch engines share via `functions/PValues` —
+  * implemented here in Scala with the identical coefficient chain,
+  * so the streaming flag and the q314 batch flag can never disagree
+  * on the same counts (spec-pinned against the SQL evaluation).
+  */
+object SrmMonitor {
+
+  case class Assign(experiment: String, tsMicros: Long, id: Long, arm: Int)
+  case class Health(experiment: String, n0: Long, n1: Long,
+                    chi2: Double, pValue: Double, srmFlag: Boolean)
+
+  /** Two-sided normal tail p — the Scala twin of PValues.twoSidedP
+    * (same A&S 26.2.17 coefficients, same least-clamp). */
+  private[graft] def twoSidedP(z: Double): Double = {
+    val t = 1.0 / (1.0 + 0.2316419 * math.abs(z))
+    val poly = t * (0.31938153 + t * (-0.356563782 + t *
+      (1.781477937 + t * (-1.821255978 + t * 1.330274429))))
+    math.min(1.0,
+      2.0 * math.exp(-z * z / 2.0) * 0.3989422804014327 * poly)
+  }
+
+  private[graft] def pack(n0: Long, n1: Long): Array[Byte] = {
+    val bos = new ByteArrayOutputStream(16)
+    val out = new DataOutputStream(bos)
+    out.writeLong(n0); out.writeLong(n1); out.flush()
+    bos.toByteArray
+  }
+
+  private[graft] def unpack(b: Array[Byte]): (Long, Long) = {
+    val in = new DataInputStream(new ByteArrayInputStream(b))
+    (in.readLong(), in.readLong())
+  }
+
+  /** Health verdict from cumulative counts — shared by the processor
+    * and the spec's golden model. χ² against 50/50 reduces to
+    * (n0−n1)²/n. */
+  private[graft] def verdict(experiment: String, n0: Long, n1: Long,
+                             alpha: Double): Health = {
+    val n = n0 + n1
+    val chi2 =
+      if (n == 0) 0.0
+      else {
+        val d = (n0 - n1).toDouble
+        d * d / n
+      }
+    val p = twoSidedP(math.sqrt(chi2))
+    Health(experiment, n0, n1, chi2, p, p < alpha)
+  }
+
+  class SrmProcessor(alpha: Double)
+      extends StatefulProcessor[String, Assign, Health] {
+    @transient private var state: ValueState[Array[Byte]] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[Array[Byte]]("srm",
+        Encoders.BINARY, TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[Assign],
+                                 timerValues: TimerValues): Iterator[Health] = {
+      var (n0, n1) = if (state.exists()) unpack(state.get()) else (0L, 0L)
+      rows.foreach { a => if (a.arm == 1) n1 += 1 else n0 += 1 }
+      state.update(pack(n0, n1))
+      Iterator.single(verdict(key, n0, n1, alpha))
+    }
+  }
+
+  /** Wire an assignment stream through the processor; one health row
+    * per (experiment, micro-batch). */
+  def monitor(assignments: Dataset[Assign],
+              alpha: Double = 0.001): Dataset[Health] = {
+    import assignments.sparkSession.implicits._
+    require(alpha > 0.0 && alpha < 1.0, "0 < alpha < 1")
+    assignments.groupByKey(_.experiment)
+      .transformWithState(new SrmProcessor(alpha),
+        TimeMode.None(), OutputMode.Append())
+  }
+}
