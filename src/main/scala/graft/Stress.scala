@@ -360,7 +360,24 @@ object Stress {
       try Files.readString(Paths.get("/proc/loadavg")).trim.split(" ").head.toDouble
       catch { case _: Throwable => -1.0 }
 
-    def timed(name: String, mk: => DataFrame): String = {
+    // Crash containment (round 15): a single entry that dies — e.g.
+    // the 2M exact set-sim join hitting execution-memory exhaustion
+    // under concurrent machine load — must cost ITS datapoint, not the
+    // whole 40-minute artifact. The error lands in the JSON so the
+    // gap is visible, never silent.
+    def timed(name: String, mk: => DataFrame): String =
+      try timedUnsafe(name, mk)
+      catch {
+        case e: Throwable =>
+          val msg = s"${e.getClass.getSimpleName}: " +
+            String.valueOf(e.getMessage).replaceAll("[\"\\\\\\n\\r\\t]", " ")
+              .take(160)
+          val line = s""""$name":{"error":"$msg"}"""
+          println(s"[stress] $line")
+          line
+      }
+
+    def timedUnsafe(name: String, mk: => DataFrame): String = {
       spark.catalog.clearCache()
       val tally = new ShuffleTally
       spark.sparkContext.addSparkListener(tally)
@@ -414,7 +431,13 @@ object Stress {
       // the full corpus), the fully-integer MAD (two value-domain
       // windows), and the vocab-coverage rank sweep (word explode +
       // distributed rank, the q195/q196 width)
-      "q274_seq_packing", "q285_mad", "q295_vocab_curve")
+      "q274_seq_packing", "q285_mad", "q295_vocab_curve",
+      // round 15 batches 3-5: the exact-pair-free effect size (Cliff's
+      // delta: all 501k×rest cross pairs from value-domain cumulative
+      // products, no pair join), the union-frame asof mapping
+      // (quantile normalization), and the value-domain decile ranking
+      // (lift table) — the three new window shapes at corpus width
+      "q305_cliffs_delta", "q303_quantile_normalize", "q312_lift_deciles")
     val qResults = docQueries.map { name =>
       timed(name, SparkEntry.queries(name)(spark, stressDir))
     }

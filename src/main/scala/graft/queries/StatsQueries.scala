@@ -1689,7 +1689,7 @@ object StatsQueries {
         .agg(count(lit(1)).as("m"), sum(col("ev")).as("dd"))
         .scopedPersist() // consumers: grid spine + the measure join
       val grid = byTG.select(col("t")).distinct()
-        .crossJoin(byTG.select(col("g")).distinct())
+        .crossJoin(broadcast(byTG.select(col("g")).distinct()))
       val full = grid.join(byTG, Seq("t", "g"), "left")
         .na.fill(0L, Seq("m", "dd"))
         .withColumn("cb", coalesce(sum(col("m")).over(
@@ -1844,6 +1844,128 @@ object StatsQueries {
           expr("ROUND(CAST(cn AS DOUBLE) / nn, 6)").as("cum_pop_share"),
           expr("ROUND(CAST(cm AS DOUBLE) / tm, 6)").as("cum_mass_share"))
         .orderBy(col("source"), col("decile"))
+    },
+
+    // §2.3 (round 15) — KRUSKAL–WALLIS omnibus rank test (KW '52;
+    // the k-group extension of q260's per-source Mann–Whitney: ONE
+    // test for "do ANY of the sources differ in length
+    // distribution", run before the per-source drill-down + q301's
+    // BH correction): doubled midranks on the value domain (the q260
+    // r2 = 2·cb + m + 1 machinery, all exact integers), per-group
+    // doubled rank-sums exact BIGINTs, the Σ R²/n terms and the tie
+    // correction Σ(t³−t) evaluated as quantized decimals over the
+    // bounded group/value domains.
+    "q318_kruskal_wallis" -> { (s, d) =>
+      import graft.Caching.ScopedPersist
+      val vc = Tables.documents(s, d)
+        .groupBy(col("source"), col("n_chars").as("v"))
+        .agg(count(lit(1)).as("c"))
+        .scopedPersist() // consumers: value domain + per-group sums
+      val dom = vc.groupBy(col("v")).agg(sum(col("c")).as("m"))
+        .withColumn("cb", coalesce(sum(col("m")).over(
+          Window.orderBy(col("v"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("r2", lit(2) * col("cb") + col("m") + 1)
+      val ties = dom.agg(sum(col("m")).as("nn"),
+        sum(col("m") * col("m") * col("m") - col("m")).as("tsum"))
+      val per = vc.join(dom.select(col("v"), col("r2")), "v")
+        .groupBy(col("source"))
+        .agg(sum(col("c")).as("n_s"), sum(col("c") * col("r2")).as("r2_s"))
+      val terms = per.crossJoin(broadcast(ties))
+        .withColumn("term", expr(
+          "CAST(ROUND(CAST(r2_s AS DOUBLE) * r2_s / (4.0 * n_s), 12)" +
+            " AS DECIMAL(38,12))"))
+      terms.agg(count(lit(1)).as("k"), max(col("nn")).as("nn"),
+        max(col("tsum")).as("tsum"), sum(col("term")).as("sr"))
+        .withColumn("h", expr(
+          "12.0 / (CAST(nn AS DOUBLE) * (nn + 1)) * CAST(sr AS DOUBLE)" +
+            " - 3.0 * (nn + 1)"))
+        .select(col("k").as("n_groups"), col("nn").as("n_docs"),
+          (col("k") - 1).as("df"), round(col("h"), 6).as("h_stat"),
+          expr("ROUND(h / (1.0 - CAST(tsum AS DOUBLE)" +
+            " / (CAST(nn AS DOUBLE) * nn * nn - nn)), 6)")
+            .as("h_tie_corrected"))
+    },
+
+    // §2.3 (round 15) — ONE-WAY ANOVA F (Fisher; the parametric
+    // omnibus next to q318's rank form, and the source of the
+    // variance-explained η² a mixing report quotes): SSB/SSW from
+    // EXACT integer moments (Σx, Σx² per source — the q254
+    // discipline), per-group terms quantized before the bounded
+    // group-domain sums, F and η² as terminal IEEE chains.
+    "q319_anova_f" -> { (s, d) =>
+      val per = Tables.documents(s, d).groupBy(col("source"))
+        .agg(count(lit(1)).as("n_s"), sum(col("n_chars")).as("sx"),
+          sum(col("n_chars") * col("n_chars")).as("sxx"))
+      val tot = per.agg(sum(col("n_s")).as("nn"), sum(col("sx")).as("tsx"),
+        sum(col("sxx")).as("tsxx"), count(lit(1)).as("k"))
+      per.crossJoin(broadcast(tot))
+        .withColumn("ssb_dec", expr(
+          "CAST(ROUND(n_s * pow(CAST(sx AS DOUBLE) / n_s" +
+            " - CAST(tsx AS DOUBLE) / nn, 2.0), 12) AS DECIMAL(38,12))"))
+        .withColumn("ssw_dec", expr(
+          "CAST(ROUND(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx" +
+            " / n_s, 12) AS DECIMAL(38,12))"))
+        .groupBy()
+        .agg(max(col("k")).as("k"), max(col("nn")).as("nn"),
+          max(col("tsx")).as("tsx"), max(col("tsxx")).as("tsxx"),
+          sum(col("ssb_dec")).as("ssb"), sum(col("ssw_dec")).as("ssw"))
+        .select(col("k").as("n_groups"), col("nn").as("n_docs"),
+          (col("k") - 1).as("df_between"),
+          (col("nn") - col("k")).as("df_within"),
+          expr("ROUND(CAST(ssb AS DOUBLE), 4)").as("ss_between"),
+          expr("ROUND(CAST(ssw AS DOUBLE), 4)").as("ss_within"),
+          expr("ROUND((CAST(ssb AS DOUBLE) / (k - 1))" +
+            " / (CAST(ssw AS DOUBLE) / (nn - k)), 6)").as("f_stat"),
+          expr("ROUND(CAST(ssb AS DOUBLE)" +
+            " / (CAST(ssb AS DOUBLE) + CAST(ssw AS DOUBLE)), 6)")
+            .as("eta_squared"))
+    },
+
+    // §2.3 (round 15) — BROWN–FORSYTHE variance-homogeneity test (BF
+    // '74; Levene with the MEDIAN center — the robust "are the
+    // spreads equal" gate that decides whether q319's pooled-variance
+    // F or q254's Welch form is the right comparison): per-source
+    // medians are exact nearest-rank value-domain picks (the q285
+    // integer-MAD discipline), |x − med| stays an exact integer, and
+    // the one-way F on those deviations reuses the exact-moment
+    // machinery end to end.
+    "q320_brown_forsythe" -> { (s, d) =>
+      import graft.Caching.ScopedPersist
+      val vc = Tables.documents(s, d)
+        .groupBy(col("source"), col("n_chars").as("v"))
+        .agg(count(lit(1)).as("c"))
+        .scopedPersist() // consumers: median pick + deviation moments
+      val med = vc
+        .withColumn("cum", sum(col("c")).over(
+          Window.partitionBy(col("source")).orderBy(col("v"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("n_s", sum(col("c")).over(
+          Window.partitionBy(col("source"))))
+        .groupBy(col("source"))
+        .agg(min(when(col("cum") * 2 >= col("n_s"), col("v"))).as("med"))
+      val dev = vc.join(broadcast(med), "source")
+        .withColumn("z", abs(col("v") - col("med")))
+        .groupBy(col("source"))
+        .agg(sum(col("c")).as("n_s"), sum(col("c") * col("z")).as("sz"),
+          sum(col("c") * col("z") * col("z")).as("szz"))
+      val tot = dev.agg(sum(col("n_s")).as("nn"), sum(col("sz")).as("tsz"),
+        sum(col("szz")).as("tszz"), count(lit(1)).as("k"))
+      dev.crossJoin(broadcast(tot))
+        .withColumn("ssb_dec", expr(
+          "CAST(ROUND(n_s * pow(CAST(sz AS DOUBLE) / n_s" +
+            " - CAST(tsz AS DOUBLE) / nn, 2.0), 12) AS DECIMAL(38,12))"))
+        .withColumn("ssw_dec", expr(
+          "CAST(ROUND(CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * sz" +
+            " / n_s, 12) AS DECIMAL(38,12))"))
+        .groupBy()
+        .agg(max(col("k")).as("k"), max(col("nn")).as("nn"),
+          sum(col("ssb_dec")).as("ssb"), sum(col("ssw_dec")).as("ssw"))
+        .select(col("k").as("n_groups"), col("nn").as("n_docs"),
+          (col("k") - 1).as("df_between"),
+          (col("nn") - col("k")).as("df_within"),
+          expr("ROUND((CAST(ssb AS DOUBLE) / (k - 1))" +
+            " / (CAST(ssw AS DOUBLE) / (nn - k)), 6)").as("f_stat"))
     },
 
     // §2.3 (round 15) — PAIRWISE RATER AGREEMENT: McNemar's paired
@@ -3213,6 +3335,97 @@ object StatsQueries {
         |  ROUND(CAST(cn AS DOUBLE) / nn, 6) AS cum_pop_share,
         |  ROUND(CAST(cm AS DOUBLE) / tm, 6) AS cum_mass_share
         |FROM c ORDER BY source, decile""".stripMargin,
+
+    "q318_kruskal_wallis" ->
+      """WITH vc AS (SELECT source, n_chars AS v,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |dom0 AS (SELECT v, CAST(SUM(c) AS BIGINT) AS m FROM vc GROUP BY v),
+        |dom AS (SELECT v, m, CAST(COALESCE(SUM(m) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS cb FROM dom0),
+        |dom2 AS (SELECT v, m, 2 * cb + m + 1 AS r2 FROM dom),
+        |ties AS (SELECT CAST(SUM(m) AS BIGINT) AS nn,
+        |  CAST(SUM(m * m * m - m) AS BIGINT) AS tsum FROM dom2),
+        |per AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_s,
+        |    CAST(SUM(c * r2) AS BIGINT) AS r2_s
+        |  FROM vc JOIN dom2 USING (v) GROUP BY source),
+        |terms AS (SELECT n_s, r2_s, nn, tsum,
+        |    CAST(ROUND(CAST(r2_s AS DOUBLE) * r2_s / (4.0 * n_s), 12)
+        |      AS DECIMAL(38,12)) AS term
+        |  FROM per CROSS JOIN ties),
+        |ag AS (SELECT CAST(COUNT(*) AS BIGINT) AS k, MAX(nn) AS nn,
+        |  MAX(tsum) AS tsum, SUM(term) AS sr FROM terms),
+        |h0 AS (SELECT *, 12.0 / (CAST(nn AS DOUBLE) * (nn + 1))
+        |    * CAST(sr AS DOUBLE) - 3.0 * (nn + 1) AS h FROM ag)
+        |SELECT k AS n_groups, nn AS n_docs, k - 1 AS df,
+        |  ROUND(h, 6) AS h_stat,
+        |  ROUND(h / (1.0 - CAST(tsum AS DOUBLE)
+        |    / (CAST(nn AS DOUBLE) * nn * nn - nn)), 6) AS h_tie_corrected
+        |FROM h0""".stripMargin,
+
+    "q319_anova_f" ->
+      """WITH per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s,
+        |    CAST(SUM(n_chars) AS BIGINT) AS sx,
+        |    CAST(SUM(n_chars * n_chars) AS BIGINT) AS sxx
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(SUM(n_s) AS BIGINT) AS nn,
+        |  CAST(SUM(sx) AS BIGINT) AS tsx,
+        |  CAST(COUNT(*) AS BIGINT) AS k FROM per),
+        |t AS (SELECT *,
+        |    CAST(ROUND(n_s * pow(CAST(sx AS DOUBLE) / n_s
+        |      - CAST(tsx AS DOUBLE) / nn, 2.0), 12)
+        |      AS DECIMAL(38,12)) AS ssb_dec,
+        |    CAST(ROUND(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx
+        |      / n_s, 12) AS DECIMAL(38,12)) AS ssw_dec
+        |  FROM per CROSS JOIN tot),
+        |ag AS (SELECT MAX(k) AS k, MAX(nn) AS nn, SUM(ssb_dec) AS ssb,
+        |  SUM(ssw_dec) AS ssw FROM t)
+        |SELECT k AS n_groups, nn AS n_docs, k - 1 AS df_between,
+        |  nn - k AS df_within,
+        |  ROUND(CAST(ssb AS DOUBLE), 4) AS ss_between,
+        |  ROUND(CAST(ssw AS DOUBLE), 4) AS ss_within,
+        |  ROUND((CAST(ssb AS DOUBLE) / (k - 1))
+        |    / (CAST(ssw AS DOUBLE) / (nn - k)), 6) AS f_stat,
+        |  ROUND(CAST(ssb AS DOUBLE)
+        |    / (CAST(ssb AS DOUBLE) + CAST(ssw AS DOUBLE)), 6)
+        |    AS eta_squared
+        |FROM ag""".stripMargin,
+
+    "q320_brown_forsythe" ->
+      """WITH vc AS (SELECT source, n_chars AS v,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |mm AS (SELECT source, v, c,
+        |    CAST(SUM(c) OVER (PARTITION BY source ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum,
+        |    CAST(SUM(c) OVER (PARTITION BY source) AS BIGINT) AS n_s
+        |  FROM vc),
+        |med AS (SELECT source, MIN(CASE WHEN cum * 2 >= n_s THEN v END)
+        |    AS med FROM mm GROUP BY source),
+        |dev AS (SELECT vc.source, CAST(SUM(c) AS BIGINT) AS n_s,
+        |    CAST(SUM(c * abs(v - med)) AS BIGINT) AS sz,
+        |    CAST(SUM(c * abs(v - med) * abs(v - med)) AS BIGINT) AS szz
+        |  FROM vc JOIN med ON vc.source = med.source
+        |  GROUP BY vc.source),
+        |tot AS (SELECT CAST(SUM(n_s) AS BIGINT) AS nn,
+        |  CAST(SUM(sz) AS BIGINT) AS tsz, CAST(COUNT(*) AS BIGINT) AS k
+        |  FROM dev),
+        |t AS (SELECT *,
+        |    CAST(ROUND(n_s * pow(CAST(sz AS DOUBLE) / n_s
+        |      - CAST(tsz AS DOUBLE) / nn, 2.0), 12)
+        |      AS DECIMAL(38,12)) AS ssb_dec,
+        |    CAST(ROUND(CAST(szz AS DOUBLE) - CAST(sz AS DOUBLE) * sz
+        |      / n_s, 12) AS DECIMAL(38,12)) AS ssw_dec
+        |  FROM dev CROSS JOIN tot),
+        |ag AS (SELECT MAX(k) AS k, MAX(nn) AS nn, SUM(ssb_dec) AS ssb,
+        |  SUM(ssw_dec) AS ssw FROM t)
+        |SELECT k AS n_groups, nn AS n_docs, k - 1 AS df_between,
+        |  nn - k AS df_within,
+        |  ROUND((CAST(ssb AS DOUBLE) / (k - 1))
+        |    / (CAST(ssw AS DOUBLE) / (nn - k)), 6) AS f_stat
+        |FROM ag""".stripMargin,
 
     "q316_rater_pairs" -> {
       val p = graft.functions.PValues.twoSidedP("sqrt(chi2r)")
