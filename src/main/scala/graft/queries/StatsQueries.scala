@@ -1968,6 +1968,80 @@ object StatsQueries {
             " / (CAST(ssw AS DOUBLE) / (nn - k)), 6)").as("f_stat"))
     },
 
+    // §2.3 (round 15) — POST-HOC PAIRWISE COMPARISONS with the pooled
+    // ANOVA error (the Tukey-HSD shape: after q319 says "some source
+    // differs", WHICH pairs differ?): every source pair's mean
+    // difference standardized by √(MSW·(1/n_a+1/n_b)) — MSW from the
+    // same exact-moment SSW as q319. The pair table is |sources|²
+    // rows (dimension-sized); moments ride in via ONE groupBy + a
+    // 1-row broadcast; no corpus re-scan per pair.
+    "q321_tukey_pairs" -> { (s, d) =>
+      import graft.Caching.ScopedPersist
+      val per = Tables.documents(s, d).groupBy(col("source"))
+        .agg(count(lit(1)).as("n_s"), sum(col("n_chars")).as("sx"),
+          sum(col("n_chars") * col("n_chars")).as("sxx"))
+        .scopedPersist() // consumers: MSW + both pair sides
+      val msw = per
+        .withColumn("ssw_dec", expr(
+          "CAST(ROUND(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx" +
+            " / n_s, 12) AS DECIMAL(38,12))"))
+        .agg(sum(col("ssw_dec")).as("ssw"), sum(col("n_s")).as("nn"),
+          count(lit(1)).as("k"))
+        .select(expr("CAST(ssw AS DOUBLE) / (nn - k)").as("msw"))
+      val a = per.select(col("source").as("source_a"),
+        col("n_s").as("n_a"), col("sx").as("sx_a"))
+      val b = per.select(col("source").as("source_b"),
+        col("n_s").as("n_b"), col("sx").as("sx_b"))
+      a.join(b, col("source_a") < col("source_b"))
+        .crossJoin(broadcast(msw))
+        .withColumn("diff", expr(
+          "CAST(sx_a AS DOUBLE) / n_a - CAST(sx_b AS DOUBLE) / n_b"))
+        .withColumn("se", expr(
+          "sqrt(msw * (1.0 / n_a + 1.0 / n_b))"))
+        .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+          round(col("diff"), 6).as("mean_diff"),
+          round(col("se"), 6).as("std_err"),
+          expr("ROUND(diff / se, 6)").as("t_stat"))
+        .orderBy(col("source_a"), col("source_b"))
+    },
+
+    // §2.4 (round 15) — GUMBEL EXTREME-VALUE fit on block maxima
+    // (Gumbel '58, method of moments: β̂ = s·√6/π, μ̂ = x̄ − γ·β̂):
+    // monthly maxima of order value per priority are EXACT integer
+    // cents (one partial-agg groupBy), their moments exact integer
+    // sums over the bounded month domain, and the fitted location /
+    // scale / 99% return level are terminal IEEE chains — the
+    // capacity-planning read ("how big an order should next year's
+    // worst month expect") that a plain p99 over all orders
+    // understates by construction.
+    "q322_gumbel_evt" -> { (s, d) =>
+      val bm = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority").as("prio"),
+          (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+            .cast("long").as("ym"))
+        .agg(max(round(col("o_totalprice") * 100, 0).cast("long")).as("bm"))
+      bm.groupBy(col("prio"))
+        .agg(count(lit(1)).as("n_blocks"), sum(col("bm")).as("s1"),
+          sum(col("bm") * col("bm")).as("s2"))
+        .withColumn("mean", expr("CAST(s1 AS DOUBLE) / n_blocks"))
+        .withColumn("sd", expr(
+          "sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1" +
+            " / n_blocks) / (n_blocks - 1))"))
+        .withColumn("beta", expr(
+          "sd * sqrt(CAST(6.0 AS DOUBLE)) / CAST(3.141592653589793" +
+            " AS DOUBLE)"))
+        .withColumn("mu", expr(
+          "mean - CAST(0.5772156649015329 AS DOUBLE) * beta"))
+        .select(col("prio"), col("n_blocks"),
+          round(col("mean"), 6).as("mean_block_max"),
+          round(col("sd"), 6).as("sd_block_max"),
+          round(col("mu"), 6).as("gumbel_mu"),
+          round(col("beta"), 6).as("gumbel_beta"),
+          expr("ROUND(mu - beta * ln(-ln(CAST(0.99 AS DOUBLE))), 6)")
+            .as("p99_return_level"))
+        .orderBy(col("prio"))
+    },
+
     // §2.3 (round 15) — PAIRWISE RATER AGREEMENT: McNemar's paired
     // test (McNemar '47 — do two quality rules disagree
     // SYSTEMATICALLY, i.e. is one strictly stricter, which the
@@ -3426,6 +3500,54 @@ object StatsQueries {
         |  ROUND((CAST(ssb AS DOUBLE) / (k - 1))
         |    / (CAST(ssw AS DOUBLE) / (nn - k)), 6) AS f_stat
         |FROM ag""".stripMargin,
+
+    "q321_tukey_pairs" ->
+      """WITH per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s,
+        |    CAST(SUM(n_chars) AS BIGINT) AS sx,
+        |    CAST(SUM(n_chars * n_chars) AS BIGINT) AS sxx
+        |  FROM documents GROUP BY source),
+        |mw AS (SELECT CAST(SUM(CAST(ROUND(CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * sx / n_s, 12) AS DECIMAL(38,12)))
+        |      AS DOUBLE)
+        |    / (CAST(SUM(n_s) AS BIGINT) - CAST(COUNT(*) AS BIGINT))
+        |      AS msw
+        |  FROM per),
+        |pr AS (SELECT a.source AS source_a, b.source AS source_b,
+        |    a.n_s AS n_a, b.n_s AS n_b,
+        |    CAST(a.sx AS DOUBLE) / a.n_s
+        |      - CAST(b.sx AS DOUBLE) / b.n_s AS diff,
+        |    sqrt(mw.msw * (1.0 / a.n_s + 1.0 / b.n_s)) AS se
+        |  FROM per a JOIN per b ON a.source < b.source CROSS JOIN mw)
+        |SELECT source_a, source_b, n_a, n_b,
+        |  ROUND(diff, 6) AS mean_diff, ROUND(se, 6) AS std_err,
+        |  ROUND(diff / se, 6) AS t_stat
+        |FROM pr ORDER BY source_a, source_b""".stripMargin,
+
+    "q322_gumbel_evt" ->
+      """WITH bm AS (SELECT o_orderpriority AS prio,
+        |    CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)
+        |      AS ym,
+        |    CAST(MAX(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+        |      AS BIGINT) AS bm
+        |  FROM orders GROUP BY 1, 2),
+        |g AS (SELECT prio, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+        |    CAST(SUM(bm) AS BIGINT) AS s1,
+        |    CAST(SUM(bm * bm) AS BIGINT) AS s2
+        |  FROM bm GROUP BY prio),
+        |g2 AS (SELECT *, CAST(s1 AS DOUBLE) / n_blocks AS mean,
+        |    sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1
+        |      / n_blocks) / (n_blocks - 1)) AS sd
+        |  FROM g),
+        |g3 AS (SELECT *, sd * sqrt(CAST(6.0 AS DOUBLE))
+        |    / CAST(3.141592653589793 AS DOUBLE) AS beta FROM g2),
+        |g4 AS (SELECT *, mean - CAST(0.5772156649015329 AS DOUBLE)
+        |    * beta AS mu FROM g3)
+        |SELECT prio, n_blocks, ROUND(mean, 6) AS mean_block_max,
+        |  ROUND(sd, 6) AS sd_block_max, ROUND(mu, 6) AS gumbel_mu,
+        |  ROUND(beta, 6) AS gumbel_beta,
+        |  ROUND(mu - beta * ln(-ln(CAST(0.99 AS DOUBLE))), 6)
+        |    AS p99_return_level
+        |FROM g4 ORDER BY prio""".stripMargin,
 
     "q316_rater_pairs" -> {
       val p = graft.functions.PValues.twoSidedP("sqrt(chi2r)")

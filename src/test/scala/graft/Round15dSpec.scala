@@ -100,4 +100,46 @@ class Round15dSpec extends SparkSpecBase {
       s"BF F ${out.getDouble(4)} vs $f")
     assert(out.getDouble(4) >= 0.0)
   }
+
+  test("q321: pair count k(k-1)/2; t consistent with q319's pooled MSW") {
+    val pairs = queries.StatsQueries.queries("q321_tukey_pairs")(spark, sf)
+      .collect()
+    val anova = queries.StatsQueries.queries("q319_anova_f")(spark, sf)
+      .collect()(0)
+    val k = anova.getLong(0)
+    assert(pairs.length == k * (k - 1) / 2)
+    val msw = anova.getDouble(5) / anova.getLong(3) // ss_within / df_within
+    pairs.foreach { p =>
+      val (na, nb) = (p.getLong(2), p.getLong(3))
+      val se = math.sqrt(msw * (1.0 / na + 1.0 / nb))
+      assert(math.abs(p.getDouble(5) - se) < 1e-4,
+        s"${p.getString(0)}/${p.getString(1)}: se ${p.getDouble(5)} vs $se")
+      assert(math.abs(p.getDouble(6) - p.getDouble(4) / p.getDouble(5))
+        < 1e-3)
+    }
+  }
+
+  test("q322: Gumbel fit matches a Scala block-maxima recomputation") {
+    val out = queries.StatsQueries.queries("q322_gumbel_evt")(spark, sf)
+      .collect()
+    val bm = Tables.orders(spark, sf)
+      .groupBy(col("o_orderpriority"),
+        (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+          .as("ym"))
+      .agg(max(round(col("o_totalprice") * 100, 0).cast("long")).as("bm"))
+      .collect().map(r => r.getString(0) -> r.getLong(2))
+    out.foreach { r =>
+      val xs = bm.filter(_._1 == r.getString(0)).map(_._2.toDouble)
+      val n = xs.length
+      val mean = xs.sum / n
+      val sd = math.sqrt(xs.map(x => (x - mean) * (x - mean)).sum / (n - 1))
+      val beta = sd * math.sqrt(6.0) / math.Pi
+      val mu = mean - 0.5772156649015329 * beta
+      assert(r.getLong(1) == n)
+      assert(math.abs(r.getDouble(4) - mu) < math.abs(mu) * 1e-6 + 1e-3)
+      assert(math.abs(r.getDouble(5) - beta) < beta * 1e-6 + 1e-3)
+      // the 99% return level must exceed the mean block max
+      assert(r.getDouble(6) > r.getDouble(2))
+    }
+  }
 }
