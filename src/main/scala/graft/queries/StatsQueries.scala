@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -238,31 +238,53 @@ object StatsQueries {
     // §2.3 (round 15) — RFM segmentation (recency / frequency /
     // monetary quintiles — the direct-marketing workhorse since
     // Hughes '94): per-customer stats are one partial-agg groupBy
-    // (money cent-quantized to DECIMAL before summing); the three
-    // quintile ntiles ride unpartitioned windows over the CUSTOMER
-    // aggregate — a dimension-sized frame (the CurationQueries
-    // 696/800 precedent), each with a custkey tiebreak so the total
-    // order (hence every ntile edge) is deterministic in both
-    // engines. Output is the 125-cell segment matrix, not the
-    // customer list.
+    // (money cent-quantized to DECIMAL before summing). Customers
+    // SCALE WITH FACT VOLUME (150k×SF in TPC-H), so — unlike the
+    // genuinely bounded source/event_type domains — the quintile
+    // ranks must never ride an unpartitioned window: each of the
+    // three total orders (rec DESC / freq / mon, custkey tiebreak —
+    // deterministic in both engines) gets its row number from
+    // Selection.budgetSelect's DISTRIBUTED two-phase prefix sum
+    // (weight 1 ⇒ cum_weight = row_number), and NTILE(5) is then
+    // exact integer arithmetic on (rn, n): the first n%5 tiles take
+    // ceil(n/5) rows, the rest floor(n/5) — the SQL-standard split,
+    // bit-identical to the oracle's NTILE. Output is the 125-cell
+    // segment matrix, not the customer list.
     "q273_rfm" -> { (s, d) =>
       import graft.Caching.ScopedPersist
+      import graft.operators.Selection
       val cust = Tables.orders(s, d)
         .groupBy(col("o_custkey"))
         .agg(max(to_date(col("o_orderdate"))).as("last_d"),
           count(lit(1)).as("freq"),
           sum(round(col("o_totalprice"), 2).cast(DecimalType(18, 2)))
             .as("mon"))
-        .scopedPersist() // consumers: horizon + the scored frame
+        .scopedPersist() // consumers: horizon + count + scored frame
       val hor = cust.agg(max(col("last_d")).as("mx"))
-      cust.crossJoin(broadcast(hor))
+      val nc = cust.agg(count(lit(1)).as("nc"))
+      val scored = cust.crossJoin(broadcast(hor))
         .withColumn("rec", datediff(col("mx"), col("last_d")))
-        .withColumn("r", ntile(5).over(
-          Window.orderBy(col("rec").desc, col("o_custkey"))).cast("long"))
-        .withColumn("f", ntile(5).over(
-          Window.orderBy(col("freq"), col("o_custkey"))).cast("long"))
-        .withColumn("m", ntile(5).over(
-          Window.orderBy(col("mon"), col("o_custkey"))).cast("long"))
+      // three distributed row_numbers, one per RFM total order
+      val rn = Selection.budgetSelect(
+        Selection.budgetSelect(
+          Selection.budgetSelect(scored,
+            Seq(col("rec").desc, col("o_custkey")), lit(1L), Long.MaxValue)
+            .withColumnRenamed("cum_weight", "rn_r"),
+          Seq(col("freq"), col("o_custkey")), lit(1L), Long.MaxValue)
+          .withColumnRenamed("cum_weight", "rn_f"),
+        Seq(col("mon"), col("o_custkey")), lit(1L), Long.MaxValue)
+        .withColumnRenamed("cum_weight", "rn_m")
+      // SQL NTILE(k): rem = n%k tiles of big = n div 5 + 1 rows first,
+      // then tiles of small = n div 5 (n < 5 keeps the first branch)
+      def tile(rnCol: String): Column = expr(
+        s"CASE WHEN $rnCol <= (nc % 5) * ((nc div 5) + 1)" +
+          s" THEN ($rnCol - 1) div ((nc div 5) + 1) + 1" +
+          s" ELSE (nc % 5) + ($rnCol - 1 - (nc % 5) * ((nc div 5) + 1))" +
+          s" div (nc div 5) + 1 END")
+      rn.crossJoin(broadcast(nc))
+        .withColumn("r", tile("rn_r"))
+        .withColumn("f", tile("rn_f"))
+        .withColumn("m", tile("rn_m"))
         .groupBy(col("r"), col("f"), col("m"))
         .agg(count(lit(1)).as("n_customers"),
           round(avg(col("rec")), 6).as("avg_recency_days"),

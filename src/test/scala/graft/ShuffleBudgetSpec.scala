@@ -217,7 +217,15 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "q270_spearman" -> 9,
     "q271_ks_test" -> 9,
     "q272_cusum" -> 4,
-    "q273_rfm" -> 4,
+    // q273: THREE nested budgetSelect prefix sums (one per RFM total
+    // order — round 16's de-windowing of the customer-scaling ntiles).
+    // The TEXT count explodes because each stage reprints its
+    // scopedPersist-pinned child's subplan in both the main and the
+    // __pid-totals branch (2³ lineage duplication); the EXECUTED plan
+    // materializes each stage once — ~11 real exchanges
+    // (3 × (range-repartition + __pid agg + broadcast-side agg) +
+    // the final cell rollup + sort).
+    "q273_rfm" -> 63,
     "q274_seq_packing" -> 15,
     "q275_acf" -> 15,
     "q276_seq_containment" -> 4,
