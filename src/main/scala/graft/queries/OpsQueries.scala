@@ -956,11 +956,19 @@ object OpsQueries {
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
         .select(col("v"), col("m"),
           (lit(2L) * col("cumBefore") + col("m") + 1L).as("r2"))
-      val ties = dom.agg(sum(col("m") * col("m") * col("m") - col("m"))
-        .as("tsum"), sum(col("m")).as("nn"))
+      // tie term m³ and the doubled rank-sum Σ c·r2 grow ~n²/n³ —
+      // DECIMAL(38,0) headroom to 10³⁸ (a Long wraps silently at
+      // ~2.1M-row value bins / ~3·10⁹ corpus rows); the oracle
+      // mirrors with CAST(... AS DECIMAL(38,0)) over DuckDB's
+      // 128-bit internal sums
+      val ties = dom.agg(
+        sum(col("m").cast(DecimalType(38, 0)) * col("m") * col("m")
+          - col("m")).as("tsum"),
+        sum(col("m")).as("nn"))
       val per = vc.join(dom.select(col("v"), col("r2")), "v")
         .groupBy(col("source"))
-        .agg(sum(col("c")).as("n_s"), sum(col("c") * col("r2")).as("r2_s"))
+        .agg(sum(col("c")).as("n_s"),
+          sum(col("c").cast(DecimalType(38, 0)) * col("r2")).as("r2_s"))
       per.crossJoin(broadcast(ties))
         .withColumn("n_r", col("nn") - col("n_s"))
         .withColumn("u", expr("CAST(r2_s - n_s * (n_s + 1) AS DOUBLE) / 2"))
@@ -1039,10 +1047,10 @@ object OpsQueries {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
         |  FROM dom0),
         |dom2 AS (SELECT v, m, 2 * cb + m + 1 AS r2 FROM dom),
-        |ties AS (SELECT CAST(SUM(m * m * m - m) AS BIGINT) AS tsum,
+        |ties AS (SELECT CAST(SUM(m * m * m - m) AS DECIMAL(38,0)) AS tsum,
         |         CAST(SUM(m) AS BIGINT) AS nn FROM dom2),
         |per AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_s,
-        |        CAST(SUM(c * r2) AS BIGINT) AS r2_s
+        |        CAST(SUM(c * r2) AS DECIMAL(38,0)) AS r2_s
         |  FROM vc JOIN dom2 USING (v) GROUP BY source),
         |b AS (SELECT source, n_s, nn - n_s AS n_r, r2_s, tsum, nn
         |      FROM per CROSS JOIN ties),

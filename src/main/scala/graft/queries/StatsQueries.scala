@@ -122,8 +122,10 @@ object StatsQueries {
     // q260 doubled-midrank identity R2(v) = 2·|{x<v}| + m_v + 1 over
     // each group's BOUNDED value domain (50 quantities × 11 discounts
     // — no corpus row ever sorts), so every rank is an exact integer
-    // and all six correlation moments are exact Long sums (≤ 4n³ ≈
-    // 3·10¹⁶ at sf0.1 — the 100 TB form swaps Long for DECIMAL(38)).
+    // and all six correlation moments are exact DECIMAL(38,0) sums
+    // (the ~4n³ second moments would wrap a Long near n ≈ 1.3·10⁶
+    // rows per group — the q281 overflow discipline; oracle mirrored
+    // over DuckDB's 128-bit internal sums).
     // ρ = Pearson over the midranks through one identical IEEE chain.
     "q270_spearman" -> { (s, d) =>
       import graft.Caching.ScopedPersist
@@ -144,11 +146,14 @@ object StatsQueries {
         .join(dom("y", "ry"), Seq("rf", "y"))
         .groupBy(col("rf"))
         .agg(sum(col("c")).as("n"),
-          sum(col("c") * col("rx")).as("sx"),
-          sum(col("c") * col("ry")).as("sy"),
-          sum(col("c") * col("rx") * col("rx")).as("sxx"),
-          sum(col("c") * col("ry") * col("ry")).as("syy"),
-          sum(col("c") * col("rx") * col("ry")).as("sxy"))
+          sum(col("c").cast(DecimalType(38, 0)) * col("rx")).as("sx"),
+          sum(col("c").cast(DecimalType(38, 0)) * col("ry")).as("sy"),
+          sum(col("c").cast(DecimalType(38, 0)) * col("rx") * col("rx"))
+            .as("sxx"),
+          sum(col("c").cast(DecimalType(38, 0)) * col("ry") * col("ry"))
+            .as("syy"),
+          sum(col("c").cast(DecimalType(38, 0)) * col("rx") * col("ry"))
+            .as("sxy"))
         .select(col("rf").as("l_returnflag"), col("n"),
           round(expr("(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
             + " / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
@@ -1462,15 +1467,27 @@ object StatsQueries {
         .withColumn("ra", (col("nn") - col("cb") - col("m"))
           - (col("n_s") - col("sb") - col("c")))
         .groupBy(col("source"))
+        // wins/losses/ties are Σ c·(cumulative counts) — ~n² terms;
+        // DECIMAL(38,0) on both engines (the q281 overflow
+        // discipline), and the n_s·n_rest pair-count denominator
+        // likewise promoted before the terminal IEEE division
         .agg(max(col("n_s")).as("n_s"), max(col("nn")).as("nn"),
-          sum(col("c") * col("rb")).as("wins"),
-          sum(col("c") * col("ra")).as("losses"),
-          sum(col("c") * (col("m") - col("c"))).as("ties"))
+          sum(col("c").cast(DecimalType(38, 0)) * col("rb")).as("wins"),
+          sum(col("c").cast(DecimalType(38, 0)) * col("ra")).as("losses"),
+          sum(col("c").cast(DecimalType(38, 0)) * (col("m") - col("c")))
+            .as("ties"))
+        // rendered counts go back through BIGINT on both engines (the
+        // driver's dtype contract); a decimal→long overflow NULLs
+        // rather than wrapping, and δ itself divides the un-narrowed
+        // decimals
         .select(col("source"), col("n_s"),
           (col("nn") - col("n_s")).as("n_rest"),
-          col("wins"), col("losses"), col("ties"),
+          col("wins").cast("long").as("wins"),
+          col("losses").cast("long").as("losses"),
+          col("ties").cast("long").as("ties"),
           expr("ROUND(CAST(wins - losses AS DOUBLE)" +
-            " / (n_s * (nn - n_s)), 6)").as("cliffs_delta"))
+            " / (CAST(n_s AS DECIMAL(38,0)) * (nn - n_s)), 6)")
+            .as("cliffs_delta"))
         .orderBy(col("source"))
     },
 
@@ -1888,11 +1905,16 @@ object StatsQueries {
           Window.orderBy(col("v"))
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
         .withColumn("r2", lit(2) * col("cb") + col("m") + 1)
+      // m³ tie term + doubled rank-sum promoted to DECIMAL(38,0)
+      // (the q281 overflow discipline — a Long wraps at ~2.1M-row
+      // value bins); oracle mirrored
       val ties = dom.agg(sum(col("m")).as("nn"),
-        sum(col("m") * col("m") * col("m") - col("m")).as("tsum"))
+        sum(col("m").cast(DecimalType(38, 0)) * col("m") * col("m")
+          - col("m")).as("tsum"))
       val per = vc.join(dom.select(col("v"), col("r2")), "v")
         .groupBy(col("source"))
-        .agg(sum(col("c")).as("n_s"), sum(col("c") * col("r2")).as("r2_s"))
+        .agg(sum(col("c")).as("n_s"),
+          sum(col("c").cast(DecimalType(38, 0)) * col("r2")).as("r2_s"))
       val terms = per.crossJoin(broadcast(ties))
         .withColumn("term", expr(
           "CAST(ROUND(CAST(r2_s AS DOUBLE) * r2_s / (4.0 * n_s), 12)" +
@@ -2247,11 +2269,11 @@ object StatsQueries {
         |    0) + m + 1 AS ry
         |  FROM yd0),
         |sums AS (SELECT rf, CAST(SUM(c) AS BIGINT) AS n,
-        |    CAST(SUM(c * rx) AS BIGINT) AS sx,
-        |    CAST(SUM(c * ry) AS BIGINT) AS sy,
-        |    CAST(SUM(c * rx * rx) AS BIGINT) AS sxx,
-        |    CAST(SUM(c * ry * ry) AS BIGINT) AS syy,
-        |    CAST(SUM(c * rx * ry) AS BIGINT) AS sxy
+        |    CAST(SUM(c * rx) AS DECIMAL(38,0)) AS sx,
+        |    CAST(SUM(c * ry) AS DECIMAL(38,0)) AS sy,
+        |    CAST(SUM(c * rx * rx) AS DECIMAL(38,0)) AS sxx,
+        |    CAST(SUM(c * ry * ry) AS DECIMAL(38,0)) AS syy,
+        |    CAST(SUM(c * rx * ry) AS DECIMAL(38,0)) AS sxy
         |  FROM vc JOIN xd USING (rf, x) JOIN yd USING (rf, y)
         |  GROUP BY rf)
         |SELECT rf AS l_returnflag, n,
@@ -3114,12 +3136,15 @@ object StatsQueries {
         |  FROM ps JOIN dcb d USING (v) CROSS JOIN tot t),
         |g AS (SELECT source, CAST(MAX(n_s) AS BIGINT) AS n_s,
         |    CAST(MAX(nn) AS BIGINT) AS nn,
-        |    CAST(SUM(c * rb) AS BIGINT) AS wins,
-        |    CAST(SUM(c * ra) AS BIGINT) AS losses,
-        |    CAST(SUM(c * (m - c)) AS BIGINT) AS ties
+        |    CAST(SUM(c * rb) AS DECIMAL(38,0)) AS wins,
+        |    CAST(SUM(c * ra) AS DECIMAL(38,0)) AS losses,
+        |    CAST(SUM(c * (m - c)) AS DECIMAL(38,0)) AS ties
         |  FROM j GROUP BY source)
-        |SELECT source, n_s, nn - n_s AS n_rest, wins, losses, ties,
-        |  ROUND(CAST(wins - losses AS DOUBLE) / (n_s * (nn - n_s)), 6)
+        |SELECT source, n_s, nn - n_s AS n_rest,
+        |  CAST(wins AS BIGINT) AS wins, CAST(losses AS BIGINT) AS losses,
+        |  CAST(ties AS BIGINT) AS ties,
+        |  ROUND(CAST(wins - losses AS DOUBLE)
+        |    / (CAST(n_s AS DECIMAL(38,0)) * (nn - n_s)), 6)
         |    AS cliffs_delta
         |FROM g ORDER BY source""".stripMargin,
 
@@ -3442,9 +3467,9 @@ object StatsQueries {
         |    AS BIGINT) AS cb FROM dom0),
         |dom2 AS (SELECT v, m, 2 * cb + m + 1 AS r2 FROM dom),
         |ties AS (SELECT CAST(SUM(m) AS BIGINT) AS nn,
-        |  CAST(SUM(m * m * m - m) AS BIGINT) AS tsum FROM dom2),
+        |  CAST(SUM(m * m * m - m) AS DECIMAL(38,0)) AS tsum FROM dom2),
         |per AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_s,
-        |    CAST(SUM(c * r2) AS BIGINT) AS r2_s
+        |    CAST(SUM(c * r2) AS DECIMAL(38,0)) AS r2_s
         |  FROM vc JOIN dom2 USING (v) GROUP BY source),
         |terms AS (SELECT n_s, r2_s, nn, tsum,
         |    CAST(ROUND(CAST(r2_s AS DOUBLE) * r2_s / (4.0 * n_s), 12)

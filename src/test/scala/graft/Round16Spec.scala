@@ -32,6 +32,23 @@ class Round16Spec extends SparkSpecBase {
     }
   }
 
+  test("midrank tie term survives bins where Long arithmetic wraps") {
+    // the q260/q318 tie correction Σ(m³ − m): a single 3M-row value
+    // bin gives m³ = 2.7·10¹⁹ > Long.MaxValue (9.2·10¹⁸) — the
+    // round-16 DECIMAL(38,0) promotion keeps it exact where the old
+    // Long form wrapped silently. New overflow bound: 10³⁸ (a ~10¹²-
+    // row bin), with decimal overflow NULLing — never silent wrap.
+    import org.apache.spark.sql.types.DecimalType
+    val m = 3000000L
+    val df = Seq(m).toDF("m")
+    val dec = df.agg(sum(col("m").cast(DecimalType(38, 0)) * col("m")
+      * col("m") - col("m"))).collect()(0).getDecimal(0)
+    val expect = BigInt(m) * BigInt(m) * BigInt(m) - BigInt(m)
+    assert(BigInt(dec.toBigInteger) == expect, s"$dec vs $expect")
+    assert(BigInt(m * m * m) != BigInt(m) * m * m,
+      "sanity: the old Long form really wraps here")
+  }
+
   test("linkPrediction: graphs under the cap are cap-invariant") {
     // max degree 3 < maxFanout 4: the guarded result must equal the
     // effectively-unguarded one (cap larger than any degree)
