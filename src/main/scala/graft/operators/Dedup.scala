@@ -815,6 +815,84 @@ object Dedup {
         (col("span_end") - col("span_start") + 1).as("span_len"))
   }
 
+  /** SUFFIX-ARRAY-GRADE exact-substring dedup (round 16 — the Lee et
+    * al.'21 "ExactSubstr" tier with full occurrence attribution):
+    * every MAXIMAL exact match of ≥ `minLen` whitespace tokens
+    * between two occurrence sites in the corpus, reported as
+    * (doc_a, start_a, doc_b, start_b, match_len) — the output a
+    * generalized suffix array yields by scanning rank-adjacent
+    * suffixes for LCPs ≥ L (the MEM enumeration of MUMmer /
+    * Manber–Myers'90). q156 reports only which token spans are
+    * COVERED by some repeat; this reports each repeated substring
+    * itself, with both extents and its exact maximal length — no
+    * fixed grid, no chosen width.
+    *
+    * Construction — anchor-hash + aligned-run merging, the
+    * DataFrame-native equivalent of the suffix-array scan (SA-IS /
+    * suffix-automaton construction is pointer-chasing and hostile to
+    * DataFrame expression, the HNSW argument): a match of length
+    * m ≥ L between sites a and b ⟺ a run of m−L+1 CONSECUTIVE
+    * positions whose L-gram md5s collide at alignment offset
+    * delta = pos_b − pos_a. So: stride-1 L-grams (one row per token,
+    * the q149/q156 front), keep hashes with 2..maxOccurrences
+    * occurrences, pair occurrences within a hash group (ordered, so
+    * each unordered site pair appears once), then merge runs of
+    * consecutive pos_a per (doc_a, doc_b, delta). Run maximality is
+    * token-level maximality: the gram one left/right of a run edge
+    * matches iff the single boundary token matches (its other L−1
+    * tokens lie inside the matched region) — hence every emitted
+    * extent is exactly non-extendable.
+    *
+    * Scale shape: the gram front is narrow (one md5 per token); the
+    * only shuffles are the occurrence-count groupBy, the pair
+    * self-join on the uniform 128-bit hash, and the per-(doc_a,
+    * doc_b, delta) run-merge window — each window partition is
+    * bounded by a single document's length. The pair fan-out is
+    * Σ min(occ, maxOccurrences)² per gram: grams hotter than
+    * `maxOccurrences` (corpus boilerplate — license headers, nav
+    * chrome) are DROPPED, the lshCandidatePairs cap discipline;
+    * matches running through an over-cap gram split or vanish, a
+    * documented one-sided degradation (q156's coverage spans and
+    * q31's LSH+CC remain the recall paths for boilerplate-heavy
+    * corpora).
+    */
+  def maximalExactMatches(docs: DataFrame, idCol: String, textCol: String,
+                          minLen: Int = 15,
+                          maxOccurrences: Int = 64): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    require(maxOccurrences >= 2, s"maxOccurrences >= 2, got $maxOccurrences")
+    val grams = tokenized(docs, idCol, textCol, minLen)
+      .select(col("doc_id"), col("__toks"),
+        explode(sequence(lit(1), size(col("__toks")) - (minLen - 1))).as("pos"))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        md5(concat_ws(" ", slice(col("__toks"), col("pos"), lit(minLen)))).as("h"))
+      .scopedPersist() // consumers: occurrence counts + both pair sides
+    val dupHashes = grams.groupBy(col("h"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2 && col("__n") <= maxOccurrences)
+      .select(col("h"))
+    val occ = grams.join(dupHashes, "h")
+    val pairs = occ.select(col("h"), col("doc_id").as("doc_a"),
+      col("pos").as("pos_a"))
+      .join(occ.select(col("h"), col("doc_id").as("doc_b"),
+        col("pos").as("pos_b")), "h")
+      .filter(col("doc_a") < col("doc_b") ||
+        (col("doc_a") === col("doc_b") && col("pos_a") < col("pos_b")))
+      .withColumn("delta", col("pos_b") - col("pos_a"))
+    val w = Window.partitionBy(col("doc_a"), col("doc_b"), col("delta"))
+      .orderBy(col("pos_a"))
+    val prev = lag(col("pos_a"), 1).over(w)
+    pairs
+      .withColumn("__new", (prev.isNull || col("pos_a") - prev > 1).cast("int"))
+      .withColumn("__grp", sum(col("__new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_a"), col("doc_b"), col("delta"), col("__grp"))
+      .agg(min(col("pos_a")).as("start_a"), max(col("pos_a")).as("__last"))
+      .select(col("doc_a"), col("start_a"),
+        col("doc_b"), (col("start_a") + col("delta")).as("start_b"),
+        (col("__last") - col("start_a") + minLen).as("match_len"))
+  }
+
   private def tokenized(docs: DataFrame, idCol: String, textCol: String,
                         minLen: Int): DataFrame = {
     val toks = filter(split(col(textCol), " "), t => t =!= "")

@@ -1204,6 +1204,24 @@ object TextQueries {
         .orderBy(col("doc_id"), col("span_start"))
     },
 
+    // §2.3 (round 16) — SUFFIX-ARRAY-grade exact-substring dedup
+    // (Lee et al.'21 ExactSubstr, full form): every MAXIMAL exact
+    // match of ≥ 15 tokens between two occurrence sites, with both
+    // extents and its exact length — the generalized-suffix-array
+    // MEM enumeration, constructed DataFrame-natively as stride-1
+    // gram anchors merged along alignment diagonals (see
+    // Dedup.maximalExactMatches). q156 answers "which token spans
+    // are covered by some repeat"; this answers "which substring,
+    // repeated WHERE, and exactly how long" — the citable tier
+    // between q156's coverage and q31's fuzzy LSH. Hot grams above
+    // 64 occurrences (corpus boilerplate) are dropped by the
+    // documented cap discipline.
+    "q323_suffix_mems" -> { (s, d) =>
+      Dedup.maximalExactMatches(Tables.documents(s, d), "doc_id", "text",
+        minLen = 15, maxOccurrences = 64)
+        .orderBy(col("doc_a"), col("start_a"), col("doc_b"), col("start_b"))
+    },
+
     // §2.3 (round 9) — HTML boilerplate extraction (jusText-class):
     // raw web pages arrive as HTML; block segmentation at block-tag
     // boundaries + per-block word-count/link-density verdicts strip
@@ -3169,6 +3187,41 @@ object TextQueries {
         |  MAX(pos) + 14 - MIN(pos) + 1 AS span_len
         |FROM grps GROUP BY doc_id, grp
         |ORDER BY doc_id, span_start""".stripMargin,
+
+    "q323_suffix_mems" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |    md5(array_to_string(toks[i:i+14], ' ')) AS h
+        |  FROM t, UNNEST(generate_series(1, len(toks) - 14)) AS u(i)
+        |  WHERE len(toks) >= 15),
+        |d AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) BETWEEN 2 AND 64),
+        |o AS (SELECT g.doc_id, g.pos, g.h FROM g JOIN d USING (h)),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, a.pos AS pos_a,
+        |         b.doc_id AS doc_b, b.pos AS pos_b,
+        |         b.pos - a.pos AS delta
+        |  FROM o a JOIN o b USING (h)
+        |  WHERE a.doc_id < b.doc_id
+        |     OR (a.doc_id = b.doc_id AND a.pos < b.pos)),
+        |r AS (
+        |  SELECT doc_a, doc_b, delta, pos_a,
+        |    CASE WHEN pos_a - LAG(pos_a) OVER (PARTITION BY doc_a, doc_b,
+        |      delta ORDER BY pos_a) = 1 THEN 0 ELSE 1 END AS newgrp
+        |  FROM p),
+        |gg AS (
+        |  SELECT doc_a, doc_b, delta, pos_a,
+        |    SUM(newgrp) OVER (PARTITION BY doc_a, doc_b, delta
+        |      ORDER BY pos_a ROWS UNBOUNDED PRECEDING) AS grp
+        |  FROM r)
+        |SELECT doc_a, MIN(pos_a) AS start_a, doc_b,
+        |  MIN(pos_a) + delta AS start_b,
+        |  MAX(pos_a) - MIN(pos_a) + 15 AS match_len
+        |FROM gg GROUP BY doc_a, doc_b, delta, grp
+        |ORDER BY doc_a, start_a, doc_b, start_b""".stripMargin,
 
     // byte-identical page template: 8-word lines, arithmetic-planted
     // poison (brace / enable-JS banner / missing terminal punct) —

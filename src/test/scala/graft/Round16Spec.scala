@@ -49,6 +49,74 @@ class Round16Spec extends SparkSpecBase {
       "sanity: the old Long form really wraps here")
   }
 
+  test("maximalExactMatches equals brute-force MEM enumeration") {
+    // planted corpus: cross-doc overlap, a tandem self-repeat, two
+    // disjoint shared passages, and a sub-threshold (14-token) decoy
+    def words(r: Range, p: String) = r.map(i => s"$p$i").mkString(" ")
+    val shared = words(1 to 17, "s") // 17 tokens shared by d1/d2
+    val block = words(1 to 15, "b")  // 15 tokens, twice in d3 + once in d4
+    val decoy = words(1 to 14, "d")  // below minLen: must never surface
+    val docs = Map(
+      1L -> s"${words(1 to 5, "a")} $shared ${words(1 to 4, "z")}",
+      2L -> s"$shared ${words(1 to 6, "y")}",
+      3L -> s"$block $block",
+      4L -> s"${words(1 to 3, "w")} $block $decoy",
+      5L -> s"$decoy ${words(1 to 9, "v")}")
+    val df = docs.toSeq.toDF("doc_id", "text")
+    val got = operators.Dedup
+      .maximalExactMatches(df, "doc_id", "text", minLen = 15)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+
+    // brute force: maximal diagonal token runs >= L over all ordered
+    // site pairs — the definition a generalized suffix array realizes
+    val toks = docs.map { case (id, t) =>
+      id -> t.split(" ").filter(_.nonEmpty)
+    }
+    val L = 15
+    val expect = scala.collection.mutable.Set[(Long, Long, Long, Long, Long)]()
+    val ids = toks.keys.toSeq.sorted
+    for (i <- ids; j <- ids if i <= j) {
+      val a = toks(i); val b = toks(j)
+      for (delta <- -a.length to b.length
+           if !(i == j && delta <= 0)) {
+        var p = 1
+        while (p <= a.length) {
+          val q = p + delta
+          if (q >= 1 && q <= b.length && a(p - 1) == b(q - 1)) {
+            var e = p
+            while (e < a.length && e + delta < b.length &&
+              a(e) == b(e + delta)) e += 1
+            val len = e - p + 1
+            if (len >= L)
+              expect += ((i, p.toLong, j, q.toLong, len.toLong))
+            p = e + 1
+          } else p += 1
+        }
+      }
+    }
+    assert(got == expect.toSet,
+      s"missing=${expect.toSet -- got} extra=${got -- expect}")
+    // shape sanity: the 17-token cross-doc MEM and the tandem repeat
+    assert(got.contains((1L, 6L, 2L, 1L, 17L)))
+    assert(got.contains((3L, 1L, 3L, 16L, 15L)))
+  }
+
+  test("maximalExactMatches drops grams hotter than the occurrence cap") {
+    // one 15-token block planted in 6 docs: every gram occurs 6 times;
+    // cap 4 drops them all, cap 8 keeps all C(6,2)=15 site pairs
+    val block = (1 to 15).map(i => s"t$i").mkString(" ")
+    val df = (1L to 6L).map(id => (id, s"pre$id $block post$id"))
+      .toDF("doc_id", "text")
+    val capped = operators.Dedup
+      .maximalExactMatches(df, "doc_id", "text", 15, maxOccurrences = 4)
+    assert(capped.count() == 0L)
+    val open = operators.Dedup
+      .maximalExactMatches(df, "doc_id", "text", 15, maxOccurrences = 8)
+    assert(open.count() == 15L)
+  }
+
   test("linkPrediction: graphs under the cap are cap-invariant") {
     // max degree 3 < maxFanout 4: the guarded result must equal the
     // effectively-unguarded one (cap larger than any degree)
