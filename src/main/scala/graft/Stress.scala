@@ -364,15 +364,29 @@ object Stress {
     // the 2M exact set-sim join hitting execution-memory exhaustion
     // under concurrent machine load — must cost ITS datapoint, not the
     // whole 40-minute artifact. The error lands in the JSON so the
-    // gap is visible, never silent.
+    // gap is visible, never silent. Round 16: the sanitizer strips
+    // EVERY control character (not just \n\r\t — a \b or U+0000 in an
+    // exception message would corrupt the JSON), and a FATAL throwable
+    // (OutOfMemoryError etc.) marks the run: the entry carries
+    // "fatal":true and every LATER entry carries "after_fatal":true,
+    // so readers know those datapoints ran on a possibly degraded JVM.
+    var sawFatal = false
     def timed(name: String, mk: => DataFrame): String =
-      try timedUnsafe(name, mk)
+      try {
+        val line = timedUnsafe(name, mk)
+        if (sawFatal) line.patch(line.lastIndexOf('}'), ""","after_fatal":true""", 0)
+        else line
+      }
       catch {
         case e: Throwable =>
+          val fatal = !scala.util.control.NonFatal(e)
           val msg = s"${e.getClass.getSimpleName}: " +
-            String.valueOf(e.getMessage).replaceAll("[\"\\\\\\n\\r\\t]", " ")
-              .take(160)
-          val line = s""""$name":{"error":"$msg"}"""
+            String.valueOf(e.getMessage)
+              .replaceAll("[\"\\\\\\p{Cntrl}]", " ").take(160)
+          val tag = (if (fatal) ""","fatal":true""" else "") +
+            (if (sawFatal) ""","after_fatal":true""" else "")
+          if (fatal) sawFatal = true
+          val line = s""""$name":{"error":"$msg"$tag}"""
           println(s"[stress] $line")
           line
       }

@@ -313,7 +313,12 @@ object BehaviorQueries {
     // sum, so each round is partition-order-independent and mirrors
     // in unrolled DuckDB CTEs). The matrix is |event_type|² rows —
     // dimension-sized regardless of corpus; the corpus is touched
-    // ONCE for the transition counts.
+    // ONCE for the transition counts. States are the UNION of source
+    // and destination types: a sink-only type (seen as a destination,
+    // never a source) gets a SELF-LOOP row, so every state's outgoing
+    // mass is exactly 1 and Σπ is conserved each round — without it,
+    // mass absorbed by a sink silently leaks out of the chain at the
+    // next join (round-16 fix, oracle mirrored).
     "q313_stationary_dist" -> { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       import graft.Caching.ScopedPersist
@@ -328,9 +333,15 @@ object BehaviorQueries {
         .agg(count(lit(1)).as("n"))
       val totals = pairs.groupBy(col("from_type"))
         .agg(sum(col("n")).as("tot"))
-      val p = pairs.join(broadcast(totals), "from_type")
+      val p0 = pairs.join(broadcast(totals), "from_type")
         .select(col("from_type"), col("to_type"),
           expr("CAST(n AS DOUBLE) / tot").as("p"))
+        .scopedPersist() // consumers: sink detection + the union
+      val sinks = p0.select(col("to_type").as("state")).distinct()
+        .join(p0.select(col("from_type").as("state")).distinct(),
+          Seq("state"), "left_anti")
+      val p = p0.union(sinks.select(col("state").as("from_type"),
+        col("state").as("to_type"), lit(1.0).as("p")))
         .scopedPersist() // consumers: state list + 4 iteration joins
       val k = p.select(col("from_type").as("state")).distinct()
       val kn = k.count() // |event_type| — a dimension, not data
@@ -569,9 +580,13 @@ object BehaviorQueries {
          |  GROUP BY from_type, to_type),
          |tot AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS tot
          |        FROM pairs GROUP BY from_type),
-         |p AS (SELECT pairs.from_type, pairs.to_type,
+         |p0 AS (SELECT pairs.from_type, pairs.to_type,
          |    CAST(n AS DOUBLE) / tot AS p
          |  FROM pairs JOIN tot USING (from_type)),
+         |sinks AS (SELECT DISTINCT to_type AS state FROM p0
+         |  WHERE to_type NOT IN (SELECT from_type FROM p0)),
+         |p AS (SELECT from_type, to_type, p FROM p0
+         |  UNION ALL SELECT state, state, CAST(1.0 AS DOUBLE) FROM sinks),
          |k AS (SELECT DISTINCT from_type AS state FROM p),
          |i0 AS (SELECT state,
          |  CAST(1.0 AS DOUBLE) / (SELECT COUNT(*) FROM k) AS pi FROM k),

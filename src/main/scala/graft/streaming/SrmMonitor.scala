@@ -15,23 +15,32 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig,
   * readout — the difference between discarding one day and
   * discarding the whole experiment.
   *
-  * State is one 16-byte ValueState row per experiment — (n0, n1) in
-  * an explicit DataOutputStream layout (the QuantileMonitor
-  * version-stability discipline) — O(#experiments), independent of
-  * stream length. Counts are commutative, so unlike the CUSUM fold
+  * State is one 24-byte ValueState row per experiment — (n0, n1,
+  * nBad) in an explicit DataOutputStream layout (the QuantileMonitor
+  * version-stability discipline; 16-byte pre-nBad state is read
+  * back with nBad = 0) — O(#experiments), independent of stream
+  * length. Counts are commutative, so unlike the CUSUM fold
   * no within-batch ordering is needed: replay is emission-identical
   * under any shuffle arrival order by construction.
   *
+  * An assignment whose arm is OUTSIDE {0, 1} (a corrupt field, a
+  * third-arm rollout bleeding into a 50/50 test) is never silently
+  * folded into arm 0 — that would skew the chi-square toward a
+  * false flag; it increments the `nBad` health counter instead, so
+  * the malformed-assignment bug surfaces as its own signal.
+  *
   * The p-value evaluates the SAME Abramowitz–Stegun 26.2.17 tail
-  * polynomial the batch engines share via `functions/PValues` —
-  * implemented here in Scala with the identical coefficient chain,
-  * so the streaming flag and the q314 batch flag can never disagree
-  * on the same counts (spec-pinned against the SQL evaluation).
+  * polynomial the batch engines share via `functions/PValues`,
+  * AND applies the batch query's output rounding (chi² to 6
+  * decimals HALF_UP before the tail, p to 10) — so the streaming
+  * flag and the q314 batch flag agree EXACTLY on the same counts,
+  * not merely up to rounding (spec-pinned against the SQL
+  * evaluation and the batch rows).
   */
 object SrmMonitor {
 
   case class Assign(experiment: String, tsMicros: Long, id: Long, arm: Int)
-  case class Health(experiment: String, n0: Long, n1: Long,
+  case class Health(experiment: String, n0: Long, n1: Long, nBad: Long,
                     chi2: Double, pValue: Double, srmFlag: Boolean)
 
   /** Two-sided normal tail p — the Scala twin of PValues.twoSidedP
@@ -44,32 +53,39 @@ object SrmMonitor {
       2.0 * math.exp(-z * z / 2.0) * 0.3989422804014327 * poly)
   }
 
-  private[graft] def pack(n0: Long, n1: Long): Array[Byte] = {
-    val bos = new ByteArrayOutputStream(16)
+  private[graft] def pack(n0: Long, n1: Long, nBad: Long): Array[Byte] = {
+    val bos = new ByteArrayOutputStream(24)
     val out = new DataOutputStream(bos)
-    out.writeLong(n0); out.writeLong(n1); out.flush()
+    out.writeLong(n0); out.writeLong(n1); out.writeLong(nBad); out.flush()
     bos.toByteArray
   }
 
-  private[graft] def unpack(b: Array[Byte]): (Long, Long) = {
+  private[graft] def unpack(b: Array[Byte]): (Long, Long, Long) = {
     val in = new DataInputStream(new ByteArrayInputStream(b))
-    (in.readLong(), in.readLong())
+    // 16-byte layout predates the nBad counter — read it as nBad = 0
+    (in.readLong(), in.readLong(), if (b.length >= 24) in.readLong() else 0L)
   }
+
+  private def round(x: Double, scale: Int): Double =
+    new java.math.BigDecimal(x)
+      .setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue()
 
   /** Health verdict from cumulative counts — shared by the processor
     * and the spec's golden model. χ² against 50/50 reduces to
-    * (n0−n1)²/n. */
+    * (n0−n1)²/n; chi² rounds to 6 decimals (HALF_UP) BEFORE the tail
+    * polynomial and p to 10 after — the exact output rounding of the
+    * q314 batch query, so the two flags cannot disagree. */
   private[graft] def verdict(experiment: String, n0: Long, n1: Long,
-                             alpha: Double): Health = {
+                             nBad: Long, alpha: Double): Health = {
     val n = n0 + n1
     val chi2 =
       if (n == 0) 0.0
       else {
         val d = (n0 - n1).toDouble
-        d * d / n
+        round(d * d / n, 6)
       }
-    val p = twoSidedP(math.sqrt(chi2))
-    Health(experiment, n0, n1, chi2, p, p < alpha)
+    val p = round(twoSidedP(math.sqrt(chi2)), 10)
+    Health(experiment, n0, n1, nBad, chi2, p, p < alpha)
   }
 
   class SrmProcessor(alpha: Double)
@@ -82,10 +98,15 @@ object SrmMonitor {
 
     override def handleInputRows(key: String, rows: Iterator[Assign],
                                  timerValues: TimerValues): Iterator[Health] = {
-      var (n0, n1) = if (state.exists()) unpack(state.get()) else (0L, 0L)
-      rows.foreach { a => if (a.arm == 1) n1 += 1 else n0 += 1 }
-      state.update(pack(n0, n1))
-      Iterator.single(verdict(key, n0, n1, alpha))
+      var (n0, n1, nBad) =
+        if (state.exists()) unpack(state.get()) else (0L, 0L, 0L)
+      rows.foreach { a =>
+        if (a.arm == 0) n0 += 1
+        else if (a.arm == 1) n1 += 1
+        else nBad += 1
+      }
+      state.update(pack(n0, n1, nBad))
+      Iterator.single(verdict(key, n0, n1, nBad, alpha))
     }
   }
 

@@ -177,14 +177,21 @@ class Round15cSpec extends SparkSpecBase {
       .map(r => (r.getString(0), r.getString(1)) ->
         (r.getLong(2).toDouble)).toMap
     // rebuild exact p = n/tot (q240's p column is rounded; use counts)
+    // — including the round-16 sink self-loops: states are the UNION
+    // of sources and destinations, a sink-only state transitions to
+    // itself with p = 1, so the chain is stochastic and Σπ conserved
     val tots = pMat.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
-    val states = pMat.keys.map(_._1).toSeq.distinct.sorted
+    val states = (pMat.keys.map(_._1) ++ pMat.keys.map(_._2))
+      .toSeq.distinct.sorted
+    val withLoops = pMat ++ states.filterNot(tots.contains)
+      .map(s0 => (s0, s0) -> 1.0)
+    val loopTots = tots ++ states.filterNot(tots.contains).map(_ -> 1.0)
     var pi = states.map(s0 => s0 -> 1.0 / states.size).toMap
     for (_ <- 1 to 4) {
       val next = scala.collection.mutable.Map[String, java.math.BigDecimal]()
-      pMat.toSeq.sortBy(_._1).foreach { case ((f, t), n) =>
+      withLoops.toSeq.sortBy(_._1).foreach { case ((f, t), n) =>
         if (pi.contains(f)) {
-          val term = java.math.BigDecimal.valueOf(pi(f) * (n / tots(f)))
+          val term = java.math.BigDecimal.valueOf(pi(f) * (n / loopTots(f)))
             .setScale(14, java.math.RoundingMode.HALF_UP)
           next(t) = next.getOrElse(t,
             java.math.BigDecimal.ZERO).add(term)
@@ -199,8 +206,10 @@ class Round15cSpec extends SparkSpecBase {
       assert(math.abs(p - pi(st)) < 1e-6, s"$st: $p vs ${pi(st)}")
       assert(p >= 0.0)
     }
-    assert(math.abs(out.values.sum - 1.0) < 1e-3,
-      "stationary mass conserved (up to dangling-target leakage)")
+    // stochastic by construction now: conserved to output rounding
+    // (|states| × 5e-7 from the 6-decimal rounding of each share)
+    assert(math.abs(out.values.sum - 1.0) < 1e-5,
+      "stationary mass conserved up to 6-decimal output rounding")
   }
 
   test("q314: assignment counts match a JVM md5 recomputation") {

@@ -61,7 +61,7 @@ class SrmMonitorSpec extends SparkSpecBase {
     assert(goodRows.map(h => h.n0 + h.n1).toSeq == Seq(100L, 200L, 300L))
     // each emission equals the golden verdict on the cumulative counts
     (badRows ++ goodRows).foreach { h =>
-      val g = SrmMonitor.verdict(h.experiment, h.n0, h.n1, 0.001)
+      val g = SrmMonitor.verdict(h.experiment, h.n0, h.n1, h.nBad, 0.001)
       assert(h == g, s"emission $h != golden $g")
     }
     assert(badRows.last.srmFlag, "90/10 over 300 must flag")
@@ -80,21 +80,48 @@ class SrmMonitorSpec extends SparkSpecBase {
     }
   }
 
-  test("streaming verdict on q314's final counts equals the batch flag") {
+  test("streaming verdict on q314's final counts equals the batch row EXACTLY") {
+    // verdict() applies the batch query's own output rounding (chi2
+    // to 6 HALF_UP before the tail, p to 10), so chi2, p and the flag
+    // are bit-identical — no rounding re-application needed here
     val batch = queries.StatsQueries.queries("q314_srm_check")(spark, sf)
       .collect()
     batch.foreach { r =>
       val g = SrmMonitor.verdict(r.getString(0), r.getLong(2),
-        r.getLong(3), 0.001)
-      // batch flags at p < 0.001 too; the batch query rounds chi2 to
-      // 6 decimals BEFORE its p, so mirror that for the p compare
-      assert(math.abs(g.chi2 - r.getDouble(4)) < 1e-6)
-      val chi6 = new java.math.BigDecimal(g.chi2)
-        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
-      val pOnRounded = SrmMonitor.twoSidedP(math.sqrt(chi6))
-      assert(math.abs(pOnRounded - r.getDouble(5)) < 1e-9,
-        s"${r.getString(0)}: $pOnRounded vs ${r.getDouble(5)}")
+        r.getLong(3), 0L, 0.001)
+      assert(java.lang.Double.compare(g.chi2, r.getDouble(4)) == 0,
+        s"${r.getString(0)}: chi2 ${g.chi2} != ${r.getDouble(4)}")
+      assert(java.lang.Double.compare(g.pValue, r.getDouble(5)) == 0,
+        s"${r.getString(0)}: p ${g.pValue} != ${r.getDouble(5)}")
       assert((r.getInt(6) == 1) == g.srmFlag)
     }
+  }
+
+  test("arms outside {0,1} land in nBad, never in arm 0") {
+    // 50/50 stream polluted with arm=2 and arm=-1 rows: the split
+    // stays balanced (no false flag) and the bad rows are counted
+    val obs = (1 to 100).map(i => Assign("mix", i * 1000L, i.toLong, i % 2)) ++
+      Seq(Assign("mix", 200000L, 900L, 2), Assign("mix", 201000L, 901L, -1),
+        Assign("mix", 202000L, 902L, 7))
+    val dir = java.nio.file.Files.createTempDirectory("graft-srm-bad")
+    writeChunks(dir, Seq(obs))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString).as[Assign]
+    val out = SrmMonitor.monitor(stream, alpha = 0.001)
+    val (table, _) = graft.streaming.EventStream
+      .runToCompletionAppendTracked(spark, out.toDF(), "graft_srm_bad")
+    val h = table.as[Health].collect().last
+    assert(h.n0 == 50L && h.n1 == 50L && h.nBad == 3L, h.toString)
+    assert(!h.srmFlag)
+  }
+
+  test("pre-nBad 16-byte state unpacks with nBad = 0") {
+    assert(SrmMonitor.unpack(SrmMonitor.pack(7L, 9L, 0L)) == ((7L, 9L, 0L)))
+    val legacy = {
+      val bos = new java.io.ByteArrayOutputStream(16)
+      val o = new java.io.DataOutputStream(bos)
+      o.writeLong(7L); o.writeLong(9L); o.flush(); bos.toByteArray
+    }
+    assert(SrmMonitor.unpack(legacy) == ((7L, 9L, 0L)))
   }
 }
