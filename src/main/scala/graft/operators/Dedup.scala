@@ -893,6 +893,80 @@ object Dedup {
         (col("__last") - col("start_a") + minLen).as("match_len"))
   }
 
+  /** APPLY step for [[maximalExactMatches]] (round 16 — the Lee et
+    * al.'21 cut: every repeated substring ≥ L tokens survives only at
+    * its globally FIRST occurrence; all later occurrences are cut out
+    * of their documents). The q79-applies-q59 composition pattern for
+    * the suffix tier: q323 reports the matches, this rewrites the
+    * corpus.
+    *
+    * Every MEM pair is emitted with sites ordered by (doc, pos), so
+    * the set of LATER sites — the b-sides — is exactly the set of
+    * non-first occurrences: cutting all b-side spans keeps each
+    * repeated substring's first site and nothing else repeated ≥ L
+    * survives (modulo the documented hot-gram occurrence cap).
+    * Overlapping/nested cut intervals merge per doc (running-max-end
+    * islands — per-doc windows, bounded by one document's length);
+    * token rows anti-join the cut positions and documents reassemble
+    * in position order (whitespace normalized to single spaces — the
+    * paragraphDedup reassembly contract).
+    *
+    * Output per document (ALL documents, including short/uncut ones):
+    * token counts, spans/tokens cut, and the cleaned text's length +
+    * md5 digest (the q204 discipline — oracle-checkable byte-for-byte
+    * without hauling megabyte strings through the compare).
+    */
+  def applyMemDedup(docs: DataFrame, idCol: String, textCol: String,
+                    minLen: Int = 15,
+                    maxOccurrences: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val mems = maximalExactMatches(docs, idCol, textCol, minLen,
+      maxOccurrences)
+    val spans = mems.select(col("doc_b").as("doc_id"),
+      col("start_b").as("s"),
+      (col("start_b") + col("match_len")).as("e"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("s"), col("e").desc)
+    val merged = spans
+      .withColumn("pmax", max(col("e")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__new",
+        (col("pmax").isNull || col("s") > col("pmax")).cast("int"))
+      .withColumn("__grp", sum(col("__new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("__grp"))
+      .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+      .scopedPersist() // consumers: cut positions + span counts
+    val cutPos = merged.select(col("doc_id"),
+      explode(sequence(col("s"), col("e") - 1)).as("pos"))
+    val toks = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(filter(split(col(textCol), " "), t => t =!= "")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("tok"))
+      .scopedPersist() // consumers: totals + the kept side
+    val totals = toks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"))
+    val kept = toks.join(cutPos, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(
+          struct(col("pos"), col("tok")))), x => x.getField("tok")), " ")
+          .as("clean"))
+    val nSpans = merged.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("spans_cut"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(totals, Seq("doc_id"), "left")
+      .join(kept, Seq("doc_id"), "left")
+      .join(nSpans, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        (coalesce(col("n_tokens"), lit(0L))
+          - coalesce(col("n_kept"), lit(0L))).as("tokens_cut"),
+        coalesce(col("spans_cut"), lit(0L)).as("spans_cut"),
+        length(coalesce(col("clean"), lit(""))).cast("long").as("clean_len"),
+        md5(coalesce(col("clean"), lit(""))).as("clean_md5"))
+  }
+
   private def tokenized(docs: DataFrame, idCol: String, textCol: String,
                         minLen: Int): DataFrame = {
     val toks = filter(split(col(textCol), " "), t => t =!= "")

@@ -1222,6 +1222,21 @@ object TextQueries {
         .orderBy(col("doc_a"), col("start_a"), col("doc_b"), col("start_b"))
     },
 
+    // §2.3 (round 16) — MEM dedup APPLIED (the Lee et al.'21 cut):
+    // q323 reports every maximal ≥ 15-token repeat; this rewrites the
+    // corpus so each repeated substring survives ONLY at its globally
+    // first occurrence — all later (b-side) spans merge into per-doc
+    // cut intervals and their tokens are removed, documents
+    // reassembled in position order. The q79-applies-q59 composition
+    // pattern for the suffix tier. Cleaned text ships as length +
+    // md5 digest (the q204 discipline), so the byte-for-byte rewrite
+    // oracle-checks without megabyte strings in the compare.
+    "q324_mem_dedup_apply" -> { (s, d) =>
+      Dedup.applyMemDedup(Tables.documents(s, d), "doc_id", "text",
+        minLen = 15, maxOccurrences = 64)
+        .orderBy(col("doc_id"))
+    },
+
     // §2.3 (round 9) — HTML boilerplate extraction (jusText-class):
     // raw web pages arrive as HTML; block segmentation at block-tag
     // boundaries + per-block word-count/link-density verdicts strip
@@ -3222,6 +3237,81 @@ object TextQueries {
         |  MAX(pos_a) - MIN(pos_a) + 15 AS match_len
         |FROM gg GROUP BY doc_a, doc_b, delta, grp
         |ORDER BY doc_a, start_a, doc_b, start_b""".stripMargin,
+
+    "q324_mem_dedup_apply" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |    md5(array_to_string(toks[i:i+14], ' ')) AS h
+        |  FROM t, UNNEST(generate_series(1, len(toks) - 14)) AS u(i)
+        |  WHERE len(toks) >= 15),
+        |d AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) BETWEEN 2 AND 64),
+        |o AS (SELECT g.doc_id, g.pos, g.h FROM g JOIN d USING (h)),
+        |p AS (
+        |  SELECT a.doc_id AS doc_a, a.pos AS pos_a,
+        |         b.doc_id AS doc_b, b.pos AS pos_b,
+        |         b.pos - a.pos AS delta
+        |  FROM o a JOIN o b USING (h)
+        |  WHERE a.doc_id < b.doc_id
+        |     OR (a.doc_id = b.doc_id AND a.pos < b.pos)),
+        |r AS (
+        |  SELECT doc_a, doc_b, delta, pos_a,
+        |    CASE WHEN pos_a - LAG(pos_a) OVER (PARTITION BY doc_a, doc_b,
+        |      delta ORDER BY pos_a) = 1 THEN 0 ELSE 1 END AS newgrp
+        |  FROM p),
+        |gg AS (
+        |  SELECT doc_a, doc_b, delta, pos_a,
+        |    SUM(newgrp) OVER (PARTITION BY doc_a, doc_b, delta
+        |      ORDER BY pos_a ROWS UNBOUNDED PRECEDING) AS grp
+        |  FROM r),
+        |mems AS (
+        |  SELECT doc_b AS doc_id, MIN(pos_a) + delta AS s,
+        |    MIN(pos_a) + delta + MAX(pos_a) - MIN(pos_a) + 15 AS e
+        |  FROM gg GROUP BY doc_a, doc_b, delta, grp),
+        |mr AS (
+        |  SELECT doc_id, s, e,
+        |    CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY doc_id
+        |      ORDER BY s, e DESC ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |      1 PRECEDING), -1) THEN 1 ELSE 0 END AS newgrp
+        |  FROM mems),
+        |mg AS (
+        |  SELECT doc_id, s, e,
+        |    SUM(newgrp) OVER (PARTITION BY doc_id ORDER BY s, e DESC
+        |      ROWS UNBOUNDED PRECEDING) AS grp
+        |  FROM mr),
+        |merged AS (
+        |  SELECT doc_id, MIN(s) AS s, MAX(e) AS e
+        |  FROM mg GROUP BY doc_id, grp),
+        |cut AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pos
+        |  FROM merged, UNNEST(generate_series(s, e - 1)) AS u(i)),
+        |tr AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pos, toks[i] AS tok
+        |  FROM t, UNNEST(generate_series(1, len(toks))) AS u(i)),
+        |tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens
+        |  FROM tr GROUP BY doc_id),
+        |kept AS (
+        |  SELECT tr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |    string_agg(tr.tok, ' ' ORDER BY tr.pos) AS clean
+        |  FROM tr LEFT JOIN cut
+        |    ON cut.doc_id = tr.doc_id AND cut.pos = tr.pos
+        |  WHERE cut.doc_id IS NULL GROUP BY tr.doc_id),
+        |ns AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS spans_cut
+        |  FROM merged GROUP BY doc_id)
+        |SELECT d0.doc_id,
+        |  COALESCE(tot.n_tokens, 0) AS n_tokens,
+        |  COALESCE(tot.n_tokens, 0) - COALESCE(kept.n_kept, 0) AS tokens_cut,
+        |  COALESCE(ns.spans_cut, 0) AS spans_cut,
+        |  CAST(len(COALESCE(kept.clean, '')) AS BIGINT) AS clean_len,
+        |  md5(COALESCE(kept.clean, '')) AS clean_md5
+        |FROM documents d0
+        |LEFT JOIN tot ON tot.doc_id = d0.doc_id
+        |LEFT JOIN kept ON kept.doc_id = d0.doc_id
+        |LEFT JOIN ns ON ns.doc_id = d0.doc_id
+        |ORDER BY d0.doc_id""".stripMargin,
 
     // byte-identical page template: 8-word lines, arithmetic-planted
     // poison (brace / enable-JS banner / missing terminal punct) —

@@ -103,6 +103,35 @@ class Round16Spec extends SparkSpecBase {
     assert(got.contains((3L, 1L, 3L, 16L, 15L)))
   }
 
+  test("applyMemDedup keeps exactly the globally-first occurrence") {
+    def words(r: Range, p: String) = r.map(i => s"$p$i").mkString(" ")
+    val passage = words(1 to 20, "p") // shared d1 → d2
+    val block = words(1 to 15, "b")   // tandem inside d3
+    val docs = Seq(
+      (1L, s"${words(1 to 3, "a")} $passage ${words(1 to 2, "z")}"),
+      (2L, s"${words(1 to 4, "y")} $passage ${words(1 to 3, "x")}"),
+      (3L, s"$block $block ${words(1 to 2, "w")}"),
+      (4L, words(1 to 30, "u"))).toDF("doc_id", "text")
+    val out = operators.Dedup.applyMemDedup(docs, "doc_id", "text", 15)
+      .orderBy("doc_id").collect()
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expectClean = Seq(
+      s"${words(1 to 3, "a")} $passage ${words(1 to 2, "z")}", // first site intact
+      s"${words(1 to 4, "y")} ${words(1 to 3, "x")}",          // later copy cut
+      s"$block ${words(1 to 2, "w")}",                         // tandem 2nd cut
+      words(1 to 30, "u"))                                     // untouched
+    out.zip(expectClean).foreach { case (r, exp) =>
+      assert(r.getString(5) == md5(exp),
+        s"doc ${r.getLong(0)}: clean digest mismatch (len ${r.getLong(4)}" +
+          s" vs expected ${exp.length})")
+      assert(r.getLong(4) == exp.length.toLong)
+    }
+    // counts: d2 cut 20 of 27, d3 cut 15 of 32, d1/d4 cut 0
+    assert(out.map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq ==
+      Seq((25L, 0L, 0L), (27L, 20L, 1L), (32L, 15L, 1L), (30L, 0L, 0L)))
+  }
+
   test("maximalExactMatches drops grams hotter than the occurrence cap") {
     // one 15-token block planted in 6 docs: every gram occurs 6 times;
     // cap 4 drops them all, cap 8 keeps all C(6,2)=15 site pairs
