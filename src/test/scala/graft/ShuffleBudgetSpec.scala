@@ -51,6 +51,11 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "q147_span_dedup" -> 3,           // countDistinct expand + sort
     "q149_winnow_dedup" -> 3,
     "q156_exact_substr" -> 3,         // gram agg + hit join + doc window
+    // round 16 suffix tier: gram agg + occurrence filter join + pair
+    // self-join + (doc_a,doc_b,delta) run window (+ q324: token
+    // explode, cut anti-join, per-doc rollup, final doc joins)
+    "q323_suffix_mems" -> 4,
+    "q324_mem_dedup_apply" -> 15,
     "q43b_asof_native" -> 3,          // co-partition both sides + sort
     "q08_conflict_dedup" -> 4,
     "q129_interval_native" -> 4,
