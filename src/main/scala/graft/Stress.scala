@@ -458,7 +458,9 @@ object Stress {
       // the 20-copy families; the 1000-copy hot doc's grams exceed the
       // 64-occurrence cap and are DROPPED — the guard firing
       // organically), then diagonal-run merging on (doc_a,doc_b,delta)
-      "q323_suffix_mems")
+      // ... and its apply step (adds the token explode at q196's
+      // width + cut anti-join + per-doc reassembly rollup)
+      "q323_suffix_mems", "q324_mem_dedup_apply")
     val qResults = docQueries.map { name =>
       timed(name, SparkEntry.queries(name)(spark, stressDir))
     }
