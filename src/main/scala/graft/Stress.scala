@@ -288,16 +288,21 @@ object Stress {
     }
 
     // 4. CurationStream: the round-12 composed chain — hash index +
-    // ledger both bounded
+    // ledger both bounded. Round 17 (verdict ask #2): per-stage wall
+    // seconds per batch via the onStage hook, so growth attributes to
+    // a NAMED stage (index_probe / quality / dedup_probe / decontam /
+    // budget_prefix_sum / writes) instead of one opaque batch number.
     locally {
       val idx = s"$base/cur_idx"; val led = s"$base/cur_led"
       val out = s"$base/cur_out"
       graft.streaming.CurationStream.init(spark, idx, led)
       val benchmark = spark.read.parquet(s"$stressDir/documents.parquet")
         .filter(col("doc_id") < 20).select(col("doc_id"), col("text"))
+      val stages = scala.collection.mutable.ArrayBuffer[(Long, String, Double)]()
       val secs = timedRun(graft.streaming.CurationStream.run(
         stream(), benchmark, idx, led, out, s"$base/cur_ckpt",
-        budget = 8000000L))
+        budget = 8000000L,
+        onStage = (b, st, sc) => stages.synchronized { stages += ((b, st, sc)) }))
       val pb = drainBatches()
       requireSingleScan("curation_stream", pb)
       val idxRows = spark.read.parquet(idx).count()
@@ -308,8 +313,18 @@ object Stress {
       require(ledgerRows == nChunks + 1L, s"curation ledger not O(batches): $ledgerRows")
       val verdicts = spark.read.parquet(out).groupBy(col("verdict")).count()
         .collect().map(r => s"${r.getString(0)}:${r.getLong(1)}").sorted.mkString(" ")
+      val stageJson = stages.synchronized(stages.toSeq)
+        .groupBy(_._2).toSeq.sortBy(_._1)
+        .map { case (st, rows) =>
+          val per = rows.sortBy(_._1).map(r => f"${r._3}%.1f").mkString("[", ",", "]")
+          s""""$st":$per"""
+        }.mkString(",")
       results += entry("curation_stream", secs, pb, idxRows, dirBytes(idx) + dirBytes(led),
         s"hash index $idxRows rows <= $keys keys x gens; ledger $ledgerRows rows; verdicts $verdicts")
+      // splice the per-stage table into the entry just appended
+      val last = results.remove(results.length - 1)
+      results += last.patch(last.lastIndexOf('}'),
+        s""","stage_seconds_per_batch":{$stageJson}""", 0)
     }
     spark.streams.removeListener(listener)
     results.mkString(",")
@@ -318,7 +333,7 @@ object Stress {
   def main(args: Array[String]): Unit = {
     val srcDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val stressDir = args.lift(1).getOrElse("/tmp/graft_stress10")
-    val outJson = args.lift(2).getOrElse("STRESS_r16.json")
+    val outJson = args.lift(2).getOrElse("STRESS_r17.json")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -515,7 +530,16 @@ object Stress {
         val setsim = timed(s"setsim_join_t08@$scale",
           Dedup.setSimJoin(docs, "doc_id", "text",
             shingleWidth = 3, tNum = 4, tDen = 5))
-        Seq(ccLine, winnow, setsim)
+        // round 17 (verdict asks #1/#3): the MEM tier on the LONG-KEY
+        // production path at both scales — the 501k row pairs with the
+        // md5 q323_suffix_mems query row above for the key-width
+        // shuffle cut (same operator, no output sort here: the sort
+        // exchange is noise next to the gram shuffles), and 501k→2m
+        // gives the ~linear-in-docs scaling row the suffix tier owes
+        val mem = timed(s"mem_longkey@$scale",
+          Dedup.maximalExactMatches(docs, "doc_id", "text",
+            minLen = 15, maxOccurrences = 64, longKeys = true))
+        Seq(ccLine, winnow, setsim, mem)
       }
       trio("501k", stressDir) ++ trio("2m", bigDir)
     }
@@ -571,7 +595,7 @@ object Stress {
     val loadEnd = loadavg1()
 
     val json =
-      s"""{"round":16,"corpus":{"docs":$nDocs,"chars":$nChars,"vectors":$nVecs,"recipe":"per sf0.1 doc: 20 exact copies + 20 near-dup mutants (every 13th word) + 20 tripled-long distinct + 40 distinct; 1000-copy hot doc; 80% source=web skew; embeddings 10x with per-replica perturbation"},""" +
+      s"""{"round":17,"corpus":{"docs":$nDocs,"chars":$nChars,"vectors":$nVecs,"recipe":"per sf0.1 doc: 20 exact copies + 20 near-dup mutants (every 13th word) + 20 tripled-long distinct + 40 distinct; 1000-copy hot doc; 80% source=web skew; embeddings 10x with per-replica perturbation"},""" +
         s""""guards":{"lsh_max_bucket":${bStats.getLong(0)},"lsh_buckets_over_cap64":${bStats.getLong(1)},"note":"buckets over the 64 cap degrade to linear chain pairs (Dedup.lshCandidatePairs); the 1000-copy hot family fires this organically"},""" +
         s""""queries":{${qResults.mkString(",")}},""" +
         s""""operators":{${opResults.mkString(",")}},""" +

@@ -779,8 +779,9 @@ object Dedup {
     * same all-duplicated-bytes semantics as the paper's cut step.
     *
     * Plan shape: L-gram fan-out is NARROW (len rows/doc); duplicate
-    * detection is ONE aggregate-only shuffle on the uniform md5 key
-    * (never a doc list per hash); the hit join re-shuffles grams on
+    * detection is ONE aggregate-only shuffle on the uniform gram key
+    * ([[gramHash]]: an 8-byte xxhash64 long in production, md5 on the
+    * oracle path — never a doc list per hash); the hit join re-shuffles grams on
     * the same key; island-merge is one doc-keyed window whose
     * partitioning the final groupBy REUSES (doc_id ⊂ group key ⇒ no
     * 4th exchange). O(corpus tokens) rows end to end — the suffix
@@ -790,12 +791,12 @@ object Dedup {
     * inclusive token indices per maximal duplicated span.
     */
   def exactSubstrSpans(docs: DataFrame, idCol: String, textCol: String,
-                       minLen: Int = 15): DataFrame = {
+                       minLen: Int = 15, longKeys: Boolean = true): DataFrame = {
     val grams = tokenized(docs, idCol, textCol, minLen)
       .select(col("doc_id"), col("__toks"),
         explode(sequence(lit(1), size(col("__toks")) - (minLen - 1))).as("pos"))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
-        md5(concat_ws(" ", slice(col("__toks"), col("pos"), lit(minLen)))).as("h"))
+        gramHash(col("__toks"), col("pos"), minLen, longKeys).as("h"))
     val dupHashes = grams.groupBy(col("h"))
       .agg(count(lit(1)).as("__n")).filter(col("__n") >= 2).select(col("h"))
     val hits = grams.join(dupHashes, "h").select(col("doc_id"), col("pos"))
@@ -832,7 +833,7 @@ object Dedup {
     * suffix-automaton construction is pointer-chasing and hostile to
     * DataFrame expression, the HNSW argument): a match of length
     * m ≥ L between sites a and b ⟺ a run of m−L+1 CONSECUTIVE
-    * positions whose L-gram md5s collide at alignment offset
+    * positions whose L-gram hashes ([[gramHash]]) collide at alignment offset
     * delta = pos_b − pos_a. So: stride-1 L-grams (one row per token,
     * the q149/q156 front), keep hashes with 2..maxOccurrences
     * occurrences, pair occurrences within a hash group (ordered, so
@@ -843,9 +844,11 @@ object Dedup {
     * tokens lie inside the matched region) — hence every emitted
     * extent is exactly non-extendable.
     *
-    * Scale shape: the gram front is narrow (one md5 per token); the
-    * only shuffles are the occurrence-count groupBy, the pair
-    * self-join on the uniform 128-bit hash, and the per-(doc_a,
+    * Scale shape: the gram front is narrow (one hash per token —
+    * an 8-byte xxhash64 long by default, the round-17 long-key cut;
+    * md5 on the oracle path, see [[gramHash]]); the only shuffles
+    * are the occurrence-count groupBy, the pair
+    * self-join on the uniform gram key, and the per-(doc_a,
     * doc_b, delta) run-merge window — each window partition is
     * bounded by a single document's length. The pair fan-out is
     * Σ min(occ, maxOccurrences)² per gram: grams hotter than
@@ -858,14 +861,15 @@ object Dedup {
     */
   def maximalExactMatches(docs: DataFrame, idCol: String, textCol: String,
                           minLen: Int = 15,
-                          maxOccurrences: Int = 64): DataFrame = {
+                          maxOccurrences: Int = 64,
+                          longKeys: Boolean = true): DataFrame = {
     require(minLen >= 2, s"minLen must be >= 2, got $minLen")
     require(maxOccurrences >= 2, s"maxOccurrences >= 2, got $maxOccurrences")
     val grams = tokenized(docs, idCol, textCol, minLen)
       .select(col("doc_id"), col("__toks"),
         explode(sequence(lit(1), size(col("__toks")) - (minLen - 1))).as("pos"))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
-        md5(concat_ws(" ", slice(col("__toks"), col("pos"), lit(minLen)))).as("h"))
+        gramHash(col("__toks"), col("pos"), minLen, longKeys).as("h"))
       .scopedPersist() // consumers: occurrence counts + both pair sides
     val dupHashes = grams.groupBy(col("h"))
       .agg(count(lit(1)).as("__n"))
@@ -918,10 +922,11 @@ object Dedup {
     */
   def applyMemDedup(docs: DataFrame, idCol: String, textCol: String,
                     minLen: Int = 15,
-                    maxOccurrences: Int = 64): DataFrame = {
+                    maxOccurrences: Int = 64,
+                    longKeys: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val mems = maximalExactMatches(docs, idCol, textCol, minLen,
-      maxOccurrences)
+      maxOccurrences, longKeys)
     val spans = mems.select(col("doc_b").as("doc_id"),
       col("start_b").as("s"),
       (col("start_b") + col("match_len")).as("e"))
@@ -966,6 +971,124 @@ object Dedup {
         length(coalesce(col("clean"), lit(""))).cast("long").as("clean_len"),
         md5(coalesce(col("clean"), lit(""))).as("clean_md5"))
   }
+
+  /** Site rank packing for the MEM index: one long per (doc, pos) so
+    * the "globally first site" argmin is a plain associative MIN —
+    * the paragraphDedup rank discipline. 10⁹ positions per doc bounds
+    * doc_id at ~9.2·10⁹ before overflow (both far beyond any corpus
+    * this library meets; a require guards the pos side).
+    */
+  private[graft] val memPosBase = 1000000000L
+
+  /** INCREMENTAL MEM INDEX (round 17 — the q103/SpanStream
+    * generational discipline applied to the q323 suffix tier): the
+    * corpus-side state is ONE row per distinct L-gram hash holding
+    * the gram's globally FIRST site, packed as
+    * rank = doc_id·10⁹ + pos. min(rank) is associative, so
+    * generations append per batch and min-merge exactly like the
+    * q103 band index — a new batch probes "does any of my documents
+    * share a ≥ minLen-token run with the lake" at DELTA cost: one
+    * narrow gram front over the batch + one equi-join against the
+    * index, never a recompute over lake text.
+    */
+  def memIndexMinSites(docs: DataFrame, idCol: String, textCol: String,
+                       minLen: Int = 15, longKeys: Boolean = true): DataFrame =
+    tokenized(docs, idCol, textCol, minLen)
+      .select(col("doc_id"), col("__toks"),
+        explode(sequence(lit(1), size(col("__toks")) - (minLen - 1))).as("pos"))
+      .select(
+        gramHash(col("__toks"), col("pos"), minLen, longKeys).as("h"),
+        (col("doc_id") * memPosBase + col("pos")).as("rank"))
+      .groupBy(col("h")).agg(min(col("rank")).as("rank"))
+
+  /** Probe a batch against a min-merged MEM index frame (`(h, rank)`
+    * from [[memIndexMinSites]], min-of-mins across generations):
+    * every maximal run of consecutive batch positions whose gram is
+    * HELD by the lake at a consistent alignment diagonal against the
+    * gram's indexed FIRST site, reported as
+    * (doc_id, start, lake_doc, lake_start, match_len ≥ minLen) —
+    * q323's MEM shape, one-sided (the lake side is always the
+    * indexed first occurrence).
+    *
+    * COVERAGE guarantee (one-sided, documented): every batch token
+    * inside a run of ≥ minLen tokens shared with the lake is covered
+    * by some reported match — each shared L-gram alone yields a
+    * ≥ minLen extent. Extents may FRAGMENT relative to the true MEM
+    * when consecutive grams' first lake sites disagree (a substring
+    * whose prefix also occurs earlier elsewhere): the diagonal
+    * breaks, the run splits, nothing is lost — the q156-grade
+    * coverage contract with q323-grade attribution. The full
+    * two-sided MEM enumeration within a batch stays
+    * [[maximalExactMatches]]'s job.
+    *
+    * Plan shape: narrow gram front over the BATCH only; one
+    * equi-join on the uniform gram key (at cluster scale the index
+    * is hash-bucketed on h ⇒ co-partitioned join, only the batch
+    * side shuffles — the ScaleSpec bucketed-probe discipline); the
+    * run-merge window partitions by (doc, lake_doc, delta), bounded
+    * by one batch document's length.
+    */
+  def memProbe(index: DataFrame, batch: DataFrame,
+               idCol: String, textCol: String,
+               minLen: Int = 15, longKeys: Boolean = true): DataFrame = {
+    val grams = tokenized(batch, idCol, textCol, minLen)
+      .select(col("doc_id"), col("__toks"),
+        explode(sequence(lit(1), size(col("__toks")) - (minLen - 1))).as("pos"))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        gramHash(col("__toks"), col("pos"), minLen, longKeys).as("h"))
+    val hits = grams.join(index.select(col("h"), col("rank")), "h")
+      .select(col("doc_id"), col("pos"),
+        // `div`, not `/`: Column / is IEEE double division, which
+        // silently loses low bits once rank exceeds 2⁵³ — long
+        // integer division unpacks exactly at any doc_id
+        expr(s"rank div ${memPosBase}L").as("lake_doc"),
+        (col("rank") % memPosBase).as("lake_pos"))
+      .withColumn("delta", col("lake_pos") - col("pos"))
+    val w = Window.partitionBy(col("doc_id"), col("lake_doc"), col("delta"))
+      .orderBy(col("pos"))
+    val prev = lag(col("pos"), 1).over(w)
+    hits
+      .withColumn("__new", (prev.isNull || col("pos") - prev > 1).cast("int"))
+      .withColumn("__grp", sum(col("__new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("lake_doc"), col("delta"), col("__grp"))
+      .agg(min(col("pos")).as("start"), max(col("pos")).as("__last"))
+      .select(col("doc_id"), col("start"),
+        col("lake_doc"), (col("start") + col("delta")).as("lake_start"),
+        (col("__last") - col("start") + minLen).as("match_len"))
+  }
+
+  /** The L-gram shuffle key for the exact-substring family (round 17
+    * — the q247 long-key discipline applied to the gram front).
+    *
+    * `longKeys = true` (production default): `xxhash64` over the
+    * token-slice ARRAY — one codegen'd 8-byte long per gram, no
+    * concatenated gram string and no 32-hex md5 materialized at all.
+    * The key was the fat constant of the tier: every gram row carries
+    * it through the occurrence-count groupBy, the persisted gram
+    * cache, and BOTH sides of the pair self-join, so a 40-byte
+    * UnsafeRow string vs an 8-byte long is a ~3-5× cut on the
+    * operator's total shuffle volume (measured: STRESS_r17). A
+    * 64-bit collision between two DIFFERENT grams fabricates one
+    * spurious anchor (an ≥ minLen false MEM if isolated); expected
+    * spurious pairs ≈ G²/2⁶⁵ over G corpus grams — ~3 per 10¹⁰-gram
+    * corpus, the documented one-sided cost of the long path.
+    *
+    * `longKeys = false`: the md5 hex string — 128-bit, collision-free
+    * for practical purposes, and EXPRESSIBLE IN DuckDB, so it is the
+    * path every oracle SQL mirrors; q156/q323/q324 pin it to keep the
+    * engine-vs-oracle compare a comparison of identical functions.
+    * Round17Spec pins the two paths' emitted output bit-equal on the
+    * planted MEM corpus.
+    *
+    * Tokens contain no spaces (whitespace split), so the md5 path's
+    * `concat_ws(" ")` is injective on token sequences — both keys
+    * collide exactly on gram equality (modulo hash collisions).
+    */
+  private def gramHash(toks: Column, pos: Column, minLen: Int,
+                       longKeys: Boolean): Column =
+    if (longKeys) xxhash64(slice(toks, pos, lit(minLen)))
+    else md5(concat_ws(" ", slice(toks, pos, lit(minLen))))
 
   private def tokenized(docs: DataFrame, idCol: String, textCol: String,
                         minLen: Int): DataFrame = {

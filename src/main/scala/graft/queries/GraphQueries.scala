@@ -92,6 +92,10 @@ object GraphQueries {
     // groupBy + edge anti-join; AA terms decimal-quantized so the
     // sum is partition-order-independent. Pairs with ≥ 2 common
     // neighbors (the score floor a completion pipeline acts on).
+    // The oracle mirrors the maxFanout=256 lowest-id-neighbor hub
+    // cap (symc QUALIFY), so parity holds even on a graph whose max
+    // degree exceeds the cap — not just because the %200 test
+    // graph's degrees happen to stay under it.
     "q297_link_prediction" -> { (s, d) =>
       Graph.linkPrediction(sampledEdges(s, d))
         .filter(col("common_neighbors") >= 2)
@@ -218,9 +222,12 @@ object GraphQueries {
         |sym AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
         |deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg
         |        FROM sym GROUP BY u),
+        |symc AS (
+        |  SELECT u, v FROM sym
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY v ORDER BY u) <= 256),
         |wed AS (
         |  SELECT l.u AS u, r.u AS w, d.deg AS zdeg
-        |  FROM sym l JOIN sym r ON l.v = r.v AND l.u < r.u
+        |  FROM symc l JOIN symc r ON l.v = r.v AND l.u < r.u
         |  JOIN deg d ON d.u = l.v),
         |sc AS (
         |  SELECT u, w, CAST(COUNT(*) AS BIGINT) AS common_neighbors,

@@ -959,8 +959,10 @@ object OpsQueries {
       // tie term m³ and the doubled rank-sum Σ c·r2 grow ~n²/n³ —
       // DECIMAL(38,0) headroom to 10³⁸ (a Long wraps silently at
       // ~2.1M-row value bins / ~3·10⁹ corpus rows); the oracle
-      // mirrors with CAST(... AS DECIMAL(38,0)) over DuckDB's
-      // 128-bit internal sums
+      // mirrors with the FACTOR cast to HUGEINT (DuckDB's per-row
+      // BIGINT product would out-of-range at the same ~2.1M bins
+      // the decimal promotion exists to survive — headroom must be
+      // two-sided, not Spark-only)
       val ties = dom.agg(
         sum(col("m").cast(DecimalType(38, 0)) * col("m") * col("m")
           - col("m")).as("tsum"),
@@ -1047,10 +1049,10 @@ object OpsQueries {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
         |  FROM dom0),
         |dom2 AS (SELECT v, m, 2 * cb + m + 1 AS r2 FROM dom),
-        |ties AS (SELECT CAST(SUM(m * m * m - m) AS DECIMAL(38,0)) AS tsum,
+        |ties AS (SELECT CAST(SUM(CAST(m AS HUGEINT) * m * m - m) AS DECIMAL(38,0)) AS tsum,
         |         CAST(SUM(m) AS BIGINT) AS nn FROM dom2),
         |per AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_s,
-        |        CAST(SUM(c * r2) AS DECIMAL(38,0)) AS r2_s
+        |        CAST(SUM(CAST(c AS HUGEINT) * r2) AS DECIMAL(38,0)) AS r2_s
         |  FROM vc JOIN dom2 USING (v) GROUP BY source),
         |b AS (SELECT source, n_s, nn - n_s AS n_r, r2_s, tsum, nn
         |      FROM per CROSS JOIN ties),

@@ -269,16 +269,23 @@ object StatsQueries {
       val nc = cust.agg(count(lit(1)).as("nc"))
       val scored = cust.crossJoin(broadcast(hor))
         .withColumn("rec", datediff(col("mx"), col("last_d")))
-      // three distributed row_numbers, one per RFM total order
-      val rn = Selection.budgetSelect(
-        Selection.budgetSelect(
-          Selection.budgetSelect(scored,
-            Seq(col("rec").desc, col("o_custkey")), lit(1L), Long.MaxValue)
-            .withColumnRenamed("cum_weight", "rn_r"),
+        .select(col("o_custkey"), col("rec"), col("freq"), col("mon"))
+        .scopedPersist() // consumers: three rank probes + the join spine
+      // three INDEPENDENT distributed row_numbers, one per RFM total
+      // order, joined back on the customer key — SIBLINGS, not nested
+      // (nesting re-range-partitioned the full frame per stage and
+      // tripled the lineage each budgetSelect's two branches reprint;
+      // de-nested, each prefix sum sees only (key, sort col))
+      val rn = scored
+        .join(Selection.budgetSelect(scored.select(col("o_custkey"), col("rec")),
+          Seq(col("rec").desc, col("o_custkey")), lit(1L), Long.MaxValue)
+          .select(col("o_custkey"), col("cum_weight").as("rn_r")), "o_custkey")
+        .join(Selection.budgetSelect(scored.select(col("o_custkey"), col("freq")),
           Seq(col("freq"), col("o_custkey")), lit(1L), Long.MaxValue)
-          .withColumnRenamed("cum_weight", "rn_f"),
-        Seq(col("mon"), col("o_custkey")), lit(1L), Long.MaxValue)
-        .withColumnRenamed("cum_weight", "rn_m")
+          .select(col("o_custkey"), col("cum_weight").as("rn_f")), "o_custkey")
+        .join(Selection.budgetSelect(scored.select(col("o_custkey"), col("mon")),
+          Seq(col("mon"), col("o_custkey")), lit(1L), Long.MaxValue)
+          .select(col("o_custkey"), col("cum_weight").as("rn_m")), "o_custkey")
       // SQL NTILE(k): rem = n%k tiles of big = n div 5 + 1 rows first,
       // then tiles of small = n div 5 (n < 5 keeps the first branch)
       def tile(rnCol: String): Column = expr(
@@ -2269,11 +2276,11 @@ object StatsQueries {
         |    0) + m + 1 AS ry
         |  FROM yd0),
         |sums AS (SELECT rf, CAST(SUM(c) AS BIGINT) AS n,
-        |    CAST(SUM(c * rx) AS DECIMAL(38,0)) AS sx,
-        |    CAST(SUM(c * ry) AS DECIMAL(38,0)) AS sy,
-        |    CAST(SUM(c * rx * rx) AS DECIMAL(38,0)) AS sxx,
-        |    CAST(SUM(c * ry * ry) AS DECIMAL(38,0)) AS syy,
-        |    CAST(SUM(c * rx * ry) AS DECIMAL(38,0)) AS sxy
+        |    CAST(SUM(CAST(c AS HUGEINT) * rx) AS DECIMAL(38,0)) AS sx,
+        |    CAST(SUM(CAST(c AS HUGEINT) * ry) AS DECIMAL(38,0)) AS sy,
+        |    CAST(SUM(CAST(c AS HUGEINT) * rx * rx) AS DECIMAL(38,0)) AS sxx,
+        |    CAST(SUM(CAST(c AS HUGEINT) * ry * ry) AS DECIMAL(38,0)) AS syy,
+        |    CAST(SUM(CAST(c AS HUGEINT) * rx * ry) AS DECIMAL(38,0)) AS sxy
         |  FROM vc JOIN xd USING (rf, x) JOIN yd USING (rf, y)
         |  GROUP BY rf)
         |SELECT rf AS l_returnflag, n,
@@ -3136,9 +3143,9 @@ object StatsQueries {
         |  FROM ps JOIN dcb d USING (v) CROSS JOIN tot t),
         |g AS (SELECT source, CAST(MAX(n_s) AS BIGINT) AS n_s,
         |    CAST(MAX(nn) AS BIGINT) AS nn,
-        |    CAST(SUM(c * rb) AS DECIMAL(38,0)) AS wins,
-        |    CAST(SUM(c * ra) AS DECIMAL(38,0)) AS losses,
-        |    CAST(SUM(c * (m - c)) AS DECIMAL(38,0)) AS ties
+        |    CAST(SUM(CAST(c AS HUGEINT) * rb) AS DECIMAL(38,0)) AS wins,
+        |    CAST(SUM(CAST(c AS HUGEINT) * ra) AS DECIMAL(38,0)) AS losses,
+        |    CAST(SUM(CAST(c AS HUGEINT) * (m - c)) AS DECIMAL(38,0)) AS ties
         |  FROM j GROUP BY source)
         |SELECT source, n_s, nn - n_s AS n_rest,
         |  CAST(wins AS BIGINT) AS wins, CAST(losses AS BIGINT) AS losses,
@@ -3467,9 +3474,9 @@ object StatsQueries {
         |    AS BIGINT) AS cb FROM dom0),
         |dom2 AS (SELECT v, m, 2 * cb + m + 1 AS r2 FROM dom),
         |ties AS (SELECT CAST(SUM(m) AS BIGINT) AS nn,
-        |  CAST(SUM(m * m * m - m) AS DECIMAL(38,0)) AS tsum FROM dom2),
+        |  CAST(SUM(CAST(m AS HUGEINT) * m * m - m) AS DECIMAL(38,0)) AS tsum FROM dom2),
         |per AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_s,
-        |    CAST(SUM(c * r2) AS DECIMAL(38,0)) AS r2_s
+        |    CAST(SUM(CAST(c AS HUGEINT) * r2) AS DECIMAL(38,0)) AS r2_s
         |  FROM vc JOIN dom2 USING (v) GROUP BY source),
         |terms AS (SELECT n_s, r2_s, nn, tsum,
         |    CAST(ROUND(CAST(r2_s AS DOUBLE) * r2_s / (4.0 * n_s), 12)

@@ -1200,7 +1200,7 @@ object TextQueries {
     // shuffle, doc-window island merge (partitioning reused).
     "q156_exact_substr" -> { (s, d) =>
       Dedup.exactSubstrSpans(Tables.documents(s, d), "doc_id", "text",
-        minLen = 15)
+        minLen = 15, longKeys = false) // md5: the oracle's exact function
         .orderBy(col("doc_id"), col("span_start"))
     },
 
@@ -1218,7 +1218,8 @@ object TextQueries {
     // documented cap discipline.
     "q323_suffix_mems" -> { (s, d) =>
       Dedup.maximalExactMatches(Tables.documents(s, d), "doc_id", "text",
-        minLen = 15, maxOccurrences = 64)
+        minLen = 15, maxOccurrences = 64,
+        longKeys = false) // md5: the oracle's exact function
         .orderBy(col("doc_a"), col("start_a"), col("doc_b"), col("start_b"))
     },
 
@@ -1233,8 +1234,30 @@ object TextQueries {
     // oracle-checks without megabyte strings in the compare.
     "q324_mem_dedup_apply" -> { (s, d) =>
       Dedup.applyMemDedup(Tables.documents(s, d), "doc_id", "text",
-        minLen = 15, maxOccurrences = 64)
+        minLen = 15, maxOccurrences = 64,
+        longKeys = false) // md5: the oracle's exact function
         .orderBy(col("doc_id"))
+    },
+
+    // §2.3 (round 17) — INCREMENTAL MEM INDEX probe (the suffix
+    // tier's q103: admission control instead of recompute): the lake
+    // (doc_id % 4 ≠ 3) builds a one-row-per-gram-hash FIRST-SITE
+    // index (min packed rank — associative, so the streaming form
+    // appends generations and min-merges, see MemStream); the batch
+    // (doc_id % 4 = 3) probes at DELTA cost — its own gram front +
+    // one equi-join — and every maximal aligned run ≥ 15 tokens
+    // against an indexed first site is reported with both extents.
+    // One-sided coverage contract (extents can fragment when
+    // consecutive grams' first sites disagree): see Dedup.memProbe.
+    "q325_mem_index_probe" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val idx = Dedup.memIndexMinSites(docs.filter(col("doc_id") % 4 =!= 3),
+        "doc_id", "text", minLen = 15,
+        longKeys = false) // md5: the oracle's exact function
+      Dedup.memProbe(idx, docs.filter(col("doc_id") % 4 === 3),
+        "doc_id", "text", minLen = 15, longKeys = false)
+        .orderBy(col("doc_id"), col("start"), col("lake_doc"),
+          col("lake_start"))
     },
 
     // §2.3 (round 9) — HTML boilerplate extraction (jusText-class):
@@ -3312,6 +3335,40 @@ object TextQueries {
         |LEFT JOIN kept ON kept.doc_id = d0.doc_id
         |LEFT JOIN ns ON ns.doc_id = d0.doc_id
         |ORDER BY d0.doc_id""".stripMargin,
+
+    "q325_mem_index_probe" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |    md5(array_to_string(toks[i:i+14], ' ')) AS h
+        |  FROM t, UNNEST(generate_series(1, len(toks) - 14)) AS u(i)
+        |  WHERE len(toks) >= 15),
+        |idx AS (
+        |  SELECT h, MIN(doc_id * 1000000000 + pos) AS rank
+        |  FROM g WHERE doc_id % 4 <> 3 GROUP BY h),
+        |p AS (
+        |  SELECT b.doc_id, b.pos,
+        |    idx.rank // 1000000000 AS lake_doc,
+        |    idx.rank % 1000000000 - b.pos AS delta
+        |  FROM g b JOIN idx USING (h) WHERE b.doc_id % 4 = 3),
+        |r AS (
+        |  SELECT doc_id, lake_doc, delta, pos,
+        |    CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id,
+        |      lake_doc, delta ORDER BY pos) = 1 THEN 0 ELSE 1 END AS newgrp
+        |  FROM p),
+        |gg AS (
+        |  SELECT doc_id, lake_doc, delta, pos,
+        |    SUM(newgrp) OVER (PARTITION BY doc_id, lake_doc, delta
+        |      ORDER BY pos ROWS UNBOUNDED PRECEDING) AS grp
+        |  FROM r)
+        |SELECT doc_id, MIN(pos) AS start, lake_doc,
+        |  MIN(pos) + delta AS lake_start,
+        |  MAX(pos) - MIN(pos) + 15 AS match_len
+        |FROM gg GROUP BY doc_id, lake_doc, delta, grp
+        |ORDER BY doc_id, start, lake_doc, lake_start""".stripMargin,
 
     // byte-identical page template: 8-word lines, arithmetic-planted
     // poison (brace / enable-JS banner / missing terminal punct) —

@@ -66,8 +66,14 @@ object SrmMonitor {
     (in.readLong(), in.readLong(), if (b.length >= 24) in.readLong() else 0L)
   }
 
+  // BigDecimal.valueOf (shortest decimal repr — Double.toString), NOT
+  // `new BigDecimal` (exact binary expansion): Spark's Round on
+  // doubles goes through valueOf, and on a value whose shortest repr
+  // ties at the rounding digit the two constructions round apart —
+  // valueOf here keeps the "bit-identical to the q314 batch row"
+  // claim literal.
   private def round(x: Double, scale: Int): Double =
-    new java.math.BigDecimal(x)
+    java.math.BigDecimal.valueOf(x)
       .setScale(scale, java.math.RoundingMode.HALF_UP).doubleValue()
 
   /** Health verdict from cumulative counts — shared by the processor

@@ -487,6 +487,91 @@ class ScaleSpec extends SparkSpecBase {
       s"probe after compaction broken: ${reprobe.toSeq}")
   }
 
+  test("streaming MEM index flags cross-batch exact runs at delta cost") {
+    import spark.implicits._
+    import graft.streaming.MemStream
+    def words(r: Range, p: String) = r.map(i => s"$p$i").mkString(" ")
+    val passageP = words(1 to 17, "p") // lives in the SEEDED lake
+    val passageQ = words(1 to 16, "q") // introduced by CHUNK 0
+    val seed = Seq(
+      (1L, s"${words(1 to 5, "a")} $passageP ${words(1 to 4, "z")}"), // P at pos 6
+      (2L, words(1 to 30, "n"))).toDF("doc_id", "text")
+    // chunk 0: fresh doc with Q; chunk 1: doc repeating P (vs the
+    // seed) AND Q (vs chunk 0 — the cross-batch plant)
+    val chunks: Seq[Seq[(Long, String)]] = Seq(
+      Seq((100L, s"${words(1 to 3, "f")} $passageQ ${words(1 to 2, "g")}"), // Q at pos 4
+        (101L, words(1 to 25, "h"))),
+      Seq((200L, s"${words(1 to 2, "w")} $passageP ${words(1 to 3, "v")} $passageQ")))
+        // in doc 200: P at pos 3, Q at pos 23
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-mem-src")
+    chunks.zipWithIndex.foreach { case (rows, i) =>
+      val stage = java.nio.file.Files.createTempDirectory(s"graft-mem-chunk$i")
+      rows.toDF("doc_id", "text")
+        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = java.nio.file.Files.list(stage).iterator()
+      val found = scala.jdk.CollectionConverters.IteratorHasAsScala(part).asScala
+        .find(_.toString.endsWith(".parquet")).get
+      val dst = srcDir.resolve(f"chunk$i%02d.parquet")
+      java.nio.file.Files.move(found, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+    }
+    val indexDir = java.nio.file.Files.createTempDirectory("graft-mem-idx").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft-mem-out").toString
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft-mem-ckpt").toString
+    MemStream.seedIndex(seed, indexDir, "doc_id", "text")
+    // crash plant: batch 0's index generation exists from a failed
+    // attempt strictly between the two writes — the replay must not
+    // probe it (doc 100 would flag as repeating itself), then
+    // overwrite it idempotently
+    graft.operators.Dedup.memIndexMinSites(
+        chunks.head.toDF("doc_id", "text"), "doc_id", "text", 15)
+      .write.mode("overwrite").parquet(s"$indexDir/gen=0")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
+    MemStream.run(stream, indexDir, outDir, ckptDir, "doc_id", "text")
+    def runsOf(batch: Int) = spark.read.parquet(s"$outDir/batch=$batch")
+      .select("doc_id", "start", "lake_doc", "lake_start", "match_len")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    // batch 0: nothing in the seed repeats; the crash-planted gen=0
+    // was excluded, so doc 100 must NOT flag against itself
+    assert(runsOf(0).isEmpty, s"batch 0 self-flagged: ${runsOf(0)}")
+    // batch 1: doc 200 hits P against the SEED (doc 1, pos 6) and Q
+    // against CHUNK 0's appended generation (doc 100, pos 4)
+    assert(runsOf(1) == Set(
+      (200L, 3L, 1L, 6L, 17L),
+      (200L, 23L, 100L, 4L, 16L)), s"got ${runsOf(1)}")
+    // parity with the one-shot recompute: probe chunk 1 against the
+    // full lake-so-far (seed ∪ chunk 0) built from scratch
+    val oneShot = graft.operators.Dedup.memProbe(
+      graft.operators.Dedup.memIndexMinSites(
+        seed.unionByName(chunks.head.toDF("doc_id", "text")),
+        "doc_id", "text", 15),
+      chunks(1).toDF("doc_id", "text"), "doc_id", "text", 15)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(oneShot == runsOf(1), s"stream/recompute divergence: $oneShot vs ${runsOf(1)}")
+    // compaction folds generations to one row per gram hash and
+    // preserves probe results
+    val preRows = spark.read.parquet(indexDir).count()
+    val keys = spark.read.parquet(indexDir).select("h").distinct().count()
+    assert(preRows > keys, "expected multi-generation index before compaction")
+    MemStream.compactIndex(spark, indexDir)
+    val compacted = spark.read.parquet(indexDir)
+    assert(compacted.count() == keys)
+    val reprobe = graft.operators.Dedup.memProbe(
+      compacted.groupBy(col("h")).agg(min(col("rank")).as("rank")),
+      chunks(1).toDF("doc_id", "text"), "doc_id", "text", 15)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    // post-compaction the index ALSO holds batch 1's own generation,
+    // so doc 200 additionally matches itself at delta 0 — drop the
+    // self rows and the cross-doc probe must be unchanged
+    assert(reprobe.filter(r => r._3 != 200L) == runsOf(1),
+      s"probe after compaction broken: $reprobe")
+  }
+
   test("streaming quality gate quarantines violating rows with their constraint labels") {
     import spark.implicits._
     import graft.streaming.QualityGate

@@ -222,15 +222,14 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "q270_spearman" -> 9,
     "q271_ks_test" -> 9,
     "q272_cusum" -> 4,
-    // q273: THREE nested budgetSelect prefix sums (one per RFM total
-    // order — round 16's de-windowing of the customer-scaling ntiles).
-    // The TEXT count explodes because each stage reprints its
-    // scopedPersist-pinned child's subplan in both the main and the
-    // __pid-totals branch (2³ lineage duplication); the EXECUTED plan
-    // materializes each stage once — ~11 real exchanges
-    // (3 × (range-repartition + __pid agg + broadcast-side agg) +
-    // the final cell rollup + sort).
-    "q273_rfm" -> 63,
+    // q273: three SIBLING budgetSelect prefix sums (round 17 de-nested
+    // them — nesting re-range-partitioned the whole frame per stage
+    // and compounded the lineage reprint 2³; text count was 63). Now
+    // each budgetSelect reprints the persisted `scored` subplan in
+    // exactly its two branches (constant ×2, not compounding), so a
+    // genuine new exchange moves the text count by ≥ 2 — measured
+    // clean-plan counts: 43 AQE-on / 40 AQE-off, ~15 executed.
+    "q273_rfm" -> 43,
     "q274_seq_packing" -> 15,
     "q275_acf" -> 15,
     "q276_seq_containment" -> 4,
