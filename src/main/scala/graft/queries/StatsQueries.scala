@@ -264,26 +264,26 @@ object StatsQueries {
           count(lit(1)).as("freq"),
           sum(round(col("o_totalprice"), 2).cast(DecimalType(18, 2)))
             .as("mon"))
-        .scopedPersist() // consumers: horizon + count + scored frame
-      val hor = cust.agg(max(col("last_d")).as("mx"))
-      val nc = cust.agg(count(lit(1)).as("nc"))
-      val scored = cust.crossJoin(broadcast(hor))
-        .withColumn("rec", datediff(col("mx"), col("last_d")))
-        .select(col("o_custkey"), col("rec"), col("freq"), col("mon"))
-        .scopedPersist() // consumers: three rank probes + the join spine
+        .scopedPersist() // consumers: 1-row globals + 3 rank probes + spine
+      // ONE 1-row agg carries both globals (horizon + n); rec itself is
+      // never materialized before ranking — datediff(mx, ·) is strictly
+      // decreasing in last_d, so the (rec DESC, custkey) total order IS
+      // (last_d ASC, custkey), and the recency rank sorts cust directly.
+      val glob = cust.agg(max(col("last_d")).as("mx"),
+        count(lit(1)).as("nc"))
       // three INDEPENDENT distributed row_numbers, one per RFM total
       // order, joined back on the customer key — SIBLINGS, not nested
       // (nesting re-range-partitioned the full frame per stage and
       // tripled the lineage each budgetSelect's two branches reprint;
       // de-nested, each prefix sum sees only (key, sort col))
-      val rn = scored
-        .join(Selection.budgetSelect(scored.select(col("o_custkey"), col("rec")),
-          Seq(col("rec").desc, col("o_custkey")), lit(1L), Long.MaxValue)
+      val rn = cust
+        .join(Selection.budgetSelect(cust.select(col("o_custkey"), col("last_d")),
+          Seq(col("last_d"), col("o_custkey")), lit(1L), Long.MaxValue)
           .select(col("o_custkey"), col("cum_weight").as("rn_r")), "o_custkey")
-        .join(Selection.budgetSelect(scored.select(col("o_custkey"), col("freq")),
+        .join(Selection.budgetSelect(cust.select(col("o_custkey"), col("freq")),
           Seq(col("freq"), col("o_custkey")), lit(1L), Long.MaxValue)
           .select(col("o_custkey"), col("cum_weight").as("rn_f")), "o_custkey")
-        .join(Selection.budgetSelect(scored.select(col("o_custkey"), col("mon")),
+        .join(Selection.budgetSelect(cust.select(col("o_custkey"), col("mon")),
           Seq(col("mon"), col("o_custkey")), lit(1L), Long.MaxValue)
           .select(col("o_custkey"), col("cum_weight").as("rn_m")), "o_custkey")
       // SQL NTILE(k): rem = n%k tiles of big = n div 5 + 1 rows first,
@@ -293,7 +293,8 @@ object StatsQueries {
           s" THEN ($rnCol - 1) div ((nc div 5) + 1) + 1" +
           s" ELSE (nc % 5) + ($rnCol - 1 - (nc % 5) * ((nc div 5) + 1))" +
           s" div (nc div 5) + 1 END")
-      rn.crossJoin(broadcast(nc))
+      rn.crossJoin(broadcast(glob))
+        .withColumn("rec", datediff(col("mx"), col("last_d")))
         .withColumn("r", tile("rn_r"))
         .withColumn("f", tile("rn_f"))
         .withColumn("m", tile("rn_m"))

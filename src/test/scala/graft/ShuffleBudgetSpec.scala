@@ -224,12 +224,15 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     "q272_cusum" -> 4,
     // q273: three SIBLING budgetSelect prefix sums (round 17 de-nested
     // them — nesting re-range-partitioned the whole frame per stage
-    // and compounded the lineage reprint 2³; text count was 63). Now
-    // each budgetSelect reprints the persisted `scored` subplan in
-    // exactly its two branches (constant ×2, not compounding), so a
-    // genuine new exchange moves the text count by ≥ 2 — measured
-    // clean-plan counts: 43 AQE-on / 40 AQE-off, ~15 executed.
-    "q273_rfm" -> 43,
+    // and compounded the lineage reprint 2³; text count was 63), then
+    // trimmed again: the rec rank sorts cust.last_d directly (datediff
+    // against the fixed horizon is strictly decreasing, so rec DESC ≡
+    // last_d ASC) — the intermediate `scored` persist and the separate
+    // horizon/count 1-row aggs are gone. Each budgetSelect reprints the
+    // persisted `cust` subplan in exactly its two branches (constant
+    // ×2, not compounding), so a genuine new exchange moves the text
+    // count by ≥ 2 — measured clean-plan counts: 29 AQE-on / 26 off.
+    "q273_rfm" -> 29,
     "q274_seq_packing" -> 15,
     "q275_acf" -> 15,
     "q276_seq_containment" -> 4,
