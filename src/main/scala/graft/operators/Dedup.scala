@@ -941,8 +941,16 @@ object Dedup {
       .groupBy(col("doc_id"), col("__grp"))
       .agg(min(col("s")).as("s"), max(col("e")).as("e"))
       .scopedPersist() // consumers: cut positions + span counts
+    // SHUFFLE_HASH, not broadcast: cutPos is O(tokens cut) — the
+    // explode multiplies the compact interval rows AFTER the exchange
+    // AQE reads its size estimate from, so at stress scale (501k docs,
+    // 1.24M MEMs) the "small" side is really tens of millions of rows
+    // and the auto-broadcast build OOMs the driver. Shuffled on
+    // (doc_id, pos) both sides partition evenly; the per-partition
+    // hash build is corpus/parts — the scale-correct plan.
     val cutPos = merged.select(col("doc_id"),
       explode(sequence(col("s"), col("e") - 1)).as("pos"))
+      .hint("shuffle_hash")
     val toks = docs
       .select(col(idCol).as("doc_id"),
         posexplode(filter(split(col(textCol), " "), t => t =!= "")))
