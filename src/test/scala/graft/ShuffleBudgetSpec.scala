@@ -289,4 +289,64 @@ class ShuffleBudgetSpec extends AnyFunSuite {
       assert(over.isEmpty, over.mkString("; "))
     } finally spark.conf.unset("spark.sql.adaptive.enabled")
   }
+
+  // ── REAL exchange counts for the budgetSelect/groupedPrefixSum
+  // family (round 17, closing the r16 advisory: the TEXT counts above
+  // reprint every persisted subplan once per consumer, so the
+  // prefix-sum queries carry 2-6x slack in which a genuine new
+  // exchange could hide). This counter walks the AQE-off executed
+  // plan and counts ShuffleExchangeLike nodes actually EXECUTED once
+  // per query run: ReusedExchangeExec is not counted (the reused
+  // exchange already is), and each persisted subplan's exchanges are
+  // counted exactly once per DISTINCT cache (InMemoryTableScanExec
+  // descended via its relation, deduped on the shared cacheBuilder —
+  // N scans of one cache cost its exchanges once). Counts are EXACT
+  // pins, not budgets: one new shuffle moves the number by one.
+  private def realExchanges(root: org.apache.spark.sql.execution.SparkPlan): Int = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val seen = scala.collection.mutable.Set[Int]()
+    def count(p: SparkPlan): Int = p.collect {
+      case _: ShuffleExchangeLike => 1
+      case s: InMemoryTableScanExec =>
+        val id = System.identityHashCode(s.relation.cacheBuilder)
+        if (seen.add(id)) count(s.relation.cachedPlan) else 0
+    }.sum
+    count(root)
+  }
+
+  private val realPins: Map[String, Int] = Map(
+    "q104_boilerplate_removal" -> 5,
+    "q107_token_budget" -> 4,
+    "q136_curation_chain" -> 12,
+    "q154_calibration" -> 7,
+    "q155_auc" -> 6,
+    "q172_aspect_batch" -> 5,
+    "q186_length_gini" -> 5,
+    "q188_index_drift" -> 13,
+    "q237_robots_txt" -> 3,
+    "q272_cusum" -> 3,
+    // 13 = cust agg (1) + 3 budgetSelects x (range repartition +
+    // offsets' SinglePartition window + the pre-persist partial agg
+    // exchange = 3) + 3 rank joins sharing cust's cached exchange
+    "q273_rfm" -> 13,
+    "q274_seq_packing" -> 6,
+    "q276_seq_containment" -> 3,
+    "q277_pareto_abc" -> 7,
+    "q294_feature_snapshot" -> 4,
+    "q295_vocab_curve" -> 5)
+
+  test("prefix-sum family executed-exchange counts are pinned exactly") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val off = realPins.toSeq.sortBy(_._1).flatMap { case (name, pin) =>
+        spark.catalog.clearCache()
+        val n = realExchanges(
+          SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan)
+        if (n != pin) Some(s"$name: $n real exchanges != pinned $pin") else None
+      }
+      assert(off.isEmpty, off.mkString("; "))
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
+  }
 }
