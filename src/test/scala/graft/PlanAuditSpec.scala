@@ -129,6 +129,22 @@ class PlanAuditSpec extends SparkSpecBase {
     }
   }
 
+  test("q324's cut anti-join never broadcasts the exploded side") {
+    underBothAqeModes {
+      // the cut-position frame is compact interval rows at the
+      // exchange AQE sizes from and tens of millions of rows after the
+      // explode — auto-broadcast OOMed the driver on the first 501k
+      // stress run (STRESS_r17). The SHUFFLE_HASH hint must survive:
+      // the anti-join partitions both sides on (doc_id, pos)
+      val plan = SparkEntry.queries("q324_mem_dedup_apply")(spark, sf)
+        .queryExecution.executedPlan.toString
+      val anti = plan.linesIterator.filter(_.contains("LeftAnti")).mkString("\n")
+      assert(anti.nonEmpty, s"cut anti-join missing:\n${plan.take(1500)}")
+      assert(!anti.contains("Broadcast"),
+        s"cut anti-join must stay shuffled (explode-underestimate OOM class):\n$anti")
+    }
+  }
+
   test("FoldSelfCosine folds cosine(x,x) to a literal") {
     val emb = Tables.embeddings(spark, sf)
     val df = emb.select(GraftFunctions.cosine(col("embedding"), col("embedding")).as("c"))
