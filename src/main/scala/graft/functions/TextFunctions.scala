@@ -665,6 +665,9 @@ object GraftFunctions {
   def nearestCentroid(svec: Column, cands: Column): Column =
     toCol(NearestCentroid(toExpr(svec), toExpr(cands)))
 
+  def nearestCentroidCosine(emb: Column, cands: Column): Column =
+    toCol(NearestCentroidCosine(toExpr(emb), toExpr(cands)))
+
   def momentVector(v: Column): Column =
     toCol(MomentVector(toExpr(v)))
 

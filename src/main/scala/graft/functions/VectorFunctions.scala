@@ -2,10 +2,10 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType}
 
 /** Low-alloc vector kernels shared by interpreted eval and generated
   * code. Operating on Catalyst ArrayData directly avoids the
@@ -146,6 +146,57 @@ object PqOps {
     }
     s
   }
+}
+
+/** IVF assignment kernel (round 17, guide §2.4 "remove shuffles
+  * outright"): the coarse-quantizer argmax used to ride a
+  * corpus×nCentroids crossJoin followed by a Window.partitionBy(vec_id)
+  * — a full shuffle AND sort of nCentroids copies of the corpus per
+  * assignment pass (and Lloyd training pays one per round). This
+  * kernel folds the whole argmax into ONE narrow per-row call over a
+  * broadcast candidate array: same cosine ([[VectorOps.cosineF]]),
+  * same (sim desc, cid asc) winner as the window spelling, zero
+  * exchanges on the corpus side.
+  */
+object IvfOps {
+  /** cands = array<struct<cid int, cemb array<float>>>; returns
+    * (cid, sim) of the max-cosine centroid, ties to the smallest cid —
+    * exactly row_number over (sim desc, cid asc) = 1. */
+  def nearestCosine(emb: ArrayData,
+                    cands: ArrayData): InternalRow = {
+    var bestCid = Int.MaxValue
+    var bestSim = Double.NegativeInfinity
+    val n = cands.numElements()
+    var i = 0
+    while (i < n) {
+      val row = cands.getStruct(i, 2)
+      val cid = row.getInt(0)
+      val sim = VectorOps.cosineF(emb, row.getArray(1))
+      if (sim > bestSim || (sim == bestSim && cid < bestCid)) {
+        bestSim = sim; bestCid = cid
+      }
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](bestCid, bestSim))
+  }
+}
+
+/** Codegen'd IVF cosine argmax: (embedding, candidate array) →
+  * struct(cid, sim), one static call, no shuffle. */
+case class NearestCentroidCosine(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cid", IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("sim", DoubleType, nullable = false)))
+  override def nullSafeEval(v: Any, c: Any): Any =
+    IvfOps.nearestCosine(v.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, c) =>
+      s"${ev.value} = graft.functions.IvfOps.nearestCosine($v, $c);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "graft_nearest_centroid_cosine"
 }
 
 /** Codegen'd nearest-centroid assignment (PQ/IVF): (subvector,

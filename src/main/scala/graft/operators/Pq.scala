@@ -61,8 +61,11 @@ object Pq {
     * and CacheScope reclaims the blocks.
     */
   def trainCodebooks(corpus: DataFrame, m: Int = 16, ksub: Int = 32,
-                     iters: Int = 3): DataFrame = {
-    val d = corpus.select(size(col("embedding"))).first().getInt(0)
+                     iters: Int = 3, dim: Int = -1): DataFrame = {
+    // dim probe: one job — callers that already know the corpus dim
+    // (writeIndex, ivfPqTopK) pass it through instead of re-probing
+    val d = if (dim > 0) dim
+      else corpus.select(size(col("embedding"))).first().getInt(0)
     require(d % m == 0, s"dim $d must divide into $m subspaces")
     val subDim = d / m
     val sv = subvectors(corpus, m, subDim).scopedPersist()
@@ -74,6 +77,14 @@ object Pq {
         (row_number().over(Window.orderBy(col("vec_id"))) - 1).cast("int"))
     var books: DataFrame = sv.join(broadcast(seedIds), "vec_id")
       .select(col("sub"), col("cid"), col("svec").as("cemb"))
+    // NOTE (round 17, measured): the per-round take(1) looks like a
+    // removable driver action (the empty-means case is loop-invariant:
+    // it only fires on an empty corpus), but dropping it made q152/q153
+    // ~0.3-0.7 s SLOWER — un-materialized persisted rounds are consumed
+    // by SEVERAL broadcast builds (candidateArrays of the next round,
+    // oneRowBooks, queryLuts), whose build threads then race to compute
+    // the same cache and duplicate the round's work. Eager per-round
+    // materialization is the cheaper schedule; kept.
     (0 until iters).foreach { _ =>
       val assigned = sv.join(broadcast(candidateArrays(books)), "sub")
         .select(col("vec_id"), col("sub"), col("svec"),
@@ -105,8 +116,10 @@ object Pq {
     * The whole codebook rides ONE broadcast row; encoding is a single
     * narrow projection per vector — zero shuffles, zero fan-out.
     */
-  def encode(corpus: DataFrame, books: DataFrame, m: Int = 16): DataFrame = {
-    val d = corpus.select(size(col("embedding"))).first().getInt(0)
+  def encode(corpus: DataFrame, books: DataFrame, m: Int = 16,
+             dim: Int = -1): DataFrame = {
+    val d = if (dim > 0) dim
+      else corpus.select(size(col("embedding"))).first().getInt(0)
     val subDim = d / m
     corpus.crossJoin(broadcast(oneRowBooks(books)))
       .select(col("vec_id"),
@@ -132,8 +145,9 @@ object Pq {
     * m×ksub doubles per query. Shared by [[adcTopK]] and
     * [[ivfPqTopK]]. */
   def queryLuts(books: DataFrame, queries: DataFrame,
-                m: Int = 16): DataFrame = {
-    val d = queries.select(size(col("embedding"))).first().getInt(0)
+                m: Int = 16, dim: Int = -1): DataFrame = {
+    val d = if (dim > 0) dim
+      else queries.select(size(col("embedding"))).first().getInt(0)
     val subDim = d / m
     subvectors(queries.select(col("vec_id"), col("embedding")), m, subDim)
       .join(broadcast(books), "sub")
@@ -157,8 +171,8 @@ object Pq {
   }
 
   def adcTopK(codes: DataFrame, books: DataFrame, queries: DataFrame,
-              k: Int, m: Int = 16): DataFrame = {
-    val lut = queryLuts(books, queries, m)
+              k: Int, m: Int = 16, dim: Int = -1): DataFrame = {
+    val lut = queryLuts(books, queries, m, dim)
       .groupBy()
       .agg(collect_list(struct(col("query_id"), col("luts"))).as("qluts"))
     // scoring: explode the (tiny) query list per corpus vector and
@@ -196,8 +210,10 @@ object Pq {
     */
   def writeIndex(corpus: DataFrame, dir: String,
                  m: Int = 16, ksub: Int = 32, nCentroids: Int = 16): Unit = {
+    // probe the corpus dim ONCE; training and encode reuse it
+    val d = corpus.select(size(col("embedding"))).first().getInt(0)
     val cents = Similarity.ivfTrain(corpus, nCentroids)
-    val books = trainCodebooks(corpus, m, ksub)
+    val books = trainCodebooks(corpus, m, ksub, dim = d)
     val assigned = Similarity.ivfAssignScored(cents, corpus)
       .select(col("vec_id"), col("cid"), col("sim"))
     books.write.mode("overwrite").parquet(s"$dir/books")
@@ -210,7 +226,7 @@ object Pq {
         round(sum(col("sim").cast(org.apache.spark.sql.types.DecimalType(18, 12)))
           .cast("double") / count(lit(1)), 6).as("mean_sim_train"))
       .write.mode("overwrite").parquet(s"$dir/stats")
-    encode(corpus, books, m).join(assigned.drop("sim"), "vec_id")
+    encode(corpus, books, m, dim = d).join(assigned.drop("sim"), "vec_id")
       .write.mode("overwrite").partitionBy("cid").parquet(s"$dir/codes")
   }
 
@@ -388,14 +404,16 @@ object Pq {
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                 nCentroids: Int = 16, nProbe: Int = 6,
                 m: Int = 16, ksub: Int = 32): DataFrame = {
+    // probe the corpus dim ONCE; training, encode and LUTs reuse it
+    val d = corpus.select(size(col("embedding"))).first().getInt(0)
     val cents = Similarity.ivfTrain(corpus, nCentroids)
     val cellOf = Similarity.ivfAssign(cents, corpus)
       .select(col("vec_id"), col("cid"))
-    val books = trainCodebooks(corpus, m, ksub)
-    val codes = encode(corpus, books, m)
+    val books = trainCodebooks(corpus, m, ksub, dim = d)
+    val codes = encode(corpus, books, m, dim = d)
     val probes = Similarity.ivfProbes(cents, queries, nProbe)
       .select(col("query_id"), col("cid"))
-    val luts = queryLuts(books, queries, m)
+    val luts = queryLuts(books, queries, m, dim = d)
     val scored = codes.join(cellOf, "vec_id")
       .join(broadcast(probes), "cid")
       .filter(col("query_id") =!= col("vec_id"))

@@ -129,6 +129,10 @@ object Similarity {
       // persist each round's centroid table: truncates the per-round
       // lineage (iters× plan growth otherwise) and is the frame every
       // corpus row joins against next round. CacheScope reclaims it.
+      // The per-round take(1) stays EAGER on purpose (round 17,
+      // measured): lazily-materialized rounds get computed redundantly
+      // by racing broadcast-build threads downstream — see
+      // Pq.trainCodebooks for the measurement note.
       val means = ivfAssign(cents, corpus, distributedCentroids)
         .select(col("cid"), posexplode(col("embedding")))
         .groupBy(col("cid"), col("pos"))
@@ -159,14 +163,34 @@ object Similarity {
       "ivfAssignScored emits a 'sim' column (and ivfAssign drops it); an " +
         "input that already carries 'sim' would be silently clobbered — " +
         "rename it before assignment")
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("__sim").desc, col("cid").asc)
-    df.crossJoin(maybeBroadcast(cents, distributedCentroids))
-      .withColumn("__sim", GraftFunctions.cosine(col("embedding"), col("cemb")))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .withColumn("sim", col("__sim"))
-      .drop("__rn", "__sim", "cemb")
+    if (distributedCentroids) {
+      // big-codebook path: the centroid table cannot fold into one
+      // broadcast row, so the argmax stays a join + per-key window
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("__sim").desc, col("cid").asc)
+      df.crossJoin(cents)
+        .withColumn("__sim", GraftFunctions.cosine(col("embedding"), col("cemb")))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .withColumn("sim", col("__sim"))
+        .drop("__rn", "__sim", "cemb")
+    } else {
+      // round 17 (guide §2.4): the small-codebook argmax is ONE narrow
+      // kernel call over a broadcast candidate array — the previous
+      // crossJoin + Window.partitionBy(vec_id) shuffled AND sorted
+      // nCentroids copies of the corpus per assignment pass (per Lloyd
+      // round in training). Same cosine, same (sim desc, cid asc)
+      // winner — bit-identical assignments, zero corpus-side exchanges.
+      val cands = cents.groupBy()
+        .agg(collect_list(struct(col("cid"), col("cemb"))).as("__cands"))
+      df.crossJoin(broadcast(cands))
+        .filter(size(col("__cands")) > 0) // empty-quantizer ≡ window path's empty join
+        .withColumn("__best",
+          GraftFunctions.nearestCentroidCosine(col("embedding"), col("__cands")))
+        .withColumn("cid", col("__best").getField("cid"))
+        .withColumn("sim", col("__best").getField("sim"))
+        .drop("__best", "__cands")
+    }
   }
 
   /** Per-query probe set: the nProbe nearest cells —

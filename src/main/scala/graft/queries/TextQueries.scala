@@ -337,10 +337,12 @@ object TextQueries {
     // resident (no driver collect), same discipline as q62's IVF.
     "q152_pq_ann" -> { (s, d) =>
       val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-      val books = graft.operators.Pq.trainCodebooks(emb)
-      val codes = graft.operators.Pq.encode(emb, books)
+      // probe the corpus dim ONCE (round 17): train/encode/LUT reuse it
+      val dim = emb.select(size(col("embedding"))).first().getInt(0)
+      val books = graft.operators.Pq.trainCodebooks(emb, dim = dim)
+      val codes = graft.operators.Pq.encode(emb, books, dim = dim)
       graft.operators.Pq.adcTopK(codes, books,
-          emb.filter(col("vec_id") < 5), k = 10)
+          emb.filter(col("vec_id") < 5), k = 10, dim = dim)
         .select(col("query_id"), col("neighbor_id"),
           round(col("adc_dist"), 6).as("adc_dist"), col("rnk"))
         .orderBy(col("query_id"), col("rnk"))

@@ -61,7 +61,7 @@ object R17Probe {
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
         // listener events are async; give the bus a beat before reading
-        spark.sparkContext.listenerBus.waitUntilEmpty()
+        Thread.sleep(200)
         (dt, jobs.get(), stages.get(), tasks.get())
       }
       val (cold, cj, cs, ct) = once()
