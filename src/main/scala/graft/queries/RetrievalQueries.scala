@@ -351,7 +351,6 @@ object RetrievalQueries {
     // (a_id, b_id, cos_u) tuples, shuffled by a_id then b_id.
     "q219_bitext_mine" -> { (s, d) =>
       import graft.Caching.ScopedPersist
-      import org.apache.spark.sql.expressions.Window
       val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
       val a = emb.filter(col("vec_id") % 2 === 0)
         .select(col("vec_id").as("a_id"), col("embedding").as("e_a"))
@@ -362,30 +361,31 @@ object RetrievalQueries {
           round(round(GraftFunctions.cosine(col("e_a"), col("e_b")), 6) * 1e6)
             .cast("long").as("cos_u"))
         .scopedPersist() // consumers: fwd topk, bwd topk, margin join
-      val wA = Window.partitionBy(col("a_id"))
-        .orderBy(col("cos_u").desc, col("b_id"))
-      val wB = Window.partitionBy(col("b_id"))
-        .orderBy(col("cos_u").desc, col("a_id"))
-      val fwd = pairs.withColumn("__rk", row_number().over(wA))
-        .filter(col("__rk") <= 4)
+      // Round 17 (guide §2.4): the four per-key rank stages used to be
+      // row_number windows — each a full shuffle AND sort of the A×B
+      // pair table. TopKPerKeyExec has the identical contract
+      // (row_number over (score desc, tie asc) ≤ k) with k-bounded
+      // map-side heaps, so only ≤ k rows per (key, partition) cross the
+      // wire. Same rows out, bit-identical margins.
+      val fwd = graft.plans.TopKPlan.topKPerKey(pairs, Seq("a_id"),
+          scoreCol = "cos_u", tieCol = "b_id", k = 4)
         .groupBy(col("a_id")).agg(sum(col("cos_u")).as("sum_fwd"))
-      val bwd = pairs.withColumn("__rk", row_number().over(wB))
-        .filter(col("__rk") <= 4)
+      val bwd = graft.plans.TopKPlan.topKPerKey(pairs, Seq("b_id"),
+          scoreCol = "cos_u", tieCol = "a_id", k = 4)
         .groupBy(col("b_id")).agg(sum(col("cos_u")).as("sum_bwd"))
       val margins = pairs
         .join(broadcast(fwd), "a_id").join(broadcast(bwd), "b_id")
         .select(col("a_id"), col("b_id"),
           (lit(8.0) * col("cos_u") / (col("sum_fwd") + col("sum_bwd")))
             .as("margin"))
-      val wBestA = Window.partitionBy(col("a_id"))
-        .orderBy(col("margin").desc, col("b_id"))
-      val wBestB = Window.partitionBy(col("b_id"))
-        .orderBy(col("margin").desc, col("a_id"))
-      margins
-        .withColumn("__ra", row_number().over(wBestA))
-        .withColumn("__rb", row_number().over(wBestB))
-        .filter(col("__ra") === 1 && col("__rb") === 1 &&
-          col("margin") > 1.05)
+      val bestA = graft.plans.TopKPlan.topKPerKey(margins, Seq("a_id"),
+          scoreCol = "margin", tieCol = "b_id", k = 1)
+        .select(col("a_id"), col("b_id"), col("margin"))
+      val bestB = graft.plans.TopKPlan.topKPerKey(margins, Seq("b_id"),
+          scoreCol = "margin", tieCol = "a_id", k = 1)
+        .select(col("a_id"), col("b_id"))
+      bestA.join(bestB, Seq("a_id", "b_id")) // mutual best = rank 1 both ways
+        .filter(col("margin") > 1.05)
         .select(col("a_id"), col("b_id"), round(col("margin"), 6).as("margin"))
         .orderBy(col("a_id"))
     },
