@@ -113,6 +113,25 @@ object Caching {
     def scopedPersist(): DataFrame = CacheScope.persist(df)
   }
 
+  /** Round 17 (guide §2.5 input skew / §1.2 per-task work): fan a
+    * frame out to the session's parallelism — but ONLY when its
+    * planned partition count is below it. Compute-heavy single-pass
+    * aggregates (PCA moments, per-iteration gradients) otherwise run
+    * their partials on however many input splits the scan produced;
+    * a single small parquet file (one row group) is ONE split, so the
+    * whole reduction runs on one core regardless of cluster size. At
+    * real scale the scan has ≥ parallelism splits and this is a no-op
+    * — the condition is derived from the actual plan, not a local
+    * constant. Callers must only use it where the downstream result
+    * is partitioning-invariant (the exact-decimal aggregate family).
+    */
+  implicit class FanOut(private val df: DataFrame) extends AnyVal {
+    def fanOutSmallScan(): DataFrame = {
+      val target = df.sparkSession.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    }
+  }
+
   /** `df.loopCheckpoint(eager)` — drop-in for `.localCheckpoint(eager)`
     * at iterative-loop rounds that should honor the reliable-
     * checkpoint policy ([[Caching.loopCheckpoint]]).

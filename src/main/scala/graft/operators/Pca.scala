@@ -108,8 +108,16 @@ object Pca {
   /** Fit mean + covariance (population, /n) + eigenpairs in ONE
     * corpus pass. `dim` must match the vector width. */
   def fit(emb: DataFrame, vecCol: String, dim: Int): PcaModel = {
+    import graft.Caching.FanOut
     val width = dim + dim * (dim + 1) / 2
-    val r = emb
+    // project to the vector column, then fan out iff the scan is
+    // under-parallel (round 17: the sf bench tables are one-row-group
+    // parquet files = ONE split, so the d²-wide decimal moment partials
+    // all ran on a single core — 2.3 s of the 2.5 s query). The decimal
+    // reduction is partition-invariant by contract, so the fan-out
+    // cannot move the result; at scale the scan already has more
+    // splits than cores and this is a no-op.
+    val r = emb.select(col(vecCol)).fanOutSmallScan()
       .agg(DecimalVectorSum.vectorSum(
         GraftFunctions.momentVector(col(vecCol)), width).as("m"))
       .select(col("m.n"), col("m.sums")).head()

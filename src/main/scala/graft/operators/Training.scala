@@ -93,15 +93,24 @@ object Training {
     // spelling it replaced (integer votes are order-free; the parity
     // is pinned in TrainingSpec), with ZERO featurization shuffles.
     // Empty docs drop, matching the explode path's group semantics.
-    val feats = docs
-      .select(col(idCol).as("doc_id"), col(nCharsCol).as("n_chars"),
-        graft.functions.GraftFunctions.normWords(col(textCol)).as("__ws"))
-      .filter(size(col("__ws")) > 0)
-      .select(col("doc_id"),
-        graft.functions.GraftFunctions.hashedFeatures(col("__ws"), dims)
-          .as("features"),
-        (col("n_chars") >= labelAt).cast("int").as("label"))
-      .scopedPersist() // K training scans read this frame
+    val feats = {
+      import graft.Caching.FanOut
+      docs
+        .select(col(idCol).as("doc_id"), col(nCharsCol).as("n_chars"),
+          graft.functions.GraftFunctions.normWords(col(textCol)).as("__ws"))
+        // fan out iff the scan is under-parallel (round 17): the md5
+        // featurization and every iteration's decimal gradient partial
+        // otherwise run on the single split a one-row-group parquet
+        // file produces; the gradient reduction is partition-invariant
+        // (PartitionInvarianceSpec), and at scale this is a no-op
+        .fanOutSmallScan()
+        .filter(size(col("__ws")) > 0)
+        .select(col("doc_id"),
+          graft.functions.GraftFunctions.hashedFeatures(col("__ws"), dims)
+            .as("features"),
+          (col("n_chars") >= labelAt).cast("int").as("label"))
+        .scopedPersist() // K training scans read this frame
+    }
     val (w, losses) = logisticRegression(feats, "features", "label",
       dims, iters)
     import spark.implicits._
