@@ -11,6 +11,50 @@ import org.apache.spark.unsafe.types.UTF8String
 /** Text kernels + SimHash expression — SURVEY.md §2.3/§2.5. */
 object TextOps {
 
+  /** Round 17 (guide §1.2 per-task work): the shared tokenizer as ONE
+    * byte-scan kernel. The compositional spelling —
+    * filter(split(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " "),
+    * w -> w <> "") — pays a regex pass, a split allocation and a
+    * higher-order filter per row, and it sits in the SCAN stage of
+    * every text query (which a one-row-group parquet file serves on a
+    * single task). This kernel emits the IDENTICAL token array in one
+    * pass over the lowered UTF-8 bytes:
+    *  - lowercasing is the same UTF8String.toLowerCase the Lower
+    *    expression applies (default UTF8_BINARY collation);
+    *  - the regex deletes every char outside [a-z0-9 ] — after
+    *    lowering, every such char is either a non-matching ASCII byte
+    *    or a multi-byte sequence whose bytes are all ≥ 0x80, so
+    *    byte-wise filtering ≡ per-code-point filtering (UTF-8 never
+    *    embeds ASCII bytes in multi-byte sequences);
+    *  - deleted chars vanish WITHOUT creating a token boundary ("a.b"
+    *    → "ab"), only literal spaces delimit, and empty tokens drop —
+    *    exactly replace-then-split-then-filter.
+    * Parity with the regex spelling is pinned in Round17OptSpec.
+    */
+  def normWords(text: UTF8String): ArrayData = {
+    val bytes = text.toLowerCase.getBytes
+    val out = new java.util.ArrayList[Any]()
+    val buf = new Array[Byte](bytes.length)
+    var blen = 0
+    var i = 0
+    while (i < bytes.length) {
+      val c = bytes(i)
+      if (c == ' ') {
+        if (blen > 0) {
+          out.add(UTF8String.fromBytes(java.util.Arrays.copyOf(buf, blen)))
+          blen = 0
+        }
+      } else if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+        buf(blen) = c
+        blen += 1
+      }
+      i += 1
+    }
+    if (blen > 0)
+      out.add(UTF8String.fromBytes(java.util.Arrays.copyOf(buf, blen)))
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
   /** FNV-1a 64-bit over UTF-8 bytes — stable, public, allocation-free. */
   def fnv1a64(s: UTF8String): Long = {
     val bytes = s.getBytes
@@ -455,6 +499,20 @@ case class MinHashSignature(child: Expression, shingleWidth: Int, nSeeds: Int)
   override def prettyName: String = "graft_minhash64"
 }
 
+/** Codegen'd shared tokenizer: string → ArrayType(StringType) tokens,
+  * bit-identical to the replace/split/filter spelling it replaced
+  * (see [[TextOps.normWords]]). */
+case class NormWordsKernel(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(t: Any): Any =
+    TextOps.normWords(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.functions.TextOps.normWords($t)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "graft_norm_words"
+}
+
 /** Codegen'd distinct w-word shingle set of ArrayType(StringType)
   * tokens → ArrayType(StringType). */
 case class ShingleSet(child: Expression, shingleWidth: Int) extends UnaryExpression {
@@ -709,8 +767,18 @@ object GraftFunctions {
 
   /** Lower-case, strip non-alphanumerics (keeping spaces), split on
     * single spaces, drop empties — the shared normalization used by
-    * dedup/text queries; mirrored verbatim in the DuckDB oracles. */
+    * dedup/text queries; mirrored in the DuckDB oracles as
+    * list_filter(string_split(regexp_replace(lower(text), ...), ' '),
+    * ...). Round 17: rides the single-pass [[NormWordsKernel]] (same
+    * tokens bit-exactly — Round17OptSpec pins parity against the
+    * regex spelling, [[normWordsRegex]]). */
   def normWords(text: Column): Column =
+    toCol(NormWordsKernel(toExpr(text)))
+
+  /** The pre-round-17 compositional spelling — kept as the parity
+    * oracle for [[normWords]] (and for any caller that needs the
+    * tokenizer as a pure built-in-expression tree). */
+  def normWordsRegex(text: Column): Column =
     filter(split(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " "), w => w =!= "")
 
   /** w-length word shingles over the normalized words.

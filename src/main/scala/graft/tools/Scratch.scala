@@ -25,6 +25,52 @@ object Scratch {
     spark.sparkContext.setLogLevel("ERROR")
     graft.SparkEntry.queries("q01_pricing_summary")(spark, sfDir).count()
 
+    val docs = graft.Tables.documents(spark, sfDir)
+    // q247 piecewise
+    {
+      import graft.functions.GraftFunctions
+      val corpus = docs.select(col("doc_id"), col("text")).unionByName(
+        docs.filter(col("doc_id") < 50)
+          .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+      val sh = corpus.select(col("doc_id"),
+          explode(GraftFunctions.shingleSet(
+            GraftFunctions.normWords(col("text")), 3)).as("w"))
+        .select(col("doc_id"),
+          conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long").as("h"))
+        .distinct().persist()
+      t("q247 sh count") { sh.count() }
+      val docSets = sh.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n"), sort_array(collect_list(col("h"))).as("hs"))
+        .persist()
+      t("q247 docSets") { docSets.write.format("noop").mode("overwrite").save() }
+      val dfc = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      val pref = sh.join(dfc, "h")
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+            .orderBy(col("df"), col("h"))))
+        .join(docSets.select(col("doc_id"), col("n")), "doc_id")
+        .filter(col("rn") <= col("n") - expr("(3 * n + 4) div 5") + 1)
+        .select(col("doc_id"), col("h"), col("n")).persist()
+      t("q247 pref") { pref.write.format("noop").mode("overwrite").save() }
+      val cand = pref.as("pa")
+        .join(pref.as("pb"), col("pa.h") === col("pb.h") &&
+          col("pa.doc_id") < col("pb.doc_id"))
+        .filter(col("pa.n") * 5 >= col("pb.n") * 3 &&
+          col("pb.n") * 5 >= col("pa.n") * 3)
+        .select(col("pa.doc_id").as("a"), col("pb.doc_id").as("b"))
+        .distinct().persist()
+      t("q247 cand") { println("cand rows=" + cand.count()) }
+      t("q247 verify") {
+        cand.join(docSets.select(col("doc_id").as("a"), col("n").as("na"),
+            col("hs").as("ha")), "a")
+          .join(docSets.select(col("doc_id").as("b"), col("n").as("nb"),
+            col("hs").as("hb")), "b")
+          .select(col("a"), col("b"),
+            size(array_intersect(col("ha"), col("hb"))).cast("long").as("n_inter"))
+          .write.format("noop").mode("overwrite").save()
+      }
+      spark.catalog.clearCache()
+    }
     val emb = graft.Tables.embeddings(spark, sfDir)
     t("dim probe") { emb.select(size(col("embedding"))).head.getInt(0) }
     val dim = 64

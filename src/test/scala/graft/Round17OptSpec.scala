@@ -38,6 +38,35 @@ class Round17OptSpec extends SparkSpecBase {
     }
   }
 
+  test("normWords kernel ≡ regex spelling, bit-exact (incl. unicode edges)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(17)
+    val alphabet =
+      "abcXYZ019 .,!-_éÉ中文K😀\t\n'\"@#" // Kelvin sign, emoji, CJK
+    val fuzz = (1 to 300).map(_ =>
+      (1 to rng.nextInt(80)).map(_ => alphabet(rng.nextInt(alphabet.length)))
+        .mkString)
+    val edge = Seq("", " ", "  ", "a.b", "A B", "a  b ", ".,!", "KK9",
+      "é é", "abKcd", "ﬁligature", "İstanbul")
+    val docs = (fuzz ++ edge).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val both = docs.select(col("id"),
+        graft.functions.GraftFunctions.normWords(col("text")).as("kernel"),
+        graft.functions.GraftFunctions.normWordsRegex(col("text")).as("regex"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2),
+        s"id=${r.getLong(0)}: kernel=${r.getSeq[String](1)} regex=${r.getSeq[String](2)}")
+    }
+    // real corpus too: every document at sf0.001 tokenizes identically
+    val corpus = Tables.documents(spark, sf).select(
+        graft.functions.GraftFunctions.normWords(col("text")).as("kernel"),
+        graft.functions.GraftFunctions.normWordsRegex(col("text")).as("regex"))
+      .collect()
+    assert(corpus.nonEmpty)
+    corpus.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
+  }
+
   test("IVF narrow kernel honors the (sim desc, cid asc) tie-break") {
     import spark.implicits._
     // two identical centroids (cid 3 and 1) — the winner must be cid 1,
