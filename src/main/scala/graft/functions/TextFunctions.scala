@@ -55,6 +55,28 @@ object TextOps {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
   }
 
+  /** Round 17: `conv(substring(md5(x), start, len), 16, 10)::long` as
+    * ONE digest + nibble fold — the 60-bit-key pattern every dedup
+    * operator uses per SHINGLE paid a 32-char hex render, a substring
+    * alloc and a string→decimal→long parse per row on top of the
+    * digest. Identical value for len ≤ 15 (fits a non-negative long).
+    */
+  def md5HexLong(s: UTF8String, start: Int, len: Int): Long = {
+    val md = md5Digest.get()
+    md.reset()
+    val h = md.digest(s.getBytes)
+    var v = 0L
+    var i = start - 1
+    val end = start - 1 + len
+    while (i < end) {
+      val b = h(i >> 1)
+      val nib = if ((i & 1) == 0) (b >> 4) & 0xf else b & 0xf
+      v = (v << 4) | nib.toLong
+      i += 1
+    }
+    v
+  }
+
   /** FNV-1a 64-bit over UTF-8 bytes — stable, public, allocation-free. */
   def fnv1a64(s: UTF8String): Long = {
     val bytes = s.getBytes
@@ -499,6 +521,22 @@ case class MinHashSignature(child: Expression, shingleWidth: Int, nSeeds: Int)
   override def prettyName: String = "graft_minhash64"
 }
 
+/** Codegen'd md5-prefix key: string → long value of hex digits
+  * [start, start+len) of md5(x) — identical to
+  * conv(substring(md5(x), start, len), 16, 10)::long for len ≤ 15. */
+case class Md5HexLong(child: Expression, start: Int, len: Int)
+    extends UnaryExpression {
+  require(start >= 1 && len >= 1 && start + len <= 33 && len <= 15,
+    s"md5HexLong: hex window [$start, ${start + len}) out of range")
+  override def dataType: DataType = LongType
+  override def nullSafeEval(t: Any): Any =
+    TextOps.md5HexLong(t.asInstanceOf[UTF8String], start, len)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.functions.TextOps.md5HexLong($t, $start, $len)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "graft_md5_hex_long"
+}
+
 /** Codegen'd shared tokenizer: string → ArrayType(StringType) tokens,
   * bit-identical to the replace/split/filter spelling it replaced
   * (see [[TextOps.normWords]]). */
@@ -725,6 +763,9 @@ object GraftFunctions {
 
   def nearestCentroidCosine(emb: Column, cands: Column): Column =
     toCol(NearestCentroidCosine(toExpr(emb), toExpr(cands)))
+
+  def md5HexLong(c: Column, start: Int, len: Int): Column =
+    toCol(Md5HexLong(toExpr(c), start, len))
 
   def momentVector(v: Column): Column =
     toCol(MomentVector(toExpr(v)))

@@ -121,7 +121,7 @@ object Dedup {
         explode(GraftFunctions.shingleSet(
           GraftFunctions.normWords(col(textCol)), shingleWidth)).as("w"))
       .select(col("doc_id"),
-        conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long").as("h"))
+        GraftFunctions.md5HexLong(col("w"), 1, 15).as("h"))
       .distinct() // a same-doc 60-bit collision must collapse to ONE key
       .scopedPersist() // consumers: df, sizes+arrays, prefix ranks
     // per-doc size AND the sorted key array for the verify stage — the

@@ -475,10 +475,9 @@ object TextAnalysis {
   def featureHash(docs: DataFrame, idCol: String, textCol: String,
                   dims: Int = 64): DataFrame = {
     val word = col("word")
-    val bucket = conv(substring(md5(word), 1, 8), 16, 10)
-      .cast("long") % dims
-    val sgn = when(conv(substring(md5(word), 9, 1), 16, 10)
-      .cast("long") % 2 === 0, lit(1L)).otherwise(lit(-1L))
+    val bucket = graft.functions.GraftFunctions.md5HexLong(word, 1, 8) % dims
+    val sgn = when(graft.functions.GraftFunctions.md5HexLong(word, 9, 1)
+      % 2 === 0, lit(1L)).otherwise(lit(-1L))
     docs
       .select(col(idCol).as("doc_id"),
         explode(graft.functions.GraftFunctions.normWords(col(textCol)))

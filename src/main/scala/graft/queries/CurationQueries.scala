@@ -184,7 +184,7 @@ object CurationQueries {
         .select(col("doc_id"), col("lang"),
           explode(GraftFunctions.normWords(col("text"))).as("word"))
         .select(col("doc_id"), col("lang"),
-          (conv(substring(md5(col("word")), 1, 8), 16, 10).cast("long")
+          (GraftFunctions.md5HexLong(col("word"), 1, 8)
             % nBuckets).as("bkt"))
         .scopedPersist() // feeds both LMs + the scoring join
       val cR = words.groupBy(col("bkt")).agg(count(lit(1)).as("cr"))

@@ -25,8 +25,7 @@ object TextQueries {
     val words = Tables.documents(s, d)
       .select(col("doc_id"), col("n_chars"),
         explode(GraftFunctions.normWords(col("text"))).as("word"))
-    val bucket = conv(substring(md5(col("word")), 1, 8), 16, 10)
-      .cast("long") % 1024
+    val bucket = GraftFunctions.md5HexLong(col("word"), 1, 8) % 1024
     val weight = ((bucket * lit(2654435761L)) % 4096).cast("double") / 2048.0 - 1.0
     words
       .select(col("doc_id"), col("n_chars"),
@@ -59,7 +58,7 @@ object TextQueries {
         posexplode(GraftFunctions.normWords(col("text"))))
       .select(col("doc_id"), col("source"), col("pos"), col("col").as("word"))
       .withColumn("bflag",
-        (conv(substring(md5(col("word")), 1, 8), 16, 10).cast("long") % 8
+        (GraftFunctions.md5HexLong(col("word"), 1, 8) % 8
           === 0).cast("long"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     pe.withColumn("cid", sum(col("bflag")).over(w) - col("bflag"))
@@ -928,8 +927,7 @@ object TextQueries {
     "q115_classifier_filter" -> { (s, d) =>
       val words = Tables.documents(s, d)
         .select(col("doc_id"), explode(GraftFunctions.normWords(col("text"))).as("word"))
-      val bucket = conv(substring(md5(col("word")), 1, 8), 16, 10)
-        .cast("long") % 1024
+      val bucket = GraftFunctions.md5HexLong(col("word"), 1, 8) % 1024
       val weight = ((bucket * lit(2654435761L)) % 4096).cast("double") / 2048.0 - 1.0
       words.select(col("doc_id"), weight.cast(DecimalType(18, 12)).as("wt"))
         .groupBy(col("doc_id"))
@@ -1457,8 +1455,8 @@ object TextQueries {
           first(col("embedding")).as("emb"))
         .select(col("vec_id"), (-col("m.nt")).as("topic_id"), col("emb"))
         .withColumn("batch_id",
-          (conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
-            .cast("long") % 32).cast("int"))
+          (GraftFunctions.md5HexLong(col("vec_id").cast("string"), 1, 8)
+            % 32).cast("int"))
       val a = assigned.select(col("batch_id"), col("vec_id").as("anchor_id"),
         col("topic_id").as("a_topic"), col("emb").as("a_emb"))
       val b = assigned.select(col("batch_id"), col("vec_id").as("neg_id"),

@@ -27,7 +27,7 @@ object Scratch {
 
     val docs = graft.Tables.documents(spark, sfDir)
     // q247 piecewise
-    {
+    locally {
       import graft.functions.GraftFunctions
       val corpus = docs.select(col("doc_id"), col("text")).unionByName(
         docs.filter(col("doc_id") < 50)
@@ -70,6 +70,7 @@ object Scratch {
           .write.format("noop").mode("overwrite").save()
       }
       spark.catalog.clearCache()
+      ()
     }
     val emb = graft.Tables.embeddings(spark, sfDir)
     t("dim probe") { emb.select(size(col("embedding"))).head.getInt(0) }

@@ -67,6 +67,23 @@ class Round17OptSpec extends SparkSpecBase {
     corpus.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
   }
 
+  test("md5HexLong kernel ≡ conv(substring(md5(x),s,l),16,10)::long") {
+    import spark.implicits._
+    val rng = new scala.util.Random(42)
+    val strs = (1 to 500).map(_ =>
+      rng.alphanumeric.take(rng.nextInt(30)).mkString) ++
+      Seq("", " ", "é中😀", "dp:123", "q109:abc")
+    val df = strs.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "s")
+    Seq((1, 15), (1, 8), (9, 1), (1, 1), (1, 6), (17, 15)).foreach {
+      case (st, ln) =>
+        val bad = df.select(
+            graft.functions.GraftFunctions.md5HexLong(col("s"), st, ln).as("k"),
+            conv(substring(md5(col("s")), st, ln), 16, 10).cast("long").as("c"))
+          .filter(col("k") =!= col("c")).count()
+        assert(bad == 0, s"md5HexLong($st,$ln) diverges on $bad rows")
+    }
+  }
+
   test("IVF narrow kernel honors the (sim desc, cid asc) tie-break") {
     import spark.implicits._
     // two identical centroids (cid 3 and 1) — the winner must be cid 1,
