@@ -596,10 +596,15 @@ object Dedup {
         .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
       val mins = sym.groupBy(col("u"))
         .agg(least(min(col("v")), first(col("u"))).as("m"))
+      // Round 17 (guide §2.4): no distinct between the stars — the
+      // small-star min is duplicate-insensitive and the round ends in
+      // a distinct anyway, so deduping large-star output bought one
+      // full exchange per round for nothing (duplicates cannot
+      // compound across rounds: every round's output IS deduped).
       val large = sym.join(mins, "u")
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
-        .filter(col("u") =!= col("v")).distinct()
+        .filter(col("u") =!= col("v"))
       val smallNbrs = large.select(col("u"), col("v"))
       val minsS = smallNbrs.groupBy(col("u"))
         .agg(min(col("v")).as("m"))
