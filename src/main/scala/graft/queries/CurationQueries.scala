@@ -498,13 +498,18 @@ object CurationQueries {
     // (transform+array_min per row); TopKPerKeyExec then shuffles
     // only k-bounded partials per source, never the corpus.
     "q150_reservoir_sample" -> { (s, d) =>
+      import graft.Caching.FanOut
+      // round 17: the ticket is n_chars md5 draws PER DOC (~10⁶ digests
+      // at bench scale) — ride the fused Md5HexLong kernel (same value,
+      // no hex render/parse) and fan the scan out iff under-parallel
+      // (top-k per key is partition-invariant; no-op at real scale)
       val ticket = array_min(transform(
         sequence(lit(1), col("n_chars")),
-        j => conv(substring(md5(concat(lit("q150:"),
-          col("doc_id").cast("string"), lit(":"), j.cast("string"))),
-          1, 12), 16, 10).cast("long")))
+        j => GraftFunctions.md5HexLong(concat(lit("q150:"),
+          col("doc_id").cast("string"), lit(":"), j.cast("string")), 1, 12)))
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), col("source"), col("n_chars"))
+        .fanOutSmallScan()
         .withColumn("neg_ticket", -ticket)
       graft.plans.TopKPlan.topKPerKey(docs, Seq("source"),
           scoreCol = "neg_ticket", tieCol = "doc_id", k = 20)

@@ -26,7 +26,10 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     // per-round shuffles were already spent inside the loop
     "q110_simhash_pairs_native" -> 1, // ONE internal repartition+sort
     "q113_topk_native" -> 1,          // k-bounded partials, one exchange
-    "q150_reservoir_sample" -> 1,     // ticket race rides TopKPerKeyExec
+    // ticket race rides TopKPerKeyExec; +1 (round 17): fanOutSmallScan's
+    // conditional repartition fires at test scale (one-row-group file),
+    // a no-op on any real multi-split scan
+    "q150_reservoir_sample" -> 2,
     "q42_stream_windowed" -> 1,
     "q58_stream_static_join" -> 1,
     "q59_dup_clusters" -> 1,
