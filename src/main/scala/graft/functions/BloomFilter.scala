@@ -38,6 +38,26 @@ object BloomOps {
     out
   }
 
+  /** Round 17: count of array items contained — the per-doc probe of
+    * contaminationBloom used to run `filter(shs, sh -> contains)`
+    * through a higher-order lambda, which re-materializes the filter
+    * BYTES (numBits/8, e.g. 16 KB) once per ELEMENT; this kernel reads
+    * the bytes once per ROW and loops the items inside. Identical
+    * count (same mightContain per element; null items don't occur in
+    * the shingle arrays, and are counted as not-contained). */
+  def countContained(bits: Array[Byte], items: org.apache.spark.sql.catalyst.util.ArrayData,
+                     numHashes: Int): Long = {
+    var c = 0L
+    val n = items.numElements()
+    var i = 0
+    while (i < n) {
+      if (!items.isNullAt(i) &&
+        mightContain(bits, items.getUTF8String(i), numHashes)) c += 1L
+      i += 1
+    }
+    c
+  }
+
   def mightContain(bits: Array[Byte], item: UTF8String, numHashes: Int): Boolean = {
     val numBits = bits.length * 8
     if (numBits == 0) return false
@@ -136,6 +156,22 @@ case class BloomMightContain(left: Expression, right: Expression, numHashes: Int
   override def prettyName: String = "graft_bloom_contains"
 }
 
+/** `graft_bloom_count_contained(filterBytes, items, numHashes)` —
+  * fused per-row array probe (see [[BloomOps.countContained]]). */
+case class BloomCountContained(left: Expression, right: Expression, numHashes: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullSafeEval(bits: Any, items: Any): Any =
+    BloomOps.countContained(bits.asInstanceOf[Array[Byte]],
+      items.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], numHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (b, a) =>
+      s"graft.functions.BloomOps.countContained($b, $a, $numHashes)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "graft_bloom_count_contained"
+}
+
 object BloomFunctions {
   import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
 
@@ -144,4 +180,7 @@ object BloomFunctions {
 
   def bloomContains(filter: Column, item: Column, numHashes: Int): Column =
     toCol(BloomMightContain(toExpr(filter), toExpr(item), numHashes))
+
+  def bloomCountContained(filter: Column, items: Column, numHashes: Int): Column =
+    toCol(BloomCountContained(toExpr(filter), toExpr(items), numHashes))
 }

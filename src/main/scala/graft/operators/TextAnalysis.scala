@@ -282,12 +282,19 @@ object TextAnalysis {
     val filterBits = shingleArr(benchmark)
       .select(explode(col("shs")).as("sh"))
       .agg(BloomFunctions.bloomAgg(col("sh"), numBits, numHashes).as("__bits"))
-    shingleArr(corpus)
+    // round 17: the probe side pays numHashes digests per shingle per
+    // doc (~10⁶ digests at bench scale) — fan the corpus out BEFORE
+    // shingling iff the scan is under-parallel (per-doc verdicts are
+    // trivially partition-invariant; a multi-split scan at real scale
+    // makes this a no-op)
+    shingleArr(locally { import graft.Caching.FanOut; corpus.fanOutSmallScan() })
       .crossJoin(broadcast(filterBits)) // 1-row filter — broadcast-nested-loop, no shuffle
+      // fused per-row probe (round 17): the filter(shs, ...) lambda
+      // re-materialized the filter BYTES once per shingle; the kernel
+      // reads them once per doc — identical count
       .select(col("doc_id"),
-        size(filter(col("shs"), sh =>
-          BloomFunctions.bloomContains(col("__bits"), sh, numHashes)))
-          .cast("long").as("n_flagged"))
+        BloomFunctions.bloomCountContained(col("__bits"), col("shs"), numHashes)
+          .as("n_flagged"))
       .filter(col("n_flagged") > 0)
   }
 

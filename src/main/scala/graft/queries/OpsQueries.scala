@@ -721,8 +721,17 @@ object OpsQueries {
         .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
       val bloom = dim.agg(BloomFunctions.bloomAgg(
         col("o_orderkey").cast("string"), 1 << 17, 5).as("bits"))
-      val pre = Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+      // round 17: fan the probe side out iff the scan is under-parallel
+      // (one-row-group file = one split): each probed row pays a
+      // filter-bytes materialization, so a single-split scan serializes
+      // ~10 GB of 16 KB copies on one core; filter→join→agg is
+      // partition-invariant, and at real scale this is a no-op
+      val pre = locally {
+          import graft.Caching.FanOut
+          Tables.lineitem(s, d)
+            .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+            .fanOutSmallScan()
+        }
         .crossJoin(broadcast(bloom)) // 1-row filter frame
         .filter(BloomFunctions.bloomContains(
           col("bits"), col("l_orderkey").cast("string"), 5))

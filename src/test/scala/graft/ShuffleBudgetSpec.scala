@@ -160,7 +160,12 @@ class ShuffleBudgetSpec extends AnyFunSuite {
     // token subtree re-printing per consumer + the m-row scalar
     // crossJoin branches (SinglePartition exchanges on domain-sized
     // frames, not corpus shuffles)
-    "q219_bitext_mine" -> 5,
+    // round 17: q219's four window sorts became four TopKPerKey passes
+    // (k-bounded partials; the exec's internal shuffle is an RDD-level
+    // repartitionAndSort, not a SQL Exchange) — the text counts move
+    // because the persisted pair subtree re-prints under AQE (7 on /
+    // 5 off, measured via PlanCount)
+    "q219_bitext_mine" -> 7,
     "q225_coreset" -> 8,
     "q228_bloom_semijoin" -> 4,
     "q229_self_bleu" -> 5,
