@@ -1537,9 +1537,17 @@ object TextQueries {
     "q192_bleu_contam" -> { (s, d) =>
       import graft.Caching.ScopedPersist
       import graft.operators.Retrieval
-      val w0 = Tables.documents(s, d)
-        .select(col("doc_id"), GraftFunctions.normWords(col("text")).as("ws"))
-        .scopedPersist() // consumers: eval construction + 4 corpus n-gram passes
+      val w0 = locally {
+        import graft.Caching.FanOut
+        // round 17: the whole 4-order tagged-gram front (and its
+        // broadcast-join probe) runs on w0's partitioning — one split
+        // on a one-row-group file; every consumer is a groupBy/join,
+        // so the fan-out is result-invariant and a no-op at real scale
+        Tables.documents(s, d)
+          .select(col("doc_id"), GraftFunctions.normWords(col("text")).as("ws"))
+          .fanOutSmallScan()
+          .scopedPersist() // consumers: eval construction + 4 corpus n-gram passes
+      }
       val ev0 = w0.filter(col("doc_id") < 15)
         .select((col("doc_id") + 3000000).as("eval_id"),
           array_join(expr("slice(ws, 1, greatest(1, size(ws) div 2))"), " ")
@@ -1998,8 +2006,15 @@ object TextQueries {
     // discipline applied to the self-similarity question).
     "q229_self_bleu" -> { (s, d) =>
       import graft.Caching.ScopedPersist
-      val grams = Tables.documents(s, d)
-        .select(col("doc_id"), GraftFunctions.normWords(col("text")).as("ws"))
+      val grams = locally {
+          import graft.Caching.FanOut
+          // round 17: shingle generation otherwise runs on the scan's
+          // single split (see q192) — groupBys downstream are
+          // partition-invariant, no-op at real scale
+          Tables.documents(s, d)
+            .select(col("doc_id"), GraftFunctions.normWords(col("text")).as("ws"))
+            .fanOutSmallScan()
+        }
         .filter(size(col("ws")) >= 3)
         .scopedPersist() // bind ws before the shingle lambda
         .select(col("doc_id"), explode(expr(
