@@ -189,7 +189,10 @@ class CurationSpec extends SparkSpecBase {
     val big = TextAnalysis.contamination(corpus, bench, "doc_id", "text", n = 8,
       maxExactShingles = 10)
     val bigPlan = big.queryExecution.analyzed.toString
-    assert(bigPlan.contains("graft_bloom_contains") && !bigPlan.contains("array_intersect"),
+    // round 17: the Bloom probe is the fused per-row array kernel
+    // (graft_bloom_count_contained), not the per-element lambda probe
+    assert(bigPlan.contains("graft_bloom_count_contained") &&
+      !bigPlan.contains("array_intersect"),
       "over-threshold benchmark should take the Bloom path")
     assert(big.columns.toSeq == Seq("doc_id", "n_contaminated"))
     val bloomIds = big.select(col("doc_id")).collect().map(_.getLong(0)).toSet
